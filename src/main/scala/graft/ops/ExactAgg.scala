@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Order-independent, engine-portable aggregation over doubles.
+  *
+  * Summing IEEE doubles is order-dependent; Spark's partial aggregation
+  * order differs run-to-run and from any single-threaded oracle, so raw
+  * `sum(double)` can never hash-match an external engine. The fix: cast each
+  * addend to an exact DECIMAL(38,s) (deterministic round-to-nearest), sum in
+  * decimal (exact, associative, commutative → order-independent), cast the
+  * final total back to DOUBLE (deterministic). Both Spark and DuckDB produce
+  * bit-identical results for the same rows, at any parallelism — this is
+  * what makes every aggregate in this library reproducible on a
+  * 1000-executor cluster, not just on one thread.
+  *
+  * Per-row arithmetic (multiply, divide, exp) stays in DOUBLE — IEEE ops are
+  * deterministic per element; only the *reduction* needs the decimal detour.
+  * DECIMAL(38,6) holds ±1e31, far beyond any sum of test or cluster data.
+  *
+  * Oracle-side equivalent: `CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)`.
+  */
+object ExactAgg {
+  val Scale = 6
+
+  /** Exact sum of a double column, returned as double. */
+  def dsum(c: Column, scale: Int = Scale): Column =
+    sum(c.cast(DecimalType(38, scale))).cast(DoubleType)
+
+  /** Exact mean (decimal-sum / count), as double. */
+  def davg(c: Column, scale: Int = Scale): Column =
+    dsum(c, scale) / count(c)
+
+  /** Population stddev from exact sums: sqrt(E[x^2] - E[x]^2).
+    * Built-in stddev_pop accumulates in floating point (order-dependent);
+    * this variant is reproducible across engines and parallelism.
+    */
+  def dstddevPop(c: Column, scale: Int = Scale): Column =
+    sqrt(dsum(c * c, scale) / count(c) - pow(dsum(c, scale) / count(c), 2))
+
+  /** Oracle SQL fragment mirroring [[dsum]]. */
+  def sqlSum(expr: String, scale: Int = Scale): String =
+    s"CAST(SUM(CAST(($expr) AS DECIMAL(38,$scale))) AS DOUBLE)"
+
+  def sqlAvg(expr: String, scale: Int = Scale): String =
+    s"(${sqlSum(expr, scale)} / COUNT(*))"
+
+  def sqlStddevPop(expr: String, scale: Int = Scale): String =
+    s"SQRT(${sqlSum(s"($expr)*($expr)", scale)} / COUNT(*) - " +
+      s"POW(${sqlSum(expr, scale)} / COUNT(*), 2))"
+}

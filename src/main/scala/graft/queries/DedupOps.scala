@@ -1,0 +1,188 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines: exact (hash-groupBy),
+  * MinHash+LSH banding, SimHash, and shingle-Jaccard verification.
+  *
+  * Hashing is md5-based on BOTH engines (Spark `md5` == DuckDB `md5`,
+  * lowercase hex), so every stage is oracle-checkable — no engine-private
+  * murmur seeds. MinHash "values" are the lexicographic min of md5 hex
+  * strings, which is a perfectly valid uniform hash family (md5(i||'|'||s)
+  * for band seed i).
+  *
+  * Scale shape (the point of LSH): signatures are per-doc (linear scan),
+  * candidate pairs come from an equi-join on (band, band_hash) — never an
+  * all-pairs product. At 100 TB the band join is the only shuffle and its
+  * fan-out is bounded by bucket sizes; the exact-Jaccard verify runs only
+  * on LSH survivors.
+  */
+object DedupOps extends QueryModule {
+
+  private[queries] val NumHashes = 8
+  private[queries] val NumBands = 4 // 2 hashes per band
+
+  def defs: Seq[QueryDef] = Seq(d1ExactDedup, d2MinhashLsh, d3Simhash, d4JaccardVerify)
+
+  // ── shared shingle machinery (Spark side) ────────────────────────────────
+
+  /** (doc_id, shingle) — distinct word-3-gram shingles per document. */
+  private[queries] def shingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), expr(
+        """explode(transform(sequence(0, size(split(text, ' ')) - 3),
+          i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))))""").as("shingle"))
+      .distinct()
+
+  /** Per-doc MinHash signature columns h0..h{k-1}. */
+  private[queries] def minhashSig(sh: DataFrame): DataFrame =
+    sh.groupBy("doc_id")
+      .agg(min(md5(concat(lit("0|"), col("shingle")))).as("h0"),
+        (1 until NumHashes).map(i =>
+          min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i")): _*)
+
+  /** (doc_id, band, bh): band hash per doc — md5 of the band's minhashes. */
+  private[queries] def bandHashes(sig: DataFrame): DataFrame = {
+    val perBand = (0 until NumBands).map { b =>
+      sig.select(col("doc_id"), lit(b).as("band"),
+        md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bh"))
+    }
+    perBand.reduce(_ unionByName _)
+  }
+
+  /** Distinct candidate pairs (doc_a < doc_b) sharing any LSH band. */
+  private[queries] def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+    val bands = bandHashes(minhashSig(shingles(s, dir)))
+    val a = bands.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+    val b = bands.select(col("band").as("band_b"), col("bh").as("bh_b"), col("doc_id").as("doc_b"))
+    a.join(b, col("band") === col("band_b") && col("bh") === col("bh_b") &&
+        col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  // ── shared SQL CTEs (oracle side) ────────────────────────────────────────
+
+  private[queries] val shinglesCte =
+    """sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(list_transform(range(1, len(w) - 1),
+          i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))"""
+
+  private[queries] val sigCte = {
+    val mins = (0 until NumHashes)
+      .map(i => s"MIN(md5('$i|' || shingle)) AS h$i").mkString(", ")
+    s"sig AS (SELECT doc_id, $mins FROM sh GROUP BY 1)"
+  }
+
+  private[queries] val bandsCte = {
+    val rows = (0 until NumBands)
+      .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bh FROM sig")
+      .mkString(" UNION ALL ")
+    s"bands AS ($rows)"
+  }
+
+  private[queries] val candCte =
+    """cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)"""
+
+  // ── queries ──────────────────────────────────────────────────────────────
+
+  /** Exact dedup: hash-groupBy on content fingerprint — the map-side-combine
+    * friendly baseline. One row of corpus stats. */
+  private val d1ExactDedup = QueryDef(
+    "d1_exact_dedup",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_docs"),
+          count(lit(1)).as("n_unique"),
+          sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_clusters"),
+          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_dup_docs"))
+    },
+    Some("""SELECT CAST(SUM(c) AS BIGINT) AS n_docs, COUNT(*) AS n_unique,
+      CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_clusters,
+      CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_docs
+      FROM (SELECT md5(text) AS h, COUNT(*) AS c FROM documents GROUP BY 1)"""))
+
+  /** MinHash + LSH banding: candidate near-dup pairs from the band
+    * equi-join. */
+  private val d2MinhashLsh = QueryDef(
+    "d2_minhash_lsh",
+    (s, dir) => lshCandidates(s, dir).orderBy("doc_a", "doc_b"),
+    Some(s"""WITH $shinglesCte, $sigCte, $bandsCte, $candCte
+      SELECT doc_a, doc_b FROM cand ORDER BY 1, 2"""))
+
+  /** SimHash: 16-bit signature via per-bit majority vote over shingle
+    * hashes; docs sharing a signature are near-dup candidates. One linear
+    * pass + groupBy — no pairs materialized at all. */
+  private val d3Simhash = QueryDef(
+    "d3_simhash",
+    (s, dir) => {
+      val sh = shingles(s, dir).withColumn("h", md5(col("shingle")))
+      val bitSums = (1 to 16).map(p =>
+        sum(when(substring(col("h"), p, 1) >= "8", 1).otherwise(-1)).as(s"s$p"))
+      val bits = (1 to 16).map(p => when(col(s"s$p") > 0, "1").otherwise("0"))
+      sh.groupBy("doc_id")
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"), concat(bits: _*).as("simhash"))
+        .groupBy("simhash")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+        .orderBy("simhash")
+    },
+    Some {
+      val sums = (1 to 16)
+        .map(p => s"SUM(CASE WHEN substring(md5(shingle), $p, 1) >= '8' THEN 1 ELSE -1 END) AS s$p")
+        .mkString(", ")
+      val bits = (1 to 16)
+        .map(p => s"CASE WHEN s$p > 0 THEN '1' ELSE '0' END").mkString(" || ")
+      s"""WITH $shinglesCte,
+        sums AS (SELECT doc_id, $sums FROM sh GROUP BY 1),
+        sigs AS (SELECT doc_id, $bits AS simhash FROM sums)
+        SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+        FROM sigs GROUP BY 1 ORDER BY 1"""
+    })
+
+  /** Exact shingle-Jaccard verification of the LSH candidates (the
+    * verify-stage of the classic dedup pipeline): J = |A∩B| / |A∪B|,
+    * computed only for pairs the bands surfaced. */
+  private val d4JaccardVerify = QueryDef(
+    "d4_jaccard_verify",
+    (s, dir) => {
+      val sh = shingles(s, dir)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val cand = lshCandidates(s, dir)
+      val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      val shB = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+      val inter = cand.join(shA, "doc_a").join(shB, Seq("doc_b", "shingle"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn("jaccard",
+          col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+        .filter(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH $shinglesCte, $sigCte, $bandsCte, $candCte,
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, n_inter,
+        CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+      ORDER BY 1, 2"""))
+}

@@ -1,0 +1,143 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: language-ID heuristic,
+  * quality scoring, token counting, document fingerprinting, and the
+  * binary-column (multimodal) metadata path.
+  *
+  * All row-level — embarrassingly parallel, no shuffle except the final
+  * small rollups; exactly the shape that streams through 100 TB of text.
+  * Only engine-portable string ops are used (replace-count instead of
+  * engine-specific tokenizers), so every op is oracle-checkable.
+  */
+object TextOps extends QueryModule {
+
+  def defs: Seq[QueryDef] = Seq(langId, qualityScore, tokenCount, fingerprint, mmBinaryMeta)
+
+  /** Occurrence count of literal `pat` inside column `c` (both engines:
+    * length-difference / pattern-length). */
+  private def occExpr(c: String, pat: String): String =
+    s"(length($c) - length(replace($c, '$pat', ''))) / ${pat.length}"
+
+  /** Language-ID by marker-token frequency (n-gram heuristic): pick the
+    * marker class with the highest occurrence count in the padded text;
+    * compare against the labeled lang → confusion-matrix counts. */
+  private val langId = QueryDef(
+    "t_langid",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("padded", concat(lit(" "), col("text"), lit(" ")))
+        .withColumn("s_the", expr(occExpr("padded", " the ")))
+        .withColumn("s_data", expr(occExpr("padded", " data ")))
+        .withColumn("s_query", expr(occExpr("padded", " query ")))
+        .withColumn("pred",
+          when(col("s_the") >= col("s_data") && col("s_the") >= col("s_query"), "m_the")
+            .when(col("s_data") >= col("s_query"), "m_data")
+            .otherwise("m_query"))
+        .groupBy("lang", "pred")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred")
+    },
+    Some {
+      val (sThe, sData, sQuery) =
+        (occExpr("padded", " the "), occExpr("padded", " data "), occExpr("padded", " query "))
+      s"""SELECT lang, CASE
+          WHEN $sThe >= $sData AND $sThe >= $sQuery THEN 'm_the'
+          WHEN $sData >= $sQuery THEN 'm_data'
+          ELSE 'm_query' END AS pred,
+        COUNT(*) AS n
+        FROM (SELECT lang, ' ' || text || ' ' AS padded FROM documents)
+        GROUP BY 1, 2 ORDER BY 1, 2"""
+    })
+
+  /** Quality scoring: length, stopword ratio, mean word length → composite
+    * score. Pure integer-derived arithmetic → bit-exact across engines. */
+  private val qualityScore = QueryDef(
+    "t_quality_score",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("padded", concat(lit(" "), col("text"), lit(" ")))
+        .withColumn("n_words", size(split(col("text"), " ")).cast("long"))
+        .withColumn("n_stop", expr(occExpr("padded", " the ")) +
+          expr(occExpr("padded", " a ")) + expr(occExpr("padded", " of ")))
+        .select(col("doc_id"), col("n_words"),
+          ((length(col("text")) - (col("n_words") - 1)).cast("double") / col("n_words"))
+            .as("mean_word_len"),
+          (col("n_stop").cast("double") / col("n_words")).as("stop_ratio"),
+          (col("n_words").cast("double") / lit(100.0)
+            + col("n_stop").cast("double") / col("n_words") * lit(2.0)).as("quality"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val nStop = s"(${occExpr("padded", " the ")} + ${occExpr("padded", " a ")} + ${occExpr("padded", " of ")})"
+      s"""SELECT doc_id, n_words,
+        CAST(length(text) - (n_words - 1) AS DOUBLE) / n_words AS mean_word_len,
+        CAST($nStop AS DOUBLE) / n_words AS stop_ratio,
+        CAST(n_words AS DOUBLE) / 100.0 + CAST($nStop AS DOUBLE) / n_words * 2.0 AS quality
+        FROM (SELECT doc_id, text, ' ' || text || ' ' AS padded,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+              FROM documents)
+        ORDER BY doc_id"""
+    })
+
+  /** Token counting: whitespace tokens + a regex token class (the BPE-ish
+    * pre-tokenizer pattern), rolled up per source. */
+  private val tokenCount = QueryDef(
+    "t_token_count",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("n_ws", size(split(col("text"), " ")).cast("long"))
+        .withColumn("n_re", expr("size(regexp_extract_all(text, '[a-z]+', 0))").cast("long"))
+        .withColumn("n_long", expr("size(regexp_extract_all(text, '[a-z]{5,}', 0))").cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_ws")).as("sum_ws_tokens"),
+          sum(col("n_re")).as("sum_re_tokens"), sum(col("n_long")).as("sum_long_tokens"))
+        .orderBy("source")
+    },
+    Some("""SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_ws_tokens,
+      CAST(SUM(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS sum_re_tokens,
+      CAST(SUM(len(regexp_extract_all(text, '[a-z]{5,}'))) AS BIGINT) AS sum_long_tokens
+      FROM documents GROUP BY 1 ORDER BY 1"""))
+
+  /** Document fingerprinting: md5 over the sorted distinct word set (word-
+    * order-insensitive near-dup detector); fingerprint clusters reported. */
+  private val fingerprint = QueryDef(
+    "t_fingerprint",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("fp", md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))))
+        .groupBy("fp")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy("fp")
+    },
+    Some("""SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+      FROM (SELECT doc_id,
+              md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+            FROM documents)
+      GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1"""))
+
+  /** Multimodal plumbing: opaque binary payloads + typed metadata. The
+    * decode stage for real image/audio bytes is a stub (no codec libs in
+    * this env — see graft.domain docs); the Spark-side schema/partitioning/
+    * metadata path exercised here is real. */
+  private val mmBinaryMeta = QueryDef(
+    "mm_binary_meta",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("payload", col("text").cast("binary"))
+        .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+        .withColumn("header", hex(substring(col("payload"), 1, 4)))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("sum_bytes"),
+          countDistinct(col("header")).as("n_headers"))
+        .orderBy("source")
+    },
+    Some("""SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+      CAST(COUNT(DISTINCT hex(substring(encode(text), 1, 4))) AS BIGINT) AS n_headers
+      FROM documents GROUP BY 1 ORDER BY 1"""))
+}
