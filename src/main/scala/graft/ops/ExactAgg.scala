@@ -29,25 +29,36 @@ object ExactAgg {
   def dsum(c: Column, scale: Int = Scale): Column =
     sum(c.cast(DecimalType(38, scale))).cast(DoubleType)
 
-  /** Exact mean (decimal-sum / count), as double. */
+  /** Exact mean (decimal-sum / row count), as double. The denominator is
+    * COUNT(*) — matching the sqlAvg oracle fragment — not COUNT(col), so the
+    * two engines agree even when the column contains NULLs. */
   def davg(c: Column, scale: Int = Scale): Column =
-    dsum(c, scale) / count(c)
+    dsum(c, scale) / count(lit(1))
 
   /** Population stddev from exact sums: sqrt(E[x^2] - E[x]^2).
     * Built-in stddev_pop accumulates in floating point (order-dependent);
     * this variant is reproducible across engines and parallelism.
+    * COUNT(*) denominator, mirroring sqlStddevPop. The mean is squared by
+    * MULTIPLICATION, not pow(): IEEE *, /, sqrt are correctly rounded in
+    * every engine, while libm pow may differ by 1 ulp between JVM and C.
     */
-  def dstddevPop(c: Column, scale: Int = Scale): Column =
-    sqrt(dsum(c * c, scale) / count(c) - pow(dsum(c, scale) / count(c), 2))
+  def dstddevPop(c: Column, scale: Int = Scale): Column = {
+    val mean = dsum(c, scale) / count(lit(1))
+    sqrt(dsum(c * c, scale) / count(lit(1)) - mean * mean)
+  }
 
-  /** Oracle SQL fragment mirroring [[dsum]]. */
+  /** Oracle SQL fragment mirroring [[dsum]]. The decimal total converts to
+    * DOUBLE through VARCHAR: DuckDB's direct DECIMAL→DOUBLE cast divides by
+    * 10^scale in floating point and can be 1 ulp off the correctly-rounded
+    * value, while its string→double parse (like Spark's decimal cast) is
+    * correctly rounded — so this is what makes the two engines bit-equal. */
   def sqlSum(expr: String, scale: Int = Scale): String =
-    s"CAST(SUM(CAST(($expr) AS DECIMAL(38,$scale))) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST(($expr) AS DECIMAL(38,$scale))) AS VARCHAR) AS DOUBLE)"
 
   def sqlAvg(expr: String, scale: Int = Scale): String =
     s"(${sqlSum(expr, scale)} / COUNT(*))"
 
   def sqlStddevPop(expr: String, scale: Int = Scale): String =
     s"SQRT(${sqlSum(s"($expr)*($expr)", scale)} / COUNT(*) - " +
-      s"POW(${sqlSum(expr, scale)} / COUNT(*), 2))"
+      s"(${sqlSum(expr, scale)} / COUNT(*)) * (${sqlSum(expr, scale)} / COUNT(*)))"
 }

@@ -28,12 +28,18 @@ object DedupOps extends QueryModule {
 
   // ── shared shingle machinery (Spark side) ────────────────────────────────
 
-  /** (doc_id, shingle) — distinct word-3-gram shingles per document. */
+  /** (doc_id, shingle) — distinct word-3-gram shingles per document.
+    * Documents with fewer than 3 words yield no shingles (empty array, not
+    * a crash): `sequence(1, 0)` would step backwards in Spark, so the
+    * short-doc case is branched out explicitly — matching the oracle CTE's
+    * `range(1, len-1)` empty-range behavior. */
   private[queries] def shingles(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), expr(
-        """explode(transform(sequence(0, size(split(text, ' ')) - 3),
-          i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))))""").as("shingle"))
+        """explode(if(size(split(text, ' ')) >= 3,
+          transform(sequence(1, size(split(text, ' ')) - 2),
+            i -> concat_ws(' ', slice(split(text, ' '), i, 3))),
+          array()))""").as("shingle"))
       .distinct()
 
   /** Per-doc MinHash signature columns h0..h{k-1}. */
@@ -43,18 +49,24 @@ object DedupOps extends QueryModule {
         (1 until NumHashes).map(i =>
           min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i")): _*)
 
-  /** (doc_id, band, bh): band hash per doc — md5 of the band's minhashes. */
+  /** (doc_id, band, bh): band hash per doc — md5 of the band's minhashes.
+    * All bands emitted in ONE pass (explode of a literal struct array), not
+    * N unions — the signature lineage is computed once, not NumBands times. */
   private[queries] def bandHashes(sig: DataFrame): DataFrame = {
-    val perBand = (0 until NumBands).map { b =>
-      sig.select(col("doc_id"), lit(b).as("band"),
+    val bandStructs = (0 until NumBands).map { b =>
+      struct(lit(b).as("band"),
         md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bh"))
     }
-    perBand.reduce(_ unionByName _)
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 
-  /** Distinct candidate pairs (doc_a < doc_b) sharing any LSH band. */
-  private[queries] def lshCandidates(s: SparkSession, dir: String): DataFrame = {
-    val bands = bandHashes(minhashSig(shingles(s, dir)))
+  /** Distinct candidate pairs (doc_a < doc_b) sharing any LSH band. The
+    * band table feeds both sides of the self-join, so it is persisted —
+    * Catalyst would otherwise recompute the whole shingle→minhash lineage
+    * per side (SURVEY §4's one-pass-split caveat). */
+  private[queries] def lshCandidates(sh: DataFrame): DataFrame = {
+    val bands = bandHashes(minhashSig(sh)).persist()
     val a = bands.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
     val b = bands.select(col("band").as("band_b"), col("bh").as("bh_b"), col("doc_id").as("doc_b"))
     a.join(b, col("band") === col("band_b") && col("bh") === col("bh_b") &&
@@ -114,7 +126,7 @@ object DedupOps extends QueryModule {
     * equi-join. */
   private val d2MinhashLsh = QueryDef(
     "d2_minhash_lsh",
-    (s, dir) => lshCandidates(s, dir).orderBy("doc_a", "doc_b"),
+    (s, dir) => lshCandidates(shingles(s, dir)).orderBy("doc_a", "doc_b"),
     Some(s"""WITH $shinglesCte, $sigCte, $bandsCte, $candCte
       SELECT doc_a, doc_b FROM cand ORDER BY 1, 2"""))
 
@@ -154,9 +166,11 @@ object DedupOps extends QueryModule {
   private val d4JaccardVerify = QueryDef(
     "d4_jaccard_verify",
     (s, dir) => {
-      val sh = shingles(s, dir)
+      // The shingle set feeds four branches (candidates, both join sides,
+      // sizes) — persist once or Catalyst recomputes the explode per branch.
+      val sh = shingles(s, dir).persist()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val cand = lshCandidates(s, dir)
+      val cand = lshCandidates(sh)
       val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
       val shB = sh.select(col("doc_id").as("doc_b"), col("shingle"))
       val inter = cand.join(shA, "doc_a").join(shB, Seq("doc_b", "shingle"))

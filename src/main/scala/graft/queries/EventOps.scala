@@ -255,30 +255,42 @@ object EventOps extends QueryModule {
     },
     Some(s"""SELECT event_type, hour, pv / sum_k AS vwap, sum_k
       FROM (SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
-              ${sqlSum("value * CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT)")} AS pv,
-              CAST(SUM(CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT)) AS BIGINT) AS sum_k
+              ${sqlSum("value * TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT)")} AS pv,
+              CAST(SUM(TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT)) AS BIGINT) AS sum_k
             FROM events GROUP BY 1,2)
       WHERE sum_k > 0 ORDER BY event_type, hour"""))
 
   /** J6/J7 sandwich possible-set (sandwich/mod.rs:851-1148): consecutive
     * same-key "bracket" rows with victims strictly between. Brackets wider
-    * than 2h are discarded (reference brackets live within a block) — that
-    * bound is what keeps the victim range-join linear at scale. */
+    * than 2h are discarded (reference brackets live within a block).
+    *
+    * Scale shape: the bracket↔victim match is an EQUI-join on coarse time
+    * buckets (bucket width == max bracket width, so a bracket spans ≤2
+    * buckets and is exploded into exactly those), with the exact range
+    * predicate applied post-join. A victim lands in exactly one bucket, so
+    * no pair is produced twice. This keeps the join a shuffled hash/sort
+    * join partitioned by bucket — never a BroadcastNestedLoopJoin over
+    * brackets × victims. */
   private val j6SandwichPattern = QueryDef(
     "j6_sandwich_pattern",
     (s, dir) => {
+      val MaxWidth = 7200000000L // 2h, also the bucket width
       val e = ev(s, dir)
       val w = Window.partitionBy(col("user_id")).orderBy(col("us").asc, col("event_id").asc)
       val brackets = e.filter(col("event_type") === "click")
         .withColumn("back_us", lead(col("us"), 1).over(w))
         .withColumn("back_id", lead(col("event_id"), 1).over(w))
-        .filter(col("back_us").isNotNull && col("back_us") - col("us") <= 7200000000L)
+        .filter(col("back_us").isNotNull && col("back_us") - col("us") <= MaxWidth)
         .select(col("user_id"), col("event_id").as("front_id"),
           col("us").as("front_us"), col("back_id"), col("back_us"))
+        .withColumn("bucket", explode(array_distinct(array(
+          expr(s"front_us div $MaxWidth"), expr(s"back_us div $MaxWidth")))))
       val victims = e.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("v_user"), col("us").as("v_us"))
+        .select(col("user_id").as("v_user"), col("us").as("v_us"),
+          expr(s"us div $MaxWidth").as("v_bucket"))
       brackets.join(victims,
-          col("v_user") =!= col("user_id") &&
+          col("bucket") === col("v_bucket") &&
+            col("v_user") =!= col("user_id") &&
             col("v_us") > col("front_us") && col("v_us") < col("back_us"))
         .groupBy("user_id", "front_id", "back_id")
         .agg(count(lit(1)).as("n_victims"))

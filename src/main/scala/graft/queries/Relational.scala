@@ -54,17 +54,20 @@ object Relational extends QueryModule {
       COUNT(*) AS n
       FROM lineitem GROUP BY 1,2 ORDER BY 1,2"""))
 
-  /** TPC-H Q3 shape: selective dims broadcast into the fact scan, then
-    * top-k. At scale: customer filter broadcasts, lineitem never shuffles
-    * until the final small top-k. */
+  /** TPC-H Q3 shape: the selective customer DIM broadcasts into the orders
+    * scan; orders⋈lineitem is a shuffle join on the orderkey (both are
+    * facts — broadcasting a fact-derived side would OOM the driver at 100
+    * TB, so only `c` carries a broadcast hint; AQE may still pick a
+    * broadcast at small SF, which is fine because that decision is made
+    * from runtime sizes, not a hardcoded hint). */
   private val q3TopOrders = QueryDef(
     "q3_top_orders",
     (s, dir) => {
       val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
       val o = Tables.orders(s, dir)
       val l = Tables.lineitem(s, dir)
-      l.join(broadcast(o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
-          .select("o_orderkey", "o_orderdate")),
+      l.join(o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .select("o_orderkey", "o_orderdate"),
           l("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_date"))
         .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
@@ -78,8 +81,10 @@ object Relational extends QueryModule {
       WHERE c_mktsegment = 'BUILDING'
       GROUP BY 1,2 ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"""))
 
-  /** TPC-H Q5 shape: star join through two dimension hops; all dims
-    * broadcast, single fact shuffle for the final groupBy. */
+  /** TPC-H Q5 shape: the TINY dims (nation 25 rows, region 5) broadcast;
+    * customer scales with the data, so customer-side joins are shuffle
+    * joins on their keys — never a driver-collected broadcast. AQE can
+    * still upgrade them to broadcasts at small SF from runtime sizes. */
   private val q5RegionRevenue = QueryDef(
     "q5_region_revenue",
     (s, dir) => {
@@ -92,7 +97,7 @@ object Relational extends QueryModule {
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .select(col("c_custkey"), col("n_name"), col("r_name"))
       l.join(o.select("o_orderkey", "o_custkey"), l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(dim), o("o_custkey") === dim("c_custkey"))
+        .join(dim, o("o_custkey") === dim("c_custkey"))
         .groupBy("r_name", "n_name")
         .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
           count(lit(1)).as("n_items"))
@@ -108,7 +113,7 @@ object Relational extends QueryModule {
       GROUP BY 1,2 ORDER BY 1,2"""))
 
   /** TPC-H Q6 shape: pure scan+filter+sum — predicate pushdown must reach
-    * the parquet reader (verified via explain in RelationalSpec). */
+    * the parquet reader. */
   private val q6FilteredSum = QueryDef(
     "q6_filtered_sum",
     (s, dir) => {
@@ -239,12 +244,19 @@ object Relational extends QueryModule {
   /** P12/P13/C7 subsumption dedup (tree/util/dedup.rs:10-221): drop rows
     * duplicated by an earlier "parent" with the same identity — window
     * row_number over the identity key ordered by position, keep first.
-    * One shuffle; at scale the window partitions by the identity key. */
+    * One shuffle; at scale the window partitions by the identity key.
+    * The ordering must be TOTAL per partition: (orderkey, partkey,
+    * linenumber) genuinely collides in this data with differing payload
+    * columns, so every payload column joins the sort key — otherwise the
+    * kept row is engine/run-dependent. */
   private val p12DedupSubsumption = QueryDef(
     "p12_dedup_subsumption",
     (s, dir) => {
       val w = Window.partitionBy(col("l_orderkey"), col("l_partkey"))
-        .orderBy(col("l_linenumber").asc)
+        .orderBy(col("l_linenumber").asc, col("l_returnflag").asc,
+          col("l_linestatus").asc, col("l_quantity").asc,
+          col("l_extendedprice").asc, col("l_discount").asc,
+          col("l_tax").asc, col("l_suppkey").asc)
       Tables.lineitem(s, dir)
         .withColumn("rn", row_number().over(w))
         .groupBy("l_returnflag")
@@ -256,7 +268,10 @@ object Relational extends QueryModule {
       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned
       FROM (SELECT l_returnflag, ROW_NUMBER() OVER (
-              PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber ASC) AS rn
+              PARTITION BY l_orderkey, l_partkey
+              ORDER BY l_linenumber ASC, l_returnflag ASC, l_linestatus ASC,
+                       l_quantity ASC, l_extendedprice ASC, l_discount ASC,
+                       l_tax ASC, l_suppkey ASC) AS rn
             FROM lineitem)
       GROUP BY 1 ORDER BY 1"""))
 
@@ -365,16 +380,34 @@ object Relational extends QueryModule {
           PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS INT) AS rank
         FROM part) WHERE rank <= 3 ORDER BY p_brand, rank"""))
 
-  /** T5 top-quality-percent selection (optimistic.rs:139-160): percent_rank
-    * filter per group. */
+  /** T5 top-quality-percent selection (optimistic.rs:139-160).
+    *
+    * The ordering is total (price, orderkey, linenumber all distinct per
+    * row), so `percent_rank <= q` ≡ `row_number - 1 <= q·(n-1)`. That
+    * equivalence enables a two-phase plan that never sorts a whole group
+    * in one task: phase 1 ranks within (group, salt) — 32-way parallel —
+    * and keeps only rows whose salted rank could still qualify globally
+    * (local rank ≤ global threshold, since local rank ≤ global rank);
+    * phase 2 ranks the tiny survivor set per group exactly. A single
+    * 3-partition window over the full fact (the naive plan) would put N/3
+    * rows in one task's sort at any scale. */
   private val t5PercentRank = QueryDef(
     "t5_percent_rank_top",
     (s, dir) => {
-      val w = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
-      Tables.lineitem(s, dir)
-        .withColumn("pr", percent_rank().over(w))
-        .filter(col("pr") <= 0.01)
+      val Salt = 32
+      val l = Tables.lineitem(s, dir)
+      val counts = l.groupBy(col("l_returnflag").as("cf"))
+        .agg(count(lit(1)).as("n_grp"))
+      val order = Seq(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      val wLocal = Window
+        .partitionBy(col("l_returnflag"), pmod(col("l_orderkey") + col("l_linenumber"), lit(Salt)))
+        .orderBy(order: _*)
+      val wGlobal = Window.partitionBy(col("l_returnflag")).orderBy(order: _*)
+      l.withColumn("rn_local", row_number().over(wLocal))
+        .join(broadcast(counts), col("l_returnflag") === col("cf"))
+        .filter((col("rn_local") - 1).cast("double") <= lit(0.01) * (col("n_grp") - 1))
+        .withColumn("rn", row_number().over(wGlobal))
+        .filter((col("rn") - 1).cast("double") <= lit(0.01) * (col("n_grp") - 1))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_top"), min(col("l_extendedprice")).as("min_price"))
         .orderBy("l_returnflag")

@@ -120,24 +120,40 @@ object TextOps extends QueryModule {
             FROM documents)
       GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1"""))
 
-  /** Multimodal plumbing: opaque binary payloads + typed metadata. The
-    * decode stage for real image/audio bytes is a stub (no codec libs in
-    * this env — see graft.domain docs); the Spark-side schema/partitioning/
-    * metadata path exercised here is real. */
+  /** Multimodal plumbing: opaque BINARY payloads carrying a magic-byte
+    * header (PNG/GIF magics, alternating per doc) + typed metadata sniffed
+    * from the first bytes. The decode stage for real image/audio bytes is a
+    * stub (no codec libs in this env); the Spark-side binary schema,
+    * byte-slicing, and metadata rollup exercised here are real. Both
+    * engines compare the header in the hex-string domain (DuckDB has no
+    * BLOB substring overload). */
   private val mmBinaryMeta = QueryDef(
     "mm_binary_meta",
     (s, dir) => {
       Tables.documents(s, dir)
-        .withColumn("payload", col("text").cast("binary"))
+        .withColumn("magic",
+          when(pmod(col("doc_id"), lit(2)) === 0, "89504e47").otherwise("47494638"))
+        .withColumn("payload",
+          concat(to_binary(col("magic"), lit("hex")), col("text").cast("binary")))
         .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
-        .withColumn("header", hex(substring(col("payload"), 1, 4)))
+        .withColumn("header", upper(hex(substring(col("payload"), 1, 4))))
+        .withColumn("kind",
+          when(col("header") === "89504E47", "image/png")
+            .when(col("header") === "47494638", "image/gif")
+            .otherwise("unknown"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("sum_bytes"),
-          countDistinct(col("header")).as("n_headers"))
+          countDistinct(col("header")).as("n_headers"),
+          sum(when(col("kind") === "image/png", 1L).otherwise(0L)).as("n_png"))
         .orderBy("source")
     },
     Some("""SELECT source, COUNT(*) AS n_docs,
-      CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
-      CAST(COUNT(DISTINCT hex(substring(encode(text), 1, 4))) AS BIGINT) AS n_headers
-      FROM documents GROUP BY 1 ORDER BY 1"""))
+      CAST(SUM(octet_length(payload)) AS BIGINT) AS sum_bytes,
+      CAST(COUNT(DISTINCT upper(substring(hex(payload), 1, 8))) AS BIGINT) AS n_headers,
+      CAST(SUM(CASE WHEN upper(substring(hex(payload), 1, 8)) = '89504E47' THEN 1 ELSE 0 END) AS BIGINT) AS n_png
+      FROM (SELECT source,
+              from_hex(CASE WHEN doc_id % 2 = 0 THEN '89504e47' ELSE '47494638' END)
+                || encode(text) AS payload
+            FROM documents)
+      GROUP BY 1 ORDER BY 1"""))
 }
