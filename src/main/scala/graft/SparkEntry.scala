@@ -1,5 +1,6 @@
 package graft
 
+import graft.domain._
 import graft.queries._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -18,7 +19,7 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   val modules: Seq[QueryModule] =
-    Seq(Relational, EventOps, TextOps, DedupOps, SimilarityOps)
+    Seq(Relational, EventOps, TextOps, DedupOps, SimilarityOps, ClassifyOps)
 
   lazy val all: Seq[QueryDef] = modules.flatMap(_.defs)
 

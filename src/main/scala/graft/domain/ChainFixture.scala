@@ -1,0 +1,298 @@
+package graft.domain
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic chain-shaped fixture (SURVEY §1 data model, FIXTURES.md §B)
+  * derived from the driver's read-only tables so the DuckDB oracle can
+  * rebuild the identical rows from identical inputs.
+  *
+  * Shape mirrors the reference's domain model:
+  *   - `tokens`   ≈ TokenDecimals (brontes-database .../tables/mod.rs:526)
+  *   - `pools`    ≈ AddressToProtocolInfo (db/address_to_protocol_info.rs)
+  *   - `registry` ≈ the (protocol, selector) dispatch table that
+  *     `action_dispatch!` macro-generates (brontes-macros/src/lib.rs:137)
+  *   - `traces`   ≈ TxTrace rows (brontes-types/src/structured_trace.rs:175)
+  *   - `actions`  ≈ classified `Action` rows (normalized_actions/mod.rs:107)
+  *   - `blocks`   ≈ per-block Metadata (db/metadata.rs:43)
+  *
+  * Derivations are pure integer/md5 functions of lineitem rows — portable,
+  * seedless, identical in Spark and DuckDB. Tokens 40..41 are referenced by
+  * pools but absent from the token dimension (the C9 missing-token path);
+  * their amounts decode to NULL.
+  *
+  * Amounts are DOUBLE derived from exact integer-valued doubles (ROUND
+  * products under 2^53) so every downstream aggregate can go through
+  * ExactAgg — the engines agree bitwise. The reference's Rational →
+  * DECIMAL(38,18) mapping is documented in SURVEY §7.4; double + exact
+  * decimal reduction is this repo's cross-engine-stable equivalent.
+  */
+object ChainFixture {
+
+  val TxPerBlock = 8
+  val NumEoas = 12
+  val NumPools = 120
+  val NumTokens = 40 // pools reference 42 → ids 40,41 are "missing tokens"
+  val TokRefSpace = 42
+  val NumBuilders = 5
+  val BlockTimeUs = 12000000L // 12s blocks
+
+  // 4-byte selectors (hex) for the decoder registry
+  val SelV2Swap = "022c0d9f"
+  val SelV3Swap = "128acb08"
+  val SelCurveSwap = "3df02124"
+  val SelTransfer = "a9059cbb"
+  val SelMint = "6a627842"
+  val SelBurn = "89afcb44"
+  val SelLiquidation = "00a718a9"
+  val SelUnknown = "deadbeef"
+
+  val ProtocolNames = Seq("uniswap_v2", "uniswap_v3", "sushiswap", "curve")
+
+  // ── Spark side ────────────────────────────────────────────────────────────
+
+  /** Token dimension: (token_id, address, decimals). Tiny → broadcast. */
+  def tokens(s: SparkSession): DataFrame =
+    s.range(NumTokens).select(
+      col("id").as("token_id"),
+      md5(concat(lit("tok:"), col("id"))).as("address"),
+      (lit(6) + col("id") % 13).as("decimals"))
+
+  /** Pool/protocol registry: (pool_id, address, protocol, t0_id, t1_id). */
+  def pools(s: SparkSession): DataFrame =
+    s.range(NumPools).select(
+      col("id").as("pool_id"),
+      md5(concat(lit("pool:"), col("id"))).as("address"),
+      element_at(
+        array(ProtocolNames.map(lit): _*), (col("id") % 4 + 1).cast("int")).as("protocol"),
+      (col("id") % NumTokens).as("t0_id"),
+      when((col("id") * 7 + 1) % TokRefSpace === col("id") % NumTokens,
+        ((col("id") * 7 + 1) % TokRefSpace + 1) % TokRefSpace)
+        .otherwise((col("id") * 7 + 1) % TokRefSpace).as("t1_id"))
+
+  /** (protocol, selector) → action_type dispatch table (C2). */
+  def registry(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val rows =
+      Seq("uniswap_v2" -> SelV2Swap, "sushiswap" -> SelV2Swap,
+        "uniswap_v3" -> SelV3Swap, "curve" -> SelCurveSwap)
+        .map { case (p, sel) => (p, sel, "swap") } ++
+        ProtocolNames.map(p => (p, SelMint, "mint")) ++
+        ProtocolNames.map(p => (p, SelBurn, "burn")) ++
+        ProtocolNames.map(p => (p, SelLiquidation, "liquidation"))
+    rows.toDF("protocol", "selector", "action_type")
+  }
+
+  /** Raw call-frame rows derived from lineitem (S1 trace source analog). */
+  def traces(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(
+      col("l_linenumber"), col("l_returnflag"), col("l_linestatus"),
+      col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+      col("l_tax"), col("l_suppkey"), col("l_partkey"))
+    Tables.lineitem(s, dir)
+      .withColumn("trace_idx", row_number().over(w).cast("long"))
+      .withColumn("sel_id", col("l_suppkey") % 10)
+      .withColumn("pool_id", col("l_partkey") % NumPools)
+      .withColumn("tok_id", col("l_partkey") % TokRefSpace)
+      .withColumn("block_number", expr(s"l_orderkey div $TxPerBlock"))
+      .select(
+        col("block_number"),
+        (col("l_orderkey") % TxPerBlock).as("tx_idx"),
+        md5(concat(lit("tx:"), col("l_orderkey"))).as("tx_hash"),
+        md5(concat(lit("eoa:"), (col("l_orderkey") * 7) % NumEoas)).as("from_address"),
+        col("trace_idx"),
+        when(col("sel_id") <= 2, SelV2Swap)
+          .when(col("sel_id") === 3, SelV3Swap)
+          .when(col("sel_id") === 4, SelCurveSwap)
+          .when(col("sel_id") === 5, SelTransfer)
+          .when(col("sel_id") === 6, SelMint)
+          .when(col("sel_id") === 7, SelBurn)
+          .when(col("sel_id") === 8, SelLiquidation)
+          .otherwise(SelUnknown).as("selector"),
+        when(col("sel_id") === 5, md5(concat(lit("tok:"), col("tok_id"))))
+          .when(col("sel_id") === 9 && col("trace_idx") === 1,
+            md5(concat(lit("builder:"), col("block_number") % NumBuilders)))
+          .otherwise(md5(concat(lit("pool:"), col("pool_id")))).as("to_address"),
+        (col("trace_idx") % 2).as("direction"),
+        col("tok_id"),
+        round(col("l_quantity") * 1000000).as("q6"),
+        round(col("l_extendedprice") * 100).as("p2"),
+        (expr("CAST(FLOOR(l_extendedprice) AS BIGINT)") % 500000 + 21000).as("gas_used"),
+        (expr("CAST(FLOOR(l_discount * 1000) AS BIGINT)") + 1).as("priority_fee"))
+  }
+
+  /** Per-block metadata dimension (J12 broadcast side). */
+  def blocks(s: SparkSession, dir: String): DataFrame =
+    traces(s, dir).select("block_number").distinct().select(
+      col("block_number"),
+      md5(concat(lit("builder:"), col("block_number") % NumBuilders)).as("beneficiary"),
+      (lit(100L) + col("block_number") % 50).as("base_fee"),
+      (col("block_number") * BlockTimeUs).as("block_time_us"))
+
+  /** The classified `actions` table — C1 decode ⨯ C2 dispatch ⨯ C4 fallback
+    * in one pass: traces ⟕ broadcast(pools) ⟕ broadcast(registry) ⟕
+    * broadcast(tokens)×2, then a `when()` cascade builds the wide
+    * variant-struct row. At scale: the fact never shuffles — every
+    * dimension is a broadcast hash join, the decode is codegen'd scalar
+    * expressions (the Spark analog of the reference's per-trace decoder
+    * dispatch under brontes-classifier/src/classifiers/). */
+  def actions(s: SparkSession, dir: String): DataFrame = {
+    val t = traces(s, dir)
+    val p = pools(s).select(col("address").as("p_addr"), col("protocol"),
+      col("t0_id"), col("t1_id"))
+    val r = registry(s).select(col("protocol").as("r_protocol"),
+      col("selector").as("r_selector"), col("action_type").as("dispatched"))
+    val base = t
+      .join(broadcast(p), t("to_address") === col("p_addr"), "left")
+      .join(broadcast(r),
+        col("protocol") === col("r_protocol") && t("selector") === col("r_selector"), "left")
+      .withColumn("action_type",
+        when(col("dispatched").isNotNull, col("dispatched"))
+          .when(col("selector") === SelTransfer, "transfer")
+          .when(col("selector") === SelLiquidation, "liquidation")
+          .otherwise("unclassified"))
+      .withColumn("pool", when(col("dispatched").isNotNull, col("to_address")))
+      .withColumn("token_in_id",
+        when(col("action_type") === "swap",
+          when(col("direction") === 0, col("t0_id")).otherwise(col("t1_id")))
+          .when(col("action_type").isin("mint", "burn", "liquidation") &&
+            col("p_addr").isNotNull, col("t0_id"))
+          .when(col("action_type") === "transfer", col("tok_id")))
+      .withColumn("token_out_id",
+        when(col("action_type") === "swap",
+          when(col("direction") === 0, col("t1_id")).otherwise(col("t0_id")))
+          .when(col("action_type").isin("mint", "burn", "liquidation") &&
+            col("p_addr").isNotNull, col("t1_id")))
+    val ti = tokens(s).select(col("token_id").as("ti_id"), col("decimals").as("dec_in"))
+    val to = tokens(s).select(col("token_id").as("to_id"), col("decimals").as("dec_out"))
+    base
+      .join(broadcast(ti), col("token_in_id") === col("ti_id"), "left")
+      .join(broadcast(to), col("token_out_id") === col("to_id"), "left")
+      .select(
+        col("block_number"), col("tx_idx"), col("tx_hash"), col("from_address"),
+        col("trace_idx"), col("action_type"),
+        coalesce(col("protocol"), lit("unknown")).as("protocol"),
+        col("pool"), col("token_in_id"), col("token_out_id"),
+        col("dec_in"), col("dec_out"),
+        when(col("token_in_id").isNotNull && col("dec_in").isNotNull,
+          col("q6") / 1000000.0).as("amount_in"),
+        when(col("token_out_id").isNotNull && col("dec_out").isNotNull,
+          col("p2") / 100.0).as("amount_out"),
+        // fee-on-transfer tokens: every 10th token charges 1% (C6 fixup input)
+        when(col("action_type") === "transfer" && col("token_in_id") % 10 === 0 &&
+          col("dec_in").isNotNull, col("q6") / 1000000.0 * 0.01).as("fee"),
+        col("direction"), col("gas_used"), col("priority_fee"),
+        col("selector"), col("to_address"))
+  }
+
+  // ── Oracle side: the same fixture as DuckDB CTEs ──────────────────────────
+
+  private val selectorCase =
+    s"""CASE WHEN sel_id <= 2 THEN '$SelV2Swap'
+      WHEN sel_id = 3 THEN '$SelV3Swap'
+      WHEN sel_id = 4 THEN '$SelCurveSwap'
+      WHEN sel_id = 5 THEN '$SelTransfer'
+      WHEN sel_id = 6 THEN '$SelMint'
+      WHEN sel_id = 7 THEN '$SelBurn'
+      WHEN sel_id = 8 THEN '$SelLiquidation'
+      ELSE '$SelUnknown' END"""
+
+  private val registryValues = {
+    val rows =
+      Seq(("uniswap_v2", SelV2Swap, "swap"), ("sushiswap", SelV2Swap, "swap"),
+        ("uniswap_v3", SelV3Swap, "swap"), ("curve", SelCurveSwap, "swap")) ++
+        ProtocolNames.map(p => (p, SelMint, "mint")) ++
+        ProtocolNames.map(p => (p, SelBurn, "burn")) ++
+        ProtocolNames.map(p => (p, SelLiquidation, "liquidation"))
+    rows.map { case (p, sel, a) => s"('$p','$sel','$a')" }.mkString(", ")
+  }
+
+  /** WITH-clause body rebuilding tokens/pools/registry/traces/blocks/actions
+    * in DuckDB; prepend to every domain oracle query. */
+  val sqlCtes: String =
+    s"""tok AS (
+      SELECT i AS token_id, md5('tok:' || i) AS address, 6 + i % 13 AS decimals
+      FROM range($NumTokens) t(i)),
+    pool AS (
+      SELECT p AS pool_id, md5('pool:' || p) AS address,
+        CASE p % 4 WHEN 0 THEN 'uniswap_v2' WHEN 1 THEN 'uniswap_v3'
+                   WHEN 2 THEN 'sushiswap' ELSE 'curve' END AS protocol,
+        p % $NumTokens AS t0_id,
+        CASE WHEN (p*7+1) % $TokRefSpace = p % $NumTokens
+             THEN ((p*7+1) % $TokRefSpace + 1) % $TokRefSpace
+             ELSE (p*7+1) % $TokRefSpace END AS t1_id
+      FROM range($NumPools) t(p)),
+    registry AS (SELECT * FROM (VALUES $registryValues) t(protocol, selector, action_type)),
+    trace0 AS (
+      SELECT l_orderkey // $TxPerBlock AS block_number,
+        l_orderkey % $TxPerBlock AS tx_idx,
+        md5('tx:' || l_orderkey) AS tx_hash,
+        md5('eoa:' || (l_orderkey * 7) % $NumEoas) AS from_address,
+        CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY
+          l_linenumber, l_returnflag, l_linestatus, l_quantity,
+          l_extendedprice, l_discount, l_tax, l_suppkey, l_partkey) AS BIGINT) AS trace_idx,
+        l_suppkey % 10 AS sel_id, l_partkey % $NumPools AS pool_id,
+        l_partkey % $TokRefSpace AS tok_id,
+        ROUND(l_quantity * 1000000) AS q6, ROUND(l_extendedprice * 100) AS p2,
+        CAST(FLOOR(l_extendedprice) AS BIGINT) % 500000 + 21000 AS gas_used,
+        CAST(FLOOR(l_discount * 1000) AS BIGINT) + 1 AS priority_fee
+      FROM lineitem),
+    trace AS (
+      SELECT block_number, tx_idx, tx_hash, from_address, trace_idx,
+        $selectorCase AS selector,
+        CASE WHEN sel_id = 5 THEN md5('tok:' || tok_id)
+             WHEN sel_id = 9 AND trace_idx = 1
+               THEN md5('builder:' || block_number % $NumBuilders)
+             ELSE md5('pool:' || pool_id) END AS to_address,
+        trace_idx % 2 AS direction, tok_id, q6, p2, gas_used, priority_fee
+      FROM trace0),
+    blocks AS (
+      SELECT block_number,
+        md5('builder:' || block_number % $NumBuilders) AS beneficiary,
+        100 + block_number % 50 AS base_fee,
+        block_number * $BlockTimeUs AS block_time_us
+      FROM (SELECT DISTINCT block_number FROM trace)),
+    act0 AS (
+      SELECT t.*, p.protocol, p.t0_id, p.t1_id, p.address AS p_addr,
+        r.action_type AS dispatched
+      FROM trace t
+      LEFT JOIN pool p ON t.to_address = p.address
+      LEFT JOIN registry r ON r.protocol = p.protocol AND r.selector = t.selector),
+    act1 AS (
+      SELECT *,
+        CASE WHEN dispatched IS NOT NULL THEN dispatched
+             WHEN selector = '$SelTransfer' THEN 'transfer'
+             WHEN selector = '$SelLiquidation' THEN 'liquidation'
+             ELSE 'unclassified' END AS action_type,
+        CASE WHEN dispatched IS NOT NULL THEN to_address END AS pool
+      FROM act0),
+    act2 AS (
+      SELECT *,
+        CASE WHEN action_type = 'swap' THEN
+               CASE WHEN direction = 0 THEN t0_id ELSE t1_id END
+             WHEN action_type IN ('mint','burn','liquidation')
+                  AND p_addr IS NOT NULL THEN t0_id
+             WHEN action_type = 'transfer' THEN tok_id END AS token_in_id,
+        CASE WHEN action_type = 'swap' THEN
+               CASE WHEN direction = 0 THEN t1_id ELSE t0_id END
+             WHEN action_type IN ('mint','burn','liquidation')
+                  AND p_addr IS NOT NULL THEN t1_id END AS token_out_id
+      FROM act1),
+    actions AS (
+      SELECT a.block_number, a.tx_idx, a.tx_hash, a.from_address, a.trace_idx,
+        a.action_type, COALESCE(a.protocol, 'unknown') AS protocol, a.pool,
+        a.token_in_id, a.token_out_id, ti.decimals AS dec_in, tokout.decimals AS dec_out,
+        CASE WHEN a.token_in_id IS NOT NULL AND ti.decimals IS NOT NULL
+             THEN a.q6 / 1000000.0 END AS amount_in,
+        CASE WHEN a.token_out_id IS NOT NULL AND tokout.decimals IS NOT NULL
+             THEN a.p2 / 100.0 END AS amount_out,
+        CASE WHEN a.action_type = 'transfer' AND a.token_in_id % 10 = 0
+                  AND ti.decimals IS NOT NULL
+             THEN a.q6 / 1000000.0 * 0.01 END AS fee,
+        a.direction, a.gas_used, a.priority_fee, a.selector, a.to_address
+      FROM act2 a
+      LEFT JOIN tok ti ON a.token_in_id = ti.token_id
+      LEFT JOIN tok tokout ON a.token_out_id = tokout.token_id)"""
+}

@@ -44,6 +44,8 @@ def values_match(s: pd.DataFrame, o: pd.DataFrame):
                     av, bv = float(a), float(b)
                 except (TypeError, ValueError):
                     return False, n_bit, i
+                if math.isnan(av) and math.isnan(bv):
+                    continue
                 if not (av == bv or math.isclose(av, bv, rel_tol=1e-9, abs_tol=1e-12)):
                     return False, n_bit, i
                 if repr(av) != repr(bv):
