@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   val modules: Seq[QueryModule] =
-    Seq(Relational, EventOps, TextOps, DedupOps, SimilarityOps, ClassifyOps)
+    Seq(Relational, EventOps, TextOps, DedupOps, SimilarityOps, ClassifyOps,
+      InspectorOps)
 
   lazy val all: Seq[QueryDef] = modules.flatMap(_.defs)
 

@@ -31,9 +31,12 @@ import org.apache.spark.sql.functions._
   */
 object ChainFixture {
 
-  val TxPerBlock = 8
+  val TxPerBlock = 16
   val NumEoas = 12
   val NumPools = 120
+  // traces hit only the first 60 pools — dense enough that duplicate-sender
+  // pool collisions (sandwich/JIT preconditions) actually occur in-fixture
+  val PoolRefSpace = 60
   val NumTokens = 40 // pools reference 42 → ids 40,41 are "missing tokens"
   val TokRefSpace = 42
   val NumBuilders = 5
@@ -60,7 +63,11 @@ object ChainFixture {
       md5(concat(lit("tok:"), col("id"))).as("address"),
       (lit(6) + col("id") % 13).as("decimals"))
 
-  /** Pool/protocol registry: (pool_id, address, protocol, t0_id, t1_id). */
+  /** Pool/protocol registry: (pool_id, address, protocol, t0_id, t1_id).
+    * Token pairs form a near-ring over the token space (t1 = t0 + 1..3) so
+    * swap paths CHAIN — pools p, p+40, p+80 share t0 and step different
+    * widths, giving the graph cycles (atomic-arb + G2 path structure) and
+    * occasionally referencing the missing tokens 40/41 (C9 path). */
   def pools(s: SparkSession): DataFrame =
     s.range(NumPools).select(
       col("id").as("pool_id"),
@@ -68,9 +75,7 @@ object ChainFixture {
       element_at(
         array(ProtocolNames.map(lit): _*), (col("id") % 4 + 1).cast("int")).as("protocol"),
       (col("id") % NumTokens).as("t0_id"),
-      when((col("id") * 7 + 1) % TokRefSpace === col("id") % NumTokens,
-        ((col("id") * 7 + 1) % TokRefSpace + 1) % TokRefSpace)
-        .otherwise((col("id") * 7 + 1) % TokRefSpace).as("t1_id"))
+      ((col("id") % NumTokens + 1 + expr("id div 40")) % TokRefSpace).as("t1_id"))
 
   /** (protocol, selector) → action_type dispatch table (C2). */
   def registry(s: SparkSession): DataFrame = {
@@ -94,14 +99,19 @@ object ChainFixture {
     Tables.lineitem(s, dir)
       .withColumn("trace_idx", row_number().over(w).cast("long"))
       .withColumn("sel_id", col("l_suppkey") % 10)
-      .withColumn("pool_id", col("l_partkey") % NumPools)
+      .withColumn("pool_id", col("l_partkey") % PoolRefSpace)
       .withColumn("tok_id", col("l_partkey") % TokRefSpace)
       .withColumn("block_number", expr(s"l_orderkey div $TxPerBlock"))
       .select(
         col("block_number"),
         (col("l_orderkey") % TxPerBlock).as("tx_idx"),
         md5(concat(lit("tx:"), col("l_orderkey"))).as("tx_hash"),
-        md5(concat(lit("eoa:"), (col("l_orderkey") * 7) % NumEoas)).as("from_address"),
+        // 4 EOAs rotate within a block (so one EOA sends several txs per
+        // block — the sandwich/JIT duplicate-sender precondition), the
+        // rotation window shifts every 8 blocks → 12 EOAs total.
+        md5(concat(lit("eoa:"),
+          col("l_orderkey") % 4 + lit(4) * ((expr("l_orderkey div 64")) % 3)))
+          .as("from_address"),
         col("trace_idx"),
         when(col("sel_id") <= 2, SelV2Swap)
           .when(col("sel_id") === 3, SelV3Swap)
@@ -220,20 +230,18 @@ object ChainFixture {
         CASE p % 4 WHEN 0 THEN 'uniswap_v2' WHEN 1 THEN 'uniswap_v3'
                    WHEN 2 THEN 'sushiswap' ELSE 'curve' END AS protocol,
         p % $NumTokens AS t0_id,
-        CASE WHEN (p*7+1) % $TokRefSpace = p % $NumTokens
-             THEN ((p*7+1) % $TokRefSpace + 1) % $TokRefSpace
-             ELSE (p*7+1) % $TokRefSpace END AS t1_id
+        (p % $NumTokens + 1 + p // 40) % $TokRefSpace AS t1_id
       FROM range($NumPools) t(p)),
     registry AS (SELECT * FROM (VALUES $registryValues) t(protocol, selector, action_type)),
     trace0 AS (
       SELECT l_orderkey // $TxPerBlock AS block_number,
         l_orderkey % $TxPerBlock AS tx_idx,
         md5('tx:' || l_orderkey) AS tx_hash,
-        md5('eoa:' || (l_orderkey * 7) % $NumEoas) AS from_address,
+        md5('eoa:' || (l_orderkey % 4 + 4 * ((l_orderkey // 64) % 3))) AS from_address,
         CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY
           l_linenumber, l_returnflag, l_linestatus, l_quantity,
           l_extendedprice, l_discount, l_tax, l_suppkey, l_partkey) AS BIGINT) AS trace_idx,
-        l_suppkey % 10 AS sel_id, l_partkey % $NumPools AS pool_id,
+        l_suppkey % 10 AS sel_id, l_partkey % $PoolRefSpace AS pool_id,
         l_partkey % $TokRefSpace AS tok_id,
         ROUND(l_quantity * 1000000) AS q6, ROUND(l_extendedprice * 100) AS p2,
         CAST(FLOOR(l_extendedprice) AS BIGINT) % 500000 + 21000 AS gas_used,
