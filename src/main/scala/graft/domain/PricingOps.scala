@@ -1,0 +1,254 @@
+package graft.domain
+
+import graft.{QueryDef, QueryModule}
+import graft.ops.ExactAgg._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** DEX pricing-graph subsystem (SURVEY §2.10 G1–G6) — the reference's
+  * `brontes-pricing` crate re-expressed as an edge table + windows, with
+  * the one genuinely iterative piece (Yen's k-shortest paths) as a bounded
+  * driver-side search over the COLLECTED edge list, exactly as SURVEY §4.3
+  * prescribes (the token graph is a dimension, not a fact: ~10^6 edges in
+  * production, trivially driver-sized).
+  *
+  * Reference: AllPairGraph (graphs/all_pair_graph.rs:23-318), Yen/Dijkstra
+  * (graphs/yens.rs:109, dijkstras.rs), PairSubGraph price fetch
+  * (graphs/subgraph.rs:316,908), verification (subgraph_verifier.rs:1-489),
+  * registry (graphs/registry.rs:1-368), per-tx-index emission
+  * (brontes-pricing/src/lib.rs poll loop → DexQuotes).
+  */
+object PricingOps extends QueryModule {
+
+  import Accounting._
+
+  def defs: Seq[QueryDef] = Seq(g1EdgeTable, g2KPaths, g3SubgraphPrice,
+    g4SubgraphVerify, g5RegistryCache, g6PriceEmission)
+
+  private def withCtes(sql: String) = Some(s"WITH $sqlDomainCtes, $sql")
+
+  /** Directed swap-rate edges observed in the data: src/dst token, pooled
+    * volume and rate. The liquidity-weighted rate Σout/Σin is what
+    * PairSubGraph's fetch_price weights by. */
+  private def edges(s: SparkSession, dir: String): DataFrame =
+    ChainFixture.actions(s, dir)
+      .filter(col("action_type") === "swap" &&
+        col("amount_in").isNotNull && col("amount_out").isNotNull)
+      .groupBy(col("token_in_id").as("src"), col("token_out_id").as("dst"))
+      .agg(count(lit(1)).as("n_swaps"),
+        countDistinct(col("pool")).as("n_pools"),
+        dsum(col("amount_in")).as("vol_in"),
+        dsum(col("amount_out")).as("vol_out"))
+      .withColumn("px", col("vol_out") / col("vol_in"))
+
+  private val edgesCte =
+    s"""edges AS (
+      SELECT token_in_id AS src, token_out_id AS dst, COUNT(*) AS n_swaps,
+        CAST(COUNT(DISTINCT pool) AS BIGINT) AS n_pools,
+        ${sqlSum("amount_in")} AS vol_in, ${sqlSum("amount_out")} AS vol_out,
+        ${sqlSum("amount_out")} / ${sqlSum("amount_in")} AS px
+      FROM actions
+      WHERE action_type = 'swap' AND amount_in IS NOT NULL AND amount_out IS NOT NULL
+      GROUP BY 1, 2)"""
+
+  /** G1: AllPairGraph edge maintenance — the materialized edge table. */
+  private val g1EdgeTable = QueryDef(
+    "g1_edge_table",
+    (s, dir) => edges(s, dir)
+      .select("src", "dst", "n_swaps", "n_pools", "vol_in", "px")
+      .orderBy("src", "dst"),
+    withCtes(s"""$edgesCte
+      SELECT src, dst, n_swaps, n_pools, vol_in, px
+      FROM edges ORDER BY 1, 2"""))
+
+  /** G2: Yen's k-shortest paths on the collected edge list — bounded
+    * driver-side loop (iterative; driver records a rows-only check). Edge
+    * cost is −ln(px)-like: hop count first, then lexicographic path as the
+    * deterministic tiebreak. Searches token 0 → token 20, k = 3. */
+  private val g2KPaths = QueryDef(
+    "g2_kpaths",
+    (s, dir) => {
+      import s.implicits._
+      val es = edges(s, dir).select("src", "dst").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val adj = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted.toList }
+      def shortest(from: Long, to: Long,
+          banned: Set[(Long, Long)], bannedNodes: Set[Long]): Option[List[Long]] = {
+        // BFS by hop count with lexicographic-min tiebreak (deterministic)
+        var frontier = List(List(from))
+        var visited = Set(from)
+        var found: Option[List[Long]] = None
+        while (found.isEmpty && frontier.nonEmpty) {
+          val next = for {
+            p <- frontier
+            n <- adj.getOrElse(p.head, Nil)
+            if !visited.contains(n) && !banned.contains((p.head, n)) &&
+              !bannedNodes.contains(n)
+          } yield n :: p
+          found = next.find(_.head == to).map(_.reverse)
+          visited = visited ++ next.map(_.head)
+          frontier = next.groupBy(_.head).values.map(_.minBy(_.reverse.mkString(","))).toList
+        }
+        found
+      }
+      val k = 3
+      val (srcTok, dstTok) = (0L, 20L)
+      var paths = shortest(srcTok, dstTok, Set.empty, Set.empty).toList
+      var candidates = List.empty[List[Long]]
+      // Yen's: branch at each spur node of the last accepted path
+      for (_ <- 1 until k) {
+        paths.lastOption.foreach { prev =>
+          for (i <- prev.indices.dropRight(1)) {
+            val spur = prev(i)
+            val rootPath = prev.take(i + 1)
+            val banned = paths.filter(_.take(i + 1) == rootPath)
+              .flatMap(p => if (p.length > i + 1) Some((p(i), p(i + 1))) else None).toSet
+            shortest(spur, dstTok, banned, rootPath.dropRight(1).toSet)
+              .map(rootPath.dropRight(1) ++ _)
+              .filterNot(paths.contains).filterNot(candidates.contains)
+              .foreach(p => candidates = candidates :+ p)
+          }
+          if (candidates.nonEmpty) {
+            val best = candidates.minBy(p => (p.length, p.mkString(",")))
+            paths = paths :+ best
+            candidates = candidates.filterNot(_ == best)
+          }
+        }
+      }
+      paths.zipWithIndex
+        .map { case (p, i) => (i + 1, p.length - 1, p.mkString("->")) }
+        .toDF("rank", "n_hops", "path")
+    },
+    None)
+
+  /** G3: subgraph price fetch — 2-hop quotes through an intermediary,
+    * best-product route per (src, dst) pair (the multiply-along-path +
+    * pick-best of PairSubGraph::fetch_price). */
+  private val g3SubgraphPrice = QueryDef(
+    "g3_subgraph_price",
+    (s, dir) => {
+      val e = edges(s, dir).persist()
+      val e1 = e.select(col("src"), col("dst").as("mid"), col("px").as("px1"))
+      val two = e1.join(e.select(col("src").as("m2"), col("dst"), col("px").as("px2")),
+          col("mid") === col("m2"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy("src", "dst")
+        .agg(max(col("px1") * col("px2")).as("best_px"),
+          count(lit(1)).as("n_routes"))
+      two.filter(col("src") < 5)
+        .orderBy("src", "dst")
+    },
+    withCtes(s"""$edgesCte,
+      two AS (
+        SELECT a.src, b.dst, MAX(a.px * b.px) AS best_px, COUNT(*) AS n_routes
+        FROM edges a JOIN edges b ON a.dst = b.src
+        WHERE a.src <> b.dst
+        GROUP BY 1, 2)
+      SELECT src, dst, best_px, n_routes FROM two
+      WHERE src < 5 ORDER BY 1, 2"""))
+
+  /** G4: subgraph verification — prune low-liquidity edges (n_swaps and
+    * volume thresholds) and measure surviving 2-hop coverage. */
+  private val g4SubgraphVerify = QueryDef(
+    "g4_subgraph_verify",
+    (s, dir) => {
+      val e = edges(s, dir).persist()
+      val kept = e.filter(col("n_swaps") >= 5 && col("vol_in") > 100.0).persist()
+      def pairs(df: DataFrame) = df.select(col("src"), col("dst").as("mid"))
+        .join(df.select(col("src").as("mid"), col("dst").as("d2")), "mid")
+        .filter(col("src") =!= col("d2"))
+        .select(col("src"), col("d2")).distinct().count()
+      val nBefore = e.count()
+      val nAfter = kept.count()
+      val (pBefore, pAfter) = (pairs(e), pairs(kept))
+      import s.implicits._
+      Seq((nBefore, nAfter, pBefore, pAfter))
+        .toDF("n_edges", "n_edges_kept", "n_pairs_2hop", "n_pairs_2hop_kept")
+    },
+    withCtes(s"""$edgesCte,
+      kept AS (SELECT * FROM edges WHERE n_swaps >= 5 AND vol_in > 100.0),
+      pb AS (SELECT COUNT(*) AS c FROM (
+        SELECT DISTINCT a.src, b.dst FROM edges a JOIN edges b ON a.dst = b.src
+        WHERE a.src <> b.dst)),
+      pa AS (SELECT COUNT(*) AS c FROM (
+        SELECT DISTINCT a.src, b.dst FROM kept a JOIN kept b ON a.dst = b.src
+        WHERE a.src <> b.dst))
+      SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
+        (SELECT COUNT(*) FROM kept) AS n_edges_kept,
+        (SELECT c FROM pb) AS n_pairs_2hop,
+        (SELECT c FROM pa) AS n_pairs_2hop_kept"""))
+
+  /** G5: subgraph registry cache — edges observed per block-epoch, and how
+    * many are reused from the previous epoch (the cross-block cache-hit
+    * shape of graphs/registry.rs). */
+  private val g5RegistryCache = QueryDef(
+    "g5_registry_cache",
+    (s, dir) => {
+      val perEpoch = ChainFixture.actions(s, dir)
+        .filter(col("action_type") === "swap" &&
+          col("amount_in").isNotNull && col("amount_out").isNotNull)
+        .select(expr("block_number div 100").as("epoch"),
+          col("token_in_id").as("src"), col("token_out_id").as("dst"))
+        .distinct().persist()
+      val prev = perEpoch.select((col("epoch") + 1).as("p_epoch"),
+        col("src").as("p_src"), col("dst").as("p_dst"))
+      perEpoch
+        .join(prev, col("epoch") === col("p_epoch") &&
+          col("src") === col("p_src") && col("dst") === col("p_dst"), "left")
+        .groupBy(col("epoch"))
+        .agg(count(lit(1)).as("n_edges"),
+          sum(when(col("p_src").isNotNull, 1L).otherwise(0L)).as("n_reused"))
+        .orderBy("epoch")
+    },
+    withCtes("""pe AS (
+        SELECT DISTINCT block_number // 100 AS epoch,
+          token_in_id AS src, token_out_id AS dst
+        FROM actions
+        WHERE action_type = 'swap' AND amount_in IS NOT NULL AND amount_out IS NOT NULL)
+      SELECT pe.epoch, COUNT(*) AS n_edges,
+        CAST(SUM(CASE WHEN pv.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_reused
+      FROM pe LEFT JOIN pe pv
+        ON pv.epoch + 1 = pe.epoch AND pv.src = pe.src AND pv.dst = pe.dst
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** G6: per-tx-index price emission — DexQuotes rows (pool, block, tx_idx,
+    * pre, post): post = the tx's observed rate, pre = previous emission via
+    * lag over the per-pool ordered stream (the cumulative pool-state fold;
+    * in production the window key is (pool, block-range) so no single pool
+    * serializes a whole backfill). */
+  private val g6PriceEmission = QueryDef(
+    "g6_price_emission",
+    (s, dir) => {
+      val q = ChainFixture.actions(s, dir)
+        .filter(col("action_type") === "swap" &&
+          col("amount_in").isNotNull && col("amount_out").isNotNull &&
+          col("pool").isNotNull)
+        .groupBy("pool", "block_number", "tx_idx")
+        .agg(dsum(col("amount_out")).as("so"), dsum(col("amount_in")).as("si"))
+        .withColumn("post", col("so") / col("si"))
+      val w = Window.partitionBy("pool").orderBy("block_number", "tx_idx")
+      q.withColumn("pre", lag(col("post"), 1).over(w))
+        .groupBy("pool")
+        .agg(count(lit(1)).as("n_emissions"),
+          dsum(col("post")).as("sum_post"),
+          dsum(col("pre")).as("sum_pre"),
+          sum(when(col("pre").isNull, 1L).otherwise(0L)).as("n_first"))
+        .orderBy("pool")
+    },
+    withCtes(s"""q AS (
+        SELECT pool, block_number, tx_idx,
+          ${sqlSum("amount_out")} / ${sqlSum("amount_in")} AS post
+        FROM actions
+        WHERE action_type = 'swap' AND amount_in IS NOT NULL
+          AND amount_out IS NOT NULL AND pool IS NOT NULL
+        GROUP BY 1, 2, 3),
+      em AS (
+        SELECT pool, post, LAG(post) OVER (
+          PARTITION BY pool ORDER BY block_number, tx_idx) AS pre
+        FROM q)
+      SELECT pool, COUNT(*) AS n_emissions,
+        ${sqlSum("post")} AS sum_post, ${sqlSum("pre")} AS sum_pre,
+        CAST(SUM(CASE WHEN pre IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_first
+      FROM em GROUP BY 1 ORDER BY 1"""))
+}
