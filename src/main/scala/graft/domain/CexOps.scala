@@ -1,0 +1,444 @@
+package graft.domain
+
+import graft.{QueryDef, QueryModule}
+import graft.ops.ExactAgg._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CEX pricing fidelity + cex-dex inspectors (SURVEY §2.4 J1/J3/J4/J5/J12,
+  * §2.5 A8/A9, §2.9 R1/R6, §2.11 Q3/Q4): the markout engine's defining
+  * behaviors — phase-escalating time windows, optimistic progressive fill,
+  * 2-hop intermediary quotes — over a deterministic CEX feed derived from
+  * `orders` on the SAME timeline as the chain fixture (block b at b·12s,
+  * tx k at +750ms·k).
+  *
+  * Reference: time_window_vwam.rs:94-470 (phase escalation), optimistic.rs:
+  * 100-394 (basket fill), cex_quotes.rs:351-408 (intermediary), most_volume_
+  * pair_exchange.sql (A8), cex_dex_markout.rs:47-880 (Q3), cex_dex.rs:77-560
+  * (Q4), tree/mod.rs:57-94 (J1), metadata_loader.rs (J12), range.rs (R1),
+  * dex_pricing.rs:88 (R6 DisablePricingFor).
+  *
+  * Scale shape: the trade↔swap match is equi-keyed on (pair, 30s time
+  * bucket) with the trade side exploded into the ≤3 buckets its window can
+  * touch — never a pair-wide range join; as-of lookups use the one-shuffle
+  * union-window formulation (graft.ops.AsOfJoin).
+  */
+object CexOps extends QueryModule {
+
+  import Accounting._
+  import ChainFixture._
+
+  // phase bounds (µs): ±1s → ±5s → ±30s, the escalation ladder
+  val P1 = 1000000L
+  val P2 = 5000000L
+  val P3 = 30000000L
+  val TxSpacingUs = 750000L
+
+  def defs: Seq[QueryDef] = Seq(j4StagedVwam, q3CexDexMarkout, j5Optimistic,
+    j3Intermediary, q4CexDexQuotes, a8MostLiquid, a9SearcherStats, j1TxInfo,
+    j12MetadataJoin, r1RangeChunks, r6FailedData)
+
+  private def withCtes(sql: String) = Some(s"WITH $sqlDomainCtes, $sql")
+
+  // ── CEX feed fixture (derived from orders; ts aligned with block time) ────
+
+  /** Trades: (exchange, pair_a, pair_b, ts_us, px, amt). */
+  private def cexTrades(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.orders(s, dir).select(
+      concat(lit("ex"), col("o_custkey") % 5).as("exchange"),
+      (col("o_orderkey") % PoolRefSpace).as("pp"),
+      (col("o_orderkey") * TxSpacingUs +
+        expr("CAST(FLOOR(o_totalprice * 7) AS BIGINT)") % 2000001L - 1000000L).as("ts_us"),
+      (lit(0.5) + (expr("CAST(FLOOR(o_totalprice) AS BIGINT)") % 1000) / 250.0).as("px"),
+      (lit(1.0) + expr("CAST(FLOOR(o_totalprice * 3) AS BIGINT)") % 500).as("amt"))
+      .withColumn("ta", col("pp") % NumTokens)
+      .withColumn("tb", (col("pp") % NumTokens + 1 + expr("pp div 40")) % TokRefSpace)
+      .withColumn("pair_a", least(col("ta"), col("tb")))
+      .withColumn("pair_b", greatest(col("ta"), col("tb")))
+      .drop("pp", "ta", "tb")
+
+  /** DEX swaps with wall-clock ts and canonical pair. */
+  private def dexSwaps(s: SparkSession, dir: String): DataFrame =
+    actions(s, dir)
+      .filter(col("action_type") === "swap" &&
+        col("amount_in").isNotNull && col("amount_out").isNotNull)
+      .select(col("block_number"), col("tx_idx"), col("tx_hash"),
+        col("trace_idx"), col("from_address"),
+        (col("block_number") * BlockTimeUs + col("tx_idx") * TxSpacingUs).as("ts_us"),
+        least(col("token_in_id"), col("token_out_id")).as("pair_a"),
+        greatest(col("token_in_id"), col("token_out_id")).as("pair_b"),
+        (col("amount_out") / col("amount_in")).as("rate"),
+        col("amount_in"))
+
+  private val cexTradesCte =
+    s"""cex0 AS (
+      SELECT 'ex' || (o_custkey % 5) AS exchange,
+        o_orderkey % $PoolRefSpace AS pp,
+        o_orderkey * $TxSpacingUs
+          + CAST(FLOOR(o_totalprice * 7) AS BIGINT) % 2000001 - 1000000 AS ts_us,
+        0.5 + (CAST(FLOOR(o_totalprice) AS BIGINT) % 1000) / 250.0 AS px,
+        1.0 + CAST(FLOOR(o_totalprice * 3) AS BIGINT) % 500 AS amt
+      FROM orders),
+    cex AS (
+      SELECT exchange, ts_us, px, amt,
+        LEAST(pp % $NumTokens, (pp % $NumTokens + 1 + pp // 40) % $TokRefSpace) AS pair_a,
+        GREATEST(pp % $NumTokens, (pp % $NumTokens + 1 + pp // 40) % $TokRefSpace) AS pair_b
+      FROM cex0),
+    dex AS (
+      SELECT block_number, tx_idx, tx_hash, trace_idx, from_address,
+        block_number * $BlockTimeUs + tx_idx * $TxSpacingUs AS ts_us,
+        LEAST(token_in_id, token_out_id) AS pair_a,
+        GREATEST(token_in_id, token_out_id) AS pair_b,
+        amount_out / amount_in AS rate, amount_in
+      FROM actions
+      WHERE action_type = 'swap' AND amount_in IS NOT NULL AND amount_out IS NOT NULL)"""
+
+  /** Bucketed swap↔trade pairs within the WIDEST phase window. Spark side
+    * of the (pair, bucket) equi-join; trade rows explode into the ≤3
+    * buckets their ±P3 reach can touch. */
+  private def phasePairs(s: SparkSession, dir: String): DataFrame = {
+    val t = cexTrades(s, dir)
+      .withColumn("t_bucket", explode(array(
+        expr(s"ts_us div $P3") - 1, expr(s"ts_us div $P3"), expr(s"ts_us div $P3") + 1)))
+      .select(col("t_bucket"), col("pair_a").as("t_a"), col("pair_b").as("t_b"),
+        col("exchange"), col("ts_us").as("t_ts"), col("px"), col("amt"))
+    dexSwaps(s, dir)
+      .withColumn("d_bucket", expr(s"ts_us div $P3"))
+      .join(t, col("d_bucket") === col("t_bucket") &&
+        col("pair_a") === col("t_a") && col("pair_b") === col("t_b") &&
+        abs(col("t_ts") - col("ts_us")) <= P3)
+      .withColumn("dt", abs(col("t_ts") - col("ts_us")))
+  }
+
+  private val phasePairsCte =
+    s"""tb AS (
+      SELECT exchange, pair_a, pair_b, ts_us, px, amt,
+        unnest([ts_us // $P3 - 1, ts_us // $P3, ts_us // $P3 + 1]) AS bucket
+      FROM cex),
+    pp AS (
+      SELECT d.block_number, d.tx_hash, d.trace_idx, d.pair_a, d.pair_b,
+        d.rate, d.amount_in, d.ts_us, t.ts_us AS t_ts, t.exchange, t.px, t.amt,
+        ABS(t.ts_us - d.ts_us) AS dt
+      FROM dex d JOIN tb t
+        ON t.bucket = d.ts_us // $P3 AND t.pair_a = d.pair_a AND t.pair_b = d.pair_b
+       AND ABS(t.ts_us - d.ts_us) <= $P3)"""
+
+  // ── queries ───────────────────────────────────────────────────────────────
+
+  /** J4/W5: staged expanding-window VWAM — compute per-phase conditional
+    * aggregates in ONE pass over the widest-window pairs, then coalesce
+    * narrowest-first (the phase-escalation of time_window_vwam.rs). */
+  private val j4StagedVwam = QueryDef(
+    "j4_staged_vwam",
+    (s, dir) => {
+      def pv(bound: Long) = dsum(when(col("dt") <= bound, col("px") * col("amt")))
+      def v(bound: Long) = dsum(when(col("dt") <= bound, col("amt")))
+      phasePairs(s, dir)
+        .groupBy("block_number", "tx_hash", "trace_idx")
+        .agg(pv(P1).as("pv1"), v(P1).as("v1"), pv(P2).as("pv2"), v(P2).as("v2"),
+          pv(P3).as("pv3"), v(P3).as("v3"))
+        .withColumn("phase",
+          when(col("v1") > 0, 1).when(col("v2") > 0, 2).otherwise(3))
+        .withColumn("vwam",
+          when(col("v1") > 0, col("pv1") / col("v1"))
+            .when(col("v2") > 0, col("pv2") / col("v2"))
+            .otherwise(col("pv3") / col("v3")))
+        .groupBy("phase")
+        .agg(count(lit(1)).as("n_swaps"), dsum(col("vwam")).as("sum_vwam"))
+        .orderBy("phase")
+    },
+    withCtes(s"""$cexTradesCte, $phasePairsCte,
+      staged AS (
+        SELECT block_number, tx_hash, trace_idx,
+          ${sqlSum(s"CASE WHEN dt <= $P1 THEN px * amt END")} AS pv1,
+          ${sqlSum(s"CASE WHEN dt <= $P1 THEN amt END")} AS v1,
+          ${sqlSum(s"CASE WHEN dt <= $P2 THEN px * amt END")} AS pv2,
+          ${sqlSum(s"CASE WHEN dt <= $P2 THEN amt END")} AS v2,
+          ${sqlSum(s"CASE WHEN dt <= $P3 THEN px * amt END")} AS pv3,
+          ${sqlSum(s"CASE WHEN dt <= $P3 THEN amt END")} AS v3
+        FROM pp GROUP BY 1, 2, 3),
+      chosen AS (
+        SELECT CASE WHEN v1 > 0 THEN 1 WHEN v2 > 0 THEN 2 ELSE 3 END AS phase,
+          CASE WHEN v1 > 0 THEN pv1 / v1 WHEN v2 > 0 THEN pv2 / v2
+               ELSE pv3 / v3 END AS vwam
+        FROM staged)
+      SELECT phase, COUNT(*) AS n_swaps, ${sqlSum("vwam")} AS sum_vwam
+      FROM chosen GROUP BY 1 ORDER BY 1"""))
+
+  /** Q3: cex-dex markout — per-exchange VWAM vs dex execution rate, PnL in
+    * the swap's input units × token price (the per-exchange arm of
+    * cex_dex_markout.rs). */
+  private val q3CexDexMarkout = QueryDef(
+    "q3_cexdex_markout",
+    (s, dir) => phasePairs(s, dir)
+      .groupBy("exchange", "block_number", "tx_hash", "trace_idx")
+      .agg(dsum(col("px") * col("amt")).as("pv"), dsum(col("amt")).as("v"),
+        min(col("rate")).as("rate"), min(col("amount_in")).as("amount_in"),
+        min(col("pair_a")).as("pair_a"))
+      .withColumn("markout_usd",
+        (col("pv") / col("v") - col("rate")) * col("amount_in") *
+          (lit(1.0) + col("pair_a") * 0.1))
+      .groupBy("exchange")
+      .agg(count(lit(1)).as("n_legs"),
+        dsum(col("markout_usd")).as("sum_markout"),
+        sum(when(col("markout_usd") > 0, 1L).otherwise(0L)).as("n_positive"))
+      .orderBy("exchange"),
+    withCtes(s"""$cexTradesCte, $phasePairsCte,
+      leg AS (
+        SELECT exchange, block_number, tx_hash, trace_idx,
+          ${sqlSum("px * amt")} AS pv, ${sqlSum("amt")} AS v,
+          MIN(rate) AS rate, MIN(amount_in) AS amount_in, MIN(pair_a) AS pair_a
+        FROM pp GROUP BY 1, 2, 3, 4),
+      mk AS (
+        SELECT exchange,
+          (pv / v - rate) * amount_in * (1.0 + pair_a * 0.1) AS markout_usd
+        FROM leg)
+      SELECT exchange, COUNT(*) AS n_legs,
+        ${sqlSum("markout_usd")} AS sum_markout,
+        CAST(SUM(CASE WHEN markout_usd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive
+      FROM mk GROUP BY 1 ORDER BY 1"""))
+
+  /** J5/T5: optimistic execution price — progressive fill: trades in the
+    * widest window sorted by best price first (with a total tiebreak), take
+    * until the swap's input volume is covered, VWAP the taken set
+    * (optimistic.rs's basket fill). */
+  private val j5Optimistic = QueryDef(
+    "j5_optimistic",
+    (s, dir) => {
+      val w = Window.partitionBy("block_number", "tx_hash", "trace_idx")
+        .orderBy(col("px").desc, col("t_ts").asc, col("exchange").asc, col("amt").asc)
+      phasePairs(s, dir)
+        .withColumn("cum_before",
+          coalesce(sum(col("amt")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0.0)))
+        .filter(col("cum_before") < col("amount_in"))
+        .groupBy("block_number", "tx_hash", "trace_idx")
+        .agg(dsum(col("px") * col("amt")).as("pv"), dsum(col("amt")).as("v"),
+          count(lit(1)).as("n_fills"))
+        .withColumn("opt_px", col("pv") / col("v"))
+        .groupBy()
+        .agg(count(lit(1)).as("n_swaps"), dsum(col("opt_px")).as("sum_opt_px"),
+          sum(col("n_fills")).as("n_fills"))
+    },
+    withCtes(s"""$cexTradesCte, $phasePairsCte,
+      filled AS (
+        SELECT *, COALESCE(SUM(amt) OVER (
+          PARTITION BY block_number, tx_hash, trace_idx
+          ORDER BY px DESC, t_ts ASC, exchange ASC, amt ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cum_before
+        FROM pp),
+      opt AS (
+        SELECT block_number, tx_hash, trace_idx,
+          ${sqlSum("px * amt")} / ${sqlSum("amt")} AS opt_px,
+          COUNT(*) AS n_fills
+        FROM filled WHERE cum_before < amount_in
+        GROUP BY 1, 2, 3)
+      SELECT COUNT(*) AS n_swaps, ${sqlSum("opt_px")} AS sum_opt_px,
+        CAST(SUM(n_fills) AS BIGINT) AS n_fills FROM opt"""))
+
+  /** J3 intermediary: 2-hop CEX quote through a bridging token for pairs
+    * with no direct feed — global per-pair VWAPs joined a→b × b→c with
+    * price multiply (cex_quotes.rs:351-408). */
+  private val j3Intermediary = QueryDef(
+    "j3_intermediary",
+    (s, dir) => {
+      val vwap = cexTrades(s, dir)
+        .groupBy("pair_a", "pair_b")
+        .agg((dsum(col("px") * col("amt")) / dsum(col("amt"))).as("vwap")).persist()
+      val hop2 = vwap.select(col("pair_a").as("a"), col("pair_b").as("b"), col("vwap").as("px1"))
+        .join(vwap.select(col("pair_a").as("b2"), col("pair_b").as("c"), col("vwap").as("px2")),
+          col("b") === col("b2"))
+        .filter(col("a") < col("c"))
+        .join(vwap.select(col("pair_a").as("da"), col("pair_b").as("dc")),
+          col("a") === col("da") && col("c") === col("dc"), "left_anti")
+      hop2.groupBy("a", "c")
+        .agg(max(col("px1") * col("px2")).as("implied_px"), count(lit(1)).as("n_routes"))
+        .filter(col("a") < 5)
+        .orderBy("a", "c")
+    },
+    withCtes(s"""$cexTradesCte,
+      vw AS (SELECT pair_a, pair_b,
+               ${sqlSum("px * amt")} / ${sqlSum("amt")} AS vwap
+             FROM cex GROUP BY 1, 2),
+      hop2 AS (
+        SELECT x.pair_a AS a, y.pair_b AS c,
+          MAX(x.vwap * y.vwap) AS implied_px, COUNT(*) AS n_routes
+        FROM vw x JOIN vw y ON x.pair_b = y.pair_a
+        WHERE x.pair_a < y.pair_b
+          AND NOT EXISTS (SELECT 1 FROM vw d
+                          WHERE d.pair_a = x.pair_a AND d.pair_b = y.pair_b)
+        GROUP BY 1, 2)
+      SELECT a, c, implied_px, n_routes FROM hop2 WHERE a < 5 ORDER BY 1, 2"""))
+
+  /** Q4: cex-dex against book QUOTES — nearest-before mid-price per pair
+    * via the one-shuffle as-of join, markout vs dex rate. */
+  private val q4CexDexQuotes = QueryDef(
+    "q4_cexdex_quotes",
+    (s, dir) => {
+      val quotes = cexTrades(s, dir)
+        .select(col("pair_a"), col("pair_b"), col("ts_us"),
+          ((col("px") * 0.99 + col("px") * 1.01) / 2).as("mid"))
+        .groupBy("pair_a", "pair_b", "ts_us")
+        .agg(max(col("mid")).as("mid"))
+        .withColumn("pair_key", concat(col("pair_a"), lit(":"), col("pair_b")))
+        .select("pair_key", "ts_us", "mid")
+      val sw = dexSwaps(s, dir)
+        .withColumn("pair_key", concat(col("pair_a"), lit(":"), col("pair_b")))
+      graft.ops.AsOfJoin.backward(sw, quotes, Seq("pair_key"), "ts_us", "mid", "q_mid")
+        .groupBy("pair_a")
+        .agg(count(lit(1)).as("n_swaps"),
+          sum(when(col("q_mid").isNotNull, 1L).otherwise(0L)).as("n_quoted"),
+          dsum((col("q_mid") - col("rate")) * col("amount_in")).as("sum_markout"))
+        .orderBy("pair_a")
+    },
+    withCtes(s"""$cexTradesCte,
+      q AS (SELECT pair_a, pair_b, ts_us,
+              MAX((px * 0.99 + px * 1.01) / 2) AS mid
+            FROM cex GROUP BY 1, 2, 3)
+      SELECT d.pair_a AS pair_a, COUNT(*) AS n_swaps,
+        CAST(SUM(CASE WHEN q.mid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_quoted,
+        ${sqlSum("(q.mid - d.rate) * d.amount_in")} AS sum_markout
+      FROM dex d ASOF LEFT JOIN q
+        ON d.pair_a = q.pair_a AND d.pair_b = q.pair_b AND d.ts_us >= q.ts_us
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** A8: most-liquid-exchange quote — rank exchanges by traded volume per
+    * pair, keep the top exchange's VWAP. */
+  private val a8MostLiquid = QueryDef(
+    "a8_most_liquid",
+    (s, dir) => {
+      val vol = cexTrades(s, dir)
+        .groupBy("pair_a", "pair_b", "exchange")
+        .agg(dsum(col("amt")).as("vol"),
+          (dsum(col("px") * col("amt")) / dsum(col("amt"))).as("vwap"))
+      val w = Window.partitionBy("pair_a", "pair_b")
+        .orderBy(col("vol").desc, col("exchange").asc)
+      vol.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("pair_a", "pair_b", "exchange", "vol", "vwap")
+        .orderBy("pair_a", "pair_b")
+    },
+    withCtes(s"""$cexTradesCte,
+      vol AS (SELECT pair_a, pair_b, exchange, ${sqlSum("amt")} AS vol,
+                ${sqlSum("px * amt")} / ${sqlSum("amt")} AS vwap
+              FROM cex GROUP BY 1, 2, 3),
+      rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY pair_a, pair_b
+               ORDER BY vol DESC, exchange ASC) AS rn FROM vol)
+      SELECT pair_a, pair_b, exchange, vol, vwap FROM rk
+      WHERE rn = 1 ORDER BY 1, 2"""))
+
+  /** A9: searcher-stats incremental update — per-batch partial aggregates
+    * (decimal-exact, so they re-merge bit-identically) unioned and
+    * re-aggregated; equals a direct one-pass rollup. */
+  private val a9SearcherStats = QueryDef(
+    "a9_searcher_stats",
+    (s, dir) => {
+      val h = bundleHeaders(s, dir)
+        .withColumn("batch", when(col("block_number") < 500, 0).otherwise(1))
+      h.groupBy("eoa", "batch")
+        .agg(count(lit(1)).as("n"), dsum(col("profit_usd")).as("p"))
+        .groupBy("eoa")
+        .agg(sum(col("n")).as("n_txs"), dsum(col("p")).as("sum_profit"),
+          count(lit(1)).as("n_batches"))
+        .orderBy("eoa")
+    },
+    withCtes(s"""batches AS (
+        SELECT eoa, CASE WHEN block_number < 500 THEN 0 ELSE 1 END AS batch,
+          COUNT(*) AS n, ${sqlSum("profit_usd")} AS p
+        FROM header GROUP BY 1, 2)
+      SELECT eoa, CAST(SUM(n) AS BIGINT) AS n_txs, ${sqlSum("p")} AS sum_profit,
+        COUNT(*) AS n_batches
+      FROM batches GROUP BY 1 ORDER BY 1"""))
+
+  /** J1: get_tx_info_batch — tx headers enriched by three broadcast dims
+    * (searcher EOAs, builders, address metadata), rolled up per fund. */
+  private val j1TxInfo = QueryDef(
+    "j1_tx_info",
+    (s, dir) => {
+      val searchers = s.range(4).select(
+        md5(concat(lit("eoa:"), col("id"))).as("s_eoa"), lit(true).as("is_searcher"))
+      val meta = s.range(NumEoas).select(
+        md5(concat(lit("eoa:"), col("id"))).as("m_eoa"),
+        concat(lit("fund"), col("id") % 3).as("fund"))
+      val b = blocks(s, dir).select(col("block_number").as("b_block"), col("beneficiary"))
+      bundleHeaders(s, dir)
+        .join(broadcast(searchers), col("eoa") === col("s_eoa"), "left")
+        .join(broadcast(meta), col("eoa") === col("m_eoa"), "left")
+        .join(broadcast(b), col("block_number") === col("b_block"))
+        .groupBy("fund")
+        .agg(count(lit(1)).as("n_txs"),
+          sum(when(col("is_searcher"), 1L).otherwise(0L)).as("n_searcher_txs"),
+          countDistinct(col("beneficiary")).as("n_builders"))
+        .orderBy("fund")
+    },
+    withCtes(s"""searchers AS (SELECT md5('eoa:' || i) AS s_eoa FROM range(4) t(i)),
+      meta AS (SELECT md5('eoa:' || i) AS m_eoa, 'fund' || (i % 3) AS fund
+               FROM range($NumEoas) t(i))
+      SELECT m.fund, COUNT(*) AS n_txs,
+        CAST(SUM(CASE WHEN s.s_eoa IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_searcher_txs,
+        CAST(COUNT(DISTINCT b.beneficiary) AS BIGINT) AS n_builders
+      FROM header h
+      LEFT JOIN searchers s ON h.eoa = s.s_eoa
+      LEFT JOIN meta m ON h.eoa = m.m_eoa
+      JOIN blocks b ON h.block_number = b.block_number
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** J12: per-block metadata broadcast join — traces × blocks dim, rolled
+    * up by base-fee decile. */
+  private val j12MetadataJoin = QueryDef(
+    "j12_metadata_join",
+    (s, dir) => {
+      val b = blocks(s, dir).select(col("block_number").as("b_block"),
+        col("base_fee"), col("block_time_us"))
+      traces(s, dir)
+        .join(broadcast(b), col("block_number") === col("b_block"))
+        .groupBy(expr("base_fee div 10").as("fee_decile"))
+        .agg(count(lit(1)).as("n_traces"),
+          countDistinct(col("block_number")).as("n_blocks"),
+          sum(col("gas_used")).as("sum_gas"))
+        .orderBy("fee_decile")
+    },
+    withCtes("""meta_j AS (
+        SELECT t.*, b.base_fee FROM trace t
+        JOIN blocks b ON t.block_number = b.block_number)
+      SELECT base_fee // 10 AS fee_decile, COUNT(*) AS n_traces,
+        CAST(COUNT(DISTINCT block_number) AS BIGINT) AS n_blocks,
+        CAST(SUM(gas_used) AS BIGINT) AS sum_gas
+      FROM meta_j GROUP BY 1 ORDER BY 1"""))
+
+  /** R1: range-executor chunking — block range split into fixed chunks,
+    * per-chunk workload stats (the unit the range executor schedules). */
+  private val r1RangeChunks = QueryDef(
+    "r1_range_chunks",
+    (s, dir) => bundleHeaders(s, dir)
+      .groupBy(expr("block_number div 250").as("chunk"))
+      .agg(countDistinct(col("block_number")).as("n_blocks"),
+        count(lit(1)).as("n_txs"), dsum(col("gas_usd")).as("sum_gas"))
+      .orderBy("chunk"),
+    withCtes(s"""chunks AS (
+        SELECT block_number // 250 AS chunk, block_number, gas_usd FROM header)
+      SELECT chunk, CAST(COUNT(DISTINCT block_number) AS BIGINT) AS n_blocks,
+        COUNT(*) AS n_txs, ${sqlSum("gas_usd")} AS sum_gas
+      FROM chunks GROUP BY 1 ORDER BY 1"""))
+
+  /** R6: late/failed-data handling — blocks whose unclassified-trace ratio
+    * exceeds 50% get the no_pricing flag (DisablePricingFor); quarantined
+    * counts reported. */
+  private val r6FailedData = QueryDef(
+    "r6_failed_data",
+    (s, dir) => actions(s, dir)
+      .groupBy("block_number")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("action_type") === "unclassified", 1L).otherwise(0L)).as("n_uncls"))
+      .withColumn("no_pricing", col("n_uncls") * 2 > col("n"))
+      .groupBy("no_pricing")
+      .agg(count(lit(1)).as("n_blocks"), sum(col("n")).as("n_actions"))
+      .orderBy("no_pricing"),
+    withCtes("""blkq AS (
+        SELECT block_number, COUNT(*) AS n,
+          SUM(CASE WHEN action_type = 'unclassified' THEN 1 ELSE 0 END) AS n_uncls
+        FROM actions GROUP BY 1)
+      SELECT (n_uncls * 2 > n) AS no_pricing, COUNT(*) AS n_blocks,
+        CAST(SUM(n) AS BIGINT) AS n_actions
+      FROM blkq GROUP BY 1 ORDER BY 1"""))
+}
