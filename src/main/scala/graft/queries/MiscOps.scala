@@ -1,0 +1,378 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.domain.{Accounting, ChainFixture}
+import graft.ops.ExactAgg._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The remaining small inventory rows (SURVEY §2.2 P4/P5/P9–P11/P13/P14,
+  * §2.7 T1/T3/T4, §2.8 F2/F4/F6–F8/F10, §2.1 S4) — each a one-pattern
+  * query over the generic tables or the chain fixture.
+  */
+object MiscOps extends QueryModule {
+
+  private def withDomain(sql: String) = Some(s"WITH ${Accounting.sqlDomainCtes} $sql")
+
+  def defs: Seq[QueryDef] = Seq(p4ModifySpans, p5MapFilter, p9CollectVec,
+    p10ZipPadded, p11MergeIter, p13FrontendPrunes, p14RemoveDup,
+    t1SortDedup, t3BundleOrdering, t4SetSemiDiff,
+    f2SwapRate, f4StableClass, f6HexFormat, f7GasMath, f8MaxArbDelta,
+    f10PoolMath, s4PartitionedSink)
+
+  /** P4 modify_spans (tree/mod.rs:204): conditional in-place rewrite of
+    * rows inside matched spans — rewrite becomes re-projection. */
+  private val p4ModifySpans = QueryDef(
+    "p4_modify_spans",
+    (s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val roots = l.filter(col("l_linenumber") === 1 && col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("root_key")).distinct()
+      l.join(roots, l("l_orderkey") === col("root_key"), "left")
+        .withColumn("adj_qty",
+          when(col("root_key").isNotNull, col("l_quantity") * 0.9)
+            .otherwise(col("l_quantity")))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum(col("adj_qty")).as("sum_adj_qty"),
+          sum(when(col("root_key").isNotNull, 1L).otherwise(0L)).as("n_modified"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+      ${sqlSum("CASE WHEN r.root_key IS NOT NULL THEN l_quantity * 0.9 ELSE l_quantity END")} AS sum_adj_qty,
+      CAST(SUM(CASE WHEN r.root_key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_modified
+      FROM lineitem l LEFT JOIN (
+        SELECT DISTINCT l_orderkey AS root_key FROM lineitem
+        WHERE l_linenumber = 1 AND l_returnflag = 'R') r
+        ON l.l_orderkey = r.root_key
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** P5 t_map / t_filter / t_filter_map (tree/util/base.rs): map → filter →
+    * map chain, fused by Catalyst into one codegen stage. */
+  private val p5MapFilter = QueryDef(
+    "p5_map_filter",
+    (s, dir) => Tables.events(s, dir)
+      .withColumn("v2", col("value") * 2.0)
+      .filter(col("v2") > 50.0)
+      .withColumn("bucket", expr("CAST(FLOOR(v2 / 100) AS BIGINT)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), dsum(col("v2")).as("sum_v2"))
+      .orderBy("bucket"),
+    Some(s"""SELECT CAST(FLOOR(value * 2.0 / 100) AS BIGINT) AS bucket,
+      COUNT(*) AS n, ${sqlSum("value * 2.0")} AS sum_v2
+      FROM events WHERE value * 2.0 > 50.0 GROUP BY 1 ORDER BY 1"""))
+
+  /** P9 collect_action_vec (action_iter.rs:68): filter one variant, extract
+    * its payload vector per key. */
+  private val p9CollectVec = QueryDef(
+    "p9_collect_vec",
+    (s, dir) => Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"), dsum(col("value")).as("sum_value"),
+        min(col("event_id")).as("first_id"))
+      .orderBy("user_id"),
+    Some(s"""SELECT user_id, COUNT(*) AS n_purchases,
+      ${sqlSum("value")} AS sum_value, MIN(event_id) AS first_id
+      FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1"""))
+
+  /** P10 zip_with / ZipPadded (tree/util/zip.rs): positional zip of two
+    * sequences padding the shorter with nulls — Spark side genuinely zips;
+    * the oracle checks via the arithmetic equivalent. */
+  private val p10ZipPadded = QueryDef(
+    "p10_zip_padded",
+    (s, dir) => Tables.part(s, dir)
+      .withColumn("pairs", expr(
+        """zip_with(split(p_name, ' '), split(p_type, ' '),
+             (a, b) -> struct(a AS l, b AS r))"""))
+      .withColumn("n_pairs", size(col("pairs")).cast("long"))
+      .withColumn("n_padded", expr(
+        "size(filter(pairs, p -> p.l IS NULL OR p.r IS NULL))").cast("long"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), sum(col("n_pairs")).as("sum_pairs"),
+        sum(col("n_padded")).as("sum_padded"))
+      .orderBy("p_brand"),
+    Some("""SELECT p_brand, COUNT(*) AS n,
+      CAST(SUM(GREATEST(len(string_split(p_name,' ')), len(string_split(p_type,' ')))) AS BIGINT) AS sum_pairs,
+      CAST(SUM(GREATEST(len(string_split(p_name,' ')), len(string_split(p_type,' ')))
+             - LEAST(len(string_split(p_name,' ')), len(string_split(p_type,' ')))) AS BIGINT) AS sum_padded
+      FROM part GROUP BY 1 ORDER BY 1"""))
+
+  /** P11 merge_iter (tree/util/merge.rs): merge tuple-of-options into one
+    * stream — coalesce with source attribution. */
+  private val p11MergeIter = QueryDef(
+    "p11_merge_iter",
+    (s, dir) => Tables.events(s, dir)
+      .withColumn("a", when(col("event_type") === "purchase", col("value")))
+      .withColumn("b", when(col("event_type") === "click", col("value")))
+      .withColumn("merged", coalesce(col("a"), col("b")))
+      .withColumn("src", when(col("a").isNotNull, "a")
+        .when(col("b").isNotNull, "b").otherwise("none"))
+      .groupBy("src")
+      .agg(count(lit(1)).as("n"), dsum(col("merged")).as("sum_merged"))
+      .orderBy("src"),
+    Some(s"""SELECT CASE WHEN event_type = 'purchase' THEN 'a'
+          WHEN event_type = 'click' THEN 'b' ELSE 'none' END AS src,
+      COUNT(*) AS n,
+      ${sqlSum("CASE WHEN event_type IN ('purchase','click') THEN value END")} AS sum_merged
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
+  /** P13 frontend prunes (frontend_prunes.rs): transfers that duplicate a
+    * swap leg in the same tx are deleted before persisting. */
+  private val p13FrontendPrunes = QueryDef(
+    "p13_frontend_prunes",
+    (s, dir) => {
+      val a = ChainFixture.actions(s, dir).persist()
+      val legs = a.filter(col("action_type") === "swap" && col("amount_in").isNotNull)
+        .select(col("tx_hash").as("s_tx"), col("token_in_id").as("s_tok"),
+          col("amount_in").as("s_amt")).distinct()
+      val transfers = a.filter(col("action_type") === "transfer" && col("amount_in").isNotNull)
+      transfers.join(legs, col("tx_hash") === col("s_tx") &&
+          col("token_in_id") === col("s_tok") && col("amount_in") === col("s_amt"),
+          "left_anti")
+        .agg(count(lit(1)).as("n_kept"))
+        .crossJoin(transfers.agg(count(lit(1)).as("n_total")))
+        .select(col("n_kept"), col("n_total"), (col("n_total") - col("n_kept")).as("n_pruned"))
+    },
+    withDomain("""SELECT
+        (SELECT COUNT(*) FROM actions t
+         WHERE action_type = 'transfer' AND amount_in IS NOT NULL
+           AND NOT EXISTS (SELECT 1 FROM actions s
+             WHERE s.action_type = 'swap' AND s.amount_in IS NOT NULL
+               AND s.tx_hash = t.tx_hash AND s.token_in_id = t.token_in_id
+               AND s.amount_in = t.amount_in)) AS n_kept,
+        (SELECT COUNT(*) FROM actions
+         WHERE action_type = 'transfer' AND amount_in IS NOT NULL) AS n_total,
+        (SELECT COUNT(*) FROM actions
+         WHERE action_type = 'transfer' AND amount_in IS NOT NULL)
+        - (SELECT COUNT(*) FROM actions t
+           WHERE action_type = 'transfer' AND amount_in IS NOT NULL
+             AND NOT EXISTS (SELECT 1 FROM actions s
+               WHERE s.action_type = 'swap' AND s.amount_in IS NOT NULL
+                 AND s.tx_hash = t.tx_hash AND s.token_in_id = t.token_in_id
+                 AND s.amount_in = t.amount_in)) AS n_pruned"""))
+
+  /** P14 remove_duplicate_data (tree/mod.rs:307): generic duplicate removal
+    * keeping the earliest occurrence. */
+  private val p14RemoveDup = QueryDef(
+    "p14_remove_duplicate_data",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type", "value")
+        .orderBy(expr("ts div 1000").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .groupBy("event_type")
+        .agg(sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dups"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type,
+      CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
+      FROM (SELECT event_type, ROW_NUMBER() OVER (
+              PARTITION BY user_id, event_type, value
+              ORDER BY epoch_us(ts) ASC, event_id ASC) AS rn
+            FROM events)
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** T1 sort+dedup before batch lookup (tree/mod.rs:70): keep one row per
+    * key (latest), then join the dimension. */
+  private val t1SortDedup = QueryDef(
+    "t1_sort_dedup",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      val latest = Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      latest.join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"), dsum(col("o_totalprice")).as("sum_latest"))
+        .orderBy("c_mktsegment")
+    },
+    Some(s"""SELECT c_mktsegment, COUNT(*) AS n_customers,
+      ${sqlSum("o_totalprice")} AS sum_latest
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+      JOIN customer ON o_custkey = c_custkey
+      WHERE rn = 1 GROUP BY 1 ORDER BY 1"""))
+
+  /** T3 bundle ordering (composer/mod.rs:222): deterministic output order +
+    * first/last extraction per group. */
+  private val t3BundleOrdering = QueryDef(
+    "t3_bundle_ordering",
+    (s, dir) => Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        min_by(col("o_orderkey"), struct(col("o_orderdate"), col("o_orderkey"))).as("first_key"),
+        max_by(col("o_orderkey"), struct(col("o_orderdate"), col("o_orderkey"))).as("last_key"))
+      .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority, COUNT(*) AS n,
+      (list(o_orderkey ORDER BY o_orderdate ASC, o_orderkey ASC))[1] AS first_key,
+      (list(o_orderkey ORDER BY o_orderdate DESC, o_orderkey DESC))[1] AS last_key
+      FROM orders GROUP BY 1 ORDER BY 1"""))
+
+  /** T4 set semi-diffs (sandwich FastHashSet ops): per-order distinct part
+    * set minus a "hot" set via anti-join. */
+  private val t4SetSemiDiff = QueryDef(
+    "t4_set_semi_diff",
+    (s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val hot = Tables.part(s, dir).filter(col("p_size") > 45)
+        .select(col("p_partkey").as("hot_key"))
+      val pairs = l.select("l_orderkey", "l_partkey").distinct()
+      val after = pairs.join(hot, col("l_partkey") === col("hot_key"), "left_anti")
+        .groupBy("l_orderkey").agg(count(lit(1)).as("n_after"))
+      pairs.groupBy("l_orderkey").agg(count(lit(1)).as("n_parts"))
+        .join(after, Seq("l_orderkey"), "left")
+        .withColumn("n_after", coalesce(col("n_after"), lit(0L)))
+        .agg(count(lit(1)).as("n_orders"), sum(col("n_parts")).as("sum_parts"),
+          sum(col("n_after")).as("sum_after_diff"))
+    },
+    Some("""WITH pairs AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      hot AS (SELECT p_partkey FROM part WHERE p_size > 45)
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        COUNT(*) AS sum_parts,
+        CAST(SUM(CASE WHEN l_partkey NOT IN (SELECT p_partkey FROM hot)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS sum_after_diff
+      FROM pairs"""))
+
+  /** F2 swap_rate (swaps.rs:70): execution rate stats per protocol. */
+  private val f2SwapRate = QueryDef(
+    "f2_swap_rate",
+    (s, dir) => ChainFixture.actions(s, dir)
+      .filter(col("action_type") === "swap" &&
+        col("amount_in").isNotNull && col("amount_out").isNotNull)
+      .withColumn("rate", col("amount_out") / col("amount_in"))
+      .groupBy("protocol")
+      .agg(count(lit(1)).as("n"), dsum(col("rate")).as("sum_rate"),
+        min(col("rate")).as("min_rate"), max(col("rate")).as("max_rate"))
+      .orderBy("protocol"),
+    withDomain(s"""SELECT protocol, COUNT(*) AS n,
+      ${sqlSum("amount_out / amount_in")} AS sum_rate,
+      MIN(amount_out / amount_in) AS min_rate,
+      MAX(amount_out / amount_in) AS max_rate
+      FROM actions
+      WHERE action_type = 'swap' AND amount_in IS NOT NULL AND amount_out IS NOT NULL
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** F4 stable-coin classification (constants.rs get_stable_type): tokens
+    * 0..4 are the stable set; swap legs classified by membership. */
+  private val f4StableClass = QueryDef(
+    "f4_stable_class",
+    (s, dir) => ChainFixture.actions(s, dir)
+      .filter(col("action_type") === "swap" && col("token_in_id").isNotNull &&
+        col("token_out_id").isNotNull)
+      .withColumn("cls",
+        when(col("token_in_id") < 5 && col("token_out_id") < 5, "stable_stable")
+          .when(col("token_in_id") < 5 || col("token_out_id") < 5, "stable_volatile")
+          .otherwise("volatile"))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n"), countDistinct(col("pool")).as("n_pools"))
+      .orderBy("cls"),
+    withDomain("""SELECT CASE
+        WHEN token_in_id < 5 AND token_out_id < 5 THEN 'stable_stable'
+        WHEN token_in_id < 5 OR token_out_id < 5 THEN 'stable_volatile'
+        ELSE 'volatile' END AS cls,
+      COUNT(*) AS n, CAST(COUNT(DISTINCT pool) AS BIGINT) AS n_pools
+      FROM actions
+      WHERE action_type = 'swap' AND token_in_id IS NOT NULL AND token_out_id IS NOT NULL
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** F6 hex/address formatting (display/utils.rs): 0x-prefixed 40-char
+    * form + explorer URL building. */
+  private val f6HexFormat = QueryDef(
+    "f6_hex_format",
+    (s, dir) => ChainFixture.traces(s, dir)
+      .withColumn("addr40", concat(lit("0x"), substring(col("to_address"), 1, 40)))
+      .withColumn("url", concat(lit("https://explorer.example/address/"), col("addr40")))
+      .groupBy(substring(col("addr40"), 3, 1).as("first_nibble"))
+      .agg(countDistinct(col("addr40")).as("n_addrs"),
+        count(lit(1)).as("n_traces"),
+        min(length(col("url"))).as("url_len"))
+      .orderBy("first_nibble"),
+    withDomain("""SELECT substring('0x' || substring(to_address, 1, 40), 3, 1) AS first_nibble,
+      CAST(COUNT(DISTINCT '0x' || substring(to_address, 1, 40)) AS BIGINT) AS n_addrs,
+      COUNT(*) AS n_traces,
+      MIN(length('https://explorer.example/address/' || '0x' || substring(to_address, 1, 40))) AS url_len
+      FROM trace GROUP BY 1 ORDER BY 1"""))
+
+  /** F7 gas math (tree/root.rs:362): gas_paid / priority_fee_paid in ETH
+    * per block. */
+  private val f7GasMath = QueryDef(
+    "f7_gas_math",
+    (s, dir) => {
+      val b = ChainFixture.blocks(s, dir)
+        .select(col("block_number").as("b_block"), col("base_fee"))
+      ChainFixture.traces(s, dir)
+        .join(broadcast(b), col("block_number") === col("b_block"))
+        .groupBy(expr("block_number div 100").as("block_bucket"))
+        .agg(dsum((col("gas_used") * (col("priority_fee") + col("base_fee"))).cast("double") / 1e9)
+          .as("gas_eth"),
+          dsum((col("gas_used") * col("priority_fee")).cast("double") / 1e9).as("tip_eth"),
+          count(lit(1)).as("n_frames"))
+        .orderBy("block_bucket")
+    },
+    withDomain(s"""SELECT t.block_number // 100 AS block_bucket,
+      ${sqlSum("CAST(t.gas_used * (t.priority_fee + b.base_fee) AS DOUBLE) / 1e9")} AS gas_eth,
+      ${sqlSum("CAST(t.gas_used * t.priority_fee AS DOUBLE) / 1e9")} AS tip_eth,
+      COUNT(*) AS n_frames
+      FROM trace t JOIN blocks b ON t.block_number = b.block_number
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** F8 max_arb_delta bound (cex_dex_markout.rs:709): clamp implausible
+    * profits to a sanity ceiling. */
+  private val f8MaxArbDelta = QueryDef(
+    "f8_max_arb_delta",
+    (s, dir) => Accounting.bundleHeaders(s, dir)
+      .withColumn("clamped", least(col("profit_usd"), lit(100000.0)))
+      .agg(count(lit(1)).as("n_txs"),
+        sum(when(col("profit_usd") > 100000.0, 1L).otherwise(0L)).as("n_clamped"),
+        dsum(col("clamped")).as("sum_clamped")),
+    withDomain(s"""SELECT COUNT(*) AS n_txs,
+      CAST(SUM(CASE WHEN profit_usd > 100000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+      ${sqlSum("LEAST(profit_usd, 100000.0)")} AS sum_clamped
+      FROM header"""))
+
+  /** F10 UniV2 constant-product math (protocols/uniswap_v2): expected
+    * output from synthetic reserves, x·y=k with the 0.3% fee. */
+  private val f10PoolMath = QueryDef(
+    "f10_pool_math",
+    (s, dir) => {
+      val p = ChainFixture.pools(s)
+        .select(col("address").as("p_addr"), col("pool_id"))
+      ChainFixture.actions(s, dir)
+        .filter(col("action_type") === "swap" && col("amount_in").isNotNull)
+        .join(broadcast(p), col("pool") === col("p_addr"))
+        .withColumn("r0", lit(1000000.0) + col("pool_id") * 1000.0)
+        .withColumn("r1", lit(2000000.0) + col("pool_id") * 500.0)
+        .withColumn("expected_out",
+          col("amount_in") * 997.0 * col("r1") /
+            (col("r0") * 1000.0 + col("amount_in") * 997.0))
+        .groupBy("protocol")
+        .agg(count(lit(1)).as("n"), dsum(col("expected_out")).as("sum_expected"))
+        .orderBy("protocol")
+    },
+    withDomain(s"""SELECT a.protocol, COUNT(*) AS n,
+      ${sqlSum("a.amount_in * 997.0 * (2000000.0 + p.pool_id * 500.0) / ((1000000.0 + p.pool_id * 1000.0) * 1000.0 + a.amount_in * 997.0)")} AS sum_expected
+      FROM actions a JOIN pool p ON a.pool = p.address
+      WHERE a.action_type = 'swap' AND a.amount_in IS NOT NULL
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** S4 parquet export sink (brontes-db parquet/mod.rs): partitionBy write
+    * + read-back — the sink is the op; the oracle recomputes the partition
+    * stats directly. */
+  private val s4PartitionedSink = QueryDef(
+    "s4_partitioned_sink",
+    (s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_s4_sink"
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+      s.read.parquet(out)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+    Some(s"""SELECT o_orderpriority, COUNT(*) AS n,
+      ${sqlSum("o_totalprice")} AS sum_price
+      FROM orders GROUP BY 1 ORDER BY 1"""))
+}
