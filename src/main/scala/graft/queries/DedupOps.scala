@@ -34,7 +34,11 @@ object DedupOps extends QueryModule {
     * short-doc case is branched out explicitly — matching the oracle CTE's
     * `range(1, len-1)` empty-range behavior. */
   private[queries] def shingles(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    shinglesOf(Tables.documents(s, dir))
+
+  /** Same shingling over any (doc_id, text) frame — unit-testable. */
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), expr(
         """explode(if(size(split(text, ' ')) >= 3,
           transform(sequence(1, size(split(text, ' ')) - 2),

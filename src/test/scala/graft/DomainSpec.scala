@@ -1,0 +1,85 @@
+package graft
+
+import graft.domain.{Accounting, ChainFixture, InspectorOps}
+import org.apache.spark.sql.functions._
+
+/** Fixture invariants + inspector-output properties over sf0.001 — the
+  * Spark analog of the reference's golden scenario tests
+  * (sandwich/mod.rs:1149-1510 style: known patterns must hold). */
+class DomainSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("fixture: trace_idx is unique within a tx and selectors are well-formed") {
+    val t = ChainFixture.traces(spark, SfDir).cache()
+    val dup = t.groupBy("tx_hash", "trace_idx").count().filter(col("count") > 1).count()
+    assert(dup == 0)
+    val badSel = t.filter(!col("selector").rlike("^[0-9a-f]{8}$")).count()
+    assert(badSel == 0)
+  }
+
+  test("fixture: pools never pair a token with itself; registry covers 4 protocols") {
+    assert(ChainFixture.pools(spark).filter(col("t0_id") === col("t1_id")).count() == 0)
+    assert(ChainFixture.registry(spark).select("protocol").distinct().count() == 4)
+  }
+
+  test("classification: amounts are NULL exactly when a referenced token is unknown") {
+    val a = ChainFixture.actions(spark, SfDir).cache()
+    val bad = a.filter(col("action_type") === "swap" &&
+      col("token_in_id") < ChainFixture.NumTokens && col("amount_in").isNull).count()
+    assert(bad == 0)
+    val leaked = a.filter(col("token_in_id") >= ChainFixture.NumTokens &&
+      col("amount_in").isNotNull).count()
+    assert(leaked == 0)
+  }
+
+  test("classification: every trace maps to exactly one action row") {
+    val nTraces = ChainFixture.traces(spark, SfDir).count()
+    val nActions = ChainFixture.actions(spark, SfDir).count()
+    assert(nTraces == nActions)
+  }
+
+  test("accounting: swap deltas are balanced per row (one negative in, one positive out)") {
+    // fully-decoded swaps only: a missing-token side legitimately drops its
+    // leg (quarantined by C9), leaving a one-sided delta
+    val d = Accounting.deltas(
+      ChainFixture.actions(spark, SfDir).filter(col("action_type") === "swap" &&
+        col("amount_in").isNotNull && col("amount_out").isNotNull))
+    val perTx = d.groupBy("tx_hash")
+      .agg(sum(when(col("delta") < 0, 1).otherwise(0)).as("neg"),
+        sum(when(col("delta") > 0, 1).otherwise(0)).as("pos"))
+      .filter(col("neg") === 0 || col("pos") === 0)
+    assert(perTx.count() == 0)
+  }
+
+  test("inspectors: sandwich results satisfy their own preconditions") {
+    val rows = SparkEntry.queries("q1_sandwich")(spark, SfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_victims") >= 1)
+      assert(r.getAs[Long]("n_sandwiches") >= 1)
+    }
+  }
+
+  test("composer dedup never emits more final bundles than raw candidates") {
+    val rows = SparkEntry.queries("j10_composer_dedup")(spark, SfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_final") <= r.getAs[Long]("n_raw"))
+    }
+  }
+
+  test("w3 shrink loop terminates within its 6 bounded iterations") {
+    val iters = SparkEntry.queries("w3_shrink_loop")(spark, SfDir)
+      .select("found_at_iter").as[Int].collect()
+    assert(iters.forall(i => i >= 0 && i < 6))
+  }
+
+  test("multimodal payloads carry the magic header bytes") {
+    val rows = Tables.documents(spark, SfDir)
+      .withColumn("magic",
+        when(pmod(col("doc_id"), lit(2)) === 0, "89504E47").otherwise("47494638"))
+      .withColumn("payload", concat(
+        to_binary(lower(col("magic")), lit("hex")), col("text").cast("binary")))
+      .withColumn("header", upper(hex(substring(col("payload"), 1, 4))))
+      .filter(col("header") =!= col("magic"))
+    assert(rows.count() == 0)
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import graft.ops.{AsOfJoin, ExactAgg, Sessionize, TopK}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Golden-output specs for the core ops/ helpers — the library pieces every
+  * query composes (mirrors the reference's operator micro-tests, e.g.
+  * frontend_prunes.rs:137, shared_utils.rs:809). */
+class OpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("AsOfJoin.backward takes the right row at EQUAL timestamp (<= semantics)") {
+    val left = Seq((1L, 100L, "a")).toDF("k", "ts", "tag")
+    val right = Seq((1L, 100L, 10.0), (1L, 99L, 9.0)).toDF("k", "ts", "px")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "ts", "px", "last_px").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("last_px") == 10.0)
+  }
+
+  test("AsOfJoin.backward yields null when no right row precedes") {
+    val left = Seq((1L, 50L)).toDF("k", "ts")
+    val right = Seq((1L, 100L, 10.0)).toDF("k", "ts", "px")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "ts", "px", "last_px").collect()
+    assert(out.head.isNullAt(out.head.fieldIndex("last_px")))
+  }
+
+  test("AsOfJoin.backward forwards the LATEST of several earlier right rows, per key") {
+    val left = Seq((1L, 200L), (2L, 200L)).toDF("k", "ts")
+    val right = Seq((1L, 10L, 1.0), (1L, 150L, 2.0), (2L, 199L, 7.0))
+      .toDF("k", "ts", "px")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "ts", "px", "last_px")
+      .orderBy("k").collect()
+    assert(out.map(_.getAs[Double]("last_px")).toSeq == Seq(2.0, 7.0))
+  }
+
+  test("Sessionize splits strictly AFTER the gap threshold (gap == limit stays joined)") {
+    val df = Seq((1L, 0L, 1L), (1L, 1000L, 2L), (1L, 2000L, 3L), (1L, 3001L, 4L))
+      .toDF("k", "us", "id")
+    val out = Sessionize.byGap(df, Seq("k"), "us", "id", gapMicros = 1000L)
+      .orderBy("us").select("session_id").as[Long].collect()
+    // gaps: 1000 (==limit, same session), 1000, 1001 (> limit, new session)
+    assert(out.toSeq == Seq(0L, 0L, 0L, 1L))
+  }
+
+  test("TopK.perGroup is deterministic under ties via the tiebreak column") {
+    val df = Seq(("g", 5.0, 2L), ("g", 5.0, 1L), ("g", 4.0, 3L))
+      .toDF("grp", "score", "id")
+    val out = TopK.perGroup(df, Seq("grp"), Seq(col("score").desc, col("id").asc), 2)
+      .orderBy("rank").select("id").as[Long].collect()
+    assert(out.toSeq == Seq(1L, 2L))
+  }
+
+  test("ExactAgg.dsum is bit-identical across partitionings") {
+    val xs = (1 to 10000).map(i => math.sin(i) * 1e6)
+    val one = xs.toDF("x").coalesce(1)
+      .agg(ExactAgg.dsum(col("x"))).as[Double].head()
+    val many = xs.toDF("x").repartition(32)
+      .agg(ExactAgg.dsum(col("x"))).as[Double].head()
+    assert(java.lang.Double.doubleToLongBits(one) ==
+      java.lang.Double.doubleToLongBits(many))
+  }
+
+  test("ExactAgg.dstddevPop matches a reference computation") {
+    val xs = Seq(2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0)
+    val sd = xs.toDF("x").agg(ExactAgg.dstddevPop(col("x"))).as[Double].head()
+    assert(math.abs(sd - 2.0) < 1e-12)
+  }
+
+  test("DedupOps shingling yields no rows for docs under 3 words") {
+    val docs = Seq((1L, "one two"), (2L, "a b c d")).toDF("doc_id", "text")
+    val sh = graft.queries.DedupOps.shinglesOf(docs)
+      .groupBy("doc_id").count().orderBy("doc_id").collect()
+    assert(sh.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 2L)))
+  }
+}
