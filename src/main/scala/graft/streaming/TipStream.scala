@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** Streaming / incremental mode (SURVEY §2.9 R2/R3/R5/S5): the reference's
+  * tip-following executor (bin/src/executors/tip.rs) re-expressed as
+  * Structured Streaming.
+  *
+  *  - R2 tip pipeline: `readStream` → the same per-block transforms the
+  *    batch path uses → `foreachBatch` sink (S5 write-behind: ordered,
+  *    exactly-once per micro-batch).
+  *  - R5 incremental pool state: `flatMapGroupsWithState` keyed by pool,
+  *    carrying (last price, cumulative volume, n updates) across batches —
+  *    the stateful analog of the per-block pool-state fold
+  *    (brontes-pricing/src/graphs/state_tracker.rs).
+  *
+  * The transform core is shared with batch (same DataFrame function), so
+  * tip mode IS the batch pipeline on a different source — the design SURVEY
+  * §7.1 step 8 calls for.
+  */
+object TipStream {
+
+  /** One pool-state update event (what the classifier emits per swap). */
+  case class PoolUpdate(pool: String, block: Long, txIdx: Long, px: Double, vol: Double)
+
+  /** Running per-pool state carried across micro-batches. */
+  case class PoolState(pool: String, lastPx: Double, cumVol: Double, nUpdates: Long)
+
+  /** Emitted quote row: state AFTER applying a batch's updates. */
+  case class PoolQuote(pool: String, block: Long, prePx: Option[Double],
+      postPx: Double, cumVol: Double, nUpdates: Long)
+
+  /** Batch/stream-shared transform: action-shaped rows → pool updates. */
+  def toPoolUpdates(swaps: DataFrame): Dataset[PoolUpdate] = {
+    val s = swaps.sparkSession
+    import s.implicits._
+    swaps
+      .filter(col("pool").isNotNull && col("amount_in").isNotNull &&
+        col("amount_out").isNotNull)
+      .select(col("pool"), col("block_number").as("block"), col("tx_idx").as("txIdx"),
+        (col("amount_out") / col("amount_in")).as("px"), col("amount_in").as("vol"))
+      .as[PoolUpdate]
+  }
+
+  /** R5: the stateful fold — deterministic within a key because updates are
+    * sorted by (block, txIdx) before folding. */
+  def updatePoolState(
+      pool: String,
+      updates: Iterator[PoolUpdate],
+      state: GroupState[PoolState]): Iterator[PoolQuote] = {
+    val sorted = updates.toSeq.sortBy(u => (u.block, u.txIdx))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      val prev = state.getOption
+      var st = prev.getOrElse(PoolState(pool, Double.NaN, 0.0, 0L))
+      val out = sorted.map { u =>
+        val pre = if (st.nUpdates == 0) None else Some(st.lastPx)
+        st = PoolState(pool, u.px, st.cumVol + u.vol, st.nUpdates + 1)
+        PoolQuote(pool, u.block, pre, u.px, st.cumVol, st.nUpdates)
+      }
+      state.update(st)
+      out.iterator
+    }
+  }
+
+  /** R5 wiring: pool updates (batch or stream) → stateful quote emission. */
+  def poolQuotes(updates: Dataset[PoolUpdate]): Dataset[PoolQuote] = {
+    val s = updates.sparkSession
+    import s.implicits._
+    updates.groupByKey(_.pool)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        updatePoolState)
+  }
+
+  /** R2+S5: follow a parquet directory as the chain tip, maintain pool
+    * state, and write each micro-batch through foreachBatch (the ordered
+    * write-behind sink). Returns the running query. */
+  def runTip(spark: SparkSession, srcDir: String, outDir: String,
+      checkpoint: String): StreamingQuery = {
+    import spark.implicits._
+    val schema = "pool STRING, block_number BIGINT, tx_idx BIGINT, " +
+      "amount_in DOUBLE, amount_out DOUBLE"
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    poolQuotes(toPoolUpdates(stream)).toDF()
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("append").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+  }
+}
