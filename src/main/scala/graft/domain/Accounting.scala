@@ -49,7 +49,7 @@ object Accounting {
 
   /** F7: per-tx gas cost in USD (gas_used × effective price, ETH → USD). */
   def txGas(s: SparkSession, dir: String): DataFrame = {
-    val t = traces(s, dir)
+    val t = tracesTable(s, dir)
     val b = blocks(s, dir).select(col("block_number").as("b_block"), col("base_fee"))
     t.join(broadcast(b), t("block_number") === col("b_block"))
       .groupBy("block_number", "tx_hash", "from_address")
@@ -66,14 +66,16 @@ object Accounting {
       .agg(dsum(col("delta") * col("price_usd")).as("revenue_usd"))
 
   /** A3: bundle header — revenue − gas per tx, the row every inspector
-    * attaches to its detections. */
-  def bundleHeaders(s: SparkSession, dir: String): DataFrame = {
-    val a = actions(s, dir)
-    txGas(s, dir)
-      .join(txRevenue(s, a), Seq("tx_hash"), "left")
-      .withColumn("revenue_usd", coalesce(col("revenue_usd"), lit(0.0)))
-      .withColumn("profit_usd", col("revenue_usd") - col("gas_usd"))
-  }
+    * attaches to its detections. Materialized like the reference's stored
+    * bundle tables: ~9 queries read it. */
+  def bundleHeaders(s: SparkSession, dir: String): DataFrame =
+    ChainFixture.materialize(s, s"headers_${ChainFixture.dirKey(dir)}", {
+      val a = actionsTable(s, dir)
+      txGas(s, dir)
+        .join(txRevenue(s, a), Seq("tx_hash"), "left")
+        .withColumn("revenue_usd", coalesce(col("revenue_usd"), lit(0.0)))
+        .withColumn("profit_usd", col("revenue_usd") - col("gas_usd"))
+    })
 
   // ── Oracle-side CTEs (appended after ChainFixture.sqlCtes) ────────────────
 

@@ -60,7 +60,7 @@ object CexOps extends QueryModule {
 
   /** DEX swaps with wall-clock ts and canonical pair. */
   private def dexSwaps(s: SparkSession, dir: String): DataFrame =
-    actions(s, dir)
+    actionsTable(s, dir)
       .filter(col("action_type") === "swap" &&
         col("amount_in").isNotNull && col("amount_out").isNotNull)
       .select(col("block_number"), col("tx_idx"), col("tx_hash"),
@@ -390,7 +390,7 @@ object CexOps extends QueryModule {
     (s, dir) => {
       val b = blocks(s, dir).select(col("block_number").as("b_block"),
         col("base_fee"), col("block_time_us"))
-      traces(s, dir)
+      tracesTable(s, dir)
         .join(broadcast(b), col("block_number") === col("b_block"))
         .groupBy(expr("base_fee div 10").as("fee_decile"))
         .agg(count(lit(1)).as("n_traces"),
@@ -426,7 +426,7 @@ object CexOps extends QueryModule {
     * counts reported. */
   private val r6FailedData = QueryDef(
     "r6_failed_data",
-    (s, dir) => actions(s, dir)
+    (s, dir) => actionsTable(s, dir)
       .groupBy("block_number")
       .agg(count(lit(1)).as("n"),
         sum(when(col("action_type") === "unclassified", 1L).otherwise(0L)).as("n_uncls"))

@@ -197,6 +197,37 @@ object ChainFixture {
         col("selector"), col("to_address"))
   }
 
+  // ── materialized intermediates ────────────────────────────────────────────
+
+  private val materialized = scala.collection.mutable.Set[String]()
+
+  /** Write-once-per-JVM parquet materialization of a derived table — the
+    * pipeline shape the reference uses (classified trees are PERSISTED,
+    * inspectors read the store; TxTraces/libmdbx tables, SURVEY §3.1). At
+    * cluster scale these are the partitioned intermediate tables between
+    * pipeline stages; locally they live under java.io.tmpdir. */
+  private[domain] def materialize(s: SparkSession, key: String, df: => DataFrame): DataFrame =
+    synchronized {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_mat_$key"
+      if (!materialized.contains(path)) {
+        df.write.mode("overwrite").parquet(path)
+        materialized += path
+      }
+      s.read.parquet(path)
+    }
+
+  private[domain] def dirKey(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** The traces table, materialized (raw decode input, S1 store analog). */
+  def tracesTable(s: SparkSession, dir: String): DataFrame =
+    materialize(s, s"traces_${dirKey(dir)}", traces(s, dir))
+
+  /** The classified actions table, materialized — what every inspector
+    * scans (the reference's stored block trees). */
+  def actionsTable(s: SparkSession, dir: String): DataFrame =
+    materialize(s, s"actions_${dirKey(dir)}", actions(s, dir))
+
   // ── Oracle side: the same fixture as DuckDB CTEs ──────────────────────────
 
   private val selectorCase =

@@ -30,7 +30,7 @@ object ClassifyOps extends QueryModule {
 
   import ChainFixture._
 
-  private def acts(s: SparkSession, dir: String): DataFrame = actions(s, dir)
+  private def acts(s: SparkSession, dir: String): DataFrame = actionsTable(s, dir)
 
   private def withCtes(sql: String) = Some(s"WITH $sqlCtes $sql")
 
@@ -192,7 +192,7 @@ object ClassifyOps extends QueryModule {
   private val c8Coinbase = QueryDef(
     "c8_coinbase",
     (s, dir) => {
-      val t = traces(s, dir)
+      val t = tracesTable(s, dir)
       val b = blocks(s, dir).select(col("block_number").as("b_block"), col("beneficiary"))
       t.join(broadcast(b), t("block_number") === col("b_block"))
         .filter(col("to_address") === col("beneficiary"))

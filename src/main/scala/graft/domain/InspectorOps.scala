@@ -43,7 +43,7 @@ object InspectorOps extends QueryModule {
   // ── shared Spark fragments ────────────────────────────────────────────────
 
   private def swaps(s: SparkSession, dir: String): DataFrame =
-    actions(s, dir).filter(col("action_type") === "swap" &&
+    actionsTable(s, dir).filter(col("action_type") === "swap" &&
       col("amount_in").isNotNull && col("amount_out").isNotNull)
 
   /** Per-(tx, pool) swap rollup — the sandwich candidate unit. */
@@ -108,7 +108,7 @@ object InspectorOps extends QueryModule {
   private def jitPairs(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("block_number", "from_address", "pool")
       .orderBy("tx_idx", "trace_idx")
-    actions(s, dir)
+    actionsTable(s, dir)
       .filter(col("action_type").isin("mint", "burn") && col("pool").isNotNull)
       .withColumn("nxt", lead(col("action_type"), 1).over(w))
       .withColumn("nxt_idx", lead(col("tx_idx"), 1).over(w))
@@ -205,7 +205,7 @@ object InspectorOps extends QueryModule {
   private val q7Liquidations = QueryDef(
     "q7_liquidations",
     (s, dir) => {
-      val liq = actions(s, dir).filter(col("action_type") === "liquidation")
+      val liq = actionsTable(s, dir).filter(col("action_type") === "liquidation")
         .groupBy("tx_hash").agg(count(lit(1)).as("n_liq"))
       liq.join(bundleHeaders(s, dir), "tx_hash")
         .groupBy("block_number")
@@ -289,7 +289,7 @@ object InspectorOps extends QueryModule {
   private val q5Jit = QueryDef(
     "q5_jit",
     (s, dir) => {
-      val a = actions(s, dir).persist()
+      val a = actionsTable(s, dir).persist()
       def side(t: String, agg: Column => Column, idxName: String) = a
         .filter(col("action_type") === t && col("pool").isNotNull &&
           col("amount_in").isNotNull && col("amount_out").isNotNull)
@@ -418,7 +418,7 @@ object InspectorOps extends QueryModule {
         .withColumn("mev_type", lit("sandwich")).withColumn("prio", lit(4))
       val jit = jitPairs(s, dir).select(col("tx_hash"))
         .withColumn("mev_type", lit("jit")).withColumn("prio", lit(3))
-      val liq = actions(s, dir).filter(col("action_type") === "liquidation")
+      val liq = actionsTable(s, dir).filter(col("action_type") === "liquidation")
         .select("tx_hash").distinct()
         .withColumn("mev_type", lit("liquidation")).withColumn("prio", lit(2))
       val arb = arbs(s, dir).select(col("tx_hash"))

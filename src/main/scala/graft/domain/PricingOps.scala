@@ -32,7 +32,7 @@ object PricingOps extends QueryModule {
     * volume and rate. The liquidity-weighted rate Σout/Σin is what
     * PairSubGraph's fetch_price weights by. */
   private def edges(s: SparkSession, dir: String): DataFrame =
-    ChainFixture.actions(s, dir)
+    ChainFixture.actionsTable(s, dir)
       .filter(col("action_type") === "swap" &&
         col("amount_in").isNotNull && col("amount_out").isNotNull)
       .groupBy(col("token_in_id").as("src"), col("token_out_id").as("dst"))
@@ -185,7 +185,7 @@ object PricingOps extends QueryModule {
   private val g5RegistryCache = QueryDef(
     "g5_registry_cache",
     (s, dir) => {
-      val perEpoch = ChainFixture.actions(s, dir)
+      val perEpoch = ChainFixture.actionsTable(s, dir)
         .filter(col("action_type") === "swap" &&
           col("amount_in").isNotNull && col("amount_out").isNotNull)
         .select(expr("block_number div 100").as("epoch"),
@@ -220,7 +220,7 @@ object PricingOps extends QueryModule {
   private val g6PriceEmission = QueryDef(
     "g6_price_emission",
     (s, dir) => {
-      val q = ChainFixture.actions(s, dir)
+      val q = ChainFixture.actionsTable(s, dir)
         .filter(col("action_type") === "swap" &&
           col("amount_in").isNotNull && col("amount_out").isNotNull &&
           col("pool").isNotNull)

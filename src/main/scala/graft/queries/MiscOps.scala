@@ -121,7 +121,7 @@ object MiscOps extends QueryModule {
   private val p13FrontendPrunes = QueryDef(
     "p13_frontend_prunes",
     (s, dir) => {
-      val a = ChainFixture.actions(s, dir).persist()
+      val a = ChainFixture.actionsTable(s, dir).persist()
       val legs = a.filter(col("action_type") === "swap" && col("amount_in").isNotNull)
         .select(col("tx_hash").as("s_tx"), col("token_in_id").as("s_tok"),
           col("amount_in").as("s_amt")).distinct()
@@ -238,7 +238,7 @@ object MiscOps extends QueryModule {
   /** F2 swap_rate (swaps.rs:70): execution rate stats per protocol. */
   private val f2SwapRate = QueryDef(
     "f2_swap_rate",
-    (s, dir) => ChainFixture.actions(s, dir)
+    (s, dir) => ChainFixture.actionsTable(s, dir)
       .filter(col("action_type") === "swap" &&
         col("amount_in").isNotNull && col("amount_out").isNotNull)
       .withColumn("rate", col("amount_out") / col("amount_in"))
@@ -258,7 +258,7 @@ object MiscOps extends QueryModule {
     * 0..4 are the stable set; swap legs classified by membership. */
   private val f4StableClass = QueryDef(
     "f4_stable_class",
-    (s, dir) => ChainFixture.actions(s, dir)
+    (s, dir) => ChainFixture.actionsTable(s, dir)
       .filter(col("action_type") === "swap" && col("token_in_id").isNotNull &&
         col("token_out_id").isNotNull)
       .withColumn("cls",
@@ -281,7 +281,7 @@ object MiscOps extends QueryModule {
     * form + explorer URL building. */
   private val f6HexFormat = QueryDef(
     "f6_hex_format",
-    (s, dir) => ChainFixture.traces(s, dir)
+    (s, dir) => ChainFixture.tracesTable(s, dir)
       .withColumn("addr40", concat(lit("0x"), substring(col("to_address"), 1, 40)))
       .withColumn("url", concat(lit("https://explorer.example/address/"), col("addr40")))
       .groupBy(substring(col("addr40"), 3, 1).as("first_nibble"))
@@ -302,7 +302,7 @@ object MiscOps extends QueryModule {
     (s, dir) => {
       val b = ChainFixture.blocks(s, dir)
         .select(col("block_number").as("b_block"), col("base_fee"))
-      ChainFixture.traces(s, dir)
+      ChainFixture.tracesTable(s, dir)
         .join(broadcast(b), col("block_number") === col("b_block"))
         .groupBy(expr("block_number div 100").as("block_bucket"))
         .agg(dsum((col("gas_used") * (col("priority_fee") + col("base_fee"))).cast("double") / 1e9)
@@ -339,7 +339,7 @@ object MiscOps extends QueryModule {
     (s, dir) => {
       val p = ChainFixture.pools(s)
         .select(col("address").as("p_addr"), col("pool_id"))
-      ChainFixture.actions(s, dir)
+      ChainFixture.actionsTable(s, dir)
         .filter(col("action_type") === "swap" && col("amount_in").isNotNull)
         .join(broadcast(p), col("pool") === col("p_addr"))
         .withColumn("r0", lit(1000000.0) + col("pool_id") * 1000.0)
