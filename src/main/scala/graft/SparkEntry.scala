@@ -24,27 +24,12 @@ object SparkEntry {
 
   lazy val all: Seq[QueryDef] = modules.flatMap(_.defs)
 
-  /** Flagship pipeline on sf0.001 (driver smoke-checks rows > 0): the
-    * classify → label → as-of price → account shape of the reference's
-    * block pipeline (SURVEY §3.1), expressed over the events table. */
-  def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
-    import graft.ops.ExactAgg._
-    val e = Tables.events(spark, dir).withColumn("us", expr("ts div 1000"))
-    // "classify": tag actions; "price": as-of latest view value per user;
-    // "account": net per user session.
-    val purchases = e.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("us"), col("event_id"), col("value"))
-    val views = e.filter(col("event_type") === "view")
-      .groupBy("user_id", "us")
-      .agg(max_by(col("value"), col("event_id")).as("px"))
-    graft.ops.AsOfJoin.backward(purchases, views, Seq("user_id"), "us", "px", "last_px")
-      .groupBy("user_id")
-      .agg(count(lit(1)).as("n_purchases"),
-        dsum(col("value")).as("gross"),
-        dsum(col("value") * coalesce(col("last_px"), lit(0.0))).as("priced"))
-      .orderBy("user_id")
-  }
+  /** Flagship pipeline on sf0.001 (driver smoke-checks rows > 0): the full
+    * reference lifecycle (SURVEY §3.1) — traces → classification (C1/C2) →
+    * accounting (A1–A3) → inspectors → per-block MevBlock rollup (Q9/A4) —
+    * one composed end-to-end run of the domain engine. */
+  def entry(spark: SparkSession): DataFrame =
+    queries("q9_mev_block")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
