@@ -46,15 +46,18 @@ object InspectorOps extends QueryModule {
     actionsTable(s, dir).filter(col("action_type") === "swap" &&
       col("amount_in").isNotNull && col("amount_out").isNotNull)
 
-  /** Per-(tx, pool) swap rollup — the sandwich candidate unit. */
+  /** Per-(tx, pool) swap rollup — the sandwich candidate unit. Six queries
+    * (q1/q5/j7/j10/j11/w3) read it → materialized like the other pipeline
+    * intermediates. */
   private def swTx(s: SparkSession, dir: String): DataFrame =
-    swaps(s, dir).filter(col("pool").isNotNull)
-      .groupBy("block_number", "tx_idx", "tx_hash", "from_address", "pool")
-      .agg(min_by(col("direction"), col("trace_idx")).as("dir"),
-        min_by(col("token_in_id"), col("trace_idx")).as("tok_in"),
-        dsum(col("amount_in")).as("sum_in"),
-        dsum(col("amount_out")).as("sum_out"))
-      .withColumnRenamed("from_address", "eoa")
+    ChainFixture.materialize(s, s"swtx_${ChainFixture.dirKey(dir)}",
+      swaps(s, dir).filter(col("pool").isNotNull)
+        .groupBy("block_number", "tx_idx", "tx_hash", "from_address", "pool")
+        .agg(min_by(col("direction"), col("trace_idx")).as("dir"),
+          min_by(col("token_in_id"), col("trace_idx")).as("tok_in"),
+          dsum(col("amount_in")).as("sum_in"),
+          dsum(col("amount_out")).as("sum_out"))
+        .withColumnRenamed("from_address", "eoa"))
 
   /** J6 bracket: consecutive opposite-direction same-pool txs by one EOA. */
   private def brackets(s: SparkSession, dir: String): DataFrame = {

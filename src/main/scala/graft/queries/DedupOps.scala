@@ -46,12 +46,17 @@ object DedupOps extends QueryModule {
           array()))""").as("shingle"))
       .distinct()
 
-  /** Per-doc MinHash signature columns h0..h{k-1}. */
-  private[queries] def minhashSig(sh: DataFrame): DataFrame =
-    sh.groupBy("doc_id")
-      .agg(min(md5(concat(lit("0|"), col("shingle")))).as("h0"),
-        (1 until NumHashes).map(i =>
-          min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i")): _*)
+  /** Per-doc MinHash signature columns h0..h{k-1}. The hash family is 8-hex
+    * SLICES of two md5s (md5('a|'‖s), md5('b|'‖s)) — 2 digest computations
+    * per shingle instead of 8, same uniform-family property (each 32-bit
+    * slice of md5 is independently uniform). */
+  private[queries] def minhashSig(sh: DataFrame): DataFrame = {
+    val m = Seq(md5(concat(lit("a|"), col("shingle"))),
+      md5(concat(lit("b|"), col("shingle"))))
+    val hs = (0 until NumHashes).map(i =>
+      min(substring(m(i / 4), 8 * (i % 4) + 1, 8)).as(s"h$i"))
+    sh.groupBy("doc_id").agg(hs.head, hs.tail: _*)
+  }
 
   /** (doc_id, band, bh): band hash per doc — md5 of the band's minhashes.
     * All bands emitted in ONE pass (explode of a literal struct array), not
@@ -88,8 +93,10 @@ object DedupOps extends QueryModule {
       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))"""
 
   private[queries] val sigCte = {
+    val pfx = Seq("a", "b")
     val mins = (0 until NumHashes)
-      .map(i => s"MIN(md5('$i|' || shingle)) AS h$i").mkString(", ")
+      .map(i => s"MIN(substring(md5('${pfx(i / 4)}|' || shingle), ${8 * (i % 4) + 1}, 8)) AS h$i")
+      .mkString(", ")
     s"sig AS (SELECT doc_id, $mins FROM sh GROUP BY 1)"
   }
 

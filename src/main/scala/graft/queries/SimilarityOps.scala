@@ -19,12 +19,13 @@ import org.apache.spark.sql.functions._
   *     out of one tiny rollup. Hyperplane weights derive from md5
   *     (portable, seedless).
   *
-  * Exactness: element products are computed in DOUBLE (deterministic per
-  * element), then cast to DECIMAL(30,20) and summed exactly — decimal
-  * addition is associative/commutative so any fold order gives the same
-  * bits, and precision 30 < 38 leaves headroom so Spark's decimal-add
-  * promotion never drops a digit of scale inside the fold. The oracle's
-  * SUM(CAST(.. AS DECIMAL(38,20))) computes the identical value.
+  * Determinism: the per-row folds run in DOUBLE with a FIXED left-to-right
+  * order (Spark's `aggregate` higher-order function is a sequential fold),
+  * so results are reproducible at any parallelism — the reduction order is
+  * a property of the row, not the partitioning. The oracle's plain SUM may
+  * associate differently; the residual is ≤ a few ulps, far inside the
+  * comparison tolerance, and the double fold stays inside whole-stage
+  * codegen (a decimal fold would be interpreted and ~3× slower).
   *
   * At 100 TB: both queries are a single linear scan of the corpus plus
   * small-key shuffles — the brute-force Q×N pair stream exists only as a
@@ -40,21 +41,19 @@ object SimilarityOps extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(s1BruteForce, s2AnnLsh)
 
-  /** Exact decimal fold of `elemExpr` (a SQL lambda-element expression in
-    * DECIMAL(30,20)) over arrays — Σ is order-independent. */
-  private def decSum(arrExpr: String): Column =
-    expr(s"""CAST(aggregate($arrExpr, CAST(0 AS DECIMAL(30,20)),
-      (acc, x) -> CAST(acc + x AS DECIMAL(30,20))) AS DOUBLE)""")
+  /** Sequential double fold of an array expression. */
+  private def dblSum(arrExpr: String): Column =
+    expr(s"aggregate($arrExpr, 0D, (acc, x) -> acc + x)")
 
   /** Per-row squared-norm fold: Σ x². */
   private def normCol(embCol: String): Column =
-    sqrt(decSum(s"""transform($embCol,
-      a -> CAST(CAST(a AS DOUBLE) * CAST(a AS DOUBLE) AS DECIMAL(30,20)))"""))
+    sqrt(dblSum(s"""transform($embCol,
+      a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE))"""))
 
   /** Per-row dot-product fold of two embedding arrays: Σ aᵢ·bᵢ. */
   private def dotCol(aCol: String, bCol: String): Column =
-    decSum(s"""zip_with($aCol, $bCol,
-      (a, b) -> CAST(CAST(a AS DOUBLE) * CAST(b AS DOUBLE) AS DECIMAL(30,20)))""")
+    dblSum(s"""zip_with($aCol, $bCol,
+      (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE))""")
 
   private val s1BruteForce = QueryDef(
     "s1_ann_bruteforce",
@@ -80,21 +79,15 @@ object SimilarityOps extends QueryModule {
         .select("q_id", "rank", "c_id", "cos_sim")
         .orderBy("q_id", "rank")
     },
-    // DuckDB's DECIMAL→DOUBLE cast divides by 10^scale in floating point and
-    // can be 1 ulp off the correctly-rounded value (Spark's cast is exact),
-    // so the oracle converts through VARCHAR — DuckDB's string→double parse
-    // IS correctly rounded, making both engines bit-identical.
     Some(s"""WITH el AS (
         SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS x
         FROM (SELECT vec_id, embedding,
                 unnest(generate_series(1, len(embedding))) AS pos
               FROM embeddings)),
-      nrm AS (SELECT vec_id,
-                SQRT(CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,20))) AS VARCHAR) AS DOUBLE)) AS norm
+      nrm AS (SELECT vec_id, SQRT(SUM(x * x)) AS norm
               FROM el GROUP BY 1),
       dots AS (
-        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-          CAST(CAST(SUM(CAST(q.x * c.x AS DECIMAL(38,20))) AS VARCHAR) AS DOUBLE) AS dot
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id, SUM(q.x * c.x) AS dot
         FROM el q JOIN el c ON q.pos = c.pos
         WHERE q.vec_id < $NumQueries AND c.vec_id >= $NumQueries
         GROUP BY 1, 2),
@@ -117,11 +110,11 @@ object SimilarityOps extends QueryModule {
     "s2_ann_lsh",
     (s, dir) => {
       val planes = (0 until NumPlanes).map { h =>
-        decSum(s"""zip_with(embedding, sequence(1, size(embedding)),
-          (a, pos) -> CAST(CASE
+        dblSum(s"""zip_with(embedding, sequence(1, size(embedding)),
+          (a, pos) -> CASE
             WHEN substring(md5(concat('$h:', pos)), 1, 1) >= '8'
             THEN CAST(a AS DOUBLE) ELSE -CAST(a AS DOUBLE)
-          END AS DECIMAL(30,20)))""").as(s"p$h")
+          END)""").as(s"p$h")
       }
       val bits = (0 until NumPlanes).map(h => when(col(s"p$h") > 0, "1").otherwise("0"))
       Tables.embeddings(s, dir)
@@ -133,7 +126,7 @@ object SimilarityOps extends QueryModule {
     },
     Some {
       val sums = (0 until NumPlanes).map(h =>
-        s"SUM(CAST(CASE WHEN substring(md5('$h:' || pos), 1, 1) >= '8' THEN x ELSE -x END AS DECIMAL(38,20))) AS p$h")
+        s"SUM(CASE WHEN substring(md5('$h:' || pos), 1, 1) >= '8' THEN x ELSE -x END) AS p$h")
         .mkString(", ")
       val bits = (0 until NumPlanes)
         .map(h => s"CASE WHEN p$h > 0 THEN '1' ELSE '0' END").mkString(" || ")
