@@ -59,10 +59,11 @@ object InspectorOps extends QueryModule {
           dsum(col("amount_out")).as("sum_out"))
         .withColumnRenamed("from_address", "eoa"))
 
-  /** J6 bracket: consecutive opposite-direction same-pool txs by one EOA. */
-  private def brackets(s: SparkSession, dir: String): DataFrame = {
+  /** J6 bracket: consecutive opposite-direction same-pool txs by one EOA.
+    * Operates on any swTx-shaped frame (unit-testable on planted data). */
+  private[graft] def bracketsOf(swTxDf: DataFrame): DataFrame = {
     val w = Window.partitionBy("block_number", "eoa", "pool").orderBy("tx_idx")
-    swTx(s, dir)
+    swTxDf
       .withColumn("back_idx", lead(col("tx_idx"), 1).over(w))
       .withColumn("back_dir", lead(col("dir"), 1).over(w))
       .withColumn("back_out", lead(col("sum_out"), 1).over(w))
@@ -74,10 +75,13 @@ object InspectorOps extends QueryModule {
         col("back_idx"), col("back_out"), col("back_tx"))
   }
 
+  private def brackets(s: SparkSession, dir: String): DataFrame =
+    bracketsOf(swTx(s, dir))
+
   /** Sandwiches: brackets with ≥1 same-direction victim strictly between. */
-  private def sandwiches(s: SparkSession, dir: String): DataFrame = {
-    val b = brackets(s, dir)
-    val v = swTx(s, dir).select(col("block_number").as("v_block"),
+  private[graft] def sandwichesOf(swTxDf: DataFrame): DataFrame = {
+    val b = bracketsOf(swTxDf)
+    val v = swTxDf.select(col("block_number").as("v_block"),
       col("pool").as("v_pool"), col("tx_idx").as("v_idx"),
       col("eoa").as("v_eoa"), col("dir").as("v_dir"))
     b.join(v, col("v_block") === col("block_number") && col("v_pool") === col("pool") &&
@@ -87,6 +91,9 @@ object InspectorOps extends QueryModule {
         "tok_in", "sum_in", "back_out")
       .agg(count(lit(1)).as("n_victims"))
   }
+
+  private def sandwiches(s: SparkSession, dir: String): DataFrame =
+    sandwichesOf(swTx(s, dir))
 
   /** Q2 candidates: cyclic continuous swap sequences within a tx. */
   private def arbs(s: SparkSession, dir: String): DataFrame = {
