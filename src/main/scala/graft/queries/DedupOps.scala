@@ -24,7 +24,8 @@ object DedupOps extends QueryModule {
   private[queries] val NumHashes = 8
   private[queries] val NumBands = 4 // 2 hashes per band
 
-  def defs: Seq[QueryDef] = Seq(d1ExactDedup, d2MinhashLsh, d3Simhash, d4JaccardVerify)
+  def defs: Seq[QueryDef] = Seq(d1ExactDedup, d2MinhashLsh, d3Simhash,
+    d4JaccardVerify, d5DedupClusters, d6EmbeddingNearDup)
 
   // ── shared shingle machinery (Spark side) ────────────────────────────────
 
@@ -169,6 +170,116 @@ object DedupOps extends QueryModule {
         sigs AS (SELECT doc_id, $bits AS simhash FROM sums)
         SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
         FROM sigs GROUP BY 1 ORDER BY 1"""
+    })
+
+  /** Connected components over the LSH candidate pairs — the clustering
+    * stage that turns near-dup PAIRS into dedup GROUPS (pick one canonical
+    * doc per cluster). Spark side: bounded transitive-closure loop over the
+    * (tiny relative to the corpus) candidate edge set — each doc's label is
+    * the minimum reachable doc id; converges in ≤ cluster-diameter rounds,
+    * capped at 10. Oracle: DuckDB recursive CTE computing the same closure.
+    * At 100 TB the edge set is LSH-bounded (≪ corpus), so the loop runs
+    * over a side table, not the corpus. */
+  private val d5DedupClusters = QueryDef(
+    "d5_dedup_clusters",
+    (s, dir) => {
+      val cand = lshCandidates(shingles(s, dir))
+      val sym = cand.unionByName(
+        cand.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).persist()
+      var reach = sym
+      var n = reach.count()
+      var converged = false
+      var iters = 0
+      while (!converged && iters < 10) {
+        val next = reach.unionByName(
+          reach.join(sym.select(col("doc_a").as("m"), col("doc_b").as("nb")),
+              col("doc_b") === col("m"))
+            .select(col("doc_a"), col("nb").as("doc_b")))
+          .filter(col("doc_a") =!= col("doc_b"))
+          .distinct().persist()
+        val n2 = next.count()
+        converged = n2 == n
+        n = n2
+        reach = next
+        iters += 1
+      }
+      reach
+        .groupBy("doc_a")
+        .agg(least(min(col("doc_b")), col("doc_a").cast("long")).as("lbl"))
+        .groupBy("lbl")
+        .agg((count(lit(1))).as("n_members"))
+        .filter(col("n_members") >= 2)
+        .select(col("lbl").as("cluster_rep"), col("n_members"))
+        .orderBy("cluster_rep")
+    },
+    Some(s"""WITH RECURSIVE $shinglesCte, $sigCte, $bandsCte, $candCte,
+      sym AS (SELECT doc_a, doc_b FROM cand
+              UNION SELECT doc_b, doc_a FROM cand),
+      reach(doc_a, doc_b) AS (
+        SELECT doc_a, doc_b FROM sym
+        UNION
+        SELECT r.doc_a, s.doc_b FROM reach r JOIN sym s ON r.doc_b = s.doc_a
+        WHERE r.doc_a <> s.doc_b),
+      labels AS (SELECT doc_a, LEAST(MIN(doc_b), doc_a) AS lbl
+                 FROM reach GROUP BY doc_a)
+      SELECT lbl AS cluster_rep, COUNT(*) AS n_members
+      FROM labels GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1"""))
+
+  /** Embedding-cosine near-duplicates: sign-LSH buckets propose candidate
+    * pairs (same 8-bit signature), exact cosine verifies ≥ 0.9 — the
+    * embedding-space analog of d2→d4. Vectors ride along the bucket join
+    * as array columns; dots are per-row folds, never an exploded shuffle. */
+  private val d6EmbeddingNearDup = QueryDef(
+    "d6_embedding_neardup",
+    (s, dir) => {
+      val planes = (0 until 8).map { h =>
+        expr(s"""aggregate(zip_with(embedding, sequence(1, size(embedding)),
+          (a, pos) -> CASE WHEN substring(md5(concat('$h:', pos)), 1, 1) >= '8'
+            THEN CAST(a AS DOUBLE) ELSE -CAST(a AS DOUBLE) END),
+          0D, (acc, x) -> acc + x)""").as(s"p$h")
+      }
+      val bits = (0 until 8).map(h => when(col(s"p$h") > 0, "1").otherwise("0"))
+      val sigs = Tables.embeddings(s, dir)
+        .select(col("vec_id") +: col("embedding") +: planes: _*)
+        .select(col("vec_id"), col("embedding"), concat(bits: _*).as("sig"),
+          sqrt(expr("""aggregate(transform(embedding,
+            a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)), 0D, (acc, x) -> acc + x)"""))
+            .as("nrm")).persist()
+      val a = sigs.select(col("sig"), col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+      val b = sigs.select(col("sig").as("sig_b"), col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+      a.join(b, col("sig") === col("sig_b") && col("vec_a") < col("vec_b"))
+        .withColumn("cos", expr("""aggregate(zip_with(emb_a, emb_b,
+            (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)""")
+          / (col("nrm_a") * col("nrm_b")))
+        .filter(col("cos") >= 0.35)
+        .select("vec_a", "vec_b", "cos")
+        .orderBy("vec_a", "vec_b")
+    },
+    Some {
+      val sums = (0 until 8).map(h =>
+        s"SUM(CASE WHEN substring(md5('$h:' || pos), 1, 1) >= '8' THEN x ELSE -x END) AS p$h")
+        .mkString(", ")
+      val bits = (0 until 8)
+        .map(h => s"CASE WHEN p$h > 0 THEN '1' ELSE '0' END").mkString(" || ")
+      s"""WITH el AS (
+          SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS x
+          FROM (SELECT vec_id, embedding,
+                  unnest(generate_series(1, len(embedding))) AS pos FROM embeddings)),
+        proj AS (SELECT vec_id, $sums, SQRT(SUM(x * x)) AS nrm FROM el GROUP BY 1),
+        sigs AS (SELECT vec_id, nrm, $bits AS sig FROM proj),
+        cand AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+            a.nrm AS nrm_a, b.nrm AS nrm_b
+          FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id),
+        dots AS (
+          SELECT c.vec_a, c.vec_b, SUM(ea.x * eb.x) / (c.nrm_a * c.nrm_b) AS cos
+          FROM cand c
+          JOIN el ea ON ea.vec_id = c.vec_a
+          JOIN el eb ON eb.vec_id = c.vec_b AND eb.pos = ea.pos
+          GROUP BY 1, 2, c.nrm_a, c.nrm_b)
+        SELECT vec_a, vec_b, cos FROM dots WHERE cos >= 0.35 ORDER BY 1, 2"""
     })
 
   /** Exact shingle-Jaccard verification of the LSH candidates (the

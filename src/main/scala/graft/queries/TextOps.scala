@@ -14,7 +14,11 @@ import org.apache.spark.sql.functions._
   */
 object TextOps extends QueryModule {
 
-  def defs: Seq[QueryDef] = Seq(langId, qualityScore, tokenCount, fingerprint, mmBinaryMeta)
+  def defs: Seq[QueryDef] = Seq(langId, qualityScore, tokenCount, fingerprint,
+    mmBinaryMeta, mmDecodePipeline)
+
+  /** Decoded media metadata row (the typed output of the decode stage). */
+  case class MediaMeta(doc_id: Long, kind: String, n_bytes: Long, w: Long, h: Long)
 
   /** Occurrence count of literal `pat` inside column `c` (both engines:
     * length-difference / pattern-length). */
@@ -154,6 +158,49 @@ object TextOps extends QueryModule {
       FROM (SELECT source,
               from_hex(CASE WHEN doc_id % 2 = 0 THEN '89504e47' ELSE '47494638' END)
                 || encode(text) AS payload
+            FROM documents)
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** Multimodal decode PIPELINE: binary payloads → per-partition typed
+    * decode (`mapPartitions` over `Dataset[(id, bytes)]` — the Scala analog
+    * of a `mapInPandas` batch UDF: imperative per-record work, Encoder-typed
+    * batch shape, partition-parallel) → metadata rollup. The codec call is
+    * a STUB (no image/audio libs in this container): kind comes from real
+    * magic-byte sniffing, width/height from a deterministic fake in place
+    * of the decoder. Schema, partitioning, and batch plumbing are real. */
+  private val mmDecodePipeline = QueryDef(
+    "mm_decode_pipeline",
+    (s, dir) => {
+      import s.implicits._
+      val payloads = Tables.documents(s, dir)
+        .withColumn("magic",
+          when(pmod(col("doc_id"), lit(2)) === 0, "89504e47").otherwise("47494638"))
+        .withColumn("payload",
+          concat(to_binary(col("magic"), lit("hex")), col("text").cast("binary")))
+        .select(col("doc_id"), col("payload"))
+        .as[(Long, Array[Byte])]
+      val meta = payloads.mapPartitions { iter =>
+        iter.map { case (id, bytes) =>
+          val magic = bytes.take(4).map("%02x".format(_)).mkString
+          val kind = if (magic == "89504e47") "image/png"
+            else if (magic == "47494638") "image/gif" else "unknown"
+          // STUB: a real decoder (libpng/ffmpeg) would produce dimensions
+          // here; deterministic fake keeps the pipeline verifiable.
+          MediaMeta(id, kind, bytes.length.toLong,
+            16L + bytes.length % 32, 16L + bytes.length % 24)
+        }
+      }
+      meta.groupBy("kind")
+        .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("sum_bytes"),
+          sum(col("w")).as("sum_w"), sum(col("h")).as("sum_h"))
+        .orderBy("kind")
+    },
+    Some("""SELECT kind, COUNT(*) AS n,
+      CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes,
+      CAST(SUM(16 + n_bytes % 32) AS BIGINT) AS sum_w,
+      CAST(SUM(16 + n_bytes % 24) AS BIGINT) AS sum_h
+      FROM (SELECT CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/gif' END AS kind,
+              octet_length(encode(text)) + 4 AS n_bytes
             FROM documents)
       GROUP BY 1 ORDER BY 1"""))
 }

@@ -47,6 +47,12 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Generate posexplode"), p)
   }
 
+  test("JIT and composer candidate joins are never nested-loop") {
+    assert(!plan("q5_jit").contains("BroadcastNestedLoopJoin"))
+    assert(!plan("j10_composer_dedup").contains("BroadcastNestedLoopJoin"))
+    assert(!plan("j4_staged_vwam").contains("BroadcastNestedLoopJoin"))
+  }
+
   test("classification decode plan joins only broadcast dimensions") {
     val p = plan("c2_dispatch")
     // the trace fact reaches its rollup through broadcast joins only: no
