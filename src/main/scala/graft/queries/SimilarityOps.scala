@@ -39,7 +39,7 @@ object SimilarityOps extends QueryModule {
   private val K = 5
   private val TopKSalt = 64
 
-  def defs: Seq[QueryDef] = Seq(s1BruteForce, s2AnnLsh)
+  def defs: Seq[QueryDef] = Seq(s1BruteForce, s2AnnLsh, s3AnnIvf)
 
   /** Sequential double fold of an array expression. */
   private def dblSum(arrExpr: String): Column =
@@ -101,6 +101,69 @@ object SimilarityOps extends QueryModule {
           PARTITION BY q_id ORDER BY cos_sim DESC, c_id ASC) AS INT) AS rank
         FROM cos)
       WHERE rank <= $K ORDER BY q_id, rank"""))
+
+  /** IVF (inverted-file) ANN — the scale path beside sign-LSH: a small
+    * centroid codebook (here: 8 corpus vectors as deterministic pseudo-
+    * centroids) broadcasts; every vector assigns to its max-dot centroid in
+    * one linear scan (8 per-row folds); a query probes ONLY its own cell's
+    * inverted list, then exact cosine ranks the cell. At 100 TB the
+    * partition-by-cell layout makes each probe a partition-pruned scan. */
+  private val s3AnnIvf = QueryDef(
+    "s3_ann_ivf",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), normCol("embedding").as("nrm"))
+      val cents = emb.filter(col("vec_id").between(NumQueries, NumQueries + 7))
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      val assigned = emb.crossJoin(broadcast(cents))
+        .withColumn("cdot", dotCol("embedding", "cent_emb"))
+      val cells = TopK.perGroup(assigned, Seq("vec_id"),
+          Seq(col("cdot").desc, col("cent_id").asc), 1, rankCol = "crank")
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+        .persist()
+      val q = cells.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("qn"), col("cell"))
+      val corpus = cells.filter(col("vec_id") >= NumQueries)
+        .select(col("vec_id").as("c_id"), col("embedding"),
+          col("nrm").as("cn"), col("cell").as("c_cell"))
+      val cos = q.join(corpus, col("cell") === col("c_cell"))
+        .select(col("q_id"), col("c_id"),
+          (dotCol("q_emb", "embedding") / (col("qn") * col("cn"))).as("cos_sim"))
+      TopK.perGroup(cos, Seq("q_id"), Seq(col("cos_sim").desc, col("c_id").asc), 3)
+        .select("q_id", "rank", "c_id", "cos_sim")
+        .orderBy("q_id", "rank")
+    },
+    Some(s"""WITH el AS (
+        SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS x
+        FROM (SELECT vec_id, embedding,
+                unnest(generate_series(1, len(embedding))) AS pos FROM embeddings)),
+      nrm AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM el GROUP BY 1),
+      cdots AS (
+        SELECT v.vec_id, c.vec_id AS cent_id, SUM(v.x * c.x) AS cdot
+        FROM el v JOIN el c ON v.pos = c.pos
+        WHERE c.vec_id BETWEEN $NumQueries AND ${NumQueries + 7}
+        GROUP BY 1, 2),
+      cells AS (
+        SELECT vec_id, cent_id AS cell FROM (
+          SELECT vec_id, cent_id, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY cdot DESC, cent_id ASC) AS crank
+          FROM cdots) WHERE crank = 1),
+      cos AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+          SUM(eq.x * ec.x) / (nq.nrm * nc.nrm) AS cos_sim
+        FROM cells q
+        JOIN cells c ON q.cell = c.cell
+        JOIN el eq ON eq.vec_id = q.vec_id
+        JOIN el ec ON ec.vec_id = c.vec_id AND ec.pos = eq.pos
+        JOIN nrm nq ON nq.vec_id = q.vec_id
+        JOIN nrm nc ON nc.vec_id = c.vec_id
+        WHERE q.vec_id < $NumQueries AND c.vec_id >= $NumQueries
+        GROUP BY 1, 2, nq.nrm, nc.nrm)
+      SELECT q_id, rank, c_id, cos_sim FROM (
+        SELECT q_id, c_id, cos_sim, CAST(ROW_NUMBER() OVER (
+          PARTITION BY q_id ORDER BY cos_sim DESC, c_id ASC) AS INT) AS rank
+        FROM cos) WHERE rank <= 3 ORDER BY q_id, rank"""))
 
   /** Sign-LSH bucketing: signature = sign bits of $NumPlanes md5-derived
     * ±1-weighted projections, folded per-row over the embedding array (no

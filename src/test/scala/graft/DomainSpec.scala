@@ -72,6 +72,10 @@ class DomainSpec extends SparkTestBase {
     assert(iters.forall(i => i >= 0 && i < 6))
   }
 
+  test("driver smoke: the flagship entry pipeline yields block rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("multimodal payloads carry the magic header bytes") {
     val rows = Tables.documents(spark, SfDir)
       .withColumn("magic",
