@@ -117,7 +117,8 @@ object CexOps extends QueryModule {
         unnest([ts_us // $P3 - 1, ts_us // $P3, ts_us // $P3 + 1]) AS bucket
       FROM cex),
     pp AS (
-      SELECT d.block_number, d.tx_hash, d.trace_idx, d.pair_a, d.pair_b,
+      SELECT d.block_number, d.tx_hash, d.trace_idx, d.from_address,
+        d.pair_a, d.pair_b,
         d.rate, d.amount_in, d.ts_us, t.ts_us AS t_ts, t.exchange, t.px, t.amt,
         ABS(t.ts_us - d.ts_us) AS dt
       FROM dex d JOIN tb t
@@ -171,32 +172,44 @@ object CexOps extends QueryModule {
     * cex_dex_markout.rs). */
   private val q3CexDexMarkout = QueryDef(
     "q3_cexdex_markout",
-    (s, dir) => phasePairs(s, dir)
-      .groupBy("exchange", "block_number", "tx_hash", "trace_idx")
-      .agg(dsum(col("px") * col("amt")).as("pv"), dsum(col("amt")).as("v"),
-        min(col("rate")).as("rate"), min(col("amount_in")).as("amount_in"),
-        min(col("pair_a")).as("pair_a"))
-      .withColumn("markout_usd",
-        (col("pv") / col("v") - col("rate")) * col("amount_in") *
-          (lit(1.0) + col("pair_a") * 0.1))
-      .groupBy("exchange")
-      .agg(count(lit(1)).as("n_legs"),
-        dsum(col("markout_usd")).as("sum_markout"),
-        sum(when(col("markout_usd") > 0, 1L).otherwise(0L)).as("n_positive"))
-      .orderBy("exchange"),
+    (s, dir) => {
+      val searchers = s.range(4)
+        .select(md5(concat(lit("eoa:"), col("id"))).as("s_eoa"))
+      phasePairs(s, dir)
+        .groupBy("exchange", "block_number", "tx_hash", "trace_idx")
+        .agg(dsum(col("px") * col("amt")).as("pv"), dsum(col("amt")).as("v"),
+          min(col("rate")).as("rate"), min(col("amount_in")).as("amount_in"),
+          min(col("pair_a")).as("pair_a"), min(col("from_address")).as("eoa"))
+        .join(broadcast(searchers), col("eoa") === col("s_eoa"), "left")
+        .withColumn("markout_usd",
+          (col("pv") / col("v") - col("rate")) * col("amount_in") *
+            (lit(1.0) + col("pair_a") * 0.1))
+        // validity (filter_possible_cex_dex): profitable leg OR labeled searcher
+        .withColumn("is_valid", col("markout_usd") > 0 || col("s_eoa").isNotNull)
+        .groupBy("exchange")
+        .agg(count(lit(1)).as("n_legs"),
+          dsum(col("markout_usd")).as("sum_markout"),
+          sum(when(col("markout_usd") > 0, 1L).otherwise(0L)).as("n_positive"),
+          sum(when(col("is_valid"), 1L).otherwise(0L)).as("n_valid"))
+        .orderBy("exchange")
+    },
     withCtes(s"""$cexTradesCte, $phasePairsCte,
       leg AS (
         SELECT exchange, block_number, tx_hash, trace_idx,
           ${sqlSum("px * amt")} AS pv, ${sqlSum("amt")} AS v,
-          MIN(rate) AS rate, MIN(amount_in) AS amount_in, MIN(pair_a) AS pair_a
+          MIN(rate) AS rate, MIN(amount_in) AS amount_in, MIN(pair_a) AS pair_a,
+          MIN(from_address) AS eoa
         FROM pp GROUP BY 1, 2, 3, 4),
+      searchers3 AS (SELECT md5('eoa:' || i) AS s_eoa FROM range(4) t(i)),
       mk AS (
         SELECT exchange,
-          (pv / v - rate) * amount_in * (1.0 + pair_a * 0.1) AS markout_usd
-        FROM leg)
+          (pv / v - rate) * amount_in * (1.0 + pair_a * 0.1) AS markout_usd,
+          s.s_eoa
+        FROM leg LEFT JOIN searchers3 s ON leg.eoa = s.s_eoa)
       SELECT exchange, COUNT(*) AS n_legs,
         ${sqlSum("markout_usd")} AS sum_markout,
-        CAST(SUM(CASE WHEN markout_usd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive
+        CAST(SUM(CASE WHEN markout_usd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+        CAST(SUM(CASE WHEN markout_usd > 0 OR s_eoa IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
       FROM mk GROUP BY 1 ORDER BY 1"""))
 
   /** J5/T5: optimistic execution price — progressive fill: trades in the

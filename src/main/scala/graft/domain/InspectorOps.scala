@@ -240,18 +240,32 @@ object InspectorOps extends QueryModule {
     * the A3 header. */
   private val q2AtomicArb = QueryDef(
     "q2_atomic_arb",
-    (s, dir) => arbs(s, dir)
-      .join(bundleHeaders(s, dir), "tx_hash")
-      .groupBy("arb_type")
-      .agg(count(lit(1)).as("n_arbs"),
-        dsum(col("profit_usd")).as("sum_profit"),
-        sum(when(col("profit_usd") > 0, 1L).otherwise(0L)).as("n_profitable"))
-      .orderBy("arb_type"),
-    withCtes(s"""$arbCte
+    (s, dir) => {
+      val searchers = s.range(4)
+        .select(md5(concat(lit("eoa:"), col("id"))).as("s_eoa"))
+      arbs(s, dir)
+        .join(bundleHeaders(s, dir), "tx_hash")
+        .join(broadcast(searchers), col("eoa") === col("s_eoa"), "left")
+        // validity heuristic (atomic_arb.rs:180-198): profitable OR known
+        // searcher OR an outsized bribe (gas spend)
+        .withColumn("is_valid", col("profit_usd") > 0 ||
+          col("s_eoa").isNotNull || col("gas_usd") > 50.0)
+        .groupBy("arb_type")
+        .agg(count(lit(1)).as("n_arbs"),
+          dsum(col("profit_usd")).as("sum_profit"),
+          sum(when(col("profit_usd") > 0, 1L).otherwise(0L)).as("n_profitable"),
+          sum(when(col("is_valid"), 1L).otherwise(0L)).as("n_valid"))
+        .orderBy("arb_type")
+    },
+    withCtes(s"""$arbCte,
+      searchers2 AS (SELECT md5('eoa:' || i) AS s_eoa FROM range(4) t(i))
       SELECT a.arb_type, COUNT(*) AS n_arbs,
         ${sqlSum("h.profit_usd")} AS sum_profit,
-        CAST(SUM(CASE WHEN h.profit_usd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_profitable
+        CAST(SUM(CASE WHEN h.profit_usd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_profitable,
+        CAST(SUM(CASE WHEN h.profit_usd > 0 OR s.s_eoa IS NOT NULL
+                       OR h.gas_usd > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
       FROM arb a JOIN header h ON a.tx_hash = h.tx_hash
+      LEFT JOIN searchers2 s ON h.eoa = s.s_eoa
       GROUP BY 1 ORDER BY 1"""))
 
   /** Q8: searcher-activity — profit attribution for the labeled searcher
