@@ -18,7 +18,7 @@ object MiscOps extends QueryModule {
     p10ZipPadded, p11MergeIter, p13FrontendPrunes, p14RemoveDup,
     t1SortDedup, t3BundleOrdering, t4SetSemiDiff,
     f2SwapRate, f4StableClass, f6HexFormat, f7GasMath, f8MaxArbDelta,
-    f10PoolMath, s4PartitionedSink)
+    f10PoolMath, f10TickMath, s4PartitionedSink)
 
   /** P4 modify_spans (tree/mod.rs:204): conditional in-place rewrite of
     * rows inside matched spans — rewrite becomes re-projection. */
@@ -355,6 +355,37 @@ object MiscOps extends QueryModule {
       ${sqlSum("a.amount_in * 997.0 * (2000000.0 + p.pool_id * 500.0) / ((1000000.0 + p.pool_id * 1000.0) * 1000.0 + a.amount_in * 997.0)")} AS sum_expected
       FROM actions a JOIN pool p ON a.pool = p.address
       WHERE a.action_type = 'swap' AND a.amount_in IS NOT NULL
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** F10b UniswapV3 tick math (uniswap_v3_math/tick_math.rs): price →
+    * sqrtPrice and tick index i = ⌊ln(p)/ln(1.0001)⌋, the V3 coordinate
+    * system; per-protocol tick-range stats (the scalar kernel SURVEY §7.4
+    * flags as the most intricate — here over observed execution prices). */
+  private val f10TickMath = QueryDef(
+    "f10_tick_math",
+    (s, dir) => ChainFixture.actionsTable(s, dir)
+      .filter(col("action_type") === "swap" &&
+        col("amount_in").isNotNull && col("amount_out").isNotNull &&
+        col("amount_in") > 0 && col("amount_out") > 0)
+      .withColumn("rate", col("amount_out") / col("amount_in"))
+      .withColumn("sqrt_price", sqrt(col("rate")))
+      .withColumn("tick", floor(log(col("rate")) / log(lit(1.0001))).cast("long"))
+      .groupBy("protocol")
+      .agg(count(lit(1)).as("n"),
+        min(col("tick")).as("min_tick"), max(col("tick")).as("max_tick"),
+        // explicit FLOOR on both engines: integer-division rounding for
+        // negative ticks differs (truncate vs floor) between dialects
+        countDistinct(floor(col("tick") / 1000.0).cast("long")).as("n_tick_buckets"),
+        dsum(col("sqrt_price")).as("sum_sqrt_price"))
+      .orderBy("protocol"),
+    withDomain(s"""SELECT protocol, COUNT(*) AS n,
+      MIN(CAST(FLOOR(LN(amount_out / amount_in) / LN(1.0001)) AS BIGINT)) AS min_tick,
+      MAX(CAST(FLOOR(LN(amount_out / amount_in) / LN(1.0001)) AS BIGINT)) AS max_tick,
+      CAST(COUNT(DISTINCT CAST(FLOOR(CAST(FLOOR(LN(amount_out / amount_in) / LN(1.0001)) AS BIGINT) / 1000.0) AS BIGINT)) AS BIGINT) AS n_tick_buckets,
+      ${sqlSum("SQRT(amount_out / amount_in)")} AS sum_sqrt_price
+      FROM actions
+      WHERE action_type = 'swap' AND amount_in IS NOT NULL AND amount_out IS NOT NULL
+        AND amount_in > 0 AND amount_out > 0
       GROUP BY 1 ORDER BY 1"""))
 
   /** S4 parquet export sink (brontes-db parquet/mod.rs): partitionBy write
