@@ -200,6 +200,9 @@ object ChainFixture {
   // ── materialized intermediates ────────────────────────────────────────────
 
   private val materialized = scala.collection.mutable.Set[String]()
+  private[domain] def materializedHas(p: String): Boolean =
+    materialized.contains(p)
+  private[domain] def materializedAdd(p: String): Unit = materialized += p
 
   /** Write-once-per-JVM parquet materialization of a derived table — the
     * pipeline shape the reference uses (classified trees are PERSISTED,
@@ -224,9 +227,20 @@ object ChainFixture {
     materialize(s, s"traces_${dirKey(dir)}", traces(s, dir))
 
   /** The classified actions table, materialized — what every inspector
-    * scans (the reference's stored block trees). */
+    * scans (the reference's stored block trees). Laid out PARTITIONED BY
+    * 250-block buckets (`block_bucket`), the make_filter_key_range layout
+    * of SURVEY §4: block-range queries prune partitions at the source. */
   def actionsTable(s: SparkSession, dir: String): DataFrame =
-    materialize(s, s"actions_${dirKey(dir)}", actions(s, dir))
+    synchronized {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_mat_actions_${dirKey(dir)}"
+      if (!materializedHas(path)) {
+        actions(s, dir)
+          .withColumn("block_bucket", expr("block_number div 250"))
+          .write.mode("overwrite").partitionBy("block_bucket").parquet(path)
+        materializedAdd(path)
+      }
+      s.read.parquet(path)
+    }
 
   // ── Oracle side: the same fixture as DuckDB CTEs ──────────────────────────
 

@@ -15,7 +15,26 @@ object FidelityOps extends QueryModule {
   import ChainFixture._
 
   def defs: Seq[QueryDef] = Seq(s3SqlSource, p3SpanPrefix, a5BlockAnalysisWide,
-    f5AbiDecode, r3Rendezvous, q6JitCexDex)
+    f5AbiDecode, r3Rendezvous, q6JitCexDex, s2ActionsRangeScan)
+
+  /** S2 (domain form): block-range scan against the PARTITIONED actions
+    * store — the filter hits the `block_bucket` partition column, so the
+    * scan reads only the touched buckets (PlanSpec asserts the pruning). */
+  private val s2ActionsRangeScan = QueryDef(
+    "s2_actions_range_scan",
+    (s, dir) => actionsTable(s, dir)
+      .filter(col("block_bucket") === 2 &&
+        col("block_number").between(500, 600))
+      .groupBy("block_number")
+      .agg(count(lit(1)).as("n_actions"),
+        countDistinct(col("tx_hash")).as("n_txs"))
+      .orderBy("block_number"),
+    withCtes("""ignored AS (SELECT 1)
+      SELECT block_number, COUNT(*) AS n_actions,
+        CAST(COUNT(DISTINCT tx_hash) AS BIGINT) AS n_txs
+      FROM actions
+      WHERE block_number // 250 = 2 AND block_number BETWEEN 500 AND 600
+      GROUP BY 1 ORDER BY 1"""))
 
   private def withCtes(sql: String) = Some(s"WITH $sqlDomainCtes, $sql")
 

@@ -47,6 +47,12 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Generate posexplode"), p)
   }
 
+  test("actions block-range scan prunes partitions at the source") {
+    val p = plan("s2_actions_range_scan")
+    assert(p.contains("PartitionFilters: ["), p)
+    assert(p.contains("block_bucket"), p)
+  }
+
   test("JIT and composer candidate joins are never nested-loop") {
     assert(!plan("q5_jit").contains("BroadcastNestedLoopJoin"))
     assert(!plan("j10_composer_dedup").contains("BroadcastNestedLoopJoin"))
