@@ -15,7 +15,53 @@ object FidelityOps extends QueryModule {
   import ChainFixture._
 
   def defs: Seq[QueryDef] = Seq(s3SqlSource, p3SpanPrefix, a5BlockAnalysisWide,
-    f5AbiDecode, r3Rendezvous, q6JitCexDex, s2ActionsRangeScan)
+    f5AbiDecode, r3Rendezvous, q6JitCexDex, s2ActionsRangeScan, j2DexAsof)
+
+  /** J2 (domain form): usd_delta_by_address — token deltas valued by the
+    * LAST OBSERVED DexQuote at-or-before the delta's tx index
+    * (price_at_or_before, db/dex.rs:183), via the one-shuffle as-of join.
+    * Quote series: per token, the VWAP of swaps selling it, keyed by the
+    * global (block·16 + tx) order. */
+  private val j2DexAsof = QueryDef(
+    "j2_dex_asof",
+    (s, dir) => {
+      val a = actionsTable(s, dir)
+      val quotes = a.filter(col("action_type") === "swap" &&
+          col("amount_in").isNotNull && col("amount_out").isNotNull)
+        .groupBy(col("token_in_id").as("token_id"),
+          (col("block_number") * TxPerBlock + col("tx_idx")).as("ord"))
+        .agg((dsum(col("amount_out")) / dsum(col("amount_in"))).as("px"))
+      val d = Accounting.deltas(a)
+        .join(a.select(col("tx_hash").as("d_tx"), col("tx_idx")).distinct(),
+          col("tx_hash") === col("d_tx"))
+        .withColumn("ord", col("block_number") * TxPerBlock + col("tx_idx"))
+        .select("tx_hash", "eoa", "token_id", "delta", "ord")
+      graft.ops.AsOfJoin.backward(d, quotes, Seq("token_id"), "ord", "px", "asof_px")
+        .groupBy("eoa")
+        .agg(count(lit(1)).as("n_deltas"),
+          sum(when(col("asof_px").isNotNull, 1L).otherwise(0L)).as("n_priced"),
+          dsum(col("delta") * coalesce(col("asof_px"), lit(0.0))).as("usd_value"))
+        .orderBy("eoa")
+    },
+    withCtes(s"""quotes AS (
+        SELECT token_in_id AS token_id,
+          block_number * $TxPerBlock + tx_idx AS ord,
+          ${sqlSum("amount_out")} / ${sqlSum("amount_in")} AS px
+        FROM actions
+        WHERE action_type = 'swap' AND amount_in IS NOT NULL AND amount_out IS NOT NULL
+        GROUP BY 1, 2),
+      dd AS (
+        SELECT d.tx_hash, d.eoa, d.token_id, d.delta,
+          t.block_number * $TxPerBlock + t.tx_idx AS ord
+        FROM deltas d
+        JOIN (SELECT DISTINCT tx_hash, block_number, tx_idx FROM actions) t
+          ON d.tx_hash = t.tx_hash)
+      SELECT dd.eoa AS eoa, COUNT(*) AS n_deltas,
+        CAST(SUM(CASE WHEN q.px IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_priced,
+        ${sqlSum("dd.delta * COALESCE(q.px, 0.0)")} AS usd_value
+      FROM dd ASOF LEFT JOIN quotes q
+        ON dd.token_id = q.token_id AND dd.ord >= q.ord
+      GROUP BY 1 ORDER BY 1"""))
 
   /** S2 (domain form): block-range scan against the PARTITIONED actions
     * store — the filter hits the `block_bucket` partition column, so the
