@@ -29,9 +29,9 @@ object Accounting {
     s.range(TokRefSpace).select(col("id").as("token_id"),
       (lit(1.0) + col("id") * 0.1).as("price_usd"))
 
-  /** A1: long-form (block, tx, eoa, token, delta) rows from actions. */
+  /** A1: long-form (block, tx, tx_idx, eoa, token, delta) rows from actions. */
   def deltas(actions: DataFrame): DataFrame = {
-    val base = Seq("block_number", "tx_hash", "from_address").map(col)
+    val base = Seq("block_number", "tx_idx", "tx_hash", "from_address").map(col)
     val ins = actions
       .filter(col("token_in_id").isNotNull && col("amount_in").isNotNull &&
         col("action_type").isin("swap", "transfer", "mint", "burn", "liquidation"))
@@ -84,14 +84,14 @@ object Accounting {
     s"""px AS (SELECT i AS token_id, 1.0 + i * 0.1 AS price_usd
       FROM range($TokRefSpace) t(i)),
     deltas AS (
-      SELECT block_number, tx_hash, from_address AS eoa,
+      SELECT block_number, tx_idx, tx_hash, from_address AS eoa,
         token_in_id AS token_id,
         CASE WHEN action_type = 'burn' THEN amount_in ELSE -amount_in END AS delta
       FROM actions
       WHERE token_in_id IS NOT NULL AND amount_in IS NOT NULL
         AND action_type IN ('swap','transfer','mint','burn','liquidation')
       UNION ALL
-      SELECT block_number, tx_hash, from_address, token_out_id,
+      SELECT block_number, tx_idx, tx_hash, from_address, token_out_id,
         CASE WHEN action_type = 'mint' THEN -amount_out ELSE amount_out END
       FROM actions
       WHERE token_out_id IS NOT NULL AND amount_out IS NOT NULL

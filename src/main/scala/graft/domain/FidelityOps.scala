@@ -32,8 +32,6 @@ object FidelityOps extends QueryModule {
           (col("block_number") * TxPerBlock + col("tx_idx")).as("ord"))
         .agg((dsum(col("amount_out")) / dsum(col("amount_in"))).as("px"))
       val d = Accounting.deltas(a)
-        .join(a.select(col("tx_hash").as("d_tx"), col("tx_idx")).distinct(),
-          col("tx_hash") === col("d_tx"))
         .withColumn("ord", col("block_number") * TxPerBlock + col("tx_idx"))
         .select("tx_hash", "eoa", "token_id", "delta", "ord")
       graft.ops.AsOfJoin.backward(d, quotes, Seq("token_id"), "ord", "px", "asof_px")
@@ -51,11 +49,9 @@ object FidelityOps extends QueryModule {
         WHERE action_type = 'swap' AND amount_in IS NOT NULL AND amount_out IS NOT NULL
         GROUP BY 1, 2),
       dd AS (
-        SELECT d.tx_hash, d.eoa, d.token_id, d.delta,
-          t.block_number * $TxPerBlock + t.tx_idx AS ord
-        FROM deltas d
-        JOIN (SELECT DISTINCT tx_hash, block_number, tx_idx FROM actions) t
-          ON d.tx_hash = t.tx_hash)
+        SELECT tx_hash, eoa, token_id, delta,
+          block_number * $TxPerBlock + tx_idx AS ord
+        FROM deltas)
       SELECT dd.eoa AS eoa, COUNT(*) AS n_deltas,
         CAST(SUM(CASE WHEN q.px IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_priced,
         ${sqlSum("dd.delta * COALESCE(q.px, 0.0)")} AS usd_value

@@ -183,34 +183,57 @@ object DedupOps extends QueryModule {
   private val d5DedupClusters = QueryDef(
     "d5_dedup_clusters",
     (s, dir) => {
-      val cand = lshCandidates(shingles(s, dir))
-      val sym = cand.unionByName(
-        cand.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).persist()
-      var reach = sym
-      var n = reach.count()
-      var converged = false
-      var iters = 0
-      while (!converged && iters < 10) {
-        val next = reach.unionByName(
-          reach.join(sym.select(col("doc_a").as("m"), col("doc_b").as("nb")),
-              col("doc_b") === col("m"))
-            .select(col("doc_a"), col("nb").as("doc_b")))
-          .filter(col("doc_a") =!= col("doc_b"))
-          .distinct().persist()
-        val n2 = next.count()
-        converged = n2 == n
-        n = n2
-        reach = next
-        iters += 1
+      val cand = lshCandidates(shingles(s, dir)).persist()
+      val nEdges = cand.count()
+      if (nEdges <= 1000000) {
+        // LSH candidate graphs are tiny relative to the corpus — collect
+        // and union-find on the driver (the G2 pattern: dimension-sized
+        // iterative work belongs driver-side). Deterministic min-label.
+        import s.implicits._
+        val edges = cand.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        parent.keys.toSeq.map(x => (find(x), 1))
+          .groupBy(_._1).map { case (lbl, xs) => (lbl, xs.size.toLong) }
+          .filter(_._2 >= 2).toSeq.sortBy(_._1)
+          .toDF("cluster_rep", "n_members")
+      } else {
+        // general path: distributed transitive closure, bounded rounds
+        val sym = cand.unionByName(
+          cand.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).persist()
+        var reach = sym
+        var n = reach.count()
+        var converged = false
+        var iters = 0
+        while (!converged && iters < 10) {
+          val next = reach.unionByName(
+            reach.join(sym.select(col("doc_a").as("m"), col("doc_b").as("nb")),
+                col("doc_b") === col("m"))
+              .select(col("doc_a"), col("nb").as("doc_b")))
+            .filter(col("doc_a") =!= col("doc_b"))
+            .distinct().persist()
+          val n2 = next.count()
+          converged = n2 == n
+          n = n2
+          reach = next
+          iters += 1
+        }
+        reach
+          .groupBy("doc_a")
+          .agg(least(min(col("doc_b")), col("doc_a").cast("long")).as("lbl"))
+          .groupBy("lbl")
+          .agg(count(lit(1)).as("n_members"))
+          .filter(col("n_members") >= 2)
+          .select(col("lbl").as("cluster_rep"), col("n_members"))
+          .orderBy("cluster_rep")
       }
-      reach
-        .groupBy("doc_a")
-        .agg(least(min(col("doc_b")), col("doc_a").cast("long")).as("lbl"))
-        .groupBy("lbl")
-        .agg((count(lit(1))).as("n_members"))
-        .filter(col("n_members") >= 2)
-        .select(col("lbl").as("cluster_rep"), col("n_members"))
-        .orderBy("cluster_rep")
     },
     Some(s"""WITH RECURSIVE $shinglesCte, $sigCte, $bandsCte, $candCte,
       sym AS (SELECT doc_a, doc_b FROM cand
