@@ -95,10 +95,11 @@ object InspectorOps extends QueryModule {
   private def sandwiches(s: SparkSession, dir: String): DataFrame =
     sandwichesOf(swTx(s, dir))
 
-  /** Q2 candidates: cyclic continuous swap sequences within a tx. */
-  private def arbs(s: SparkSession, dir: String): DataFrame = {
+  /** Q2 candidates: cyclic continuous swap sequences within a tx.
+    * Operates on any swaps-shaped frame (unit-testable on planted data). */
+  private[graft] def arbsOf(swapsDf: DataFrame): DataFrame = {
     val w = Window.partitionBy("tx_hash").orderBy("trace_idx")
-    swaps(s, dir)
+    swapsDf
       .withColumn("nxt_in", lead(col("token_in_id"), 1).over(w))
       .groupBy("tx_hash")
       .agg(count(lit(1)).as("n_swaps"),
@@ -113,6 +114,9 @@ object InspectorOps extends QueryModule {
           .when(col("min_tok") < 5, "stablecoin")
           .otherwise("long_tail"))
   }
+
+  private def arbs(s: SparkSession, dir: String): DataFrame =
+    arbsOf(swaps(s, dir))
 
   /** J8: mint immediately followed by burn on the same (block, eoa, pool). */
   private def jitPairs(s: SparkSession, dir: String): DataFrame = {

@@ -66,6 +66,37 @@ class GoldenScenarioSpec extends SparkTestBase {
     assert(InspectorOps.sandwichesOf(df).count() == 0)
   }
 
+  // swaps-shaped rows for the arb classifier: (tx_hash, trace_idx, in, out)
+  private def swapsOf(rows: (String, Long, Long, Long)*): DataFrame =
+    rows.toDF("tx_hash", "trace_idx", "token_in_id", "token_out_id")
+
+  test("triangle_arb: three chained swaps closing the cycle") {
+    val out = InspectorOps.arbsOf(swapsOf(
+      ("t", 1L, 10L, 11L), ("t", 2L, 11L, 12L), ("t", 3L, 12L, 10L))).collect()
+    assert(out.length == 1 && out.head.getAs[String]("arb_type") == "triangle")
+  }
+
+  test("cross_pair_arb: two swaps there-and-back") {
+    val out = InspectorOps.arbsOf(swapsOf(
+      ("t", 1L, 10L, 11L), ("t", 2L, 11L, 10L))).collect()
+    assert(out.length == 1 && out.head.getAs[String]("arb_type") == "cross_pair")
+  }
+
+  test("stable_arb vs long_tail: 4-leg cycles split on stable membership") {
+    val out = InspectorOps.arbsOf(swapsOf(
+      ("s", 1L, 2L, 11L), ("s", 2L, 11L, 12L), ("s", 3L, 12L, 13L), ("s", 4L, 13L, 2L),
+      ("l", 1L, 20L, 21L), ("l", 2L, 21L, 22L), ("l", 3L, 22L, 23L), ("l", 4L, 23L, 20L)))
+      .orderBy("tx_hash").collect()
+    assert(out.map(_.getAs[String]("arb_type")).toSeq == Seq("long_tail", "stablecoin"))
+  }
+
+  test("arb_not: broken chain or open cycle is not an arb") {
+    val out = InspectorOps.arbsOf(swapsOf(
+      ("a", 1L, 10L, 11L), ("a", 2L, 12L, 13L), // discontinuous
+      ("b", 1L, 10L, 11L), ("b", 2L, 11L, 12L))) // open-ended
+    assert(out.count() == 0)
+  }
+
   test("cross-block patterns never match (per-block partitioning)") {
     val df = swTxOf(
       (1L, 15L, "f", "atk", "P", 0L, 7L, 100.0, 90.0),
