@@ -315,7 +315,9 @@ object DedupOps extends QueryModule {
       // sizes) — persist once or Catalyst recomputes the explode per branch.
       val sh = shingles(s, dir).persist()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val cand = lshCandidates(sh)
+      // the candidate set is LSH-bounded (tiny vs the corpus) — broadcast
+      // it so the shingle table streams through map-side joins
+      val cand = broadcast(lshCandidates(sh))
       val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
       val shB = sh.select(col("doc_id").as("doc_b"), col("shingle"))
       val inter = cand.join(shA, "doc_a").join(shB, Seq("doc_b", "shingle"))
