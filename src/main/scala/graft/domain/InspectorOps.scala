@@ -548,7 +548,7 @@ object InspectorOps extends QueryModule {
         .join(v, col("v_block") === col("block_number") && col("v_pool") === col("pool") &&
           col("v_idx") > col("front_idx") && col("v_idx") < col("back_idx") &&
           col("v_eoa") =!= col("eoa") && col("v_dir") === col("dir"), "left")
-        .groupBy(cand.columns.map(col): _*)
+        .groupBy(cand.columns.toIndexedSeq.map(col): _*)
         .agg(count(col("v_idx")).as("n_victims"))
       var cand = brackets(s, dir)
         .select("block_number", "eoa", "pool", "front_idx", "back_idx", "dir")

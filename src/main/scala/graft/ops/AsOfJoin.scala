@@ -56,6 +56,6 @@ object AsOfJoin {
     unioned
       .withColumn(outCol, last(col("__val"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(leftCols.map(col) :+ col(outCol): _*)
+      .select(leftCols.toIndexedSeq.map(col) :+ col(outCol): _*)
   }
 }
