@@ -146,7 +146,7 @@ object CexOps extends QueryModule {
             .when(col("v2") > 0, col("pv2") / col("v2"))
             .otherwise(col("pv3") / col("v3")))
         .groupBy("phase")
-        .agg(count(lit(1)).as("n_swaps"), dsum(col("vwam")).as("sum_vwam"))
+        .agg(count(lit(1)).as("n_swaps"), dsumR(col("vwam")).as("sum_vwam"))
         .orderBy("phase")
     },
     withCtes(s"""$cexTradesCte, $phasePairsCte,
@@ -164,7 +164,7 @@ object CexOps extends QueryModule {
           CASE WHEN v1 > 0 THEN pv1 / v1 WHEN v2 > 0 THEN pv2 / v2
                ELSE pv3 / v3 END AS vwam
         FROM staged)
-      SELECT phase, COUNT(*) AS n_swaps, ${sqlSum("vwam")} AS sum_vwam
+      SELECT phase, COUNT(*) AS n_swaps, ${sqlSumR("vwam")} AS sum_vwam
       FROM chosen GROUP BY 1 ORDER BY 1"""))
 
   /** Q3: cex-dex markout — per-exchange VWAM vs dex execution rate, PnL in
@@ -188,7 +188,7 @@ object CexOps extends QueryModule {
         .withColumn("is_valid", col("markout_usd") > 0 || col("s_eoa").isNotNull)
         .groupBy("exchange")
         .agg(count(lit(1)).as("n_legs"),
-          dsum(col("markout_usd")).as("sum_markout"),
+          dsumR(col("markout_usd")).as("sum_markout"),
           sum(when(col("markout_usd") > 0, 1L).otherwise(0L)).as("n_positive"),
           sum(when(col("is_valid"), 1L).otherwise(0L)).as("n_valid"))
         .orderBy("exchange")
@@ -207,7 +207,7 @@ object CexOps extends QueryModule {
           s.s_eoa
         FROM leg LEFT JOIN searchers3 s ON leg.eoa = s.s_eoa)
       SELECT exchange, COUNT(*) AS n_legs,
-        ${sqlSum("markout_usd")} AS sum_markout,
+        ${sqlSumR("markout_usd")} AS sum_markout,
         CAST(SUM(CASE WHEN markout_usd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
         CAST(SUM(CASE WHEN markout_usd > 0 OR s_eoa IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
       FROM mk GROUP BY 1 ORDER BY 1"""))

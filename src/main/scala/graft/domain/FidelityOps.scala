@@ -38,7 +38,7 @@ object FidelityOps extends QueryModule {
         .groupBy("eoa")
         .agg(count(lit(1)).as("n_deltas"),
           sum(when(col("asof_px").isNotNull, 1L).otherwise(0L)).as("n_priced"),
-          dsum(col("delta") * coalesce(col("asof_px"), lit(0.0))).as("usd_value"))
+          dsumR(col("delta") * coalesce(col("asof_px"), lit(0.0))).as("usd_value"))
         .orderBy("eoa")
     },
     withCtes(s"""quotes AS (
@@ -54,7 +54,7 @@ object FidelityOps extends QueryModule {
         FROM deltas)
       SELECT dd.eoa AS eoa, COUNT(*) AS n_deltas,
         CAST(SUM(CASE WHEN q.px IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_priced,
-        ${sqlSum("dd.delta * COALESCE(q.px, 0.0)")} AS usd_value
+        ${sqlSumR("dd.delta * COALESCE(q.px, 0.0)")} AS usd_value
       FROM dd ASOF LEFT JOIN quotes q
         ON dd.token_id = q.token_id AND dd.ord >= q.ord
       GROUP BY 1 ORDER BY 1"""))

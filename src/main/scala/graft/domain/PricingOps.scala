@@ -231,8 +231,8 @@ object PricingOps extends QueryModule {
       q.withColumn("pre", lag(col("post"), 1).over(w))
         .groupBy("pool")
         .agg(count(lit(1)).as("n_emissions"),
-          dsum(col("post")).as("sum_post"),
-          dsum(col("pre")).as("sum_pre"),
+          dsumR(col("post")).as("sum_post"),
+          dsumR(col("pre")).as("sum_pre"),
           sum(when(col("pre").isNull, 1L).otherwise(0L)).as("n_first"))
         .orderBy("pool")
     },
@@ -248,7 +248,7 @@ object PricingOps extends QueryModule {
           PARTITION BY pool ORDER BY block_number, tx_idx) AS pre
         FROM q)
       SELECT pool, COUNT(*) AS n_emissions,
-        ${sqlSum("post")} AS sum_post, ${sqlSum("pre")} AS sum_pre,
+        ${sqlSumR("post")} AS sum_post, ${sqlSumR("pre")} AS sum_pre,
         CAST(SUM(CASE WHEN pre IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_first
       FROM em GROUP BY 1 ORDER BY 1"""))
 }

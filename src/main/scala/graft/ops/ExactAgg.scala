@@ -47,6 +47,34 @@ object ExactAgg {
     sqrt(dsum(c * c, scale) / count(lit(1)) - mean * mean)
   }
 
+  /** Snap a DERIVED double (a ratio, or a product chain containing one) to
+    * the 1e-scale grid using only correctly-rounded IEEE ops (*, +, floor,
+    * /), so both engines compute the IDENTICAL double. `round()` cannot do
+    * this job cross-engine: Spark rounds the shortest decimal repr while
+    * DuckDB rounds the true binary value, so a ratio landing on a .5e-6
+    * boundary rounds differently — exactly the r2 hash-failure mode. The
+    * snapped value sits within ~1e-16·|x| of its grid point, ~0.5e-6 away
+    * from any cast boundary, so the later double→DECIMAL cast in [[dsum]]
+    * agrees bit-for-bit. Valid for |x| < 1e9 (representation error stays
+    * below the half-grid distance) — far above any ratio in this domain. */
+  def snap(c: Column, scale: Int = Scale): Column = {
+    val p = math.pow(10.0, scale)
+    floor(c * p + lit(0.5)) / p
+  }
+
+  /** [[dsum]] for derived-double addends: grid-snap, then exact-sum. Use
+    * whenever the addend is computed (out/in, pv/v, delta·px) rather than a
+    * grid-aligned data column. */
+  def dsumR(c: Column, scale: Int = Scale): Column = dsum(snap(c, scale), scale)
+
+  /** Oracle SQL fragment mirroring [[snap]]. */
+  def sqlSnap(expr: String, scale: Int = Scale): String =
+    s"(FLOOR(($expr) * 1e$scale + 0.5) / 1e$scale)"
+
+  /** Oracle SQL fragment mirroring [[dsumR]]. */
+  def sqlSumR(expr: String, scale: Int = Scale): String =
+    sqlSum(sqlSnap(expr, scale), scale)
+
   /** Oracle SQL fragment mirroring [[dsum]]. The decimal total converts to
     * DOUBLE through VARCHAR: DuckDB's direct DECIMAL→DOUBLE cast divides by
     * 10^scale in floating point and can be 1 ulp off the correctly-rounded

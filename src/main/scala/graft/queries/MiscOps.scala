@@ -243,11 +243,11 @@ object MiscOps extends QueryModule {
         col("amount_in").isNotNull && col("amount_out").isNotNull)
       .withColumn("rate", col("amount_out") / col("amount_in"))
       .groupBy("protocol")
-      .agg(count(lit(1)).as("n"), dsum(col("rate")).as("sum_rate"),
+      .agg(count(lit(1)).as("n"), dsumR(col("rate")).as("sum_rate"),
         min(col("rate")).as("min_rate"), max(col("rate")).as("max_rate"))
       .orderBy("protocol"),
     withDomain(s"""SELECT protocol, COUNT(*) AS n,
-      ${sqlSum("amount_out / amount_in")} AS sum_rate,
+      ${sqlSumR("amount_out / amount_in")} AS sum_rate,
       MIN(amount_out / amount_in) AS min_rate,
       MAX(amount_out / amount_in) AS max_rate
       FROM actions
