@@ -188,8 +188,26 @@ object ChainFixture {
         col("dec_in"), col("dec_out"),
         when(col("token_in_id").isNotNull && col("dec_in").isNotNull,
           col("q6") / 1000000.0).as("amount_in"),
-        when(col("token_out_id").isNotNull && col("dec_out").isNotNull,
-          col("p2") / 100.0).as("amount_out"),
+        // Swap outputs are PRICE-CONSISTENT: amount_in × (px_in/px_out) ×
+        // (1 ± 5% deterministic jitter), snapped to the 1e-6 grid so every
+        // downstream decimal sum stays engine-portable. Real swap economics
+        // (the reference's pools quote real rates) — this is what makes the
+        // Q1 MAX_PRICE_DIFF sanity check, markouts, and DexQuotes
+        // meaningful. Non-swap actions keep the raw p2 notional.
+        // Every intermediate derives from exact integers through correctly-
+        // rounded IEEE ops ((10+t_in)/(10+t_out) ≡ the px ratio; (950+k)/1000
+        // ≡ 1 + (k-50)/1000) — no dirty decimal constants, so Spark and the
+        // DuckDB oracle (with e-notation DOUBLE literals) agree bit-for-bit
+        // even when the product lands exactly on a .5e-6 grid boundary.
+        when(col("action_type") === "swap",
+          when(col("token_in_id").isNotNull && col("dec_in").isNotNull &&
+            col("token_out_id").isNotNull && col("dec_out").isNotNull,
+            floor(col("q6") / 1000000.0 *
+              ((lit(10.0) + col("token_in_id")) / (lit(10.0) + col("token_out_id"))) *
+              ((lit(950.0) + (col("q6") + col("p2")) % 101) / 1000.0) *
+              1000000.0 + 0.5) / 1000000.0))
+          .otherwise(when(col("token_out_id").isNotNull && col("dec_out").isNotNull,
+            col("p2") / 100.0)).as("amount_out"),
         // fee-on-transfer tokens: every 10th token charges 1% (C6 fixup input)
         when(col("action_type") === "transfer" && col("token_in_id") % 10 === 0 &&
           col("dec_in").isNotNull, col("q6") / 1000000.0 * 0.01).as("fee"),
@@ -339,7 +357,14 @@ object ChainFixture {
         a.token_in_id, a.token_out_id, ti.decimals AS dec_in, tokout.decimals AS dec_out,
         CASE WHEN a.token_in_id IS NOT NULL AND ti.decimals IS NOT NULL
              THEN a.q6 / 1000000.0 END AS amount_in,
-        CASE WHEN a.token_out_id IS NOT NULL AND tokout.decimals IS NOT NULL
+        CASE WHEN a.action_type = 'swap' THEN
+               CASE WHEN a.token_in_id IS NOT NULL AND ti.decimals IS NOT NULL
+                     AND a.token_out_id IS NOT NULL AND tokout.decimals IS NOT NULL
+                    THEN FLOOR(a.q6 / 1000000.0e0 *
+                           ((10.0e0 + a.token_in_id) / (10.0e0 + a.token_out_id)) *
+                           ((950.0e0 + (a.q6 + a.p2) % 101) / 1000.0e0) *
+                           1000000.0e0 + 0.5e0) / 1000000.0e0 END
+             WHEN a.token_out_id IS NOT NULL AND tokout.decimals IS NOT NULL
              THEN a.p2 / 100.0 END AS amount_out,
         CASE WHEN a.action_type = 'transfer' AND a.token_in_id % 10 = 0
                   AND ti.decimals IS NOT NULL

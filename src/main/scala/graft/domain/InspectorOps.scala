@@ -19,15 +19,17 @@ import org.apache.spark.sql.functions._
   *   Q9 composer           src/composer/mod.rs:71-253
   *   J7 pool overlap       sandwich/mod.rs:556-701
   *   J8 JIT bracket        jit/jit_liquidity.rs:160-464
+  *   J9 trigger-tx search  atomic_arb.rs:239-311 (2-block walk)
   *   J10 MEV dedup         composer/mod.rs:190-231
   *   J11 JitSandwich       composer/composer_filters.rs:20-48
   *   W3 bounded shrink     sandwich/mod.rs:447-555
   *
-  * Scale shape: every candidate join is EQUI-keyed on (block, pool) or
-  * (block, eoa, pool) — the reference's per-block scan becomes a shuffle
-  * partitioned by block-local keys, so a 100 TB backfill parallelizes by
-  * block with no cross-block data motion; windows order by tx_idx within
-  * those same keys. PnL joins the A3 header built in [[Accounting]].
+  * Scale shape: every candidate join is EQUI-keyed on the 2-block window id
+  * `wnd` (plus eoa/pool where the pattern allows) — the reference's
+  * per-block-window scan becomes a shuffle partitioned by block-grained
+  * keys, so a 100 TB backfill parallelizes by block with at most a 2×
+  * row expansion and no other cross-block data motion. PnL joins the A3
+  * header built in [[Accounting]].
   */
 object InspectorOps extends QueryModule {
 
@@ -36,9 +38,27 @@ object InspectorOps extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(a3BundleHeader, q7Liquidations, q2AtomicArb,
     q8SearcherActivity, q1Sandwich, q5Jit, j7PoolOverlap, j8JitBracket,
-    j10ComposerDedup, j11JitSandwich, q9MevBlock, w3ShrinkLoop)
+    j9TriggerDomain, j10ComposerDedup, j11JitSandwich, q9MevBlock, w3ShrinkLoop)
 
   private def withCtes(sql: String) = Some(s"WITH $sqlDomainCtes, $sql")
+
+  /** Inspectors see the current block plus the previous one — the
+    * reference's `block_window() = 2` (atomic_arb.rs:41-43,
+    * multi_block.rs:6-33). Boundary-straddling MEV stays visible. */
+  val BlockWindow = 2
+
+  /** sandwich/mod.rs:36 MAX_PRICE_DIFF: a leg whose effective rate deviates
+    * from dex pricing by more than 99.5% is price-manipulated noise. */
+  val MaxPriceDiff = 0.995
+
+  /** sandwich/mod.rs:696-701: the fraction of grouped between-txs that must
+    * actually overlap the bracket. The comment there says 50%, the shipped
+    * constant is `victim_pct >= 0.25` — we mirror the code. Kept as a
+    * rational (1/4) so the check stays in exact integer arithmetic. */
+  val MinVictimRatioDen = 4
+
+  /** Shrink recursion bound (sandwich/mod.rs:474: `recursive >= 6`). */
+  val ShrinkRounds = 6
 
   // ── shared Spark fragments ────────────────────────────────────────────────
 
@@ -55,45 +75,108 @@ object InspectorOps extends QueryModule {
         .groupBy("block_number", "tx_idx", "tx_hash", "from_address", "pool")
         .agg(min_by(col("direction"), col("trace_idx")).as("dir"),
           min_by(col("token_in_id"), col("trace_idx")).as("tok_in"),
+          min_by(col("token_out_id"), col("trace_idx")).as("tok_out"),
           dsum(col("amount_in")).as("sum_in"),
           dsum(col("amount_out")).as("sum_out"))
         .withColumnRenamed("from_address", "eoa"))
 
-  /** J6 bracket: consecutive opposite-direction same-pool txs by one EOA.
-    * Operates on any swTx-shaped frame (unit-testable on planted data). */
+  /** Expand a (block_number, tx_idx)-keyed frame into the 2-block sliding
+    * windows: each row lands in window keys {block, block+1}, so window `w`
+    * sees blocks {w-1, w}. `ord` is the global tx order (tx_idx < TxPerBlock
+    * by construction). Rows double, but every downstream join stays
+    * equi-keyed on the block-grained `wnd`. */
+  private[graft] def windowed(df: DataFrame): DataFrame =
+    df.withColumn("ord", col("block_number") * TxPerBlock + col("tx_idx"))
+      .withColumn("wnd", explode(array(col("block_number"), col("block_number") + 1)))
+
+  /** J6 bracket over the 2-block window: consecutive opposite-direction
+    * same-pool txs by one EOA, where "consecutive" is evaluated inside each
+    * 2-block window. A pair fully inside block b appears in windows b and
+    * b+1; a boundary pair (front in b-1, back in b) only in window b —
+    * emitting a pair only from the window that equals its BACK block makes
+    * each bracket appear exactly once. Carries `valid_pricing`
+    * (MAX_PRICE_DIFF sanity on both legs against the fixture price dim). */
   private[graft] def bracketsOf(swTxDf: DataFrame): DataFrame = {
-    val w = Window.partitionBy("block_number", "eoa", "pool").orderBy("tx_idx")
-    swTxDf
-      .withColumn("back_idx", lead(col("tx_idx"), 1).over(w))
+    val w = Window.partitionBy("wnd", "eoa", "pool").orderBy("ord")
+    def px(t: Column): Column = lit(1.0) + t * 0.1
+    windowed(swTxDf)
+      .withColumn("back_block", lead(col("block_number"), 1).over(w))
+      .withColumn("back_ord", lead(col("ord"), 1).over(w))
       .withColumn("back_dir", lead(col("dir"), 1).over(w))
+      .withColumn("back_tok_in", lead(col("tok_in"), 1).over(w))
+      .withColumn("back_tok_out", lead(col("tok_out"), 1).over(w))
+      .withColumn("back_in", lead(col("sum_in"), 1).over(w))
       .withColumn("back_out", lead(col("sum_out"), 1).over(w))
       .withColumn("back_tx", lead(col("tx_hash"), 1).over(w))
-      .filter(col("back_idx").isNotNull && col("dir") =!= col("back_dir"))
-      .select(col("block_number"), col("eoa"), col("pool"),
-        col("tx_idx").as("front_idx"), col("tx_hash").as("front_tx"),
-        col("dir"), col("tok_in"), col("sum_in"),
-        col("back_idx"), col("back_out"), col("back_tx"))
+      .filter(col("back_ord").isNotNull && col("dir") =!= col("back_dir") &&
+        col("back_block") === col("wnd"))
+      .withColumn("valid_pricing",
+        abs((col("sum_out") / col("sum_in")) /
+          (px(col("tok_in")) / px(col("tok_out"))) - 1) <= MaxPriceDiff &&
+        abs((col("back_out") / col("back_in")) /
+          (px(col("back_tok_in")) / px(col("back_tok_out"))) - 1) <= MaxPriceDiff)
+      .select(col("wnd"), col("block_number").as("front_block"), col("back_block"),
+        col("eoa"), col("pool"), col("tx_idx").as("front_idx"),
+        col("ord").as("front_ord"), col("tx_hash").as("front_tx"),
+        col("dir"), col("tok_in"), col("tok_out"), col("sum_in"), col("sum_out"),
+        col("back_ord"), col("back_in"), col("back_out"), col("back_tx"),
+        col("valid_pricing"))
   }
 
   private def brackets(s: SparkSession, dir: String): DataFrame =
     bracketsOf(swTx(s, dir))
 
-  /** Sandwiches: brackets with ≥1 same-direction victim strictly between. */
-  private[graft] def sandwichesOf(swTxDf: DataFrame): DataFrame = {
-    val b = bracketsOf(swTxDf)
-    val v = swTxDf.select(col("block_number").as("v_block"),
-      col("pool").as("v_pool"), col("tx_idx").as("v_idx"),
-      col("eoa").as("v_eoa"), col("dir").as("v_dir"))
-    b.join(v, col("v_block") === col("block_number") && col("v_pool") === col("pool") &&
-        col("v_idx") > col("front_idx") && col("v_idx") < col("back_idx") &&
-        col("v_eoa") =!= col("eoa") && col("v_dir") === col("dir"))
-      .groupBy("block_number", "eoa", "pool", "front_idx", "front_tx", "back_tx",
-        "tok_in", "sum_in", "back_out")
-      .agg(count(lit(1)).as("n_victims"))
+  /** Victim stats for bracket-shaped candidates: `n_cand_txs` = distinct
+    * other-EOA swap txs strictly between the bracket boundaries (the
+    * reference's grouped victims, sandwich/mod.rs:617-701), `n_victims` =
+    * those that overlap the bracket's pool in the same direction. Equi-keyed
+    * on `wnd` — block-local work. */
+  private[graft] def victimStats(cand: DataFrame, swTxW: DataFrame): DataFrame = {
+    val v = swTxW.select(col("wnd").as("v_wnd"), col("pool").as("v_pool"),
+      col("ord").as("v_ord"), col("eoa").as("v_eoa"), col("dir").as("v_dir"),
+      col("tx_hash").as("v_tx"))
+    cand.join(v, col("v_wnd") === col("wnd") && col("v_eoa") =!= col("eoa") &&
+        col("v_ord") > col("front_ord") && col("v_ord") < col("back_ord"), "left")
+      .groupBy(cand.columns.toIndexedSeq.map(col): _*)
+      .agg(countDistinct(when(col("v_pool") === col("pool") &&
+          col("v_dir") === col("dir"), col("v_tx"))).as("n_victims"),
+        countDistinct(col("v_tx")).as("n_cand_txs"))
   }
 
+  /** verify_sandwich_victims (mod.rs:617-701): ≥1 true victim and at least
+    * 1/[[MinVictimRatioDen]] of the between-txs victimized, with sane
+    * pricing. Integer arithmetic → exact on both engines. */
+  private def verified: Column =
+    col("n_victims") >= 1 &&
+      col("n_victims") * MinVictimRatioDen >= col("n_cand_txs") &&
+      col("valid_pricing")
+
+  /** Verified sandwiches with the reference's bounded back-shrink
+    * (mod.rs:447-555): candidates failing the victim check pull their back
+    * boundary toward the front by halving the gap, re-checking each round,
+    * ≤ [[ShrinkRounds]] rounds. Pricing-invalid brackets never heal by
+    * shrinking and are dropped outright. `found_at_iter` records the round. */
+  private[graft] def sandwichesOf(swTxDf: DataFrame): DataFrame = {
+    val swW = windowed(swTxDf)
+    var cand = bracketsOf(swTxDf)
+    var found = Vector.empty[DataFrame]
+    for (iter <- 0 until ShrinkRounds) {
+      val st = victimStats(cand, swW).persist()
+      found = found :+ st.filter(verified).withColumn("found_at_iter", lit(iter))
+      cand = st.filter(!verified && col("valid_pricing"))
+        .withColumn("back_ord",
+          col("front_ord") + ceil((col("back_ord") - col("front_ord")) / 2))
+        .filter(col("back_ord") > col("front_ord") + 1)
+        .drop("n_victims", "n_cand_txs")
+    }
+    found.reduce(_ unionByName _)
+  }
+
+  /** The verified sandwich set, computed once per JVM (q1/j10/q9/w3 all
+    * read it — the reference persists its bundles the same way). */
   private def sandwiches(s: SparkSession, dir: String): DataFrame =
-    sandwichesOf(swTx(s, dir))
+    ChainFixture.materialize(s, s"sand_${ChainFixture.dirKey(dir)}",
+      sandwichesOf(swTx(s, dir)))
 
   /** Q2 candidates: cyclic continuous swap sequences within a tx.
     * Operates on any swaps-shaped frame (unit-testable on planted data). */
@@ -118,6 +201,35 @@ object InspectorOps extends QueryModule {
   private def arbs(s: SparkSession, dir: String): DataFrame =
     arbsOf(swaps(s, dir))
 
+  /** J9 (domain form): find_trigger_tx (atomic_arb.rs:239-311) — for each
+    * arb tx, the earliest prior tx within the 2-block window that swapped
+    * one of the arb's pools in the OPPOSITE direction (token_in == arb leg's
+    * token_out), preferring the arb's own block (the reference walks
+    * this-block txs before the previous block's). Candidates at swap grain;
+    * the match join is equi-keyed on (wnd = arb block, pool). */
+  private[graft] def triggerPicks(arbTxs: DataFrame, swapsDf: DataFrame): DataFrame = {
+    val legs = swapsDf.filter(col("pool").isNotNull)
+      .join(arbTxs.select("tx_hash"), "tx_hash")
+      .select(col("tx_hash"), col("block_number").as("a_block"),
+        (col("block_number") * TxPerBlock + col("tx_idx")).as("a_ord"),
+        col("pool").as("a_pool"), col("direction").as("a_dir"))
+      .distinct()
+    val cands = windowed(swapsDf.filter(col("pool").isNotNull)
+        .select("block_number", "tx_idx", "tx_hash", "pool", "direction")
+        .distinct())
+      .select(col("wnd"), col("pool").as("t_pool"), col("direction").as("t_dir"),
+        col("ord").as("t_ord"), col("block_number").as("t_block"),
+        col("tx_hash").as("t_tx"))
+    val w = Window.partitionBy("tx_hash")
+      .orderBy((col("a_block") - col("t_block")).asc, col("t_ord").asc, col("t_tx").asc)
+    legs.join(cands, col("wnd") === col("a_block") && col("t_pool") === col("a_pool") &&
+        col("t_dir") =!= col("a_dir") && col("t_ord") < col("a_ord"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("tx_hash"), col("t_tx").as("trigger_tx"),
+        (col("t_block") === col("a_block")).as("trig_same_block"))
+  }
+
   /** J8: mint immediately followed by burn on the same (block, eoa, pool). */
   private def jitPairs(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("block_number", "from_address", "pool")
@@ -139,30 +251,81 @@ object InspectorOps extends QueryModule {
       SELECT block_number, tx_idx, tx_hash, from_address AS eoa, pool,
         ARG_MIN(direction, trace_idx) AS dir,
         ARG_MIN(token_in_id, trace_idx) AS tok_in,
+        ARG_MIN(token_out_id, trace_idx) AS tok_out,
         ${sqlSum("amount_in")} AS sum_in, ${sqlSum("amount_out")} AS sum_out
       FROM swaps WHERE pool IS NOT NULL
       GROUP BY 1, 2, 3, 4, 5)"""
 
-  private val brktCte =
-    """brkt AS (
-      SELECT * FROM (
-        SELECT block_number, eoa, pool, tx_idx AS front_idx, tx_hash AS front_tx,
-          dir, tok_in, sum_in,
-          LEAD(tx_idx) OVER w AS back_idx, LEAD(dir) OVER w AS back_dir,
-          LEAD(sum_out) OVER w AS back_out, LEAD(tx_hash) OVER w AS back_tx
-        FROM sw_tx
-        WINDOW w AS (PARTITION BY block_number, eoa, pool ORDER BY tx_idx))
-      WHERE back_idx IS NOT NULL AND dir <> back_dir)"""
+  private val swWCte =
+    s"""sw_w AS (
+      SELECT *, unnest([block_number, block_number + 1]) AS wnd
+      FROM (SELECT *, block_number * $TxPerBlock + tx_idx AS ord FROM sw_tx))"""
 
-  private val sandCte =
-    """sand AS (
-      SELECT b.block_number, b.eoa, b.pool, b.front_idx, b.front_tx, b.back_tx,
-        b.tok_in, b.sum_in, b.back_out, COUNT(*) AS n_victims
-      FROM brkt b JOIN sw_tx v
-        ON v.block_number = b.block_number AND v.pool = b.pool
-       AND v.tx_idx > b.front_idx AND v.tx_idx < b.back_idx
-       AND v.eoa <> b.eoa AND v.dir = b.dir
-      GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9)"""
+  private val brktCte =
+    s"""brkt AS (
+      SELECT wnd, front_block, back_block, eoa, pool, front_idx, front_ord,
+        front_tx, dir, tok_in, tok_out, sum_in, sum_out,
+        back_ord, back_in, back_out, back_tx,
+        (ABS((sum_out / sum_in) /
+             ((1.0 + tok_in * 0.1) / (1.0 + tok_out * 0.1)) - 1) <= $MaxPriceDiff
+         AND ABS((back_out / back_in) /
+             ((1.0 + back_tok_in * 0.1) / (1.0 + back_tok_out * 0.1)) - 1) <= $MaxPriceDiff
+        ) AS valid_pricing
+      FROM (
+        SELECT * FROM (
+          SELECT wnd, block_number AS front_block, eoa, pool,
+            tx_idx AS front_idx, ord AS front_ord, tx_hash AS front_tx,
+            dir, tok_in, tok_out, sum_in, sum_out,
+            LEAD(block_number) OVER w AS back_block, LEAD(ord) OVER w AS back_ord,
+            LEAD(dir) OVER w AS back_dir,
+            LEAD(tok_in) OVER w AS back_tok_in, LEAD(tok_out) OVER w AS back_tok_out,
+            LEAD(sum_in) OVER w AS back_in, LEAD(sum_out) OVER w AS back_out,
+            LEAD(tx_hash) OVER w AS back_tx
+          FROM sw_w
+          WINDOW w AS (PARTITION BY wnd, eoa, pool ORDER BY ord))
+        WHERE back_ord IS NOT NULL AND dir <> back_dir AND back_block = wnd))"""
+
+  private val passCond =
+    s"n_victims >= 1 AND n_victims * $MinVictimRatioDen >= n_cand_txs AND valid_pricing"
+
+  /** The shrink rounds as generated CTEs — the SQL mirror of
+    * [[sandwichesOf]]'s bounded loop (stat/pass/cand chains). Each candN
+    * projects the EXACT column order of cand0 (the pass UNION aligns by
+    * position). */
+  private val sandCtes: String = {
+    val rounds = (0 until ShrinkRounds).map { i =>
+      val stat = s"""stat$i AS (
+        SELECT c.*,
+          COUNT(DISTINCT CASE WHEN v.pool = c.pool AND v.dir = c.dir
+                              THEN v.tx_hash END) AS n_victims,
+          COUNT(DISTINCT v.tx_hash) AS n_cand_txs
+        FROM cand$i c LEFT JOIN sw_w v
+          ON v.wnd = c.wnd AND v.eoa <> c.eoa
+         AND v.ord > c.front_ord AND v.ord < c.back_ord
+        GROUP BY ALL),
+      pass$i AS (SELECT *, $i AS found_at_iter FROM stat$i WHERE $passCond)"""
+      val next =
+        if (i == ShrinkRounds - 1) ""
+        else s""",
+      cand${i + 1} AS (
+        SELECT wnd, front_block, back_block, eoa, pool, front_idx, front_ord,
+          front_tx, dir, tok_in, tok_out, sum_in, sum_out,
+          front_ord + CAST(CEIL((back_ord - front_ord) / 2) AS BIGINT) AS back_ord,
+          back_in, back_out, back_tx, valid_pricing
+        FROM stat$i
+        WHERE NOT ($passCond) AND valid_pricing
+          AND front_ord + CAST(CEIL((back_ord - front_ord) / 2) AS BIGINT)
+              > front_ord + 1)"""
+      stat + next
+    }
+    val union = (0 until ShrinkRounds).map(i => s"SELECT * FROM pass$i")
+      .mkString(" UNION ALL ")
+    s"""cand0 AS (SELECT * FROM brkt),
+      ${rounds.mkString(",\n")},
+      sand AS ($union)"""
+  }
+
+  private val sandwichCtes = s"$swTxCte, $swWCte, $brktCte, $sandCtes"
 
   private val arbCte =
     """arb AS (
@@ -181,6 +344,31 @@ object InspectorOps extends QueryModule {
                 PARTITION BY tx_hash ORDER BY trace_idx) AS nxt_in FROM swaps)
         GROUP BY 1)
       WHERE n_swaps >= 2 AND cont AND first_in = last_out)"""
+
+  /** Trigger-pick CTEs (need `arb` in scope). */
+  private val trigCtes =
+    s"""tleg AS (
+      SELECT DISTINCT s.tx_hash, s.block_number AS a_block,
+        s.block_number * $TxPerBlock + s.tx_idx AS a_ord,
+        s.pool AS a_pool, s.direction AS a_dir
+      FROM swaps s JOIN arb a ON s.tx_hash = a.tx_hash
+      WHERE s.pool IS NOT NULL),
+    tcand AS (
+      SELECT *, unnest([block_number, block_number + 1]) AS wnd
+      FROM (
+        SELECT DISTINCT block_number, block_number * $TxPerBlock + tx_idx AS ord,
+          pool, direction AS dir, tx_hash
+        FROM swaps WHERE pool IS NOT NULL)),
+    tpick AS (
+      SELECT tx_hash, t_tx AS trigger_tx, t_block = a_block AS trig_same_block
+      FROM (
+        SELECT l.tx_hash, l.a_block, c.tx_hash AS t_tx, c.block_number AS t_block,
+          ROW_NUMBER() OVER (PARTITION BY l.tx_hash
+            ORDER BY l.a_block - c.block_number, c.ord, c.tx_hash) AS rn
+        FROM tleg l JOIN tcand c
+          ON c.wnd = l.a_block AND c.pool = l.a_pool
+         AND c.dir <> l.a_dir AND c.ord < l.a_ord)
+      WHERE rn = 1)"""
 
   private val jitpCte =
     """jitp AS (
@@ -241,15 +429,18 @@ object InspectorOps extends QueryModule {
 
   /** Q2: atomic arbitrage — cyclic continuous swap paths classified
     * Triangle / CrossPair / Stablecoin / LongTail (backrun.rs:54), PnL from
-    * the A3 header. */
+    * the A3 header, plus the 2-block trigger-tx search (J9 domain form):
+    * how many arbs have an identifiable prior opposite-direction swap in
+    * the window, and how many found it only in the PREVIOUS block. */
   private val q2AtomicArb = QueryDef(
     "q2_atomic_arb",
     (s, dir) => {
       val searchers = s.range(4)
         .select(md5(concat(lit("eoa:"), col("id"))).as("s_eoa"))
-      arbs(s, dir)
-        .join(bundleHeaders(s, dir), "tx_hash")
+      val a = arbs(s, dir)
+      a.join(bundleHeaders(s, dir), "tx_hash")
         .join(broadcast(searchers), col("eoa") === col("s_eoa"), "left")
+        .join(triggerPicks(a, swaps(s, dir)), Seq("tx_hash"), "left")
         // validity heuristic (atomic_arb.rs:180-198): profitable OR known
         // searcher OR an outsized bribe (gas spend)
         .withColumn("is_valid", col("profit_usd") > 0 ||
@@ -258,19 +449,44 @@ object InspectorOps extends QueryModule {
         .agg(count(lit(1)).as("n_arbs"),
           dsum(col("profit_usd")).as("sum_profit"),
           sum(when(col("profit_usd") > 0, 1L).otherwise(0L)).as("n_profitable"),
-          sum(when(col("is_valid"), 1L).otherwise(0L)).as("n_valid"))
+          sum(when(col("is_valid"), 1L).otherwise(0L)).as("n_valid"),
+          sum(when(col("trigger_tx").isNotNull, 1L).otherwise(0L)).as("n_triggered"),
+          sum(when(col("trig_same_block") === false, 1L).otherwise(0L)).as("n_prev_block_trigger"))
         .orderBy("arb_type")
     },
-    withCtes(s"""$arbCte,
+    withCtes(s"""$arbCte, $trigCtes,
       searchers2 AS (SELECT md5('eoa:' || i) AS s_eoa FROM range(4) t(i))
       SELECT a.arb_type, COUNT(*) AS n_arbs,
         ${sqlSum("h.profit_usd")} AS sum_profit,
         CAST(SUM(CASE WHEN h.profit_usd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_profitable,
         CAST(SUM(CASE WHEN h.profit_usd > 0 OR s.s_eoa IS NOT NULL
-                       OR h.gas_usd > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
+                       OR h.gas_usd > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+        CAST(SUM(CASE WHEN t.trigger_tx IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_triggered,
+        CAST(SUM(CASE WHEN t.trig_same_block = false THEN 1 ELSE 0 END) AS BIGINT) AS n_prev_block_trigger
       FROM arb a JOIN header h ON a.tx_hash = h.tx_hash
       LEFT JOIN searchers2 s ON h.eoa = s.s_eoa
+      LEFT JOIN tpick t ON a.tx_hash = t.tx_hash
       GROUP BY 1 ORDER BY 1"""))
+
+  /** J9 (domain form): per-arb trigger pick over the 2-block window —
+    * one row per arb tx with the chosen trigger and whether it came from
+    * the arb's own block or the previous one. */
+  private val j9TriggerDomain = QueryDef(
+    "j9_trigger_domain",
+    (s, dir) => {
+      val a = arbs(s, dir)
+      a.select("tx_hash", "arb_type")
+        .join(triggerPicks(a, swaps(s, dir)), Seq("tx_hash"), "left")
+        // INT (not BOOLEAN): nullable booleans round-trip as None-vs-NaN
+        // across the two engines' parquet/pandas paths
+        .withColumn("trig_same_block", col("trig_same_block").cast("int"))
+        .orderBy("tx_hash")
+    },
+    withCtes(s"""$arbCte, $trigCtes
+      SELECT a.tx_hash, a.arb_type, t.trigger_tx,
+        CAST(t.trig_same_block AS INTEGER) AS trig_same_block
+      FROM arb a LEFT JOIN tpick t ON a.tx_hash = t.tx_hash
+      ORDER BY 1"""))
 
   /** Q8: searcher-activity — profit attribution for the labeled searcher
     * set (a broadcast dimension, J1's lookup shape). */
@@ -294,23 +510,37 @@ object InspectorOps extends QueryModule {
       FROM header h JOIN searchers s ON h.eoa = s.eoa
       GROUP BY 1 ORDER BY 1"""))
 
-  /** Q1: sandwich inspector — J6 brackets + J7 victim checks, revenue =
-    * back-run output minus front-run input priced in the frontrun token. */
+  /** Q1: sandwich inspector — verified 2-block brackets (victim ratio +
+    * price sanity + shrink, [[sandwichesOf]]) with PnL from the A3 bundle
+    * headers of the front AND back txs (searcher token deltas − gas,
+    * shared_utils.rs:344-460), attributed to the back tx's block (the
+    * reference emits from the most recent block of the window). */
   private val q1Sandwich = QueryDef(
     "q1_sandwich",
-    (s, dir) => sandwiches(s, dir)
-      .withColumn("revenue_usd",
-        (col("back_out") - col("sum_in")) * (lit(1.0) + col("tok_in") * 0.1))
-      .groupBy("block_number")
-      .agg(count(lit(1)).as("n_sandwiches"),
-        sum(col("n_victims")).as("n_victims"),
-        dsum(col("revenue_usd")).as("sum_revenue"))
-      .orderBy("block_number"),
-    withCtes(s"""$swTxCte, $brktCte, $sandCte
-      SELECT block_number, COUNT(*) AS n_sandwiches,
-        CAST(SUM(n_victims) AS BIGINT) AS n_victims,
-        ${sqlSum("(back_out - sum_in) * (1.0 + tok_in * 0.1)")} AS sum_revenue
-      FROM sand GROUP BY 1 ORDER BY 1"""))
+    (s, dir) => {
+      val hdr = bundleHeaders(s, dir)
+      sandwiches(s, dir)
+        .join(hdr.select(col("tx_hash").as("front_tx"),
+          col("profit_usd").as("front_profit")), "front_tx")
+        .join(hdr.select(col("tx_hash").as("back_tx"),
+          col("profit_usd").as("back_profit")), "back_tx")
+        .withColumn("profit_usd", col("front_profit") + col("back_profit"))
+        .groupBy(col("back_block").as("block_number"))
+        .agg(count(lit(1)).as("n_sandwiches"),
+          sum(col("n_victims")).as("n_victims"),
+          sum(when(col("found_at_iter") > 0, 1L).otherwise(0L)).as("n_from_shrink"),
+          dsumR(col("profit_usd")).as("sum_profit"))
+        .orderBy("block_number")
+    },
+    withCtes(s"""$sandwichCtes
+      SELECT s.back_block AS block_number, COUNT(*) AS n_sandwiches,
+        CAST(SUM(s.n_victims) AS BIGINT) AS n_victims,
+        CAST(SUM(CASE WHEN s.found_at_iter > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_from_shrink,
+        ${sqlSumR("hf.profit_usd + hb.profit_usd")} AS sum_profit
+      FROM sand s
+      JOIN header hf ON s.front_tx = hf.tx_hash
+      JOIN header hb ON s.back_tx = hb.tx_hash
+      GROUP BY 1 ORDER BY 1"""))
 
   /** Q5: JIT liquidity — mint→burn bracket (J8) with ≥1 victim swap in
     * between; fee revenue = burn minus mint amounts priced per token. */
@@ -459,7 +689,7 @@ object InspectorOps extends QueryModule {
           sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_final"))
         .orderBy("mev_type")
     },
-    withCtes(s"""$swTxCte, $brktCte, $sandCte, $arbCte, $jitpCte,
+    withCtes(s"""$sandwichCtes, $arbCte, $jitpCte,
       cand AS (
         SELECT DISTINCT tx_hash, mev_type, prio FROM (
           SELECT front_tx AS tx_hash, 'sandwich' AS mev_type, 4 AS prio FROM sand
@@ -474,20 +704,22 @@ object InspectorOps extends QueryModule {
       FROM ranked GROUP BY 1 ORDER BY 1"""))
 
   /** J11: JitSandwich composition — (block, eoa) present in both the
-    * sandwich-bracket and JIT-bracket candidate sets. */
+    * sandwich-bracket and JIT-bracket candidate sets; brackets are
+    * attributed to their back tx's block. */
   private val j11JitSandwich = QueryDef(
     "j11_jit_sandwich",
     (s, dir) => {
-      val b = brackets(s, dir).select("block_number", "eoa").distinct()
+      val b = brackets(s, dir)
+        .select(col("back_block").as("block_number"), col("eoa")).distinct()
       val j = jitPairs(s, dir).select("block_number", "eoa").distinct()
       b.join(j, Seq("block_number", "eoa"))
         .agg(count(lit(1)).as("n_composed"),
           countDistinct(col("block_number")).as("n_blocks"))
     },
-    withCtes(s"""$swTxCte, $brktCte, $jitpCte
+    withCtes(s"""$swTxCte, $swWCte, $brktCte, $jitpCte
       SELECT COUNT(*) AS n_composed,
         CAST(COUNT(DISTINCT block_number) AS BIGINT) AS n_blocks
-      FROM (SELECT DISTINCT block_number, eoa FROM brkt) b
+      FROM (SELECT DISTINCT back_block AS block_number, eoa FROM brkt) b
       JOIN (SELECT DISTINCT block_number, eoa FROM jitp) j USING (block_number, eoa)"""))
 
   /** Q9/A4: MevBlock rollup — per-block bundle counts by type + builder +
@@ -500,7 +732,8 @@ object InspectorOps extends QueryModule {
         .groupBy("block_number")
         .agg(count(lit(1)).as("n_txs"), dsum(col("gas_usd")).as("sum_gas"),
           dsum(col("profit_usd")).as("sum_profit"))
-      val sand = sandwiches(s, dir).groupBy("block_number")
+      val sand = sandwiches(s, dir)
+        .groupBy(col("back_block").as("block_number"))
         .agg(count(lit(1)).as("n_sandwich"))
       val arb = arbs(s, dir)
         .join(bh.select("tx_hash", "block_number"), "tx_hash")
@@ -515,12 +748,13 @@ object InspectorOps extends QueryModule {
           col("sum_gas"), col("sum_profit"))
         .orderBy("block_number")
     },
-    withCtes(s"""$swTxCte, $brktCte, $sandCte, $arbCte,
+    withCtes(s"""$sandwichCtes, $arbCte,
       hdrblk AS (
         SELECT block_number, COUNT(*) AS n_txs,
           ${sqlSum("gas_usd")} AS sum_gas, ${sqlSum("profit_usd")} AS sum_profit
         FROM header GROUP BY 1),
-      sandblk AS (SELECT block_number, COUNT(*) AS n_sandwich FROM sand GROUP BY 1),
+      sandblk AS (SELECT back_block AS block_number, COUNT(*) AS n_sandwich
+                  FROM sand GROUP BY 1),
       arbblk AS (
         SELECT h.block_number, COUNT(*) AS n_arb
         FROM arb a JOIN header h ON a.tx_hash = h.tx_hash GROUP BY 1)
@@ -533,41 +767,19 @@ object InspectorOps extends QueryModule {
       JOIN blocks b ON h.block_number = b.block_number
       ORDER BY 1"""))
 
-  /** W3: bounded shrink verification — brackets with no victims shrink
-    * their back boundary toward the midpoint for ≤6 deterministic rounds,
-    * re-running the victim check each round (the reference's recursive
-    * sandwich shrink, driver-side bounded loop per SURVEY §4.3). Iterative →
-    * no single SQL oracle; the driver records a rows-only check. */
+  /** W3: the bounded shrink loop's per-round yield — how many verified
+    * sandwiches were found at each shrink depth (0 = no shrink needed).
+    * Q1 consumes the same [[sandwichesOf]] machinery; this query reports
+    * the loop's convergence profile, oracle-checked against the generated
+    * round CTEs. */
   private val w3ShrinkLoop = QueryDef(
     "w3_shrink_loop",
-    (s, dir) => {
-      val v = swTx(s, dir).select(col("block_number").as("v_block"),
-        col("pool").as("v_pool"), col("tx_idx").as("v_idx"),
-        col("eoa").as("v_eoa"), col("dir").as("v_dir")).persist()
-      def victimCount(cand: DataFrame): DataFrame = cand
-        .join(v, col("v_block") === col("block_number") && col("v_pool") === col("pool") &&
-          col("v_idx") > col("front_idx") && col("v_idx") < col("back_idx") &&
-          col("v_eoa") =!= col("eoa") && col("v_dir") === col("dir"), "left")
-        .groupBy(cand.columns.toIndexedSeq.map(col): _*)
-        .agg(count(col("v_idx")).as("n_victims"))
-      var cand = brackets(s, dir)
-        .select("block_number", "eoa", "pool", "front_idx", "back_idx", "dir")
-      var results = Seq.empty[DataFrame]
-      for (iter <- 0 until 6) {
-        val counted = victimCount(cand).persist()
-        results = results :+ counted.filter(col("n_victims") >= 1)
-          .withColumn("found_at_iter", lit(iter))
-        // shrink: pull the back boundary toward the front by halving the gap
-        cand = counted.filter(col("n_victims") === 0)
-          .withColumn("back_idx",
-            col("front_idx") + ceil((col("back_idx") - col("front_idx")) / 2))
-          .filter(col("back_idx") > col("front_idx") + 1)
-          .drop("n_victims")
-      }
-      results.reduce(_ unionByName _)
-        .groupBy("found_at_iter")
-        .agg(count(lit(1)).as("n_valid"), sum(col("n_victims")).as("n_victims"))
-        .orderBy("found_at_iter")
-    },
-    None)
+    (s, dir) => sandwiches(s, dir)
+      .groupBy("found_at_iter")
+      .agg(count(lit(1)).as("n_valid"), sum(col("n_victims")).as("n_victims"))
+      .orderBy("found_at_iter"),
+    withCtes(s"""$sandwichCtes
+      SELECT found_at_iter, COUNT(*) AS n_valid,
+        CAST(SUM(n_victims) AS BIGINT) AS n_victims
+      FROM sand GROUP BY 1 ORDER BY 1"""))
 }

@@ -9,33 +9,34 @@ import org.apache.spark.sql.DataFrame
 class GoldenScenarioSpec extends SparkTestBase {
   import spark.implicits._
 
-  // swTx-shaped rows: (block, tx_idx, tx_hash, eoa, pool, dir, tok_in, in, out)
-  private def swTxOf(rows: (Long, Long, String, String, String, Long, Long, Double, Double)*): DataFrame =
+  // swTx-shaped rows:
+  // (block, tx_idx, tx_hash, eoa, pool, dir, tok_in, tok_out, in, out)
+  private def swTxOf(
+      rows: (Long, Long, String, String, String, Long, Long, Long, Double, Double)*): DataFrame =
     rows.toDF("block_number", "tx_idx", "tx_hash", "eoa", "pool",
-      "dir", "tok_in", "sum_in", "sum_out")
+      "dir", "tok_in", "tok_out", "sum_in", "sum_out")
 
   test("simple_sandwich: 1 frontrun + 2 victims + 1 backrun on one pool") {
     val df = swTxOf(
-      (1L, 0L, "f", "attacker", "P", 0L, 7L, 100.0, 90.0), // frontrun buys
-      (1L, 1L, "v1", "victimA", "P", 0L, 7L, 50.0, 44.0), // same direction
-      (1L, 2L, "v2", "victimB", "P", 0L, 7L, 30.0, 26.0),
-      (1L, 3L, "b", "attacker", "P", 1L, 8L, 90.0, 120.0)) // backrun sells
+      (1L, 0L, "f", "attacker", "P", 0L, 7L, 8L, 100.0, 90.0), // frontrun buys
+      (1L, 1L, "v1", "victimA", "P", 0L, 7L, 8L, 50.0, 44.0), // same direction
+      (1L, 2L, "v2", "victimB", "P", 0L, 7L, 8L, 30.0, 26.0),
+      (1L, 3L, "b", "attacker", "P", 1L, 8L, 7L, 90.0, 120.0)) // backrun sells
     val out = InspectorOps.sandwichesOf(df).collect()
     assert(out.length == 1)
     val r = out.head
     assert(r.getAs[Long]("n_victims") == 2)
     assert(r.getAs[String]("front_tx") == "f" && r.getAs[String]("back_tx") == "b")
-    // revenue in the frontrun token: back_out − front_in = 120 − 100
-    assert(r.getAs[Double]("back_out") - r.getAs[Double]("sum_in") == 20.0)
+    assert(r.getAs[Int]("found_at_iter") == 0)
   }
 
   test("big_mac_sandwich: two stacked frontruns each keep their own victim set") {
     val df = swTxOf(
-      (1L, 0L, "f1", "atk", "P", 0L, 7L, 10.0, 9.0),
-      (1L, 1L, "v1", "vic1", "P", 0L, 7L, 5.0, 4.4),
-      (1L, 2L, "b1", "atk", "P", 1L, 8L, 9.0, 11.0),
-      (1L, 3L, "v2", "vic2", "P", 1L, 8L, 5.0, 4.4), // matches 2nd bracket dir
-      (1L, 4L, "f2", "atk", "P", 0L, 7L, 10.0, 9.0))
+      (1L, 0L, "f1", "atk", "P", 0L, 7L, 8L, 10.0, 9.0),
+      (1L, 1L, "v1", "vic1", "P", 0L, 7L, 8L, 5.0, 4.4),
+      (1L, 2L, "b1", "atk", "P", 1L, 8L, 7L, 9.0, 11.0),
+      (1L, 3L, "v2", "vic2", "P", 1L, 8L, 7L, 5.0, 4.4), // matches 2nd bracket dir
+      (1L, 4L, "f2", "atk", "P", 0L, 7L, 8L, 10.0, 9.0))
     val out = InspectorOps.sandwichesOf(df).orderBy("front_idx").collect()
     // brackets: (f1→b1) with v1 (dir 0) and (b1→f2) with v2 (dir 1)
     assert(out.length == 2)
@@ -44,25 +45,82 @@ class GoldenScenarioSpec extends SparkTestBase {
 
   test("sandwich_not: no pool overlap → no sandwich") {
     val df = swTxOf(
-      (1L, 0L, "f", "atk", "P1", 0L, 7L, 100.0, 90.0),
-      (1L, 1L, "v", "vic", "P2", 0L, 7L, 50.0, 44.0), // different pool
-      (1L, 3L, "b", "atk", "P1", 1L, 8L, 90.0, 120.0))
+      (1L, 0L, "f", "atk", "P1", 0L, 7L, 8L, 100.0, 90.0),
+      (1L, 1L, "v", "vic", "P2", 0L, 7L, 8L, 50.0, 44.0), // different pool
+      (1L, 3L, "b", "atk", "P1", 1L, 8L, 7L, 90.0, 120.0))
     assert(InspectorOps.sandwichesOf(df).count() == 0)
   }
 
   test("sandwich_not: same direction back-run is not a bracket") {
     val df = swTxOf(
-      (1L, 0L, "f", "atk", "P", 0L, 7L, 100.0, 90.0),
-      (1L, 1L, "v", "vic", "P", 0L, 7L, 50.0, 44.0),
-      (1L, 3L, "b", "atk", "P", 0L, 7L, 90.0, 80.0)) // same dir as front
+      (1L, 0L, "f", "atk", "P", 0L, 7L, 8L, 100.0, 90.0),
+      (1L, 1L, "v", "vic", "P", 0L, 7L, 8L, 50.0, 44.0),
+      (1L, 3L, "b", "atk", "P", 0L, 7L, 8L, 90.0, 80.0)) // same dir as front
     assert(InspectorOps.sandwichesOf(df).count() == 0)
   }
 
   test("sandwich_not: opposite-direction victim does not count") {
     val df = swTxOf(
-      (1L, 0L, "f", "atk", "P", 0L, 7L, 100.0, 90.0),
-      (1L, 1L, "v", "vic", "P", 1L, 8L, 50.0, 44.0), // counter-trading victim
-      (1L, 3L, "b", "atk", "P", 1L, 8L, 90.0, 120.0))
+      (1L, 0L, "f", "atk", "P", 0L, 7L, 8L, 100.0, 90.0),
+      (1L, 1L, "v", "vic", "P", 1L, 8L, 7L, 50.0, 44.0), // counter-trading victim
+      (1L, 3L, "b", "atk", "P", 1L, 8L, 7L, 90.0, 120.0))
+    assert(InspectorOps.sandwichesOf(df).count() == 0)
+  }
+
+  test("sandwich_not: price-manipulated leg fails MAX_PRICE_DIFF") {
+    val df = swTxOf(
+      (1L, 0L, "f", "atk", "P", 0L, 7L, 8L, 100.0, 9000.0), // eff 90 vs ~0.94 true
+      (1L, 1L, "v", "vic", "P", 0L, 7L, 8L, 50.0, 44.0),
+      (1L, 3L, "b", "atk", "P", 1L, 8L, 7L, 90.0, 120.0))
+    assert(InspectorOps.sandwichesOf(df).count() == 0)
+  }
+
+  test("block-boundary sandwich matches inside the 2-block window") {
+    val df = swTxOf(
+      (1L, 15L, "f", "atk", "P", 0L, 7L, 8L, 100.0, 90.0), // last tx of block 1
+      (2L, 0L, "v", "vic", "P", 0L, 7L, 8L, 50.0, 44.0),
+      (2L, 1L, "b", "atk", "P", 1L, 8L, 7L, 90.0, 120.0))
+    val out = InspectorOps.sandwichesOf(df).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("front_block") == 1L)
+    assert(out.head.getAs[Long]("back_block") == 2L)
+  }
+
+  test("sandwich_not: brackets further apart than the 2-block window never pair") {
+    val df = swTxOf(
+      (1L, 15L, "f", "atk", "P", 0L, 7L, 8L, 100.0, 90.0),
+      (3L, 0L, "v", "vic", "P", 0L, 7L, 8L, 50.0, 44.0), // two blocks later
+      (3L, 1L, "b", "atk", "P", 1L, 8L, 7L, 90.0, 120.0))
+    assert(InspectorOps.sandwichesOf(df).count() == 0)
+  }
+
+  test("shrink heals a low victim ratio when the noise sits near the back") {
+    val df = swTxOf(
+      (1L, 0L, "f", "atk", "P", 0L, 7L, 8L, 100.0, 90.0),
+      (1L, 1L, "v", "vic", "P", 0L, 7L, 8L, 50.0, 44.0), // true victim near front
+      (1L, 2L, "n1", "oth1", "Q", 0L, 7L, 8L, 5.0, 4.4), // unrelated pool noise
+      (1L, 3L, "n2", "oth2", "Q", 0L, 7L, 8L, 5.0, 4.4),
+      (1L, 4L, "n3", "oth3", "Q", 0L, 7L, 8L, 5.0, 4.4),
+      (1L, 5L, "n4", "oth4", "Q", 0L, 7L, 8L, 5.0, 4.4),
+      (1L, 6L, "b", "atk", "P", 1L, 8L, 7L, 90.0, 120.0))
+    // round 0: 1 victim of 5 between-txs (1*4 < 5) → fail; back shrinks to
+    // ord 3 → 1 victim of 2 → verified at iter 1
+    val out = InspectorOps.sandwichesOf(df).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Int]("found_at_iter") == 1)
+    assert(out.head.getAs[Long]("n_victims") == 1)
+  }
+
+  test("sandwich_not: low victim ratio with the victim near the back never heals") {
+    val df = swTxOf(
+      (1L, 0L, "f", "atk", "P", 0L, 7L, 8L, 100.0, 90.0),
+      (1L, 1L, "n1", "oth1", "Q", 0L, 7L, 8L, 5.0, 4.4),
+      (1L, 2L, "n2", "oth2", "Q", 0L, 7L, 8L, 5.0, 4.4),
+      (1L, 3L, "n3", "oth3", "Q", 0L, 7L, 8L, 5.0, 4.4),
+      (1L, 4L, "n4", "oth4", "Q", 0L, 7L, 8L, 5.0, 4.4),
+      (1L, 5L, "v", "vic", "P", 0L, 7L, 8L, 50.0, 44.0), // victim near back
+      (1L, 6L, "b", "atk", "P", 1L, 8L, 7L, 90.0, 120.0))
+    // round 0 fails the ratio; every shrink cuts the victim out first
     assert(InspectorOps.sandwichesOf(df).count() == 0)
   }
 
@@ -97,11 +155,46 @@ class GoldenScenarioSpec extends SparkTestBase {
     assert(out.count() == 0)
   }
 
-  test("cross-block patterns never match (per-block partitioning)") {
-    val df = swTxOf(
-      (1L, 15L, "f", "atk", "P", 0L, 7L, 100.0, 90.0),
-      (2L, 0L, "v", "vic", "P", 0L, 7L, 50.0, 44.0),
-      (2L, 1L, "b", "atk", "P", 1L, 8L, 90.0, 120.0))
-    assert(InspectorOps.sandwichesOf(df).count() == 0)
+  // swap-grain rows for the trigger search:
+  // (block, tx_idx, tx_hash, pool, direction, trace_idx, token_in, token_out)
+  private def trigSwapsOf(
+      rows: (Long, Long, String, String, Long, Long, Long, Long)*): DataFrame =
+    rows.toDF("block_number", "tx_idx", "tx_hash", "pool", "direction",
+      "trace_idx", "token_in_id", "token_out_id")
+
+  test("trigger search prefers the arb's own block, then walks one block back") {
+    val swaps = trigSwapsOf(
+      // prev-block opposite-direction swap on the arb's pool
+      (1L, 4L, "prev", "P", 1L, 1L, 11L, 10L),
+      // same-block opposite-direction swap — must win over "prev"
+      (2L, 1L, "same", "P", 1L, 1L, 11L, 10L),
+      // the arb tx itself: two swaps closing a cycle through pool P
+      (2L, 5L, "arb", "P", 0L, 1L, 10L, 11L),
+      (2L, 5L, "arb", "Q", 0L, 2L, 11L, 10L))
+    val arbs = InspectorOps.arbsOf(swaps)
+    val picks = InspectorOps.triggerPicks(arbs, swaps).collect()
+    assert(picks.length == 1)
+    assert(picks.head.getAs[String]("trigger_tx") == "same")
+    assert(picks.head.getAs[Boolean]("trig_same_block"))
+  }
+
+  test("trigger search falls back to the previous block only") {
+    val swaps = trigSwapsOf(
+      (1L, 4L, "prev", "P", 1L, 1L, 11L, 10L),
+      (2L, 5L, "arb", "P", 0L, 1L, 10L, 11L),
+      (2L, 5L, "arb", "Q", 0L, 2L, 11L, 10L))
+    val picks = InspectorOps.triggerPicks(InspectorOps.arbsOf(swaps), swaps).collect()
+    assert(picks.length == 1)
+    assert(picks.head.getAs[String]("trigger_tx") == "prev")
+    assert(!picks.head.getAs[Boolean]("trig_same_block"))
+  }
+
+  test("trigger_not: two blocks back is outside the window; same direction never triggers") {
+    val swaps = trigSwapsOf(
+      (0L, 4L, "old", "P", 1L, 1L, 11L, 10L), // two blocks before the arb
+      (2L, 3L, "sd", "P", 0L, 1L, 10L, 11L), // same direction as the arb leg
+      (2L, 5L, "arb", "P", 0L, 1L, 10L, 11L),
+      (2L, 5L, "arb", "Q", 0L, 2L, 11L, 10L))
+    assert(InspectorOps.triggerPicks(InspectorOps.arbsOf(swaps), swaps).count() == 0)
   }
 }
