@@ -63,7 +63,7 @@ object Accounting {
     deltas(actionsDf)
       .join(broadcast(tokenPrices(s)), "token_id")
       .groupBy("tx_hash")
-      .agg(dsum(col("delta") * col("price_usd")).as("revenue_usd"))
+      .agg(dsumR(col("delta") * col("price_usd")).as("revenue_usd"))
 
   /** A3: bundle header — revenue − gas per tx, the row every inspector
     * attaches to its detections. Materialized like the reference's stored
@@ -81,7 +81,7 @@ object Accounting {
 
   /** Extra WITH-clause members: px, deltas, tx_gas, tx_rev, header, swaps. */
   val sqlAccountingCtes: String =
-    s"""px AS (SELECT i AS token_id, 1.0 + i * 0.1 AS price_usd
+    s"""px AS (SELECT i AS token_id, 1.0e0 + i * 0.1e0 AS price_usd
       FROM range($TokRefSpace) t(i)),
     deltas AS (
       SELECT block_number, tx_idx, tx_hash, from_address AS eoa,
@@ -102,7 +102,7 @@ object Accounting {
       FROM trace t JOIN blocks b ON t.block_number = b.block_number
       GROUP BY 1, 2, 3),
     tx_rev AS (
-      SELECT d.tx_hash, ${sqlSum("d.delta * px.price_usd")} AS revenue_usd
+      SELECT d.tx_hash, ${sqlSumR("d.delta * px.price_usd")} AS revenue_usd
       FROM deltas d JOIN px ON d.token_id = px.token_id
       GROUP BY 1),
     header AS (

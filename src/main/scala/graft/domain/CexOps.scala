@@ -203,7 +203,7 @@ object CexOps extends QueryModule {
       searchers3 AS (SELECT md5('eoa:' || i) AS s_eoa FROM range(4) t(i)),
       mk AS (
         SELECT exchange,
-          (pv / v - rate) * amount_in * (1.0 + pair_a * 0.1) AS markout_usd,
+          (pv / v - rate) * amount_in * (1.0e0 + pair_a * 0.1e0) AS markout_usd,
           s.s_eoa
         FROM leg LEFT JOIN searchers3 s ON leg.eoa = s.s_eoa)
       SELECT exchange, COUNT(*) AS n_legs,

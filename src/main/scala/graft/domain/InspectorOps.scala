@@ -267,9 +267,9 @@ object InspectorOps extends QueryModule {
         front_tx, dir, tok_in, tok_out, sum_in, sum_out,
         back_ord, back_in, back_out, back_tx,
         (ABS((sum_out / sum_in) /
-             ((1.0 + tok_in * 0.1) / (1.0 + tok_out * 0.1)) - 1) <= $MaxPriceDiff
+             ((1.0e0 + tok_in * 0.1e0) / (1.0e0 + tok_out * 0.1e0)) - 1) <= $MaxPriceDiff
          AND ABS((back_out / back_in) /
-             ((1.0 + back_tok_in * 0.1) / (1.0 + back_tok_out * 0.1)) - 1) <= $MaxPriceDiff
+             ((1.0e0 + back_tok_in * 0.1e0) / (1.0e0 + back_tok_out * 0.1e0)) - 1) <= $MaxPriceDiff
         ) AS valid_pricing
       FROM (
         SELECT * FROM (
@@ -606,7 +606,7 @@ object InspectorOps extends QueryModule {
         GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
       SELECT block_number, COUNT(*) AS n_jit,
         CAST(SUM(n_victims) AS BIGINT) AS n_victims,
-        ${sqlSum("(burn_in - mint_in) * (1.0 + mint_t0 * 0.1) + (burn_out - mint_out) * (1.0 + mint_t1 * 0.1)")} AS sum_fee_usd
+        ${sqlSum("(burn_in - mint_in) * (1.0e0 + mint_t0 * 0.1e0) + (burn_out - mint_out) * (1.0e0 + mint_t1 * 0.1e0)")} AS sum_fee_usd
       FROM jitv GROUP BY 1 ORDER BY 1"""))
 
   /** J7: pool-overlap check — first vs last swap tx of an EOA in a block
