@@ -218,6 +218,11 @@ object ChainFixture {
   // ── materialized intermediates ────────────────────────────────────────────
 
   private val materialized = scala.collection.mutable.Set[String]()
+
+  /** Per-JVM store root: concurrent JVMs running the same suite must not
+    * collide on (or read each other's half-written) materialized tables. */
+  private val matRoot =
+    s"${System.getProperty("java.io.tmpdir")}/graft_mat_${ProcessHandle.current().pid()}"
   private[domain] def materializedHas(p: String): Boolean =
     materialized.contains(p)
   private[domain] def materializedAdd(p: String): Unit = materialized += p
@@ -229,7 +234,7 @@ object ChainFixture {
     * pipeline stages; locally they live under java.io.tmpdir. */
   private[domain] def materialize(s: SparkSession, key: String, df: => DataFrame): DataFrame =
     synchronized {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_mat_$key"
+      val path = s"${matRoot}_$key"
       if (!materialized.contains(path)) {
         df.write.mode("overwrite").parquet(path)
         materialized += path
@@ -250,7 +255,7 @@ object ChainFixture {
     * of SURVEY §4: block-range queries prune partitions at the source. */
   def actionsTable(s: SparkSession, dir: String): DataFrame =
     synchronized {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_mat_actions_${dirKey(dir)}"
+      val path = s"${matRoot}_actions_${dirKey(dir)}"
       if (!materializedHas(path)) {
         actions(s, dir)
           .withColumn("block_bucket", expr("block_number div 250"))

@@ -155,21 +155,42 @@ object InspectorOps extends QueryModule {
     * (mod.rs:447-555): candidates failing the victim check pull their back
     * boundary toward the front by halving the gap, re-checking each round,
     * ≤ [[ShrinkRounds]] rounds. Pricing-invalid brackets never heal by
-    * shrinking and are dropped outright. `found_at_iter` records the round. */
+    * shrinking and are dropped outright. `found_at_iter` records the round.
+    *
+    * Documented divergence from the reference: its back_shrink pops the
+    * last FRONTRUN and promotes it to backrun, so a shrunk sandwich reports
+    * an actual tx at the new boundary; here the boundary is the halved
+    * `back_ord` and the reported back_tx/back_out stay those of the
+    * original bracket. Both the Spark and oracle sides implement the same
+    * halving, so results agree; only the reported back leg of iter>0 finds
+    * differs from the reference's choice. */
   private[graft] def sandwichesOf(swTxDf: DataFrame): DataFrame = {
     val swW = windowed(swTxDf)
     var cand = bracketsOf(swTxDf)
     var found = Vector.empty[DataFrame]
+    var prevSt: DataFrame = null
     for (iter <- 0 until ShrinkRounds) {
+      // Force each round's stats, keep only the (small) verified slice
+      // cached, and release the previous round's frame — the loop holds at
+      // most one full victim-stats frame at a time.
       val st = victimStats(cand, swW).persist()
-      found = found :+ st.filter(verified).withColumn("found_at_iter", lit(iter))
+      st.count()
+      val f = st.filter(verified).withColumn("found_at_iter", lit(iter)).persist()
+      f.count()
+      found = found :+ f
       cand = st.filter(!verified && col("valid_pricing"))
         .withColumn("back_ord",
           col("front_ord") + ceil((col("back_ord") - col("front_ord")) / 2))
         .filter(col("back_ord") > col("front_ord") + 1)
         .drop("n_victims", "n_cand_txs")
+      if (prevSt != null) prevSt.unpersist(false)
+      prevSt = st
     }
-    found.reduce(_ unionByName _)
+    val out = found.reduce(_ unionByName _).persist()
+    out.count()
+    if (prevSt != null) prevSt.unpersist(false)
+    found.foreach(_.unpersist(false))
+    out
   }
 
   /** The verified sandwich set, computed once per JVM (q1/j10/q9/w3 all
@@ -200,6 +221,15 @@ object InspectorOps extends QueryModule {
 
   private def arbs(s: SparkSession, dir: String): DataFrame =
     arbsOf(swaps(s, dir))
+
+  /** Distinct swap-leg candidate set (block, tx, pool, direction) — the
+    * trigger-search input q2 AND j9 both scan; materialized so the distinct
+    * runs once per JVM, like its sibling [[swTx]] store. */
+  private def swapLegs(s: SparkSession, dir: String): DataFrame =
+    ChainFixture.materialize(s, s"swlegs_${ChainFixture.dirKey(dir)}",
+      swaps(s, dir).filter(col("pool").isNotNull)
+        .select("block_number", "tx_idx", "tx_hash", "pool", "direction")
+        .distinct())
 
   /** J9 (domain form): find_trigger_tx (atomic_arb.rs:239-311) — for each
     * arb tx, the earliest prior tx within the 2-block window that swapped
@@ -440,7 +470,7 @@ object InspectorOps extends QueryModule {
       val a = arbs(s, dir)
       a.join(bundleHeaders(s, dir), "tx_hash")
         .join(broadcast(searchers), col("eoa") === col("s_eoa"), "left")
-        .join(triggerPicks(a, swaps(s, dir)), Seq("tx_hash"), "left")
+        .join(triggerPicks(a, swapLegs(s, dir)), Seq("tx_hash"), "left")
         // validity heuristic (atomic_arb.rs:180-198): profitable OR known
         // searcher OR an outsized bribe (gas spend)
         .withColumn("is_valid", col("profit_usd") > 0 ||
@@ -476,7 +506,7 @@ object InspectorOps extends QueryModule {
     (s, dir) => {
       val a = arbs(s, dir)
       a.select("tx_hash", "arb_type")
-        .join(triggerPicks(a, swaps(s, dir)), Seq("tx_hash"), "left")
+        .join(triggerPicks(a, swapLegs(s, dir)), Seq("tx_hash"), "left")
         // INT (not BOOLEAN): nullable booleans round-trip as None-vs-NaN
         // across the two engines' parquet/pandas paths
         .withColumn("trig_same_block", col("trig_same_block").cast("int"))
