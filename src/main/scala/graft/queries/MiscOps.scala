@@ -18,7 +18,7 @@ object MiscOps extends QueryModule {
     p10ZipPadded, p11MergeIter, p13FrontendPrunes, p14RemoveDup,
     t1SortDedup, t3BundleOrdering, t4SetSemiDiff,
     f2SwapRate, f4StableClass, f6HexFormat, f7GasMath, f8MaxArbDelta,
-    f10PoolMath, f10TickMath, s4PartitionedSink)
+    f10PoolMath, f10TickMath, f10TickCross, s4PartitionedSink)
 
   /** P4 modify_spans (tree/mod.rs:204): conditional in-place rewrite of
     * rows inside matched spans — rewrite becomes re-projection. */
@@ -387,6 +387,98 @@ object MiscOps extends QueryModule {
       WHERE action_type = 'swap' AND amount_in IS NOT NULL AND amount_out IS NOT NULL
         AND amount_in > 0 AND amount_out > 0
       GROUP BY 1 ORDER BY 1"""))
+
+  /** F10c UniswapV3 tick-CROSSING swap engine
+    * (uniswap_v3_math/{tick_math,tick_bitmap,bit_math}.rs + swap loop in
+    * protocols/uniswap_v3/mod.rs): an exact-input token0 swap walks DOWN
+    * through per-tick-range liquidity, consuming each range's token0
+    * capacity Δx = L·(1/√P_lo − 1/√P_start) and emitting Δy = L·(√P_start −
+    * √P_end), crossing initialized boundaries until the input is spent.
+    *
+    * Re-expressed Spark-first: instead of a sequential per-swap loop, the
+    * ranges at-or-below each swap's start tick are EXPLODED via an
+    * equi-join on pool, a running window sum accumulates capacity in walk
+    * order (k descending), and each range resolves to full / partial /
+    * untouched — the j5 progressive-fill shape, fully distributed and
+    * linear in swaps × ranges.
+    *
+    * Fixture ticks: 16 ranges of 10 ticks per v3 pool, deterministic
+    * per-range liquidity, and a linearized √P(t) = 1 + t/10⁴ so every
+    * price is a single correctly-rounded IEEE op on both engines (the real
+    * 1.0001^(t/2) needs libm pow, which differs by 1 ulp JVM-vs-C). */
+  private val f10TickCross = QueryDef(
+    "f10_tick_cross",
+    (s, dir) => {
+      val p = ChainFixture.pools(s)
+        .filter(col("protocol") === "uniswap_v3")
+        .select(col("address").as("p_addr"), col("pool_id"))
+      val ranges = s.range(-8, 8).select(col("id").as("k"))
+        .crossJoin(p.select(col("pool_id").as("r_pool")))
+        .withColumn("liq",
+          lit(10000.0) + col("r_pool") * 1000.0 + abs(col("k")) * 500.0)
+      def px(t: org.apache.spark.sql.Column) = lit(1.0) + t / 10000.0
+      val w = Window.partitionBy("pool_id", "tx_hash", "trace_idx")
+        .orderBy(col("k").desc)
+      val walk = ChainFixture.actionsTable(s, dir)
+        .filter(col("action_type") === "swap" &&
+          col("amount_in").isNotNull && col("amount_in") > 0)
+        .join(broadcast(p), col("pool") === col("p_addr"))
+        .withColumn("cur_t", (col("pool_id") * 7) % 80 - 40)
+        .withColumn("amt_eff", col("amount_in") * 0.997)
+        .join(ranges, col("pool_id") === col("r_pool") &&
+          col("k") * 10 <= col("cur_t"))
+        .withColumn("s_px", px(least((col("k") + 1) * 10, col("cur_t"))))
+        .withColumn("e_px", px(col("k") * 10))
+        .withColumn("cap", col("liq") * (lit(1.0) / col("e_px") - lit(1.0) / col("s_px")))
+        .withColumn("cum", coalesce(
+          sum(col("cap")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
+        .filter(col("cum") < col("amt_eff"))
+        .withColumn("full", col("cum") + col("cap") <= col("amt_eff"))
+        .withColumn("out_tok1", when(col("full"), col("liq") * (col("s_px") - col("e_px")))
+          .otherwise(col("liq") * (col("s_px") -
+            lit(1.0) / (lit(1.0) / col("s_px") +
+              (col("amt_eff") - col("cum")) / col("liq")))))
+      walk.groupBy("pool_id")
+        .agg(countDistinct(col("tx_hash"), col("trace_idx")).as("n_swaps"),
+          sum(when(col("full"), 1L).otherwise(0L)).as("n_crossed"),
+          sum(when(col("full") && col("k") === -8, 1L).otherwise(0L)).as("n_exhausted"),
+          dsumR(col("out_tok1")).as("sum_out"))
+        .orderBy("pool_id")
+    },
+    withDomain(s""", tickr AS (
+        SELECT p.pool_id AS r_pool, r.k,
+          10000.0e0 + p.pool_id * 1000.0e0 + ABS(r.k) * 500.0e0 AS liq
+        FROM pool p, range(-8, 8) r(k)
+        WHERE p.protocol = 'uniswap_v3'),
+      walk0 AS (
+        SELECT p.pool_id, a.tx_hash, a.trace_idx, t.k, t.liq,
+          a.amount_in * 0.997e0 AS amt_eff,
+          1.0e0 + LEAST((t.k + 1) * 10, (p.pool_id * 7) % 80 - 40) / 10000.0e0 AS s_px,
+          1.0e0 + (t.k * 10) / 10000.0e0 AS e_px
+        FROM actions a
+        JOIN pool p ON a.pool = p.address AND p.protocol = 'uniswap_v3'
+        JOIN tickr t ON t.r_pool = p.pool_id
+                    AND t.k * 10 <= (p.pool_id * 7) % 80 - 40
+        WHERE a.action_type = 'swap' AND a.amount_in IS NOT NULL
+          AND a.amount_in > 0),
+      walk1 AS (
+        SELECT *, liq * (1.0e0 / e_px - 1.0e0 / s_px) AS cap,
+          COALESCE(SUM(liq * (1.0e0 / e_px - 1.0e0 / s_px)) OVER (
+            PARTITION BY pool_id, tx_hash, trace_idx ORDER BY k DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0e0) AS cum
+        FROM walk0),
+      walk2 AS (
+        SELECT *, (cum + cap <= amt_eff) AS is_full,
+          CASE WHEN cum + cap <= amt_eff THEN liq * (s_px - e_px)
+               ELSE liq * (s_px - 1.0e0 / (1.0e0 / s_px + (amt_eff - cum) / liq))
+          END AS out_tok1
+        FROM walk1 WHERE cum < amt_eff)
+      SELECT pool_id,
+        CAST(COUNT(DISTINCT (tx_hash, trace_idx)) AS BIGINT) AS n_swaps,
+        CAST(SUM(CASE WHEN is_full THEN 1 ELSE 0 END) AS BIGINT) AS n_crossed,
+        CAST(SUM(CASE WHEN is_full AND k = -8 THEN 1 ELSE 0 END) AS BIGINT) AS n_exhausted,
+        ${sqlSumR("out_tok1")} AS sum_out
+      FROM walk2 GROUP BY 1 ORDER BY 1"""))
 
   /** S4 parquet export sink (brontes-db parquet/mod.rs): partitionBy write
     * + read-back — the sink is the op; the oracle recomputes the partition

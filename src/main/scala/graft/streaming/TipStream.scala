@@ -74,6 +74,19 @@ object TipStream {
         updatePoolState)
   }
 
+  /** Linearized tick of a price — the coordinate f10_tick_cross's planted
+    * curve uses (√P(t) = 1 + t/10⁴, so t = ⌊(px−1)·10⁴⌋). The real
+    * tick_math.rs log-base-1.0001 form needs libm pow/log; the linear form
+    * keeps the streaming fold engine-portable. */
+  def tickOf(px: Double): Long = math.floor((px - 1.0) * 10000.0).toLong
+
+  /** True when a quote's pre→post move crossed an initialized tick
+    * boundary — the streaming analog of the tick_bitmap walk: the V3 fold
+    * must re-read range liquidity whenever this fires (uniswap_v3_math/
+    * tick_bitmap.rs next_initialized_tick_within_one_word). */
+  def crossedBoundary(q: PoolQuote): Boolean =
+    q.prePx.exists(p => tickOf(p) != tickOf(q.postPx))
+
   /** R2+S5: follow a parquet directory as the chain tip, maintain pool
     * state, and write each micro-batch through foreachBatch (the ordered
     * write-behind sink). Returns the running query. */

@@ -33,6 +33,31 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("R5 tick boundary crossings are detected across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[PoolUpdate]
+    val q = TipStream.poolQuotes(input.toDS())
+      .writeStream.format("memory").queryName("tick_quotes")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: price stays inside tick 0 (√P ∈ [1.0, 1.0001))
+      input.addData(PoolUpdate("V3", 1L, 0L, 1.00002, 1.0),
+        PoolUpdate("V3", 1L, 1L, 1.00009, 1.0))
+      q.processAllAvailable()
+      // batch 2: the move into tick 1 happens ACROSS the batch boundary —
+      // only carried state can see it; then a drop back down to tick 0
+      input.addData(PoolUpdate("V3", 2L, 0L, 1.00013, 1.0),
+        PoolUpdate("V3", 2L, 1L, 1.00004, 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("tick_quotes").as[PoolQuote].collect()
+        .sortBy(_.nUpdates)
+      assert(rows.map(TipStream.crossedBoundary).toSeq ==
+        Seq(false, false, true, true))
+      assert(TipStream.tickOf(rows(2).postPx) == 1L &&
+        TipStream.tickOf(rows(3).postPx) == 0L)
+    } finally q.stop()
+  }
+
   test("R2/S5 tip mode follows a directory and write-behinds per micro-batch") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_tip").toString
     val (src, out, ckpt) = (s"$tmp/src", s"$tmp/out", s"$tmp/ckpt")
