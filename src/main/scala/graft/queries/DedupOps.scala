@@ -172,14 +172,54 @@ object DedupOps extends QueryModule {
         FROM sigs GROUP BY 1 ORDER BY 1"""
     })
 
+  /** Distributed connected components by ITERATIVE MIN-LABEL PROPAGATION:
+    * each node starts at min(self, neighbors) and every round takes the
+    * minimum label across its neighborhood, until a round changes nothing
+    * (≤ cluster diameter, capped at [[MaxLabelRounds]]). Per-round state is
+    * one label row per node plus the edge set — rows stay LINEAR in
+    * nodes+edges every round, unlike a transitive closure whose reach set
+    * grows O(Σ cluster²). This is the 100 TB path when the LSH candidate
+    * graph outgrows the driver. */
+  private[graft] val MaxLabelRounds = 10
+  private[graft] def distributedClusters(cand: DataFrame): DataFrame = {
+    val sym = cand.unionByName(
+      cand.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).persist()
+    var labels = sym.groupBy("doc_a")
+      .agg(least(min(col("doc_b")), col("doc_a")).as("lbl")).persist()
+    labels.count()
+    var converged = false
+    var iters = 0
+    while (!converged && iters < MaxLabelRounds) {
+      val nbMin = sym
+        .join(labels.select(col("doc_a").as("m"), col("lbl").as("nb_lbl")),
+          col("doc_b") === col("m"))
+        .groupBy("doc_a").agg(min(col("nb_lbl")).as("prop_lbl"))
+      val next = labels.join(nbMin, Seq("doc_a"), "left")
+        .select(col("doc_a"),
+          least(col("lbl"), coalesce(col("prop_lbl"), col("lbl"))).as("lbl"),
+          (col("prop_lbl") < col("lbl")).as("changed"))
+        .persist()
+      val nChanged = next.filter(col("changed")).count()
+      labels.unpersist(false)
+      labels = next.drop("changed")
+      converged = nChanged == 0
+      iters += 1
+    }
+    sym.unpersist(false)
+    labels
+      .groupBy("lbl")
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") >= 2)
+      .select(col("lbl").as("cluster_rep"), col("n_members"))
+      .orderBy("cluster_rep")
+  }
+
   /** Connected components over the LSH candidate pairs — the clustering
     * stage that turns near-dup PAIRS into dedup GROUPS (pick one canonical
-    * doc per cluster). Spark side: bounded transitive-closure loop over the
-    * (tiny relative to the corpus) candidate edge set — each doc's label is
-    * the minimum reachable doc id; converges in ≤ cluster-diameter rounds,
-    * capped at 10. Oracle: DuckDB recursive CTE computing the same closure.
-    * At 100 TB the edge set is LSH-bounded (≪ corpus), so the loop runs
-    * over a side table, not the corpus. */
+    * doc per cluster). Spark side: driver union-find for LSH-bounded edge
+    * sets (the G2 pattern), [[distributedClusters]] min-label propagation
+    * past 1M edges. Oracle: DuckDB recursive CTE computing the same
+    * components. */
   private val d5DedupClusters = QueryDef(
     "d5_dedup_clusters",
     (s, dir) => {
@@ -204,36 +244,7 @@ object DedupOps extends QueryModule {
           .groupBy(_._1).map { case (lbl, xs) => (lbl, xs.size.toLong) }
           .filter(_._2 >= 2).toSeq.sortBy(_._1)
           .toDF("cluster_rep", "n_members")
-      } else {
-        // general path: distributed transitive closure, bounded rounds
-        val sym = cand.unionByName(
-          cand.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).persist()
-        var reach = sym
-        var n = reach.count()
-        var converged = false
-        var iters = 0
-        while (!converged && iters < 10) {
-          val next = reach.unionByName(
-            reach.join(sym.select(col("doc_a").as("m"), col("doc_b").as("nb")),
-                col("doc_b") === col("m"))
-              .select(col("doc_a"), col("nb").as("doc_b")))
-            .filter(col("doc_a") =!= col("doc_b"))
-            .distinct().persist()
-          val n2 = next.count()
-          converged = n2 == n
-          n = n2
-          reach = next
-          iters += 1
-        }
-        reach
-          .groupBy("doc_a")
-          .agg(least(min(col("doc_b")), col("doc_a").cast("long")).as("lbl"))
-          .groupBy("lbl")
-          .agg(count(lit(1)).as("n_members"))
-          .filter(col("n_members") >= 2)
-          .select(col("lbl").as("cluster_rep"), col("n_members"))
-          .orderBy("cluster_rep")
-      }
+      } else distributedClusters(cand)
     },
     Some(s"""WITH RECURSIVE $shinglesCte, $sigCte, $bandsCte, $candCte,
       sym AS (SELECT doc_a, doc_b FROM cand

@@ -73,4 +73,14 @@ class OpsSpec extends SparkTestBase {
       .groupBy("doc_id").count().orderBy("doc_id").collect()
     assert(sh.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 2L)))
   }
+
+  test("DedupOps distributed min-label propagation finds components incl. long chains") {
+    // three components: a triangle path, a pair, and a 5-node chain whose
+    // diameter forces several propagation rounds
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (20L, 21L), (21L, 22L),
+      (22L, 23L), (23L, 24L)).toDF("doc_a", "doc_b")
+    val out = graft.queries.DedupOps.distributedClusters(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 3L), (5L, 2L), (20L, 5L)))
+  }
 }
