@@ -548,7 +548,10 @@ object CexOps extends QueryModule {
         .select("pair_key", "ts_us", "mid")
       val sw = dexSwaps(s, dir)
         .withColumn("pair_key", concat(col("pair_a"), lit(":"), col("pair_b")))
-      graft.ops.AsOfJoin.backward(sw, quotes, Seq("pair_key"), "ts_us", "mid", "q_mid")
+      // ~60 pair keys can't parallelize a bare-key window at scale — salt
+      // by 10-minute time buckets with carry-over
+      graft.ops.AsOfJoin.backwardSalted(sw, quotes, Seq("pair_key"), "ts_us",
+        "mid", "q_mid", bucketSpan = 600000000L)
         .groupBy("pair_a")
         .agg(count(lit(1)).as("n_swaps"),
           sum(when(col("q_mid").isNotNull, 1L).otherwise(0L)).as("n_quoted"),

@@ -34,7 +34,10 @@ object FidelityOps extends QueryModule {
       val d = Accounting.deltas(a)
         .withColumn("ord", col("block_number") * TxPerBlock + col("tx_idx"))
         .select("tx_hash", "eoa", "token_id", "delta", "ord")
-      graft.ops.AsOfJoin.backward(d, quotes, Seq("token_id"), "ord", "px", "asof_px")
+      // 42 token ids can't parallelize a bare-key window at scale — salt
+      // by 250-block ord buckets (16 tx slots per block) with carry-over
+      graft.ops.AsOfJoin.backwardSalted(d, quotes, Seq("token_id"), "ord", "px",
+        "asof_px", bucketSpan = 250L * TxPerBlock)
         .groupBy("eoa")
         .agg(count(lit(1)).as("n_deltas"),
           sum(when(col("asof_px").isNotNull, 1L).otherwise(0L)).as("n_priced"),

@@ -34,6 +34,24 @@ class OpsSpec extends SparkTestBase {
     assert(out.map(_.getAs[Double]("last_px")).toSeq == Seq(2.0, 7.0))
   }
 
+  test("AsOfJoin.backwardSalted equals backward across buckets, carries, ties, negatives") {
+    // right values land in buckets {-1, 0, 2}; left probes hit: a tie in
+    // the same bucket, an EMPTY bucket (1 → carry from 0), a later bucket
+    // with its own rows, and a negative-time probe before everything
+    val left = Seq((1L, -30L), (1L, 5L), (1L, 17L), (1L, 25L), (2L, 9L))
+      .toDF("k", "ts")
+    val right = Seq((1L, -5L, 0.5), (1L, 5L, 1.0), (1L, 8L, 2.0),
+      (1L, 21L, 3.0), (2L, 9L, 9.0)).toDF("k", "ts", "px")
+    val plain = AsOfJoin.backward(left, right, Seq("k"), "ts", "px", "p")
+      .orderBy("k", "ts").collect().map(r => Option(r.getAs[java.lang.Double]("p")))
+    val salted = AsOfJoin.backwardSalted(left, right, Seq("k"), "ts", "px", "p",
+      bucketSpan = 10L).orderBy("k", "ts").collect()
+      .map(r => Option(r.getAs[java.lang.Double]("p")))
+    assert(plain.toSeq == salted.toSeq)
+    assert(salted.toSeq ==
+      Seq(None, Some(1.0), Some(2.0), Some(3.0), Some(9.0)).map(_.map(Double.box)))
+  }
+
   test("Sessionize splits strictly AFTER the gap threshold (gap == limit stays joined)") {
     val df = Seq((1L, 0L, 1L), (1L, 1000L, 2L), (1L, 2000L, 3L), (1L, 3001L, 4L))
       .toDF("k", "us", "id")

@@ -65,4 +65,18 @@ class PlanSpec extends SparkTestBase {
     // sort-merge join anywhere in the decode path
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("low-cardinality as-of windows are salted by a time bucket") {
+    // The event-volume as-of window must partition by (key, __b) — a bare
+    // 42-token or 60-pair key would sort each key's entire history in one
+    // task at scale. The salted window spec carries the __b bucket column.
+    for (name <- Seq("j2_dex_asof", "q4_cexdex_quotes")) {
+      val p = plan(name)
+      val specs = "windowspecdefinition\\(([^)]*)\\)".r
+        .findAllMatchIn(p).map(_.group(1)).toSeq
+      assert(specs.nonEmpty, s"$name: no window specs in plan")
+      val salted = specs.filter(s => s.contains("__b"))
+      assert(salted.nonEmpty, s"$name: no bucket-salted window spec:\n$p")
+    }
+  }
 }
