@@ -535,13 +535,20 @@ object CexOps extends QueryModule {
       SELECT a, c, implied_px, n_routes FROM hop2 WHERE a < 5 ORDER BY 1, 2"""))
 
   /** Q4: cex-dex against book QUOTES — nearest-before mid-price per pair
-    * via the one-shuffle as-of join, markout vs dex rate. */
+    * via the one-shuffle as-of join, markout vs dex rate. Bid and ask get
+    * INDEPENDENT hash-derived bps offsets (cex_quotes.rs's real books are
+    * asymmetric), so the mid genuinely differs from the trade price and the
+    * quote path exercises non-cancelling spread math. */
   private val q4CexDexQuotes = QueryDef(
     "q4_cexdex_quotes",
     (s, dir) => {
+      val bidBps = expr("CAST(FLOOR(px * 10000.0) AS BIGINT)") % 20 + 1
+      val askBps = expr("CAST(FLOOR(px * 70000.0) AS BIGINT)") % 25 + 2
+      val bid = col("px") * (lit(1.0) - bidBps * 1e-4)
+      val ask = col("px") * (lit(1.0) + askBps * 1e-4)
       val quotes = cexTrades(s, dir)
         .select(col("pair_a"), col("pair_b"), col("ts_us"),
-          ((col("px") * 0.99 + col("px") * 1.01) / 2).as("mid"))
+          ((bid + ask) / 2).as("mid"))
         .groupBy("pair_a", "pair_b", "ts_us")
         .agg(max(col("mid")).as("mid"))
         .withColumn("pair_key", concat(col("pair_a"), lit(":"), col("pair_b")))
@@ -555,16 +562,17 @@ object CexOps extends QueryModule {
         .groupBy("pair_a")
         .agg(count(lit(1)).as("n_swaps"),
           sum(when(col("q_mid").isNotNull, 1L).otherwise(0L)).as("n_quoted"),
-          dsum((col("q_mid") - col("rate")) * col("amount_in")).as("sum_markout"))
+          dsumR((col("q_mid") - col("rate")) * col("amount_in")).as("sum_markout"))
         .orderBy("pair_a")
     },
     withCtes(s"""$cexTradesCte,
       q AS (SELECT pair_a, pair_b, ts_us,
-              MAX((px * 0.99 + px * 1.01) / 2) AS mid
+              MAX((px * (1.0e0 - (CAST(FLOOR(px * 10000.0e0) AS BIGINT) % 20 + 1) * 1.0e-4)
+                 + px * (1.0e0 + (CAST(FLOOR(px * 70000.0e0) AS BIGINT) % 25 + 2) * 1.0e-4)) / 2) AS mid
             FROM cex GROUP BY 1, 2, 3)
       SELECT d.pair_a AS pair_a, COUNT(*) AS n_swaps,
         CAST(SUM(CASE WHEN q.mid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_quoted,
-        ${sqlSum("(q.mid - d.rate) * d.amount_in")} AS sum_markout
+        ${sqlSumR("(q.mid - d.rate) * d.amount_in")} AS sum_markout
       FROM dex d ASOF LEFT JOIN q
         ON d.pair_a = q.pair_a AND d.pair_b = q.pair_b AND d.ts_us >= q.ts_us
       GROUP BY 1 ORDER BY 1"""))
