@@ -138,11 +138,35 @@ object FidelityOps extends QueryModule {
 
   /** A5 full fidelity: the wide one-pass BlockAnalysis — per-category
     * totals, top-entity argmaxes, distincts, ratios (block_analysis.rs:
-    * 658-2150's ~200 columns, here the representative 14). */
+    * 658-2150). The reference macro-generates its ~200-column matrix per
+    * MEV category; here the matrix is generated the same way — a column
+    * family of 7 metrics (count, distinct txs/eoas, exact in/out sums, max
+    * amount, top-eoa argmax) per action category, 42 category columns plus
+    * the 13 block-shape columns, all in ONE aggregation pass each. */
+  private val A5Categories =
+    Seq("swap", "transfer", "mint", "burn", "liquidation", "unclassified")
+
   private val a5BlockAnalysisWide = QueryDef(
     "a5_block_analysis_wide",
     (s, dir) => {
       val a = actionsTable(s, dir)
+      // the per-category column family, at block-bucket grain (distincts
+      // must aggregate at the output grain to be correct)
+      val catAggs = A5Categories.flatMap { t =>
+        val is = col("action_type") === t
+        Seq(
+          sum(when(is, 1L).otherwise(0L)).as(s"n_$t"),
+          countDistinct(when(is, col("tx_hash"))).as(s"ntx_$t"),
+          countDistinct(when(is, col("from_address"))).as(s"neoa_$t"),
+          dsum(when(is, col("amount_in"))).as(s"in_$t"),
+          dsum(when(is, col("amount_out"))).as(s"out_$t"),
+          max(when(is, col("amount_in"))).as(s"maxin_$t"),
+          max_by(when(is, col("from_address")),
+            when(is, struct(coalesce(col("amount_in"), lit(-1.0)),
+              col("trace_idx"), col("from_address")))).as(s"top_$t"))
+      }
+      val wide = a.groupBy(expr("block_number div 100").as("block_bucket"))
+        .agg(catAggs.head, catAggs.tail: _*)
       val perBlock = a.groupBy("block_number").agg(
         count(lit(1)).as("n_actions"),
         countDistinct(col("tx_hash")).as("n_txs"),
@@ -169,9 +193,24 @@ object FidelityOps extends QueryModule {
           max(col("biggest_amount")).as("biggest_amount"),
           max(col("n_pools")).as("max_pools_per_block"),
           max(col("n_eoas")).as("max_eoas_per_block"))
+        .join(wide, "block_bucket")
         .orderBy("block_bucket")
     },
-    withCtes("""blkw AS (
+    withCtes(s"""catw AS (
+        SELECT block_number // 100 AS block_bucket,
+          ${A5Categories.map { t =>
+            s"""CAST(SUM(CASE WHEN action_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t,
+          CAST(COUNT(DISTINCT CASE WHEN action_type = '$t' THEN tx_hash END) AS BIGINT) AS ntx_$t,
+          CAST(COUNT(DISTINCT CASE WHEN action_type = '$t' THEN from_address END) AS BIGINT) AS neoa_$t,
+          ${sqlSum(s"CASE WHEN action_type = '$t' THEN amount_in END")} AS in_$t,
+          ${sqlSum(s"CASE WHEN action_type = '$t' THEN amount_out END")} AS out_$t,
+          MAX(CASE WHEN action_type = '$t' THEN amount_in END) AS maxin_$t,
+          (list(from_address ORDER BY COALESCE(amount_in, -1.0) DESC,
+                trace_idx DESC, from_address DESC)
+             FILTER (WHERE action_type = '$t'))[1] AS top_$t"""
+          }.mkString(",\n          ")}
+        FROM actions GROUP BY 1),
+      blkw AS (
         SELECT block_number, COUNT(*) AS n_actions,
           CAST(COUNT(DISTINCT tx_hash) AS BIGINT) AS n_txs,
           CAST(COUNT(DISTINCT from_address) AS BIGINT) AS n_eoas,
@@ -180,26 +219,31 @@ object FidelityOps extends QueryModule {
           SUM(CASE WHEN action_type = 'transfer' THEN 1 ELSE 0 END) AS n_transfers,
           SUM(CASE WHEN action_type = 'liquidation' THEN 1 ELSE 0 END) AS n_liqs,
           SUM(CASE WHEN action_type = 'unclassified' THEN 1 ELSE 0 END) AS n_uncls,
-          """ + sqlSum("amount_in") + """ AS sum_in,
-          """ + sqlSum("amount_out") + """ AS sum_out,
+          ${sqlSum("amount_in")} AS sum_in,
+          ${sqlSum("amount_out")} AS sum_out,
           (list(from_address ORDER BY COALESCE(amount_in, -1.0) DESC,
                 trace_idx DESC, from_address DESC))[1] AS top_eoa,
           MAX(amount_in) AS biggest_amount
-        FROM actions GROUP BY 1)
-      SELECT block_number // 100 AS block_bucket, COUNT(*) AS n_blocks,
-        CAST(SUM(n_actions) AS BIGINT) AS n_actions,
-        CAST(SUM(n_txs) AS BIGINT) AS n_txs,
-        CAST(SUM(n_swaps) AS BIGINT) AS n_swaps,
-        CAST(SUM(n_transfers) AS BIGINT) AS n_transfers,
-        CAST(SUM(n_liqs) AS BIGINT) AS n_liqs,
-        CAST(SUM(n_uncls) AS BIGINT) AS n_uncls,
-        """ + sqlSum("sum_in") + """ AS sum_in,
-        """ + sqlSum("sum_out") + """ AS sum_out,
-        CAST(COUNT(DISTINCT top_eoa) AS BIGINT) AS n_top_eoas,
-        MAX(biggest_amount) AS biggest_amount,
-        MAX(n_pools) AS max_pools_per_block,
-        MAX(n_eoas) AS max_eoas_per_block
-      FROM blkw GROUP BY 1 ORDER BY 1"""))
+        FROM actions GROUP BY 1),
+      rollw AS (
+        SELECT block_number // 100 AS block_bucket, COUNT(*) AS n_blocks,
+          CAST(SUM(n_actions) AS BIGINT) AS n_actions,
+          CAST(SUM(n_txs) AS BIGINT) AS n_txs,
+          CAST(SUM(n_swaps) AS BIGINT) AS n_swaps,
+          CAST(SUM(n_transfers) AS BIGINT) AS n_transfers,
+          CAST(SUM(n_liqs) AS BIGINT) AS n_liqs,
+          CAST(SUM(n_uncls) AS BIGINT) AS n_uncls,
+          ${sqlSum("sum_in")} AS sum_in,
+          ${sqlSum("sum_out")} AS sum_out,
+          CAST(COUNT(DISTINCT top_eoa) AS BIGINT) AS n_top_eoas,
+          MAX(biggest_amount) AS biggest_amount,
+          MAX(n_pools) AS max_pools_per_block,
+          MAX(n_eoas) AS max_eoas_per_block
+        FROM blkw GROUP BY 1)
+      SELECT r.*, ${A5Categories.map { t =>
+        s"c.n_$t, c.ntx_$t, c.neoa_$t, c.in_$t, c.out_$t, c.maxin_$t, c.top_$t"
+      }.mkString(", ")}
+      FROM rollw r JOIN catw c USING (block_bucket) ORDER BY block_bucket"""))
 
   /** F5: ABI decode registry — synthesized calldata (selector ‖ one 32-byte
     * word) decoded back: selector extraction, word count, argument-window
