@@ -113,6 +113,16 @@ object ChainFixture {
           col("l_orderkey") % 4 + lit(4) * ((expr("l_orderkey div 64")) % 3)))
           .as("from_address"),
         col("trace_idx"),
+        // True call-tree path (structured_trace.rs:195): frames nest
+        // deterministically — every 5th frame roots a subtree, the next two
+        // are its direct children, the last two nest under child 1. Depth
+        // varies 1-3, so prefix-span logic (tree/node.rs:515) is exercised
+        // on real nesting, not a flat list.
+        when(col("trace_idx") % 5 === 0, array(expr("trace_idx div 5")))
+          .when(col("trace_idx") % 5 <= 2,
+            array(expr("trace_idx div 5"), col("trace_idx") % 5))
+          .otherwise(array(expr("trace_idx div 5"), lit(1L), col("trace_idx") % 5))
+          .as("trace_address"),
         when(col("sel_id") <= 2, SelV2Swap)
           .when(col("sel_id") === 3, SelV3Swap)
           .when(col("sel_id") === 4, SelCurveSwap)
@@ -212,7 +222,7 @@ object ChainFixture {
         when(col("action_type") === "transfer" && col("token_in_id") % 10 === 0 &&
           col("dec_in").isNotNull, col("q6") / 1000000.0 * 0.01).as("fee"),
         col("direction"), col("gas_used"), col("priority_fee"),
-        col("selector"), col("to_address"))
+        col("selector"), col("to_address"), col("trace_address"))
   }
 
   // ── materialized intermediates ────────────────────────────────────────────
@@ -317,6 +327,10 @@ object ChainFixture {
       FROM lineitem),
     trace AS (
       SELECT block_number, tx_idx, tx_hash, from_address, trace_idx,
+        CASE WHEN trace_idx % 5 = 0 THEN [trace_idx // 5]
+             WHEN trace_idx % 5 <= 2 THEN [trace_idx // 5, trace_idx % 5]
+             ELSE [trace_idx // 5, CAST(1 AS BIGINT), trace_idx % 5]
+        END AS trace_address,
         $selectorCase AS selector,
         CASE WHEN sel_id = 5 THEN md5('tok:' || tok_id)
              WHEN sel_id = 9 AND trace_idx = 1
@@ -374,7 +388,8 @@ object ChainFixture {
         CASE WHEN a.action_type = 'transfer' AND a.token_in_id % 10 = 0
                   AND ti.decimals IS NOT NULL
              THEN a.q6 / 1000000.0 * 0.01 END AS fee,
-        a.direction, a.gas_used, a.priority_fee, a.selector, a.to_address
+        a.direction, a.gas_used, a.priority_fee, a.selector, a.to_address,
+        a.trace_address
       FROM act2 a
       LEFT JOIN tok ti ON a.token_in_id = ti.token_id
       LEFT JOIN tok tokout ON a.token_out_id = tokout.token_id)"""

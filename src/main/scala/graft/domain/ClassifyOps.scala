@@ -110,30 +110,72 @@ object ClassifyOps extends QueryModule {
       CAST(SUM(CASE WHEN amount_in IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_token
       FROM actions WHERE action_type = 'transfer' GROUP BY 1 ORDER BY 1"""))
 
-  /** C5: multi-frame stitching — pair consecutive same-token transfers
-    * within a tx (the flash-loan borrow/repay matching shape): per-tx
-    * window over frames, no cross-tx state. */
+  /** C5: multi-frame classification — flash-loan BORROW↔REPAY leg matching
+    * within call-frame span ranges (multi_frame_classification/, the
+    * reference walks a frame range and pairs the loan's outbound leg with
+    * the covering repayment). Here: transfers split by direction (0 =
+    * funds arrive / borrow leg, 1 = funds return / repay leg), rank-paired
+    * per (tx, token, depth-1 span head) in frame order, and a pair counts
+    * as REPAID only when the repay frame comes after the borrow frame AND
+    * its amount covers the loan — the reference's amount-coverage check.
+    * Two rank windows + one equi-join on (tx, token, span, rank); no
+    * cross-tx state. */
   private val c5MultiframePair = QueryDef(
     "c5_multiframe_pair",
-    (s, dir) => acts(s, dir)
-      .filter(col("action_type") === "transfer")
-      .groupBy("tx_hash", "token_in_id")
-      .agg(count(lit(1)).as("n_legs"))
-      .select(col("token_in_id") % 5 as "token_bucket",
-        col("n_legs"), expr("n_legs div 2").as("n_pairs"))
-      .groupBy("token_bucket")
-      .agg(count(lit(1)).as("n_groups"),
-        sum(col("n_legs")).as("n_transfers"),
-        sum(col("n_pairs")).as("n_repaid_pairs"))
-      .orderBy("token_bucket"),
-    withCtes("""SELECT token_bucket, COUNT(*) AS n_groups,
-      CAST(SUM(n_legs) AS BIGINT) AS n_transfers,
-      CAST(SUM(n_pairs) AS BIGINT) AS n_repaid_pairs
-      FROM (SELECT token_in_id % 5 AS token_bucket, COUNT(*) AS n_legs,
-              COUNT(*) // 2 AS n_pairs
-            FROM actions WHERE action_type = 'transfer'
-            GROUP BY tx_hash, token_in_id)
-      GROUP BY 1 ORDER BY 1"""))
+    (s, dir) => {
+      val tr = acts(s, dir)
+        .filter(col("action_type") === "transfer" && col("amount_in").isNotNull)
+        .withColumn("span_head", element_at(col("trace_address"), 1))
+      val w = Window.partitionBy("tx_hash", "token_in_id", "span_head")
+        .orderBy("trace_idx")
+      def side(d: Int, pfx: String) = tr.filter(col("direction") === d)
+        .withColumn("rk", row_number().over(w))
+        .select(col("tx_hash"), col("token_in_id"), col("span_head"), col("rk"),
+          col("trace_idx").as(s"${pfx}_idx"), col("amount_in").as(s"${pfx}_amt"))
+      side(0, "b").join(side(1, "r"),
+          Seq("tx_hash", "token_in_id", "span_head", "rk"), "full")
+        .withColumn("repaid", col("r_idx") > col("b_idx") &&
+          col("r_amt") >= col("b_amt"))
+        .groupBy((col("token_in_id") % 5).as("token_bucket"))
+        .agg(sum(when(col("b_idx").isNotNull, 1L).otherwise(0L)).as("n_borrows"),
+          sum(when(col("r_idx").isNotNull, 1L).otherwise(0L)).as("n_repays"),
+          sum(when(col("b_idx").isNotNull && col("r_idx").isNotNull, 1L)
+            .otherwise(0L)).as("n_pairs"),
+          sum(when(col("repaid"), 1L).otherwise(0L)).as("n_repaid_pairs"),
+          dsumR(when(col("repaid"), col("r_amt") - col("b_amt"))).as("sum_excess"))
+        .orderBy("token_bucket")
+    },
+    withCtes(""", tr5 AS (
+        SELECT tx_hash, token_in_id, trace_address[1] AS span_head,
+          direction, trace_idx, amount_in
+        FROM actions
+        WHERE action_type = 'transfer' AND amount_in IS NOT NULL),
+      b5 AS (
+        SELECT tx_hash, token_in_id, span_head,
+          ROW_NUMBER() OVER (PARTITION BY tx_hash, token_in_id, span_head
+                             ORDER BY trace_idx) AS rk,
+          trace_idx AS b_idx, amount_in AS b_amt
+        FROM tr5 WHERE direction = 0),
+      r5 AS (
+        SELECT tx_hash, token_in_id, span_head,
+          ROW_NUMBER() OVER (PARTITION BY tx_hash, token_in_id, span_head
+                             ORDER BY trace_idx) AS rk,
+          trace_idx AS r_idx, amount_in AS r_amt
+        FROM tr5 WHERE direction = 1),
+      pairs5 AS (
+        SELECT COALESCE(b.token_in_id, r.token_in_id) AS token_in_id,
+          b.b_idx, b.b_amt, r.r_idx, r.r_amt,
+          (r.r_idx > b.b_idx AND r.r_amt >= b.b_amt) AS repaid
+        FROM b5 b FULL JOIN r5 r
+          ON b.tx_hash = r.tx_hash AND b.token_in_id = r.token_in_id
+         AND b.span_head = r.span_head AND b.rk = r.rk)
+      SELECT token_in_id % 5 AS token_bucket,
+        CAST(SUM(CASE WHEN b_idx IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_borrows,
+        CAST(SUM(CASE WHEN r_idx IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_repays,
+        CAST(SUM(CASE WHEN b_idx IS NOT NULL AND r_idx IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+        CAST(SUM(CASE WHEN repaid THEN 1 ELSE 0 END) AS BIGINT) AS n_repaid_pairs,
+        """ + sqlSumR("CASE WHEN repaid THEN r_amt - b_amt END") + """ AS sum_excess
+      FROM pairs5 GROUP BY 1 ORDER BY 1"""))
 
   /** C6: tax-token fixup — subtract sibling same-tx transfer fees from the
     * swap's received amount (span-join + conditional rewrite). */

@@ -102,39 +102,42 @@ object FidelityOps extends QueryModule {
       FROM orders GROUP BY 1 ORDER BY 1"""))
 
   /** P3 full fidelity: contiguous subtree collection via trace_address
-    * PREFIX matching — frames carry a call-tree path array; a span is every
-    * frame whose path starts with the span root's path (tree/node.rs:515).
-    * Roots are the depth-1 frames of mint-selector calls. */
+    * PREFIX matching — the fixture's frames carry a TRUE variable-depth
+    * call-tree path; a span is every frame whose path starts with the span
+    * root's full path (tree/node.rs:515). Roots are mint-selector frames at
+    * ANY depth, so a depth-2 root collects only its own nested slice, not
+    * the whole depth-1 subtree. Join stays equi-keyed on (tx, head); the
+    * prefix slice-compare is a post-filter inside the matched subtree. */
   private val p3SpanPrefix = QueryDef(
     "p3_span_prefix",
     (s, dir) => {
       val t = tracesTable(s, dir)
-        .withColumn("trace_address", array(
-          expr("trace_idx div 5"), col("trace_idx") % 5)).persist()
       val roots = t.filter(col("selector") === SelMint)
-        .select(col("tx_hash").as("r_tx"),
-          element_at(col("trace_address"), 1).as("r_head"))
+        .select(col("tx_hash").as("r_tx"), col("trace_address").as("r_path"))
         .distinct()
       t.join(roots, col("tx_hash") === col("r_tx") &&
-          element_at(col("trace_address"), 1) === col("r_head"))
-        .groupBy("r_tx", "r_head")
-        .agg(count(lit(1)).as("span_size"))
-        .groupBy("span_size")
+          element_at(col("trace_address"), 1) === element_at(col("r_path"), 1))
+        .filter(slice(col("trace_address"), lit(1), size(col("r_path"))) === col("r_path"))
+        .groupBy("r_tx", "r_path")
+        .agg(count(lit(1)).as("span_size"),
+          max(size(col("r_path"))).cast("long").as("root_depth"))
+        .groupBy("span_size", "root_depth")
         .agg(count(lit(1)).as("n_spans"))
-        .orderBy("span_size")
+        .orderBy("span_size", "root_depth")
     },
-    withCtes(s"""tr_addr AS (
-        SELECT *, [trace_idx // 5, trace_idx % 5] AS trace_address FROM trace),
-      roots AS (
-        SELECT DISTINCT tx_hash AS r_tx, trace_address[1] AS r_head
-        FROM tr_addr WHERE selector = '$SelMint'),
-      spans AS (
-        SELECT r.r_tx, r.r_head, COUNT(*) AS span_size
-        FROM tr_addr t JOIN roots r
-          ON t.tx_hash = r.r_tx AND t.trace_address[1] = r.r_head
+    withCtes(s"""p3roots AS (
+        SELECT DISTINCT tx_hash AS r_tx, trace_address AS r_path
+        FROM trace WHERE selector = '$SelMint'),
+      p3spans AS (
+        SELECT r.r_tx, r.r_path, COUNT(*) AS span_size,
+          MAX(len(r.r_path)) AS root_depth
+        FROM trace t JOIN p3roots r
+          ON t.tx_hash = r.r_tx AND t.trace_address[1] = r.r_path[1]
+        WHERE t.trace_address[1:len(r.r_path)] = r.r_path
         GROUP BY 1, 2)
-      SELECT span_size, COUNT(*) AS n_spans FROM spans
-      GROUP BY 1 ORDER BY 1"""))
+      SELECT span_size, CAST(root_depth AS BIGINT) AS root_depth,
+        COUNT(*) AS n_spans
+      FROM p3spans GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   /** A5 full fidelity: the wide one-pass BlockAnalysis — per-category
     * totals, top-entity argmaxes, distincts, ratios (block_analysis.rs:
