@@ -36,7 +36,7 @@ object CexOps extends QueryModule {
   val TxSpacingUs = 750000L
 
   def defs: Seq[QueryDef] = Seq(j4StagedVwam, q3CexDexMarkout, q3Reconstruct,
-    q3MergeSwaps, q3Global, j5Optimistic,
+    q3MergeSwaps, q3Global, j5Optimistic, j5BasketFill,
     j3Intermediary, q4CexDexQuotes, a8MostLiquid, a9SearcherStats, j1TxInfo,
     j12MetadataJoin, r1RangeChunks, r6FailedData)
 
@@ -499,6 +499,149 @@ object CexOps extends QueryModule {
         GROUP BY 1, 2, 3)
       SELECT COUNT(*) AS n_swaps, ${sqlSum("opt_px")} AS sum_opt_px,
         CAST(SUM(n_fills) AS BIGINT) AS n_fills FROM opt"""))
+
+  /** Time-basket size for the true optimistic fill (reference
+    * TIME_BASKET_SIZE = 100ms at ms granularity; scaled to the fixture's
+    * block clock so the ±30s window yields ~6 baskets per side). */
+  val BasketUs = 5000000L
+
+  /** Reference BASE_EXECUTION_QUALITY (optimistic.rs:36): within a basket,
+    * the lowest-priced (cnt-1)*80/100 trades are assumed unobtainable. */
+  val QualityPct = 80L
+
+  /** J5 (full semantics): time-basket optimistic fill — the reference's
+    * TimeBasketQueue allocation (optimistic.rs:250-340, utils.rs:132-176,
+    * 285-400) expressed as pure window recurrences, no driver loop:
+    *   1. trades bucket into fixed baskets ordered post-block-nearest-first
+    *      then pre-block-nearest-first (construct_forward/backward_baskets);
+    *   2. each swap's volume allocates to baskets ∝ basket volume, with
+    *      unfilled remainder carried to the next basket — the carry
+    *      recurrence u_b = max(0, u_{b-1} + alloc_b − avail_b) closes to
+    *      u_b = max(0, S_b − min(0, min_{k<b} S_k)) over the running sum
+    *      S_b of (alloc − avail), i.e. one cumsum + one cummin window;
+    *   3. within a basket, trades sort by price ascending, the bottom
+    *      quality quantile is skipped (TradeBasket::new), and the fill
+    *      walks the kept set clipping the final trade to the remaining
+    *      volume (get_trades_used);
+    *   4. taken slices VWAP with per-exchange maker/taker fees
+    *      (optimistic.rs:287-307 vxp_maker/vxp_taker).
+    * All comparisons run on doubles both engines compute bit-identically
+    * (integer-valued volumes, snap()ped allocation ratios, deterministic
+    * window order), so the fill set is engine-portable. */
+  private val j5BasketFill = QueryDef(
+    "j5_basket_fill",
+    (s, dir) => {
+      val keyN = Seq("block_number", "tx_hash", "trace_idx")
+      val key = keyN.map(col)
+      val wB = Window.partitionBy((key :+ col("bord")): _*)
+      val wBq = wB.orderBy(col("px").asc, col("t_ts").asc,
+        col("exchange").asc, col("amt").asc)
+      val wS = Window.partitionBy(key: _*).orderBy("bord")
+      val tk = phasePairs(s, dir)
+        .withColumn("delta", col("t_ts") - col("ts_us"))
+        .withColumn("bord",
+          when(col("delta") >= 0, expr(s"delta div $BasketUs"))
+            .otherwise(lit(1000L) + expr(s"(-delta - 1) div $BasketUs")))
+        .withColumn("rn", row_number().over(wBq))
+        .withColumn("cnt", count(lit(1)).over(wB))
+        .withColumn("kept", col("rn") > expr(s"((cnt - 1) * $QualityPct) div 100"))
+      // basket ledger: full volume drives allocation, kept volume caps fill
+      val baskets = tk.groupBy((key :+ col("bord")): _*)
+        .agg(sum(col("amt")).as("vol_b"),
+          sum(when(col("kept"), col("amt")).otherwise(lit(0.0))).as("avail_b"),
+          min(col("amount_in")).as("amount_in"))
+        .withColumn("total", sum(col("vol_b")).over(Window.partitionBy(key: _*)))
+        .withColumn("alloc", snap(col("vol_b") / col("total") * col("amount_in")))
+        .withColumn("s_cum", sum(col("alloc") - col("avail_b"))
+          .over(wS.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("u", greatest(lit(0.0), col("s_cum") - least(lit(0.0),
+          coalesce(min(col("s_cum"))
+            .over(wS.rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))))
+        .withColumn("to_fill",
+          col("alloc") + coalesce(lag(col("u"), 1).over(wS), lit(0.0)))
+        .select((key :+ col("bord") :+ col("to_fill")): _*)
+      val fee = (expr("CAST(substring(exchange, 3) AS BIGINT)") + 1) * FeeUnit
+      val perSwap = tk.filter(col("kept"))
+        .join(baskets, keyN :+ "bord")
+        .withColumn("cum_before", coalesce(sum(col("amt"))
+          .over(wBq.rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
+        .filter(col("cum_before") < col("to_fill"))
+        .withColumn("taken", least(col("amt"), col("to_fill") - col("cum_before")))
+        .groupBy(key: _*)
+        .agg(dsumR(col("px") * (lit(1.0) - fee) * col("taken")).as("vxp_mk"),
+          dsumR(col("px") * (lit(1.0) + fee) * col("taken")).as("vxp_tk"),
+          dsumR(col("taken")).as("filled"),
+          count(lit(1)).as("n_fills"),
+          min(col("amount_in")).as("amount_in"), min(col("pair_a")).as("pair_a"))
+      perSwap.groupBy("pair_a")
+        .agg(count(lit(1)).as("n_swaps"),
+          sum(when(col("filled") + lit(1e-3) >= col("amount_in"), 1L)
+            .otherwise(0L)).as("n_filled"),
+          dsumR(col("vxp_mk") / col("filled")).as("sum_opt_maker"),
+          dsumR(col("vxp_tk") / col("filled")).as("sum_opt_taker"),
+          sum(col("n_fills")).as("n_fills"))
+        .orderBy("pair_a")
+    },
+    withCtes(s"""$cexTradesCte, $phasePairsCte,
+      bkt AS (
+        SELECT *,
+          CASE WHEN t_ts - ts_us >= 0 THEN (t_ts - ts_us) // $BasketUs
+               ELSE 1000 + (-(t_ts - ts_us) - 1) // $BasketUs END AS bord
+        FROM pp),
+      tq AS (
+        SELECT *, ROW_NUMBER() OVER wq AS rn, COUNT(*) OVER wb AS cnt
+        FROM bkt
+        WINDOW wq AS (PARTITION BY block_number, tx_hash, trace_idx, bord
+                      ORDER BY px ASC, t_ts ASC, exchange ASC, amt ASC),
+               wb AS (PARTITION BY block_number, tx_hash, trace_idx, bord)),
+      tk AS (SELECT *, rn > ((cnt - 1) * $QualityPct) // 100 AS kept FROM tq),
+      bb AS (
+        SELECT block_number, tx_hash, trace_idx, bord, SUM(amt) AS vol_b,
+          SUM(CASE WHEN kept THEN amt ELSE 0.0e0 END) AS avail_b,
+          MIN(amount_in) AS amount_in
+        FROM tk GROUP BY 1, 2, 3, 4),
+      bf AS (
+        SELECT *, ${sqlSnap("vol_b / (SUM(vol_b) OVER wt) * amount_in")} AS alloc
+        FROM bb WINDOW wt AS (PARTITION BY block_number, tx_hash, trace_idx)),
+      bs AS (
+        SELECT *, SUM(alloc - avail_b) OVER ws AS s_cum
+        FROM bf WINDOW ws AS (PARTITION BY block_number, tx_hash, trace_idx
+          ORDER BY bord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      bu AS (
+        SELECT *, GREATEST(0.0e0, s_cum - LEAST(0.0e0,
+            COALESCE(MIN(s_cum) OVER wp, 0.0e0))) AS u
+        FROM bs WINDOW wp AS (PARTITION BY block_number, tx_hash, trace_idx
+          ORDER BY bord ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      bt AS (
+        SELECT block_number, tx_hash, trace_idx, bord,
+          alloc + COALESCE(LAG(u) OVER (PARTITION BY block_number, tx_hash,
+            trace_idx ORDER BY bord), 0.0e0) AS to_fill
+        FROM bu),
+      fl AS (
+        SELECT t.*, b.to_fill, COALESCE(SUM(t.amt) OVER (
+            PARTITION BY t.block_number, t.tx_hash, t.trace_idx, t.bord
+            ORDER BY t.rn ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0.0e0) AS cum_before
+        FROM tk t JOIN bt b USING (block_number, tx_hash, trace_idx, bord)
+        WHERE t.kept),
+      tkn AS (
+        SELECT *, LEAST(amt, to_fill - cum_before) AS taken,
+          (CAST(substring(exchange, 3) AS BIGINT) + 1) * 1.0e-4 AS fee
+        FROM fl WHERE cum_before < to_fill),
+      ps AS (
+        SELECT block_number, tx_hash, trace_idx,
+          ${sqlSumR("px * (1.0e0 - fee) * taken")} AS vxp_mk,
+          ${sqlSumR("px * (1.0e0 + fee) * taken")} AS vxp_tk,
+          ${sqlSumR("taken")} AS filled, COUNT(*) AS n_fills,
+          MIN(amount_in) AS amount_in, MIN(pair_a) AS pair_a
+        FROM tkn GROUP BY 1, 2, 3)
+      SELECT pair_a, COUNT(*) AS n_swaps,
+        CAST(SUM(CASE WHEN filled + 1e-3 >= amount_in THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_filled,
+        ${sqlSumR("vxp_mk / filled")} AS sum_opt_maker,
+        ${sqlSumR("vxp_tk / filled")} AS sum_opt_taker,
+        CAST(SUM(n_fills) AS BIGINT) AS n_fills
+      FROM ps GROUP BY 1 ORDER BY 1"""))
 
   /** J3 intermediary: 2-hop CEX quote through a bridging token for pairs
     * with no direct feed — global per-pair VWAPs joined a→b × b→c with
