@@ -38,7 +38,8 @@ object InspectorOps extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(a3BundleHeader, q7Liquidations, q2AtomicArb,
     q8SearcherActivity, q1Sandwich, q5Jit, j7PoolOverlap, j8JitBracket,
-    j9TriggerDomain, j10ComposerDedup, j11JitSandwich, q9MevBlock, w3ShrinkLoop)
+    j9TriggerDomain, j10ComposerDedup, j10BundleDedup, j11JitSandwich,
+    q9MevBlock, w3ShrinkLoop)
 
   private def withCtes(sql: String) = Some(s"WITH $sqlDomainCtes, $sql")
 
@@ -268,10 +269,11 @@ object InspectorOps extends QueryModule {
       .filter(col("action_type").isin("mint", "burn") && col("pool").isNotNull)
       .withColumn("nxt", lead(col("action_type"), 1).over(w))
       .withColumn("nxt_idx", lead(col("tx_idx"), 1).over(w))
+      .withColumn("nxt_tx", lead(col("tx_hash"), 1).over(w))
       .filter(col("action_type") === "mint" && col("nxt") === "burn")
       .select(col("block_number"), col("from_address").as("eoa"), col("pool"),
         col("tx_hash"), col("tx_idx").as("mint_idx"), col("nxt_idx").as("burn_idx"),
-        col("protocol"))
+        col("nxt_tx").as("burn_tx"), col("protocol"))
   }
 
   // ── shared oracle fragments ───────────────────────────────────────────────
@@ -403,11 +405,12 @@ object InspectorOps extends QueryModule {
   private val jitpCte =
     """jitp AS (
       SELECT block_number, eoa, pool, tx_hash, tx_idx AS mint_idx,
-        nxt_idx AS burn_idx, protocol
+        nxt_idx AS burn_idx, nxt_tx AS burn_tx, protocol
       FROM (
         SELECT block_number, from_address AS eoa, pool, tx_hash, tx_idx,
           action_type, protocol,
-          LEAD(action_type) OVER w AS nxt, LEAD(tx_idx) OVER w AS nxt_idx
+          LEAD(action_type) OVER w AS nxt, LEAD(tx_idx) OVER w AS nxt_idx,
+          LEAD(tx_hash) OVER w AS nxt_tx
         FROM actions WHERE action_type IN ('mint','burn') AND pool IS NOT NULL
         WINDOW w AS (PARTITION BY block_number, from_address, pool
                      ORDER BY tx_idx, trace_idx))
@@ -732,6 +735,117 @@ object InspectorOps extends QueryModule {
       SELECT mev_type, COUNT(*) AS n_raw,
         CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_final
       FROM ranked GROUP BY 1 ORDER BY 1"""))
+
+  /** J10 (full semantics): tx-SET bundle dedup — the reference's two-layer
+    * composer dedup expressed declaratively over an exploded (bundle, tx)
+    * edge table, both layers equi-keyed on tx_hash:
+    *   1. cross-type (composer/mod.rs:190-232 deduplicate_mev): a bundle is
+    *      removed when any of its txs appears in a bundle of a dominant MEV
+    *      type (the MEV_DEDUPLICATION_FILTER precedence, mev_filters.rs:102+,
+    *      simplified here to a strict sandwich > jit > liquidation > arb
+    *      ladder);
+    *   2. within-type (shared_utils.rs:655-710 dedup_bundles): of two
+    *      same-type bundles sharing a tx, the one with MORE transactions
+    *      wins; equal sizes keep the LOWER profit ("most likely more
+    *      correct"), with a bundle-id tiebreak to stay total.
+    * Multi-tx sets are real here: sandwich bundles carry {front, back} and
+    * JIT bundles {mint, burn}, so subset containment actually fires. */
+  private val j10BundleDedup = QueryDef(
+    "j10_bundle_dedup",
+    (s, dir) => {
+      val sand = sandwiches(s, dir).select(
+        concat(col("front_tx"), lit("|"), col("back_tx"), lit("|"), col("pool"))
+          .as("bid"),
+        lit("sandwich").as("mev_type"), lit(4).as("prio"),
+        (col("back_out") - col("sum_in")).as("profit"),
+        array(col("front_tx"), col("back_tx")).as("txs")).distinct()
+      val jit = jitPairs(s, dir).select(
+        concat(col("tx_hash"), lit("|"), col("burn_tx"), lit("|"), col("pool"))
+          .as("bid"),
+        lit("jit").as("mev_type"), lit(3).as("prio"), lit(0.0).as("profit"),
+        array(col("tx_hash"), col("burn_tx")).as("txs")).distinct()
+      val liq = actionsTable(s, dir)
+        .filter(col("action_type") === "liquidation")
+        .select(col("tx_hash")).distinct()
+        .select(col("tx_hash").as("bid"), lit("liquidation").as("mev_type"),
+          lit(2).as("prio"), lit(0.0).as("profit"),
+          array(col("tx_hash")).as("txs"))
+      val arb = arbs(s, dir)
+        .select(col("tx_hash").as("bid"), lit("arb").as("mev_type"),
+          lit(1).as("prio"), lit(0.0).as("profit"),
+          array(col("tx_hash")).as("txs"))
+      val bundles = sand.unionByName(jit).unionByName(liq).unionByName(arb)
+        .withColumn("n_txs", size(array_distinct(col("txs"))))
+      val edges = bundles.select(col("bid"), col("mev_type"), col("prio"),
+        col("n_txs"), col("profit"),
+        explode(array_distinct(col("txs"))).as("tx"))
+      val dom = edges.select(col("tx").as("d_tx"), col("prio").as("d_prio"))
+      val xrem = edges
+        .join(dom, col("tx") === col("d_tx") && col("d_prio") > col("prio"),
+          "left_semi")
+        .select("bid").distinct()
+      val surv = edges.join(xrem, Seq("bid"), "left_anti")
+      val other = surv.select(col("tx").as("o_tx"), col("mev_type").as("o_type"),
+        col("bid").as("o_bid"), col("n_txs").as("o_n"), col("profit").as("o_profit"))
+      val wrem = surv
+        .join(other, col("tx") === col("o_tx") && col("mev_type") === col("o_type") &&
+          col("bid") =!= col("o_bid") &&
+          (col("o_n") > col("n_txs") ||
+            (col("o_n") === col("n_txs") &&
+              (col("o_profit") < col("profit") ||
+                (col("o_profit") === col("profit") && col("o_bid") < col("bid"))))),
+          "left_semi")
+        .select("bid").distinct()
+      bundles
+        .join(xrem.withColumn("xr", lit(1)), Seq("bid"), "left")
+        .join(wrem.withColumn("wr", lit(1)), Seq("bid"), "left")
+        .groupBy("mev_type")
+        .agg(count(lit(1)).as("n_raw"),
+          sum(when(col("xr").isNull, 1L).otherwise(0L)).as("n_cross"),
+          sum(when(col("xr").isNull && col("wr").isNull, 1L).otherwise(0L))
+            .as("n_final"))
+        .orderBy("mev_type")
+    },
+    withCtes(s"""$sandwichCtes, $arbCte, $jitpCte,
+      bundles AS (
+        SELECT *, len(list_distinct(txs)) AS n_txs FROM (
+          SELECT DISTINCT front_tx || '|' || back_tx || '|' || pool AS bid,
+            'sandwich' AS mev_type, 4 AS prio,
+            back_out - sum_in AS profit, [front_tx, back_tx] AS txs FROM sand
+          UNION ALL
+          SELECT DISTINCT tx_hash || '|' || burn_tx || '|' || pool,
+            'jit', 3, 0.0e0, [tx_hash, burn_tx] FROM jitp
+          UNION ALL
+          SELECT DISTINCT tx_hash, 'liquidation', 2, 0.0e0, [tx_hash]
+          FROM actions WHERE action_type = 'liquidation'
+          UNION ALL
+          SELECT tx_hash, 'arb', 1, 0.0e0, [tx_hash] FROM arb)),
+      edges AS (
+        SELECT bid, mev_type, prio, n_txs, profit,
+          UNNEST(list_distinct(txs)) AS tx
+        FROM bundles),
+      xrem AS (
+        SELECT DISTINCT e.bid FROM edges e
+        JOIN edges d ON e.tx = d.tx AND d.prio > e.prio),
+      surv AS (
+        SELECT e.* FROM edges e LEFT JOIN xrem x ON e.bid = x.bid
+        WHERE x.bid IS NULL),
+      wrem AS (
+        SELECT DISTINCT e.bid FROM surv e
+        JOIN surv o ON e.tx = o.tx AND e.mev_type = o.mev_type
+          AND e.bid <> o.bid
+          AND (o.n_txs > e.n_txs OR (o.n_txs = e.n_txs
+            AND (o.profit < e.profit
+              OR (o.profit = e.profit AND o.bid < e.bid)))))
+      SELECT b.mev_type, COUNT(*) AS n_raw,
+        CAST(SUM(CASE WHEN x.bid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_cross,
+        CAST(SUM(CASE WHEN x.bid IS NULL AND w.bid IS NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_final
+      FROM bundles b
+      LEFT JOIN xrem x ON b.bid = x.bid
+      LEFT JOIN wrem w ON b.bid = w.bid
+      GROUP BY 1 ORDER BY 1"""))
 
   /** J11: JitSandwich composition — (block, eoa) present in both the
     * sandwich-bracket and JIT-bracket candidate sets; brackets are
