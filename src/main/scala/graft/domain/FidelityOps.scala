@@ -15,7 +15,8 @@ object FidelityOps extends QueryModule {
   import ChainFixture._
 
   def defs: Seq[QueryDef] = Seq(s3SqlSource, p3SpanPrefix, a5BlockAnalysisWide,
-    f5AbiDecode, r3Rendezvous, q6JitCexDex, s2ActionsRangeScan, j2DexAsof)
+    f5AbiDecode, f5AbiDecodeBin, r3Rendezvous, q6JitCexDex, s2ActionsRangeScan,
+    j2DexAsof)
 
   /** J2 (domain form): usd_delta_by_address — token deltas valued by the
     * LAST OBSERVED DexQuote at-or-before the delta's tx index
@@ -275,6 +276,46 @@ object FidelityOps extends QueryModule {
         CAST(COUNT(DISTINCT substring(calldata_hex, 57, 16)) AS BIGINT) AS n_distinct_words,
         CAST(SUM(CASE WHEN substring(calldata_hex, 1, 8) = selector THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_ok
       FROM abi GROUP BY 1 ORDER BY 1"""))
+
+  /** F5 (native form): ABI decode over REAL BinaryType calldata via the
+    * codegen'd Catalyst expressions [[graft.functions.AbiCalldata]] —
+    * selector ‖ word0(q6) ‖ word1(p2) packed with unhex, decoded back with
+    * `abi_selector`/`abi_word` (direct byte reads inside whole-stage
+    * codegen; CodegenSpec pins no-fallback). The oracle computes the same
+    * aggregates from the SOURCE columns, so the check is decode-vs-ground-
+    * truth, not decode-vs-decode: any byte-layout bug breaks the match. */
+  private val f5AbiDecodeBin = QueryDef(
+    "f5_abi_decode_bin",
+    (s, dir) => {
+      import graft.functions.AbiCalldata._
+      val word = (c: org.apache.spark.sql.Column) =>
+        lpad(lower(hex(c.cast("long"))), 64, "0")
+      tracesTable(s, dir)
+        .withColumn("calldata",
+          unhex(concat(col("selector"), word(col("q6")), word(col("p2")))))
+        .withColumn("dec_selector", abi_selector(col("calldata")))
+        .withColumn("w0", abi_word(col("calldata"), 0))
+        .withColumn("w1", abi_word(col("calldata"), 1))
+        .withColumn("w2", abi_word(col("calldata"), 2))
+        .groupBy("dec_selector")
+        .agg(count(lit(1)).as("n"),
+          sum(col("w0")).as("sum_w0"),
+          countDistinct(col("w1")).as("n_distinct_w1"),
+          sum(when(col("w2").isNull, 1L).otherwise(0L)).as("n_w2_null"),
+          sum(((length(col("calldata")) - 4) / 32).cast("long")).as("sum_words"),
+          sum(when(col("dec_selector") === col("selector"), 1L).otherwise(0L))
+            .as("n_roundtrip_ok"))
+        .orderBy("dec_selector")
+    },
+    withCtes("""abi_gt AS (
+        SELECT selector AS dec_selector, COUNT(*) AS n,
+          CAST(SUM(q6) AS BIGINT) AS sum_w0,
+          CAST(COUNT(DISTINCT p2) AS BIGINT) AS n_distinct_w1,
+          COUNT(*) AS n_w2_null,
+          2 * COUNT(*) AS sum_words,
+          COUNT(*) AS n_roundtrip_ok
+        FROM trace GROUP BY 1)
+      SELECT * FROM abi_gt ORDER BY dec_selector"""))
 
   /** R3: pricer/tree rendezvous — a block is emittable only when both its
     * classified tree AND its DexQuotes exist; count matched vs deferred

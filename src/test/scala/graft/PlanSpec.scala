@@ -66,6 +66,44 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("abi decode expressions are codegen'd, not fallback") {
+    import graft.functions.{AbiSelector, AbiWord}
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    import org.apache.spark.sql.functions._
+    // the expressions implement doGenCode directly
+    val dummy = org.apache.spark.sql.catalyst.expressions.Literal(
+      Array[Byte](1, 2, 3, 4), org.apache.spark.sql.types.BinaryType)
+    assert(!AbiWord(dummy, 0).isInstanceOf[CodegenFallback])
+    assert(!AbiSelector(dummy).isInstanceOf[CodegenFallback])
+    // eval parity: codegen'd projection == hand-computed ground truth
+    val df = spark.range(5).select(
+      unhex(concat(lit("a9059cbb"),
+        lpad(lower(hex(col("id") * 7)), 64, "0"),
+        lpad(lower(hex(col("id") + 100)), 64, "0"))).as("cd"),
+      col("id"))
+    val out = df.select(
+        graft.functions.AbiCalldata.abi_selector(col("cd")).as("sel"),
+        graft.functions.AbiCalldata.abi_word(col("cd"), 0).as("w0"),
+        graft.functions.AbiCalldata.abi_word(col("cd"), 1).as("w1"),
+        graft.functions.AbiCalldata.abi_word(col("cd"), 2).as("w2"),
+        col("id"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getString(0) == "a9059cbb")
+      assert(r.getLong(1) == r.getLong(4) * 7)
+      assert(r.getLong(2) == r.getLong(4) + 100)
+      assert(r.isNullAt(3)) // word 2 is past the end
+    }
+    // the decode projection stays inside whole-stage codegen (execute
+    // first: under AQE the codegen spans only appear in the final plan)
+    val q = SparkEntry.queries("f5_abi_decode_bin")(spark, SfDir)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    // `*(N)` is the WholeStageCodegen marker in the final-plan rendering;
+    // the Project carrying the decode expressions must sit inside a span
+    assert("""\*\(\d+\) Project \[[^\n]*abi_word""".r.findFirstIn(p).isDefined, p)
+  }
+
   test("low-cardinality as-of windows are salted by a time bucket") {
     // The event-volume as-of window must partition by (key, __b) — a bare
     // 42-token or 60-pair key would sort each key's entire history in one
