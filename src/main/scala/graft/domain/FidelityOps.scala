@@ -154,22 +154,44 @@ object FidelityOps extends QueryModule {
     "a5_block_analysis_wide",
     (s, dir) => {
       val a = actionsTable(s, dir)
-      // the per-category column family, at block-bucket grain (distincts
-      // must aggregate at the output grain to be correct)
+      // Per-category column family WITHOUT multi-countDistinct: 16 distinct
+      // aggregates in one groupBy would Expand every action row ~17× (the
+      // 13.5s plan). Instead aggregate at (bucket, action_type) grain with
+      // plain map-side-combining hash aggs, get the two distinct counts
+      // from distinct-pair passes, and pivot the tiny per-category frame —
+      // three linear scans, zero Expand, same semantics (oracle unchanged).
+      def bucketed = expr("block_number div 100").as("block_bucket")
+      val catBase = a.groupBy(bucketed, col("action_type"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("amount_in")).as("in_v"),
+          dsum(col("amount_out")).as("out_v"),
+          max(col("amount_in")).as("maxin"),
+          max_by(col("from_address"),
+            struct(coalesce(col("amount_in"), lit(-1.0)),
+              col("trace_idx"), col("from_address"))).as("top"))
+      val ntx = a.select(bucketed, col("action_type"), col("tx_hash"))
+        .distinct()
+        .groupBy("block_bucket", "action_type")
+        .agg(count(lit(1)).as("ntx"))
+      val neoa = a.select(bucketed, col("action_type"), col("from_address"))
+        .distinct()
+        .groupBy("block_bucket", "action_type")
+        .agg(count(lit(1)).as("neoa"))
+      val catJ = catBase
+        .join(ntx, Seq("block_bucket", "action_type"), "left")
+        .join(neoa, Seq("block_bucket", "action_type"), "left")
       val catAggs = A5Categories.flatMap { t =>
         val is = col("action_type") === t
         Seq(
-          sum(when(is, 1L).otherwise(0L)).as(s"n_$t"),
-          countDistinct(when(is, col("tx_hash"))).as(s"ntx_$t"),
-          countDistinct(when(is, col("from_address"))).as(s"neoa_$t"),
-          dsum(when(is, col("amount_in"))).as(s"in_$t"),
-          dsum(when(is, col("amount_out"))).as(s"out_$t"),
-          max(when(is, col("amount_in"))).as(s"maxin_$t"),
-          max_by(when(is, col("from_address")),
-            when(is, struct(coalesce(col("amount_in"), lit(-1.0)),
-              col("trace_idx"), col("from_address")))).as(s"top_$t"))
+          coalesce(max(when(is, col("n"))), lit(0L)).as(s"n_$t"),
+          coalesce(max(when(is, col("ntx"))), lit(0L)).as(s"ntx_$t"),
+          coalesce(max(when(is, col("neoa"))), lit(0L)).as(s"neoa_$t"),
+          max(when(is, col("in_v"))).as(s"in_$t"),
+          max(when(is, col("out_v"))).as(s"out_$t"),
+          max(when(is, col("maxin"))).as(s"maxin_$t"),
+          max(when(is, col("top"))).as(s"top_$t"))
       }
-      val wide = a.groupBy(expr("block_number div 100").as("block_bucket"))
+      val wide = catJ.groupBy("block_bucket")
         .agg(catAggs.head, catAggs.tail: _*)
       val perBlock = a.groupBy("block_number").agg(
         count(lit(1)).as("n_actions"),

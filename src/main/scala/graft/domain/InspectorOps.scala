@@ -774,11 +774,16 @@ object InspectorOps extends QueryModule {
         .select(col("tx_hash").as("bid"), lit("arb").as("mev_type"),
           lit(1).as("prio"), lit(0.0).as("profit"),
           array(col("tx_hash")).as("txs"))
+      // the bundle frame fans out into five join branches (edges → cross
+      // removal, survivors ×2, final counts); persist the small set so the
+      // candidate scans (sandwiches/arbs/jit) run once, not per branch
       val bundles = sand.unionByName(jit).unionByName(liq).unionByName(arb)
         .withColumn("n_txs", size(array_distinct(col("txs"))))
+        .persist()
       val edges = bundles.select(col("bid"), col("mev_type"), col("prio"),
         col("n_txs"), col("profit"),
         explode(array_distinct(col("txs"))).as("tx"))
+        .persist()
       val dom = edges.select(col("tx").as("d_tx"), col("prio").as("d_prio"))
       val xrem = edges
         .join(dom, col("tx") === col("d_tx") && col("d_prio") > col("prio"),
