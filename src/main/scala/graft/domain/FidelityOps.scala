@@ -145,8 +145,8 @@ object FidelityOps extends QueryModule {
     * 658-2150). The reference macro-generates its ~200-column matrix per
     * MEV category; here the matrix is generated the same way — a column
     * family of 7 metrics (count, distinct txs/eoas, exact in/out sums, max
-    * amount, top-eoa argmax) per action category, 42 category columns plus
-    * the 13 block-shape columns, all in ONE aggregation pass each. */
+    * amount, top-eoa/top-pool argmax, gas + priority-fee totals) per action
+    * category — 66 category columns plus the 13 block-shape columns. */
   private val A5Categories =
     Seq("swap", "transfer", "mint", "burn", "liquidation", "unclassified")
 
@@ -161,6 +161,7 @@ object FidelityOps extends QueryModule {
       // from distinct-pair passes, and pivot the tiny per-category frame —
       // three linear scans, zero Expand, same semantics (oracle unchanged).
       def bucketed = expr("block_number div 100").as("block_bucket")
+      val hasPool = col("pool").isNotNull
       val catBase = a.groupBy(bucketed, col("action_type"))
         .agg(count(lit(1)).as("n"),
           dsum(col("amount_in")).as("in_v"),
@@ -168,7 +169,12 @@ object FidelityOps extends QueryModule {
           max(col("amount_in")).as("maxin"),
           max_by(col("from_address"),
             struct(coalesce(col("amount_in"), lit(-1.0)),
-              col("trace_idx"), col("from_address"))).as("top"))
+              col("trace_idx"), col("from_address"))).as("top"),
+          max_by(when(hasPool, col("pool")),
+            when(hasPool, struct(coalesce(col("amount_in"), lit(-1.0)),
+              col("trace_idx"), col("pool")))).as("toppool"),
+          sum(col("gas_used")).as("gas"),
+          sum(col("priority_fee")).as("fee"))
       val ntx = a.select(bucketed, col("action_type"), col("tx_hash"))
         .distinct()
         .groupBy("block_bucket", "action_type")
@@ -177,19 +183,29 @@ object FidelityOps extends QueryModule {
         .distinct()
         .groupBy("block_bucket", "action_type")
         .agg(count(lit(1)).as("neoa"))
+      val npool = a.filter(hasPool)
+        .select(bucketed, col("action_type"), col("pool"))
+        .distinct()
+        .groupBy("block_bucket", "action_type")
+        .agg(count(lit(1)).as("npool"))
       val catJ = catBase
         .join(ntx, Seq("block_bucket", "action_type"), "left")
         .join(neoa, Seq("block_bucket", "action_type"), "left")
+        .join(npool, Seq("block_bucket", "action_type"), "left")
       val catAggs = A5Categories.flatMap { t =>
         val is = col("action_type") === t
         Seq(
           coalesce(max(when(is, col("n"))), lit(0L)).as(s"n_$t"),
           coalesce(max(when(is, col("ntx"))), lit(0L)).as(s"ntx_$t"),
           coalesce(max(when(is, col("neoa"))), lit(0L)).as(s"neoa_$t"),
+          coalesce(max(when(is, col("npool"))), lit(0L)).as(s"npool_$t"),
           max(when(is, col("in_v"))).as(s"in_$t"),
           max(when(is, col("out_v"))).as(s"out_$t"),
           max(when(is, col("maxin"))).as(s"maxin_$t"),
-          max(when(is, col("top"))).as(s"top_$t"))
+          max(when(is, col("top"))).as(s"top_$t"),
+          max(when(is, col("toppool"))).as(s"toppool_$t"),
+          coalesce(max(when(is, col("gas"))), lit(0L)).as(s"gas_$t"),
+          coalesce(max(when(is, col("fee"))), lit(0L)).as(s"fee_$t"))
       }
       val wide = catJ.groupBy("block_bucket")
         .agg(catAggs.head, catAggs.tail: _*)
@@ -228,12 +244,18 @@ object FidelityOps extends QueryModule {
             s"""CAST(SUM(CASE WHEN action_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t,
           CAST(COUNT(DISTINCT CASE WHEN action_type = '$t' THEN tx_hash END) AS BIGINT) AS ntx_$t,
           CAST(COUNT(DISTINCT CASE WHEN action_type = '$t' THEN from_address END) AS BIGINT) AS neoa_$t,
+          CAST(COUNT(DISTINCT CASE WHEN action_type = '$t' THEN pool END) AS BIGINT) AS npool_$t,
           ${sqlSum(s"CASE WHEN action_type = '$t' THEN amount_in END")} AS in_$t,
           ${sqlSum(s"CASE WHEN action_type = '$t' THEN amount_out END")} AS out_$t,
           MAX(CASE WHEN action_type = '$t' THEN amount_in END) AS maxin_$t,
           (list(from_address ORDER BY COALESCE(amount_in, -1.0) DESC,
                 trace_idx DESC, from_address DESC)
-             FILTER (WHERE action_type = '$t'))[1] AS top_$t"""
+             FILTER (WHERE action_type = '$t'))[1] AS top_$t,
+          (list(pool ORDER BY COALESCE(amount_in, -1.0) DESC,
+                trace_idx DESC, pool DESC)
+             FILTER (WHERE action_type = '$t' AND pool IS NOT NULL))[1] AS toppool_$t,
+          CAST(COALESCE(SUM(CASE WHEN action_type = '$t' THEN gas_used END), 0) AS BIGINT) AS gas_$t,
+          CAST(COALESCE(SUM(CASE WHEN action_type = '$t' THEN priority_fee END), 0) AS BIGINT) AS fee_$t"""
           }.mkString(",\n          ")}
         FROM actions GROUP BY 1),
       blkw AS (
@@ -267,7 +289,8 @@ object FidelityOps extends QueryModule {
           MAX(n_eoas) AS max_eoas_per_block
         FROM blkw GROUP BY 1)
       SELECT r.*, ${A5Categories.map { t =>
-        s"c.n_$t, c.ntx_$t, c.neoa_$t, c.in_$t, c.out_$t, c.maxin_$t, c.top_$t"
+        s"c.n_$t, c.ntx_$t, c.neoa_$t, c.npool_$t, c.in_$t, c.out_$t, " +
+          s"c.maxin_$t, c.top_$t, c.toppool_$t, c.gas_$t, c.fee_$t"
       }.mkString(", ")}
       FROM rollw r JOIN catw c USING (block_bucket) ORDER BY block_bucket"""))
 
