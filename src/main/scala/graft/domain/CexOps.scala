@@ -528,46 +528,54 @@ object CexOps extends QueryModule {
     * All comparisons run on doubles both engines compute bit-identically
     * (integer-valued volumes, snap()ped allocation ratios, deterministic
     * window order), so the fill set is engine-portable. */
+  /** The basket-fill core over a phasePairs-shaped frame (columns:
+    * block_number, tx_hash, trace_idx, ts_us, t_ts, exchange, px, amt,
+    * amount_in, pair_a) → one row per taken trade slice with its `taken`
+    * volume. Unit-tested on planted trades in GoldenScenarioSpec. */
+  private[graft] def basketFills(pairs: DataFrame): DataFrame = {
+    val keyN = Seq("block_number", "tx_hash", "trace_idx")
+    val key = keyN.map(col)
+    val wB = Window.partitionBy((key :+ col("bord")): _*)
+    val wBq = wB.orderBy(col("px").asc, col("t_ts").asc,
+      col("exchange").asc, col("amt").asc)
+    val wS = Window.partitionBy(key: _*).orderBy("bord")
+    val tk = pairs
+      .withColumn("delta", col("t_ts") - col("ts_us"))
+      .withColumn("bord",
+        when(col("delta") >= 0, expr(s"delta div $BasketUs"))
+          .otherwise(lit(1000L) + expr(s"(-delta - 1) div $BasketUs")))
+      .withColumn("rn", row_number().over(wBq))
+      .withColumn("cnt", count(lit(1)).over(wB))
+      .withColumn("kept", col("rn") > expr(s"((cnt - 1) * $QualityPct) div 100"))
+    // basket ledger: full volume drives allocation, kept volume caps fill
+    val baskets = tk.groupBy((key :+ col("bord")): _*)
+      .agg(sum(col("amt")).as("vol_b"),
+        sum(when(col("kept"), col("amt")).otherwise(lit(0.0))).as("avail_b"),
+        min(col("amount_in")).as("amount_in"))
+      .withColumn("total", sum(col("vol_b")).over(Window.partitionBy(key: _*)))
+      .withColumn("alloc", snap(col("vol_b") / col("total") * col("amount_in")))
+      .withColumn("s_cum", sum(col("alloc") - col("avail_b"))
+        .over(wS.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("u", greatest(lit(0.0), col("s_cum") - least(lit(0.0),
+        coalesce(min(col("s_cum"))
+          .over(wS.rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))))
+      .withColumn("to_fill",
+        col("alloc") + coalesce(lag(col("u"), 1).over(wS), lit(0.0)))
+      .select((key :+ col("bord") :+ col("to_fill")): _*)
+    tk.filter(col("kept"))
+      .join(baskets, keyN :+ "bord")
+      .withColumn("cum_before", coalesce(sum(col("amt"))
+        .over(wBq.rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
+      .filter(col("cum_before") < col("to_fill"))
+      .withColumn("taken", least(col("amt"), col("to_fill") - col("cum_before")))
+  }
+
   private val j5BasketFill = QueryDef(
     "j5_basket_fill",
     (s, dir) => {
-      val keyN = Seq("block_number", "tx_hash", "trace_idx")
-      val key = keyN.map(col)
-      val wB = Window.partitionBy((key :+ col("bord")): _*)
-      val wBq = wB.orderBy(col("px").asc, col("t_ts").asc,
-        col("exchange").asc, col("amt").asc)
-      val wS = Window.partitionBy(key: _*).orderBy("bord")
-      val tk = phasePairs(s, dir)
-        .withColumn("delta", col("t_ts") - col("ts_us"))
-        .withColumn("bord",
-          when(col("delta") >= 0, expr(s"delta div $BasketUs"))
-            .otherwise(lit(1000L) + expr(s"(-delta - 1) div $BasketUs")))
-        .withColumn("rn", row_number().over(wBq))
-        .withColumn("cnt", count(lit(1)).over(wB))
-        .withColumn("kept", col("rn") > expr(s"((cnt - 1) * $QualityPct) div 100"))
-      // basket ledger: full volume drives allocation, kept volume caps fill
-      val baskets = tk.groupBy((key :+ col("bord")): _*)
-        .agg(sum(col("amt")).as("vol_b"),
-          sum(when(col("kept"), col("amt")).otherwise(lit(0.0))).as("avail_b"),
-          min(col("amount_in")).as("amount_in"))
-        .withColumn("total", sum(col("vol_b")).over(Window.partitionBy(key: _*)))
-        .withColumn("alloc", snap(col("vol_b") / col("total") * col("amount_in")))
-        .withColumn("s_cum", sum(col("alloc") - col("avail_b"))
-          .over(wS.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("u", greatest(lit(0.0), col("s_cum") - least(lit(0.0),
-          coalesce(min(col("s_cum"))
-            .over(wS.rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))))
-        .withColumn("to_fill",
-          col("alloc") + coalesce(lag(col("u"), 1).over(wS), lit(0.0)))
-        .select((key :+ col("bord") :+ col("to_fill")): _*)
       val fee = (expr("CAST(substring(exchange, 3) AS BIGINT)") + 1) * FeeUnit
-      val perSwap = tk.filter(col("kept"))
-        .join(baskets, keyN :+ "bord")
-        .withColumn("cum_before", coalesce(sum(col("amt"))
-          .over(wBq.rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
-        .filter(col("cum_before") < col("to_fill"))
-        .withColumn("taken", least(col("amt"), col("to_fill") - col("cum_before")))
-        .groupBy(key: _*)
+      val perSwap = basketFills(phasePairs(s, dir))
+        .groupBy("block_number", "tx_hash", "trace_idx")
         .agg(dsumR(col("px") * (lit(1.0) - fee) * col("taken")).as("vxp_mk"),
           dsumR(col("px") * (lit(1.0) + fee) * col("taken")).as("vxp_tk"),
           dsumR(col("taken")).as("filled"),
@@ -691,31 +699,39 @@ object CexOps extends QueryModule {
       val ask = col("px") * (lit(1.0) + askBps * 1e-4)
       val quotes = cexTrades(s, dir)
         .select(col("pair_a"), col("pair_b"), col("ts_us"),
-          ((bid + ask) / 2).as("mid"))
+          ((bid + ask) / 2).as("mid"), ask.as("ask"))
         .groupBy("pair_a", "pair_b", "ts_us")
-        .agg(max(col("mid")).as("mid"))
+        .agg(max(col("mid")).as("mid"), max(col("ask")).as("ask"))
         .withColumn("pair_key", concat(col("pair_a"), lit(":"), col("pair_b")))
-        .select("pair_key", "ts_us", "mid")
+        // both book arms ride the as-of in ONE struct value: the reference
+        // prices quotes PnL at mid AND at ask (cex_dex.rs per_arm outputs)
+        .select(col("pair_key"), col("ts_us"),
+          struct(col("mid"), col("ask")).as("q"))
       val sw = dexSwaps(s, dir)
         .withColumn("pair_key", concat(col("pair_a"), lit(":"), col("pair_b")))
       // ~60 pair keys can't parallelize a bare-key window at scale — salt
       // by 10-minute time buckets with carry-over
       graft.ops.AsOfJoin.backwardSalted(sw, quotes, Seq("pair_key"), "ts_us",
-        "mid", "q_mid", bucketSpan = 600000000L)
+        "q", "qv", bucketSpan = 600000000L)
+        .withColumn("q_mid", col("qv.mid"))
+        .withColumn("q_ask", col("qv.ask"))
         .groupBy("pair_a")
         .agg(count(lit(1)).as("n_swaps"),
           sum(when(col("q_mid").isNotNull, 1L).otherwise(0L)).as("n_quoted"),
-          dsumR((col("q_mid") - col("rate")) * col("amount_in")).as("sum_markout"))
+          dsumR((col("q_mid") - col("rate")) * col("amount_in")).as("sum_markout"),
+          dsumR((col("q_ask") - col("rate")) * col("amount_in")).as("sum_markout_ask"))
         .orderBy("pair_a")
     },
     withCtes(s"""$cexTradesCte,
       q AS (SELECT pair_a, pair_b, ts_us,
               MAX((px * (1.0e0 - (CAST(FLOOR(px * 10000.0e0) AS BIGINT) % 20 + 1) * 1.0e-4)
-                 + px * (1.0e0 + (CAST(FLOOR(px * 70000.0e0) AS BIGINT) % 25 + 2) * 1.0e-4)) / 2) AS mid
+                 + px * (1.0e0 + (CAST(FLOOR(px * 70000.0e0) AS BIGINT) % 25 + 2) * 1.0e-4)) / 2) AS mid,
+              MAX(px * (1.0e0 + (CAST(FLOOR(px * 70000.0e0) AS BIGINT) % 25 + 2) * 1.0e-4)) AS ask
             FROM cex GROUP BY 1, 2, 3)
       SELECT d.pair_a AS pair_a, COUNT(*) AS n_swaps,
         CAST(SUM(CASE WHEN q.mid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_quoted,
-        ${sqlSumR("(q.mid - d.rate) * d.amount_in")} AS sum_markout
+        ${sqlSumR("(q.mid - d.rate) * d.amount_in")} AS sum_markout,
+        ${sqlSumR("(q.ask - d.rate) * d.amount_in")} AS sum_markout_ask
       FROM dex d ASOF LEFT JOIN q
         ON d.pair_a = q.pair_a AND d.pair_b = q.pair_b AND d.ts_us >= q.ts_us
       GROUP BY 1 ORDER BY 1"""))

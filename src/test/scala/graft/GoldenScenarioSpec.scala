@@ -197,4 +197,33 @@ class GoldenScenarioSpec extends SparkTestBase {
       (2L, 5L, "arb", "Q", 0L, 2L, 11L, 10L))
     assert(InspectorOps.triggerPicks(InspectorOps.arbsOf(swaps), swaps).count() == 0)
   }
+
+  test("basket_fill: proportional allocation, quality skip, carry-over, partial clip") {
+    // One swap (amount_in = 90) at ts 0; trades in three baskets:
+    //  A (post, bord 0): 5×amt-10 trades px 1..5 → vol 50; quality skips
+    //    the 3 cheapest (skip = (5-1)*80/100), kept px 4,5 → avail 20
+    //  B (post, bord 1): 2×amt-40 at px 1.5, 2.5 → vol 80, both kept
+    //  C (pre, bord 1000): 1×amt-50 at px 9 → vol 50, kept
+    // total 180 → allocs A=25 B=40 C=25; A fills only 20 → carry 5 into B
+    // (to_fill 45: 40 + a 5-unit PARTIAL clip of the px-2.5 trade); C takes
+    // a 25-unit partial of its 50-unit trade. Total filled = 90 = amount_in.
+    val trades = Seq(
+      (1L, "s", 0L, 0L, 1000000L, "ex0", 1.0, 10.0, 90.0),
+      (1L, "s", 0L, 0L, 1000000L, "ex0", 2.0, 10.0, 90.0),
+      (1L, "s", 0L, 0L, 1000000L, "ex0", 3.0, 10.0, 90.0),
+      (1L, "s", 0L, 0L, 1000000L, "ex0", 4.0, 10.0, 90.0),
+      (1L, "s", 0L, 0L, 1000000L, "ex0", 5.0, 10.0, 90.0),
+      (1L, "s", 0L, 0L, 6000000L, "ex0", 1.5, 40.0, 90.0),
+      (1L, "s", 0L, 0L, 6000000L, "ex0", 2.5, 40.0, 90.0),
+      (1L, "s", 0L, 0L, -1000000L, "ex0", 9.0, 50.0, 90.0))
+      .toDF("block_number", "tx_hash", "trace_idx", "ts_us", "t_ts",
+        "exchange", "px", "amt", "amount_in")
+    val out = graft.domain.CexOps.basketFills(trades)
+      .select("bord", "px", "taken").orderBy("bord", "px").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(out == Seq(
+      (0L, 4.0, 10.0), (0L, 5.0, 10.0),
+      (1L, 1.5, 40.0), (1L, 2.5, 5.0),
+      (1000L, 9.0, 25.0)), out)
+  }
 }
