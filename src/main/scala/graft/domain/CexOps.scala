@@ -258,9 +258,13 @@ object CexOps extends QueryModule {
         .unionByName(xfer.select(col("tx_hash"), col("t_from").as("pool_cand"),
           lit(0).as("dir_in"), col("token"), col("amt"),
           col("t_to").as("cp"), col("trace_idx")))
+      // n_tok/n_dir as min≠max instead of countDistinct: with the n == 2
+      // gate the two are equivalent, and dropping the distinct aggregates
+      // keeps the (already 4×-exploded) leg table out of an Expand plan
       legs.groupBy("tx_hash", "pool_cand")
-        .agg(count(lit(1)).as("n"), countDistinct(col("token")).as("n_tok"),
-          countDistinct(col("dir_in")).as("n_dir"),
+        .agg(count(lit(1)).as("n"),
+          min(col("token")).as("tok_min"), max(col("token")).as("tok_max"),
+          min(col("dir_in")).as("dir_min"), max(col("dir_in")).as("dir_max"),
           max(when(col("dir_in") === 1, col("token"))).as("token_in"),
           max(when(col("dir_in") === 0, col("token"))).as("token_out"),
           max(when(col("dir_in") === 1, col("amt"))).as("amount_in"),
@@ -268,7 +272,8 @@ object CexOps extends QueryModule {
           max(when(col("dir_in") === 1, col("cp"))).as("swap_from"),
           max(when(col("dir_in") === 0, col("cp"))).as("recipient"),
           min(col("trace_idx")).as("trace_idx"))
-        .filter(col("n") === 2 && col("n_tok") === 2 && col("n_dir") === 2)
+        .filter(col("n") === 2 && col("tok_min") =!= col("tok_max") &&
+          col("dir_min") =!= col("dir_max"))
         .select("tx_hash", "pool_cand", "token_in", "token_out",
           "amount_in", "amount_out", "swap_from", "recipient", "trace_idx")
         .orderBy("tx_hash", "pool_cand")

@@ -157,9 +157,25 @@ object ChainFixture {
     * variant-struct row. At scale: the fact never shuffles — every
     * dimension is a broadcast hash join, the decode is codegen'd scalar
     * expressions (the Spark analog of the reference's per-trace decoder
-    * dispatch under brontes-classifier/src/classifiers/). */
+    * dispatch under brontes-classifier/src/classifiers/).
+    *
+    * The numeric arguments are decoded from REAL ABI calldata bytes: each
+    * trace packs selector ‖ word0(q6) ‖ word1(p2) into a BinaryType column
+    * and the amounts below read the 32-byte words back via the codegen'd
+    * [[graft.functions.AbiCalldata]] expressions — the byte-level decode
+    * path the reference's alloy `sol!` decoders take, inside whole-stage
+    * codegen. Values round-trip exactly (integers in the word tail), so
+    * the oracle can still derive ground truth from the source columns. */
   def actions(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.AbiCalldata.abi_word
+    def word(c: org.apache.spark.sql.Column) =
+      lpad(lower(hex(c.cast("long"))), 64, "0")
     val t = traces(s, dir)
+      .withColumn("calldata",
+        unhex(concat(col("selector"), word(col("q6")), word(col("p2")))))
+      .withColumn("q6", abi_word(col("calldata"), 0).cast("double"))
+      .withColumn("p2", abi_word(col("calldata"), 1).cast("double"))
+      .drop("calldata")
     val p = pools(s).select(col("address").as("p_addr"), col("protocol"),
       col("t0_id"), col("t1_id"))
     val r = registry(s).select(col("protocol").as("r_protocol"),
