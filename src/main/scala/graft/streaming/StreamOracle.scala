@@ -24,7 +24,7 @@ import org.apache.spark.sql.streaming.OutputMode
   */
 object StreamOracle extends QueryModule {
 
-  def defs: Seq[QueryDef] = Seq(r5StreamFold)
+  def defs: Seq[QueryDef] = Seq(r5StreamFold, r4StreamWindow)
 
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -94,4 +94,64 @@ object StreamOracle extends QueryModule {
          FLOOR((pre_px - 1.0e0) * 10000.0e0) <> FLOOR((post_px - 1.0e0) * 10000.0e0))
           AS crossed
       FROM fold ORDER BY pool, n_updates"""))
+
+  /** R4 batch-equivalence: the REAL streamed 2-block sliding window
+    * (MemoryStream → flatMapGroupsWithState → memory sink, three
+    * micro-batches cut mid-stream so the previous-block state must carry
+    * across batch boundaries) against a LAG-window DuckDB formulation.
+    * Input is (pool, block)-grain decimal-exact volumes, so the window
+    * total is a single deterministic IEEE addition on both engines. */
+  private val r4StreamWindow = QueryDef(
+    "r4_stream_window",
+    (s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val blocks = updates(s, dir)
+        .groupBy(col("pool"), col("block"))
+        .agg(graft.ops.ExactAgg.dsum(col("vol")).as("vol"),
+          count(lit(1)).as("n"))
+        .as[TipStream.BlockVol]
+        .collect().sortBy(b => (b.block, b.pool))
+      val maxBlock = blocks.iterator.map(_.block).foldLeft(0L)(math.max)
+      val cut1 = maxBlock / 3
+      val cut2 = 2 * maxBlock / 3
+      val input = MemoryStream[TipStream.BlockVol]
+      val name = s"r4_wnd_${runSeq.incrementAndGet()}"
+      val q = TipStream.blockWindows(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(blocks.filter(_.block <= cut1).toSeq)
+        q.processAllAvailable()
+        input.addData(blocks.filter(b => b.block > cut1 && b.block <= cut2).toSeq)
+        q.processAllAvailable()
+        input.addData(blocks.filter(_.block > cut2).toSeq)
+        q.processAllAvailable()
+        s.table(name)
+          .select(col("pool"), col("block"), col("wndVol").as("wnd_vol"),
+            col("wndN").as("wnd_n"), col("blksInWnd").as("blks_in_wnd"))
+          .orderBy("pool", "block")
+      } finally q.stop()
+    },
+    withCtes(""", upd AS (
+        SELECT pool, block_number AS block, tx_idx,
+          CAST(CAST(SUM(CAST(amount_in AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS vol
+        FROM actions
+        WHERE action_type = 'swap' AND pool IS NOT NULL
+          AND amount_in IS NOT NULL AND amount_out IS NOT NULL
+        GROUP BY 1, 2, 3),
+      blk AS (
+        SELECT pool, block,
+          CAST(CAST(SUM(CAST(vol AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS vol,
+          COUNT(*) AS n
+        FROM upd GROUP BY 1, 2),
+      wnd AS (
+        SELECT pool, block,
+          CASE WHEN LAG(block) OVER w = block - 1
+               THEN LAG(vol) OVER w + vol ELSE vol END AS wnd_vol,
+          CAST(CASE WHEN LAG(block) OVER w = block - 1
+               THEN LAG(n) OVER w + n ELSE n END AS BIGINT) AS wnd_n,
+          CASE WHEN LAG(block) OVER w = block - 1 THEN 2 ELSE 1 END AS blks_in_wnd
+        FROM blk WINDOW w AS (PARTITION BY pool ORDER BY block))
+      SELECT * FROM wnd ORDER BY pool, block"""))
 }

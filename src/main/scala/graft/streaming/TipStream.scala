@@ -74,6 +74,51 @@ object TipStream {
         updatePoolState)
   }
 
+  /** One block's pre-aggregated pool activity (R4 stream input grain). */
+  case class BlockVol(pool: String, block: Long, vol: Double, n: Long)
+
+  /** Last-block state carried by the R4 sliding window. */
+  case class WndState(block: Long, vol: Double, n: Long)
+
+  /** Emitted multi-block window row: totals over blocks [b-1, b]. */
+  case class WndRow(pool: String, block: Long, wndVol: Double, wndN: Long,
+      blksInWnd: Int)
+
+  /** R4: the multi-block sliding window as a stateful stream — the
+    * reference buffers the last `max(block_window)` blocks and emits
+    * `MultiBlockData` per block (bin/src/executors/shared/
+    * multi_block_window.rs); here each pool's fold carries the previous
+    * block's aggregate and emits the 2-block window on every new block.
+    * Input is PRE-AGGREGATED to (pool, block) grain so the window total is
+    * one IEEE addition — deterministic and oracle-matchable — rather than
+    * an order-dependent refold of raw events. */
+  def slideWindow(
+      pool: String,
+      rows: Iterator[BlockVol],
+      state: GroupState[WndState]): Iterator[WndRow] = {
+    val sorted = rows.toSeq.sortBy(_.block)
+    var prev = state.getOption
+    val out = sorted.map { b =>
+      val w = prev.filter(_.block == b.block - 1) match {
+        case Some(p) => WndRow(pool, b.block, p.vol + b.vol, p.n + b.n, 2)
+        case None => WndRow(pool, b.block, b.vol, b.n, 1)
+      }
+      prev = Some(WndState(b.block, b.vol, b.n))
+      w
+    }
+    prev.foreach(state.update)
+    out.iterator
+  }
+
+  /** R4 wiring: per-block pool volumes → sliding-window emission. */
+  def blockWindows(blocks: Dataset[BlockVol]): Dataset[WndRow] = {
+    val s = blocks.sparkSession
+    import s.implicits._
+    blocks.groupByKey(_.pool)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        slideWindow)
+  }
+
   /** Linearized tick of a price — the coordinate f10_tick_cross's planted
     * curve uses (√P(t) = 1 + t/10⁴, so t = ⌊(px−1)·10⁴⌋). The real
     * tick_math.rs log-base-1.0001 form needs libm pow/log; the linear form
