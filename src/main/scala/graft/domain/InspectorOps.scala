@@ -39,7 +39,7 @@ object InspectorOps extends QueryModule {
   def defs: Seq[QueryDef] = Seq(a3BundleHeader, q7Liquidations, q2AtomicArb,
     q8SearcherActivity, q1Sandwich, q5Jit, j7PoolOverlap, j8JitBracket,
     j9TriggerDomain, j10ComposerDedup, j10BundleDedup, j11JitSandwich,
-    q9MevBlock, w3ShrinkLoop)
+    q9MevBlock, w3ShrinkLoop, q2ArbTree)
 
   private def withCtes(sql: String) = Some(s"WITH $sqlDomainCtes, $sql")
 
@@ -222,6 +222,99 @@ object InspectorOps extends QueryModule {
 
   private def arbs(s: SparkSession, dir: String): DataFrame =
     arbsOf(swaps(s, dir))
+
+  /** The reference's EXACT arb-type decision tree (is_possible_arb
+    * atomic_arb.rs:314-339 + identify_arb_sequence :398-422), replacing the
+    * structural leg-count heuristic: candidates need only ≥2 swaps — no
+    * continuity or cyclicity precondition — and classify as
+    *   2 legs: cyclic∧continuous → triangle; cyclic∧stable(out0,in1) →
+    *     stablecoin; cyclic → cross_pair(1); stable(first_in,last_out) →
+    *     stablecoin; else long_tail.
+    *   ≥3 legs: non-cyclic → stablecoin if stable endpoints else long_tail;
+    *     cyclic → cross_pair(first discontinuity index) else triangle.
+    * `is_stable` is the fixture's token_id < 5 membership (f4's class). */
+  private[graft] def arbTreeOf(swapsDf: DataFrame): DataFrame = {
+    val w = Window.partitionBy("tx_hash").orderBy("trace_idx")
+    def stable(c: Column): Column = c < 5
+    swapsDf
+      .withColumn("p_out", lag(col("token_out_id"), 1).over(w))
+      .withColumn("leg_pos", row_number().over(w))
+      .groupBy("tx_hash")
+      .agg(count(lit(1)).as("n_swaps"),
+        min_by(col("token_in_id"), col("trace_idx")).as("first_in"),
+        max_by(col("token_out_id"), col("trace_idx")).as("last_out"),
+        min_by(col("token_out_id"), col("trace_idx")).as("out0"),
+        max_by(col("token_in_id"), col("trace_idx")).as("in_last"),
+        min(when(col("p_out").isNotNull && col("p_out") =!= col("token_in_id"),
+          col("leg_pos") - 1)).as("jump"))
+      .filter(col("n_swaps") >= 2)
+      .withColumn("cyclic", col("first_in") === col("last_out"))
+      .withColumn("continuous", col("jump").isNull)
+      .withColumn("arb_type",
+        when(col("n_swaps") === 2,
+          when(col("cyclic") && col("continuous"), "triangle")
+            .when(col("cyclic") && stable(col("out0")) && stable(col("in_last")),
+              "stablecoin")
+            .when(col("cyclic"), "cross_pair")
+            .when(stable(col("first_in")) && stable(col("last_out")), "stablecoin")
+            .otherwise("long_tail"))
+          .otherwise(
+            when(!col("cyclic"),
+              when(stable(col("first_in")) && stable(col("last_out")), "stablecoin")
+                .otherwise("long_tail"))
+              .when(col("jump").isNotNull, "cross_pair")
+              .otherwise("triangle")))
+      .withColumn("jump_index",
+        when(col("arb_type") === "cross_pair",
+          when(col("n_swaps") === 2, lit(1L)).otherwise(col("jump"))))
+  }
+
+  /** Q2 (domain form): the arb-type tree rolled up per type. */
+  private val q2ArbTree = QueryDef(
+    "q2_arb_tree",
+    (s, dir) => arbTreeOf(swaps(s, dir))
+      .groupBy("arb_type")
+      .agg(count(lit(1)).as("n_txs"),
+        sum(col("n_swaps")).as("n_legs"),
+        sum(when(col("cyclic"), 1L).otherwise(0L)).as("n_cyclic"),
+        max(col("jump_index")).as("max_jump"))
+      .orderBy("arb_type"),
+    withCtes(s"""legs_t AS (
+        SELECT tx_hash, trace_idx, token_in_id, token_out_id,
+          LAG(token_out_id) OVER w AS p_out,
+          ROW_NUMBER() OVER w AS leg_pos
+        FROM swaps WINDOW w AS (PARTITION BY tx_hash ORDER BY trace_idx)),
+      cand_t AS (
+        SELECT tx_hash, COUNT(*) AS n_swaps,
+          ARG_MIN(token_in_id, trace_idx) AS first_in,
+          ARG_MAX(token_out_id, trace_idx) AS last_out,
+          ARG_MIN(token_out_id, trace_idx) AS out0,
+          ARG_MAX(token_in_id, trace_idx) AS in_last,
+          MIN(CASE WHEN p_out IS NOT NULL AND p_out <> token_in_id
+                   THEN leg_pos - 1 END) AS jump
+        FROM legs_t GROUP BY 1 HAVING COUNT(*) >= 2),
+      typed_t AS (
+        SELECT *, first_in = last_out AS cyclic, jump IS NULL AS continuous,
+          CASE WHEN n_swaps = 2 THEN
+            CASE WHEN first_in = last_out AND jump IS NULL THEN 'triangle'
+                 WHEN first_in = last_out AND out0 < 5 AND in_last < 5 THEN 'stablecoin'
+                 WHEN first_in = last_out THEN 'cross_pair'
+                 WHEN first_in < 5 AND last_out < 5 THEN 'stablecoin'
+                 ELSE 'long_tail' END
+          ELSE
+            CASE WHEN first_in <> last_out THEN
+                   CASE WHEN first_in < 5 AND last_out < 5 THEN 'stablecoin'
+                        ELSE 'long_tail' END
+                 WHEN jump IS NOT NULL THEN 'cross_pair'
+                 ELSE 'triangle' END
+          END AS arb_type
+        FROM cand_t)
+      SELECT arb_type, COUNT(*) AS n_txs,
+        CAST(SUM(n_swaps) AS BIGINT) AS n_legs,
+        CAST(SUM(CASE WHEN cyclic THEN 1 ELSE 0 END) AS BIGINT) AS n_cyclic,
+        MAX(CASE WHEN arb_type = 'cross_pair' THEN
+          CASE WHEN n_swaps = 2 THEN 1 ELSE jump END END) AS max_jump
+      FROM typed_t GROUP BY 1 ORDER BY 1"""))
 
   /** Distinct swap-leg candidate set (block, tx, pool, direction) — the
     * trigger-search input q2 AND j9 both scan; materialized so the distinct

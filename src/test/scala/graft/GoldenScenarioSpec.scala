@@ -198,6 +198,31 @@ class GoldenScenarioSpec extends SparkTestBase {
     assert(InspectorOps.triggerPicks(InspectorOps.arbsOf(swaps), swaps).count() == 0)
   }
 
+  test("arb_tree: the reference decision tree over planted leg sequences") {
+    val legs = Seq(
+      // cyclic 2-leg with a discontinuity → cross_pair(1)
+      ("A", 1L, 10L, 11L), ("A", 2L, 12L, 10L),
+      // non-cyclic 2-leg with stable endpoints (ids < 5) → stablecoin
+      ("B", 1L, 1L, 7L), ("B", 2L, 7L, 2L),
+      // cyclic continuous 3-leg → triangle
+      ("C", 1L, 5L, 6L), ("C", 2L, 6L, 7L), ("C", 3L, 7L, 5L),
+      // cyclic 3-leg, discontinuity at the 2nd leg → cross_pair(1)
+      ("D", 1L, 8L, 9L), ("D", 2L, 6L, 7L), ("D", 3L, 7L, 8L),
+      // non-cyclic, non-stable endpoints → long_tail
+      ("E", 1L, 9L, 8L), ("E", 2L, 8L, 7L),
+      // single leg → not a candidate
+      ("F", 1L, 6L, 7L))
+      .toDF("tx_hash", "trace_idx", "token_in_id", "token_out_id")
+    val out = graft.domain.InspectorOps.arbTreeOf(legs)
+      .select("tx_hash", "arb_type", "jump_index").orderBy("tx_hash").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(out == Seq(
+      ("A", "cross_pair", 1L), ("B", "stablecoin", -1L),
+      ("C", "triangle", -1L), ("D", "cross_pair", 1L),
+      ("E", "long_tail", -1L)), out)
+  }
+
   test("basket_fill: proportional allocation, quality skip, carry-over, partial clip") {
     // One swap (amount_in = 90) at ts 0; trades in three baskets:
     //  A (post, bord 0): 5×amt-10 trades px 1..5 → vol 50; quality skips
