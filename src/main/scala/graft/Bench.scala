@@ -46,7 +46,28 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver tail-truncates stdout (BENCH_r{N}.json has been unparseable
+    // four rounds running), so persist the complete per-query map in-repo.
+    // Round number = max committed BENCH_r{N}.json + 1 (this run happens
+    // before the driver writes the current round's artifact).
+    try {
+      val repo = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"))
+      if (repo.isDirectory) {
+        val rN = repo.listFiles().map(_.getName)
+          .flatMap { n =>
+            val m = "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(n)
+            m.map(_.group(1).toInt)
+          }
+          .foldLeft(0)(math.max) + 1
+        for (out <- Seq(f"BENCH_full_r$rN%02d.json", "BENCH_full_latest.json")) {
+          val w = new java.io.PrintWriter(new java.io.File(repo, out))
+          try w.println(line) finally w.close()
+        }
+      }
+    } catch { case _: Throwable => () } // never fail the bench over bookkeeping
     spark.stop()
   }
 }
