@@ -20,7 +20,7 @@ object SparkEntry {
 
   val modules: Seq[QueryModule] =
     Seq(Relational, EventOps, TextOps, DedupOps, SimilarityOps, ClassifyOps,
-      InspectorOps, PricingOps, CexOps, MiscOps, FidelityOps,
+      AbiBreadthOps, InspectorOps, PricingOps, CexOps, MiscOps, FidelityOps,
       streaming.StreamOracle)
 
   lazy val all: Seq[QueryDef] = modules.flatMap(_.defs)

@@ -1,0 +1,145 @@
+package graft.domain
+
+import graft.{QueryDef, QueryModule}
+import org.apache.spark.sql.functions._
+
+/** Decoder BREADTH (C1/C2/F5 depth): the reference ships 143 `action_impl!`
+  * decoders whose calldata shapes differ structurally — plain call-data
+  * words, SIGNED int256 deltas (uniswap_v3.rs `Swap{amount0,amount1}`),
+  * dynamic-offset token arrays (classifiers/curve/), and amounts that ride
+  * the EVENT LOG rather than calldata (the `log` arm of `action_impl!`,
+  * brontes-macros/src/action_classifier.rs). Each layout here is decoded
+  * from REAL BinaryType bytes by a dedicated codegen'd Catalyst expression
+  * ([[graft.functions.AbiCalldata]]), and every oracle recomputes the same
+  * aggregates from the SOURCE integer columns — decode-vs-ground-truth, so
+  * a byte-layout bug in either the packer or the decoder breaks the hash.
+  *
+  * Scale shape: one materialized scan, zero joins except the broadcast
+  * layout registry; decode runs inside whole-stage codegen (PlanSpec pins
+  * no-fallback), so at 100 TB this is a fused scan→decode→agg pipeline.
+  */
+object AbiBreadthOps extends QueryModule {
+
+  import ChainFixture._
+  import graft.functions.AbiCalldata._
+
+  private def withCtes(sql: String) = Some(s"WITH $sqlCtes $sql")
+
+  def defs: Seq[QueryDef] =
+    Seq(f5AbiInt256, f5AbiDynArray, c1LogDecode, c2LayoutDispatch)
+
+  /** F5 (signed): V3-style int256 word pair — amount0 = +q6, amount1 = −p2
+    * (exact-output side arrives negative). The decoder must reject values
+    * wider than i64 and read two's complement; the oracle's ground truth is
+    * plain integer arithmetic on the source columns. */
+  private val f5AbiInt256 = QueryDef(
+    "f5_abi_int256",
+    (s, dir) => calldataTable(s, dir)
+      .filter(col("layout") === "int256_pair")
+      .withColumn("a0", abi_int_word(col("calldata"), 0))
+      .withColumn("a1", abi_int_word(col("calldata"), 1))
+      .groupBy("selector")
+      .agg(count(lit(1)).as("n"),
+        sum(col("a0")).as("sum_amount0"),
+        sum(col("a1")).as("sum_amount1"),
+        sum(when(col("a1") < 0, 1L).otherwise(0L)).as("n_negative"),
+        min(col("a1")).as("min_amount1"),
+        sum(when(col("a0") === col("q6l") && col("a1") === -col("p2l"), 1L)
+          .otherwise(0L)).as("n_roundtrip_ok"))
+      .orderBy("selector"),
+    withCtes(s"""SELECT selector, COUNT(*) AS n,
+      CAST(SUM(q6) AS BIGINT) AS sum_amount0,
+      CAST(SUM(-p2) AS BIGINT) AS sum_amount1,
+      CAST(SUM(CASE WHEN p2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+      CAST(MIN(-p2) AS BIGINT) AS min_amount1,
+      COUNT(*) AS n_roundtrip_ok
+      FROM trace WHERE selector = '$SelV3Swap' GROUP BY 1 ORDER BY 1"""))
+
+  /** F5 (dynamic): Curve-style offset-followed array — head word 0 points
+    * at the tail (len ‖ elems), head word 1 is a scalar. len = 1 + q6 % 3,
+    * elem_j = q6 + 7j, so the per-row element sum has the closed form
+    * len·q6 + 7·len(len−1)/2 the oracle can compute without bytes. */
+  private val f5AbiDynArray = QueryDef(
+    "f5_abi_dyn_array",
+    (s, dir) => calldataTable(s, dir)
+      .filter(col("layout") === "dyn_array")
+      .withColumn("n_coins", abi_array_len(col("calldata"), 0))
+      .withColumn("scalar", abi_word(col("calldata"), 1))
+      .withColumn("esum",
+        coalesce(abi_array_elem(col("calldata"), 0, 0), lit(0L)) +
+          coalesce(abi_array_elem(col("calldata"), 0, 1), lit(0L)) +
+          coalesce(abi_array_elem(col("calldata"), 0, 2), lit(0L)))
+      .groupBy("n_coins")
+      .agg(count(lit(1)).as("n"),
+        sum(col("esum")).as("sum_elems"),
+        sum(col("scalar")).as("sum_scalar"),
+        sum(when(col("esum") === col("n_coins") * col("q6l") +
+          lit(7L) * col("n_coins") * (col("n_coins") - 1) / 2, 1L)
+          .otherwise(0L)).as("n_roundtrip_ok"))
+      .orderBy("n_coins"),
+    withCtes(s""", dyn AS (
+        SELECT 1 + CAST(q6 AS BIGINT) % 3 AS n_coins,
+          CAST(q6 AS BIGINT) AS q6l, CAST(p2 AS BIGINT) AS p2l
+        FROM trace WHERE selector = '$SelCurveSwap')
+      SELECT n_coins, COUNT(*) AS n,
+        CAST(SUM(n_coins * q6l + 7 * n_coins * (n_coins - 1) // 2) AS BIGINT) AS sum_elems,
+        CAST(SUM(p2l) AS BIGINT) AS sum_scalar,
+        COUNT(*) AS n_roundtrip_ok
+      FROM dyn GROUP BY 1 ORDER BY 1"""))
+
+  /** C1 (log arm): ERC-20 transfer amounts do NOT appear in calldata (only
+    * the recipient does) — the decoder reads the event-log payload words.
+    * Bare-word offsets (no selector) via [[graft.functions.AbiLogWord]]. */
+  private val c1LogDecode = QueryDef(
+    "c1_log_decode",
+    (s, dir) => calldataTable(s, dir)
+      .filter(col("layout") === "log_data")
+      .withColumn("amt", abi_log_word(col("log_data"), 0))
+      .withColumn("aux", abi_log_word(col("log_data"), 1))
+      .withColumn("cd_words", ((length(col("calldata")) - 4) / 32).cast("long"))
+      .groupBy((col("tok_id") % 5).as("token_bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("amt")).as("sum_amount"),
+        countDistinct(col("aux")).as("n_distinct_aux"),
+        sum(col("cd_words")).as("sum_cd_words"),
+        sum(when(col("amt") === col("q6l"), 1L).otherwise(0L)).as("n_roundtrip_ok"))
+      .orderBy("token_bucket"),
+    withCtes(s"""SELECT tok_id % 5 AS token_bucket, COUNT(*) AS n,
+      CAST(SUM(q6) AS BIGINT) AS sum_amount,
+      CAST(COUNT(DISTINCT CAST(p2 AS BIGINT)) AS BIGINT) AS n_distinct_aux,
+      COUNT(*) AS sum_cd_words,
+      COUNT(*) AS n_roundtrip_ok
+      FROM trace WHERE selector = '$SelTransfer' GROUP BY 1 ORDER BY 1"""))
+
+  /** C2 (layout dispatch): the registry routes each selector to its layout
+    * decoder — the Spark form of the reference's macro-generated dispatch
+    * over heterogeneous decoders. Calldata byte sizes are layout-determined,
+    * so the oracle can verify the router saw the right shapes without
+    * reading a single byte. */
+  private val c2LayoutDispatch = QueryDef(
+    "c2_layout_dispatch",
+    (s, dir) => {
+      val reg = layoutRegistry(s).withColumnRenamed("layout", "reg_layout")
+      calldataTable(s, dir)
+        .join(broadcast(reg), Seq("selector"))
+        .groupBy("reg_layout")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("selector")).as("n_selectors"),
+          sum(when(col("layout") === col("reg_layout"), 1L).otherwise(0L))
+            .as("n_layout_match"),
+          sum(length(col("calldata")).cast("long")).as("sum_calldata_bytes"))
+        .orderBy("reg_layout")
+    },
+    withCtes(s""", lay AS (
+        SELECT $layoutCase AS reg_layout, selector,
+          CASE WHEN selector = '$SelCurveSwap'
+                 THEN 4 + 32 * (3 + 1 + CAST(q6 AS BIGINT) % 3)
+               WHEN selector = '$SelTransfer' THEN 36
+               ELSE 68 END AS cd_bytes
+        FROM trace)
+      SELECT reg_layout, COUNT(*) AS n,
+        CAST(COUNT(DISTINCT selector) AS BIGINT) AS n_selectors,
+        COUNT(*) AS n_layout_match,
+        CAST(SUM(cd_bytes) AS BIGINT) AS sum_calldata_bytes
+      FROM lay GROUP BY 1 ORDER BY 1"""))
+}

@@ -31,6 +31,33 @@ object AbiCalldata {
   /** First 4 bytes as a lowercase hex selector string; NULL when short. */
   def abi_selector(c: Column): Column =
     B.column(AbiSelector(B.expression(c)))
+
+  /** Word `i` decoded as SIGNED int256 (two's complement) → BIGINT. The
+    * V3-style layout: swap deltas are int256 where exact-output amounts
+    * arrive negative (uniswap_v3.rs Swap{amount0,amount1}). NULL when the
+    * word is short or its magnitude exceeds 64 bits (upper 24 bytes must
+    * be uniform sign-extension). */
+  def abi_int_word(c: Column, i: Int): Column =
+    B.column(AbiIntWord(B.expression(c), i))
+
+  /** Word `i` of EVENT LOG `data` (no selector prefix — logs carry bare
+    * 32-byte words) → BIGINT; the log-decoded amount path (the reference's
+    * `log` arm of action_impl!, brontes-macros/src/action_classifier.rs). */
+  def abi_log_word(c: Column, i: Int): Column =
+    B.column(AbiLogWord(B.expression(c), i))
+
+  /** Length of the dynamic array whose OFFSET pointer sits in head word
+    * `headIdx` (Solidity dynamic ABI: head word holds byte offset from the
+    * args start; the tail starts with a length word). Curve multi-token
+    * layout (classifiers/curve/). */
+  def abi_array_len(c: Column, headIdx: Int): Column =
+    B.column(AbiArrayLen(B.expression(c), headIdx))
+
+  /** Element `elemIdx` (low 8 bytes as BIGINT) of the dynamic array whose
+    * offset pointer sits in head word `headIdx`; NULL beyond the decoded
+    * length. */
+  def abi_array_elem(c: Column, headIdx: Int, elemIdx: Int): Column =
+    B.column(AbiArrayElem(B.expression(c), headIdx, elemIdx))
 }
 
 case class AbiWord(child: Expression, wordIdx: Int) extends UnaryExpression {
@@ -66,6 +93,265 @@ case class AbiWord(child: Expression, wordIdx: Int) extends UnaryExpression {
          |    $v = ($v << 8) | ($c[$tailOff + $i] & 0xffL);
          |  }
          |  ${ev.value} = $v;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Signed int256 word decode: upper 24 bytes must be uniform 0x00/0xff
+  * sign-extension (the value fits i64), low 8 bytes read big-endian as
+  * two's-complement. Out-of-i64-range values decode to NULL — explicit
+  * quarantine, not silent truncation. */
+case class AbiIntWord(child: Expression, wordIdx: Int) extends UnaryExpression {
+  require(wordIdx >= 0, "wordIdx must be non-negative")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "abi_int_word"
+
+  private val wordOff = 4 + wordIdx * 32
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    if (b.length < wordOff + 32) null
+    else {
+      val ext = b(wordOff) & 0xff
+      if (ext != 0 && ext != 0xff) null
+      else {
+        var ok = true
+        var i = 1
+        while (i < 24) { if ((b(wordOff + i) & 0xff) != ext) ok = false; i += 1 }
+        // the low word's top bit must agree with the extension bytes, or
+        // the value needs >64 bits
+        if (!ok || ((b(wordOff + 24) & 0x80) == 0x80) != (ext == 0xff)) null
+        else {
+          var v = 0L
+          i = 0
+          while (i < 8) { v = (v << 8) | (b(wordOff + 24 + i) & 0xffL); i += 1 }
+          v
+        }
+      }
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val v = ctx.freshName("w")
+      val i = ctx.freshName("i")
+      val ext = ctx.freshName("ext")
+      val ok = ctx.freshName("ok")
+      s"""
+         |if ($c.length < ${wordOff + 32}) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $ext = $c[$wordOff] & 0xff;
+         |  boolean $ok = $ext == 0 || $ext == 0xff;
+         |  for (int $i = 1; $ok && $i < 24; $i++) {
+         |    if (($c[$wordOff + $i] & 0xff) != $ext) $ok = false;
+         |  }
+         |  if (!$ok || ((($c[${wordOff + 24}] & 0x80) == 0x80) != ($ext == 0xff))) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    long $v = 0L;
+         |    for (int $i = 0; $i < 8; $i++) {
+         |      $v = ($v << 8) | ($c[${wordOff + 24} + $i] & 0xffL);
+         |    }
+         |    ${ev.value} = $v;
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Bare-word decode for event-log `data` payloads: same low-8-bytes read
+  * as [[AbiWord]] but with NO 4-byte selector offset — logs are packed
+  * 32-byte words from position 0. */
+case class AbiLogWord(child: Expression, wordIdx: Int) extends UnaryExpression {
+  require(wordIdx >= 0, "wordIdx must be non-negative")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "abi_log_word"
+
+  private val tailOff = wordIdx * 32 + 24
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    if (b.length < tailOff + 8) null
+    else {
+      var v = 0L
+      var i = 0
+      while (i < 8) { v = (v << 8) | (b(tailOff + i) & 0xffL); i += 1 }
+      v
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val v = ctx.freshName("w")
+      val i = ctx.freshName("i")
+      s"""
+         |if ($c.length < ${tailOff + 8}) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $v = 0L;
+         |  for (int $i = 0; $i < 8; $i++) {
+         |    $v = ($v << 8) | ($c[$tailOff + $i] & 0xffL);
+         |  }
+         |  ${ev.value} = $v;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Dynamic-array LENGTH via offset-following: head word `headIdx` holds the
+  * byte offset (from the args start, i.e. after the selector) of the tail;
+  * the tail's first word is the element count. NULL when the calldata is
+  * too short at either hop. */
+case class AbiArrayLen(child: Expression, headIdx: Int) extends UnaryExpression {
+  require(headIdx >= 0, "headIdx must be non-negative")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "abi_array_len"
+
+  private val headOff = 4 + headIdx * 32 + 24
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    if (b.length < headOff + 8) null
+    else {
+      var off = 0L
+      var i = 0
+      while (i < 8) { off = (off << 8) | (b(headOff + i) & 0xffL); i += 1 }
+      val lenOff = 4 + off + 24
+      if (off < 0 || b.length < lenOff + 8) null
+      else {
+        var v = 0L
+        i = 0
+        while (i < 8) { v = (v << 8) | (b(lenOff.toInt + i) & 0xffL); i += 1 }
+        v
+      }
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val off = ctx.freshName("off")
+      val lenOff = ctx.freshName("lenOff")
+      val v = ctx.freshName("w")
+      val i = ctx.freshName("i")
+      s"""
+         |if ($c.length < ${headOff + 8}) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $off = 0L;
+         |  for (int $i = 0; $i < 8; $i++) {
+         |    $off = ($off << 8) | ($c[$headOff + $i] & 0xffL);
+         |  }
+         |  long $lenOff = 4L + $off + 24L;
+         |  if ($off < 0 || $c.length < $lenOff + 8) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    long $v = 0L;
+         |    for (int $i = 0; $i < 8; $i++) {
+         |      $v = ($v << 8) | ($c[(int) $lenOff + $i] & 0xffL);
+         |    }
+         |    ${ev.value} = $v;
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Dynamic-array ELEMENT via offset-following: element `elemIdx`'s low 8
+  * bytes as BIGINT; NULL when `elemIdx >= length` (decoded, not assumed)
+  * or the buffer is short. */
+case class AbiArrayElem(child: Expression, headIdx: Int, elemIdx: Int)
+    extends UnaryExpression {
+  require(headIdx >= 0 && elemIdx >= 0, "indices must be non-negative")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "abi_array_elem"
+
+  private val headOff = 4 + headIdx * 32 + 24
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    if (b.length < headOff + 8) null
+    else {
+      var off = 0L
+      var i = 0
+      while (i < 8) { off = (off << 8) | (b(headOff + i) & 0xffL); i += 1 }
+      val lenOff = 4 + off + 24
+      if (off < 0 || b.length < lenOff + 8) null
+      else {
+        var n = 0L
+        i = 0
+        while (i < 8) { n = (n << 8) | (b(lenOff.toInt + i) & 0xffL); i += 1 }
+        // length word ends 8 bytes after lenOff; element words follow, and
+        // each element's low-8 tail sits 24 bytes into its word: tail(j) =
+        // lenOff + 8 + 24 + 32j = lenOff + 32 + 32j
+        val elemOff = lenOff + 32 + elemIdx * 32L
+        if (elemIdx >= n || b.length < elemOff + 8) null
+        else {
+          var v = 0L
+          i = 0
+          while (i < 8) { v = (v << 8) | (b(elemOff.toInt + i) & 0xffL); i += 1 }
+          v
+        }
+      }
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val off = ctx.freshName("off")
+      val lenOff = ctx.freshName("lenOff")
+      val elemOff = ctx.freshName("elemOff")
+      val n = ctx.freshName("n")
+      val v = ctx.freshName("w")
+      val i = ctx.freshName("i")
+      s"""
+         |if ($c.length < ${headOff + 8}) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $off = 0L;
+         |  for (int $i = 0; $i < 8; $i++) {
+         |    $off = ($off << 8) | ($c[$headOff + $i] & 0xffL);
+         |  }
+         |  long $lenOff = 4L + $off + 24L;
+         |  if ($off < 0 || $c.length < $lenOff + 8) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    long $n = 0L;
+         |    for (int $i = 0; $i < 8; $i++) {
+         |      $n = ($n << 8) | ($c[(int) $lenOff + $i] & 0xffL);
+         |    }
+         |    long $elemOff = $lenOff + 32L + ${elemIdx}L * 32L;
+         |    if (${elemIdx}L >= $n || $c.length < $elemOff + 8) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      long $v = 0L;
+         |      for (int $i = 0; $i < 8; $i++) {
+         |        $v = ($v << 8) | ($c[(int) $elemOff + $i] & 0xffL);
+         |      }
+         |      ${ev.value} = $v;
+         |    }
+         |  }
          |}
        """.stripMargin
     })

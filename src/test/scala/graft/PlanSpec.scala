@@ -104,6 +104,85 @@ class PlanSpec extends SparkTestBase {
     assert("""\*\(\d+\) Project \[[^\n]*abi_word""".r.findFirstIn(p).isDefined, p)
   }
 
+  test("heterogeneous-layout abi expressions are codegen'd, not fallback") {
+    import graft.functions.{AbiArrayElem, AbiArrayLen, AbiIntWord, AbiLogWord}
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    import org.apache.spark.sql.functions._
+    val dummy = org.apache.spark.sql.catalyst.expressions.Literal(
+      Array[Byte](1, 2, 3, 4), org.apache.spark.sql.types.BinaryType)
+    assert(!AbiIntWord(dummy, 0).isInstanceOf[CodegenFallback])
+    assert(!AbiLogWord(dummy, 0).isInstanceOf[CodegenFallback])
+    assert(!AbiArrayLen(dummy, 0).isInstanceOf[CodegenFallback])
+    assert(!AbiArrayElem(dummy, 0, 0).isInstanceOf[CodegenFallback])
+    // eval parity over all four layouts, including the signed negative
+    // word and the offset-followed tail: id>=1 so -id is genuinely negative
+    val df = spark.range(1, 6).select(
+      // int256 pair: +7id ‖ −id
+      unhex(concat(lit("128acb08"),
+        lpad(lower(hex(col("id") * 7)), 64, "0"),
+        concat(lit("f" * 48), lower(hex(-col("id")))))).as("cd_int"),
+      // dyn array: offset(0x40) ‖ scalar(id+100) ‖ len(2) ‖ id ‖ id+7
+      unhex(concat(lit("3df02124"),
+        lpad(lit("40"), 64, "0"),
+        lpad(lower(hex(col("id") + 100)), 64, "0"),
+        lpad(lit("2"), 64, "0"),
+        lpad(lower(hex(col("id"))), 64, "0"),
+        lpad(lower(hex(col("id") + 7)), 64, "0"))).as("cd_arr"),
+      // bare log words: 3id ‖ 5id
+      unhex(concat(
+        lpad(lower(hex(col("id") * 3)), 64, "0"),
+        lpad(lower(hex(col("id") * 5)), 64, "0"))).as("lg"),
+      col("id"))
+    import graft.functions.AbiCalldata._
+    val out = df.select(
+        abi_int_word(col("cd_int"), 0).as("i0"),
+        abi_int_word(col("cd_int"), 1).as("i1"),
+        abi_array_len(col("cd_arr"), 0).as("alen"),
+        abi_array_elem(col("cd_arr"), 0, 0).as("e0"),
+        abi_array_elem(col("cd_arr"), 0, 1).as("e1"),
+        abi_array_elem(col("cd_arr"), 0, 2).as("e2"),
+        abi_word(col("cd_arr"), 1).as("scalar"),
+        abi_log_word(col("lg"), 0).as("l0"),
+        abi_log_word(col("lg"), 1).as("l1"),
+        col("id"))
+      .collect()
+    out.foreach { r =>
+      val id = r.getLong(9)
+      assert(r.getLong(0) == id * 7)
+      assert(r.getLong(1) == -id) // two's-complement sign decode
+      assert(r.getLong(2) == 2L)
+      assert(r.getLong(3) == id)
+      assert(r.getLong(4) == id + 7)
+      assert(r.isNullAt(5)) // past the decoded length
+      assert(r.getLong(6) == id + 100)
+      assert(r.getLong(7) == id * 3)
+      assert(r.getLong(8) == id * 5)
+    }
+    // decode projection stays inside whole-stage codegen for the new paths
+    for (name <- Seq("f5_abi_int256", "f5_abi_dyn_array", "c1_log_decode")) {
+      val q = SparkEntry.queries(name)(spark, SfDir)
+      q.collect()
+      val p = q.queryExecution.executedPlan.toString
+      assert("""\*\(\d+\) (Project|Filter) \[?[^\n]*abi_""".r.findFirstIn(p).isDefined,
+        s"$name:\n$p")
+    }
+  }
+
+  test("c8/c3 scans prune unused fixture columns at the parquet source") {
+    // The round-4 fixture widening (trace_address arrays, calldata bytes)
+    // must not be paid by queries that never reference those columns: the
+    // parquet ReadSchema has to carry only what the query touches.
+    val p8 = plan("c8_coinbase")
+    val rs8 = "ReadSchema: ([^\n]*)".r.findAllMatchIn(p8).map(_.group(1)).toSeq
+    assert(rs8.nonEmpty, p8)
+    assert(!rs8.exists(_.contains("trace_address")), rs8.mkString("\n"))
+    val p3 = plan("c3_discovery")
+    val rs3 = "ReadSchema: ([^\n]*)".r.findAllMatchIn(p3).map(_.group(1)).toSeq
+    assert(rs3.nonEmpty, p3)
+    assert(!rs3.exists(s => s.contains("trace_address") || s.contains("selector")),
+      rs3.mkString("\n"))
+  }
+
   test("low-cardinality as-of windows are salted by a time bucket") {
     // The event-volume as-of window must partition by (key, __b) — a bare
     // 42-token or 60-pair key would sort each key's entire history in one

@@ -1,0 +1,50 @@
+#!/usr/bin/env python3
+"""Bench-delta gate: diff two full per-query bench JSONs (the files
+graft.Bench writes as BENCH_full_r{N}.json / BENCH_full_latest.json).
+
+Usage:  python3 tools/bench_delta.py OLD.json NEW.json [--threshold 1.5]
+
+Exit 1 when any common query regressed more than the threshold AND by more
+than 0.5 s absolute (sub-second noise is not a regression signal on a
+shared machine — see NOTES.md "Round gate"). Every flagged query must get
+a written cause in NOTES.md before the end-of-round commit.
+"""
+import json
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        return json.load(f)["queries"]
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    thr = 1.5
+    for a in sys.argv[1:]:
+        if a.startswith("--threshold"):
+            thr = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+    old, new = load(args[0]), load(args[1])
+    common = sorted(set(old) & set(new))
+    if not common:
+        print("no common queries"); sys.exit(2)
+    so, sn = sum(old[k] for k in common), sum(new[k] for k in common)
+    print(f"{len(common)} common queries: {so:.1f}s -> {sn:.1f}s (ratio {sn/so:.2f})")
+    added = sorted(set(new) - set(old))
+    if added:
+        print(f"new queries (+{sum(new[k] for k in added):.1f}s): {', '.join(added)}")
+    flagged = []
+    for k in common:
+        r = new[k] / old[k] if old[k] > 0 else float("inf")
+        if r > thr and new[k] - old[k] > 0.5:
+            flagged.append((r, k))
+    for r, k in sorted(flagged, reverse=True):
+        print(f"  REGRESSED {k}: {old[k]:.2f}s -> {new[k]:.2f}s ({r:.1f}x)")
+    if flagged:
+        print(f"{len(flagged)} regressions > {thr}x — explain in NOTES.md before committing")
+        sys.exit(1)
+    print("bench delta clean")
+
+
+if __name__ == "__main__":
+    main()
