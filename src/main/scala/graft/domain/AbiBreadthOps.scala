@@ -48,8 +48,8 @@ object AbiBreadthOps extends QueryModule {
           .otherwise(0L)).as("n_roundtrip_ok"))
       .orderBy("selector"),
     withCtes(s"""SELECT selector, COUNT(*) AS n,
-      CAST(SUM(q6) AS BIGINT) AS sum_amount0,
-      CAST(SUM(-p2) AS BIGINT) AS sum_amount1,
+      SUM(CAST(q6 AS BIGINT)) AS sum_amount0,
+      SUM(CAST(-p2 AS BIGINT)) AS sum_amount1,
       CAST(SUM(CASE WHEN p2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
       CAST(MIN(-p2) AS BIGINT) AS min_amount1,
       COUNT(*) AS n_roundtrip_ok
@@ -105,7 +105,7 @@ object AbiBreadthOps extends QueryModule {
         sum(when(col("amt") === col("q6l"), 1L).otherwise(0L)).as("n_roundtrip_ok"))
       .orderBy("token_bucket"),
     withCtes(s"""SELECT tok_id % 5 AS token_bucket, COUNT(*) AS n,
-      CAST(SUM(q6) AS BIGINT) AS sum_amount,
+      SUM(CAST(q6 AS BIGINT)) AS sum_amount,
       CAST(COUNT(DISTINCT CAST(p2 AS BIGINT)) AS BIGINT) AS n_distinct_aux,
       COUNT(*) AS sum_cd_words,
       COUNT(*) AS n_roundtrip_ok

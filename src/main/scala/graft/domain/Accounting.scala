@@ -24,10 +24,11 @@ object Accounting {
 
   val EthUsd = 2000.0
 
-  /** Deterministic token-price dimension (42 ids incl. quarantined 40/41). */
+  /** Deterministic token-price dimension (42 ids incl. quarantined 40/41) —
+    * the DataFrame form of the single price surface [[ChainFixture.tokenPrice]]. */
   def tokenPrices(s: SparkSession): DataFrame =
     s.range(TokRefSpace).select(col("id").as("token_id"),
-      (lit(1.0) + col("id") * 0.1).as("price_usd"))
+      tokenPrice(col("id")).as("price_usd"))
 
   /** A1: long-form (block, tx, tx_idx, eoa, token, delta) rows from actions. */
   def deltas(actions: DataFrame): DataFrame = {
@@ -81,7 +82,7 @@ object Accounting {
 
   /** Extra WITH-clause members: px, deltas, tx_gas, tx_rev, header, swaps. */
   val sqlAccountingCtes: String =
-    s"""px AS (SELECT i AS token_id, 1.0e0 + i * 0.1e0 AS price_usd
+    s"""px AS (SELECT i AS token_id, ${tokenPriceSql("i")} AS price_usd
       FROM range($TokRefSpace) t(i)),
     deltas AS (
       SELECT block_number, tx_idx, tx_hash, from_address AS eoa,

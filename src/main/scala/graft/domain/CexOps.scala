@@ -174,8 +174,7 @@ object CexOps extends QueryModule {
   private val q3CexDexMarkout = QueryDef(
     "q3_cexdex_markout",
     (s, dir) => {
-      val searchers = s.range(4)
-        .select(md5(concat(lit("eoa:"), col("id"))).as("s_eoa"))
+      val searchers = ChainFixture.searchers(s)
       phasePairs(s, dir)
         .groupBy("exchange", "block_number", "tx_hash", "trace_idx")
         .agg(dsum(col("px") * col("amt")).as("pv"), dsum(col("amt")).as("v"),
@@ -201,7 +200,7 @@ object CexOps extends QueryModule {
           MIN(rate) AS rate, MIN(amount_in) AS amount_in, MIN(pair_a) AS pair_a,
           MIN(from_address) AS eoa
         FROM pp GROUP BY 1, 2, 3, 4),
-      searchers3 AS (SELECT md5('eoa:' || i) AS s_eoa FROM range(4) t(i)),
+      searchers3 AS $searchersCteBody,
       mk AS (
         SELECT exchange,
           (pv / v - rate) * amount_in * (1.0e0 + pair_a * 0.1e0) AS markout_usd,
@@ -230,8 +229,7 @@ object CexOps extends QueryModule {
   private val q3Reconstruct = QueryDef(
     "q3_reconstruct",
     (s, dir) => {
-      val searchers = s.range(4)
-        .select(md5(concat(lit("eoa:"), col("id"))).as("s_eoa"))
+      val searchers = ChainFixture.searchers(s)
       val sw = actionsTable(s, dir)
         .filter(col("action_type") === "swap" && col("pool").isNotNull &&
           col("amount_in").isNotNull && col("amount_out").isNotNull)
@@ -278,7 +276,7 @@ object CexOps extends QueryModule {
           "amount_in", "amount_out", "swap_from", "recipient", "trace_idx")
         .orderBy("tx_hash", "pool_cand")
     },
-    withCtes(s"""searchers_r AS (SELECT md5('eoa:' || i) AS s_eoa FROM range(4) t(i)),
+    withCtes(s"""searchers_r AS $searchersCteBody,
       sw_r AS (
         SELECT tx_hash, from_address, pool, token_in_id, token_out_id,
           amount_in, amount_out, trace_idx
@@ -387,8 +385,7 @@ object CexOps extends QueryModule {
   private val q3Global = QueryDef(
     "q3_global",
     (s, dir) => {
-      val searchers = s.range(4)
-        .select(md5(concat(lit("eoa:"), col("id"))).as("s_eoa"))
+      val searchers = ChainFixture.searchers(s)
       val hist = dexSwaps(s, dir).groupBy(col("from_address").as("h_eoa"))
         .agg(count(lit(1)).as("n_hist"))
       val fee = (expr("CAST(substring(exchange, 3) AS BIGINT)") + 1) * FeeUnit
@@ -432,7 +429,7 @@ object CexOps extends QueryModule {
     withCtes(s"""$cexTradesCte, $phasePairsCte,
       hist AS (SELECT from_address AS h_eoa, COUNT(*) AS n_hist
                FROM dex GROUP BY 1),
-      searchers_g AS (SELECT md5('eoa:' || i) AS s_eoa FROM range(4) t(i)),
+      searchers_g AS $searchersCteBody,
       leg_g AS (
         SELECT block_number, tx_hash, trace_idx,
           ${sqlSum("px * amt")} AS pv, ${sqlSum("amt")} AS v,
@@ -793,8 +790,7 @@ object CexOps extends QueryModule {
   private val j1TxInfo = QueryDef(
     "j1_tx_info",
     (s, dir) => {
-      val searchers = s.range(4).select(
-        md5(concat(lit("eoa:"), col("id"))).as("s_eoa"), lit(true).as("is_searcher"))
+      val searchers = ChainFixture.searchers(s).withColumn("is_searcher", lit(true))
       val meta = s.range(NumEoas).select(
         md5(concat(lit("eoa:"), col("id"))).as("m_eoa"),
         concat(lit("fund"), col("id") % 3).as("fund"))
@@ -809,7 +805,7 @@ object CexOps extends QueryModule {
           countDistinct(col("beneficiary")).as("n_builders"))
         .orderBy("fund")
     },
-    withCtes(s"""searchers AS (SELECT md5('eoa:' || i) AS s_eoa FROM range(4) t(i)),
+    withCtes(s"""searchers AS $searchersCteBody,
       meta AS (SELECT md5('eoa:' || i) AS m_eoa, 'fund' || (i % 3) AS fund
                FROM range($NumEoas) t(i))
       SELECT m.fund, COUNT(*) AS n_txs,

@@ -271,22 +271,32 @@ object ChainFixture {
     * dynamic-offset arrays, or log-decoded amounts —
     * brontes-macros/src/action_classifier.rs, classifiers/uniswap/
     * uniswap_v3.rs, classifiers/curve/). Tiny → broadcast. */
+  /** THE selector→layout mapping — [[layoutRegistry]], [[layoutCase]] and
+    * [[calldataTable]]'s layout column all derive from this one Seq, so the
+    * three can't drift (ADVICE r5). */
+  val selectorLayouts: Seq[(String, String)] = Seq(
+    SelV2Swap -> "two_word", SelV3Swap -> "int256_pair",
+    SelCurveSwap -> "dyn_array", SelTransfer -> "log_data",
+    SelMint -> "two_word", SelBurn -> "two_word",
+    SelLiquidation -> "two_word", SelUnknown -> "two_word")
+
   def layoutRegistry(s: SparkSession): DataFrame = {
     import s.implicits._
-    Seq(
-      (SelV2Swap, "two_word"), (SelV3Swap, "int256_pair"),
-      (SelCurveSwap, "dyn_array"), (SelTransfer, "log_data"),
-      (SelMint, "two_word"), (SelBurn, "two_word"),
-      (SelLiquidation, "two_word"), (SelUnknown, "two_word"))
-      .toDF("selector", "layout")
+    selectorLayouts.toDF("selector", "layout")
   }
 
-  /** Oracle-side selector→layout mapping (must mirror [[layoutRegistry]]). */
+  /** Layout of a selector column, derived from [[selectorLayouts]]. */
+  def layoutOf(sel: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    selectorLayouts.filter(_._2 != "two_word")
+      .foldRight(lit("two_word"): org.apache.spark.sql.Column) {
+        case ((s, l), acc) => when(sel === s, l).otherwise(acc)
+      }
+
+  /** Oracle-side selector→layout mapping, derived from [[selectorLayouts]]. */
   val layoutCase: String =
-    s"""CASE WHEN selector = '$SelV3Swap' THEN 'int256_pair'
-      WHEN selector = '$SelCurveSwap' THEN 'dyn_array'
-      WHEN selector = '$SelTransfer' THEN 'log_data'
-      ELSE 'two_word' END"""
+    selectorLayouts.filter(_._2 != "two_word")
+      .map { case (s, l) => s"WHEN selector = '$s' THEN '$l'" }
+      .mkString("CASE ", " ", " ELSE 'two_word' END")
 
   /** Heterogeneous REAL-BYTES calldata per trace — four genuinely distinct
     * ABI layouts, all round-trippable against the source q6/p2 columns so
@@ -314,10 +324,7 @@ object ChainFixture {
       t.select(
         col("block_number"), col("tx_idx"), col("tx_hash"), col("trace_idx"),
         col("selector"), col("tok_id"), col("q6l"), col("p2l"),
-        when(col("selector") === SelV3Swap, lit("int256_pair"))
-          .when(col("selector") === SelCurveSwap, lit("dyn_array"))
-          .when(col("selector") === SelTransfer, lit("log_data"))
-          .otherwise(lit("two_word")).as("layout"),
+        layoutOf(col("selector")).as("layout"),
         unhex(
           when(col("selector") === SelV3Swap,
             concat(col("selector"), word(col("q6l")), negWord(col("p2l"))))
@@ -339,10 +346,14 @@ object ChainFixture {
 
   private val materialized = scala.collection.mutable.Set[String]()
 
-  /** Per-JVM store root: concurrent JVMs running the same suite must not
-    * collide on (or read each other's half-written) materialized tables. */
-  private val matRoot =
-    s"${System.getProperty("java.io.tmpdir")}/graft_mat_${ProcessHandle.current().pid()}"
+  /** Materialization root for pipeline intermediates. At cluster scale set
+    * `spark.graft.matRoot` to a shared store (S3/HDFS path) so every
+    * executor and downstream stage reads the same tables; the default is a
+    * per-JVM tmpdir root (concurrent local JVMs running the same suite must
+    * not collide on, or read each other's half-written, tables). */
+  private def matRoot(s: SparkSession): String =
+    s.conf.getOption("spark.graft.matRoot").getOrElse(
+      s"${System.getProperty("java.io.tmpdir")}/graft_mat_${ProcessHandle.current().pid()}")
   private[domain] def materializedHas(p: String): Boolean =
     materialized.contains(p)
   private[domain] def materializedAdd(p: String): Unit = materialized += p
@@ -354,7 +365,7 @@ object ChainFixture {
     * pipeline stages; locally they live under java.io.tmpdir. */
   private[domain] def materialize(s: SparkSession, key: String, df: => DataFrame): DataFrame =
     synchronized {
-      val path = s"${matRoot}_$key"
+      val path = s"${matRoot(s)}_$key"
       if (!materialized.contains(path)) {
         df.write.mode("overwrite").parquet(path)
         materialized += path
@@ -375,7 +386,7 @@ object ChainFixture {
     * of SURVEY §4: block-range queries prune partitions at the source. */
   def actionsTable(s: SparkSession, dir: String): DataFrame =
     synchronized {
-      val path = s"${matRoot}_actions_${dirKey(dir)}"
+      val path = s"${matRoot(s)}_actions_${dirKey(dir)}"
       if (!materializedHas(path)) {
         actions(s, dir)
           .withColumn("block_bucket", expr("block_number div 250"))

@@ -99,7 +99,7 @@ object InspectorOps extends QueryModule {
     * (MAX_PRICE_DIFF sanity on both legs against the fixture price dim). */
   private[graft] def bracketsOf(swTxDf: DataFrame): DataFrame = {
     val w = Window.partitionBy("wnd", "eoa", "pool").orderBy("ord")
-    def px(t: Column): Column = lit(1.0) + t * 0.1
+    def px(t: Column): Column = tokenPrice(t)
     windowed(swTxDf)
       .withColumn("back_block", lead(col("block_number"), 1).over(w))
       .withColumn("back_ord", lead(col("ord"), 1).over(w))
@@ -392,9 +392,9 @@ object InspectorOps extends QueryModule {
         front_tx, dir, tok_in, tok_out, sum_in, sum_out,
         back_ord, back_in, back_out, back_tx,
         (ABS((sum_out / sum_in) /
-             ((1.0e0 + tok_in * 0.1e0) / (1.0e0 + tok_out * 0.1e0)) - 1) <= $MaxPriceDiff
+             (${tokenPriceSql("tok_in")} / ${tokenPriceSql("tok_out")}) - 1) <= $MaxPriceDiff
          AND ABS((back_out / back_in) /
-             ((1.0e0 + back_tok_in * 0.1e0) / (1.0e0 + back_tok_out * 0.1e0)) - 1) <= $MaxPriceDiff
+             (${tokenPriceSql("back_tok_in")} / ${tokenPriceSql("back_tok_out")}) - 1) <= $MaxPriceDiff
         ) AS valid_pricing
       FROM (
         SELECT * FROM (
@@ -561,8 +561,7 @@ object InspectorOps extends QueryModule {
   private val q2AtomicArb = QueryDef(
     "q2_atomic_arb",
     (s, dir) => {
-      val searchers = s.range(4)
-        .select(md5(concat(lit("eoa:"), col("id"))).as("s_eoa"))
+      val searchers = ChainFixture.searchers(s)
       val a = arbs(s, dir)
       a.join(bundleHeaders(s, dir), "tx_hash")
         .join(broadcast(searchers), col("eoa") === col("s_eoa"), "left")
@@ -581,7 +580,7 @@ object InspectorOps extends QueryModule {
         .orderBy("arb_type")
     },
     withCtes(s"""$arbCte, $trigCtes,
-      searchers2 AS (SELECT md5('eoa:' || i) AS s_eoa FROM range(4) t(i))
+      searchers2 AS $searchersCteBody
       SELECT a.arb_type, COUNT(*) AS n_arbs,
         ${sqlSum("h.profit_usd")} AS sum_profit,
         CAST(SUM(CASE WHEN h.profit_usd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_profitable,
@@ -619,8 +618,7 @@ object InspectorOps extends QueryModule {
   private val q8SearcherActivity = QueryDef(
     "q8_searcher_activity",
     (s, dir) => {
-      val searchers = s.range(4)
-        .select(md5(concat(lit("eoa:"), col("id"))).as("eoa"))
+      val searchers = ChainFixture.searchers(s).withColumnRenamed("s_eoa", "eoa")
       bundleHeaders(s, dir)
         .join(broadcast(searchers), "eoa")
         .groupBy("eoa")
@@ -629,7 +627,7 @@ object InspectorOps extends QueryModule {
           sum(when(col("profit_usd") > 0, 1L).otherwise(0L)).as("n_profitable"))
         .orderBy("eoa")
     },
-    withCtes(s"""searchers AS (SELECT md5('eoa:' || i) AS eoa FROM range(4) t(i))
+    withCtes(s"""searchers AS (SELECT s_eoa AS eoa FROM $searchersCteBody t2)
       SELECT h.eoa, COUNT(*) AS n_txs,
         ${sqlSum("h.profit_usd")} AS sum_profit,
         CAST(SUM(CASE WHEN h.profit_usd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_profitable
@@ -696,8 +694,8 @@ object InspectorOps extends QueryModule {
           "mint_t0", "mint_t1", "mint_in", "mint_out", "burn_in", "burn_out")
         .agg(count(lit(1)).as("n_victims"))
         .withColumn("fee_usd",
-          (col("burn_in") - col("mint_in")) * (lit(1.0) + col("mint_t0") * 0.1) +
-            (col("burn_out") - col("mint_out")) * (lit(1.0) + col("mint_t1") * 0.1))
+          (col("burn_in") - col("mint_in")) * tokenPrice(col("mint_t0")) +
+            (col("burn_out") - col("mint_out")) * tokenPrice(col("mint_t1")))
         .groupBy("block_number")
         .agg(count(lit(1)).as("n_jit"), sum(col("n_victims")).as("n_victims"),
           dsum(col("fee_usd")).as("sum_fee_usd"))
@@ -732,7 +730,7 @@ object InspectorOps extends QueryModule {
         GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
       SELECT block_number, COUNT(*) AS n_jit,
         CAST(SUM(n_victims) AS BIGINT) AS n_victims,
-        ${sqlSum("(burn_in - mint_in) * (1.0e0 + mint_t0 * 0.1e0) + (burn_out - mint_out) * (1.0e0 + mint_t1 * 0.1e0)")} AS sum_fee_usd
+        ${sqlSum(s"(burn_in - mint_in) * ${tokenPriceSql("mint_t0")} + (burn_out - mint_out) * ${tokenPriceSql("mint_t1")}")} AS sum_fee_usd
       FROM jitv GROUP BY 1 ORDER BY 1"""))
 
   /** J7: pool-overlap check — first vs last swap tx of an EOA in a block

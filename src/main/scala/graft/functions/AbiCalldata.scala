@@ -233,8 +233,12 @@ case class AbiArrayLen(child: Expression, headIdx: Int) extends UnaryExpression 
       var off = 0L
       var i = 0
       while (i < 8) { off = (off << 8) | (b(headOff + i) & 0xffL); i += 1 }
+      // reject oversized offsets BEFORE the arithmetic: a crafted head word
+      // near 2^63 would wrap `4 + off + 24` negative and dodge the length
+      // check, turning corrupt bytes into an AIOOBE instead of NULL
+      if (off < 0 || off > b.length) return null
       val lenOff = 4 + off + 24
-      if (off < 0 || b.length < lenOff + 8) null
+      if (b.length < lenOff + 8) null
       else {
         var v = 0L
         i = 0
@@ -259,7 +263,7 @@ case class AbiArrayLen(child: Expression, headIdx: Int) extends UnaryExpression 
          |    $off = ($off << 8) | ($c[$headOff + $i] & 0xffL);
          |  }
          |  long $lenOff = 4L + $off + 24L;
-         |  if ($off < 0 || $c.length < $lenOff + 8) {
+         |  if ($off < 0 || $off > $c.length || $c.length < $lenOff + 8) {
          |    ${ev.isNull} = true;
          |  } else {
          |    long $v = 0L;
@@ -296,8 +300,11 @@ case class AbiArrayElem(child: Expression, headIdx: Int, elemIdx: Int)
       var off = 0L
       var i = 0
       while (i < 8) { off = (off << 8) | (b(headOff + i) & 0xffL); i += 1 }
+      // same oversized-offset rejection as AbiArrayLen: guard before the
+      // lenOff/elemOff arithmetic can wrap
+      if (off < 0 || off > b.length) return null
       val lenOff = 4 + off + 24
-      if (off < 0 || b.length < lenOff + 8) null
+      if (b.length < lenOff + 8) null
       else {
         var n = 0L
         i = 0
@@ -334,7 +341,7 @@ case class AbiArrayElem(child: Expression, headIdx: Int, elemIdx: Int)
          |    $off = ($off << 8) | ($c[$headOff + $i] & 0xffL);
          |  }
          |  long $lenOff = 4L + $off + 24L;
-         |  if ($off < 0 || $c.length < $lenOff + 8) {
+         |  if ($off < 0 || $off > $c.length || $c.length < $lenOff + 8) {
          |    ${ev.isNull} = true;
          |  } else {
          |    long $n = 0L;

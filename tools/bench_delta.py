@@ -9,6 +9,7 @@ than 0.5 s absolute (sub-second noise is not a regression signal on a
 shared machine — see NOTES.md "Round gate"). Every flagged query must get
 a written cause in NOTES.md before the end-of-round commit.
 """
+import argparse
 import json
 import sys
 
@@ -19,12 +20,13 @@ def load(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    thr = 1.5
-    for a in sys.argv[1:]:
-        if a.startswith("--threshold"):
-            thr = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
-    old, new = load(args[0]), load(args[1])
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--threshold", type=float, default=1.5)
+    ns = ap.parse_args()
+    thr = ns.threshold
+    old, new = load(ns.old), load(ns.new)
     common = sorted(set(old) & set(new))
     if not common:
         print("no common queries"); sys.exit(2)
