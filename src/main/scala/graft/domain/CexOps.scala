@@ -375,13 +375,42 @@ object CexOps extends QueryModule {
   /** Exchange taker/maker fee fraction: deterministic (1+ex_id)·1e-4. */
   private val FeeUnit = 1e-4
 
+  /** Single-profitable-exchange PnL above this is an "outlier" (the
+    * reference's HIGH_PROFIT_THRESHOLD = $10,000, markout/types.rs:26,
+    * scaled to the fixture's PnL distribution so the arm genuinely
+    * bisects). */
+  val HighProfitUsd = 500.0
+
+  /** The exchanges whose lone-profitability marks an outlier (the
+    * reference names Kucoin/Okex, types.rs:597-599; fixture analog). */
+  val OutlierExchanges = Seq("ex3", "ex4")
+
+  /** Stable legs (F4's stable set: token ids 0..4): pair entirely inside
+    * the stable set — the `is_stable_swaps` guard of arb_sanity_check. */
+  private def isStablePair(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    a < 5 && b < 5
+
   /** Q3 (global arm): the TimeWindowGlobal leg of the pricing matrix
     * (cex_dex_markout.rs:316-342 + profit_classifier :420-512) — VWAM over
     * ALL exchanges' trades with per-trade maker/taker fee adjustment, PnL
-    * both arms, the max_arb_delta sanity clamp (:709-725), and the
-    * searcher-history validity gate (filter_possible_cex_dex :639-688,
-    * FILTER_THRESHOLD trade-count heuristic). Complements the per-exchange
-    * arm (q3_cexdex_markout) and the optimistic arm (j5_optimistic). */
+    * both arms, the max_arb_delta sanity clamp (:709-725), and ALL FOUR
+    * arms of the filter_possible_cex_dex validity gate (:639-688):
+    *   1. pnl — globally profitable on either book side, OR profitable on
+    *      MULTIPLE exchanges independently (the multi-exchange arm: a bot
+    *      unprofitable on the global window but priced off several
+    *      exchanges simultaneously is real). The reference gates at >2 of
+    *      its ~8 dense venues; this fixture's ±30s windows contain at most
+    *      2 venues, so the scaled arm is ≥2 — same semantics, fixture
+    *      density;
+    *   2. history/label — known CexDex searcher (FILTER_THRESHOLD·2);
+    *   3. single-exchange — profitable on exactly one exchange and the
+    *      swap isn't stable↔stable (arb_sanity_check :652,664);
+    *   4. profitable outlier — ONE taker-profitable exchange, its PnL
+    *      above HIGH_PROFIT_THRESHOLD, on an outlier venue, non-stable
+    *      (is_profitable_outlier, types.rs:594-600).
+    * The per-exchange PnL matrix comes from a two-level rollup: trades →
+    * (leg, exchange) partials → leg, so the global sums REUSE the
+    * per-exchange partials (one scan, map-side combine at both levels). */
   private val q3Global = QueryDef(
     "q3_global",
     (s, dir) => {
@@ -389,14 +418,31 @@ object CexOps extends QueryModule {
       val hist = dexSwaps(s, dir).groupBy(col("from_address").as("h_eoa"))
         .agg(count(lit(1)).as("n_hist"))
       val fee = (expr("CAST(substring(exchange, 3) AS BIGINT)") + 1) * FeeUnit
-      val legs = phasePairs(s, dir)
-        .groupBy("block_number", "tx_hash", "trace_idx")
+      val exLegs = phasePairs(s, dir)
+        .groupBy("block_number", "tx_hash", "trace_idx", "exchange")
         .agg(dsum(col("px") * col("amt")).as("pv"), dsum(col("amt")).as("v"),
           dsum(col("px") * (lit(1.0) - fee) * col("amt")).as("pv_mk"),
           dsum(col("px") * (lit(1.0) + fee) * col("amt")).as("pv_tk"),
           min(col("rate")).as("rate"), min(col("amount_in")).as("amount_in"),
-          min(col("pair_a")).as("pair_a"), min(col("from_address")).as("eoa"))
-      val tokPx = lit(1.0) + col("pair_a") * 0.1
+          min(col("pair_a")).as("pair_a"), min(col("pair_b")).as("pair_b"),
+          min(col("from_address")).as("eoa"))
+      val exTokPx = tokenPrice(col("pair_a"))
+      val legs = exLegs
+        .withColumn("e_pnl_mk",
+          (col("pv_mk") / col("v") - col("rate")) * col("amount_in") * exTokPx)
+        .withColumn("e_pnl_tk",
+          (col("pv_tk") / col("v") - col("rate")) * col("amount_in") * exTokPx)
+        .groupBy("block_number", "tx_hash", "trace_idx")
+        .agg(dsum(col("pv")).as("pv"), dsum(col("v")).as("v"),
+          dsum(col("pv_mk")).as("pv_mk"), dsum(col("pv_tk")).as("pv_tk"),
+          min(col("rate")).as("rate"), min(col("amount_in")).as("amount_in"),
+          min(col("pair_a")).as("pair_a"), min(col("pair_b")).as("pair_b"),
+          min(col("eoa")).as("eoa"),
+          sum(when(col("e_pnl_mk") > 0, 1L).otherwise(0L)).as("n_ex_maker_pos"),
+          sum(when(col("e_pnl_tk") > 0, 1L).otherwise(0L)).as("n_ex_taker_pos"),
+          max(when(col("e_pnl_tk") > 0, col("e_pnl_tk"))).as("best_tk_pnl"),
+          max(when(col("e_pnl_tk") > 0, col("exchange"))).as("best_tk_ex"))
+      val tokPx = tokenPrice(col("pair_a"))
       val arm = legs
         .join(hist, col("eoa") === col("h_eoa"), "left")
         .join(broadcast(searchers), col("eoa") === col("s_eoa"), "left")
@@ -415,14 +461,27 @@ object CexOps extends QueryModule {
         .withColumn("passes_sanity",
           least(col("cex_out"), col("dex_out")) * col("max_diff") >=
             greatest(col("cex_out"), col("dex_out")))
-        .withColumn("is_valid", col("pnl_maker") > 0 ||
-          col("n_hist") > 40 || col("s_eoa").isNotNull)
+        .withColumn("is_stable", isStablePair(col("pair_a"), col("pair_b")))
+        .withColumn("arm_pnl", col("pnl_maker") > 0 || col("pnl_taker") > 0 ||
+          col("n_ex_maker_pos") >= 2 || col("n_ex_taker_pos") >= 2)
+        .withColumn("arm_hist", col("n_hist") > 40 || col("s_eoa").isNotNull)
+        .withColumn("arm_one_ex",
+          (col("n_ex_maker_pos") === 1 || col("n_ex_taker_pos") === 1) && !col("is_stable"))
+        .withColumn("arm_outlier", col("n_ex_taker_pos") === 1 &&
+          col("best_tk_pnl") > HighProfitUsd &&
+          col("best_tk_ex").isin(OutlierExchanges: _*) && !col("is_stable"))
+        .withColumn("is_valid", col("arm_pnl") || col("arm_hist") ||
+          col("arm_one_ex") || col("arm_outlier"))
       arm.groupBy("pair_a")
         .agg(count(lit(1)).as("n_legs"),
           dsumR(col("pnl_maker")).as("sum_pnl_maker"),
           dsumR(col("pnl_taker")).as("sum_pnl_taker"),
           sum(when(col("pnl_maker") > 0, 1L).otherwise(0L)).as("n_maker_pos"),
           sum(when(col("passes_sanity"), 1L).otherwise(0L)).as("n_sane"),
+          sum(when(col("n_ex_maker_pos") >= 2 || col("n_ex_taker_pos") >= 2, 1L)
+            .otherwise(0L)).as("n_multi_ex"),
+          sum(when(col("arm_one_ex"), 1L).otherwise(0L)).as("n_one_ex"),
+          sum(when(col("arm_outlier"), 1L).otherwise(0L)).as("n_outlier"),
           sum(when(col("is_valid"), 1L).otherwise(0L)).as("n_valid"))
         .orderBy("pair_a")
     },
@@ -430,20 +489,39 @@ object CexOps extends QueryModule {
       hist AS (SELECT from_address AS h_eoa, COUNT(*) AS n_hist
                FROM dex GROUP BY 1),
       searchers_g AS $searchersCteBody,
-      leg_g AS (
-        SELECT block_number, tx_hash, trace_idx,
+      exleg AS (
+        SELECT block_number, tx_hash, trace_idx, exchange,
           ${sqlSum("px * amt")} AS pv, ${sqlSum("amt")} AS v,
           ${sqlSum("px * (1.0e0 - (CAST(substring(exchange, 3) AS BIGINT) + 1) * 1.0e-4) * amt")} AS pv_mk,
           ${sqlSum("px * (1.0e0 + (CAST(substring(exchange, 3) AS BIGINT) + 1) * 1.0e-4) * amt")} AS pv_tk,
           MIN(rate) AS rate, MIN(amount_in) AS amount_in,
-          MIN(pair_a) AS pair_a, MIN(from_address) AS eoa
-        FROM pp GROUP BY 1, 2, 3),
+          MIN(pair_a) AS pair_a, MIN(pair_b) AS pair_b,
+          MIN(from_address) AS eoa
+        FROM pp GROUP BY 1, 2, 3, 4),
+      expnl AS (
+        SELECT *,
+          (pv_mk / v - rate) * amount_in * ${tokenPriceSql("pair_a")} AS e_pnl_mk,
+          (pv_tk / v - rate) * amount_in * ${tokenPriceSql("pair_a")} AS e_pnl_tk
+        FROM exleg),
+      leg_g AS (
+        SELECT block_number, tx_hash, trace_idx,
+          ${sqlSum("pv")} AS pv, ${sqlSum("v")} AS v,
+          ${sqlSum("pv_mk")} AS pv_mk, ${sqlSum("pv_tk")} AS pv_tk,
+          MIN(rate) AS rate, MIN(amount_in) AS amount_in,
+          MIN(pair_a) AS pair_a, MIN(pair_b) AS pair_b, MIN(eoa) AS eoa,
+          SUM(CASE WHEN e_pnl_mk > 0 THEN 1 ELSE 0 END) AS n_ex_maker_pos,
+          SUM(CASE WHEN e_pnl_tk > 0 THEN 1 ELSE 0 END) AS n_ex_taker_pos,
+          MAX(CASE WHEN e_pnl_tk > 0 THEN e_pnl_tk END) AS best_tk_pnl,
+          MAX(CASE WHEN e_pnl_tk > 0 THEN exchange END) AS best_tk_ex
+        FROM expnl GROUP BY 1, 2, 3),
       arm AS (
-        SELECT pair_a,
-          (pv_mk / v - rate) * amount_in * (1.0e0 + pair_a * 0.1e0) AS pnl_maker,
-          (pv_tk / v - rate) * amount_in * (1.0e0 + pair_a * 0.1e0) AS pnl_taker,
+        SELECT pair_a, pair_b, n_ex_maker_pos, n_ex_taker_pos,
+          best_tk_pnl, best_tk_ex,
+          (pv_mk / v - rate) * amount_in * ${tokenPriceSql("pair_a")} AS pnl_maker,
+          (pv_tk / v - rate) * amount_in * ${tokenPriceSql("pair_a")} AS pnl_taker,
           (pv_mk / v) * amount_in AS cex_out, rate * amount_in AS dex_out,
-          h.n_hist, s.s_eoa
+          h.n_hist, s.s_eoa,
+          (pair_a < 5 AND pair_b < 5) AS is_stable
         FROM leg_g
         LEFT JOIN hist h ON leg_g.eoa = h.h_eoa
         LEFT JOIN searchers_g s ON leg_g.eoa = s.s_eoa),
@@ -452,7 +530,14 @@ object CexOps extends QueryModule {
           CASE WHEN s_eoa IS NOT NULL AND pnl_maker < 5.0 THEN 10.0e0
                WHEN s_eoa IS NOT NULL AND pnl_maker < 40.0 THEN 8.0e0
                WHEN s_eoa IS NOT NULL AND pnl_maker < 100.0 THEN 5.0e0
-               ELSE 3.0e0 END AS max_diff
+               ELSE 3.0e0 END AS max_diff,
+          (pnl_maker > 0 OR pnl_taker > 0
+            OR n_ex_maker_pos >= 2 OR n_ex_taker_pos >= 2) AS arm_pnl,
+          (COALESCE(n_hist, 0) > 40 OR s_eoa IS NOT NULL) AS arm_hist,
+          ((n_ex_maker_pos = 1 OR n_ex_taker_pos = 1) AND NOT is_stable) AS arm_one_ex,
+          (n_ex_taker_pos = 1 AND best_tk_pnl > $HighProfitUsd
+            AND best_tk_ex IN (${OutlierExchanges.map(e => s"'$e'").mkString(", ")})
+            AND NOT is_stable) AS arm_outlier
         FROM arm)
       SELECT pair_a, COUNT(*) AS n_legs,
         ${sqlSumR("pnl_maker")} AS sum_pnl_maker,
@@ -460,7 +545,11 @@ object CexOps extends QueryModule {
         CAST(SUM(CASE WHEN pnl_maker > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_maker_pos,
         CAST(SUM(CASE WHEN LEAST(cex_out, dex_out) * max_diff >= GREATEST(cex_out, dex_out)
                       THEN 1 ELSE 0 END) AS BIGINT) AS n_sane,
-        CAST(SUM(CASE WHEN pnl_maker > 0 OR n_hist > 40 OR s_eoa IS NOT NULL
+        CAST(SUM(CASE WHEN n_ex_maker_pos >= 2 OR n_ex_taker_pos >= 2
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_ex,
+        CAST(SUM(CASE WHEN arm_one_ex THEN 1 ELSE 0 END) AS BIGINT) AS n_one_ex,
+        CAST(SUM(CASE WHEN arm_outlier THEN 1 ELSE 0 END) AS BIGINT) AS n_outlier,
+        CAST(SUM(CASE WHEN arm_pnl OR arm_hist OR arm_one_ex OR arm_outlier
                       THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
       FROM armx GROUP BY 1 ORDER BY 1"""))
 
@@ -687,11 +776,18 @@ object CexOps extends QueryModule {
         GROUP BY 1, 2)
       SELECT a, c, implied_px, n_routes FROM hop2 WHERE a < 5 ORDER BY 1, 2"""))
 
+  /** Q4's FILTER_THRESHOLD (quotes/cex_dex.rs:72): half the trades
+    * inspector's history gate. */
+  val QuotesFilterThreshold = 20
+
   /** Q4: cex-dex against book QUOTES — nearest-before mid-price per pair
     * via the one-shuffle as-of join, markout vs dex rate. Bid and ask get
     * INDEPENDENT hash-derived bps offsets (cex_quotes.rs's real books are
     * asymmetric), so the mid genuinely differs from the trade price and the
-    * quote path exercises non-cancelling spread math. */
+    * quote path exercises non-cancelling spread math. Validity is the
+    * quotes inspector's own filter_possible_cex_dex (quotes/cex_dex.rs:
+    * 449-512): pnl > 1.5 outright, OR a known bot (history above
+    * FILTER_THRESHOLD ∨ labeled) that is at least breakeven (pnl > 0). */
   private val q4CexDexQuotes = QueryDef(
     "q4_cexdex_quotes",
     (s, dir) => {
@@ -709,6 +805,9 @@ object CexOps extends QueryModule {
         // prices quotes PnL at mid AND at ask (cex_dex.rs per_arm outputs)
         .select(col("pair_key"), col("ts_us"),
           struct(col("mid"), col("ask")).as("q"))
+      val searchers = ChainFixture.searchers(s)
+      val hist = dexSwaps(s, dir).groupBy(col("from_address").as("h_eoa"))
+        .agg(count(lit(1)).as("n_hist"))
       val sw = dexSwaps(s, dir)
         .withColumn("pair_key", concat(col("pair_a"), lit(":"), col("pair_b")))
       // ~60 pair keys can't parallelize a bare-key window at scale — salt
@@ -717,11 +816,20 @@ object CexOps extends QueryModule {
         "q", "qv", bucketSpan = 600000000L)
         .withColumn("q_mid", col("qv.mid"))
         .withColumn("q_ask", col("qv.ask"))
+        .join(hist, col("from_address") === col("h_eoa"), "left")
+        .join(broadcast(searchers), col("from_address") === col("s_eoa"), "left")
+        .withColumn("pnl",
+          (col("q_mid") - col("rate")) * col("amount_in") * tokenPrice(col("pair_a")))
+        .withColumn("is_valid", col("pnl") > 1.5 ||
+          ((col("n_hist") > QuotesFilterThreshold || col("s_eoa").isNotNull) &&
+            col("pnl") > 0))
         .groupBy("pair_a")
         .agg(count(lit(1)).as("n_swaps"),
           sum(when(col("q_mid").isNotNull, 1L).otherwise(0L)).as("n_quoted"),
           dsumR((col("q_mid") - col("rate")) * col("amount_in")).as("sum_markout"),
-          dsumR((col("q_ask") - col("rate")) * col("amount_in")).as("sum_markout_ask"))
+          dsumR((col("q_ask") - col("rate")) * col("amount_in")).as("sum_markout_ask"),
+          sum(when(col("pnl") > 1.5, 1L).otherwise(0L)).as("n_pnl_gate"),
+          sum(when(col("is_valid"), 1L).otherwise(0L)).as("n_valid"))
         .orderBy("pair_a")
     },
     withCtes(s"""$cexTradesCte,
@@ -729,14 +837,27 @@ object CexOps extends QueryModule {
               MAX((px * (1.0e0 - (CAST(FLOOR(px * 10000.0e0) AS BIGINT) % 20 + 1) * 1.0e-4)
                  + px * (1.0e0 + (CAST(FLOOR(px * 70000.0e0) AS BIGINT) % 25 + 2) * 1.0e-4)) / 2) AS mid,
               MAX(px * (1.0e0 + (CAST(FLOOR(px * 70000.0e0) AS BIGINT) % 25 + 2) * 1.0e-4)) AS ask
-            FROM cex GROUP BY 1, 2, 3)
-      SELECT d.pair_a AS pair_a, COUNT(*) AS n_swaps,
-        CAST(SUM(CASE WHEN q.mid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_quoted,
-        ${sqlSumR("(q.mid - d.rate) * d.amount_in")} AS sum_markout,
-        ${sqlSumR("(q.ask - d.rate) * d.amount_in")} AS sum_markout_ask
-      FROM dex d ASOF LEFT JOIN q
-        ON d.pair_a = q.pair_a AND d.pair_b = q.pair_b AND d.ts_us >= q.ts_us
-      GROUP BY 1 ORDER BY 1"""))
+            FROM cex GROUP BY 1, 2, 3),
+      hist_q AS (SELECT from_address AS h_eoa, COUNT(*) AS n_hist
+                 FROM dex GROUP BY 1),
+      searchers_q AS $searchersCteBody,
+      mq AS (
+        SELECT d.pair_a, d.rate, d.amount_in, q.mid, q.ask,
+          (q.mid - d.rate) * d.amount_in * ${tokenPriceSql("d.pair_a")} AS pnl,
+          h.n_hist, s.s_eoa
+        FROM dex d ASOF LEFT JOIN q
+          ON d.pair_a = q.pair_a AND d.pair_b = q.pair_b AND d.ts_us >= q.ts_us
+        LEFT JOIN hist_q h ON d.from_address = h.h_eoa
+        LEFT JOIN searchers_q s ON d.from_address = s.s_eoa)
+      SELECT pair_a, COUNT(*) AS n_swaps,
+        CAST(SUM(CASE WHEN mid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_quoted,
+        ${sqlSumR("(mid - rate) * amount_in")} AS sum_markout,
+        ${sqlSumR("(ask - rate) * amount_in")} AS sum_markout_ask,
+        CAST(SUM(CASE WHEN pnl > 1.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pnl_gate,
+        CAST(SUM(CASE WHEN pnl > 1.5 OR ((n_hist > $QuotesFilterThreshold
+                   OR s_eoa IS NOT NULL) AND pnl > 0)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
+      FROM mq GROUP BY 1 ORDER BY 1"""))
 
   /** A8: most-liquid-exchange quote — rank exchanges by traded volume per
     * pair, keep the top exchange's VWAP. */
