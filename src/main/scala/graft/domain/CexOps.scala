@@ -35,8 +35,8 @@ object CexOps extends QueryModule {
   val P3 = 30000000L
   val TxSpacingUs = 750000L
 
-  def defs: Seq[QueryDef] = Seq(j4StagedVwam, q3CexDexMarkout, q3Reconstruct,
-    q3MergeSwaps, q3Global, j5Optimistic, j5BasketFill,
+  def defs: Seq[QueryDef] = Seq(j4StagedVwam, j4Intermediary, q3CexDexMarkout,
+    q3Reconstruct, q3MergeSwaps, q3Global, j5Optimistic, j5BasketFill,
     j3Intermediary, q4CexDexQuotes, a8MostLiquid, a9SearcherStats, j1TxInfo,
     j12MetadataJoin, r1RangeChunks, r6FailedData)
 
@@ -167,6 +167,166 @@ object CexOps extends QueryModule {
         FROM staged)
       SELECT phase, COUNT(*) AS n_swaps, ${sqlSumR("vwam")} AS sum_vwam
       FROM chosen GROUP BY 1 ORDER BY 1"""))
+
+  /** J4 (intermediary arm): trades-VWAM through a bridging token — the
+    * get_vwap_price_via_intermediary path (time_window_vwam.rs:170-234)
+    * that the quotes side already has (j3_intermediary), now on the TRADES
+    * path:
+    *   - fallback trigger: the direct pair's ±P3 trade volume cannot cover
+    *     the swap's input (get_vwap_price returns None on insufficient
+    *     volume, :258-378);
+    *   - candidates: tokens connected by traded pairs to BOTH ends
+    *     (calculate_intermediary_addresses :487-516);
+    *   - each leg prices on its OWN phase-escalated window, with the
+    *     second leg's required volume scaled by the first leg's price
+    *     (second_leg_volume = first_leg.price · volume, :209);
+    *   - price = leg1 × leg2, best intermediary wins by price
+    *     (max_by_key(global.price_maker), :233).
+    * Scale shape: the traded-pair dim and the (a,b,x) candidate table are
+    * token-space-sized → broadcast; the only big joins are the two
+    * (pair, bucket) equi-joins of swap-legs against bucketed trades. */
+  private val j4Intermediary = QueryDef(
+    "j4_intermediary",
+    (s, dir) => {
+      // directed trade-pair edges (tiny: token-space sized)
+      val pairsDim = cexTrades(s, dir).select("pair_a", "pair_b").distinct()
+      val edges = pairsDim.select(col("pair_a").as("u"), col("pair_b").as("v"))
+        .unionByName(pairsDim.select(col("pair_b").as("u"), col("pair_a").as("v")))
+      val cands = edges.select(col("u").as("a"), col("v").as("x"))
+        .join(edges.select(col("u").as("x2"), col("v").as("b")), col("x") === col("x2"))
+        .filter(col("a") =!= col("b") && col("x") =!= col("a") && col("x") =!= col("b"))
+        .select("a", "b", "x").distinct()
+      // fallback set: swaps whose direct ±P3 window can't cover amount_in
+      val direct = phasePairs(s, dir)
+        .groupBy("block_number", "tx_hash", "trace_idx")
+        .agg(dsum(col("amt")).as("direct_v"))
+      val sw = dexSwaps(s, dir)
+        .join(direct, Seq("block_number", "tx_hash", "trace_idx"), "left")
+        .filter(col("direct_v").isNull || col("direct_v") < col("amount_in"))
+        .select("block_number", "tx_hash", "trace_idx", "ts_us",
+          "pair_a", "pair_b", "amount_in")
+      // two legs per (swap, candidate), each joined to its pair's buckets
+      val legs = sw
+        .join(broadcast(cands), col("pair_a") === col("a") && col("pair_b") === col("b"))
+        .withColumn("leg", explode(array(
+          struct(lit(1).as("leg_no"), least(col("pair_a"), col("x")).as("l_a"),
+            greatest(col("pair_a"), col("x")).as("l_b")),
+          struct(lit(2).as("leg_no"), least(col("x"), col("pair_b")).as("l_a"),
+            greatest(col("x"), col("pair_b")).as("l_b")))))
+        .select(col("block_number"), col("tx_hash"), col("trace_idx"),
+          col("ts_us"), col("amount_in"), col("x"),
+          col("leg.leg_no").as("leg_no"), col("leg.l_a").as("l_a"),
+          col("leg.l_b").as("l_b"))
+      val t = cexTrades(s, dir)
+        .withColumn("t_bucket", explode(array(
+          expr(s"ts_us div $P3") - 1, expr(s"ts_us div $P3"), expr(s"ts_us div $P3") + 1)))
+        .select(col("t_bucket"), col("pair_a").as("t_a"), col("pair_b").as("t_b"),
+          col("ts_us").as("t_ts"), col("px"), col("amt"))
+      def pv(bound: Long) = dsum(when(abs(col("t_ts") - col("ts_us")) <= bound,
+        col("px") * col("amt")))
+      def v(bound: Long) = dsum(when(abs(col("t_ts") - col("ts_us")) <= bound,
+        col("amt")))
+      val legAgg = legs
+        .withColumn("d_bucket", expr(s"ts_us div $P3"))
+        .join(t, col("d_bucket") === col("t_bucket") &&
+          col("l_a") === col("t_a") && col("l_b") === col("t_b") &&
+          abs(col("t_ts") - col("ts_us")) <= P3)
+        .groupBy("block_number", "tx_hash", "trace_idx", "x", "leg_no")
+        .agg(min(col("amount_in")).as("amount_in"),
+          pv(P1).as("pv1"), v(P1).as("v1"), pv(P2).as("pv2"), v(P2).as("v2"),
+          pv(P3).as("pv3"), v(P3).as("v3"))
+      // phase pick = narrowest window whose volume covers the requirement
+      def pick(req: org.apache.spark.sql.Column) =
+        when(col("v1") >= req, col("pv1") / col("v1"))
+          .when(col("v2") >= req, col("pv2") / col("v2"))
+          .when(col("v3") >= req, col("pv3") / col("v3"))
+      val l1 = legAgg.filter(col("leg_no") === 1)
+        .withColumn("vwam1", pick(col("amount_in")))
+        .filter(col("vwam1").isNotNull)
+        .select(col("block_number"), col("tx_hash"), col("trace_idx"), col("x"),
+          col("amount_in"), col("vwam1"))
+      val l2 = legAgg.filter(col("leg_no") === 2)
+        .select(col("block_number"), col("tx_hash"), col("trace_idx"), col("x"),
+          col("pv1"), col("v1"), col("pv2"), col("v2"), col("pv3"), col("v3"))
+      val priced = l1.join(l2, Seq("block_number", "tx_hash", "trace_idx", "x"))
+        .withColumn("vwam2", pick(col("amount_in") * col("vwam1")))
+        .filter(col("vwam2").isNotNull)
+        .withColumn("implied", col("vwam1") * col("vwam2"))
+      val w = Window.partitionBy("block_number", "tx_hash", "trace_idx")
+        .orderBy(col("implied").desc, col("x").asc)
+      priced.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy("x")
+        .agg(count(lit(1)).as("n_swaps"), dsumR(col("implied")).as("sum_implied"))
+        .withColumnRenamed("x", "intermediary")
+        .orderBy("intermediary")
+    },
+    withCtes(s"""$cexTradesCte,
+      pdim AS (SELECT DISTINCT pair_a, pair_b FROM cex),
+      edges AS (SELECT pair_a AS u, pair_b AS v FROM pdim
+                UNION ALL SELECT pair_b, pair_a FROM pdim),
+      cands AS (
+        SELECT DISTINCT e1.u AS a, e2.v AS b, e1.v AS x
+        FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+        WHERE e1.u <> e2.v AND e1.v <> e1.u AND e1.v <> e2.v),
+      tbi AS (
+        SELECT pair_a, pair_b, ts_us, px, amt,
+          unnest([ts_us // $P3 - 1, ts_us // $P3, ts_us // $P3 + 1]) AS bucket
+        FROM cex),
+      direct_v AS (
+        SELECT d.block_number, d.tx_hash, d.trace_idx, ${sqlSum("t.amt")} AS dv
+        FROM dex d JOIN tbi t
+          ON t.bucket = d.ts_us // $P3 AND t.pair_a = d.pair_a AND t.pair_b = d.pair_b
+         AND ABS(t.ts_us - d.ts_us) <= $P3
+        GROUP BY 1, 2, 3),
+      swf AS (
+        SELECT d.block_number, d.tx_hash, d.trace_idx, d.ts_us,
+          d.pair_a, d.pair_b, d.amount_in
+        FROM dex d LEFT JOIN direct_v v USING (block_number, tx_hash, trace_idx)
+        WHERE v.dv IS NULL OR v.dv < d.amount_in),
+      legsi AS (
+        SELECT s.*, c.x, 1 AS leg_no,
+          LEAST(s.pair_a, c.x) AS l_a, GREATEST(s.pair_a, c.x) AS l_b
+        FROM swf s JOIN cands c ON s.pair_a = c.a AND s.pair_b = c.b
+        UNION ALL
+        SELECT s.*, c.x, 2,
+          LEAST(c.x, s.pair_b), GREATEST(c.x, s.pair_b)
+        FROM swf s JOIN cands c ON s.pair_a = c.a AND s.pair_b = c.b),
+      legagg AS (
+        SELECT block_number, tx_hash, trace_idx, x, leg_no,
+          MIN(amount_in) AS amount_in,
+          ${sqlSum(s"CASE WHEN ABS(t.ts_us - l.ts_us) <= $P1 THEN px * amt END")} AS pv1,
+          ${sqlSum(s"CASE WHEN ABS(t.ts_us - l.ts_us) <= $P1 THEN amt END")} AS v1,
+          ${sqlSum(s"CASE WHEN ABS(t.ts_us - l.ts_us) <= $P2 THEN px * amt END")} AS pv2,
+          ${sqlSum(s"CASE WHEN ABS(t.ts_us - l.ts_us) <= $P2 THEN amt END")} AS v2,
+          ${sqlSum("px * amt")} AS pv3, ${sqlSum("amt")} AS v3
+        FROM legsi l JOIN tbi t
+          ON t.bucket = l.ts_us // $P3 AND t.pair_a = l.l_a AND t.pair_b = l.l_b
+         AND ABS(t.ts_us - l.ts_us) <= $P3
+        GROUP BY 1, 2, 3, 4, 5),
+      leg1 AS (
+        SELECT block_number, tx_hash, trace_idx, x, amount_in,
+          CASE WHEN v1 >= amount_in THEN pv1 / v1
+               WHEN v2 >= amount_in THEN pv2 / v2
+               WHEN v3 >= amount_in THEN pv3 / v3 END AS vwam1
+        FROM legagg WHERE leg_no = 1),
+      priced AS (
+        SELECT a1.block_number, a1.tx_hash, a1.trace_idx, a1.x,
+          a1.vwam1 * (CASE WHEN a2.v1 >= a1.amount_in * a1.vwam1 THEN a2.pv1 / a2.v1
+                           WHEN a2.v2 >= a1.amount_in * a1.vwam1 THEN a2.pv2 / a2.v2
+                           WHEN a2.v3 >= a1.amount_in * a1.vwam1 THEN a2.pv3 / a2.v3
+                      END) AS implied
+        FROM leg1 a1 JOIN legagg a2
+          ON a2.leg_no = 2 AND a1.block_number = a2.block_number
+         AND a1.tx_hash = a2.tx_hash AND a1.trace_idx = a2.trace_idx AND a1.x = a2.x
+        WHERE a1.vwam1 IS NOT NULL),
+      best AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY block_number, tx_hash, trace_idx
+            ORDER BY implied DESC, x ASC) AS rn
+        FROM priced WHERE implied IS NOT NULL)
+      SELECT x AS intermediary, COUNT(*) AS n_swaps,
+        ${sqlSumR("implied")} AS sum_implied
+      FROM best WHERE rn = 1 GROUP BY 1 ORDER BY 1"""))
 
   /** Q3: cex-dex markout — per-exchange VWAM vs dex execution rate, PnL in
     * the swap's input units × token price (the per-exchange arm of
