@@ -2,6 +2,7 @@ package graft.domain
 
 import graft.{QueryDef, QueryModule, Tables}
 import graft.ops.ExactAgg._
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Fidelity upgrades for inventory rows VERDICT r1 scored partial:
@@ -209,11 +210,63 @@ object FidelityOps extends QueryModule {
       }
       val wide = catJ.groupBy("block_bucket")
         .agg(catAggs.head, catAggs.tail: _*)
+      // ── the reference's per-category ARGMAX arms (top_searcher_by_profit
+      //    :1903, most_transacted :2072): top eoa / fund by summed volume,
+      //    busiest pool / pair by action count. Each is one linear pass at
+      //    (bucket, category, entity) grain + a tiny pivot — still no
+      //    Expand, still map-side-combining hash aggs.
+      def bkt = expr("block_number div 100").as("block_bucket")
+      def argmaxTop(grain: DataFrame, entity: String, metric: org.apache.spark.sql.Column) =
+        grain.groupBy("block_bucket", "action_type")
+          .agg(max(struct(metric.as("m"), col(entity).as("e"))).as("s"))
+          .select(col("block_bucket"), col("action_type"),
+            col("s.e").as("top_e"), col("s.m").as("top_m"))
+      def pivot2(top: DataFrame, prefix: String) = {
+        val aggs = A5Categories.flatMap { t =>
+          val is = col("action_type") === t
+          Seq(max(when(is, col("top_e"))).as(s"${prefix}_$t"),
+            max(when(is, col("top_m"))).as(s"${prefix}_v_$t"))
+        }
+        top.groupBy("block_bucket").agg(aggs.head, aggs.tail: _*)
+      }
+      val fundMeta = s.range(NumEoas).select(
+        md5(concat(lit("eoa:"), col("id"))).as("m_eoa"),
+        concat(lit("fund"), col("id") % 3).as("fund"))
+      val eoaTop = pivot2(argmaxTop(
+        a.groupBy(bkt, col("action_type"), col("from_address"))
+          .agg(coalesce(dsum(col("amount_in")), lit(-1.0)).as("v")),
+        "from_address", col("v")), "topvol")
+      val fundTop = pivot2(argmaxTop(
+        a.join(broadcast(fundMeta), col("from_address") === col("m_eoa"))
+          .groupBy(bkt, col("action_type"), col("fund"))
+          .agg(coalesce(dsum(col("amount_in")), lit(-1.0)).as("v")),
+        "fund", col("v")), "topfund")
+      val poolTop = pivot2(argmaxTop(
+        a.filter(col("pool").isNotNull)
+          .groupBy(bkt, col("action_type"), col("pool"))
+          .agg(count(lit(1)).cast("double").as("v")),
+        "pool", col("v")), "bpool")
+      val pairTop = pivot2(argmaxTop(
+        a.filter(col("token_in_id").isNotNull)
+          .withColumn("pairkey", concat(
+            least(col("token_in_id"), coalesce(col("token_out_id"), col("token_in_id"))),
+            lit(":"),
+            greatest(col("token_in_id"), coalesce(col("token_out_id"), col("token_in_id")))))
+          .groupBy(bkt, col("action_type"), col("pairkey"))
+          .agg(count(lit(1)).cast("double").as("v")),
+        "pairkey", col("v")), "bpair")
+      // per-block distincts as distinct-pair passes (same no-Expand pattern
+      // as the category matrix: a 3-way countDistinct here would Expand
+      // every action row 4×)
+      val btx = a.select(col("block_number"), col("tx_hash")).distinct()
+        .groupBy("block_number").agg(count(lit(1)).as("n_txs"))
+      val beoa = a.select(col("block_number"), col("from_address")).distinct()
+        .groupBy("block_number").agg(count(lit(1)).as("n_eoas"))
+      val bpool = a.filter(col("pool").isNotNull)
+        .select(col("block_number"), col("pool")).distinct()
+        .groupBy("block_number").agg(count(lit(1)).as("n_pools"))
       val perBlock = a.groupBy("block_number").agg(
         count(lit(1)).as("n_actions"),
-        countDistinct(col("tx_hash")).as("n_txs"),
-        countDistinct(col("from_address")).as("n_eoas"),
-        countDistinct(col("pool")).as("n_pools"),
         sum(when(col("action_type") === "swap", 1L).otherwise(0L)).as("n_swaps"),
         sum(when(col("action_type") === "transfer", 1L).otherwise(0L)).as("n_transfers"),
         sum(when(col("action_type") === "liquidation", 1L).otherwise(0L)).as("n_liqs"),
@@ -225,17 +278,25 @@ object FidelityOps extends QueryModule {
             col("from_address"))).as("top_eoa"),
         max(col("amount_in")).as("biggest_amount"))
       perBlock
+        .join(btx, "block_number").join(beoa, "block_number")
+        .join(bpool, Seq("block_number"), "left")
         .groupBy(expr("block_number div 100").as("block_bucket"))
         .agg(count(lit(1)).as("n_blocks"),
           sum(col("n_actions")).as("n_actions"), sum(col("n_txs")).as("n_txs"),
           sum(col("n_swaps")).as("n_swaps"), sum(col("n_transfers")).as("n_transfers"),
           sum(col("n_liqs")).as("n_liqs"), sum(col("n_uncls")).as("n_uncls"),
           dsum(col("sum_in")).as("sum_in"), dsum(col("sum_out")).as("sum_out"),
-          countDistinct(col("top_eoa")).as("n_top_eoas"),
+          // collect_set, not countDistinct: a lone distinct agg in this
+          // mixed rollup would Expand the (already block-grain) frame
+          size(collect_set(col("top_eoa"))).cast("long").as("n_top_eoas"),
           max(col("biggest_amount")).as("biggest_amount"),
           max(col("n_pools")).as("max_pools_per_block"),
           max(col("n_eoas")).as("max_eoas_per_block"))
         .join(wide, "block_bucket")
+        .join(eoaTop, "block_bucket")
+        .join(fundTop, "block_bucket")
+        .join(poolTop, Seq("block_bucket"), "left")
+        .join(pairTop, Seq("block_bucket"), "left")
         .orderBy("block_bucket")
     },
     withCtes(s"""catw AS (
@@ -287,12 +348,71 @@ object FidelityOps extends QueryModule {
           MAX(biggest_amount) AS biggest_amount,
           MAX(n_pools) AS max_pools_per_block,
           MAX(n_eoas) AS max_eoas_per_block
-        FROM blkw GROUP BY 1)
+        FROM blkw GROUP BY 1),
+      fund_meta AS (SELECT md5('eoa:' || i) AS m_eoa, 'fund' || (i % 3) AS fund
+                    FROM range($NumEoas) t(i)),
+      eg AS (SELECT block_number // 100 AS block_bucket, action_type,
+               from_address AS e, COALESCE(${sqlSum("amount_in")}, -1.0e0) AS v
+             FROM actions GROUP BY 1, 2, 3),
+      ega AS (SELECT block_bucket, action_type,
+                (list(e ORDER BY v DESC, e DESC))[1] AS top_e, MAX(v) AS top_m
+              FROM eg GROUP BY 1, 2),
+      egp AS (SELECT block_bucket, ${A5Categories.map { t =>
+                s"""MAX(CASE WHEN action_type = '$t' THEN top_e END) AS topvol_$t,
+                MAX(CASE WHEN action_type = '$t' THEN top_m END) AS topvol_v_$t"""
+              }.mkString(",\n                ")}
+              FROM ega GROUP BY 1),
+      fg AS (SELECT block_number // 100 AS block_bucket, action_type,
+               m.fund AS e, COALESCE(${sqlSum("amount_in")}, -1.0e0) AS v
+             FROM actions a JOIN fund_meta m ON a.from_address = m.m_eoa
+             GROUP BY 1, 2, 3),
+      fga AS (SELECT block_bucket, action_type,
+                (list(e ORDER BY v DESC, e DESC))[1] AS top_e, MAX(v) AS top_m
+              FROM fg GROUP BY 1, 2),
+      fgp AS (SELECT block_bucket, ${A5Categories.map { t =>
+                s"""MAX(CASE WHEN action_type = '$t' THEN top_e END) AS topfund_$t,
+                MAX(CASE WHEN action_type = '$t' THEN top_m END) AS topfund_v_$t"""
+              }.mkString(",\n                ")}
+              FROM fga GROUP BY 1),
+      pg AS (SELECT block_number // 100 AS block_bucket, action_type,
+               pool AS e, CAST(COUNT(*) AS DOUBLE) AS v
+             FROM actions WHERE pool IS NOT NULL GROUP BY 1, 2, 3),
+      pga AS (SELECT block_bucket, action_type,
+                (list(e ORDER BY v DESC, e DESC))[1] AS top_e, MAX(v) AS top_m
+              FROM pg GROUP BY 1, 2),
+      pgp AS (SELECT block_bucket, ${A5Categories.map { t =>
+                s"""MAX(CASE WHEN action_type = '$t' THEN top_e END) AS bpool_$t,
+                MAX(CASE WHEN action_type = '$t' THEN top_m END) AS bpool_v_$t"""
+              }.mkString(",\n                ")}
+              FROM pga GROUP BY 1),
+      prg AS (SELECT block_number // 100 AS block_bucket, action_type,
+                CAST(LEAST(token_in_id, COALESCE(token_out_id, token_in_id)) AS VARCHAR)
+                  || ':' ||
+                CAST(GREATEST(token_in_id, COALESCE(token_out_id, token_in_id)) AS VARCHAR) AS e,
+                CAST(COUNT(*) AS DOUBLE) AS v
+              FROM actions WHERE token_in_id IS NOT NULL GROUP BY 1, 2, 3),
+      prga AS (SELECT block_bucket, action_type,
+                 (list(e ORDER BY v DESC, e DESC))[1] AS top_e, MAX(v) AS top_m
+               FROM prg GROUP BY 1, 2),
+      prgp AS (SELECT block_bucket, ${A5Categories.map { t =>
+                 s"""MAX(CASE WHEN action_type = '$t' THEN top_e END) AS bpair_$t,
+                 MAX(CASE WHEN action_type = '$t' THEN top_m END) AS bpair_v_$t"""
+               }.mkString(",\n                 ")}
+               FROM prga GROUP BY 1)
       SELECT r.*, ${A5Categories.map { t =>
         s"c.n_$t, c.ntx_$t, c.neoa_$t, c.npool_$t, c.in_$t, c.out_$t, " +
           s"c.maxin_$t, c.top_$t, c.toppool_$t, c.gas_$t, c.fee_$t"
-      }.mkString(", ")}
-      FROM rollw r JOIN catw c USING (block_bucket) ORDER BY block_bucket"""))
+      }.mkString(", ")},
+        ${A5Categories.map { t =>
+          s"e.topvol_$t, e.topvol_v_$t, f.topfund_$t, f.topfund_v_$t, " +
+            s"p.bpool_$t, p.bpool_v_$t, pr.bpair_$t, pr.bpair_v_$t"
+        }.mkString(", ")}
+      FROM rollw r JOIN catw c USING (block_bucket)
+      JOIN egp e USING (block_bucket)
+      JOIN fgp f USING (block_bucket)
+      LEFT JOIN pgp p USING (block_bucket)
+      LEFT JOIN prgp pr USING (block_bucket)
+      ORDER BY block_bucket"""))
 
   /** F5: ABI decode registry — synthesized calldata (selector ‖ one 32-byte
     * word) decoded back: selector extraction, word count, argument-window

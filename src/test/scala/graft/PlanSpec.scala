@@ -53,6 +53,12 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("block_bucket"), p)
   }
 
+  test("a5 wide BlockAnalysis has no Expand node anywhere in the plan") {
+    // the ~128-column matrix must come from grain passes + pivots, never
+    // from multi-countDistinct Expand (which multiplies every action row)
+    assert(!plan("a5_block_analysis_wide").contains("Expand"))
+  }
+
   test("JIT and composer candidate joins are never nested-loop") {
     assert(!plan("q5_jit").contains("BroadcastNestedLoopJoin"))
     assert(!plan("j10_composer_dedup").contains("BroadcastNestedLoopJoin"))
