@@ -148,36 +148,81 @@ object PricingOps extends QueryModule {
       SELECT src, dst, best_px, n_routes FROM two
       WHERE src < 5 ORDER BY 1, 2"""))
 
-  /** G4: subgraph verification — prune low-liquidity edges (n_swaps and
-    * volume thresholds) and measure surviving 2-hop coverage. */
+  /** Rundown rounds bound (the reference re-verifies until the edge set
+    * is liquidity-stable; subgraph_verifier.rs re-queues, subgraph.rs:
+    * 409-443 prunes per pass — 6 rounds covers the fixture's cascade with
+    * headroom, mirroring W3's bounded-shrink shape). */
+  val RundownRounds = 6
+
+  /** Support coupling + threshold scale for the rundown prune rule. */
+  val RundownCoupling = 0.2
+  val RundownAlpha = 1.6
+
+  /** G4: ITERATIVE subgraph verification rundown (subgraph.rs:409-443,
+    * subgraph_verifier.rs) — an edge's verified liquidity is its own
+    * volume PLUS coupled support from the kept edges feeding its source
+    * (the BFS liquidity of the reference); pruning an edge lowers its
+    * neighbors' support, so the prune CASCADES and must re-verify until
+    * stable. Bounded unrolled loop (no driver-side data motion): per round,
+    * one groupBy for inflows + one broadcast threshold join; reports each
+    * round's surviving set and the stability flag (rounds-to-stability =
+    * first round with stable = 1). */
   private val g4SubgraphVerify = QueryDef(
     "g4_subgraph_verify",
     (s, dir) => {
-      val e = edges(s, dir).persist()
-      val kept = e.filter(col("n_swaps") >= 5 && col("vol_in") > 100.0).persist()
-      def pairs(df: DataFrame) = df.select(col("src"), col("dst").as("mid"))
-        .join(df.select(col("src").as("mid"), col("dst").as("d2")), "mid")
-        .filter(col("src") =!= col("d2"))
-        .select(col("src"), col("d2")).distinct().count()
-      val nBefore = e.count()
-      val nAfter = kept.count()
-      val (pBefore, pAfter) = (pairs(e), pairs(kept))
-      import s.implicits._
-      Seq((nBefore, nAfter, pBefore, pAfter))
-        .toDF("n_edges", "n_edges_kept", "n_pairs_2hop", "n_pairs_2hop_kept")
+      val e = edges(s, dir).select("src", "dst", "n_swaps", "vol_in").persist()
+      // threshold is FIXED from the round-0 edge set (mean volume × α):
+      // re-deriving it per round would chase the prune instead of verifying
+      // against the original liquidity bar
+      val thrDf = e.groupBy()
+        .agg((dsum(col("vol_in")) / count(lit(1)) * RundownAlpha).as("thr"))
+      var kept = e
+      val perRound = (1 to RundownRounds).map { r =>
+        val inflow = kept.groupBy(col("dst").as("i_dst"))
+          .agg(dsum(col("vol_in")).as("inflow"))
+        kept = kept.join(inflow, col("src") === col("i_dst"), "left")
+          .crossJoin(broadcast(thrDf))
+          .filter(col("n_swaps") >= 5 &&
+            col("vol_in") + coalesce(col("inflow"), lit(0.0)) * RundownCoupling
+              > col("thr"))
+          .select("src", "dst", "n_swaps", "vol_in")
+        kept.groupBy()
+          .agg(count(lit(1)).as("n_kept"), dsum(col("vol_in")).as("vol_kept"))
+          .withColumn("round", lit(r.toLong))
+      }
+      val w = Window.orderBy("round")
+      perRound.reduce(_ unionByName _)
+        .withColumn("stable",
+          (col("n_kept") === lag(col("n_kept"), 1).over(w)).cast("int"))
+        .select("round", "n_kept", "vol_kept", "stable")
+        .orderBy("round")
     },
-    withCtes(s"""$edgesCte,
-      kept AS (SELECT * FROM edges WHERE n_swaps >= 5 AND vol_in > 100.0),
-      pb AS (SELECT COUNT(*) AS c FROM (
-        SELECT DISTINCT a.src, b.dst FROM edges a JOIN edges b ON a.dst = b.src
-        WHERE a.src <> b.dst)),
-      pa AS (SELECT COUNT(*) AS c FROM (
-        SELECT DISTINCT a.src, b.dst FROM kept a JOIN kept b ON a.dst = b.src
-        WHERE a.src <> b.dst))
-      SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
-        (SELECT COUNT(*) FROM kept) AS n_edges_kept,
-        (SELECT c FROM pb) AS n_pairs_2hop,
-        (SELECT c FROM pa) AS n_pairs_2hop_kept"""))
+    withCtes {
+      val roundCtes = (1 to RundownRounds).map { r =>
+        val prev = if (r == 1) "edges" else s"k${r - 1}"
+        s"""k$r AS (
+          SELECT e.src, e.dst, e.n_swaps, e.vol_in
+          FROM $prev e LEFT JOIN (
+            SELECT dst, ${sqlSum("vol_in")} AS inflow FROM $prev GROUP BY 1) i
+            ON e.src = i.dst
+          WHERE e.n_swaps >= 5
+            AND e.vol_in + COALESCE(i.inflow, 0.0e0) * ${RundownCoupling}e0
+                > (SELECT t FROM g4thr))"""
+      }.mkString(",\n      ")
+      val roundRows = (1 to RundownRounds).map { r =>
+        s"SELECT CAST($r AS BIGINT) AS round, COUNT(*) AS n_kept, " +
+          s"${sqlSum("vol_in")} AS vol_kept FROM k$r"
+      }.mkString("\n        UNION ALL ")
+      s"""$edgesCte,
+      g4thr AS (SELECT ${sqlSum("vol_in")} / COUNT(*) * ${RundownAlpha}e0 AS t
+                FROM edges),
+      $roundCtes,
+      g4s AS (
+        $roundRows)
+      SELECT round, n_kept, vol_kept,
+        CAST(n_kept = LAG(n_kept) OVER (ORDER BY round) AS INT) AS stable
+      FROM g4s ORDER BY round"""
+    })
 
   /** G5: subgraph registry cache — edges observed per block-epoch, and how
     * many are reused from the previous epoch (the cross-block cache-hit
