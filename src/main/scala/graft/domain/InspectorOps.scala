@@ -791,95 +791,196 @@ object InspectorOps extends QueryModule {
         CAST(COUNT(DISTINCT pool) AS BIGINT) AS n_pools
       FROM jitp GROUP BY 1 ORDER BY 1"""))
 
-  /** J10: composer dedup — overlapping candidate bundles resolved by MEV
-    * priority (sandwich > jit > liquidation > arb), one bundle per tx. */
+  /** The reference's MEV_DEDUPLICATION_FILTER as (dominant, subordinate)
+    * PAIRS (composer/mev_filters.rs:102-117, define_mev_precedence) — NOT
+    * a total order: sandwich does not dominate jit, nothing dominates
+    * liquidation, and arb↔cexdex is MUTUAL (sequenced + conditioned by
+    * atomic_dedup_fn, :72-101). Single definition site; both j10 queries
+    * and their oracles derive from this Seq. */
+  val ComposerMatrix: Seq[(String, String)] = Seq(
+    "sandwich" -> "arb", "sandwich" -> "cexdex",
+    "jit" -> "arb",
+    "liquidation" -> "arb", "liquidation" -> "cexdex",
+    "jit_sandwich" -> "arb", "jit_sandwich" -> "cexdex",
+    "jit_sandwich" -> "jit", "jit_sandwich" -> "sandwich",
+    "arb" -> "cexdex", // e1: conditional (atomic_dedup_fn)
+    "cexdex" -> "arb") // e2: dominant side = e1 survivors
+
+  /** J10: composer dedup at tx grain — a candidate claim (tx, type) is
+    * dropped when the same tx carries a claim of a type that DOMINATES it
+    * in [[ComposerMatrix]]. Among {sandwich, jit, liquidation, arb} only
+    * arb is subordinate; the others COEXIST on a shared tx (the reference
+    * never forces one bundle per tx — the old prio ladder did). */
   private val j10ComposerDedup = QueryDef(
     "j10_composer_dedup",
     (s, dir) => {
+      import s.implicits._
       val sand = sandwiches(s, dir).select(col("front_tx").as("tx_hash"))
-        .withColumn("mev_type", lit("sandwich")).withColumn("prio", lit(4))
+        .withColumn("mev_type", lit("sandwich"))
       val jit = jitPairs(s, dir).select(col("tx_hash"))
-        .withColumn("mev_type", lit("jit")).withColumn("prio", lit(3))
+        .withColumn("mev_type", lit("jit"))
       val liq = actionsTable(s, dir).filter(col("action_type") === "liquidation")
         .select("tx_hash").distinct()
-        .withColumn("mev_type", lit("liquidation")).withColumn("prio", lit(2))
+        .withColumn("mev_type", lit("liquidation"))
       val arb = arbs(s, dir).select(col("tx_hash"))
-        .withColumn("mev_type", lit("arb")).withColumn("prio", lit(1))
-      val all = sand.unionByName(jit).unionByName(liq).unionByName(arb).distinct()
-      val w = Window.partitionBy("tx_hash").orderBy(col("prio").desc, col("mev_type").asc)
-      all.withColumn("rn", row_number().over(w))
+        .withColumn("mev_type", lit("arb"))
+      val all = sand.unionByName(jit).unionByName(liq).unionByName(arb)
+        .distinct().persist()
+      val types = Seq("sandwich", "jit", "liquidation", "arb")
+      val pairs = ComposerMatrix
+        .filter { case (d, x) => types.contains(d) && types.contains(x) }
+        .toDF("dom_type", "sub_type")
+      val dom = all.select(col("tx_hash").as("d_tx"), col("mev_type").as("d_type"))
+      val removed = all
+        .join(broadcast(pairs), col("mev_type") === col("sub_type"))
+        .join(dom, col("tx_hash") === col("d_tx") && col("d_type") === col("dom_type"),
+          "left_semi")
+        .select("tx_hash", "mev_type").distinct()
+      all.join(removed.withColumn("rm", lit(1)), Seq("tx_hash", "mev_type"), "left")
         .groupBy("mev_type")
         .agg(count(lit(1)).as("n_raw"),
-          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_final"))
+          sum(when(col("rm").isNull, 1L).otherwise(0L)).as("n_final"))
         .orderBy("mev_type")
     },
     withCtes(s"""$sandwichCtes, $arbCte, $jitpCte,
       cand AS (
-        SELECT DISTINCT tx_hash, mev_type, prio FROM (
-          SELECT front_tx AS tx_hash, 'sandwich' AS mev_type, 4 AS prio FROM sand
-          UNION ALL SELECT tx_hash, 'jit', 3 FROM jitp
-          UNION ALL SELECT DISTINCT tx_hash, 'liquidation', 2 FROM actions
+        SELECT DISTINCT tx_hash, mev_type FROM (
+          SELECT front_tx AS tx_hash, 'sandwich' AS mev_type FROM sand
+          UNION ALL SELECT tx_hash, 'jit' FROM jitp
+          UNION ALL SELECT DISTINCT tx_hash, 'liquidation' FROM actions
             WHERE action_type = 'liquidation'
-          UNION ALL SELECT tx_hash, 'arb', 1 FROM arb)),
-      ranked AS (SELECT *, ROW_NUMBER() OVER (
-          PARTITION BY tx_hash ORDER BY prio DESC, mev_type ASC) AS rn FROM cand)
-      SELECT mev_type, COUNT(*) AS n_raw,
-        CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_final
-      FROM ranked GROUP BY 1 ORDER BY 1"""))
+          UNION ALL SELECT tx_hash, 'arb' FROM arb)),
+      mx AS (SELECT * FROM (VALUES ${ComposerMatrix
+        .filter { case (d, x) =>
+          Seq("sandwich", "jit", "liquidation", "arb").contains(d) &&
+            Seq("sandwich", "jit", "liquidation", "arb").contains(x) }
+        .map { case (d, x) => s"('$d','$x')" }.mkString(", ")})
+        t(dom_type, sub_type)),
+      rem AS (
+        SELECT DISTINCT c.tx_hash, c.mev_type
+        FROM cand c JOIN mx ON c.mev_type = mx.sub_type
+        JOIN cand d ON d.tx_hash = c.tx_hash AND d.mev_type = mx.dom_type)
+      SELECT c.mev_type, COUNT(*) AS n_raw,
+        CAST(SUM(CASE WHEN r.tx_hash IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+      FROM cand c LEFT JOIN rem r
+        ON c.tx_hash = r.tx_hash AND c.mev_type = r.mev_type
+      GROUP BY 1 ORDER BY 1"""))
 
   /** J10 (full semantics): tx-SET bundle dedup — the reference's two-layer
     * composer dedup expressed declaratively over an exploded (bundle, tx)
     * edge table, both layers equi-keyed on tx_hash:
     *   1. cross-type (composer/mod.rs:190-232 deduplicate_mev): a bundle is
-    *      removed when any of its txs appears in a bundle of a dominant MEV
-    *      type (the MEV_DEDUPLICATION_FILTER precedence, mev_filters.rs:102+,
-    *      simplified here to a strict sandwich > jit > liquidation > arb
-    *      ladder);
+    *      removed when any of its txs appears in a bundle of a DOMINANT MEV
+    *      type per the pairwise [[ComposerMatrix]] (MEV_DEDUPLICATION_FILTER,
+    *      mev_filters.rs:102-117) — including its two non-total-order
+    *      features: (a) the arb→cexdex kill is CONDITIONED by
+    *      atomic_dedup_fn (:72-101: fires only when the arb is not a
+    *      triangle, out-earns the cexdex, and the cexdex isn't
+    *      searcher-labeled), and (b) the mutual cexdex→arb kill is
+    *      SEQUENCED after it — only cexdex bundles surviving (a) remove
+    *      arbs, mirroring the composer's in-order filter application;
     *   2. within-type (shared_utils.rs:655-710 dedup_bundles): of two
     *      same-type bundles sharing a tx, the one with MORE transactions
     *      wins; equal sizes keep the LOWER profit ("most likely more
     *      correct"), with a bundle-id tiebreak to stay total.
-    * Multi-tx sets are real here: sandwich bundles carry {front, back} and
-    * JIT bundles {mint, burn}, so subset containment actually fires. */
+    * Six types participate: the four candidate sets plus cexdex
+    * (single-swap txs priced by the markout inspectors) and jit_sandwich
+    * (the J11 composition), so every matrix row has live rows. Multi-tx
+    * sets are real: sandwiches carry {front, back}, JITs {mint, burn},
+    * compositions all four. */
   private val j10BundleDedup = QueryDef(
     "j10_bundle_dedup",
     (s, dir) => {
+      val hdr = bundleHeaders(s, dir)
+        .select(col("tx_hash").as("h_tx"), col("profit_usd"), col("eoa").as("h_eoa"))
       val sand = sandwiches(s, dir).select(
         concat(col("front_tx"), lit("|"), col("back_tx"), lit("|"), col("pool"))
           .as("bid"),
-        lit("sandwich").as("mev_type"), lit(4).as("prio"),
+        lit("sandwich").as("mev_type"),
         (col("back_out") - col("sum_in")).as("profit"),
-        array(col("front_tx"), col("back_tx")).as("txs")).distinct()
+        array(col("front_tx"), col("back_tx")).as("txs"),
+        lit(null).cast("string").as("arb_type"), lit(false).as("labeled")).distinct()
       val jit = jitPairs(s, dir).select(
         concat(col("tx_hash"), lit("|"), col("burn_tx"), lit("|"), col("pool"))
           .as("bid"),
-        lit("jit").as("mev_type"), lit(3).as("prio"), lit(0.0).as("profit"),
-        array(col("tx_hash"), col("burn_tx")).as("txs")).distinct()
+        lit("jit").as("mev_type"), lit(0.0).as("profit"),
+        array(col("tx_hash"), col("burn_tx")).as("txs"),
+        lit(null).cast("string").as("arb_type"), lit(false).as("labeled")).distinct()
       val liq = actionsTable(s, dir)
         .filter(col("action_type") === "liquidation")
         .select(col("tx_hash")).distinct()
         .select(col("tx_hash").as("bid"), lit("liquidation").as("mev_type"),
-          lit(2).as("prio"), lit(0.0).as("profit"),
-          array(col("tx_hash")).as("txs"))
+          lit(0.0).as("profit"), array(col("tx_hash")).as("txs"),
+          lit(null).cast("string").as("arb_type"), lit(false).as("labeled"))
       val arb = arbs(s, dir)
+        .join(hdr, col("tx_hash") === col("h_tx"))
         .select(col("tx_hash").as("bid"), lit("arb").as("mev_type"),
-          lit(1).as("prio"), lit(0.0).as("profit"),
-          array(col("tx_hash")).as("txs"))
-      // the bundle frame fans out into five join branches (edges → cross
-      // removal, survivors ×2, final counts); persist the small set so the
-      // candidate scans (sandwiches/arbs/jit) run once, not per branch
+          col("profit_usd").as("profit"), array(col("tx_hash")).as("txs"),
+          col("arb_type"), lit(false).as("labeled"))
+      // cexdex candidates: lone-swap txs (the classic one-leg-vs-CEX shape;
+      // an arb needs >= 2 legs, so the sets are disjoint by construction)
+      val cexdex = swaps(s, dir).groupBy("tx_hash")
+        .agg(count(lit(1)).as("n_sw")).filter(col("n_sw") === 1)
+        .join(hdr, col("tx_hash") === col("h_tx"))
+        .join(broadcast(ChainFixture.searchers(s)),
+          col("h_eoa") === col("s_eoa"), "left")
+        .select(col("tx_hash").as("bid"), lit("cexdex").as("mev_type"),
+          col("profit_usd").as("profit"), array(col("tx_hash")).as("txs"),
+          lit(null).cast("string").as("arb_type"),
+          col("s_eoa").isNotNull.as("labeled"))
+      val jsw = brackets(s, dir).select(col("back_block"), col("eoa"),
+          col("front_tx"), col("back_tx"),
+          (col("back_out") - col("sum_in")).as("b_profit"))
+        .join(jitPairs(s, dir).select(col("block_number").as("j_block"),
+          col("eoa").as("j_eoa"), col("tx_hash").as("mint_tx"), col("burn_tx")),
+          col("back_block") === col("j_block") && col("eoa") === col("j_eoa"))
+        .select(
+          concat(col("front_tx"), lit("|"), col("back_tx"), lit("|"),
+            col("mint_tx"), lit("|"), col("burn_tx")).as("bid"),
+          lit("jit_sandwich").as("mev_type"), col("b_profit").as("profit"),
+          array(col("front_tx"), col("back_tx"), col("mint_tx"), col("burn_tx"))
+            .as("txs"),
+          lit(null).cast("string").as("arb_type"), lit(false).as("labeled"))
+        .distinct()
+      // the bundle frame fans out into several join branches (edges → cross
+      // removal stages, survivors ×2, final counts); persist the small set
+      // so the candidate scans (sandwiches/arbs/jit) run once, not per branch
       val bundles = sand.unionByName(jit).unionByName(liq).unionByName(arb)
+        .unionByName(cexdex).unionByName(jsw)
         .withColumn("n_txs", size(array_distinct(col("txs"))))
         .persist()
-      val edges = bundles.select(col("bid"), col("mev_type"), col("prio"),
-        col("n_txs"), col("profit"),
+      val edges = bundles.select(col("bid"), col("mev_type"),
+        col("n_txs"), col("profit"), col("arb_type"), col("labeled"),
         explode(array_distinct(col("txs"))).as("tx"))
         .persist()
-      val dom = edges.select(col("tx").as("d_tx"), col("prio").as("d_prio"))
-      val xrem = edges
-        .join(dom, col("tx") === col("d_tx") && col("d_prio") > col("prio"),
+      // cross-type layer, matrix-driven. Unconditional, order-insensitive
+      // pairs go through the pair table in one shot...
+      import s.implicits._
+      val uncond = ComposerMatrix
+        .filterNot(p => p == ("arb", "cexdex") || p == ("cexdex", "arb"))
+        .toDF("dom_type", "sub_type")
+      val domE = edges.select(col("tx").as("d_tx"), col("mev_type").as("d_type"))
+      val uncondRem = edges
+        .join(broadcast(uncond), col("mev_type") === col("sub_type"))
+        .join(domE, col("tx") === col("d_tx") && col("d_type") === col("dom_type"),
           "left_semi")
         .select("bid").distinct()
+      // ...the mutual arb↔cexdex pair is sequenced: e1 (conditional
+      // atomic_dedup_fn kill), then e2 driven by e1's survivors
+      val arbE = edges.filter(col("mev_type") === "arb")
+      val cexE = edges.filter(col("mev_type") === "cexdex")
+      val e1kill = cexE
+        .join(arbE.select(col("tx").as("a_tx"), col("profit").as("a_profit"),
+          col("arb_type").as("a_type")),
+          col("tx") === col("a_tx") && col("a_type") =!= "triangle" &&
+            col("a_profit") > col("profit") && !col("labeled"), "left_semi")
+        .select("bid").distinct()
+      val e2kill = arbE
+        .join(cexE.join(e1kill, Seq("bid"), "left_anti")
+          .select(col("tx").as("c_tx")),
+          col("tx") === col("c_tx"), "left_semi")
+        .select("bid").distinct()
+      val xrem = uncondRem.unionByName(e1kill).unionByName(e2kill).distinct()
       val surv = edges.join(xrem, Seq("bid"), "left_anti")
       val other = surv.select(col("tx").as("o_tx"), col("mev_type").as("o_type"),
         col("bid").as("o_bid"), col("n_txs").as("o_n"), col("profit").as("o_profit"))
@@ -903,27 +1004,65 @@ object InspectorOps extends QueryModule {
         .orderBy("mev_type")
     },
     withCtes(s"""$sandwichCtes, $arbCte, $jitpCte,
-      bundles AS (
+      srch AS $searchersCteBody,
+      cexd AS (
+        SELECT s.tx_hash, h.profit_usd, (se.s_eoa IS NOT NULL) AS labeled
+        FROM (SELECT tx_hash FROM swaps GROUP BY 1 HAVING COUNT(*) = 1) s
+        JOIN header h ON s.tx_hash = h.tx_hash
+        LEFT JOIN srch se ON h.eoa = se.s_eoa),
+      bundles AS MATERIALIZED (
         SELECT *, len(list_distinct(txs)) AS n_txs FROM (
           SELECT DISTINCT front_tx || '|' || back_tx || '|' || pool AS bid,
-            'sandwich' AS mev_type, 4 AS prio,
-            back_out - sum_in AS profit, [front_tx, back_tx] AS txs FROM sand
+            'sandwich' AS mev_type, back_out - sum_in AS profit,
+            [front_tx, back_tx] AS txs,
+            CAST(NULL AS VARCHAR) AS arb_type, FALSE AS labeled FROM sand
           UNION ALL
           SELECT DISTINCT tx_hash || '|' || burn_tx || '|' || pool,
-            'jit', 3, 0.0e0, [tx_hash, burn_tx] FROM jitp
+            'jit', 0.0e0, [tx_hash, burn_tx], NULL, FALSE FROM jitp
           UNION ALL
-          SELECT DISTINCT tx_hash, 'liquidation', 2, 0.0e0, [tx_hash]
+          SELECT DISTINCT tx_hash, 'liquidation', 0.0e0, [tx_hash], NULL, FALSE
           FROM actions WHERE action_type = 'liquidation'
           UNION ALL
-          SELECT tx_hash, 'arb', 1, 0.0e0, [tx_hash] FROM arb)),
-      edges AS (
-        SELECT bid, mev_type, prio, n_txs, profit,
+          SELECT a.tx_hash, 'arb', h.profit_usd, [a.tx_hash], a.arb_type, FALSE
+          FROM arb a JOIN header h ON a.tx_hash = h.tx_hash
+          UNION ALL
+          SELECT tx_hash, 'cexdex', profit_usd, [tx_hash], NULL, labeled
+          FROM cexd
+          UNION ALL
+          SELECT DISTINCT b.front_tx || '|' || b.back_tx || '|'
+              || j.tx_hash || '|' || j.burn_tx,
+            'jit_sandwich', b.back_out - b.sum_in,
+            [b.front_tx, b.back_tx, j.tx_hash, j.burn_tx], NULL, FALSE
+          FROM brkt b JOIN jitp j
+            ON b.back_block = j.block_number AND b.eoa = j.eoa)),
+      edges AS MATERIALIZED (
+        SELECT bid, mev_type, n_txs, profit, arb_type, labeled,
           UNNEST(list_distinct(txs)) AS tx
         FROM bundles),
-      xrem AS (
-        SELECT DISTINCT e.bid FROM edges e
-        JOIN edges d ON e.tx = d.tx AND d.prio > e.prio),
-      surv AS (
+      mxb AS (SELECT * FROM (VALUES ${ComposerMatrix
+        .filterNot(p => p == ("arb", "cexdex") || p == ("cexdex", "arb"))
+        .map { case (d, x) => s"('$d','$x')" }.mkString(", ")})
+        t(dom_type, sub_type)),
+      urem AS (
+        SELECT DISTINCT e.bid
+        FROM edges e JOIN mxb ON e.mev_type = mxb.sub_type
+        JOIN edges d ON d.tx = e.tx AND d.mev_type = mxb.dom_type),
+      e1kill AS (
+        SELECT DISTINCT c.bid
+        FROM edges c JOIN edges a
+          ON c.mev_type = 'cexdex' AND a.mev_type = 'arb' AND a.tx = c.tx
+         AND a.arb_type <> 'triangle' AND a.profit > c.profit
+         AND NOT c.labeled),
+      e2kill AS (
+        SELECT DISTINCT a.bid
+        FROM edges a JOIN (
+            SELECT c.* FROM edges c LEFT JOIN e1kill k ON c.bid = k.bid
+            WHERE c.mev_type = 'cexdex' AND k.bid IS NULL) cs
+          ON a.mev_type = 'arb' AND a.tx = cs.tx),
+      xrem AS MATERIALIZED (
+        SELECT bid FROM urem UNION SELECT bid FROM e1kill
+        UNION SELECT bid FROM e2kill),
+      surv AS MATERIALIZED (
         SELECT e.* FROM edges e LEFT JOIN xrem x ON e.bid = x.bid
         WHERE x.bid IS NULL),
       wrem AS (
