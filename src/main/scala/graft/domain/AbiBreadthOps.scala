@@ -26,7 +26,37 @@ object AbiBreadthOps extends QueryModule {
   private def withCtes(sql: String) = Some(s"WITH $sqlCtes $sql")
 
   def defs: Seq[QueryDef] =
-    Seq(f5AbiInt256, f5AbiDynArray, c1LogDecode, c2LayoutDispatch)
+    Seq(f5AbiInt256, f5AbiDynArray, c1LogDecode, c1ReturnDecode,
+      c2LayoutDispatch)
+
+  /** C1 (return-data arm): the THIRD decode source of `action_impl!`
+    * (brontes-macros/src/lib.rs:95 `return_data: true`) — burn calls
+    * return `(bool success, uint amount0, uint amount1)` as bare 32-byte
+    * words in the call's RETURN buffer; neither calldata nor logs carry
+    * the withdrawn amounts. Bare-word reads via the same codegen'd
+    * [[graft.functions.AbiCalldata.abi_log_word]] family (a return buffer,
+    * like a log payload, has no selector prefix). */
+  private val c1ReturnDecode = QueryDef(
+    "c1_return_decode",
+    (s, dir) => calldataTable(s, dir)
+      .filter(col("selector") === SelBurn)
+      .withColumn("ok_flag", abi_log_word(col("return_data"), 0))
+      .withColumn("amount0", abi_log_word(col("return_data"), 1))
+      .withColumn("amount1", abi_log_word(col("return_data"), 2))
+      .groupBy((col("tok_id") % 5).as("token_bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("amount0")).as("sum_amount0"),
+        sum(col("amount1")).as("sum_amount1"),
+        sum(when(col("ok_flag") === 1L, 1L).otherwise(0L)).as("n_success"),
+        sum(when(col("amount0") === col("q6l") &&
+          col("amount1") === col("p2l"), 1L).otherwise(0L)).as("n_roundtrip_ok"))
+      .orderBy("token_bucket"),
+    withCtes(s"""SELECT tok_id % 5 AS token_bucket, COUNT(*) AS n,
+      SUM(CAST(q6 AS BIGINT)) AS sum_amount0,
+      SUM(CAST(p2 AS BIGINT)) AS sum_amount1,
+      COUNT(*) AS n_success,
+      COUNT(*) AS n_roundtrip_ok
+      FROM trace WHERE selector = '$SelBurn' GROUP BY 1 ORDER BY 1"""))
 
   /** F5 (signed): V3-style int256 word pair — amount0 = +q6, amount1 = −p2
     * (exact-output side arrives negative). The decoder must reject values

@@ -339,7 +339,15 @@ object ChainFixture {
             concat(col("selector"), word(col("q6l")), word(col("p2l")))))
           .as("calldata"),
         when(col("selector") === SelTransfer,
-          unhex(concat(word(col("q6l")), word(col("p2l"))))).as("log_data"))
+          unhex(concat(word(col("q6l")), word(col("p2l"))))).as("log_data"),
+        // return-data arm (the THIRD action_impl! decode source,
+        // brontes-macros/src/lib.rs:95 `return_data: true`): burn calls
+        // return (bool success, uint amount0, uint amount1) as bare
+        // 32-byte words — the amounts ride the call's RETURN buffer, not
+        // its calldata or logs
+        when(col("selector") === SelBurn,
+          unhex(concat(word(lit(1L)), word(col("q6l")), word(col("p2l")))))
+          .as("return_data"))
     })
 
   // ── materialized intermediates ────────────────────────────────────────────
