@@ -27,7 +27,43 @@ object AbiBreadthOps extends QueryModule {
 
   def defs: Seq[QueryDef] =
     Seq(f5AbiInt256, f5AbiDynArray, c1LogDecode, c1ReturnDecode,
-      c2LayoutDispatch)
+      c2LayoutDispatch, c2RegistryBreadth)
+
+  /** C2 (registry breadth): the full dispatch registry — 12 protocol
+    * families × 8 action kinds + the live selector set (104 decoder
+    * entries), each routed to one of the five byte layouts. The registry
+    * is a broadcast DIMENSION over a handful of codegen'd layout decoders:
+    * that is the Spark-scalable analog of the reference's 143 macro
+    * expansions (brontes-classifier/src/classifiers/) — adding a protocol
+    * grows the registry, not the decoder set or the plan. Reports, per
+    * layout, the registry surface and how much of it the block range
+    * actually exercises (most decoders are cold in any one range, as in
+    * production). */
+  private val c2RegistryBreadth = QueryDef(
+    "c2_registry_breadth",
+    (s, dir) => {
+      val hits = tracesTable(s, dir).groupBy(col("selector").as("t_sel"))
+        .agg(count(lit(1)).as("n_traces"))
+      registryFull(s)
+        .join(hits, col("selector") === col("t_sel"), "left")
+        .groupBy("layout")
+        .agg(count(lit(1)).as("n_entries"),
+          countDistinct(col("protocol")).as("n_protocols"),
+          countDistinct(col("selector")).as("n_selectors"),
+          sum(when(col("n_traces").isNotNull, 1L).otherwise(0L)).as("n_live"),
+          sum(coalesce(col("n_traces"), lit(0L))).as("n_trace_hits"))
+        .orderBy("layout")
+    },
+    withCtes(s"""SELECT r.layout, COUNT(*) AS n_entries,
+        CAST(COUNT(DISTINCT r.protocol) AS BIGINT) AS n_protocols,
+        CAST(COUNT(DISTINCT r.selector) AS BIGINT) AS n_selectors,
+        CAST(SUM(CASE WHEN h.n_traces IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_live,
+        CAST(SUM(COALESCE(h.n_traces, 0)) AS BIGINT) AS n_trace_hits
+      FROM (VALUES $registryFullValues) r(protocol, selector, action, layout)
+      LEFT JOIN (SELECT selector, COUNT(*) AS n_traces FROM trace GROUP BY 1) h
+        ON r.selector = h.selector
+      GROUP BY 1 ORDER BY 1"""))
 
   /** C1 (return-data arm): the THIRD decode source of `action_impl!`
     * (brontes-macros/src/lib.rs:95 `return_data: true`) — burn calls

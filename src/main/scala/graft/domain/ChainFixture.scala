@@ -298,6 +298,60 @@ object ChainFixture {
       .map { case (s, l) => s"WHEN selector = '$s' THEN '$l'" }
       .mkString("CASE ", " ", " ELSE 'two_word' END")
 
+  // ── extended decoder registry (breadth dimension) ─────────────────────────
+
+  /** Protocol families of the EXTENDED decoder registry — the breadth
+    * analog of the reference's 143 `action_impl!` sites spread across
+    * `brontes-classifier/src/classifiers/<protocol>/`. The fixture's
+    * traces exercise 4 of these; the registry carries the full dispatch
+    * surface, as in production (most decoders are cold in any one block). */
+  val ExtProtocols: Seq[String] = Seq(
+    "uniswap_v2", "uniswap_v3", "sushiswap", "curve",
+    "balancer_v2", "pancakeswap_v3", "maverick_v1", "aave_v2",
+    "aave_v3", "compound_v2", "makerdao_psm", "dodo_v2")
+
+  /** Action kinds with decoder entries per protocol family. */
+  val ExtActions: Seq[String] = Seq(
+    "swap", "mint", "burn", "liquidation",
+    "flash_loan", "collect", "deposit", "withdraw")
+
+  /** Layout picked per (protocol, action) — one codegen'd decoder per
+    * LAYOUT is the Spark-scalable analog of one macro expansion per
+    * protocol×action: the registry grows, the decoder set doesn't. */
+  def extLayout(protocol: String, action: String): String = action match {
+    case "swap" =>
+      if (protocol.contains("curve") || protocol.contains("balancer")) "dyn_array"
+      else if (protocol.contains("v3") || protocol.contains("maverick")) "int256_pair"
+      else "two_word"
+    case "collect" | "flash_loan" => "log_data"
+    case "burn" | "withdraw" => "return_words"
+    case _ => "two_word"
+  }
+
+  /** The extended registry rows: live (protocol, selector) dispatch rows
+    * plus the synthetic breadth families, selectors = md5("dec:<p>:<a>")
+    * prefixes (deterministic; the oracle embeds the same rows as a VALUES
+    * literal generated from THIS Seq — single definition site). */
+  val extRegistryRows: Seq[(String, String, String, String)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sel(p: String, a: String): String =
+      md.digest(s"dec:$p:$a".getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+    val live = selectorLayouts.map { case (s, l) => ("live", s, "live", l) }
+    val ext = for (p <- ExtProtocols; a <- ExtActions)
+      yield (p, sel(p, a), a, extLayout(p, a))
+    live ++ ext
+  }
+
+  def registryFull(s: SparkSession): DataFrame = {
+    import s.implicits._
+    extRegistryRows.toDF("protocol", "selector", "action", "layout")
+  }
+
+  /** Oracle VALUES literal for [[registryFull]]. */
+  val registryFullValues: String = extRegistryRows
+    .map { case (p, sel, a, l) => s"('$p','$sel','$a','$l')" }.mkString(", ")
+
   /** Heterogeneous REAL-BYTES calldata per trace — four genuinely distinct
     * ABI layouts, all round-trippable against the source q6/p2 columns so
     * the DuckDB oracle can verify decode-vs-ground-truth without touching
