@@ -62,7 +62,15 @@ class PlanSpec extends SparkTestBase {
   test("JIT and composer candidate joins are never nested-loop") {
     assert(!plan("q5_jit").contains("BroadcastNestedLoopJoin"))
     assert(!plan("j10_composer_dedup").contains("BroadcastNestedLoopJoin"))
+    assert(!plan("j10_bundle_dedup").contains("BroadcastNestedLoopJoin"))
     assert(!plan("j4_staged_vwam").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q3 validity matrix and j4 intermediary stay equi-keyed") {
+    // the per-exchange PnL rollup and the two leg joins must be shuffle/
+    // broadcast hash joins on their keys, never a nested loop
+    assert(!plan("q3_global").contains("BroadcastNestedLoopJoin"))
+    assert(!plan("j4_intermediary").contains("BroadcastNestedLoopJoin"))
   }
 
   test("classification decode plan joins only broadcast dimensions") {
