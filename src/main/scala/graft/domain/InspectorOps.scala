@@ -124,8 +124,11 @@ object InspectorOps extends QueryModule {
         col("valid_pricing"))
   }
 
+  /** Brackets are scanned by j6/j10/j11 — materialized like the other
+    * pipeline intermediates so the window over swTx runs once per JVM. */
   private def brackets(s: SparkSession, dir: String): DataFrame =
-    bracketsOf(swTx(s, dir))
+    ChainFixture.materialize(s, s"brkt_${ChainFixture.dirKey(dir)}",
+      bracketsOf(swTx(s, dir)))
 
   /** Victim stats for bracket-shaped candidates: `n_cand_txs` = distinct
     * other-EOA swap txs strictly between the bracket boundaries (the
@@ -953,6 +956,11 @@ object InspectorOps extends QueryModule {
         col("n_txs"), col("profit"), col("arb_type"), col("labeled"),
         explode(array_distinct(col("txs"))).as("tx"))
         .persist()
+      // eager cut: seven downstream branches (three kill stages, xrem,
+      // surv ×2, final counts) read `edges`; without materializing it
+      // first, parallel stages race past the lazy cache and each re-derive
+      // the full candidate DAG (the 4× bench regression)
+      edges.count()
       // cross-type layer, matrix-driven. Unconditional, order-insensitive
       // pairs go through the pair table in one shot...
       import s.implicits._
@@ -980,8 +988,9 @@ object InspectorOps extends QueryModule {
           .select(col("tx").as("c_tx")),
           col("tx") === col("c_tx"), "left_semi")
         .select("bid").distinct()
-      val xrem = uncondRem.unionByName(e1kill).unionByName(e2kill).distinct()
-      val surv = edges.join(xrem, Seq("bid"), "left_anti")
+      val xrem = uncondRem.unionByName(e1kill).unionByName(e2kill)
+        .distinct().persist()
+      val surv = edges.join(xrem, Seq("bid"), "left_anti").persist()
       val other = surv.select(col("tx").as("o_tx"), col("mev_type").as("o_type"),
         col("bid").as("o_bid"), col("n_txs").as("o_n"), col("profit").as("o_profit"))
       val wrem = surv

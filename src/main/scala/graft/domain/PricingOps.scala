@@ -173,19 +173,26 @@ object PricingOps extends QueryModule {
       val e = edges(s, dir).select("src", "dst", "n_swaps", "vol_in").persist()
       // threshold is FIXED from the round-0 edge set (mean volume × α):
       // re-deriving it per round would chase the prune instead of verifying
-      // against the original liquidity bar
-      val thrDf = e.groupBy()
+      // against the original liquidity bar. The edge table is a DIMENSION
+      // (SURVEY §4.3), so the single scalar collects to the driver — the
+      // exact double both engines derive from the same exact sums
+      val thr = e.groupBy()
         .agg((dsum(col("vol_in")) / count(lit(1)) * RundownAlpha).as("thr"))
+        .head.getDouble(0)
       var kept = e
       val perRound = (1 to RundownRounds).map { r =>
         val inflow = kept.groupBy(col("dst").as("i_dst"))
           .agg(dsum(col("vol_in")).as("inflow"))
         kept = kept.join(inflow, col("src") === col("i_dst"), "left")
-          .crossJoin(broadcast(thrDf))
           .filter(col("n_swaps") >= 5 &&
             col("vol_in") + coalesce(col("inflow"), lit(0.0)) * RundownCoupling
-              > col("thr"))
+              > lit(thr))
           .select("src", "dst", "n_swaps", "vol_in")
+          .persist()
+        // materialize each round NOW: the edge set is dimension-sized, and
+        // without the cut the six summary branches re-derive every prior
+        // round's join chain (O(R²) shuffles — the 12.9× bench regression)
+        kept.count()
         kept.groupBy()
           .agg(count(lit(1)).as("n_kept"), dsum(col("vol_in")).as("vol_kept"))
           .withColumn("round", lit(r.toLong))
