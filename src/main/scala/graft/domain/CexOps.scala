@@ -37,8 +37,8 @@ object CexOps extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(j4StagedVwam, j4Intermediary, q3CexDexMarkout,
     q3Reconstruct, q3MergeSwaps, q3Global, j5Optimistic, j5BasketFill,
-    j3Intermediary, q4CexDexQuotes, a8MostLiquid, a9SearcherStats, j1TxInfo,
-    j12MetadataJoin, r1RangeChunks, r6FailedData)
+    j3Intermediary, q4CexDexQuotes, q4QuoteWindows, a8MostLiquid,
+    a9SearcherStats, j1TxInfo, j12MetadataJoin, r1RangeChunks, r6FailedData)
 
   private def withCtes(sql: String) = Some(s"WITH $sqlDomainCtes, $sql")
 
@@ -1018,6 +1018,85 @@ object CexOps extends QueryModule {
                    OR s_eoa IS NOT NULL) AND pnl > 0)
                  THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
       FROM mq GROUP BY 1 ORDER BY 1"""))
+
+  /** Q4 (multi-window arm): the t2/t12/t60 FORWARD quote mids that ride
+    * every valid quotes bundle (quotes/cex_dex.rs:469-508 — into_bundle
+    * carries the markout trajectory at +2s/+12s/.../+300s with per-window
+    * tolerances). Forward as-of = the salted backward kernel on NEGATED
+    * time (largest −t ≤ −target ⇔ smallest t ≥ target, ties inclusive both
+    * engines). Windows fixture-scaled: +2s (no tolerance), +12s (±5s),
+    * +60s (±30s) — the reference's 2/12/60s with 0.5/4s tolerances on the
+    * block clock. */
+  private val q4QuoteWindows = QueryDef(
+    "q4_quote_windows",
+    (s, dir) => {
+      val bidBps = expr("CAST(FLOOR(px * 10000.0) AS BIGINT)") % 20 + 1
+      val askBps = expr("CAST(FLOOR(px * 70000.0) AS BIGINT)") % 25 + 2
+      val mid = (col("px") * (lit(1.0) - bidBps * 1e-4) +
+        col("px") * (lit(1.0) + askBps * 1e-4)) / 2
+      val quotes = cexTrades(s, dir)
+        .select(col("pair_a"), col("pair_b"), col("ts_us"), mid.as("mid"))
+        .groupBy("pair_a", "pair_b", "ts_us")
+        .agg(max(col("mid")).as("mid"))
+        .withColumn("pair_key", concat(col("pair_a"), lit(":"), col("pair_b")))
+        .select(col("pair_key"), col("ts_us"), col("mid"))
+      val windows = Seq(("t2", 2000000L, None),
+        ("t12", 12000000L, Some(5000000L)),
+        ("t60", 60000000L, Some(30000000L)))
+      val sw0 = dexSwaps(s, dir)
+        .withColumn("pair_key", concat(col("pair_a"), lit(":"), col("pair_b")))
+      val joined = windows.foldLeft(sw0) { case (acc, (tag, w, _)) =>
+        val l = acc.withColumn("__fts", -(col("ts_us") + w))
+        val r = quotes.select(col("pair_key"), (-col("ts_us")).as("__fts"),
+          struct(col("mid"), col("ts_us").as("qts")).as("qv"))
+        graft.ops.AsOfJoin.backwardSalted(l, r, Seq("pair_key"), "__fts",
+          "qv", s"qv_$tag", bucketSpan = 600000000L)
+          .drop("__fts")
+      }
+      def inTol(tag: String, w: Long, tol: Option[Long]) = tol match {
+        case Some(t) => col(s"qv_$tag").isNotNull &&
+          col(s"qv_$tag.qts") <= col("ts_us") + w + t
+        case None => col(s"qv_$tag").isNotNull
+      }
+      val aggs = windows.flatMap { case (tag, w, tol) =>
+        val ok = inTol(tag, w, tol)
+        Seq(
+          sum(when(ok, 1L).otherwise(0L)).as(s"n_$tag"),
+          dsumR(when(ok, (col(s"qv_$tag.mid") - col("rate")) * col("amount_in")))
+            .as(s"mk_$tag"))
+      }
+      joined.groupBy("pair_a")
+        .agg(count(lit(1)).as("n_swaps"), aggs: _*)
+        .orderBy("pair_a")
+    },
+    withCtes(s"""$cexTradesCte,
+      qw AS (SELECT pair_a, pair_b, ts_us,
+              MAX((px * (1.0e0 - (CAST(FLOOR(px * 10000.0e0) AS BIGINT) % 20 + 1) * 1.0e-4)
+                 + px * (1.0e0 + (CAST(FLOOR(px * 70000.0e0) AS BIGINT) % 25 + 2) * 1.0e-4)) / 2) AS mid
+            FROM cex GROUP BY 1, 2, 3),
+      dexw AS (SELECT *, ts_us + 2000000 AS tgt2, ts_us + 12000000 AS tgt12,
+                 ts_us + 60000000 AS tgt60
+               FROM dex),
+      mw AS (
+        SELECT d.pair_a, d.rate, d.amount_in, d.ts_us,
+          q2.mid AS mid2, q2.ts_us AS qts2,
+          q12.mid AS mid12, q12.ts_us AS qts12,
+          q60.mid AS mid60, q60.ts_us AS qts60
+        FROM dexw d
+        ASOF LEFT JOIN qw q2 ON d.pair_a = q2.pair_a AND d.pair_b = q2.pair_b
+          AND d.tgt2 <= q2.ts_us
+        ASOF LEFT JOIN qw q12 ON d.pair_a = q12.pair_a AND d.pair_b = q12.pair_b
+          AND d.tgt12 <= q12.ts_us
+        ASOF LEFT JOIN qw q60 ON d.pair_a = q60.pair_a AND d.pair_b = q60.pair_b
+          AND d.tgt60 <= q60.ts_us)
+      SELECT pair_a, COUNT(*) AS n_swaps,
+        CAST(SUM(CASE WHEN mid2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_t2,
+        ${sqlSumR("CASE WHEN mid2 IS NOT NULL THEN (mid2 - rate) * amount_in END")} AS mk_t2,
+        CAST(SUM(CASE WHEN qts12 <= ts_us + 12000000 + 5000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_t12,
+        ${sqlSumR("CASE WHEN qts12 <= ts_us + 12000000 + 5000000 THEN (mid12 - rate) * amount_in END")} AS mk_t12,
+        CAST(SUM(CASE WHEN qts60 <= ts_us + 60000000 + 30000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_t60,
+        ${sqlSumR("CASE WHEN qts60 <= ts_us + 60000000 + 30000000 THEN (mid60 - rate) * amount_in END")} AS mk_t60
+      FROM mw GROUP BY 1 ORDER BY 1"""))
 
   /** A8: most-liquid-exchange quote — rank exchanges by traded volume per
     * pair, keep the top exchange's VWAP. */
