@@ -806,6 +806,7 @@ object InspectorOps extends QueryModule {
     "liquidation" -> "arb", "liquidation" -> "cexdex",
     "jit_sandwich" -> "arb", "jit_sandwich" -> "cexdex",
     "jit_sandwich" -> "jit", "jit_sandwich" -> "sandwich",
+    "jit_cexdex" -> "arb", "jit_cexdex" -> "cexdex", "jit_cexdex" -> "jit",
     "arb" -> "cexdex", // e1: conditional (atomic_dedup_fn)
     "cexdex" -> "arb") // e2: dominant side = e1 survivors
 
@@ -895,7 +896,8 @@ object InspectorOps extends QueryModule {
     "j10_bundle_dedup",
     (s, dir) => {
       val hdr = bundleHeaders(s, dir)
-        .select(col("tx_hash").as("h_tx"), col("profit_usd"), col("eoa").as("h_eoa"))
+        .select(col("tx_hash").as("h_tx"), col("profit_usd"),
+          col("eoa").as("h_eoa"), col("block_number").as("h_block"))
       val sand = sandwiches(s, dir).select(
         concat(col("front_tx"), lit("|"), col("back_tx"), lit("|"), col("pool"))
           .as("bid"),
@@ -922,15 +924,30 @@ object InspectorOps extends QueryModule {
           col("arb_type"), lit(false).as("labeled"))
       // cexdex candidates: lone-swap txs (the classic one-leg-vs-CEX shape;
       // an arb needs >= 2 legs, so the sets are disjoint by construction)
-      val cexdex = swaps(s, dir).groupBy("tx_hash")
+      val cexdexBase = swaps(s, dir).groupBy("tx_hash")
         .agg(count(lit(1)).as("n_sw")).filter(col("n_sw") === 1)
         .join(hdr, col("tx_hash") === col("h_tx"))
         .join(broadcast(ChainFixture.searchers(s)),
           col("h_eoa") === col("s_eoa"), "left")
+      val cexdex = cexdexBase
         .select(col("tx_hash").as("bid"), lit("cexdex").as("mev_type"),
           col("profit_usd").as("profit"), array(col("tx_hash")).as("txs"),
           lit(null).cast("string").as("arb_type"),
           col("s_eoa").isNotNull.as("labeled"))
+      // jit_cexdex composition (the e9 matrix row, Q6's shape): a JIT
+      // bracket whose EOA also ran a lone-swap cexdex leg in the block
+      val jcx = jitPairs(s, dir).select(col("block_number").as("x_block"),
+          col("eoa").as("x_eoa"), col("tx_hash").as("mint_tx"), col("burn_tx"))
+        .join(cexdexBase.select(col("tx_hash").as("cx_tx"),
+          col("h_block"), col("h_eoa"), col("profit_usd")),
+          col("x_block") === col("h_block") && col("x_eoa") === col("h_eoa"))
+        .select(
+          concat(col("mint_tx"), lit("|"), col("burn_tx"), lit("|"), col("cx_tx"))
+            .as("bid"),
+          lit("jit_cexdex").as("mev_type"), col("profit_usd").as("profit"),
+          array(col("mint_tx"), col("burn_tx"), col("cx_tx")).as("txs"),
+          lit(null).cast("string").as("arb_type"), lit(false).as("labeled"))
+        .distinct()
       val jsw = brackets(s, dir).select(col("back_block"), col("eoa"),
           col("front_tx"), col("back_tx"),
           (col("back_out") - col("sum_in")).as("b_profit"))
@@ -949,7 +966,7 @@ object InspectorOps extends QueryModule {
       // removal stages, survivors ×2, final counts); persist the small set
       // so the candidate scans (sandwiches/arbs/jit) run once, not per branch
       val bundles = sand.unionByName(jit).unionByName(liq).unionByName(arb)
-        .unionByName(cexdex).unionByName(jsw)
+        .unionByName(cexdex).unionByName(jsw).unionByName(jcx)
         .withColumn("n_txs", size(array_distinct(col("txs"))))
         .persist()
       val edges = bundles.select(col("bid"), col("mev_type"),
@@ -1015,7 +1032,8 @@ object InspectorOps extends QueryModule {
     withCtes(s"""$sandwichCtes, $arbCte, $jitpCte,
       srch AS $searchersCteBody,
       cexd AS (
-        SELECT s.tx_hash, h.profit_usd, (se.s_eoa IS NOT NULL) AS labeled
+        SELECT s.tx_hash, h.profit_usd, h.block_number, h.eoa,
+          (se.s_eoa IS NOT NULL) AS labeled
         FROM (SELECT tx_hash FROM swaps GROUP BY 1 HAVING COUNT(*) = 1) s
         JOIN header h ON s.tx_hash = h.tx_hash
         LEFT JOIN srch se ON h.eoa = se.s_eoa),
@@ -1043,7 +1061,13 @@ object InspectorOps extends QueryModule {
             'jit_sandwich', b.back_out - b.sum_in,
             [b.front_tx, b.back_tx, j.tx_hash, j.burn_tx], NULL, FALSE
           FROM brkt b JOIN jitp j
-            ON b.back_block = j.block_number AND b.eoa = j.eoa)),
+            ON b.back_block = j.block_number AND b.eoa = j.eoa
+          UNION ALL
+          SELECT DISTINCT j.tx_hash || '|' || j.burn_tx || '|' || c.tx_hash,
+            'jit_cexdex', c.profit_usd,
+            [j.tx_hash, j.burn_tx, c.tx_hash], NULL, FALSE
+          FROM jitp j JOIN cexd c
+            ON j.block_number = c.block_number AND j.eoa = c.eoa)),
       edges AS MATERIALIZED (
         SELECT bid, mev_type, n_txs, profit, arb_type, labeled,
           UNNEST(list_distinct(txs)) AS tx
