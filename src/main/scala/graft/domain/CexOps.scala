@@ -343,7 +343,7 @@ object CexOps extends QueryModule {
         .join(broadcast(searchers), col("eoa") === col("s_eoa"), "left")
         .withColumn("markout_usd",
           (col("pv") / col("v") - col("rate")) * col("amount_in") *
-            (lit(1.0) + col("pair_a") * 0.1))
+            tokenPrice(col("pair_a")))
         // validity (filter_possible_cex_dex): profitable leg OR labeled searcher
         .withColumn("is_valid", col("markout_usd") > 0 || col("s_eoa").isNotNull)
         .groupBy("exchange")
@@ -363,7 +363,7 @@ object CexOps extends QueryModule {
       searchers3 AS $searchersCteBody,
       mk AS (
         SELECT exchange,
-          (pv / v - rate) * amount_in * (1.0e0 + pair_a * 0.1e0) AS markout_usd,
+          (pv / v - rate) * amount_in * ${tokenPriceSql("pair_a")} AS markout_usd,
           s.s_eoa
         FROM leg LEFT JOIN searchers3 s ON leg.eoa = s.s_eoa)
       SELECT exchange, COUNT(*) AS n_legs,
@@ -1151,9 +1151,7 @@ object CexOps extends QueryModule {
     "j1_tx_info",
     (s, dir) => {
       val searchers = ChainFixture.searchers(s).withColumn("is_searcher", lit(true))
-      val meta = s.range(NumEoas).select(
-        md5(concat(lit("eoa:"), col("id"))).as("m_eoa"),
-        concat(lit("fund"), col("id") % 3).as("fund"))
+      val meta = ChainFixture.fundMeta(s)
       val b = blocks(s, dir).select(col("block_number").as("b_block"), col("beneficiary"))
       bundleHeaders(s, dir)
         .join(broadcast(searchers), col("eoa") === col("s_eoa"), "left")
@@ -1166,8 +1164,7 @@ object CexOps extends QueryModule {
         .orderBy("fund")
     },
     withCtes(s"""searchers AS $searchersCteBody,
-      meta AS (SELECT md5('eoa:' || i) AS m_eoa, 'fund' || (i % 3) AS fund
-               FROM range($NumEoas) t(i))
+      meta AS $fundMetaCteBody
       SELECT m.fund, COUNT(*) AS n_txs,
         CAST(SUM(CASE WHEN s.s_eoa IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_searcher_txs,
         CAST(COUNT(DISTINCT b.beneficiary) AS BIGINT) AS n_builders

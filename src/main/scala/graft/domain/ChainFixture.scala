@@ -265,6 +265,18 @@ object ChainFixture {
   val searchersCteBody: String =
     s"(SELECT md5('eoa:' || i) AS s_eoa FROM range($NumSearchers) t(i))"
 
+  /** EOA→fund metadata dimension (the reference's address-metadata DB,
+    * db/address_metadata.rs): every fixture EOA belongs to one of three
+    * funds. Tiny → broadcast. */
+  def fundMeta(s: SparkSession): DataFrame =
+    s.range(NumEoas).select(
+      md5(concat(lit("eoa:"), col("id"))).as("m_eoa"),
+      concat(lit("fund"), col("id") % 3).as("fund"))
+
+  /** Oracle CTE body for [[fundMeta]]. */
+  val fundMetaCteBody: String =
+    s"(SELECT md5('eoa:' || i) AS m_eoa, 'fund' || (i % 3) AS fund FROM range($NumEoas) t(i))"
+
   /** Per-selector ABI LAYOUT registry — the decoder-dispatch dimension for
     * HETEROGENEOUS calldata shapes (the reference's 143 `action_impl!`
     * decoders each pick a layout: call-data words, signed int256 deltas,

@@ -229,9 +229,7 @@ object FidelityOps extends QueryModule {
         }
         top.groupBy("block_bucket").agg(aggs.head, aggs.tail: _*)
       }
-      val fundMeta = s.range(NumEoas).select(
-        md5(concat(lit("eoa:"), col("id"))).as("m_eoa"),
-        concat(lit("fund"), col("id") % 3).as("fund"))
+      val fundMeta = ChainFixture.fundMeta(s)
       val eoaTop = pivot2(argmaxTop(
         a.groupBy(bkt, col("action_type"), col("from_address"))
           .agg(coalesce(dsum(col("amount_in")), lit(-1.0)).as("v")),
@@ -349,8 +347,7 @@ object FidelityOps extends QueryModule {
           MAX(n_pools) AS max_pools_per_block,
           MAX(n_eoas) AS max_eoas_per_block
         FROM blkw GROUP BY 1),
-      fund_meta AS (SELECT md5('eoa:' || i) AS m_eoa, 'fund' || (i % 3) AS fund
-                    FROM range($NumEoas) t(i)),
+      fund_meta AS $fundMetaCteBody,
       eg AS (SELECT block_number // 100 AS block_bucket, action_type,
                from_address AS e, COALESCE(${sqlSum("amount_in")}, -1.0e0) AS v
              FROM actions GROUP BY 1, 2, 3),
