@@ -35,7 +35,8 @@ object CexOps extends QueryModule {
   val P3 = 30000000L
   val TxSpacingUs = 750000L
 
-  def defs: Seq[QueryDef] = Seq(j4StagedVwam, j4Intermediary, q3CexDexMarkout,
+  def defs: Seq[QueryDef] = Seq(j4StagedVwam, j4Intermediary, j4WeightedVwam,
+    q3CexDexMarkout,
     q3Reconstruct, q3MergeSwaps, q3Global, j5Optimistic, j5BasketFill,
     j3Intermediary, q4CexDexQuotes, q4QuoteWindows, a8MostLiquid,
     a9SearcherStats, j1TxInfo, j12MetadataJoin, r1RangeChunks, r6FailedData)
@@ -167,6 +168,63 @@ object CexOps extends QueryModule {
         FROM staged)
       SELECT phase, COUNT(*) AS n_swaps, ${sqlSumR("vwam")} AS sum_vwam
       FROM chosen GROUP BY 1 ORDER BY 1"""))
+
+  /** Block-time decay constants (per µs) — the reference's
+    * CexDexTradeConfig defaults (trades/config.rs:34-35): trades further
+    * from the block time contribute exponentially less. */
+  val PreDecayVwap = -5.0e-7
+  val PostDecayVwap = -2.0e-7
+
+  /** J4/A6 (weighted arm): block-time-weighted VWAM — calculate_weight
+    * (trades/utils.rs:485-499): w = exp(pre·(t_block − t_trade)) before the
+    * block, exp(post·(t_trade − t_block)) after (asymmetric: pre-block
+    * trades decay faster — they predict the arb less well), applied to
+    * maker/taker fee-adjusted prices (time_window_vwam.rs:277-305
+    * use_block_time_weights_vwap). Weighted sums go through the same
+    * grid-snapped exact reduction as every derived aggregate. */
+  private val j4WeightedVwam = QueryDef(
+    "j4_weighted_vwam",
+    (s, dir) => {
+      val fee = (expr("CAST(substring(exchange, 3) AS BIGINT)") + 1) * FeeUnit
+      val w = when(col("t_ts") < col("ts_us"),
+        exp(lit(PreDecayVwap) * (col("ts_us") - col("t_ts")).cast("double")))
+        .otherwise(
+          exp(lit(PostDecayVwap) * (col("t_ts") - col("ts_us")).cast("double")))
+      val legs = phasePairs(s, dir)
+        .withColumn("w", w)
+        .groupBy("block_number", "tx_hash", "trace_idx")
+        .agg(
+          dsumR(col("px") * (lit(1.0) - fee) * col("w") * col("amt")).as("vxp_mk"),
+          dsumR(col("px") * (lit(1.0) + fee) * col("w") * col("amt")).as("vxp_tk"),
+          dsumR(col("w") * col("amt")).as("wv"),
+          count(lit(1)).as("n_trades"),
+          min(col("pair_a")).as("pair_a"))
+      legs.groupBy("pair_a")
+        .agg(count(lit(1)).as("n_legs"),
+          dsumR(col("vxp_mk") / col("wv")).as("sum_vwam_maker"),
+          dsumR(col("vxp_tk") / col("wv")).as("sum_vwam_taker"),
+          sum(col("n_trades")).as("n_trades"))
+        .orderBy("pair_a")
+    },
+    withCtes(s"""$cexTradesCte, $phasePairsCte,
+      wpp AS (
+        SELECT *,
+          CASE WHEN t_ts < ts_us THEN EXP($PreDecayVwap * CAST(ts_us - t_ts AS DOUBLE))
+               ELSE EXP($PostDecayVwap * CAST(t_ts - ts_us AS DOUBLE)) END AS w,
+          (CAST(substring(exchange, 3) AS BIGINT) + 1) * 1.0e-4 AS fee
+        FROM pp),
+      wleg AS (
+        SELECT block_number, tx_hash, trace_idx,
+          ${sqlSumR("px * (1.0e0 - fee) * w * amt")} AS vxp_mk,
+          ${sqlSumR("px * (1.0e0 + fee) * w * amt")} AS vxp_tk,
+          ${sqlSumR("w * amt")} AS wv,
+          COUNT(*) AS n_trades, MIN(pair_a) AS pair_a
+        FROM wpp GROUP BY 1, 2, 3)
+      SELECT pair_a, COUNT(*) AS n_legs,
+        ${sqlSumR("vxp_mk / wv")} AS sum_vwam_maker,
+        ${sqlSumR("vxp_tk / wv")} AS sum_vwam_taker,
+        CAST(SUM(n_trades) AS BIGINT) AS n_trades
+      FROM wleg GROUP BY 1 ORDER BY 1"""))
 
   /** J4 (intermediary arm): trades-VWAM through a bridging token — the
     * get_vwap_price_via_intermediary path (time_window_vwam.rs:170-234)
