@@ -962,13 +962,15 @@ object InspectorOps extends QueryModule {
             .as("txs"),
           lit(null).cast("string").as("arb_type"), lit(false).as("labeled"))
         .distinct()
-      // the bundle frame fans out into several join branches (edges → cross
-      // removal stages, survivors ×2, final counts); persist the small set
-      // so the candidate scans (sandwiches/arbs/jit) run once, not per branch
-      val bundles = sand.unionByName(jit).unionByName(liq).unionByName(arb)
-        .unionByName(cexdex).unionByName(jsw).unionByName(jcx)
-        .withColumn("n_txs", size(array_distinct(col("txs"))))
-        .persist()
+      // the bundle table is a PIPELINE INTERMEDIATE, exactly as in the
+      // reference (inspectors persist their bundles, the composer reads
+      // the stored tables) — materialized once per JVM so the seven
+      // candidate scans don't rebuild per downstream branch
+      val bundles = ChainFixture.materialize(s,
+        s"bundles_${ChainFixture.dirKey(dir)}",
+        sand.unionByName(jit).unionByName(liq).unionByName(arb)
+          .unionByName(cexdex).unionByName(jsw).unionByName(jcx)
+          .withColumn("n_txs", size(array_distinct(col("txs")))))
       val edges = bundles.select(col("bid"), col("mev_type"),
         col("n_txs"), col("profit"), col("arb_type"), col("labeled"),
         explode(array_distinct(col("txs"))).as("tx"))
