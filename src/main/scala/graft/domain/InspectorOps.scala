@@ -892,6 +892,40 @@ object InspectorOps extends QueryModule {
     * (the J11 composition), so every matrix row has live rows. Multi-tx
     * sets are real: sandwiches carry {front, back}, JITs {mint, burn},
     * compositions all four. */
+  /** The cross-type layer of the composer dedup, matrix-driven, over a
+    * (bid, mev_type, tx, profit, arb_type, labeled) edge frame → the bids
+    * removed. Unconditional pairs of [[ComposerMatrix]] go through the
+    * pair table in one shot; the mutual arb↔cexdex pair is SEQUENCED —
+    * e1 (the conditional atomic_dedup_fn kill of cexdex by arb), then e2
+    * (arb kills) driven by e1's survivors only. Unit-tested on planted
+    * bundles in GoldenScenarioSpec. */
+  private[graft] def matrixCrossKills(edges: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
+    val uncond = ComposerMatrix
+      .filterNot(p => p == ("arb", "cexdex") || p == ("cexdex", "arb"))
+      .toDF("dom_type", "sub_type")
+    val domE = edges.select(col("tx").as("d_tx"), col("mev_type").as("d_type"))
+    val uncondRem = edges
+      .join(broadcast(uncond), col("mev_type") === col("sub_type"))
+      .join(domE, col("tx") === col("d_tx") && col("d_type") === col("dom_type"),
+        "left_semi")
+      .select("bid").distinct()
+    val arbE = edges.filter(col("mev_type") === "arb")
+    val cexE = edges.filter(col("mev_type") === "cexdex")
+    val e1kill = cexE
+      .join(arbE.select(col("tx").as("a_tx"), col("profit").as("a_profit"),
+        col("arb_type").as("a_type")),
+        col("tx") === col("a_tx") && col("a_type") =!= "triangle" &&
+          col("a_profit") > col("profit") && !col("labeled"), "left_semi")
+      .select("bid").distinct()
+    val e2kill = arbE
+      .join(cexE.join(e1kill, Seq("bid"), "left_anti")
+        .select(col("tx").as("c_tx")),
+        col("tx") === col("c_tx"), "left_semi")
+      .select("bid").distinct()
+    uncondRem.unionByName(e1kill).unionByName(e2kill).distinct()
+  }
+
   private val j10BundleDedup = QueryDef(
     "j10_bundle_dedup",
     (s, dir) => {
@@ -980,35 +1014,7 @@ object InspectorOps extends QueryModule {
       // first, parallel stages race past the lazy cache and each re-derive
       // the full candidate DAG (the 4× bench regression)
       edges.count()
-      // cross-type layer, matrix-driven. Unconditional, order-insensitive
-      // pairs go through the pair table in one shot...
-      import s.implicits._
-      val uncond = ComposerMatrix
-        .filterNot(p => p == ("arb", "cexdex") || p == ("cexdex", "arb"))
-        .toDF("dom_type", "sub_type")
-      val domE = edges.select(col("tx").as("d_tx"), col("mev_type").as("d_type"))
-      val uncondRem = edges
-        .join(broadcast(uncond), col("mev_type") === col("sub_type"))
-        .join(domE, col("tx") === col("d_tx") && col("d_type") === col("dom_type"),
-          "left_semi")
-        .select("bid").distinct()
-      // ...the mutual arb↔cexdex pair is sequenced: e1 (conditional
-      // atomic_dedup_fn kill), then e2 driven by e1's survivors
-      val arbE = edges.filter(col("mev_type") === "arb")
-      val cexE = edges.filter(col("mev_type") === "cexdex")
-      val e1kill = cexE
-        .join(arbE.select(col("tx").as("a_tx"), col("profit").as("a_profit"),
-          col("arb_type").as("a_type")),
-          col("tx") === col("a_tx") && col("a_type") =!= "triangle" &&
-            col("a_profit") > col("profit") && !col("labeled"), "left_semi")
-        .select("bid").distinct()
-      val e2kill = arbE
-        .join(cexE.join(e1kill, Seq("bid"), "left_anti")
-          .select(col("tx").as("c_tx")),
-          col("tx") === col("c_tx"), "left_semi")
-        .select("bid").distinct()
-      val xrem = uncondRem.unionByName(e1kill).unionByName(e2kill)
-        .distinct().persist()
+      val xrem = matrixCrossKills(edges).persist()
       val surv = edges.join(xrem, Seq("bid"), "left_anti").persist()
       val other = surv.select(col("tx").as("o_tx"), col("mev_type").as("o_type"),
         col("bid").as("o_bid"), col("n_txs").as("o_n"), col("profit").as("o_profit"))

@@ -251,4 +251,40 @@ class GoldenScenarioSpec extends SparkTestBase {
       (1L, 1.5, 40.0), (1L, 2.5, 5.0),
       (1000L, 9.0, 25.0)), out)
   }
+
+  // edge-frame rows for the composer matrix:
+  // (bid, mev_type, tx, n_txs, profit, arb_type, labeled)
+  private def edgesOf(
+      rows: (String, String, String, Int, Double, String, Boolean)*): DataFrame =
+    rows.toDF("bid", "mev_type", "tx", "n_txs", "profit", "arb_type", "labeled")
+
+  test("composer matrix: pairwise dominance, not a total order") {
+    // sandwich and jit SHARE tx s1 — both must survive (no pair between
+    // them); the arb sharing a tx with the jit is removed (jit => arb)
+    val e = edgesOf(
+      ("S", "sandwich", "s1", 2, 10.0, null, false),
+      ("S", "sandwich", "s2", 2, 10.0, null, false),
+      ("J", "jit", "s1", 2, 0.0, null, false),
+      ("A", "arb", "s1", 1, 5.0, null, false),
+      ("L", "liquidation", "s2", 1, 0.0, null, false))
+    val killed = InspectorOps.matrixCrossKills(e).as[String].collect().toSet
+    assert(killed == Set("A"), killed) // sandwich, jit, liquidation coexist
+  }
+
+  test("composer matrix: conditional arb->cexdex kill and sequenced reply") {
+    // tx t1: non-triangle arb out-earns an unlabeled cexdex -> e1 kills the
+    //   cexdex, and the DEAD cexdex cannot kill the arb back (sequencing).
+    // tx t2: TRIANGLE arb vs cexdex -> atomic_dedup_fn vetoes e1; the
+    //   surviving cexdex then kills the arb (e2).
+    // tx t3: arb out-earns a LABELED cexdex -> veto again, arb dies.
+    val e = edgesOf(
+      ("A1", "arb", "t1", 1, 100.0, "cross_pair", false),
+      ("C1", "cexdex", "t1", 1, 1.0, null, false),
+      ("A2", "arb", "t2", 1, 100.0, "triangle", false),
+      ("C2", "cexdex", "t2", 1, 1.0, null, false),
+      ("A3", "arb", "t3", 1, 100.0, "cross_pair", false),
+      ("C3", "cexdex", "t3", 1, 1.0, null, true))
+    val killed = InspectorOps.matrixCrossKills(e).as[String].collect().toSet
+    assert(killed == Set("C1", "A2", "A3"), killed)
+  }
 }
