@@ -23,8 +23,64 @@ object PricingOps extends QueryModule {
 
   import Accounting._
 
-  def defs: Seq[QueryDef] = Seq(g1EdgeTable, g2KPaths, g3SubgraphPrice,
-    g4SubgraphVerify, g5RegistryCache, g6PriceEmission)
+  def defs: Seq[QueryDef] = Seq(g1EdgeTable, g2KPaths, g2PathsEnum,
+    g3SubgraphPrice, g4SubgraphVerify, g5RegistryCache, g6PriceEmission)
+
+  /** Simple-path search bound (hops) and endpoints for the DISTRIBUTED
+    * enumeration: token 8 sits 3-4 near-ring steps from 0, so the bounded
+    * search has real multiplicity without enumerating the whole graph. */
+  val PathHops = 4
+  val PathSrc = 0L
+  val PathDst = 8L
+
+  /** G2 (distributed, oracle-checked form): bounded simple-path enumeration
+    * [[PathSrc]] → [[PathDst]] — the all_pair_graph path search expressed as L
+    * UNROLLED frontier⨝edges joins (no driver loop, no collected graph;
+    * the complement of g2_kpaths' SURVEY-sanctioned driver-side Yen).
+    * Cycle check = array_contains on the carried path; every join is
+    * equi-keyed on the frontier head. Fully hash-checked: the oracle is a
+    * DuckDB recursive CTE with the identical bound and cycle rule. */
+  // lazy: references edgesCte, which initializes later in this object
+  private lazy val g2PathsEnum = QueryDef(
+    "g2_paths_enum",
+    (s, dir) => {
+      val (srcTok, dstTok) = (PathSrc, PathDst)
+      val e = edges(s, dir).select("src", "dst").distinct().persist()
+      var frontier = e.filter(col("src") === srcTok)
+        .select(array(col("src"), col("dst")).as("path"), col("dst").as("head"))
+      var done = frontier.filter(col("head") === dstTok).select("path")
+      for (_ <- 2 to PathHops) {
+        frontier = frontier.filter(col("head") =!= dstTok)
+          .join(e, col("head") === col("src"))
+          .filter(!array_contains(col("path"), col("dst")))
+          .select(concat(col("path"), array(col("dst"))).as("path"),
+            col("dst").as("head"))
+        done = done.unionByName(frontier.filter(col("head") === dstTok)
+          .select("path"))
+      }
+      done
+        .withColumn("hops", (size(col("path")) - 1).cast("long"))
+        .withColumn("path_str", concat_ws("->", col("path")))
+        .groupBy("hops")
+        .agg(count(lit(1)).as("n_paths"), min(col("path_str")).as("first_path"))
+        .orderBy("hops")
+    },
+    withCtes(s"""$edgesCte,
+      e2 AS (SELECT DISTINCT src, dst FROM edges),
+      paths AS (
+        SELECT * FROM (
+          WITH RECURSIVE walk(path, head) AS (
+            SELECT [src, dst] AS path, dst AS head FROM e2 WHERE src = $PathSrc
+            UNION ALL
+            SELECT list_append(w.path, e.dst), e.dst
+            FROM walk w JOIN e2 e ON w.head = e.src
+            WHERE w.head <> $PathDst AND NOT list_contains(w.path, e.dst)
+              AND len(w.path) <= $PathHops)
+          SELECT path FROM walk WHERE head = $PathDst))
+      SELECT CAST(len(path) - 1 AS BIGINT) AS hops, COUNT(*) AS n_paths,
+        MIN(list_aggregate(list_transform(path, x -> CAST(x AS VARCHAR)),
+          'string_agg', '->')) AS first_path
+      FROM paths GROUP BY 1 ORDER BY 1"""))
 
   private def withCtes(sql: String) = Some(s"WITH $sqlDomainCtes, $sql")
 
@@ -183,7 +239,7 @@ object PricingOps extends QueryModule {
       val perRound = (1 to RundownRounds).map { r =>
         val inflow = kept.groupBy(col("dst").as("i_dst"))
           .agg(dsum(col("vol_in")).as("inflow"))
-        kept = kept.join(inflow, col("src") === col("i_dst"), "left")
+        kept = kept.join(broadcast(inflow), col("src") === col("i_dst"), "left")
           .filter(col("n_swaps") >= 5 &&
             col("vol_in") + coalesce(col("inflow"), lit(0.0)) * RundownCoupling
               > lit(thr))
