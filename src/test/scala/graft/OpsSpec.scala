@@ -52,6 +52,21 @@ class OpsSpec extends SparkTestBase {
       Seq(None, Some(1.0), Some(2.0), Some(3.0), Some(9.0)).map(_.map(Double.box)))
   }
 
+  test("forward as-of via negated time: smallest right ts >= target, ties inclusive") {
+    // the q4_quote_windows trick: negate both sides and run the backward
+    // kernel — must pick the EARLIEST right row at-or-after the probe,
+    // including an exact tie, and null when nothing follows
+    val left = Seq((1L, 100L), (1L, 205L), (1L, 300L)).toDF("k", "ts0")
+      .withColumn("ts", -col("ts0"))
+    val right = Seq((1L, 100L, 1.0), (1L, 150L, 2.0), (1L, 250L, 3.0))
+      .toDF("k", "ts0", "px").withColumn("ts", -col("ts0"))
+    val out = AsOfJoin.backwardSalted(left, right, Seq("k"), "ts", "px", "p",
+      bucketSpan = 60L).orderBy(col("ts0")).collect()
+      .map(r => Option(r.getAs[java.lang.Double]("p")))
+    // probe 100 → tie at 100 (inclusive); 205 → 250; 300 → nothing after
+    assert(out.toSeq == Seq(Some(1.0), Some(3.0), None).map(_.map(Double.box)))
+  }
+
   test("Sessionize splits strictly AFTER the gap threshold (gap == limit stays joined)") {
     val df = Seq((1L, 0L, 1L), (1L, 1000L, 2L), (1L, 2000L, 3L), (1L, 3001L, 4L))
       .toDF("k", "us", "id")

@@ -73,6 +73,10 @@ class PlanSpec extends SparkTestBase {
     assert(!plan("j4_intermediary").contains("BroadcastNestedLoopJoin"))
   }
 
+  test("g2 path enumeration expands frontiers by equi-join, never nested-loop") {
+    assert(!plan("g2_paths_enum").contains("BroadcastNestedLoopJoin"))
+  }
+
   test("classification decode plan joins only broadcast dimensions") {
     val p = plan("c2_dispatch")
     // the trace fact reaches its rollup through broadcast joins only: no
