@@ -522,18 +522,28 @@ object Relational extends QueryModule {
   private val a10OutlierFilter = QueryDef(
     "a10_outlier_filter",
     (s, dir) => {
+      // every priority emits a row (counts + the extreme values on both
+      // sides of the fence) so the oracle hash covers mu/sigma even when
+      // the 2-sigma fence excludes everything at this SF — a bare
+      // outliers-only projection returned 0 rows and checked nothing
       val o = Tables.orders(s, dir)
       val stats = o.agg(davg(col("o_totalprice")).as("mu"),
         dstddevPop(col("o_totalprice")).as("sigma"))
+      val isOut = col("o_totalprice") > col("mu") + lit(2.0) * col("sigma")
       o.crossJoin(broadcast(stats))
-        .filter(col("o_totalprice") > col("mu") + lit(2.0) * col("sigma"))
         .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n_outliers"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(isOut, 1L).otherwise(0L)).as("n_outliers"),
+          max(when(isOut, col("o_totalprice"))).as("max_outlier_price"),
+          max(when(!isOut, col("o_totalprice"))).as("max_inlier_price"))
         .orderBy("o_orderpriority")
     },
     Some(s"""WITH stats AS (SELECT ${sqlSum("o_totalprice")} / COUNT(*) AS mu,
         ${sqlStddevPop("o_totalprice")} AS sigma FROM orders)
-      SELECT o_orderpriority, COUNT(*) AS n_outliers
-      FROM orders, stats WHERE o_totalprice > mu + 2.0 * sigma
+      SELECT o_orderpriority, COUNT(*) AS n_orders,
+        CAST(SUM(CASE WHEN o_totalprice > mu + 2.0 * sigma THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        MAX(CASE WHEN o_totalprice > mu + 2.0 * sigma THEN o_totalprice END) AS max_outlier_price,
+        MAX(CASE WHEN NOT o_totalprice > mu + 2.0 * sigma THEN o_totalprice END) AS max_inlier_price
+      FROM orders, stats
       GROUP BY 1 ORDER BY 1"""))
 }
