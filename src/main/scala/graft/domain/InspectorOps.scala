@@ -1004,6 +1004,10 @@ object InspectorOps extends QueryModule {
         s"bundles_${ChainFixture.dirKey(dir)}",
         sand.unionByName(jit).unionByName(liq).unionByName(arb)
           .unionByName(cexdex).unionByName(jsw).unionByName(jcx)
+          // bid is only unique WITHIN a type (liquidation/arb/cexdex all
+          // key by bare tx hash) — prefix with the type, or a cross-type
+          // kill of one bundle silently removes every same-bid bundle
+          .withColumn("bid", concat_ws("|", col("mev_type"), col("bid")))
           .withColumn("n_txs", size(array_distinct(col("txs")))))
       val edges = bundles.select(col("bid"), col("mev_type"),
         col("n_txs"), col("profit"), col("arb_type"), col("labeled"),
@@ -1046,7 +1050,8 @@ object InspectorOps extends QueryModule {
         JOIN header h ON s.tx_hash = h.tx_hash
         LEFT JOIN srch se ON h.eoa = se.s_eoa),
       bundles AS MATERIALIZED (
-        SELECT *, len(list_distinct(txs)) AS n_txs FROM (
+        SELECT mev_type || '|' || bid AS bid, mev_type, profit, txs,
+          arb_type, labeled, len(list_distinct(txs)) AS n_txs FROM (
           SELECT DISTINCT front_tx || '|' || back_tx || '|' || pool AS bid,
             'sandwich' AS mev_type, back_out - sum_in AS profit,
             [front_tx, back_tx] AS txs,

@@ -86,4 +86,34 @@ class DomainSpec extends SparkTestBase {
       .filter(col("header") =!= col("magic"))
     assert(rows.count() == 0)
   }
+
+  test("g4 rundown: kept edge set shrinks monotonically and stabilizes") {
+    val rows = SparkEntry.queries("g4_subgraph_verify")(spark, SfDir)
+      .orderBy("round").collect()
+    val kept = rows.map(_.getAs[Long]("n_kept"))
+    assert(kept.zip(kept.tail).forall { case (a, b) => b <= a }, kept.toSeq)
+    // the last two rounds must agree (the bound covers convergence)
+    assert(kept.takeRight(2).distinct.length == 1, kept.toSeq)
+    assert(rows.last.getAs[Int]("stable") == 1)
+  }
+
+  test("q3_global: validity arms bound each other") {
+    val rows = SparkEntry.queries("q3_global")(spark, SfDir).collect()
+    rows.foreach { r =>
+      val legs = r.getAs[Long]("n_legs")
+      assert(r.getAs[Long]("n_valid") <= legs)
+      // a multi-exchange-profitable leg implies at least one profitable side
+      assert(r.getAs[Long]("n_outlier") <= r.getAs[Long]("n_legs"))
+      assert(r.getAs[Long]("n_maker_pos") <= legs)
+    }
+  }
+
+  test("composer: the bundle matrix never removes liquidation or jit_sandwich") {
+    val rows = SparkEntry.queries("j10_bundle_dedup")(spark, SfDir).collect()
+      .map(r => r.getAs[String]("mev_type") ->
+        (r.getAs[Long]("n_raw"), r.getAs[Long]("n_cross")))
+      .toMap
+    for (t <- Seq("liquidation", "jit_sandwich") if rows.contains(t))
+      assert(rows(t)._1 == rows(t)._2, s"$t lost bundles cross-type: ${rows(t)}")
+  }
 }
