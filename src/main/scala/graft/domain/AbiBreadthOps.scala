@@ -88,8 +88,8 @@ object AbiBreadthOps extends QueryModule {
           col("amount1") === col("p2l"), 1L).otherwise(0L)).as("n_roundtrip_ok"))
       .orderBy("token_bucket"),
     withCtes(s"""SELECT tok_id % 5 AS token_bucket, COUNT(*) AS n,
-      SUM(CAST(q6 AS BIGINT)) AS sum_amount0,
-      SUM(CAST(p2 AS BIGINT)) AS sum_amount1,
+      CAST(SUM(CAST(q6 AS BIGINT)) AS BIGINT) AS sum_amount0,
+      CAST(SUM(CAST(p2 AS BIGINT)) AS BIGINT) AS sum_amount1,
       COUNT(*) AS n_success,
       COUNT(*) AS n_roundtrip_ok
       FROM trace WHERE selector = '$SelBurn' GROUP BY 1 ORDER BY 1"""))
@@ -114,8 +114,8 @@ object AbiBreadthOps extends QueryModule {
           .otherwise(0L)).as("n_roundtrip_ok"))
       .orderBy("selector"),
     withCtes(s"""SELECT selector, COUNT(*) AS n,
-      SUM(CAST(q6 AS BIGINT)) AS sum_amount0,
-      SUM(CAST(-p2 AS BIGINT)) AS sum_amount1,
+      CAST(SUM(CAST(q6 AS BIGINT)) AS BIGINT) AS sum_amount0,
+      CAST(SUM(CAST(-p2 AS BIGINT)) AS BIGINT) AS sum_amount1,
       CAST(SUM(CASE WHEN p2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
       CAST(MIN(-p2) AS BIGINT) AS min_amount1,
       COUNT(*) AS n_roundtrip_ok
@@ -171,7 +171,7 @@ object AbiBreadthOps extends QueryModule {
         sum(when(col("amt") === col("q6l"), 1L).otherwise(0L)).as("n_roundtrip_ok"))
       .orderBy("token_bucket"),
     withCtes(s"""SELECT tok_id % 5 AS token_bucket, COUNT(*) AS n,
-      SUM(CAST(q6 AS BIGINT)) AS sum_amount,
+      CAST(SUM(CAST(q6 AS BIGINT)) AS BIGINT) AS sum_amount,
       CAST(COUNT(DISTINCT CAST(p2 AS BIGINT)) AS BIGINT) AS n_distinct_aux,
       COUNT(*) AS sum_cd_words,
       COUNT(*) AS n_roundtrip_ok

@@ -27,6 +27,31 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def dtype_class(dt) -> str:
+    """Collapse a pandas dtype to the class the driver's hash distinguishes:
+    int-like, float-like, bool, or string/object. Width differences (int32 vs
+    int64) hash identically on the driver; int-vs-float does NOT (the round-6
+    HUGEINT->float64 oracle regression shipped because this gate compared
+    int cells to float cells with a tolerance — see VERDICT r6 Wrong #2)."""
+    k = getattr(dt, "kind", "O")
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    return "obj"
+
+
+def dtypes_match(s: pd.DataFrame, o: pd.DataFrame):
+    """Per-column dtype-class equality. Returns (ok, first_bad_col, s_cls, o_cls)."""
+    for c in s.columns:
+        sc, oc = dtype_class(s[c].dtype), dtype_class(o[c].dtype)
+        if sc != oc:
+            return False, c, sc, oc
+    return True, None, None, None
+
+
 def values_match(s: pd.DataFrame, o: pd.DataFrame):
     """Cell-wise compare: exact for non-floats, rel-tol for floats.
 
@@ -82,6 +107,14 @@ def main():
         s, o = norm(spark_df), norm(ora_df)
         rows_ok = len(s) == len(o)
         schema_ok = list(s.columns) == list(o.columns)
+        dt_ok, bad_col, s_cls, o_cls = (True, None, None, None)
+        if schema_ok:
+            dt_ok, bad_col, s_cls, o_cls = dtypes_match(s, o)
+        if not dt_ok:
+            print(f"FAIL {name}: dtype mismatch on '{bad_col}': "
+                  f"spark={s_cls} oracle={o_cls} (driver hash distinguishes these)")
+            n_fail += 1
+            continue
         ok, n_bit, diff_i = (False, 0, -1)
         if rows_ok and schema_ok:
             ok, n_bit, diff_i = values_match(s, o)
