@@ -27,7 +27,50 @@ object AbiBreadthOps extends QueryModule {
 
   def defs: Seq[QueryDef] =
     Seq(f5AbiInt256, f5AbiDynArray, c1LogDecode, c1ReturnDecode,
-      c2LayoutDispatch, c2RegistryBreadth)
+      c2LayoutDispatch, c2RegistryBreadth, c1ExtFamilyDecode)
+
+  /** C1/C2 (live ext families): the 24 live-ext registry entries decoded
+    * from REAL bytes through the same five layout expressions — per
+    * protocol family: traffic, live selector count, layout spread, and a
+    * decode-vs-ground-truth roundtrip (every layout's primary word is q6,
+    * so one oracle covers all five decode paths). This is the registry
+    * architecture's payoff: 24 new decoders went live with ZERO new
+    * decode code (brontes-classifier/src/classifiers/ has one macro
+    * expansion per protocol×action; here a registry row per entry,
+    * a codegen'd expression per LAYOUT). */
+  private val c1ExtFamilyDecode = QueryDef(
+    "c1_ext_family_decode",
+    (s, dir) => {
+      val reg = registryFull(s)
+        .filter(col("protocol") =!= "live")
+        .select(col("selector").as("r_sel"), col("protocol").as("r_protocol"))
+      calldataTable(s, dir)
+        .join(broadcast(reg), col("selector") === col("r_sel"))
+        .withColumn("dec_amt",
+          when(col("layout") === "int256_pair", abi_int_word(col("calldata"), 0))
+            .when(col("layout") === "dyn_array", abi_array_elem(col("calldata"), 0, 0))
+            .when(col("layout") === "log_data", abi_log_word(col("log_data"), 0))
+            .when(col("layout") === "return_words", abi_log_word(col("return_data"), 1))
+            .otherwise(abi_word(col("calldata"), 0)))
+        .groupBy("r_protocol")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("selector")).as("n_live_selectors"),
+          countDistinct(col("layout")).as("n_layouts"),
+          sum(col("dec_amt")).as("sum_amount"),
+          sum(when(col("dec_amt") === col("q6l"), 1L).otherwise(0L))
+            .as("n_roundtrip_ok"))
+        .orderBy("r_protocol")
+    },
+    withCtes(s"""SELECT r.protocol AS r_protocol, COUNT(*) AS n,
+        CAST(COUNT(DISTINCT t.selector) AS BIGINT) AS n_live_selectors,
+        CAST(COUNT(DISTINCT r.layout) AS BIGINT) AS n_layouts,
+        CAST(SUM(CAST(q6 AS BIGINT)) AS BIGINT) AS sum_amount,
+        COUNT(*) AS n_roundtrip_ok
+      FROM trace t
+      JOIN (VALUES $registryFullValues) r(protocol, selector, action, layout)
+        ON t.selector = r.selector
+      WHERE r.protocol <> 'live'
+      GROUP BY 1 ORDER BY 1"""))
 
   /** C2 (registry breadth): the full dispatch registry — 12 protocol
     * families × 8 action kinds + the live selector set (104 decoder
@@ -101,7 +144,7 @@ object AbiBreadthOps extends QueryModule {
   private val f5AbiInt256 = QueryDef(
     "f5_abi_int256",
     (s, dir) => calldataTable(s, dir)
-      .filter(col("layout") === "int256_pair")
+      .filter(col("selector") === SelV3Swap)
       .withColumn("a0", abi_int_word(col("calldata"), 0))
       .withColumn("a1", abi_int_word(col("calldata"), 1))
       .groupBy("selector")
@@ -128,7 +171,7 @@ object AbiBreadthOps extends QueryModule {
   private val f5AbiDynArray = QueryDef(
     "f5_abi_dyn_array",
     (s, dir) => calldataTable(s, dir)
-      .filter(col("layout") === "dyn_array")
+      .filter(col("selector") === SelCurveSwap)
       .withColumn("n_coins", abi_array_len(col("calldata"), 0))
       .withColumn("scalar", abi_word(col("calldata"), 1))
       .withColumn("esum",
@@ -159,7 +202,7 @@ object AbiBreadthOps extends QueryModule {
   private val c1LogDecode = QueryDef(
     "c1_log_decode",
     (s, dir) => calldataTable(s, dir)
-      .filter(col("layout") === "log_data")
+      .filter(col("selector") === SelTransfer)
       .withColumn("amt", abi_log_word(col("log_data"), 0))
       .withColumn("aux", abi_log_word(col("log_data"), 1))
       .withColumn("cd_words", ((length(col("calldata")) - 4) / 32).cast("long"))
@@ -198,14 +241,17 @@ object AbiBreadthOps extends QueryModule {
     },
     withCtes(s""", lay AS (
         SELECT $layoutCase AS reg_layout, selector,
-          CASE WHEN selector = '$SelCurveSwap'
-                 THEN 4 + 32 * (3 + 1 + CAST(q6 AS BIGINT) % 3)
-               WHEN selector = '$SelTransfer' THEN 36
+          1 + CAST(q6 AS BIGINT) % 3 AS alen
+        FROM trace),
+      lay2 AS (
+        SELECT reg_layout, selector,
+          CASE WHEN reg_layout = 'dyn_array' THEN 4 + 32 * (3 + alen)
+               WHEN reg_layout = 'log_data' THEN 36
                ELSE 68 END AS cd_bytes
-        FROM trace)
+        FROM lay)
       SELECT reg_layout, COUNT(*) AS n,
         CAST(COUNT(DISTINCT selector) AS BIGINT) AS n_selectors,
         COUNT(*) AS n_layout_match,
         CAST(SUM(cd_bytes) AS BIGINT) AS sum_calldata_bytes
-      FROM lay GROUP BY 1 ORDER BY 1"""))
+      FROM lay2 GROUP BY 1 ORDER BY 1"""))
 }
