@@ -145,11 +145,20 @@ object FidelityOps extends QueryModule {
     * totals, top-entity argmaxes, distincts, ratios (block_analysis.rs:
     * 658-2150). The reference macro-generates its ~200-column matrix per
     * MEV category; here the matrix is generated the same way — a column
-    * family of 7 metrics (count, distinct txs/eoas, exact in/out sums, max
-    * amount, top-eoa/top-pool argmax, gas + priority-fee totals) per action
-    * category — 66 category columns plus the 13 block-shape columns. */
+    * family of 11 metrics per ACTION category (66 cols) PLUS a family of
+    * 11 metrics per inspector-output MEV category (sandwich/jit/
+    * liquidation/arb/cexdex — 55 cols: bundle count, distinct eoas/blocks,
+    * revenue/gas/profit exact sums, max/min/avg profit,
+    * average_profit_margin (block_analysis.rs:2024), top searcher by
+    * profit :1903), candidates drawn from the shared inspector
+    * intermediates and valued by the A1–A3 bundle header — ~183 columns
+    * total, still zero Expand (distincts via distinct-pair passes). */
   private val A5Categories =
     Seq("swap", "transfer", "mint", "burn", "liquidation", "unclassified")
+
+  /** MEV-category family keys (the reference's BlockAnalysis grain). */
+  private val A5MevTypes =
+    Seq("sandwich", "jit", "liquidation", "arb", "cexdex")
 
   private val a5BlockAnalysisWide = QueryDef(
     "a5_block_analysis_wide",
@@ -256,9 +265,14 @@ object FidelityOps extends QueryModule {
       // per-block distincts as distinct-pair passes (same no-Expand pattern
       // as the category matrix: a 3-way countDistinct here would Expand
       // every action row 4×)
-      val btx = a.select(col("block_number"), col("tx_hash")).distinct()
+      // NULL keys are filtered BEFORE the distinct-pair pass and the joined
+      // count coalesces to 0, so sparse buckets agree with the oracle's
+      // COUNT(DISTINCT ..) NULL semantics (ADVICE r6)
+      val btx = a.filter(col("tx_hash").isNotNull)
+        .select(col("block_number"), col("tx_hash")).distinct()
         .groupBy("block_number").agg(count(lit(1)).as("n_txs"))
-      val beoa = a.select(col("block_number"), col("from_address")).distinct()
+      val beoa = a.filter(col("from_address").isNotNull)
+        .select(col("block_number"), col("from_address")).distinct()
         .groupBy("block_number").agg(count(lit(1)).as("n_eoas"))
       val bpool = a.filter(col("pool").isNotNull)
         .select(col("block_number"), col("pool")).distinct()
@@ -275,6 +289,70 @@ object FidelityOps extends QueryModule {
           struct(coalesce(col("amount_in"), lit(-1.0)), col("trace_idx"),
             col("from_address"))).as("top_eoa"),
         max(col("amount_in")).as("biggest_amount"))
+      // ── MEV-category families keyed by INSPECTOR OUTPUT (the reference's
+      //    BlockAnalysis grain: block_analysis.rs:658-2150 pivots per MEV
+      //    type, not per action type): tx-grain candidates from the shared
+      //    inspector intermediates, valued by the A1–A3 bundle header.
+      //    Same no-Expand shape — one hash agg per family + two
+      //    distinct-pair passes + a tiny pivot.
+      val liqTx = a.filter(col("action_type") === "liquidation")
+        .select("tx_hash").distinct()
+      val loneSwap = a.filter(col("action_type") === "swap" &&
+          col("amount_in").isNotNull && col("amount_out").isNotNull)
+        .groupBy("tx_hash").agg(count(lit(1)).as("n_sw"))
+        .filter(col("n_sw") === 1).select("tx_hash")
+      val cand = InspectorOps.sandwiches(s, dir)
+        .select(col("front_tx").as("tx_hash")).distinct()
+        .withColumn("mev_type", lit("sandwich"))
+        .unionByName(InspectorOps.jitPairs(s, dir).select("tx_hash").distinct()
+          .withColumn("mev_type", lit("jit")))
+        .unionByName(liqTx.withColumn("mev_type", lit("liquidation")))
+        .unionByName(InspectorOps.arbs(s, dir).select("tx_hash").distinct()
+          .withColumn("mev_type", lit("arb")))
+        .unionByName(loneSwap.withColumn("mev_type", lit("cexdex")))
+      val hdr = Accounting.bundleHeaders(s, dir)
+        .select(col("tx_hash"), col("block_number").as("h_block"), col("eoa"),
+          col("revenue_usd"), col("gas_usd"), col("profit_usd"))
+      val mev = cand.join(hdr, "tx_hash")
+        .withColumn("block_bucket", expr("h_block div 100"))
+      val mevAgg = mev.groupBy("block_bucket", "mev_type")
+        .agg(count(lit(1)).as("mn"),
+          dsum(col("revenue_usd")).as("mrev"),
+          dsumR(col("gas_usd")).as("mgas"),
+          dsumR(col("profit_usd")).as("mprofit"),
+          max(col("profit_usd")).as("mmaxp"),
+          min(col("profit_usd")).as("mminp"),
+          max_by(col("eoa"),
+            struct(col("profit_usd"), col("tx_hash"), col("eoa"))).as("mtop"),
+          sum(when(col("revenue_usd") =!= 0.0, 1L).otherwise(0L)).as("mnm"),
+          dsumR(when(col("revenue_usd") =!= 0.0,
+            col("profit_usd") / col("revenue_usd"))).as("mmsum"))
+        .withColumn("mavgp", col("mprofit") / col("mn"))
+        .withColumn("mmargin", when(col("mnm") > 0, col("mmsum") / col("mnm")))
+      val mevEoa = mev.select("block_bucket", "mev_type", "eoa").distinct()
+        .groupBy("block_bucket", "mev_type").agg(count(lit(1)).as("mneoa"))
+      val mevBlk = mev.select("block_bucket", "mev_type", "h_block").distinct()
+        .groupBy("block_bucket", "mev_type").agg(count(lit(1)).as("mnblk"))
+      val mevAggs = A5MevTypes.flatMap { t =>
+        val is = col("mev_type") === t
+        Seq(
+          coalesce(max(when(is, col("mn"))), lit(0L)).as(s"mev_n_$t"),
+          coalesce(max(when(is, col("mneoa"))), lit(0L)).as(s"mev_neoa_$t"),
+          coalesce(max(when(is, col("mnblk"))), lit(0L)).as(s"mev_nblk_$t"),
+          max(when(is, col("mrev"))).as(s"mev_rev_$t"),
+          max(when(is, col("mgas"))).as(s"mev_gas_$t"),
+          max(when(is, col("mprofit"))).as(s"mev_profit_$t"),
+          max(when(is, col("mmaxp"))).as(s"mev_maxp_$t"),
+          max(when(is, col("mminp"))).as(s"mev_minp_$t"),
+          max(when(is, col("mavgp"))).as(s"mev_avgp_$t"),
+          max(when(is, col("mmargin"))).as(s"mev_margin_$t"),
+          max(when(is, col("mtop"))).as(s"mev_top_$t"))
+      }
+      val mevWide = mevAgg
+        .join(mevEoa, Seq("block_bucket", "mev_type"), "left")
+        .join(mevBlk, Seq("block_bucket", "mev_type"), "left")
+        .groupBy("block_bucket")
+        .agg(mevAggs.head, mevAggs.tail: _*)
       perBlock
         .join(btx, "block_number").join(beoa, "block_number")
         .join(bpool, Seq("block_number"), "left")
@@ -288,16 +366,20 @@ object FidelityOps extends QueryModule {
           // mixed rollup would Expand the (already block-grain) frame
           size(collect_set(col("top_eoa"))).cast("long").as("n_top_eoas"),
           max(col("biggest_amount")).as("biggest_amount"),
-          max(col("n_pools")).as("max_pools_per_block"),
+          max(coalesce(col("n_pools"), lit(0L))).as("max_pools_per_block"),
           max(col("n_eoas")).as("max_eoas_per_block"))
         .join(wide, "block_bucket")
         .join(eoaTop, "block_bucket")
         .join(fundTop, "block_bucket")
         .join(poolTop, Seq("block_bucket"), "left")
         .join(pairTop, Seq("block_bucket"), "left")
+        .join(mevWide, Seq("block_bucket"), "left")
         .orderBy("block_bucket")
     },
-    withCtes(s"""catw AS (
+    Some(s"""WITH $sqlDomainCtes,
+      ${InspectorOps.sandwichCtes}, ${InspectorOps.arbCte},
+      ${InspectorOps.jitpCte},
+      catw AS (
         SELECT block_number // 100 AS block_bucket,
           ${A5Categories.map { t =>
             s"""CAST(SUM(CASE WHEN action_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t,
@@ -395,7 +477,62 @@ object FidelityOps extends QueryModule {
                  s"""MAX(CASE WHEN action_type = '$t' THEN top_e END) AS bpair_$t,
                  MAX(CASE WHEN action_type = '$t' THEN top_m END) AS bpair_v_$t"""
                }.mkString(",\n                 ")}
-               FROM prga GROUP BY 1)
+               FROM prga GROUP BY 1),
+      mevc AS (
+        SELECT DISTINCT front_tx AS tx_hash, 'sandwich' AS mev_type FROM sand
+        UNION ALL SELECT DISTINCT tx_hash, 'jit' FROM jitp
+        UNION ALL SELECT DISTINCT tx_hash, 'liquidation' FROM actions
+          WHERE action_type = 'liquidation'
+        UNION ALL SELECT DISTINCT tx_hash, 'arb' FROM arb
+        UNION ALL SELECT tx_hash, 'cexdex'
+          FROM (SELECT tx_hash FROM swaps GROUP BY 1 HAVING COUNT(*) = 1)),
+      mevh AS (
+        SELECT c.mev_type, h.block_number // 100 AS block_bucket,
+          h.block_number, h.tx_hash, h.eoa, h.revenue_usd, h.gas_usd,
+          h.profit_usd
+        FROM mevc c JOIN header h ON c.tx_hash = h.tx_hash),
+      mevagg AS (
+        SELECT block_bucket, mev_type, COUNT(*) AS mn,
+          ${sqlSum("revenue_usd")} AS mrev,
+          ${sqlSumR("gas_usd")} AS mgas,
+          ${sqlSumR("profit_usd")} AS mprofit,
+          MAX(profit_usd) AS mmaxp, MIN(profit_usd) AS mminp,
+          (list(eoa ORDER BY profit_usd DESC, tx_hash DESC, eoa DESC))[1]
+            AS mtop,
+          SUM(CASE WHEN revenue_usd <> 0 THEN 1 ELSE 0 END) AS mnm,
+          ${sqlSumR("CASE WHEN revenue_usd <> 0 THEN profit_usd / revenue_usd END")}
+            AS mmsum
+        FROM mevh GROUP BY 1, 2),
+      mevagg2 AS (
+        SELECT *, mprofit / mn AS mavgp,
+          CASE WHEN mnm > 0 THEN mmsum / mnm END AS mmargin
+        FROM mevagg),
+      mevneoa AS (SELECT block_bucket, mev_type,
+          CAST(COUNT(DISTINCT eoa) AS BIGINT) AS mneoa
+        FROM mevh GROUP BY 1, 2),
+      mevnblk AS (SELECT block_bucket, mev_type,
+          CAST(COUNT(DISTINCT block_number) AS BIGINT) AS mnblk
+        FROM mevh GROUP BY 1, 2),
+      mevp AS (SELECT g.block_bucket, ${A5MevTypes.map { t =>
+          val is = s"g.mev_type = '$t'"
+          s"""CAST(COALESCE(MAX(CASE WHEN $is THEN g.mn END), 0) AS BIGINT) AS mev_n_$t,
+          CAST(COALESCE(MAX(CASE WHEN $is THEN e.mneoa END), 0) AS BIGINT) AS mev_neoa_$t,
+          CAST(COALESCE(MAX(CASE WHEN $is THEN b.mnblk END), 0) AS BIGINT) AS mev_nblk_$t,
+          MAX(CASE WHEN $is THEN g.mrev END) AS mev_rev_$t,
+          MAX(CASE WHEN $is THEN g.mgas END) AS mev_gas_$t,
+          MAX(CASE WHEN $is THEN g.mprofit END) AS mev_profit_$t,
+          MAX(CASE WHEN $is THEN g.mmaxp END) AS mev_maxp_$t,
+          MAX(CASE WHEN $is THEN g.mminp END) AS mev_minp_$t,
+          MAX(CASE WHEN $is THEN g.mavgp END) AS mev_avgp_$t,
+          MAX(CASE WHEN $is THEN g.mmargin END) AS mev_margin_$t,
+          MAX(CASE WHEN $is THEN g.mtop END) AS mev_top_$t"""
+        }.mkString(",\n          ")}
+        FROM mevagg2 g
+        LEFT JOIN mevneoa e
+          ON g.block_bucket = e.block_bucket AND g.mev_type = e.mev_type
+        LEFT JOIN mevnblk b
+          ON g.block_bucket = b.block_bucket AND g.mev_type = b.mev_type
+        GROUP BY 1)
       SELECT r.*, ${A5Categories.map { t =>
         s"c.n_$t, c.ntx_$t, c.neoa_$t, c.npool_$t, c.in_$t, c.out_$t, " +
           s"c.maxin_$t, c.top_$t, c.toppool_$t, c.gas_$t, c.fee_$t"
@@ -403,12 +540,18 @@ object FidelityOps extends QueryModule {
         ${A5Categories.map { t =>
           s"e.topvol_$t, e.topvol_v_$t, f.topfund_$t, f.topfund_v_$t, " +
             s"p.bpool_$t, p.bpool_v_$t, pr.bpair_$t, pr.bpair_v_$t"
+        }.mkString(", ")},
+        ${A5MevTypes.map { t =>
+          s"m.mev_n_$t, m.mev_neoa_$t, m.mev_nblk_$t, m.mev_rev_$t, " +
+            s"m.mev_gas_$t, m.mev_profit_$t, m.mev_maxp_$t, m.mev_minp_$t, " +
+            s"m.mev_avgp_$t, m.mev_margin_$t, m.mev_top_$t"
         }.mkString(", ")}
       FROM rollw r JOIN catw c USING (block_bucket)
       JOIN egp e USING (block_bucket)
       JOIN fgp f USING (block_bucket)
       LEFT JOIN pgp p USING (block_bucket)
       LEFT JOIN prgp pr USING (block_bucket)
+      LEFT JOIN mevp m USING (block_bucket)
       ORDER BY block_bucket"""))
 
   /** F5: ABI decode registry — synthesized calldata (selector ‖ one 32-byte

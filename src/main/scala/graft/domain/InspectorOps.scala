@@ -199,7 +199,7 @@ object InspectorOps extends QueryModule {
 
   /** The verified sandwich set, computed once per JVM (q1/j10/q9/w3 all
     * read it — the reference persists its bundles the same way). */
-  private def sandwiches(s: SparkSession, dir: String): DataFrame =
+  private[domain] def sandwiches(s: SparkSession, dir: String): DataFrame =
     ChainFixture.materialize(s, s"sand_${ChainFixture.dirKey(dir)}",
       sandwichesOf(swTx(s, dir)))
 
@@ -223,7 +223,7 @@ object InspectorOps extends QueryModule {
           .otherwise("long_tail"))
   }
 
-  private def arbs(s: SparkSession, dir: String): DataFrame =
+  private[domain] def arbs(s: SparkSession, dir: String): DataFrame =
     arbsOf(swaps(s, dir))
 
   /** The reference's EXACT arb-type decision tree (is_possible_arb
@@ -358,7 +358,7 @@ object InspectorOps extends QueryModule {
   }
 
   /** J8: mint immediately followed by burn on the same (block, eoa, pool). */
-  private def jitPairs(s: SparkSession, dir: String): DataFrame = {
+  private[domain] def jitPairs(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("block_number", "from_address", "pool")
       .orderBy("tx_idx", "trace_idx")
     actionsTable(s, dir)
@@ -453,9 +453,9 @@ object InspectorOps extends QueryModule {
       sand AS ($union)"""
   }
 
-  private val sandwichCtes = s"$swTxCte, $swWCte, $brktCte, $sandCtes"
+  private[domain] val sandwichCtes = s"$swTxCte, $swWCte, $brktCte, $sandCtes"
 
-  private val arbCte =
+  private[domain] val arbCte =
     """arb AS (
       SELECT tx_hash, n_swaps,
         CASE WHEN n_swaps = 2 THEN 'cross_pair'
@@ -498,7 +498,7 @@ object InspectorOps extends QueryModule {
          AND c.dir <> l.a_dir AND c.ord < l.a_ord)
       WHERE rn = 1)"""
 
-  private val jitpCte =
+  private[domain] val jitpCte =
     """jitp AS (
       SELECT block_number, eoa, pool, tx_hash, tx_idx AS mint_idx,
         nxt_idx AS burn_idx, nxt_tx AS burn_tx, protocol
