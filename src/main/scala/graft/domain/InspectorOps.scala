@@ -656,21 +656,32 @@ object InspectorOps extends QueryModule {
         .agg(count(lit(1)).as("n_sandwiches"),
           sum(col("n_victims")).as("n_victims"),
           sum(when(col("found_at_iter") > 0, 1L).otherwise(0L)).as("n_from_shrink"),
-          dsumR(col("profit_usd")).as("sum_profit"))
+          // PRIMARY PnL: full delta-accounting over the bracket's txs via
+          // the A1–A3 header (searcher address-set token deltas × prices −
+          // gas, shared_utils.rs:344-460) …
+          dsumR(col("profit_usd")).as("sum_profit"),
+          // … with the bracket revenue model (back-run output − front-run
+          // input, priced in the front token) kept as a cross-check column
+          dsumR((col("back_out") - col("sum_in")) * tokenPrice(col("tok_in")))
+            .as("sum_bracket_rev_usd"))
         .orderBy("block_number")
     },
     withCtes(s"""$sandwichCtes
       SELECT s.back_block AS block_number, COUNT(*) AS n_sandwiches,
         CAST(SUM(s.n_victims) AS BIGINT) AS n_victims,
         CAST(SUM(CASE WHEN s.found_at_iter > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_from_shrink,
-        ${sqlSumR("hf.profit_usd + hb.profit_usd")} AS sum_profit
+        ${sqlSumR("hf.profit_usd + hb.profit_usd")} AS sum_profit,
+        ${sqlSumR(s"(s.back_out - s.sum_in) * ${tokenPriceSql("s.tok_in")}")}
+          AS sum_bracket_rev_usd
       FROM sand s
       JOIN header hf ON s.front_tx = hf.tx_hash
       JOIN header hb ON s.back_tx = hb.tx_hash
       GROUP BY 1 ORDER BY 1"""))
 
   /** Q5: JIT liquidity — mint→burn bracket (J8) with ≥1 victim swap in
-    * between; fee revenue = burn minus mint amounts priced per token. */
+    * between. Primary PnL is full delta-accounting over the bundle's
+    * mint/burn txs via the A1–A3 header; the fee-delta model (burn minus
+    * mint amounts priced per token) stays as a cross-check column. */
   private val q5Jit = QueryDef(
     "q5_jit",
     (s, dir) => {
@@ -690,6 +701,20 @@ object InspectorOps extends QueryModule {
         .filter(col("mint_idx") < col("burn_idx"))
       val v = swTx(s, dir).select(col("block_number").as("v_block"),
         col("pool").as("v_pool"), col("tx_idx").as("v_idx"), col("eoa").as("v_eoa"))
+      // PRIMARY PnL: full delta-accounting over the bundle's mint/burn txs
+      // via the A1–A3 header (the searcher address-set's token deltas ×
+      // prices − gas, shared_utils.rs:344-460); the fee-delta model stays
+      // as the cross-check column sum_fee_usd
+      val jtx = a.filter(col("action_type").isin("mint", "burn") &&
+          col("pool").isNotNull &&
+          col("amount_in").isNotNull && col("amount_out").isNotNull)
+        .select(col("block_number"), col("from_address").as("eoa"),
+          col("pool"), col("tx_hash")).distinct()
+      val jpnl = jtx.join(bundleHeaders(s, dir)
+          .select(col("tx_hash"), col("profit_usd")), "tx_hash")
+        .groupBy("block_number", "eoa", "pool")
+        .agg(dsumR(col("profit_usd")).as("acct_profit"),
+          count(lit(1)).as("n_bundle_txs"))
       jit.join(v, col("v_block") === col("block_number") && col("v_pool") === col("pool") &&
           col("v_idx") > col("mint_idx") && col("v_idx") < col("burn_idx") &&
           col("v_eoa") =!= col("eoa"))
@@ -699,8 +724,11 @@ object InspectorOps extends QueryModule {
         .withColumn("fee_usd",
           (col("burn_in") - col("mint_in")) * tokenPrice(col("mint_t0")) +
             (col("burn_out") - col("mint_out")) * tokenPrice(col("mint_t1")))
+        .join(jpnl, Seq("block_number", "eoa", "pool"))
         .groupBy("block_number")
         .agg(count(lit(1)).as("n_jit"), sum(col("n_victims")).as("n_victims"),
+          dsum(col("acct_profit")).as("sum_profit_usd"),
+          sum(col("n_bundle_txs")).as("n_bundle_txs"),
           dsum(col("fee_usd")).as("sum_fee_usd"))
         .orderBy("block_number")
     },
@@ -730,11 +758,23 @@ object InspectorOps extends QueryModule {
         FROM jit j JOIN sw_tx v
           ON v.block_number = j.block_number AND v.pool = j.pool
          AND v.tx_idx > j.mint_idx AND v.tx_idx < j.burn_idx AND v.eoa <> j.eoa
-        GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+        GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11),
+      jtx5 AS (
+        SELECT DISTINCT block_number, from_address AS eoa, pool, tx_hash
+        FROM actions WHERE action_type IN ('mint','burn') AND pool IS NOT NULL
+          AND amount_in IS NOT NULL AND amount_out IS NOT NULL),
+      jpnl AS (
+        SELECT j.block_number, j.eoa, j.pool,
+          ${sqlSumR("h.profit_usd")} AS acct_profit, COUNT(*) AS n_bundle_txs
+        FROM jtx5 j JOIN header h ON j.tx_hash = h.tx_hash
+        GROUP BY 1, 2, 3)
       SELECT block_number, COUNT(*) AS n_jit,
         CAST(SUM(n_victims) AS BIGINT) AS n_victims,
+        ${sqlSum("p.acct_profit")} AS sum_profit_usd,
+        CAST(SUM(p.n_bundle_txs) AS BIGINT) AS n_bundle_txs,
         ${sqlSum(s"(burn_in - mint_in) * ${tokenPriceSql("mint_t0")} + (burn_out - mint_out) * ${tokenPriceSql("mint_t1")}")} AS sum_fee_usd
-      FROM jitv GROUP BY 1 ORDER BY 1"""))
+      FROM jitv JOIN jpnl p USING (block_number, eoa, pool)
+      GROUP BY 1 ORDER BY 1"""))
 
   /** J7: pool-overlap check — first vs last swap tx of an EOA in a block
     * must share a pool for the sandwich candidate to survive. */
