@@ -35,7 +35,8 @@ object CexOps extends QueryModule {
   val P3 = 30000000L
   val TxSpacingUs = 750000L
 
-  def defs: Seq[QueryDef] = Seq(j4StagedVwam, j4Intermediary, j4WeightedVwam,
+  def defs: Seq[QueryDef] = Seq(j4StagedVwam, j4Intermediary, j4Multihop,
+    j4WeightedVwam,
     q3CexDexMarkout,
     q3Reconstruct, q3MergeSwaps, q3Global, j5Optimistic, j5BasketFill,
     j3Intermediary, q4CexDexQuotes, q4QuoteWindows, a8MostLiquid,
@@ -385,6 +386,201 @@ object CexOps extends QueryModule {
       SELECT x AS intermediary, COUNT(*) AS n_swaps,
         ${sqlSumR("implied")} AS sum_implied
       FROM best WHERE rn = 1 GROUP BY 1 ORDER BY 1"""))
+
+  /** J4 (multi-hop arm): trades-VWAM through TWO bridging tokens — the
+    * reference routes through verified subgraphs of arbitrary depth
+    * (time_window_vwam.rs:484 + graphs/subgraph.rs), so long-tail pairs two
+    * hops from a quote asset still price; j4_intermediary stops at one
+    * bridge. Three legs a→x1→x2→b, each phase-escalated on its own window
+    * with the downstream legs' required volume scaled by the upstream
+    * prices (second_leg_volume composition, :209, applied twice). Route
+    * selection is BEST-LIQUIDITY: the winning route maximizes its
+    * bottleneck leg volume (the min full-window volume across legs — the
+    * subgraph verifier's liquidity bar), with price then route id as the
+    * deterministic tiebreak. Scale shape unchanged from j4_intermediary:
+    * the 3-hop route table is token-space-sized → broadcast; the one big
+    * join is (pair, bucket)-equi legs×trades. */
+  private val j4Multihop = QueryDef(
+    "j4_multihop",
+    (s, dir) => {
+      val pairsDim = cexTrades(s, dir).select("pair_a", "pair_b").distinct()
+      val edges = pairsDim.select(col("pair_a").as("u"), col("pair_b").as("v"))
+        .unionByName(pairsDim.select(col("pair_b").as("u"), col("pair_a").as("v")))
+      val cands = edges.select(col("u").as("a"), col("v").as("x1"))
+        .join(edges.select(col("u").as("m1"), col("v").as("x2")),
+          col("x1") === col("m1"))
+        .join(edges.select(col("u").as("m2"), col("v").as("b")),
+          col("x2") === col("m2"))
+        .filter(col("a") =!= col("b") && col("x1") =!= col("x2") &&
+          col("x1") =!= col("a") && col("x1") =!= col("b") &&
+          col("x2") =!= col("a") && col("x2") =!= col("b"))
+        .select("a", "b", "x1", "x2").distinct()
+      val direct = phasePairs(s, dir)
+        .groupBy("block_number", "tx_hash", "trace_idx")
+        .agg(dsum(col("amt")).as("direct_v"))
+      val sw = dexSwaps(s, dir)
+        .join(direct, Seq("block_number", "tx_hash", "trace_idx"), "left")
+        .filter(col("direct_v").isNull || col("direct_v") < col("amount_in"))
+        .select("block_number", "tx_hash", "trace_idx", "ts_us",
+          "pair_a", "pair_b", "amount_in")
+      val legs = sw
+        .join(broadcast(cands), col("pair_a") === col("a") && col("pair_b") === col("b"))
+        .withColumn("leg", explode(array(
+          struct(lit(1).as("leg_no"), least(col("pair_a"), col("x1")).as("l_a"),
+            greatest(col("pair_a"), col("x1")).as("l_b")),
+          struct(lit(2).as("leg_no"), least(col("x1"), col("x2")).as("l_a"),
+            greatest(col("x1"), col("x2")).as("l_b")),
+          struct(lit(3).as("leg_no"), least(col("x2"), col("pair_b")).as("l_a"),
+            greatest(col("x2"), col("pair_b")).as("l_b")))))
+        .select(col("block_number"), col("tx_hash"), col("trace_idx"),
+          col("ts_us"), col("amount_in"), col("x1"), col("x2"),
+          col("leg.leg_no").as("leg_no"), col("leg.l_a").as("l_a"),
+          col("leg.l_b").as("l_b"))
+      val t = cexTrades(s, dir)
+        .withColumn("t_bucket", explode(array(
+          expr(s"ts_us div $P3") - 1, expr(s"ts_us div $P3"), expr(s"ts_us div $P3") + 1)))
+        .select(col("t_bucket"), col("pair_a").as("t_a"), col("pair_b").as("t_b"),
+          col("ts_us").as("t_ts"), col("px"), col("amt"))
+      def pv(bound: Long) = dsum(when(abs(col("t_ts") - col("ts_us")) <= bound,
+        col("px") * col("amt")))
+      def v(bound: Long) = dsum(when(abs(col("t_ts") - col("ts_us")) <= bound,
+        col("amt")))
+      val legAgg = legs
+        .withColumn("d_bucket", expr(s"ts_us div $P3"))
+        .join(t, col("d_bucket") === col("t_bucket") &&
+          col("l_a") === col("t_a") && col("l_b") === col("t_b") &&
+          abs(col("t_ts") - col("ts_us")) <= P3)
+        .groupBy("block_number", "tx_hash", "trace_idx", "x1", "x2", "leg_no")
+        .agg(min(col("amount_in")).as("amount_in"),
+          pv(P1).as("pv1"), v(P1).as("v1"), pv(P2).as("pv2"), v(P2).as("v2"),
+          pv(P3).as("pv3"), v(P3).as("v3"))
+      def pick(req: org.apache.spark.sql.Column) =
+        when(col("v1") >= req, col("pv1") / col("v1"))
+          .when(col("v2") >= req, col("pv2") / col("v2"))
+          .when(col("v3") >= req, col("pv3") / col("v3"))
+      val key = Seq("block_number", "tx_hash", "trace_idx", "x1", "x2")
+      val l1 = legAgg.filter(col("leg_no") === 1)
+        .withColumn("vwam1", pick(col("amount_in")))
+        .filter(col("vwam1").isNotNull)
+        .select(key.map(col) ++ Seq(col("amount_in"), col("vwam1"),
+          col("v3").as("liq1")): _*)
+      def tail(n: Int) = legAgg.filter(col("leg_no") === n)
+        .select(key.map(col) ++ Seq(col("pv1").as(s"pv1_$n"), col("v1").as(s"v1_$n"),
+          col("pv2").as(s"pv2_$n"), col("v2").as(s"v2_$n"),
+          col("pv3").as(s"pv3_$n"), col("v3").as(s"v3_$n")): _*)
+      def pickN(n: Int, req: org.apache.spark.sql.Column) =
+        when(col(s"v1_$n") >= req, col(s"pv1_$n") / col(s"v1_$n"))
+          .when(col(s"v2_$n") >= req, col(s"pv2_$n") / col(s"v2_$n"))
+          .when(col(s"v3_$n") >= req, col(s"pv3_$n") / col(s"v3_$n"))
+      val priced = l1.join(tail(2), key)
+        .withColumn("vwam2", pickN(2, col("amount_in") * col("vwam1")))
+        .filter(col("vwam2").isNotNull)
+        .join(tail(3), key)
+        .withColumn("vwam3",
+          pickN(3, col("amount_in") * col("vwam1") * col("vwam2")))
+        .filter(col("vwam3").isNotNull)
+        .withColumn("implied", col("vwam1") * col("vwam2") * col("vwam3"))
+        .withColumn("liq", least(col("liq1"), col("v3_2"), col("v3_3")))
+      val w = Window.partitionBy("block_number", "tx_hash", "trace_idx")
+        .orderBy(col("liq").desc, col("implied").desc,
+          col("x1").asc, col("x2").asc)
+      priced.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy(col("x1").as("hop1"), col("x2").as("hop2"))
+        .agg(count(lit(1)).as("n_swaps"),
+          dsumR(col("implied")).as("sum_implied"),
+          dsum(col("liq")).as("sum_route_liq"))
+        .orderBy("hop1", "hop2")
+    },
+    withCtes(s"""$cexTradesCte,
+      pdim AS (SELECT DISTINCT pair_a, pair_b FROM cex),
+      edges AS (SELECT pair_a AS u, pair_b AS v FROM pdim
+                UNION ALL SELECT pair_b, pair_a FROM pdim),
+      cands AS (
+        SELECT DISTINCT e1.u AS a, e3.v AS b, e1.v AS x1, e2.v AS x2
+        FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+        JOIN edges e3 ON e2.v = e3.u
+        WHERE e1.u <> e3.v AND e1.v <> e2.v
+          AND e1.v <> e1.u AND e1.v <> e3.v
+          AND e2.v <> e1.u AND e2.v <> e3.v),
+      tbi AS (
+        SELECT pair_a, pair_b, ts_us, px, amt,
+          unnest([ts_us // $P3 - 1, ts_us // $P3, ts_us // $P3 + 1]) AS bucket
+        FROM cex),
+      direct_v AS (
+        SELECT d.block_number, d.tx_hash, d.trace_idx, ${sqlSum("t.amt")} AS dv
+        FROM dex d JOIN tbi t
+          ON t.bucket = d.ts_us // $P3 AND t.pair_a = d.pair_a AND t.pair_b = d.pair_b
+         AND ABS(t.ts_us - d.ts_us) <= $P3
+        GROUP BY 1, 2, 3),
+      swf AS (
+        SELECT d.block_number, d.tx_hash, d.trace_idx, d.ts_us,
+          d.pair_a, d.pair_b, d.amount_in
+        FROM dex d LEFT JOIN direct_v v USING (block_number, tx_hash, trace_idx)
+        WHERE v.dv IS NULL OR v.dv < d.amount_in),
+      legsm AS (
+        SELECT s.*, c.x1, c.x2, 1 AS leg_no,
+          LEAST(s.pair_a, c.x1) AS l_a, GREATEST(s.pair_a, c.x1) AS l_b
+        FROM swf s JOIN cands c ON s.pair_a = c.a AND s.pair_b = c.b
+        UNION ALL
+        SELECT s.*, c.x1, c.x2, 2,
+          LEAST(c.x1, c.x2), GREATEST(c.x1, c.x2)
+        FROM swf s JOIN cands c ON s.pair_a = c.a AND s.pair_b = c.b
+        UNION ALL
+        SELECT s.*, c.x1, c.x2, 3,
+          LEAST(c.x2, s.pair_b), GREATEST(c.x2, s.pair_b)
+        FROM swf s JOIN cands c ON s.pair_a = c.a AND s.pair_b = c.b),
+      legagg AS (
+        SELECT block_number, tx_hash, trace_idx, x1, x2, leg_no,
+          MIN(amount_in) AS amount_in,
+          ${sqlSum(s"CASE WHEN ABS(t.ts_us - l.ts_us) <= $P1 THEN px * amt END")} AS pv1,
+          ${sqlSum(s"CASE WHEN ABS(t.ts_us - l.ts_us) <= $P1 THEN amt END")} AS v1,
+          ${sqlSum(s"CASE WHEN ABS(t.ts_us - l.ts_us) <= $P2 THEN px * amt END")} AS pv2,
+          ${sqlSum(s"CASE WHEN ABS(t.ts_us - l.ts_us) <= $P2 THEN amt END")} AS v2,
+          ${sqlSum("px * amt")} AS pv3, ${sqlSum("amt")} AS v3
+        FROM legsm l JOIN tbi t
+          ON t.bucket = l.ts_us // $P3 AND t.pair_a = l.l_a AND t.pair_b = l.l_b
+         AND ABS(t.ts_us - l.ts_us) <= $P3
+        GROUP BY 1, 2, 3, 4, 5, 6),
+      mleg1 AS (
+        SELECT block_number, tx_hash, trace_idx, x1, x2, amount_in, v3 AS liq1,
+          CASE WHEN v1 >= amount_in THEN pv1 / v1
+               WHEN v2 >= amount_in THEN pv2 / v2
+               WHEN v3 >= amount_in THEN pv3 / v3 END AS vwam1
+        FROM legagg WHERE leg_no = 1),
+      mleg12 AS (
+        SELECT a1.block_number, a1.tx_hash, a1.trace_idx, a1.x1, a1.x2,
+          a1.amount_in, a1.vwam1, a1.liq1, a2.v3 AS liq2,
+          (CASE WHEN a2.v1 >= a1.amount_in * a1.vwam1 THEN a2.pv1 / a2.v1
+                WHEN a2.v2 >= a1.amount_in * a1.vwam1 THEN a2.pv2 / a2.v2
+                WHEN a2.v3 >= a1.amount_in * a1.vwam1 THEN a2.pv3 / a2.v3
+           END) AS vwam2
+        FROM mleg1 a1 JOIN legagg a2
+          ON a2.leg_no = 2 AND a1.block_number = a2.block_number
+         AND a1.tx_hash = a2.tx_hash AND a1.trace_idx = a2.trace_idx
+         AND a1.x1 = a2.x1 AND a1.x2 = a2.x2
+        WHERE a1.vwam1 IS NOT NULL),
+      mpriced AS (
+        SELECT p.block_number, p.tx_hash, p.trace_idx, p.x1, p.x2,
+          p.vwam1 * p.vwam2 *
+          (CASE WHEN a3.v1 >= p.amount_in * p.vwam1 * p.vwam2 THEN a3.pv1 / a3.v1
+                WHEN a3.v2 >= p.amount_in * p.vwam1 * p.vwam2 THEN a3.pv2 / a3.v2
+                WHEN a3.v3 >= p.amount_in * p.vwam1 * p.vwam2 THEN a3.pv3 / a3.v3
+           END) AS implied,
+          LEAST(p.liq1, p.liq2, a3.v3) AS liq
+        FROM mleg12 p JOIN legagg a3
+          ON a3.leg_no = 3 AND p.block_number = a3.block_number
+         AND p.tx_hash = a3.tx_hash AND p.trace_idx = a3.trace_idx
+         AND p.x1 = a3.x1 AND p.x2 = a3.x2
+        WHERE p.vwam2 IS NOT NULL),
+      mbest AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY block_number, tx_hash, trace_idx
+            ORDER BY liq DESC, implied DESC, x1 ASC, x2 ASC) AS rn
+        FROM mpriced WHERE implied IS NOT NULL)
+      SELECT x1 AS hop1, x2 AS hop2, COUNT(*) AS n_swaps,
+        ${sqlSumR("implied")} AS sum_implied,
+        ${sqlSum("liq")} AS sum_route_liq
+      FROM mbest WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   /** Q3: cex-dex markout — per-exchange VWAM vs dex execution rate, PnL in
     * the swap's input units × token price (the per-exchange arm of
