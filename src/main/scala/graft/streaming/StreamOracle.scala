@@ -24,7 +24,7 @@ import org.apache.spark.sql.streaming.OutputMode
   */
 object StreamOracle extends QueryModule {
 
-  def defs: Seq[QueryDef] = Seq(r5StreamFold, r4StreamWindow)
+  def defs: Seq[QueryDef] = Seq(r5StreamFold, r4StreamWindow, r5TickFold)
 
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -94,6 +94,154 @@ object StreamOracle extends QueryModule {
          FLOOR((pre_px - 1.0e0) * 10000.0e0) <> FLOOR((post_px - 1.0e0) * 10000.0e0))
           AS crossed
       FROM fold ORDER BY pool, n_updates"""))
+
+  /** R5 (V3 tick-liquidity arm): the REAL streamed per-tick state fold —
+    * mint/burn events mutate per-range liquidity (exact integer
+    * micro-units), swaps walk ranges from the PRE-price tick through
+    * f10_tick_cross's kernel against the liquidity AS OF that event
+    * (uniswap_v3_math/{tick_math,tick_bitmap}.rs). Three micro-batches cut
+    * by block, so both the last-price AND the liquidity map must carry
+    * across batch boundaries. The DuckDB oracle rebuilds the same fold
+    * relationally: a BIGINT window sum for per-range liquidity, an ASOF
+    * join for liquidity-as-of-swap, and the f10 walk (window cumsum in
+    * k-descending order); per-range outputs snap to integer micro-units so
+    * every aggregate is order-free. */
+  private val r5TickFold = QueryDef(
+    "r5_tick_fold",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val vp = ChainFixture.pools(s).filter(col("protocol") === "uniswap_v3")
+        .select(col("pool_id"), col("address"))
+      val acts = ChainFixture.actionsTable(s, dir)
+        .join(vp, col("pool") === col("address"))
+      val sev = acts.filter(col("action_type") === "swap" &&
+          col("amount_in").isNotNull && col("amount_out").isNotNull)
+        .groupBy(col("pool_id").as("pool"), col("block_number").as("block"),
+          col("tx_idx").as("txIdx"))
+        .agg(min_by(col("amount_out") / col("amount_in"), col("trace_idx")).as("px"),
+          graft.ops.ExactAgg.dsum(col("amount_in")).as("vol"))
+        .select(col("pool"), col("block"), col("txIdx"), lit(2).as("kind"),
+          lit(0L).as("k"), lit(0L).as("deltaMicro"), col("px"), col("vol"))
+      val lev = acts.filter(col("action_type").isin("mint", "burn") &&
+          col("amount_in").isNotNull)
+        .groupBy(col("pool_id").as("pool"), col("block_number").as("block"),
+          col("tx_idx").as("txIdx"),
+          when(col("action_type") === "mint", 0).otherwise(1).as("kind"))
+        .agg((sum(col("amount_in").cast(DecimalType(38, 6))) * 1000000)
+          .cast("long").as("mag"))
+        .select(col("pool"), col("block"), col("txIdx"), col("kind"),
+          (col("txIdx") % 16 - 8).as("k"),
+          when(col("kind") === 0, col("mag")).otherwise(-col("mag"))
+            .as("deltaMicro"),
+          lit(0.0).as("px"), lit(0.0).as("vol"))
+      val ev = sev.unionByName(lev).as[TipStream.TickEvent]
+        .collect().sortBy(e => (e.block, e.txIdx, e.kind, e.pool))
+      val maxBlock = ev.iterator.map(_.block).foldLeft(0L)(math.max)
+      val cut1 = maxBlock / 3
+      val cut2 = 2 * maxBlock / 3
+      val input = MemoryStream[TipStream.TickEvent]
+      val name = s"r5_tick_${runSeq.incrementAndGet()}"
+      val q = TipStream.tickQuotes(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(ev.filter(_.block <= cut1).toSeq)
+        q.processAllAvailable()
+        input.addData(ev.filter(e => e.block > cut1 && e.block <= cut2).toSeq)
+        q.processAllAvailable()
+        input.addData(ev.filter(_.block > cut2).toSeq)
+        q.processAllAvailable()
+        s.table(name)
+          .groupBy(col("pool").as("pool_id"))
+          .agg(count(lit(1)).as("n_priced"),
+            sum(col("nCrossed")).as("n_crossed"),
+            sum(when(col("exhausted"), 1L).otherwise(0L)).as("n_exhausted"),
+            sum(when(col("tickMoved"), 1L).otherwise(0L)).as("n_tick_moved"),
+            sum(col("outMicro")).as("sum_out_micro"))
+          .orderBy("pool_id")
+      } finally q.stop()
+    },
+    withCtes(s""", vpt AS (
+        SELECT pool_id, address FROM pool WHERE protocol = 'uniswap_v3'),
+      sevt AS (
+        SELECT p.pool_id, a.block_number AS block, a.tx_idx,
+          ARG_MIN(a.amount_out / a.amount_in, a.trace_idx) AS px,
+          CAST(CAST(SUM(CAST(a.amount_in AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS vol
+        FROM actions a JOIN vpt p ON a.pool = p.address
+        WHERE a.action_type = 'swap' AND a.amount_in IS NOT NULL
+          AND a.amount_out IS NOT NULL
+        GROUP BY 1, 2, 3),
+      levt AS (
+        SELECT pool_id, block, tx_idx, kind, k,
+          (1 - 2 * kind) * mag AS delta_micro
+        FROM (
+          SELECT p.pool_id, a.block_number AS block, a.tx_idx,
+            CASE WHEN a.action_type = 'mint' THEN 0 ELSE 1 END AS kind,
+            (a.tx_idx % 16) - 8 AS k,
+            CAST(SUM(CAST(a.amount_in AS DECIMAL(38,6))) * 1000000 AS BIGINT)
+              AS mag
+          FROM actions a JOIN vpt p ON a.pool = p.address
+          WHERE a.action_type IN ('mint','burn') AND a.amount_in IS NOT NULL
+          GROUP BY 1, 2, 3, 4, 5)),
+      lcum AS (
+        SELECT pool_id, k, block * 64 + tx_idx * 4 + kind AS ord,
+          SUM(delta_micro) OVER (PARTITION BY pool_id, k
+            ORDER BY block, tx_idx, kind ROWS UNBOUNDED PRECEDING) AS cum_micro
+        FROM levt),
+      spre AS (
+        SELECT *, LAG(px) OVER (PARTITION BY pool_id ORDER BY block, tx_idx)
+          AS pre_px
+        FROM sevt),
+      swt AS (
+        SELECT pool_id, block, tx_idx, px, vol * 0.997e0 AS amt_eff,
+          block * 64 + tx_idx * 4 + 2 AS ord,
+          ((CAST(FLOOR((pre_px - 1.0e0) * 10000.0e0) AS BIGINT) % 80) + 80) % 80
+            - 40 AS cur_t,
+          (FLOOR((pre_px - 1.0e0) * 10000.0e0)
+            <> FLOOR((px - 1.0e0) * 10000.0e0)) AS tick_moved
+        FROM spre WHERE pre_px IS NOT NULL),
+      swkt AS (
+        SELECT s.*, r.k FROM swt s JOIN range(-8, 8) r(k)
+          ON r.k * 10 <= s.cur_t),
+      swklt AS (
+        SELECT s.*, COALESCE(l.cum_micro, 0) AS cum_micro
+        FROM swkt s ASOF LEFT JOIN lcum l
+          ON s.pool_id = l.pool_id AND s.k = l.k AND s.ord >= l.ord),
+      twk0 AS (
+        SELECT pool_id, block, tx_idx, amt_eff, tick_moved, k,
+          (10000.0e0 + pool_id * 1000.0e0 + ABS(k) * 500.0e0)
+            + cum_micro / 1000000.0e0 AS liq,
+          1.0e0 + LEAST((k + 1) * 10, cur_t) / 10000.0e0 AS s_px,
+          1.0e0 + (k * 10) / 10000.0e0 AS e_px
+        FROM swklt),
+      twk1 AS (
+        SELECT *, liq * (1.0e0 / e_px - 1.0e0 / s_px) AS cap,
+          COALESCE(SUM(liq * (1.0e0 / e_px - 1.0e0 / s_px)) OVER (
+            PARTITION BY pool_id, block, tx_idx ORDER BY k DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0e0) AS cum
+        FROM twk0),
+      twk2 AS (
+        SELECT *, (cum + cap <= amt_eff) AS is_full,
+          CASE WHEN cum + cap <= amt_eff THEN liq * (s_px - e_px)
+               ELSE liq * (s_px - 1.0e0 / (1.0e0 / s_px + (amt_eff - cum) / liq))
+          END AS out_tok1
+        FROM twk1 WHERE cum < amt_eff),
+      twk3 AS (
+        SELECT pool_id, block, tx_idx,
+          CAST(SUM(CASE WHEN is_full THEN 1 ELSE 0 END) AS BIGINT) AS n_crossed,
+          BOOL_OR(is_full AND k = -8) AS exhausted,
+          BOOL_OR(tick_moved) AS tick_moved,
+          CAST(SUM(CAST(FLOOR(out_tok1 * 1.0e6 + 0.5e0) AS BIGINT)) AS BIGINT)
+            AS out_micro
+        FROM twk2 GROUP BY 1, 2, 3)
+      SELECT pool_id, COUNT(*) AS n_priced,
+        CAST(SUM(n_crossed) AS BIGINT) AS n_crossed,
+        CAST(SUM(CASE WHEN exhausted THEN 1 ELSE 0 END) AS BIGINT) AS n_exhausted,
+        CAST(SUM(CASE WHEN tick_moved THEN 1 ELSE 0 END) AS BIGINT) AS n_tick_moved,
+        CAST(SUM(out_micro) AS BIGINT) AS sum_out_micro
+      FROM twk3 GROUP BY 1 ORDER BY 1"""))
 
   /** R4 batch-equivalence: the REAL streamed 2-block sliding window
     * (MemoryStream → flatMapGroupsWithState → memory sink, three

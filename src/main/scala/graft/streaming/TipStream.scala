@@ -125,6 +125,97 @@ object TipStream {
     * keeps the streaming fold engine-portable. */
   def tickOf(px: Double): Long = math.floor((px - 1.0) * 10000.0).toLong
 
+  // ── V3 tick-liquidity fold (the per-tick state the coordinate-only fold
+  //    lacked: uniswap_v3_math/{tick_math,tick_bitmap}.rs — mints/burns
+  //    mutate per-range liquidity, swaps consume it walking ranges) ────────
+
+  /** One pool event: kind 0 = mint, 1 = burn (k, deltaMicro set), 2 = swap
+    * (px, vol set). deltaMicro is SIGNED micro-units (mint +, burn −) so
+    * state accumulation is exact integer math — order-independent and
+    * bit-identical to the oracle's BIGINT window sum. */
+  case class TickEvent(pool: Long, block: Long, txIdx: Long, kind: Int,
+      k: Long, deltaMicro: Long, px: Double, vol: Double)
+
+  /** Per-pool fold state: last swap price (pre-tick source) + net per-range
+    * liquidity deltas in exact micro-units. */
+  case class TickLiqState(lastPx: Double, hasPx: Boolean,
+      liqMicro: Map[Long, Long])
+
+  /** Emitted per priced swap: the walk result through the CURRENT per-tick
+    * liquidity. outMicro is the snapped per-range output total in integer
+    * micro-units (order-free summation, oracle-matchable). */
+  case class TickQuote(pool: Long, block: Long, txIdx: Long, curT: Long,
+      nTouched: Long, nCrossed: Long, exhausted: Boolean, tickMoved: Boolean,
+      outMicro: Long)
+
+  /** Clamp a tick into the fixture's 16-range band [-40, 39]. */
+  def clampTick(t: Long): Long = ((t % 80) + 80) % 80 - 40
+
+  /** The stateful V3 fold: mints/burns mutate the per-range liquidity map;
+    * each swap walks ranges downward from the PRE-price tick (f10's
+    * kernel: capacity Δx = L·(1/√P_lo − 1/√P_start), crossing initialized
+    * boundaries until the 0.997-fee-adjusted input is spent), reading
+    * liquidity = base(pool, k) + the net deltas applied so far. All
+    * arithmetic mirrors the relational oracle op-for-op: the walk
+    * accumulates in k-descending order (the window-sum frame order) and
+    * per-range outputs snap to micro-units before totalling. */
+  def updateTickState(
+      pool: Long,
+      events: Iterator[TickEvent],
+      state: GroupState[TickLiqState]): Iterator[TickQuote] = {
+    val sorted = events.toSeq.sortBy(e => (e.block, e.txIdx, e.kind))
+    var st = state.getOption.getOrElse(TickLiqState(Double.NaN, false, Map.empty))
+    val out = scala.collection.mutable.ArrayBuffer.empty[TickQuote]
+    sorted.foreach { e =>
+      if (e.kind == 2) {
+        if (st.hasPx) {
+          val preTick = tickOf(st.lastPx)
+          val curT = clampTick(preTick)
+          val amtEff = e.vol * 0.997
+          var cum = 0.0
+          var nT = 0L; var nC = 0L; var outM = 0L; var exh = false
+          var k = math.min(7L, math.floorDiv(curT, 10L))
+          var done = false
+          while (k >= -8 && !done) {
+            if (cum < amtEff) {
+              val liq = (10000.0 + pool * 1000.0 + math.abs(k) * 500.0) +
+                st.liqMicro.getOrElse(k, 0L) / 1e6
+              val sPx = 1.0 + math.min((k + 1) * 10, curT) / 10000.0
+              val ePx = 1.0 + (k * 10) / 10000.0
+              val cap = liq * (1.0 / ePx - 1.0 / sPx)
+              nT += 1
+              val full = cum + cap <= amtEff
+              val o =
+                if (full) liq * (sPx - ePx)
+                else liq * (sPx - 1.0 / (1.0 / sPx + (amtEff - cum) / liq))
+              outM += math.floor(o * 1e6 + 0.5).toLong
+              if (full) { nC += 1; if (k == -8) exh = true }
+              cum += cap
+            } else done = true
+            k -= 1
+          }
+          out += TickQuote(pool, e.block, e.txIdx, curT, nT, nC, exh,
+            preTick != tickOf(e.px), outM)
+        }
+        st = st.copy(lastPx = e.px, hasPx = true)
+      } else {
+        val nv = st.liqMicro.getOrElse(e.k, 0L) + e.deltaMicro
+        st = st.copy(liqMicro = st.liqMicro + (e.k -> nv))
+      }
+    }
+    state.update(st)
+    out.iterator
+  }
+
+  /** Wiring: pool events (batch or stream) → stateful tick-walk emission. */
+  def tickQuotes(events: Dataset[TickEvent]): Dataset[TickQuote] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.groupByKey(_.pool)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        updateTickState)
+  }
+
   /** True when a quote's pre→post move crossed an initialized tick
     * boundary — the streaming analog of the tick_bitmap walk: the V3 fold
     * must re-read range liquidity whenever this fires (uniswap_v3_math/

@@ -58,6 +58,43 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("R5 tick-liquidity fold: a mint in an earlier batch reprices a later swap's walk") {
+    import graft.streaming.TipStream.{TickEvent, TickQuote}
+    implicit val sqlCtx = spark.sqlContext
+    // drive the same planted scenario twice: with and without a batch-1
+    // mint of 2.0 liquidity into range k=-1 of pool 1; the batch-2 swap
+    // walks from tick(1.0035)=35 → clamped cur_t = -5, touching k=-1 first
+    def run(withMint: Boolean, name: String): Seq[TickQuote] = {
+      val input = MemoryStream[TickEvent]
+      val q = TipStream.tickQuotes(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val mint = TickEvent(1L, 1L, 0L, 0, -1L, 2000000L, 0.0, 0.0)
+        val seed = TickEvent(1L, 1L, 1L, 2, 0L, 0L, 1.0035, 1.0)
+        input.addData(if (withMint) Seq(mint, seed) else Seq(seed))
+        q.processAllAvailable()
+        // batch 2: the priced swap — state (lastPx AND the liquidity map)
+        // must have carried across the batch boundary. vol=200 exhausts
+        // every range below cur_t so ALL ranges resolve full and the
+        // liquidity delta shows up undiluted in the output total.
+        input.addData(TickEvent(1L, 2L, 0L, 2, 0L, 0L, 1.0010, 200.0))
+        q.processAllAvailable()
+        spark.table(name).as[TickQuote].collect().toSeq.sortBy(_.block)
+      } finally q.stop()
+    }
+    val boosted = run(withMint = true, "tick_mint")
+    val base = run(withMint = false, "tick_base")
+    assert(boosted.size == 1 && base.size == 1) // seed swap is unpriced
+    val (b, u) = (boosted.head, base.head)
+    assert(b.curT == -5L && u.curT == -5L)
+    assert(b.nCrossed == 8L && b.exhausted) // k=-1..-8 all crossed fully
+    assert(b.tickMoved) // tick(1.0035)=35 → tick(1.0010)=10
+    // every range full → out = Σ L_k·(s_px−e_px); only k=-1's L differs, by
+    // the carried mint's ΔL=2.0, over width s−e=0.0005 → exactly 1000 µ
+    assert(b.outMicro - u.outMicro == 1000L)
+  }
+
   test("R2/S5 tip mode follows a directory and write-behinds per micro-batch") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_tip").toString
     val (src, out, ckpt) = (s"$tmp/src", s"$tmp/out", s"$tmp/ckpt")
