@@ -467,24 +467,40 @@ object ChainFixture {
   private def matRoot(s: SparkSession): String =
     s.conf.getOption("spark.graft.matRoot").getOrElse(
       s"${System.getProperty("java.io.tmpdir")}/graft_mat_${ProcessHandle.current().pid()}")
-  private[domain] def materializedHas(p: String): Boolean =
-    materialized.contains(p)
-  private[domain] def materializedAdd(p: String): Unit = materialized += p
 
-  /** Write-once-per-JVM parquet materialization of a derived table — the
+  /** Write-once parquet materialization with ATOMIC PUBLISH: the table is
+    * written to a writer-unique in-progress path and renamed into place,
+    * so two JVMs sharing a `spark.graft.matRoot` can never read each
+    * other's half-written output — the loser of the rename race deletes
+    * its attempt and reads the winner's table (ADVICE r6). The in-memory
+    * set only short-circuits re-checks within one JVM; cross-JVM reuse
+    * goes through the filesystem existence check. */
+  private[domain] def materializeWith(s: SparkSession, path: String)(
+      write: String => Unit): DataFrame =
+    synchronized {
+      if (!materialized.contains(path)) {
+        val target = new org.apache.hadoop.fs.Path(path)
+        val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(target)) {
+          val tmp = new org.apache.hadoop.fs.Path(
+            s"$path.inprogress_${ProcessHandle.current().pid()}_" +
+              java.util.UUID.randomUUID().toString.take(8))
+          write(tmp.toString)
+          if (!fs.rename(tmp, target)) fs.delete(tmp, true)
+        }
+        materialized += path
+      }
+      s.read.parquet(path)
+    }
+
+  /** Write-once-per-root parquet materialization of a derived table — the
     * pipeline shape the reference uses (classified trees are PERSISTED,
     * inspectors read the store; TxTraces/libmdbx tables, SURVEY §3.1). At
     * cluster scale these are the partitioned intermediate tables between
     * pipeline stages; locally they live under java.io.tmpdir. */
   private[domain] def materialize(s: SparkSession, key: String, df: => DataFrame): DataFrame =
-    synchronized {
-      val path = s"${matRoot(s)}_$key"
-      if (!materialized.contains(path)) {
-        df.write.mode("overwrite").parquet(path)
-        materialized += path
-      }
-      s.read.parquet(path)
-    }
+    materializeWith(s, s"${matRoot(s)}_$key")(
+      p => df.write.mode("overwrite").parquet(p))
 
   private[domain] def dirKey(dir: String): String =
     dir.replaceAll("[^A-Za-z0-9]", "_")
@@ -498,15 +514,10 @@ object ChainFixture {
     * 250-block buckets (`block_bucket`), the make_filter_key_range layout
     * of SURVEY §4: block-range queries prune partitions at the source. */
   def actionsTable(s: SparkSession, dir: String): DataFrame =
-    synchronized {
-      val path = s"${matRoot(s)}_actions_${dirKey(dir)}"
-      if (!materializedHas(path)) {
-        actions(s, dir)
-          .withColumn("block_bucket", expr("block_number div 250"))
-          .write.mode("overwrite").partitionBy("block_bucket").parquet(path)
-        materializedAdd(path)
-      }
-      s.read.parquet(path)
+    materializeWith(s, s"${matRoot(s)}_actions_${dirKey(dir)}") { p =>
+      actions(s, dir)
+        .withColumn("block_bucket", expr("block_number div 250"))
+        .write.mode("overwrite").partitionBy("block_bucket").parquet(p)
     }
 
   // ── Oracle side: the same fixture as DuckDB CTEs ──────────────────────────
