@@ -301,15 +301,20 @@ object FidelityOps extends QueryModule {
           col("amount_in").isNotNull && col("amount_out").isNotNull)
         .groupBy("tx_hash").agg(count(lit(1)).as("n_sw"))
         .filter(col("n_sw") === 1).select("tx_hash")
-      val cand = InspectorOps.sandwiches(s, dir)
-        .select(col("front_tx").as("tx_hash")).distinct()
-        .withColumn("mev_type", lit("sandwich"))
-        .unionByName(InspectorOps.jitPairs(s, dir).select("tx_hash").distinct()
-          .withColumn("mev_type", lit("jit")))
-        .unionByName(liqTx.withColumn("mev_type", lit("liquidation")))
-        .unionByName(InspectorOps.arbs(s, dir).select("tx_hash").distinct()
-          .withColumn("mev_type", lit("arb")))
-        .unionByName(loneSwap.withColumn("mev_type", lit("cexdex")))
+      // materialized like the inspector bundle tables (candidates are a
+      // pipeline intermediate; re-deriving jitPairs/arbs inline cost a5
+      // +4.8s at sf0.1)
+      val cand = ChainFixture.materialize(s,
+        s"mevcand_${ChainFixture.dirKey(dir)}",
+        InspectorOps.sandwiches(s, dir)
+          .select(col("front_tx").as("tx_hash")).distinct()
+          .withColumn("mev_type", lit("sandwich"))
+          .unionByName(InspectorOps.jitPairs(s, dir).select("tx_hash").distinct()
+            .withColumn("mev_type", lit("jit")))
+          .unionByName(liqTx.withColumn("mev_type", lit("liquidation")))
+          .unionByName(InspectorOps.arbs(s, dir).select("tx_hash").distinct()
+            .withColumn("mev_type", lit("arb")))
+          .unionByName(loneSwap.withColumn("mev_type", lit("cexdex"))))
       val hdr = Accounting.bundleHeaders(s, dir)
         .select(col("tx_hash"), col("block_number").as("h_block"), col("eoa"),
           col("revenue_usd"), col("gas_usd"), col("profit_usd"))
