@@ -29,12 +29,12 @@ object AbiBreadthOps extends QueryModule {
     Seq(f5AbiInt256, f5AbiDynArray, c1LogDecode, c1ReturnDecode,
       c2LayoutDispatch, c2RegistryBreadth, c1ExtFamilyDecode)
 
-  /** C1/C2 (live ext families): the 24 live-ext registry entries decoded
+  /** C1/C2 (live ext families): all 96 ext registry entries decoded
     * from REAL bytes through the same five layout expressions — per
     * protocol family: traffic, live selector count, layout spread, and a
     * decode-vs-ground-truth roundtrip (every layout's primary word is q6,
     * so one oracle covers all five decode paths). This is the registry
-    * architecture's payoff: 24 new decoders went live with ZERO new
+    * architecture's payoff: 96 decoder entries went live with ZERO new
     * decode code (brontes-classifier/src/classifiers/ has one macro
     * expansion per protocol×action; here a registry row per entry,
     * a codegen'd expression per LAYOUT). */

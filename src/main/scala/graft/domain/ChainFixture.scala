@@ -100,7 +100,10 @@ object ChainFixture {
       .withColumn("trace_idx", row_number().over(w).cast("long"))
       .withColumn("sel_id", col("l_suppkey") % 10)
       .withColumn("ext_id",
-        (expr("l_suppkey div 10") + col("l_partkey")) % extLiveSelectors.size)
+        // l_orderkey is the dense term: partkey alone leaves one of the 96
+        // residues unhit at sf0.001 once the builder frame is carved out
+        (expr("l_suppkey div 10") + col("l_partkey") + col("l_orderkey"))
+          % extLiveSelectors.size)
       .withColumn("pool_id", col("l_partkey") % PoolRefSpace)
       .withColumn("tok_id", col("l_partkey") % TokRefSpace)
       .withColumn("block_number", expr(s"l_orderkey div $TxPerBlock"))
@@ -134,7 +137,8 @@ object ChainFixture {
           .when(col("sel_id") === 8, SelLiquidation)
           // the former all-unknown slice routes to the LIVE-EXT registry
           // entries (builder-payment frame keeps the unknown selector), so
-          // 24 ext decoders see real traffic across all five layouts
+          // all 96 ext decoder entries see real traffic across all five
+          // layouts
           .when(col("trace_idx") =!= 1,
             element_at(array(extLiveSelectors.map(lit): _*),
               (col("ext_id") + 1).cast("int")))
@@ -301,7 +305,7 @@ object ChainFixture {
     SelLiquidation -> "two_word", SelUnknown -> "two_word")
 
   /** The COMPLETE selector→layout mapping: the 8 original live selectors
-    * plus the 24 live-ext registry entries. lazy — [[extLiveRows]]
+    * plus the 96 live-ext registry entries. lazy — [[extLiveRows]]
     * initializes later in this object. */
   lazy val allSelectorLayouts: Seq[(String, String)] =
     selectorLayouts ++ extLiveRows.map(r => r._2 -> r._4)
@@ -374,21 +378,15 @@ object ChainFixture {
     extRegistryRows.toDF("protocol", "selector", "action", "layout")
   }
 
-  /** The LIVE subset of the extended registry — 24 entries (every ext
-    * protocol's swap decoder + one rotating second action) spanning ALL
-    * FIVE layouts. Traces with sel_id == 9 (except the builder-payment
-    * frame) route here, so these registry rows are exercised by real
-    * byte-decode paths rather than sitting cold (VERDICT r6 Missing #1:
-    * breadth architecture → live breadth, no new decoder code — each entry
-    * dispatches to one of the same five layout expressions). */
-  val extLiveRows: Seq[(String, String, String, String)] = {
-    val second = Seq("burn", "collect", "flash_loan", "withdraw")
-    ExtProtocols.zipWithIndex.flatMap { case (p, i) =>
-      Seq("swap", second(i % second.size)).map { a =>
-        extRegistryRows.find(r => r._1 == p && r._3 == a).get
-      }
-    }
-  }
+  /** The LIVE subset of the extended registry — ALL 96 ext entries
+    * (12 protocols × 8 actions), spanning all five layouts. Traces with
+    * sel_id == 9 (except the builder-payment frame) route here, so every
+    * registry row is exercised by a real byte-decode path rather than
+    * sitting cold (VERDICT r6 Missing #1: breadth architecture → live
+    * breadth, no new decoder code — each entry dispatches to one of the
+    * same five layout expressions; the decoder set stays at five). */
+  val extLiveRows: Seq[(String, String, String, String)] =
+    extRegistryRows.filter(_._1 != "live")
 
   /** ext_id → selector routing table for [[traces]] (Spark + oracle). */
   val extLiveSelectors: Seq[String] = extLiveRows.map(_._2)
@@ -420,7 +418,7 @@ object ChainFixture {
         .withColumn("q6l", col("q6").cast("long"))
         .withColumn("p2l", col("p2").cast("long"))
         .withColumn("alen", lit(1L) + col("q6l") % 3)
-      // byte packing is keyed by LAYOUT, not selector, so the 24 live-ext
+      // byte packing is keyed by LAYOUT, not selector, so the 96 live-ext
       // registry selectors get the same five real-bytes shapes as the
       // original live set — one packer per layout, mirroring one decoder
       // per layout on the read side
@@ -568,7 +566,7 @@ object ChainFixture {
           l_linenumber, l_returnflag, l_linestatus, l_quantity,
           l_extendedprice, l_discount, l_tax, l_suppkey, l_partkey) AS BIGINT) AS trace_idx,
         l_suppkey % 10 AS sel_id,
-        (l_suppkey // 10 + l_partkey) % ${extLiveSelectors.size} AS ext_id,
+        (l_suppkey // 10 + l_partkey + l_orderkey) % ${extLiveSelectors.size} AS ext_id,
         l_partkey % $PoolRefSpace AS pool_id,
         l_partkey % $TokRefSpace AS tok_id,
         ROUND(l_quantity * 1000000) AS q6, ROUND(l_extendedprice * 100) AS p2,

@@ -27,7 +27,7 @@ class DomainSpec extends SparkTestBase {
     // selectors — a collision would silently merge dispatch entries
     val all = ChainFixture.extRegistryRows.map(_._2)
     assert(all.distinct.size == all.size)
-    assert(ChainFixture.extLiveRows.size == 24)
+    assert(ChainFixture.extLiveRows.size == 96)
     assert(ChainFixture.extLiveRows.map(_._4).distinct.toSet ==
       Set("two_word", "int256_pair", "dyn_array", "log_data", "return_words"))
     // every live-ext selector actually receives traces (the registry's
