@@ -27,7 +27,49 @@ object AbiBreadthOps extends QueryModule {
 
   def defs: Seq[QueryDef] =
     Seq(f5AbiInt256, f5AbiDynArray, c1LogDecode, c1ReturnDecode,
-      c2LayoutDispatch, c2RegistryBreadth, c1ExtFamilyDecode)
+      c2LayoutDispatch, c2RegistryBreadth, c1ExtFamilyDecode, s3SqlDecode)
+
+  /** S3 (SQL-text surface for decode): the same six codegen'd ABI
+    * expressions, invoked from `spark.sql(...)` TEXT via
+    * [[graft.GraftExtensions]] — the reference's query surface is SQL text
+    * over stored tables (`brontes db` forwards SQL to its store), so the
+    * decode primitives must be reachable from SQL, not only the typed
+    * Column facade. The layout-routed decode, the selector echo, and the
+    * dyn-array length all round-trip against source-column ground truth;
+    * the plan is the identical whole-stage-codegen'd expression tree the
+    * Column API builds (registration is metadata-only). */
+  private val s3SqlDecode = QueryDef(
+    "s3_sql_decode",
+    (s, dir) => {
+      graft.GraftExtensions.register(s)
+      calldataTable(s, dir).createOrReplaceTempView("graft_calldata_v")
+      s.sql("""
+        SELECT layout, COUNT(*) AS n,
+          SUM(dec) AS sum_amount,
+          SUM(CASE WHEN dec = q6l THEN 1 ELSE 0 END) AS n_roundtrip_ok,
+          SUM(CASE WHEN sel_echo = selector THEN 1 ELSE 0 END) AS n_sel_ok,
+          SUM(alen) AS sum_alen
+        FROM (
+          SELECT layout, selector, q6l,
+            abi_selector(calldata) AS sel_echo,
+            CASE layout
+              WHEN 'int256_pair' THEN abi_int_word(calldata, 0)
+              WHEN 'dyn_array' THEN abi_array_elem(calldata, 0, 0)
+              WHEN 'log_data' THEN abi_log_word(log_data, 0)
+              WHEN 'return_words' THEN abi_log_word(return_data, 1)
+              ELSE abi_word(calldata, 0) END AS dec,
+            CASE WHEN layout = 'dyn_array'
+              THEN abi_array_len(calldata, 0) ELSE 0L END AS alen
+          FROM graft_calldata_v)
+        GROUP BY layout ORDER BY layout""")
+    },
+    withCtes(s"""SELECT $layoutCase AS layout, COUNT(*) AS n,
+        CAST(SUM(CAST(q6 AS BIGINT)) AS BIGINT) AS sum_amount,
+        COUNT(*) AS n_roundtrip_ok,
+        COUNT(*) AS n_sel_ok,
+        CAST(SUM(CASE WHEN $layoutCase = 'dyn_array'
+          THEN 1 + CAST(q6 AS BIGINT) % 3 ELSE 0 END) AS BIGINT) AS sum_alen
+      FROM trace GROUP BY 1 ORDER BY 1"""))
 
   /** C1/C2 (live ext families): all 96 ext registry entries decoded
     * from REAL bytes through the same five layout expressions — per

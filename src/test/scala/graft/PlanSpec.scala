@@ -77,6 +77,21 @@ class PlanSpec extends SparkTestBase {
     assert(!plan("g2_paths_enum").contains("BroadcastNestedLoopJoin"))
   }
 
+  test("j4 multihop legs join trades equi-keyed; the route table is broadcast") {
+    val p = plan("j4_multihop")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the 3-hop route table is token-space-sized and must reach the legs
+    // by broadcast, never by shuffling the trades fact on a tiny side
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("s3 SQL-text decode plans the same codegen'd expressions as the Column API") {
+    val q = SparkEntry.queries("s3_sql_decode")(spark, SfDir)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) [^\n]*abi_word""".r.findFirstIn(p).isDefined, p)
+  }
+
   test("classification decode plan joins only broadcast dimensions") {
     val p = plan("c2_dispatch")
     // the trace fact reaches its rollup through broadcast joins only: no
