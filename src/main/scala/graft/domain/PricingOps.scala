@@ -24,7 +24,8 @@ object PricingOps extends QueryModule {
   import Accounting._
 
   def defs: Seq[QueryDef] = Seq(g1EdgeTable, g2KPaths, g2PathsEnum,
-    g3SubgraphPrice, g4SubgraphVerify, g5RegistryCache, g6PriceEmission)
+    g3SubgraphPrice, g4SubgraphVerify, g4VerifiedRoutes, g5RegistryCache,
+    g6PriceEmission)
 
   /** Simple-path search bound (hops) and endpoints for the DISTRIBUTED
     * enumeration: token 8 sits 3-4 near-ring steps from 0, so the bounded
@@ -231,34 +232,49 @@ object PricingOps extends QueryModule {
     * BigDecimal at scale 6 half-up (Spark's double→DECIMAL(38,6) cast),
     * exact decimal accumulation, string→double for the correctly-rounded
     * total — so the hash still matches the DuckDB oracle's sqlSum. */
+  /** Driver-exact decimal sum replicating [[graft.ops.ExactAgg.dsum]]
+    * bit-for-bit (each addend → scale-6 half-up, exact accumulation,
+    * string→double correctly-rounded total). */
+  private def exactSum(xs: Iterable[Double]): Double = {
+    val tot = xs.foldLeft(java.math.BigDecimal.ZERO) { (acc, x) =>
+      acc.add(java.math.BigDecimal.valueOf(x)
+        .setScale(Scale, java.math.RoundingMode.HALF_UP))
+    }
+    java.lang.Double.parseDouble(tot.toPlainString)
+  }
+
+  /** The g4 rundown cascade on the collected edge list. Returns the
+    * per-round (round, n_kept, vol_kept) stats and the FINAL surviving
+    * edge set (src, dst, n_swaps, vol_in, px) — the verified subgraph the
+    * route enumeration ([[g4VerifiedRoutes]]) prices over. */
+  private def rundownKept(s: SparkSession, dir: String)
+      : (Seq[(Long, Long, Double)], Seq[(Long, Long, Long, Double, Double)]) = {
+    val es = edges(s, dir).select("src", "dst", "n_swaps", "vol_in", "px")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    // threshold is FIXED from the round-0 edge set (mean volume × α):
+    // re-deriving it per round would chase the prune instead of verifying
+    // against the original liquidity bar; 0 edges → nothing survives
+    val thr =
+      if (es.isEmpty) 0.0
+      else exactSum(es.map(_._4)) / es.length * RundownAlpha
+    var kept = es.toSeq
+    val perRound = (1 to RundownRounds).map { r =>
+      val inflow = kept.groupBy(_._2)
+        .map { case (d, g) => d -> exactSum(g.map(_._4)) }
+      kept = kept.filter(e =>
+        e._3 >= 5 && e._4 + inflow.getOrElse(e._1, 0.0) * RundownCoupling > thr)
+      (r.toLong, kept.size.toLong, exactSum(kept.map(_._4)))
+    }
+    (perRound, kept)
+  }
+
   private val g4SubgraphVerify = QueryDef(
     "g4_subgraph_verify",
     (s, dir) => {
       import s.implicits._
-      val es = edges(s, dir).select("src", "dst", "n_swaps", "vol_in")
-        .collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-      def exactSum(xs: Iterable[Double]): Double = {
-        val tot = xs.foldLeft(java.math.BigDecimal.ZERO) { (acc, x) =>
-          acc.add(java.math.BigDecimal.valueOf(x)
-            .setScale(Scale, java.math.RoundingMode.HALF_UP))
-        }
-        java.lang.Double.parseDouble(tot.toPlainString)
-      }
-      // threshold is FIXED from the round-0 edge set (mean volume × α):
-      // re-deriving it per round would chase the prune instead of verifying
-      // against the original liquidity bar; 0 edges → nothing survives
-      val thr =
-        if (es.isEmpty) 0.0
-        else exactSum(es.map(_._4)) / es.length * RundownAlpha
-      var kept = es.toSeq
-      val perRound = (1 to RundownRounds).map { r =>
-        val inflow = kept.groupBy(_._2)
-          .map { case (d, g) => d -> exactSum(g.map(_._4)) }
-        kept = kept.filter(e =>
-          e._3 >= 5 && e._4 + inflow.getOrElse(e._1, 0.0) * RundownCoupling > thr)
-        (r.toLong, kept.size.toLong, exactSum(kept.map(_._4)))
-      }
+      val (perRound, _) = rundownKept(s, dir)
       val w = Window.orderBy("round")
       perRound.toDF("round", "n_kept", "vol_kept")
         .withColumn("stable",
@@ -267,31 +283,117 @@ object PricingOps extends QueryModule {
         .orderBy("round")
     },
     withCtes {
-      val roundCtes = (1 to RundownRounds).map { r =>
-        val prev = if (r == 1) "edges" else s"k${r - 1}"
-        s"""k$r AS (
-          SELECT e.src, e.dst, e.n_swaps, e.vol_in
-          FROM $prev e LEFT JOIN (
-            SELECT dst, ${sqlSum("vol_in")} AS inflow FROM $prev GROUP BY 1) i
-            ON e.src = i.dst
-          WHERE e.n_swaps >= 5
-            AND e.vol_in + COALESCE(i.inflow, 0.0e0) * ${RundownCoupling}e0
-                > (SELECT t FROM g4thr))"""
-      }.mkString(",\n      ")
       val roundRows = (1 to RundownRounds).map { r =>
         s"SELECT CAST($r AS BIGINT) AS round, COUNT(*) AS n_kept, " +
           s"${sqlSum("vol_in")} AS vol_kept FROM k$r"
       }.mkString("\n        UNION ALL ")
       s"""$edgesCte,
-      g4thr AS (SELECT ${sqlSum("vol_in")} / COUNT(*) * ${RundownAlpha}e0 AS t
-                FROM edges),
-      $roundCtes,
+      $rundownChainSql,
       g4s AS (
         $roundRows)
       SELECT round, n_kept, vol_kept,
         CAST(n_kept = LAG(n_kept) OVER (ORDER BY round) AS INT) AS stable
       FROM g4s ORDER BY round"""
     })
+
+  /** Oracle form of the rundown chain: fixed threshold + k1..kN prune
+    * rounds over `edges` (shared by g4_subgraph_verify and
+    * g4_verified_routes; k[[RundownRounds]] is the verified edge set). */
+  private lazy val rundownChainSql: String = {
+    val roundCtes = (1 to RundownRounds).map { r =>
+      val prev = if (r == 1) "edges" else s"k${r - 1}"
+      s"""k$r AS (
+        SELECT e.src, e.dst, e.n_swaps, e.vol_in, e.px
+        FROM $prev e LEFT JOIN (
+          SELECT dst, ${sqlSum("vol_in")} AS inflow FROM $prev GROUP BY 1) i
+          ON e.src = i.dst
+        WHERE e.n_swaps >= 5
+          AND e.vol_in + COALESCE(i.inflow, 0.0e0) * ${RundownCoupling}e0
+              > (SELECT t FROM g4thr))"""
+    }.mkString(",\n      ")
+    s"""g4thr AS (SELECT ${sqlSum("vol_in")} / COUNT(*) * ${RundownAlpha}e0 AS t
+                FROM edges),
+      $roundCtes"""
+  }
+
+  /** Route-search bound for the verified-subgraph enumeration: 4 hops = 3
+    * intermediaries, one past j4_multihop's fixed two — the "arbitrary
+    * depth" regime of the reference's subgraph routing. */
+  val RouteHops = 4
+
+  /** G4 (routing arm): depth-k route pricing over the VERIFIED subgraph —
+    * the reference prices long-tail pairs through verified subgraphs of
+    * arbitrary depth (graphs/subgraph.rs:316 fetch_price walks the stored
+    * path set; time_window_vwam.rs:484 routes through them), where
+    * verification is the g4 rundown. Simple paths up to [[RouteHops]] hops
+    * are enumerated by UNROLLED frontier⨝edges equi-joins over the
+    * surviving edge set (dimension-sized by SURVEY §4.3 — the fact volume
+    * never enters the search); the winning route per (src, dst) maximizes
+    * BOTTLENECK liquidity (min leg volume — the subgraph verifier's bar),
+    * then price, then lexicographic path. Route price is the leg-ordered
+    * product of liquidity-weighted rates, so both engines fold the same
+    * IEEE multiply chain and the hash is exact. */
+  private val g4VerifiedRoutes = QueryDef(
+    "g4_verified_routes",
+    (s, dir) => {
+      import s.implicits._
+      val ve = rundownKept(s, dir)._2
+        .map(e => (e._1, e._2, e._4, e._5)).toDF("src", "dst", "vol_in", "px")
+      val er = ve.select(col("src").as("e_src"), col("dst").as("e_dst"),
+        col("px").as("e_px"), col("vol_in").as("e_vol"))
+      var frontier = ve.select(col("src").as("origin"), col("dst").as("head"),
+        array(col("src"), col("dst")).as("path"),
+        col("px").as("px_prod"), col("vol_in").as("bneck"))
+      var all = frontier
+      for (_ <- 2 to RouteHops) {
+        frontier = frontier.join(er, col("head") === col("e_src"))
+          .filter(!array_contains(col("path"), col("e_dst")))
+          .select(col("origin"), col("e_dst").as("head"),
+            concat(col("path"), array(col("e_dst"))).as("path"),
+            (col("px_prod") * col("e_px")).as("px_prod"),
+            least(col("bneck"), col("e_vol")).as("bneck"))
+        all = all.unionByName(frontier)
+      }
+      val w = Window.partitionBy("origin", "head")
+        .orderBy(col("bneck").desc, col("px_prod").desc, col("path_str").asc)
+      all
+        .withColumn("path_str", concat_ws("->", col("path")))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_routes",
+          count(lit(1)).over(Window.partitionBy("origin", "head")))
+        .filter(col("rn") === 1 && col("origin") < 5)
+        .select(col("origin").as("src"), col("head").as("dst"),
+          (size(col("path")) - 1).cast("long").as("hops"),
+          col("path_str").as("best_path"), col("px_prod").as("px"),
+          col("bneck"), col("n_routes"))
+        .orderBy("src", "dst")
+    },
+    withCtes(s"""$edgesCte,
+      $rundownChainSql,
+      vroutes AS (
+        SELECT * FROM (
+          WITH RECURSIVE walk(origin, head, path, px_prod, bneck) AS (
+            SELECT src, dst, [src, dst], px, vol_in FROM k$RundownRounds
+            UNION ALL
+            SELECT w.origin, e.dst, list_append(w.path, e.dst),
+              w.px_prod * e.px, LEAST(w.bneck, e.vol_in)
+            FROM walk w JOIN k$RundownRounds e ON w.head = e.src
+            WHERE NOT list_contains(w.path, e.dst)
+              AND len(w.path) <= $RouteHops)
+          SELECT origin, head, path, px_prod, bneck,
+            list_aggregate(list_transform(path, x -> CAST(x AS VARCHAR)),
+              'string_agg', '->') AS path_str
+          FROM walk)),
+      vbest AS (
+        SELECT *,
+          ROW_NUMBER() OVER (PARTITION BY origin, head
+            ORDER BY bneck DESC, px_prod DESC, path_str ASC) AS rn,
+          COUNT(*) OVER (PARTITION BY origin, head) AS n_routes
+        FROM vroutes)
+      SELECT origin AS src, head AS dst,
+        CAST(len(path) - 1 AS BIGINT) AS hops, path_str AS best_path,
+        px_prod AS px, bneck, n_routes
+      FROM vbest WHERE rn = 1 AND origin < 5 ORDER BY 1, 2"""))
 
   /** G5: subgraph registry cache — edges observed per block-epoch, and how
     * many are reused from the previous epoch (the cross-block cache-hit

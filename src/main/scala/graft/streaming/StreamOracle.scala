@@ -24,7 +24,7 @@ import org.apache.spark.sql.streaming.OutputMode
   */
 object StreamOracle extends QueryModule {
 
-  def defs: Seq[QueryDef] = Seq(r5StreamFold, r4StreamWindow, r5TickFold)
+  def defs: Seq[QueryDef] = Seq(r5StreamFold, r4StreamWindow, r5TickFold, r4LateData)
 
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -302,4 +302,87 @@ object StreamOracle extends QueryModule {
           CASE WHEN LAG(block) OVER w = block - 1 THEN 2 ELSE 1 END AS blks_in_wnd
         FROM blk WINDOW w AS (PARTITION BY pool ORDER BY block))
       SELECT * FROM wnd ORDER BY pool, block"""))
+
+  /** R4 (watermark/late-data arm): REAL event-time tumbling windows with
+    * `withWatermark` in Append mode, driven through four out-of-order
+    * micro-batches — a deterministic slice of rows arrives one batch LATE.
+    * The engine must (a) merge late rows whose window the watermark hasn't
+    * closed, (b) DROP late rows whose window end is at or below the
+    * watermark, and (c) only emit a window once the watermark passes its
+    * end (a far-future sentinel event flushes the tail). Because the batch
+    * composition and the chain clock are deterministic, the drop set is
+    * relational: the DuckDB oracle recomputes per-batch watermarks
+    * (max event time over earlier batches − delay) and aggregates the
+    * surviving rows — so a divergence in ANY of the three semantics breaks
+    * the hash. Spark tracks watermarks in milliseconds; every event time
+    * here is whole ms (1 s per block + 1 ms per tx) so the µs-domain oracle
+    * arithmetic is exact. */
+  private val r4LateData = QueryDef(
+    "r4_late_data",
+    (s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val upd = updates(s, dir).as[TipStream.PoolUpdate]
+        .collect().sortBy(u => (u.block, u.txIdx, u.pool))
+      val maxBlock = upd.iterator.map(_.block).foldLeft(0L)(math.max)
+      val cut1 = maxBlock / 3
+      val cut2 = 2 * maxBlock / 3
+      def batchOf(u: TipStream.PoolUpdate): Int = {
+        val natural = if (u.block <= cut1) 1 else if (u.block <= cut2) 2 else 3
+        natural + (if ((u.block + u.txIdx) % 5 == 2) 1 else 0) // late slice
+      }
+      val input = MemoryStream[TipStream.PoolUpdate]
+      val name = s"r4_late_${runSeq.incrementAndGet()}"
+      val q = TipStream.lateWindowAgg(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        (1 to 4).foreach { b =>
+          val rows = upd.filter(batchOf(_) == b)
+          if (rows.nonEmpty) { input.addData(rows.toSeq); q.processAllAvailable() }
+        }
+        // far-future sentinel pushes the watermark past every real window
+        // so Append mode flushes them; its own window never finalizes
+        input.addData(Seq(TipStream.PoolUpdate(
+          "zz_sentinel", maxBlock + 100000L, 0L, 0.0, 0.0)))
+        q.processAllAvailable()
+        s.table(name)
+          .filter(col("pool") =!= "zz_sentinel")
+          .select(unix_micros(col("window.start")).as("window_start_us"),
+            col("pool"), col("n"), col("sum_vol"))
+          .orderBy("window_start_us", "pool")
+      } finally q.stop()
+    },
+    withCtes(""", upd AS (
+        SELECT pool, block_number AS block, tx_idx,
+          CAST(CAST(SUM(CAST(amount_in AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS vol
+        FROM actions
+        WHERE action_type = 'swap' AND pool IS NOT NULL
+          AND amount_in IS NOT NULL AND amount_out IS NOT NULL
+        GROUP BY 1, 2, 3),
+      mx AS (SELECT MAX(block) AS mb FROM upd),
+      ev AS (
+        SELECT pool, block * 1000000 + tx_idx * 1000 AS ts_us, vol,
+          (CASE WHEN block <= mb // 3 THEN 1
+                WHEN block <= 2 * mb // 3 THEN 2 ELSE 3 END)
+          + (CASE WHEN (block + tx_idx) % 5 = 2 THEN 1 ELSE 0 END) AS batch
+        FROM upd, mx),
+      wm AS (
+        -- per-batch watermark: max event time over EARLIER batches − 3.5 s
+        -- (Spark's initial watermark is 0 and all window ends are > 0, so
+        -- the first batch keeps everything on both engines)
+        SELECT b.batch,
+          COALESCE((SELECT MAX(e.ts_us) FROM ev e WHERE e.batch < b.batch),
+            -3500000) - 3500000 AS wm_us
+        FROM (SELECT DISTINCT batch FROM ev) b),
+      kept AS (
+        -- a row survives iff its 10 s window end is strictly above the
+        -- watermark in force when its batch is processed
+        SELECT e.pool, e.ts_us, e.vol
+        FROM ev e JOIN wm ON wm.batch = e.batch
+        WHERE (e.ts_us // 10000000) * 10000000 + 10000000 > wm.wm_us)
+      SELECT (ts_us // 10000000) * 10000000 AS window_start_us, pool,
+        COUNT(*) AS n,
+        CAST(CAST(SUM(CAST(vol AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_vol
+      FROM kept GROUP BY 1, 2 ORDER BY 1, 2"""))
 }

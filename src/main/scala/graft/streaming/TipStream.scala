@@ -119,6 +119,24 @@ object TipStream {
         slideWindow)
   }
 
+  /** R4 (watermark arm): EVENT-TIME tumbling windows with a late-data
+    * watermark — the standard Structured Streaming shape the stateful folds
+    * above deliberately avoid (they key state by pool, not time). Event
+    * time is derived from the chain clock (1 s per block + 1 ms per tx so
+    * every quantity is whole milliseconds — Spark tracks watermarks in ms,
+    * so sub-ms event times would diverge from an external oracle). A row
+    * arriving after the watermark passed its window's end is DROPPED by the
+    * engine; a row arriving out-of-order but within the delay still merges.
+    * Append mode: a window only emits once the watermark passes its end. */
+  def lateWindowAgg(updates: Dataset[PoolUpdate]): DataFrame =
+    updates
+      .withColumn("ts", timestamp_micros(
+        col("block") * 1000000L + col("txIdx") * 1000L))
+      .withWatermark("ts", "3500 milliseconds")
+      .groupBy(window(col("ts"), "10 seconds"), col("pool"))
+      .agg(count(lit(1)).as("n"),
+        graft.ops.ExactAgg.dsum(col("vol")).as("sum_vol"))
+
   /** Linearized tick of a price — the coordinate f10_tick_cross's planted
     * curve uses (√P(t) = 1 + t/10⁴, so t = ⌊(px−1)·10⁴⌋). The real
     * tick_math.rs log-base-1.0001 form needs libm pow/log; the linear form
