@@ -331,21 +331,44 @@ object StreamOracle extends QueryModule {
         val natural = if (u.block <= cut1) 1 else if (u.block <= cut2) 2 else 3
         natural + (if ((u.block + u.txIdx) % 5 == 2) 1 else 0) // late slice
       }
-      val input = MemoryStream[TipStream.PoolUpdate]
+      // partial-aggregate each batch to (pool, window) units before the
+      // stateful shuffle (TipStream.WndUpdate): the drop/merge decision is
+      // per (window, batch), the unit's event time is its max row's, and
+      // vol accumulates through the same exact-decimal reduction — so the
+      // output is bit-identical to row-grain feeding at a fraction of the
+      // per-batch state traffic (this is the map-side combine a production
+      // stream source would do)
+      def exactSumD(xs: Iterable[Double]): Double = {
+        val tot = xs.foldLeft(java.math.BigDecimal.ZERO) { (acc, x) =>
+          acc.add(java.math.BigDecimal.valueOf(x)
+            .setScale(6, java.math.RoundingMode.HALF_UP))
+        }
+        java.lang.Double.parseDouble(tot.toPlainString)
+      }
+      val units = upd.groupBy { u =>
+        (u.pool, (u.block * 1000000L + u.txIdx * 1000L) / 10000000L, batchOf(u))
+      }.toSeq.map { case ((pool, _, b), g) =>
+        val mx = g.maxBy(u => (u.block, u.txIdx))
+        b -> TipStream.WndUpdate(pool, mx.block, mx.txIdx,
+          exactSumD(g.map(_.vol)), g.size.toLong)
+      }
+      val input = MemoryStream[TipStream.WndUpdate]
       val name = s"r4_late_${runSeq.incrementAndGet()}"
       val q = TipStream.lateWindowAgg(input.toDS())
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append()).start()
       try {
         (1 to 4).foreach { b =>
-          val rows = upd.filter(batchOf(_) == b)
-          if (rows.nonEmpty) { input.addData(rows.toSeq); q.processAllAvailable() }
+          var rows = units.filter(_._1 == b).map(_._2)
+            .sortBy(u => (u.block, u.txIdx, u.pool))
+          // the far-future sentinel rides the LAST data batch: its ts only
+          // enters the watermark after that batch, pushing it past every
+          // real window so Append mode flushes them (its own window never
+          // finalizes, and the trailing no-data micro-batch does the emit)
+          if (b == 4) rows = rows :+ TipStream.WndUpdate(
+            "zz_sentinel", maxBlock + 100000L, 0L, 0.0, 0L)
+          if (rows.nonEmpty) { input.addData(rows); q.processAllAvailable() }
         }
-        // far-future sentinel pushes the watermark past every real window
-        // so Append mode flushes them; its own window never finalizes
-        input.addData(Seq(TipStream.PoolUpdate(
-          "zz_sentinel", maxBlock + 100000L, 0L, 0.0, 0.0)))
-        q.processAllAvailable()
         s.table(name)
           .filter(col("pool") =!= "zz_sentinel")
           .select(unix_micros(col("window.start")).as("window_start_us"),

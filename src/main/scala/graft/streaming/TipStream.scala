@@ -119,22 +119,33 @@ object TipStream {
         slideWindow)
   }
 
+  /** Pre-combined window-agg input: source rows partially aggregated to
+    * (pool, window) grain WITHIN one micro-batch — the map-side-combine
+    * push-down at the stream source. `block`/`txIdx` come from the unit's
+    * max-event-time row (so per-batch watermark advance is unchanged), and
+    * since the engine's late-drop decision depends only on (window, batch),
+    * dropping/merging a combined unit is bit-identical to doing it row by
+    * row. `cnt` carries the collapsed row count. */
+  case class WndUpdate(pool: String, block: Long, txIdx: Long,
+      vol: Double, cnt: Long)
+
   /** R4 (watermark arm): EVENT-TIME tumbling windows with a late-data
     * watermark — the standard Structured Streaming shape the stateful folds
     * above deliberately avoid (they key state by pool, not time). Event
     * time is derived from the chain clock (1 s per block + 1 ms per tx so
     * every quantity is whole milliseconds — Spark tracks watermarks in ms,
-    * so sub-ms event times would diverge from an external oracle). A row
+    * so sub-ms event times would diverge from an external oracle). A unit
     * arriving after the watermark passed its window's end is DROPPED by the
-    * engine; a row arriving out-of-order but within the delay still merges.
-    * Append mode: a window only emits once the watermark passes its end. */
-  def lateWindowAgg(updates: Dataset[PoolUpdate]): DataFrame =
+    * engine; a unit arriving out-of-order but within the delay still
+    * merges. Append mode: a window only emits once the watermark passes
+    * its end. */
+  def lateWindowAgg(updates: Dataset[WndUpdate]): DataFrame =
     updates
       .withColumn("ts", timestamp_micros(
         col("block") * 1000000L + col("txIdx") * 1000L))
       .withWatermark("ts", "3500 milliseconds")
       .groupBy(window(col("ts"), "10 seconds"), col("pool"))
-      .agg(count(lit(1)).as("n"),
+      .agg(sum(col("cnt")).as("n"),
         graft.ops.ExactAgg.dsum(col("vol")).as("sum_vol"))
 
   /** Linearized tick of a price — the coordinate f10_tick_cross's planted

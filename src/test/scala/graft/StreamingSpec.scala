@@ -35,32 +35,35 @@ class StreamingSpec extends SparkTestBase {
 
   test("R4 watermark: late-within-delay merges, late-past-watermark drops, append flushes on close") {
     implicit val sqlCtx = spark.sqlContext
-    val input = MemoryStream[PoolUpdate]
+    val input = MemoryStream[TipStream.WndUpdate]
     val q = TipStream.lateWindowAgg(input.toDS())
       .writeStream.format("memory").queryName("late_wnd")
       .outputMode(OutputMode.Append()).start()
     try {
       // event time = block seconds (+ txIdx ms); 10 s tumbling, 3.5 s delay
-      // batch 1: two events in window [0,10)
-      input.addData(PoolUpdate("A", 0L, 0L, 1.0, 1.0), PoolUpdate("A", 1L, 0L, 1.0, 2.0))
+      // batch 1: two units in window [0,10)
+      input.addData(TipStream.WndUpdate("A", 0L, 0L, 1.0, 1L),
+        TipStream.WndUpdate("A", 1L, 0L, 2.0, 1L))
       q.processAllAvailable()
-      // batch 2: wm = 1s − 3.5s < 0 → the t=2s row is late but MERGES;
-      // the t=30s row advances the watermark to 26.5s at batch end
-      input.addData(PoolUpdate("A", 2L, 0L, 1.0, 4.0), PoolUpdate("B", 30L, 0L, 1.0, 8.0))
+      // batch 2: wm = 1s − 3.5s < 0 → the t=2s unit is late but MERGES
+      // (cnt 2 collapses two combined rows); the t=30s unit advances the
+      // watermark to 26.5s at batch end
+      input.addData(TipStream.WndUpdate("A", 2L, 0L, 4.0, 2L),
+        TipStream.WndUpdate("B", 30L, 0L, 8.0, 1L))
       q.processAllAvailable()
-      // batch 3: window [0,10) closed at wm 26.5s → the t=5s row is DROPPED
-      input.addData(PoolUpdate("A", 5L, 0L, 1.0, 16.0))
+      // batch 3: window [0,10) closed at wm 26.5s → the t=5s unit is DROPPED
+      input.addData(TipStream.WndUpdate("A", 5L, 0L, 16.0, 1L))
       q.processAllAvailable()
       // sentinel flushes window [30,40) (its own window stays open)
-      input.addData(PoolUpdate("zz", 1000L, 0L, 1.0, 0.0))
+      input.addData(TipStream.WndUpdate("zz", 1000L, 0L, 0.0, 0L))
       q.processAllAvailable()
       val rows = spark.table("late_wnd")
         .selectExpr("unix_micros(window.start) AS ws", "pool", "n", "sum_vol")
         .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
         .sortBy(t => (t._1, t._2)).toSeq
-      // [0,10)×A: three rows (1+2+4), the dropped t=5s row absent;
-      // [30,40)×B flushed by the sentinel; the sentinel's window unemitted
-      assert(rows == Seq((0L, "A", 3L, 7.0), (30000000L, "B", 1L, 8.0)))
+      // [0,10)×A: 1+1+2 underlying rows (1+2+4 vol), the dropped t=5s unit
+      // absent; [30,40)×B flushed by the sentinel; sentinel unemitted
+      assert(rows == Seq((0L, "A", 4L, 7.0), (30000000L, "B", 1L, 8.0)))
     } finally q.stop()
   }
 
