@@ -24,7 +24,8 @@ import org.apache.spark.sql.streaming.OutputMode
   */
 object StreamOracle extends QueryModule {
 
-  def defs: Seq[QueryDef] = Seq(r5StreamFold, r4StreamWindow, r5TickFold, r4LateData)
+  def defs: Seq[QueryDef] =
+    Seq(r5StreamFold, r4StreamWindow, r5TickFold, r4LateData, s5WriteBehind)
 
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -77,7 +78,13 @@ object StreamOracle extends QueryModule {
           .orderBy("pool", "n_updates")
       } finally q.stop()
     },
-    withCtes(""", upd AS (
+    withCtes(foldOracleSql))
+
+  /** The relational form of the pool fold — shared by `r5_stream_fold`
+    * (MemoryStream drive) and `s5_write_behind` (file-follower drive):
+    * both streamed executions must hash to this same DuckDB fold. */
+  // lazy: referenced by r5StreamFold, which is declared earlier in the object
+  private lazy val foldOracleSql = """, upd AS (
         SELECT pool, block_number AS block, tx_idx,
           ARG_MIN(amount_out / amount_in, trace_idx) AS px
         FROM actions
@@ -93,7 +100,57 @@ object StreamOracle extends QueryModule {
         (pre_px IS NOT NULL AND
          FLOOR((pre_px - 1.0e0) * 10000.0e0) <> FLOOR((post_px - 1.0e0) * 10000.0e0))
           AS crossed
-      FROM fold ORDER BY pool, n_updates"""))
+      FROM fold ORDER BY pool, n_updates"""
+
+  /** S5 (oracle-checked end-to-end): the R2 tip follower with the
+    * write-behind sink — a REAL file-source stream (three parquet drops
+    * land at the "tip" while the query runs), checkpointed, each
+    * micro-batch appended through `foreachBatch` — then the write-behind
+    * OUTPUT is read back and hash-compared against the same relational
+    * fold oracle as `r5_stream_fold`. This closes the loop the MemoryStream
+    * entry can't: source discovery, checkpoint recovery metadata, and the
+    * ordered sink all sit on the verified path. Input is pre-rolled to the
+    * total-order (pool, block, tx) grain so emission is deterministic. */
+  private val s5WriteBehind = QueryDef(
+    "s5_write_behind",
+    (s, dir) => {
+      val upd = updates(s, dir).persist()
+      val mbRow = upd.agg(max(col("block"))).head()
+      val maxBlock = if (mbRow.isNullAt(0)) 0L else mbRow.getLong(0)
+      val cut1 = maxBlock / 3
+      val cut2 = 2 * maxBlock / 3
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s5").toString
+      val (src, out, ckpt) = (s"$tmp/src", s"$tmp/out", s"$tmp/ckpt")
+      // each drop is ONE file: the follower triggers continuously, and a
+      // multi-file drop can be discovered mid-move — half the files land in
+      // one micro-batch, half in the next, and because part files are hash
+      // slices the per-pool block order breaks. A single file appears
+      // atomically to the source's listing, so every drop is exactly one
+      // whole unit regardless of trigger timing.
+      upd.filter(col("block") <= cut1).coalesce(1).write.parquet(src)
+      val q = TipStream.runTipRolled(s, src, out, ckpt)
+      try {
+        q.processAllAvailable()
+        upd.filter(col("block") > cut1 && col("block") <= cut2)
+          .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        upd.filter(col("block") > cut2)
+          .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+      } finally q.stop()
+      upd.unpersist(false)
+      def tick(c: org.apache.spark.sql.Column) =
+        floor((c - 1.0) * 10000.0)
+      s.read.parquet(out)
+        .select(col("pool"), col("block"), col("prePx"), col("postPx"),
+          col("nUpdates").as("n_updates"),
+          (col("prePx").isNotNull &&
+            tick(col("prePx")) =!= tick(col("postPx"))).as("crossed"))
+        .withColumnRenamed("prePx", "pre_px")
+        .withColumnRenamed("postPx", "post_px")
+        .orderBy("pool", "n_updates")
+    },
+    withCtes(foldOracleSql))
 
   /** R5 (V3 tick-liquidity arm): the REAL streamed per-tick state fold —
     * mint/burn events mutate per-range liquidity (exact integer

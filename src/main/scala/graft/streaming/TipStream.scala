@@ -270,4 +270,25 @@ object TipStream {
       }
       .start()
   }
+
+  /** [[runTip]] over a source already pre-rolled to the total-order
+    * (pool, block, tx) update grain — the form whose emission sequence is
+    * engine-independent and therefore ORACLE-HASHABLE end-to-end (the raw
+    * trace-grain source has no total order within a tx). Same file
+    * follower, same checkpointed write-behind sink. */
+  def runTipRolled(spark: SparkSession, srcDir: String, outDir: String,
+      checkpoint: String): StreamingQuery = {
+    import spark.implicits._
+    val schema = "pool STRING, block BIGINT, txIdx BIGINT, " +
+      "px DOUBLE, vol DOUBLE"
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    poolQuotes(stream.as[PoolUpdate]).toDF()
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("append").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+  }
 }
