@@ -215,8 +215,11 @@ object PricingOps extends QueryModule {
   val RundownCoupling = 0.2
   val RundownAlpha = 1.6
 
-  /** G4: ITERATIVE subgraph verification rundown (subgraph.rs:409-443,
-    * subgraph_verifier.rs) — an edge's verified liquidity is its own
+  private def exactSum(xs: Iterable[Double]): Double =
+    graft.ops.ExactAgg.dsumDriver(xs)
+
+  /** G4's rundown cascade (subgraph.rs:409-443, subgraph_verifier.rs) on
+    * the collected edge list — an edge's verified liquidity is its own
     * volume PLUS coupled support from the kept edges feeding its source
     * (the BFS liquidity of the reference); pruning an edge lowers its
     * neighbors' support, so the prune CASCADES and must re-verify until
@@ -227,26 +230,13 @@ object PricingOps extends QueryModule {
     * the COLLECTED edge list: one distributed job builds the edges, then
     * six driver-local rounds replace what was previously 8 sequential
     * dimension-sized Spark jobs whose fixed launch overhead dominated
-    * (7.2 s → sub-second; VERDICT r6 Wrong #3). Driver sums replicate
-    * [[graft.ops.ExactAgg.dsum]] bit-for-bit: each addend → shortest-repr
-    * BigDecimal at scale 6 half-up (Spark's double→DECIMAL(38,6) cast),
-    * exact decimal accumulation, string→double for the correctly-rounded
-    * total — so the hash still matches the DuckDB oracle's sqlSum. */
-  /** Driver-exact decimal sum replicating [[graft.ops.ExactAgg.dsum]]
-    * bit-for-bit (each addend → scale-6 half-up, exact accumulation,
-    * string→double correctly-rounded total). */
-  private def exactSum(xs: Iterable[Double]): Double = {
-    val tot = xs.foldLeft(java.math.BigDecimal.ZERO) { (acc, x) =>
-      acc.add(java.math.BigDecimal.valueOf(x)
-        .setScale(Scale, java.math.RoundingMode.HALF_UP))
-    }
-    java.lang.Double.parseDouble(tot.toPlainString)
-  }
-
-  /** The g4 rundown cascade on the collected edge list. Returns the
-    * per-round (round, n_kept, vol_kept) stats and the FINAL surviving
-    * edge set (src, dst, n_swaps, vol_in, px) — the verified subgraph the
-    * route enumeration ([[g4VerifiedRoutes]]) prices over. */
+    * (7.2 s → sub-second; VERDICT r6 Wrong #3). Driver sums go through
+    * [[graft.ops.ExactAgg.dsumDriver]] so the hash still matches the
+    * DuckDB oracle's sqlSum.
+    *
+    * Returns the per-round (round, n_kept, vol_kept) stats and the FINAL
+    * surviving edge set (src, dst, n_swaps, vol_in, px) — the verified
+    * subgraph the route enumeration ([[g4VerifiedRoutes]]) prices over. */
   private def rundownKept(s: SparkSession, dir: String)
       : (Seq[(Long, Long, Double)], Seq[(Long, Long, Long, Double, Double)]) = {
     val es = edges(s, dir).select("src", "dst", "n_swaps", "vol_in", "px")

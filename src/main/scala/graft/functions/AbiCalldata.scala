@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge => B}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** F5 (native form): ABI calldata decode over real BinaryType — the
@@ -66,6 +67,14 @@ case class AbiWord(child: Expression, wordIdx: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "abi_word"
+  // SQL-surface type contract: a wrong-typed argument fails at
+  // ANALYSIS time instead of as a codegen/eval ClassCastException
+  // (AbstractDataType/ExpectsInputTypes are private[sql], so the public
+  // checkInputDataTypes hook carries the contract)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BINARY input, got ${child.dataType.catalogString}")
 
   private val tailOff = 4 + wordIdx * 32 + 24
 
@@ -111,6 +120,14 @@ case class AbiIntWord(child: Expression, wordIdx: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "abi_int_word"
+  // SQL-surface type contract: a wrong-typed argument fails at
+  // ANALYSIS time instead of as a codegen/eval ClassCastException
+  // (AbstractDataType/ExpectsInputTypes are private[sql], so the public
+  // checkInputDataTypes hook carries the contract)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BINARY input, got ${child.dataType.catalogString}")
 
   private val wordOff = 4 + wordIdx * 32
 
@@ -178,6 +195,14 @@ case class AbiLogWord(child: Expression, wordIdx: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "abi_log_word"
+  // SQL-surface type contract: a wrong-typed argument fails at
+  // ANALYSIS time instead of as a codegen/eval ClassCastException
+  // (AbstractDataType/ExpectsInputTypes are private[sql], so the public
+  // checkInputDataTypes hook carries the contract)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BINARY input, got ${child.dataType.catalogString}")
 
   private val tailOff = wordIdx * 32 + 24
 
@@ -223,6 +248,14 @@ case class AbiArrayLen(child: Expression, headIdx: Int) extends UnaryExpression 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "abi_array_len"
+  // SQL-surface type contract: a wrong-typed argument fails at
+  // ANALYSIS time instead of as a codegen/eval ClassCastException
+  // (AbstractDataType/ExpectsInputTypes are private[sql], so the public
+  // checkInputDataTypes hook carries the contract)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BINARY input, got ${child.dataType.catalogString}")
 
   private val headOff = 4 + headIdx * 32 + 24
 
@@ -290,6 +323,14 @@ case class AbiArrayElem(child: Expression, headIdx: Int, elemIdx: Int)
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "abi_array_elem"
+  // SQL-surface type contract: a wrong-typed argument fails at
+  // ANALYSIS time instead of as a codegen/eval ClassCastException
+  // (AbstractDataType/ExpectsInputTypes are private[sql], so the public
+  // checkInputDataTypes hook carries the contract)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BINARY input, got ${child.dataType.catalogString}")
 
   private val headOff = 4 + headIdx * 32 + 24
 
@@ -372,6 +413,14 @@ case class AbiSelector(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "abi_selector"
+  // SQL-surface type contract: a wrong-typed argument fails at
+  // ANALYSIS time instead of as a codegen/eval ClassCastException
+  // (AbstractDataType/ExpectsInputTypes are private[sql], so the public
+  // checkInputDataTypes hook carries the contract)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BINARY input, got ${child.dataType.catalogString}")
 
   override def nullSafeEval(input: Any): Any = {
     val b = input.asInstanceOf[Array[Byte]]

@@ -29,6 +29,20 @@ object ExactAgg {
   def dsum(c: Column, scale: Int = Scale): Column =
     sum(c.cast(DecimalType(38, scale))).cast(DoubleType)
 
+  /** DRIVER-side replica of [[dsum]], bit-for-bit: each addend →
+    * shortest-repr BigDecimal at scale-6 half-up (Spark's
+    * double→DECIMAL(38,6) cast), exact decimal accumulation,
+    * string→double for the correctly-rounded total. For the sanctioned
+    * driver-local folds (g4 rundown, stream staging) whose results must
+    * still hash against the DuckDB oracle's sqlSum. */
+  def dsumDriver(xs: Iterable[Double], scale: Int = Scale): Double = {
+    val tot = xs.foldLeft(java.math.BigDecimal.ZERO) { (acc, x) =>
+      acc.add(java.math.BigDecimal.valueOf(x)
+        .setScale(scale, java.math.RoundingMode.HALF_UP))
+    }
+    java.lang.Double.parseDouble(tot.toPlainString)
+  }
+
   /** Exact mean (decimal-sum / row count), as double. The denominator is
     * COUNT(*) — matching the sqlAvg oracle fragment — not COUNT(col), so the
     * two engines agree even when the column contains NULLs. */

@@ -29,6 +29,18 @@ object StreamOracle extends QueryModule {
 
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Register a staging directory for recursive deletion at JVM exit —
+    * Verify/Bench run in one JVM per invocation, so each process cleans
+    * its own /tmp footprint without racing lazy readers of the data. */
+  private def deleteOnExit(dir: String): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }))
+
   private def withCtes(sql: String) = Some(s"WITH ${ChainFixture.sqlCtes} $sql")
 
   /** Deduplicated pool updates: one per (pool, block, tx), px = first
@@ -119,7 +131,10 @@ object StreamOracle extends QueryModule {
       val maxBlock = if (mbRow.isNullAt(0)) 0L else mbRow.getLong(0)
       val cut1 = maxBlock / 3
       val cut2 = 2 * maxBlock / 3
+      // cleaned up at JVM exit, not here: the returned DataFrame reads the
+      // write-behind output lazily, so the files must outlive this builder
       val tmp = java.nio.file.Files.createTempDirectory("graft_s5").toString
+      deleteOnExit(tmp)
       val (src, out, ckpt) = (s"$tmp/src", s"$tmp/out", s"$tmp/ckpt")
       // each drop is ONE file: the follower triggers continuously, and a
       // multi-file drop can be discovered mid-move — half the files land in
@@ -392,22 +407,19 @@ object StreamOracle extends QueryModule {
       // stateful shuffle (TipStream.WndUpdate): the drop/merge decision is
       // per (window, batch), the unit's event time is its max row's, and
       // vol accumulates through the same exact-decimal reduction — so the
-      // output is bit-identical to row-grain feeding at a fraction of the
+      // output matches row-grain feeding bit-for-bit at a fraction of the
       // per-batch state traffic (this is the map-side combine a production
-      // stream source would do)
-      def exactSumD(xs: Iterable[Double]): Double = {
-        val tot = xs.foldLeft(java.math.BigDecimal.ZERO) { (acc, x) =>
-          acc.add(java.math.BigDecimal.valueOf(x)
-            .setScale(6, java.math.RoundingMode.HALF_UP))
-        }
-        java.lang.Double.parseDouble(tot.toPlainString)
-      }
+      // stream source would do). The bit-identity holds while a unit's
+      // scale-6 sum round-trips through the carried double, i.e. under
+      // ~15 significant digits — orders of magnitude above these per-
+      // (pool, window, batch) sums; a pipeline combining to larger units
+      // would carry the partial as DECIMAL instead.
       val units = upd.groupBy { u =>
         (u.pool, (u.block * 1000000L + u.txIdx * 1000L) / 10000000L, batchOf(u))
       }.toSeq.map { case ((pool, _, b), g) =>
         val mx = g.maxBy(u => (u.block, u.txIdx))
         b -> TipStream.WndUpdate(pool, mx.block, mx.txIdx,
-          exactSumD(g.map(_.vol)), g.size.toLong)
+          graft.ops.ExactAgg.dsumDriver(g.map(_.vol)), g.size.toLong)
       }
       val input = MemoryStream[TipStream.WndUpdate]
       val name = s"r4_late_${runSeq.incrementAndGet()}"

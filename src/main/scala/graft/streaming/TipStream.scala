@@ -255,20 +255,29 @@ object TipStream {
   /** R2+S5: follow a parquet directory as the chain tip, maintain pool
     * state, and write each micro-batch through foreachBatch (the ordered
     * write-behind sink). Returns the running query. */
-  def runTip(spark: SparkSession, srcDir: String, outDir: String,
-      checkpoint: String): StreamingQuery = {
-    import spark.implicits._
-    val schema = "pool STRING, block_number BIGINT, tx_idx BIGINT, " +
-      "amount_in DOUBLE, amount_out DOUBLE"
-    val stream = spark.readStream.schema(schema).parquet(srcDir)
-    poolQuotes(toPoolUpdates(stream)).toDF()
+  /** The checkpointed write-behind sink: one parquet directory per
+    * micro-batch. foreachBatch is AT-LEAST-once (a crash between the write
+    * and the checkpoint commit replays the batch on restart), so the write
+    * OVERWRITES its batch directory — replaying batch N replaces its own
+    * output instead of appending a duplicate copy, which is what makes the
+    * sink effectively exactly-once per batch id. */
+  private def writeBehind(quotes: Dataset[PoolQuote], outDir: String,
+      checkpoint: String): StreamingQuery =
+    quotes.toDF()
       .writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write.mode("append").parquet(s"$outDir/batch=$batchId")
+        batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
       .start()
+
+  def runTip(spark: SparkSession, srcDir: String, outDir: String,
+      checkpoint: String): StreamingQuery = {
+    val schema = "pool STRING, block_number BIGINT, tx_idx BIGINT, " +
+      "amount_in DOUBLE, amount_out DOUBLE"
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    writeBehind(poolQuotes(toPoolUpdates(stream)), outDir, checkpoint)
   }
 
   /** [[runTip]] over a source already pre-rolled to the total-order
@@ -282,13 +291,6 @@ object TipStream {
     val schema = "pool STRING, block BIGINT, txIdx BIGINT, " +
       "px DOUBLE, vol DOUBLE"
     val stream = spark.readStream.schema(schema).parquet(srcDir)
-    poolQuotes(stream.as[PoolUpdate]).toDF()
-      .writeStream
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write.mode("append").parquet(s"$outDir/batch=$batchId")
-      }
-      .start()
+    writeBehind(poolQuotes(stream.as[PoolUpdate]), outDir, checkpoint)
   }
 }

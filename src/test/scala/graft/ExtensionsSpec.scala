@@ -75,6 +75,16 @@ class ExtensionsSpec extends SparkTestBase {
     assert("""\*\(\d+\) [^\n]*abi_word""".r.findFirstIn(p).isDefined, p)
   }
 
+  test("wrong-typed input fails at analysis, not as a runtime cast error") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT abi_word('not binary', 0)").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else t.getMessage +: msgs(t.getCause)
+    assert(msgs(e).exists(m => m != null && m.contains("BINARY")), e.toString)
+  }
+
   test("index arguments must be INT literals; arity is enforced") {
     GraftExtensions.register(spark)
     val e1 = intercept[Exception] {
