@@ -30,13 +30,20 @@ object Bench {
       df.write.mode("overwrite").format("noop").save()
     def clearCaches(): Unit = spark.sharedState.cacheManager.clearCache()
 
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the run for local profiling of a
+    // single query's wall-clock without the full 140-query suite
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(SparkEntry.queries)(f =>
+      SparkEntry.queries.filter { case (n, _) => f(n) })
+
     // warm-up (untimed)
-    SparkEntry.queries.foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
     clearCaches()
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -55,7 +62,8 @@ object Bench {
     // before the driver writes the current round's artifact).
     try {
       val repo = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"))
-      if (repo.isDirectory) {
+      // a filtered profiling run must not clobber the full-suite artifacts
+      if (repo.isDirectory && only.isEmpty) {
         val rN = repo.listFiles().map(_.getName)
           .flatMap { n =>
             val m = "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(n)
