@@ -189,26 +189,13 @@ object FidelityOps extends QueryModule {
         .distinct()
         .groupBy("block_bucket", "action_type")
         .agg(count(lit(1)).as("ntx"))
-      val neoa = a.select(bucketed, col("action_type"), col("from_address"))
-        .distinct()
-        .groupBy("block_bucket", "action_type")
-        .agg(count(lit(1)).as("neoa"))
-      val npool = a.filter(hasPool)
-        .select(bucketed, col("action_type"), col("pool"))
-        .distinct()
-        .groupBy("block_bucket", "action_type")
-        .agg(count(lit(1)).as("npool"))
       val catJ = catBase
         .join(ntx, Seq("block_bucket", "action_type"), "left")
-        .join(neoa, Seq("block_bucket", "action_type"), "left")
-        .join(npool, Seq("block_bucket", "action_type"), "left")
       val catAggs = A5Categories.flatMap { t =>
         val is = col("action_type") === t
         Seq(
           coalesce(max(when(is, col("n"))), lit(0L)).as(s"n_$t"),
           coalesce(max(when(is, col("ntx"))), lit(0L)).as(s"ntx_$t"),
-          coalesce(max(when(is, col("neoa"))), lit(0L)).as(s"neoa_$t"),
-          coalesce(max(when(is, col("npool"))), lit(0L)).as(s"npool_$t"),
           max(when(is, col("in_v"))).as(s"in_$t"),
           max(when(is, col("out_v"))).as(s"out_$t"),
           max(when(is, col("maxin"))).as(s"maxin_$t"),
@@ -239,20 +226,39 @@ object FidelityOps extends QueryModule {
         top.groupBy("block_bucket").agg(aggs.head, aggs.tail: _*)
       }
       val fundMeta = ChainFixture.fundMeta(s)
-      val eoaTop = pivot2(argmaxTop(
-        a.groupBy(bkt, col("action_type"), col("from_address"))
+      // the distinct-entity COUNT and the top-entity ARGMAX share the
+      // (bucket, category, entity) grain, so ONE scan feeds both (the
+      // separate neoa/npool distinct-pair passes were two more scans of
+      // actions computing the same grain). count(e) skips the NULL-entity
+      // group, matching the oracle's COUNT(DISTINCT CASE ...) semantics
+      // (ADVICE r6's latent NULL divergence, fixed here for the category
+      // grain too); the argmax keeps the NULL group, exactly as before.
+      def fusedPivot(grain: DataFrame, countName: String, prefix: String) = {
+        val roll = grain.groupBy("block_bucket", "action_type")
+          .agg(count(col("e")).as("cnt"),
+            max(struct(col("v").as("m"), col("e"))).as("s"))
+        val aggs = A5Categories.flatMap { t =>
+          val is = col("action_type") === t
+          Seq(coalesce(max(when(is, col("cnt"))), lit(0L)).as(s"${countName}_$t"),
+            max(when(is, col("s.e"))).as(s"${prefix}_$t"),
+            max(when(is, col("s.m"))).as(s"${prefix}_v_$t"))
+        }
+        roll.groupBy("block_bucket").agg(aggs.head, aggs.tail: _*)
+      }
+      val eoaTop = fusedPivot(
+        a.groupBy(bkt, col("action_type"), col("from_address").as("e"))
           .agg(coalesce(dsum(col("amount_in")), lit(-1.0)).as("v")),
-        "from_address", col("v")), "topvol")
+        "neoa", "topvol")
       val fundTop = pivot2(argmaxTop(
         a.join(broadcast(fundMeta), col("from_address") === col("m_eoa"))
           .groupBy(bkt, col("action_type"), col("fund"))
           .agg(coalesce(dsum(col("amount_in")), lit(-1.0)).as("v")),
         "fund", col("v")), "topfund")
-      val poolTop = pivot2(argmaxTop(
+      val poolTop = fusedPivot(
         a.filter(col("pool").isNotNull)
-          .groupBy(bkt, col("action_type"), col("pool"))
+          .groupBy(bkt, col("action_type"), col("pool").as("e"))
           .agg(count(lit(1)).cast("double").as("v")),
-        "pool", col("v")), "bpool")
+        "npool", "bpool")
       val pairTop = pivot2(argmaxTop(
         a.filter(col("token_in_id").isNotNull)
           .withColumn("pairkey", concat(
@@ -268,27 +274,40 @@ object FidelityOps extends QueryModule {
       // NULL keys are filtered BEFORE the distinct-pair pass and the joined
       // count coalesces to 0, so sparse buckets agree with the oracle's
       // COUNT(DISTINCT ..) NULL semantics (ADVICE r6)
-      val btx = a.filter(col("tx_hash").isNotNull)
-        .select(col("block_number"), col("tx_hash")).distinct()
-        .groupBy("block_number").agg(count(lit(1)).as("n_txs"))
+      // the per-block rollup and the distinct-tx count fuse the same way:
+      // partial-aggregate at (block, tx) grain once, then roll up to block
+      // grain — n_txs is the grain-row count, every other metric is an
+      // associative fold of its partial (decimal partials stay DECIMAL
+      // between the stages, so the two-stage sum is bit-identical to the
+      // single-stage dsum). Was two scans of actions; now one.
       val beoa = a.filter(col("from_address").isNotNull)
         .select(col("block_number"), col("from_address")).distinct()
         .groupBy("block_number").agg(count(lit(1)).as("n_eoas"))
       val bpool = a.filter(col("pool").isNotNull)
         .select(col("block_number"), col("pool")).distinct()
         .groupBy("block_number").agg(count(lit(1)).as("n_pools"))
-      val perBlock = a.groupBy("block_number").agg(
-        count(lit(1)).as("n_actions"),
-        sum(when(col("action_type") === "swap", 1L).otherwise(0L)).as("n_swaps"),
-        sum(when(col("action_type") === "transfer", 1L).otherwise(0L)).as("n_transfers"),
-        sum(when(col("action_type") === "liquidation", 1L).otherwise(0L)).as("n_liqs"),
-        sum(when(col("action_type") === "unclassified", 1L).otherwise(0L)).as("n_uncls"),
-        dsum(col("amount_in")).as("sum_in"),
-        dsum(col("amount_out")).as("sum_out"),
-        max_by(col("from_address"),
-          struct(coalesce(col("amount_in"), lit(-1.0)), col("trace_idx"),
-            col("from_address"))).as("top_eoa"),
-        max(col("amount_in")).as("biggest_amount"))
+      val txg = a.groupBy(col("block_number"), col("tx_hash"))
+        .agg(count(lit(1)).as("c"),
+          sum(when(col("action_type") === "swap", 1L).otherwise(0L)).as("csw"),
+          sum(when(col("action_type") === "transfer", 1L).otherwise(0L)).as("ctr"),
+          sum(when(col("action_type") === "liquidation", 1L).otherwise(0L)).as("cliq"),
+          sum(when(col("action_type") === "unclassified", 1L).otherwise(0L)).as("cun"),
+          dsumPartial(col("amount_in")).as("din"),
+          dsumPartial(col("amount_out")).as("dout"),
+          max(struct(coalesce(col("amount_in"), lit(-1.0)).as("a"),
+            col("trace_idx").as("t"), col("from_address").as("e"))).as("tops"),
+          max(col("amount_in")).as("maxin"))
+      val perBlock = txg.groupBy("block_number").agg(
+        sum(col("c")).as("n_actions"),
+        count(col("tx_hash")).as("n_txs"),
+        sum(col("csw")).as("n_swaps"),
+        sum(col("ctr")).as("n_transfers"),
+        sum(col("cliq")).as("n_liqs"),
+        sum(col("cun")).as("n_uncls"),
+        sum(col("din")).cast("double").as("sum_in"),
+        sum(col("dout")).cast("double").as("sum_out"),
+        max(col("tops")).getField("e").as("top_eoa"),
+        max(col("maxin")).as("biggest_amount"))
       // ── MEV-category families keyed by INSPECTOR OUTPUT (the reference's
       //    BlockAnalysis grain: block_analysis.rs:658-2150 pivots per MEV
       //    type, not per action type): tx-grain candidates from the shared
@@ -359,7 +378,7 @@ object FidelityOps extends QueryModule {
         .groupBy("block_bucket")
         .agg(mevAggs.head, mevAggs.tail: _*)
       perBlock
-        .join(btx, "block_number").join(beoa, "block_number")
+        .join(beoa, "block_number")
         .join(bpool, Seq("block_number"), "left")
         .groupBy(expr("block_number div 100").as("block_bucket"))
         .agg(count(lit(1)).as("n_blocks"),
@@ -379,6 +398,10 @@ object FidelityOps extends QueryModule {
         .join(poolTop, Seq("block_bucket"), "left")
         .join(pairTop, Seq("block_bucket"), "left")
         .join(mevWide, Seq("block_bucket"), "left")
+        // a bucket with no pooled actions has no poolTop row at all; its
+        // npool counts are 0 (the oracle's COUNT(DISTINCT ..) = 0), while
+        // its bpool argmax columns stay NULL as before
+        .na.fill(0L, A5Categories.map(t => s"npool_$t"))
         .orderBy("block_bucket")
     },
     Some(s"""WITH $sqlDomainCtes,

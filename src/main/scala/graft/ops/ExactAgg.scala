@@ -29,6 +29,14 @@ object ExactAgg {
   def dsum(c: Column, scale: Int = Scale): Column =
     sum(c.cast(DecimalType(38, scale))).cast(DoubleType)
 
+  /** Partial-aggregation form of [[dsum]]: the scale-6 decimal sum WITHOUT
+    * the final double cast, for two-stage rollups whose outer stage sums
+    * the decimal partials and casts once — bit-identical to a single-stage
+    * [[dsum]] because decimal addition is exact and associative (the
+    * intermediate never round-trips through a double). */
+  def dsumPartial(c: Column, scale: Int = Scale): Column =
+    sum(c.cast(DecimalType(38, scale)))
+
   /** DRIVER-side replica of [[dsum]], bit-for-bit: each addend →
     * shortest-repr BigDecimal at scale-6 half-up (Spark's
     * double→DECIMAL(38,6) cast), exact decimal accumulation,
