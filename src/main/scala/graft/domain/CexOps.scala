@@ -1297,30 +1297,41 @@ object CexOps extends QueryModule {
       val windows = Seq(("t2", 2000000L, None),
         ("t12", 12000000L, Some(5000000L)),
         ("t60", 60000000L, Some(30000000L)))
+      // all three forward windows ride ONE as-of join: each swap explodes
+      // into a (tag, target-time) row and the shared quote stream is joined
+      // once — 3·L+R rows through one window pipeline instead of three
+      // sequential 3-stage salted joins each dragging the full swap schema
       val sw0 = dexSwaps(s, dir)
         .withColumn("pair_key", concat(col("pair_a"), lit(":"), col("pair_b")))
-      val joined = windows.foldLeft(sw0) { case (acc, (tag, w, _)) =>
-        val l = acc.withColumn("__fts", -(col("ts_us") + w))
-        val r = quotes.select(col("pair_key"), (-col("ts_us")).as("__fts"),
-          struct(col("mid"), col("ts_us").as("qts")).as("qv"))
-        graft.ops.AsOfJoin.backwardSalted(l, r, Seq("pair_key"), "__fts",
-          "qv", s"qv_$tag", bucketSpan = 600000000L)
-          .drop("__fts")
-      }
-      def inTol(tag: String, w: Long, tol: Option[Long]) = tol match {
-        case Some(t) => col(s"qv_$tag").isNotNull &&
-          col(s"qv_$tag.qts") <= col("ts_us") + w + t
-        case None => col(s"qv_$tag").isNotNull
+        .select("pair_key", "pair_a", "ts_us", "rate", "amount_in")
+      val tagged = sw0
+        .select(col("*"), explode(array(windows.map { case (tag, w, _) =>
+          struct(lit(tag).as("tag"), lit(w).as("w"))
+        }: _*)).as("tw"))
+        .withColumn("tag", col("tw.tag"))
+        .withColumn("__fts", -(col("ts_us") + col("tw.w")))
+        .drop("tw")
+      val r = quotes.select(col("pair_key"), (-col("ts_us")).as("__fts"),
+        struct(col("mid"), col("ts_us").as("qts")).as("qv"))
+      val joined = graft.ops.AsOfJoin.backwardSalted(tagged, r,
+        Seq("pair_key"), "__fts", "qv", "qv", bucketSpan = 600000000L)
+      def inTol(tag: String, w: Long, tol: Option[Long]) = {
+        val isTag = col("tag") === tag && col("qv").isNotNull
+        tol match {
+          case Some(t) => isTag && col("qv.qts") <= col("ts_us") + w + t
+          case None => isTag
+        }
       }
       val aggs = windows.flatMap { case (tag, w, tol) =>
         val ok = inTol(tag, w, tol)
         Seq(
           sum(when(ok, 1L).otherwise(0L)).as(s"n_$tag"),
-          dsumR(when(ok, (col(s"qv_$tag.mid") - col("rate")) * col("amount_in")))
+          dsumR(when(ok, (col("qv.mid") - col("rate")) * col("amount_in")))
             .as(s"mk_$tag"))
       }
       joined.groupBy("pair_a")
-        .agg(count(lit(1)).as("n_swaps"), aggs: _*)
+        .agg(sum(when(col("tag") === "t2", 1L).otherwise(0L)).as("n_swaps"),
+          aggs: _*)
         .orderBy("pair_a")
     },
     withCtes(s"""$cexTradesCte,
