@@ -216,6 +216,19 @@ class PlanSpec extends SparkTestBase {
       rs3.mkString("\n"))
   }
 
+  test("q4 forward-markout windows share ONE fused as-of join") {
+    // the t2/t12/t60 windows ride a single salted as-of over exploded
+    // (tag, target) rows — three sequential joins would show three
+    // event-volume window pipelines (6+ __b-salted specs vs the fused 2:
+    // carry + in-bucket) and no Generate
+    val p = plan("q4_quote_windows")
+    assert(p.contains("Generate explode"), p)
+    val salted = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).filter(_.contains("__b")).toSeq
+    assert(salted.nonEmpty && salted.size <= 2,
+      s"expected the single fused as-of (<=2 salted specs), got ${salted.size}")
+  }
+
   test("low-cardinality as-of windows are salted by a time bucket") {
     // The event-volume as-of window must partition by (key, __b) — a bare
     // 42-token or 60-pair key would sort each key's entire history in one
