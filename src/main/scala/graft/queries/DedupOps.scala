@@ -25,7 +25,7 @@ object DedupOps extends QueryModule {
   private[queries] val NumBands = 4 // 2 hashes per band
 
   def defs: Seq[QueryDef] = Seq(d1ExactDedup, d2MinhashLsh, d3Simhash,
-    d4JaccardVerify, d5DedupClusters, d6EmbeddingNearDup)
+    d4JaccardVerify, d5DedupClusters, d6EmbeddingNearDup, d7DedupPipeline)
 
   // ── shared shingle machinery (Spark side) ────────────────────────────────
 
@@ -220,32 +220,37 @@ object DedupOps extends QueryModule {
     * sets (the G2 pattern), [[distributedClusters]] min-label propagation
     * past 1M edges. Oracle: DuckDB recursive CTE computing the same
     * components. */
+  /** Connected components over an edge frame (doc_a, doc_b) →
+    * (cluster_rep, n_members ≥ 2): driver union-find for LSH-bounded edge
+    * sets (the G2 pattern: dimension-sized iterative work belongs
+    * driver-side, deterministic min-label), [[distributedClusters]]
+    * min-label propagation past 1M edges. Shared by d5 (raw LSH
+    * candidates) and d7 (Jaccard-verified edges). */
+  private[queries] def clusterEdges(s: SparkSession, edgeDf: DataFrame): DataFrame = {
+    val cand = edgeDf.persist()
+    val nEdges = cand.count()
+    if (nEdges <= 1000000) {
+      import s.implicits._
+      val edges = cand.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.toSeq.map(x => (find(x), 1))
+        .groupBy(_._1).map { case (lbl, xs) => (lbl, xs.size.toLong) }
+        .filter(_._2 >= 2).toSeq.sortBy(_._1)
+        .toDF("cluster_rep", "n_members")
+    } else distributedClusters(cand)
+  }
+
   private val d5DedupClusters = QueryDef(
     "d5_dedup_clusters",
-    (s, dir) => {
-      val cand = lshCandidates(shingles(s, dir)).persist()
-      val nEdges = cand.count()
-      if (nEdges <= 1000000) {
-        // LSH candidate graphs are tiny relative to the corpus — collect
-        // and union-find on the driver (the G2 pattern: dimension-sized
-        // iterative work belongs driver-side). Deterministic min-label.
-        import s.implicits._
-        val edges = cand.collect().map(r => (r.getLong(0), r.getLong(1)))
-        val parent = scala.collection.mutable.Map[Long, Long]()
-        def find(x: Long): Long = {
-          val p = parent.getOrElseUpdate(x, x)
-          if (p == x) x else { val r = find(p); parent(x) = r; r }
-        }
-        edges.foreach { case (a, b) =>
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-        }
-        parent.keys.toSeq.map(x => (find(x), 1))
-          .groupBy(_._1).map { case (lbl, xs) => (lbl, xs.size.toLong) }
-          .filter(_._2 >= 2).toSeq.sortBy(_._1)
-          .toDF("cluster_rep", "n_members")
-      } else distributedClusters(cand)
-    },
+    (s, dir) => clusterEdges(s, lshCandidates(shingles(s, dir))),
     Some(s"""WITH RECURSIVE $shinglesCte, $sigCte, $bandsCte, $candCte,
       sym AS (SELECT doc_a, doc_b FROM cand
               UNION SELECT doc_b, doc_a FROM cand),
@@ -319,25 +324,32 @@ object DedupOps extends QueryModule {
   /** Exact shingle-Jaccard verification of the LSH candidates (the
     * verify-stage of the classic dedup pipeline): J = |A∩B| / |A∪B|,
     * computed only for pairs the bands surfaced. */
+  /** Exact shingle-Jaccard score for every LSH candidate pair:
+    * (doc_a, doc_b, n_inter, jaccard). The shingle set feeds four branches
+    * (candidates, both join sides, sizes) — callers pass a PERSISTED sh or
+    * Catalyst recomputes the explode per branch. The candidate set is
+    * LSH-bounded (tiny vs the corpus) — broadcast, so the shingle table
+    * streams through map-side joins. Shared by d4 (report) and d7
+    * (pipeline verify stage). */
+  private[queries] def jaccardScored(sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val cand = broadcast(lshCandidates(sh))
+    val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = cand.join(shA, "doc_a").join(shB, Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+  }
+
   private val d4JaccardVerify = QueryDef(
     "d4_jaccard_verify",
     (s, dir) => {
-      // The shingle set feeds four branches (candidates, both join sides,
-      // sizes) — persist once or Catalyst recomputes the explode per branch.
       val sh = shingles(s, dir).persist()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      // the candidate set is LSH-bounded (tiny vs the corpus) — broadcast
-      // it so the shingle table streams through map-side joins
-      val cand = broadcast(lshCandidates(sh))
-      val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-      val shB = sh.select(col("doc_id").as("doc_b"), col("shingle"))
-      val inter = cand.join(shA, "doc_a").join(shB, Seq("doc_b", "shingle"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-      inter
-        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-        .withColumn("jaccard",
-          col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      jaccardScored(sh)
         .filter(col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "n_inter", "jaccard")
         .orderBy("doc_a", "doc_b")
@@ -357,4 +369,49 @@ object DedupOps extends QueryModule {
       JOIN sizes sb ON sb.doc_id = doc_b
       WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
       ORDER BY 1, 2"""))
+
+  /** The END-TO-END dedup pipeline a training-data run executes: LSH
+    * candidates → exact-Jaccard VERIFY (≥ 0.5) → connected components over
+    * the VERIFIED edges only → keep the min-id representative per cluster,
+    * drop the rest. Differs from d5 in that clustering runs on verified
+    * edges, not raw LSH candidates — an LSH false positive (band collision
+    * below the Jaccard bar) must NOT glue two clusters together, which is
+    * exactly how production dedup avoids over-merging. Output: one row per
+    * surviving near-dup cluster with its removal count. */
+  private val d7DedupPipeline = QueryDef(
+    "d7_dedup_pipeline",
+    (s, dir) => {
+      val sh = shingles(s, dir).persist()
+      val verified = jaccardScored(sh)
+        .filter(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+      clusterEdges(s, verified)
+        .withColumn("n_removed", col("n_members") - 1)
+        .orderBy("cluster_rep")
+    },
+    Some(s"""WITH RECURSIVE $shinglesCte, $sigCte, $bandsCte, $candCte,
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2),
+      ver AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5),
+      sym AS (SELECT doc_a, doc_b FROM ver
+              UNION SELECT doc_b, doc_a FROM ver),
+      reach(doc_a, doc_b) AS (
+        SELECT doc_a, doc_b FROM sym
+        UNION
+        SELECT r.doc_a, s.doc_b FROM reach r JOIN sym s ON r.doc_b = s.doc_a
+        WHERE r.doc_a <> s.doc_b),
+      labels AS (SELECT doc_a, LEAST(MIN(doc_b), doc_a) AS lbl
+                 FROM reach GROUP BY doc_a)
+      SELECT lbl AS cluster_rep, COUNT(*) AS n_members,
+        COUNT(*) - 1 AS n_removed
+      FROM labels GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1"""))
 }
