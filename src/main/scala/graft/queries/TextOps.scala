@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
 object TextOps extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(langId, qualityScore, tokenCount, fingerprint,
-    mmBinaryMeta, mmDecodePipeline)
+    corpusFilter, mmBinaryMeta, mmDecodePipeline)
 
   /** Decoded media metadata row (the typed output of the decode stage). */
   case class MediaMeta(doc_id: Long, kind: String, n_bytes: Long, w: Long, h: Long)
@@ -123,6 +123,65 @@ object TextOps extends QueryModule {
               md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
             FROM documents)
       GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1"""))
+
+  /** The corpus FILTER pass a training-data run executes in one scan:
+    * language-ID, quality score, and token bounds evaluated per document,
+    * drop reasons assigned in priority order (lang → quality → length) so
+    * every document lands in exactly one bucket, rolled up per source.
+    * One row-level pass, no joins — the shape that streams 100 TB.
+    * Thresholds sit inside the fixture's distribution (lang splits
+    * 213/287, quality 0.45 ≈ p25, word bounds clip both tails) so all
+    * three drop arms are live. */
+  private val corpusFilter = QueryDef(
+    "t_corpus_filter",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("padded", concat(lit(" "), col("text"), lit(" ")))
+        .withColumn("n_words", size(split(col("text"), " ")).cast("long"))
+        .withColumn("s_the", expr(occExpr("padded", " the ")))
+        .withColumn("s_data", expr(occExpr("padded", " data ")))
+        .withColumn("s_query", expr(occExpr("padded", " query ")))
+        .withColumn("n_stop", expr(occExpr("padded", " the ")) +
+          expr(occExpr("padded", " a ")) + expr(occExpr("padded", " of ")))
+        .withColumn("quality", col("n_words").cast("double") / lit(100.0)
+          + col("n_stop").cast("double") / col("n_words") * lit(2.0))
+        .withColumn("verdict",
+          when(!(col("s_the") >= col("s_data") && col("s_the") >= col("s_query")),
+            "drop_lang")
+            .when(col("quality") < 0.45, "drop_quality")
+            .when(col("n_words") < 20 || col("n_words") > 90, "drop_len")
+            .otherwise("keep"))
+      d.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("verdict") === "keep", 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("verdict") === "drop_lang", 1L).otherwise(0L)).as("n_drop_lang"),
+        sum(when(col("verdict") === "drop_quality", 1L).otherwise(0L)).as("n_drop_quality"),
+        sum(when(col("verdict") === "drop_len", 1L).otherwise(0L)).as("n_drop_len"),
+        sum(when(col("verdict") === "keep", col("n_words")).otherwise(0L)).as("sum_kept_tokens"))
+        .orderBy("source")
+    },
+    Some {
+      val (sThe, sData, sQuery) =
+        (occExpr("padded", " the "), occExpr("padded", " data "), occExpr("padded", " query "))
+      val nStop = s"(${occExpr("padded", " the ")} + ${occExpr("padded", " a ")} + ${occExpr("padded", " of ")})"
+      s"""SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN verdict = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(SUM(CASE WHEN verdict = 'drop_lang' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_lang,
+        CAST(SUM(CASE WHEN verdict = 'drop_quality' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_quality,
+        CAST(SUM(CASE WHEN verdict = 'drop_len' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_len,
+        CAST(SUM(CASE WHEN verdict = 'keep' THEN n_words ELSE 0 END) AS BIGINT) AS sum_kept_tokens
+        FROM (
+          SELECT source, n_words,
+            CASE WHEN NOT ($sThe >= $sData AND $sThe >= $sQuery) THEN 'drop_lang'
+                 WHEN CAST(n_words AS DOUBLE) / 100.0e0
+                      + CAST($nStop AS DOUBLE) / n_words * 2.0e0 < 0.45e0 THEN 'drop_quality'
+                 WHEN n_words < 20 OR n_words > 90 THEN 'drop_len'
+                 ELSE 'keep' END AS verdict
+          FROM (SELECT source, ' ' || text || ' ' AS padded,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+                FROM documents))
+        GROUP BY 1 ORDER BY 1"""
+    })
 
   /** Multimodal plumbing: opaque BINARY payloads carrying a magic-byte
     * header (PNG/GIF magics, alternating per doc) + typed metadata sniffed
