@@ -39,7 +39,7 @@ object SimilarityOps extends QueryModule {
   private val K = 5
   private val TopKSalt = 64
 
-  def defs: Seq[QueryDef] = Seq(s1BruteForce, s2AnnLsh, s3AnnIvf)
+  def defs: Seq[QueryDef] = Seq(s1BruteForce, s2AnnLsh, s3AnnIvf, s4AnnRecall)
 
   /** Sequential double fold of an array expression. */
   private def dblSum(arrExpr: String): Column =
@@ -164,6 +164,103 @@ object SimilarityOps extends QueryModule {
         SELECT q_id, c_id, cos_sim, CAST(ROW_NUMBER() OVER (
           PARTITION BY q_id ORDER BY cos_sim DESC, c_id ASC) AS INT) AS rank
         FROM cos) WHERE rank <= 3 ORDER BY q_id, rank"""))
+
+  /** ANN retrieval-quality metric: recall@K of the IVF probe against the
+    * exact brute-force top-K — the measurement every approximate index
+    * ships with. Ground truth = s1's exact cosine top-K over the whole
+    * corpus; retrieved = the IVF cell probe's top-K (s3's shape, widened
+    * to K). recall@K = |truth ∩ retrieved| / K per query. A cell probe
+    * can only MISS neighbors that fell in another cell, so recall < 1 on
+    * some queries is the expected, informative outcome — not a bug. */
+  private val s4AnnRecall = QueryDef(
+    "s4_ann_recall",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), normCol("embedding").as("nrm"))
+        .persist()
+      // ground truth: exact top-K over the full corpus (s1's shape)
+      val q = emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("qn"))
+      val corpus = emb.filter(col("vec_id") >= NumQueries)
+        .select(col("vec_id").as("c_id"), col("embedding"), col("nrm").as("cn"))
+      val cosAll = corpus.crossJoin(broadcast(q))
+        .select(col("q_id"), col("c_id"),
+          (dotCol("q_emb", "embedding") / (col("qn") * col("cn"))).as("cos_sim"))
+      val truth = TopK.perGroup(cosAll, Seq("q_id"),
+          Seq(col("cos_sim").desc, col("c_id").asc), K)
+        .select("q_id", "c_id")
+      // retrieved: the IVF cell probe (s3's shape), widened to K
+      val cents = emb.filter(col("vec_id").between(NumQueries, NumQueries + 7))
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      val assigned = emb.crossJoin(broadcast(cents))
+        .withColumn("cdot", dotCol("embedding", "cent_emb"))
+      val cells = TopK.perGroup(assigned, Seq("vec_id"),
+          Seq(col("cdot").desc, col("cent_id").asc), 1, rankCol = "crank")
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+      val qc = cells.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("qn"), col("cell"))
+      val cc = cells.filter(col("vec_id") >= NumQueries)
+        .select(col("vec_id").as("c_id"), col("embedding"),
+          col("nrm").as("cn"), col("cell").as("c_cell"))
+      val cosIvf = qc.join(cc, col("cell") === col("c_cell"))
+        .select(col("q_id"), col("c_id"),
+          (dotCol("q_emb", "embedding") / (col("qn") * col("cn"))).as("cos_sim"))
+      val retrieved = TopK.perGroup(cosIvf, Seq("q_id"),
+          Seq(col("cos_sim").desc, col("c_id").asc), K)
+        .select(col("q_id").as("r_q"), col("c_id").as("r_id"))
+      truth
+        .join(retrieved, col("q_id") === col("r_q") &&
+          col("c_id") === col("r_id"), "left")
+        .groupBy("q_id")
+        .agg(sum(when(col("r_id").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+          (sum(when(col("r_id").isNotNull, 1L).otherwise(0L)).cast("double")
+            / lit(K.toDouble)).as("recall"))
+        .orderBy("q_id")
+    },
+    Some(s"""WITH el AS (
+        SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS x
+        FROM (SELECT vec_id, embedding,
+                unnest(generate_series(1, len(embedding))) AS pos FROM embeddings)),
+      nrm AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM el GROUP BY 1),
+      dots AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id, SUM(q.x * c.x) AS dot
+        FROM el q JOIN el c ON q.pos = c.pos
+        WHERE q.vec_id < $NumQueries AND c.vec_id >= $NumQueries
+        GROUP BY 1, 2),
+      cosall AS (
+        SELECT q_id, c_id, dot / (qn.nrm * cn.nrm) AS cos_sim
+        FROM dots JOIN nrm qn ON qn.vec_id = q_id
+        JOIN nrm cn ON cn.vec_id = c_id),
+      truth AS (
+        SELECT q_id, c_id FROM (
+          SELECT q_id, c_id, ROW_NUMBER() OVER (
+            PARTITION BY q_id ORDER BY cos_sim DESC, c_id ASC) AS rank
+          FROM cosall) WHERE rank <= $K),
+      cdots AS (
+        SELECT v.vec_id, c.vec_id AS cent_id, SUM(v.x * c.x) AS cdot
+        FROM el v JOIN el c ON v.pos = c.pos
+        WHERE c.vec_id BETWEEN $NumQueries AND ${NumQueries + 7}
+        GROUP BY 1, 2),
+      cells AS (
+        SELECT vec_id, cent_id AS cell FROM (
+          SELECT vec_id, cent_id, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY cdot DESC, cent_id ASC) AS crank
+          FROM cdots) WHERE crank = 1),
+      retr AS (
+        SELECT q_id, c_id FROM (
+          SELECT q.vec_id AS q_id, c.vec_id AS c_id, ROW_NUMBER() OVER (
+            PARTITION BY q.vec_id ORDER BY cs.cos_sim DESC, c.vec_id ASC) AS rank
+          FROM cells q
+          JOIN cells c ON q.cell = c.cell
+          JOIN cosall cs ON cs.q_id = q.vec_id AND cs.c_id = c.vec_id
+          WHERE q.vec_id < $NumQueries AND c.vec_id >= $NumQueries)
+        WHERE rank <= $K)
+      SELECT t.q_id, CAST(COUNT(r.c_id) AS BIGINT) AS n_hits,
+        CAST(COUNT(r.c_id) AS DOUBLE) / ${K}.0e0 AS recall
+      FROM truth t LEFT JOIN retr r ON r.q_id = t.q_id AND r.c_id = t.c_id
+      GROUP BY 1 ORDER BY 1"""))
 
   /** Sign-LSH bucketing: signature = sign bits of $NumPlanes md5-derived
     * ±1-weighted projections, folded per-row over the embedding array (no
