@@ -128,10 +128,35 @@ object TickMath {
   def tickAtRate(rate: Double): Int =
     getTickAtSqrtRatio(sqrtRatioX96FromRate(rate))
 
-  /** Ratio as double (correctly-rounded BigInteger→double, identical to
-    * DuckDB's CAST(UHUGEINT AS DOUBLE)). */
+  /** Rate → tick, null for non-positive rates, quantized ratios below
+    * MinSqrtRatio, or rates ≥ 2^64 (whose ratio exceeds the oracle's
+    * UHUGEINT width; ticks above 443636 are unreachable under this guard,
+    * so both engines share one valid band). */
+  def tickAtRateOrNull(rate: Double): java.lang.Integer = {
+    if (!(rate > 0) || rate >= 1.8446744073709552e19) return null
+    val x = sqrtRatioX96FromRate(rate)
+    if (x < MinSqrtRatio) null
+    else java.lang.Integer.valueOf(getTickAtSqrtRatio(x))
+  }
+
+  /** Ratio as double. BigInteger→double is correctly rounded
+    * (round-to-nearest-even), which matches DuckDB's VARCHAR→DOUBLE parse
+    * of the same integer — NOT its direct UHUGEINT→DOUBLE cast, which is
+    * off by one ulp on ~1% of ticks (measured 12/1290 over the full
+    * range); the oracle therefore mediates ratio→double through VARCHAR. */
   def sqrtPxAtTick(tick: Int): Double =
     getSqrtRatioAtTick(tick).doubleValue / P96d
+
+  /** Memoized [[sqrtPxAtTick]] over the fixture band — the streaming
+    * fold's per-range boundaries hit a handful of small ticks per event,
+    * so the BigInteger chain runs once per distinct band tick per JVM. */
+  private val BandLo = -512
+  private val BandHi = 512
+  private lazy val bandPx: Array[Double] =
+    Array.tabulate(BandHi - BandLo + 1)(i => sqrtPxAtTick(BandLo + i))
+  def sqrtPxBand(t: Long): Double =
+    if (t >= BandLo && t <= BandHi) bandPx((t - BandLo).toInt)
+    else sqrtPxAtTick(t.toInt)
 
   // ── tick bitmap (tick_bitmap.rs + bit_math.rs) ──────────────────────────
 
@@ -200,6 +225,11 @@ object TickMath {
   /** DECIMAL(38,0) Q64.96 ratio → tick; NULL outside the ratio range. */
   def tick_at_sqrt_ratio(ratio: Column): Column =
     B.column(TickAtSqrtRatio(B.expression(ratio)))
+
+  /** Observed execution rate (DOUBLE) → exact tick: ⌊√rate·2^96⌋ then the
+    * integer inverse; NULL for non-positive rates or ratios out of range. */
+  def tick_at_rate(rate: Column): Column =
+    B.column(TickAtRate(B.expression(rate)))
 }
 
 /** Codegen'd tick → Q64.96 ratio. The BigInteger chain runs behind a
@@ -230,6 +260,38 @@ case class SqrtRatioAtTick(child: Expression) extends UnaryExpression {
          |org.apache.spark.sql.types.Decimal $d =
          |  graft.functions.TickMath.sqrtRatioDecimal($cast);
          |if ($d == null) { ${ev.isNull} = true; } else { ${ev.value} = $d; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen'd rate → exact tick: the floor-√·2^96 quantization plus the
+  * integer inverse in one step (tick_math.rs get_tick_at_sqrt_ratio over an
+  * observed price). IEEE sqrt is correctly rounded and the 2^96 scale is
+  * exact, so the quantized ratio — and therefore the tick — is engine-
+  * portable; the oracle selects the same tick from a ±2 candidate band
+  * around the libm log guess via exact forward ratios. */
+case class TickAtRate(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.DoubleType
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "tick_at_rate"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires DOUBLE input, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    TickMath.tickAtRateOrNull(input.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("t")
+      s"""
+         |java.lang.Integer $r = graft.functions.TickMath.tickAtRateOrNull($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.intValue(); }
        """.stripMargin
     })
 

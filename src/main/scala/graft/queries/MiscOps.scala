@@ -13,6 +13,10 @@ import org.apache.spark.sql.functions._
 object MiscOps extends QueryModule {
 
   private def withDomain(sql: String) = Some(s"WITH ${Accounting.sqlDomainCtes} $sql")
+  /** Like [[withDomain]] but RECURSIVE — for oracles splicing in the
+    * TickSql integer-chain CTEs. */
+  private def withDomainRec(sql: String) =
+    Some(s"WITH RECURSIVE ${Accounting.sqlDomainCtes} $sql")
 
   def defs: Seq[QueryDef] = Seq(p4ModifySpans, p5MapFilter, p9CollectVec,
     p10ZipPadded, p11MergeIter, p13FrontendPrunes, p14RemoveDup,
@@ -357,10 +361,13 @@ object MiscOps extends QueryModule {
       WHERE a.action_type = 'swap' AND a.amount_in IS NOT NULL
       GROUP BY 1 ORDER BY 1"""))
 
-  /** F10b UniswapV3 tick math (uniswap_v3_math/tick_math.rs): price →
-    * sqrtPrice and tick index i = ⌊ln(p)/ln(1.0001)⌋, the V3 coordinate
-    * system; per-protocol tick-range stats (the scalar kernel SURVEY §7.4
-    * flags as the most intricate — here over observed execution prices). */
+  /** F10b UniswapV3 tick math (uniswap_v3_math/tick_math.rs): each observed
+    * execution price quantizes to ⌊√rate·2^96⌋ and maps to its EXACT tick
+    * via the integer inverse (`TickMath.getTickAtSqrtRatio` — the 127-bit
+    * log₂ extraction + forward-chain disambiguation), codegen'd as
+    * `tick_at_rate`; per-protocol tick-range stats. The oracle re-derives
+    * every tick from the public constants: a libm log guess (only needs to
+    * land within ±2) corrected by exact forward ratios (TickSql). */
   private val f10TickMath = QueryDef(
     "f10_tick_math",
     (s, dir) => ChainFixture.actionsTable(s, dir)
@@ -369,7 +376,7 @@ object MiscOps extends QueryModule {
         col("amount_in") > 0 && col("amount_out") > 0)
       .withColumn("rate", col("amount_out") / col("amount_in"))
       .withColumn("sqrt_price", sqrt(col("rate")))
-      .withColumn("tick", floor(log(col("rate")) / log(lit(1.0001))).cast("long"))
+      .withColumn("tick", graft.functions.TickMath.tick_at_rate(col("rate")).cast("long"))
       .groupBy("protocol")
       .agg(count(lit(1)).as("n"),
         min(col("tick")).as("min_tick"), max(col("tick")).as("max_tick"),
@@ -378,14 +385,21 @@ object MiscOps extends QueryModule {
         countDistinct(floor(col("tick") / 1000.0).cast("long")).as("n_tick_buckets"),
         dsum(col("sqrt_price")).as("sum_sqrt_price"))
       .orderBy("protocol"),
-    withDomain(s"""SELECT protocol, COUNT(*) AS n,
-      MIN(CAST(FLOOR(LN(amount_out / amount_in) / LN(1.0001)) AS BIGINT)) AS min_tick,
-      MAX(CAST(FLOOR(LN(amount_out / amount_in) / LN(1.0001)) AS BIGINT)) AS max_tick,
-      CAST(COUNT(DISTINCT CAST(FLOOR(CAST(FLOOR(LN(amount_out / amount_in) / LN(1.0001)) AS BIGINT) / 1000.0) AS BIGINT)) AS BIGINT) AS n_tick_buckets,
-      ${sqlSum("SQRT(amount_out / amount_in)")} AS sum_sqrt_price
-      FROM actions
-      WHERE action_type = 'swap' AND amount_in IS NOT NULL AND amount_out IS NOT NULL
-        AND amount_in > 0 AND amount_out > 0
+    withDomainRec(s""", swr AS (
+        SELECT tx_hash, trace_idx, protocol, amount_out / amount_in AS rate
+        FROM actions
+        WHERE action_type = 'swap' AND amount_in IS NOT NULL
+          AND amount_out IS NOT NULL AND amount_in > 0 AND amount_out > 0),
+      ${TickSql.tickAtRateCtes("f10i",
+        "SELECT tx_hash, trace_idx, protocol, rate FROM swr",
+        Seq("tx_hash", "trace_idx", "protocol"))}
+      SELECT s.protocol, COUNT(*) AS n,
+        MIN(t.tick) AS min_tick, MAX(t.tick) AS max_tick,
+        CAST(COUNT(DISTINCT CAST(FLOOR(t.tick / 1000.0) AS BIGINT)) AS BIGINT) AS n_tick_buckets,
+        ${sqlSum("SQRT(s.rate)")} AS sum_sqrt_price
+      FROM swr s JOIN f10itick t
+        ON t.tx_hash = s.tx_hash AND t.trace_idx = s.trace_idx
+        AND t.protocol = s.protocol
       GROUP BY 1 ORDER BY 1"""))
 
   /** F10c UniswapV3 tick-CROSSING swap engine
@@ -403,32 +417,40 @@ object MiscOps extends QueryModule {
     * linear in swaps × ranges.
     *
     * Fixture ticks: 16 ranges of 10 ticks per v3 pool, deterministic
-    * per-range liquidity, and a linearized √P(t) = 1 + t/10⁴ so every
-    * price is a single correctly-rounded IEEE op on both engines (the real
-    * 1.0001^(t/2) needs libm pow, which differs by 1 ulp JVM-vs-C). */
+    * per-range liquidity, and EXACT Q64.96 boundary prices: √P(t) =
+    * sqrt_ratio_at_tick(t) / 2^96 (TickMath's integer product chain —
+    * codegen'd, applied on the DIMENSION side so the per-boundary
+    * BigInteger cost is amortized across all fact rows). The oracle
+    * derives the same ratios from the public constants via TickSql's
+    * UHUGEINT limb chain; ratio→double is correctly rounded on both
+    * engines, and all walk arithmetic downstream is plain IEEE on
+    * bit-identical inputs. */
   private val f10TickCross = QueryDef(
     "f10_tick_cross",
     (s, dir) => {
       val p = ChainFixture.pools(s)
         .filter(col("protocol") === "uniswap_v3")
         .select(col("address").as("p_addr"), col("pool_id"))
+        .withColumn("cur_t", (col("pool_id") * 7) % 80 - 40)
+      def px(t: org.apache.spark.sql.Column) =
+        graft.functions.TickMath.sqrt_ratio_at_tick(t.cast("int"))
+          .cast("double") / lit(graft.functions.TickMath.P96d)
       val ranges = s.range(-8, 8).select(col("id").as("k"))
-        .crossJoin(p.select(col("pool_id").as("r_pool")))
+        .crossJoin(p.select(col("pool_id").as("r_pool"), col("cur_t").as("r_cur")))
         .withColumn("liq",
           lit(10000.0) + col("r_pool") * 1000.0 + abs(col("k")) * 500.0)
-      def px(t: org.apache.spark.sql.Column) = lit(1.0) + t / 10000.0
+        .withColumn("s_px", px(least((col("k") + 1) * 10, col("r_cur"))))
+        .withColumn("e_px", px(col("k") * 10))
+        .drop("r_cur")
       val w = Window.partitionBy("pool_id", "tx_hash", "trace_idx")
         .orderBy(col("k").desc)
       val walk = ChainFixture.actionsTable(s, dir)
         .filter(col("action_type") === "swap" &&
           col("amount_in").isNotNull && col("amount_in") > 0)
         .join(broadcast(p), col("pool") === col("p_addr"))
-        .withColumn("cur_t", (col("pool_id") * 7) % 80 - 40)
         .withColumn("amt_eff", col("amount_in") * 0.997)
         .join(ranges, col("pool_id") === col("r_pool") &&
           col("k") * 10 <= col("cur_t"))
-        .withColumn("s_px", px(least((col("k") + 1) * 10, col("cur_t"))))
-        .withColumn("e_px", px(col("k") * 10))
         .withColumn("cap", col("liq") * (lit(1.0) / col("e_px") - lit(1.0) / col("s_px")))
         .withColumn("cum", coalesce(
           sum(col("cap")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
@@ -445,16 +467,26 @@ object MiscOps extends QueryModule {
           dsumR(col("out_tok1")).as("sum_out"))
         .orderBy("pool_id")
     },
-    withDomain(s""", tickr AS (
+    withDomainRec(s""", ${TickSql.ratioCtes("f10b",
+        // DISTINCT over a subquery, NOT a top-level UNION: inside WITH
+        // RECURSIVE DuckDB gives any top-level-UNION CTE body anchor/step
+        // treatment even without self-reference, and rows duplicate
+        """SELECT DISTINCT tick FROM (
+             SELECT 10 * k AS tick FROM range(-8, 9) t(k)
+             UNION ALL SELECT (pool_id * 7) % 80 - 40 FROM pool
+             WHERE protocol = 'uniswap_v3') u""")},
+      tickr AS (
         SELECT p.pool_id AS r_pool, r.k,
-          10000.0e0 + p.pool_id * 1000.0e0 + ABS(r.k) * 500.0e0 AS liq
-        FROM pool p, range(-8, 8) r(k)
+          10000.0e0 + p.pool_id * 1000.0e0 + ABS(r.k) * 500.0e0 AS liq,
+          bs.px AS s_px, be.px AS e_px
+        FROM pool p
+        CROSS JOIN range(-8, 8) r(k)
+        JOIN f10bpx be ON be.tick = r.k * 10
+        JOIN f10bpx bs ON bs.tick = LEAST((r.k + 1) * 10, (p.pool_id * 7) % 80 - 40)
         WHERE p.protocol = 'uniswap_v3'),
       walk0 AS (
         SELECT p.pool_id, a.tx_hash, a.trace_idx, t.k, t.liq,
-          a.amount_in * 0.997e0 AS amt_eff,
-          1.0e0 + LEAST((t.k + 1) * 10, (p.pool_id * 7) % 80 - 40) / 10000.0e0 AS s_px,
-          1.0e0 + (t.k * 10) / 10000.0e0 AS e_px
+          a.amount_in * 0.997e0 AS amt_eff, t.s_px, t.e_px
         FROM actions a
         JOIN pool p ON a.pool = p.address AND p.protocol = 'uniswap_v3'
         JOIN tickr t ON t.r_pool = p.pool_id

@@ -42,6 +42,10 @@ object StreamOracle extends QueryModule {
     }))
 
   private def withCtes(sql: String) = Some(s"WITH ${ChainFixture.sqlCtes} $sql")
+  /** Like [[withCtes]] but RECURSIVE — for oracles splicing in the
+    * TickSql integer-chain CTEs. */
+  private def withCtesRec(sql: String) =
+    Some(s"WITH RECURSIVE ${ChainFixture.sqlCtes} $sql")
 
   /** Deduplicated pool updates: one per (pool, block, tx), px = first
     * leg's rate, vol = exact decimal sum of inputs. */
@@ -79,7 +83,7 @@ object StreamOracle extends QueryModule {
         input.addData(upd.filter(_.block > cut2).toSeq)
         q.processAllAvailable()
         def tick(c: org.apache.spark.sql.Column) =
-          floor((c - 1.0) * 10000.0)
+          graft.functions.TickMath.tick_at_rate(c)
         s.table(name)
           .select(col("pool"), col("block"), col("prePx"), col("postPx"),
             col("nUpdates").as("n_updates"),
@@ -90,28 +94,33 @@ object StreamOracle extends QueryModule {
           .orderBy("pool", "n_updates")
       } finally q.stop()
     },
-    withCtes(foldOracleSql))
+    withCtesRec(foldOracleSql))
 
   /** The relational form of the pool fold — shared by `r5_stream_fold`
     * (MemoryStream drive) and `s5_write_behind` (file-follower drive):
     * both streamed executions must hash to this same DuckDB fold. */
   // lazy: referenced by r5StreamFold, which is declared earlier in the object
-  private lazy val foldOracleSql = """, upd AS (
+  private lazy val foldOracleSql = s""", upd AS (
         SELECT pool, block_number AS block, tx_idx,
           ARG_MIN(amount_out / amount_in, trace_idx) AS px
         FROM actions
         WHERE action_type = 'swap' AND pool IS NOT NULL
           AND amount_in IS NOT NULL AND amount_out IS NOT NULL
         GROUP BY 1, 2, 3),
+      ${graft.queries.TickSql.tickAtRateCtes("fdi",
+        "SELECT pool, block, tx_idx, px AS rate FROM upd",
+        Seq("pool", "block", "tx_idx"))},
+      updt AS (
+        SELECT u.*, t.tick FROM upd u JOIN fditick t
+          ON t.pool = u.pool AND t.block = u.block AND t.tx_idx = u.tx_idx),
       fold AS (
         SELECT pool, block, LAG(px) OVER w AS pre_px, px AS post_px,
+          LAG(tick) OVER w AS pre_tick, tick AS post_tick,
           ROW_NUMBER() OVER w AS n_updates
-        FROM upd
+        FROM updt
         WINDOW w AS (PARTITION BY pool ORDER BY block, tx_idx))
       SELECT pool, block, pre_px, post_px, n_updates,
-        (pre_px IS NOT NULL AND
-         FLOOR((pre_px - 1.0e0) * 10000.0e0) <> FLOOR((post_px - 1.0e0) * 10000.0e0))
-          AS crossed
+        (pre_px IS NOT NULL AND pre_tick <> post_tick) AS crossed
       FROM fold ORDER BY pool, n_updates"""
 
   /** S5 (oracle-checked end-to-end): the R2 tip follower with the
@@ -155,7 +164,7 @@ object StreamOracle extends QueryModule {
       } finally q.stop()
       upd.unpersist(false)
       def tick(c: org.apache.spark.sql.Column) =
-        floor((c - 1.0) * 10000.0)
+        graft.functions.TickMath.tick_at_rate(c)
       s.read.parquet(out)
         .select(col("pool"), col("block"), col("prePx"), col("postPx"),
           col("nUpdates").as("n_updates"),
@@ -165,7 +174,7 @@ object StreamOracle extends QueryModule {
         .withColumnRenamed("postPx", "post_px")
         .orderBy("pool", "n_updates")
     },
-    withCtes(foldOracleSql))
+    withCtesRec(foldOracleSql))
 
   /** R5 (V3 tick-liquidity arm): the REAL streamed per-tick state fold —
     * mint/burn events mutate per-range liquidity (exact integer
@@ -173,11 +182,13 @@ object StreamOracle extends QueryModule {
     * f10_tick_cross's kernel against the liquidity AS OF that event
     * (uniswap_v3_math/{tick_math,tick_bitmap}.rs). Three micro-batches cut
     * by block, so both the last-price AND the liquidity map must carry
-    * across batch boundaries. The DuckDB oracle rebuilds the same fold
-    * relationally: a BIGINT window sum for per-range liquidity, an ASOF
-    * join for liquidity-as-of-swap, and the f10 walk (window cumsum in
-    * k-descending order); per-range outputs snap to integer micro-units so
-    * every aggregate is order-free. */
+    * across batch boundaries. Ticks and boundary √prices are EXACT Q64.96
+    * (TickMath / TickSql — no linearization). The DuckDB oracle rebuilds
+    * the same fold relationally: a BIGINT window sum for per-range
+    * liquidity, an ASOF join for liquidity-as-of-swap, exact ticks from
+    * the candidate-corrected integer chain, and the f10 walk (window
+    * cumsum in k-descending order); per-range outputs snap to integer
+    * micro-units so every aggregate is order-free. */
   private val r5TickFold = QueryDef(
     "r5_tick_fold",
     (s, dir) => {
@@ -235,7 +246,7 @@ object StreamOracle extends QueryModule {
           .orderBy("pool_id")
       } finally q.stop()
     },
-    withCtes(s""", vpt AS (
+    withCtesRec(s""", vpt AS (
         SELECT pool_id, address FROM pool WHERE protocol = 'uniswap_v3'),
       sevt AS (
         SELECT p.pool_id, a.block_number AS block, a.tx_idx,
@@ -266,14 +277,29 @@ object StreamOracle extends QueryModule {
         SELECT *, LAG(px) OVER (PARTITION BY pool_id ORDER BY block, tx_idx)
           AS pre_px
         FROM sevt),
-      swt AS (
-        SELECT pool_id, block, tx_idx, px, vol * 0.997e0 AS amt_eff,
-          block * 64 + tx_idx * 4 + 2 AS ord,
-          ((CAST(FLOOR((pre_px - 1.0e0) * 10000.0e0) AS BIGINT) % 80) + 80) % 80
-            - 40 AS cur_t,
-          (FLOOR((pre_px - 1.0e0) * 10000.0e0)
-            <> FLOOR((px - 1.0e0) * 10000.0e0)) AS tick_moved
+      r5rt AS (
+        SELECT pool_id, block, tx_idx, 0 AS which, pre_px AS rate
+        FROM spre WHERE pre_px IS NOT NULL
+        UNION ALL
+        SELECT pool_id, block, tx_idx, 1 AS which, px AS rate
         FROM spre WHERE pre_px IS NOT NULL),
+      ${graft.queries.TickSql.tickAtRateCtes("r5i",
+        "SELECT pool_id, block, tx_idx, which, rate FROM r5rt",
+        Seq("pool_id", "block", "tx_idx", "which"))},
+      ${graft.queries.TickSql.ratioCtes("r5b",
+        "SELECT k AS tick FROM range(-80, 81) t(k)")},
+      swt AS (
+        SELECT s.pool_id, s.block, s.tx_idx, s.px, s.vol * 0.997e0 AS amt_eff,
+          s.block * 64 + s.tx_idx * 4 + 2 AS ord,
+          ((tp.tick % 80) + 80) % 80 - 40 AS cur_t,
+          (tp.tick <> tc.tick) AS tick_moved
+        FROM spre s
+        JOIN r5itick tp ON tp.pool_id = s.pool_id AND tp.block = s.block
+          AND tp.tx_idx = s.tx_idx AND tp.which = 0
+        JOIN r5itick tc ON tc.pool_id = s.pool_id AND tc.block = s.block
+          AND tc.tx_idx = s.tx_idx AND tc.which = 1
+        WHERE s.pre_px IS NOT NULL
+          AND tp.tick IS NOT NULL AND tc.tick IS NOT NULL),
       swkt AS (
         SELECT s.*, r.k FROM swt s JOIN range(-8, 8) r(k)
           ON r.k * 10 <= s.cur_t),
@@ -282,12 +308,13 @@ object StreamOracle extends QueryModule {
         FROM swkt s ASOF LEFT JOIN lcum l
           ON s.pool_id = l.pool_id AND s.k = l.k AND s.ord >= l.ord),
       twk0 AS (
-        SELECT pool_id, block, tx_idx, amt_eff, tick_moved, k,
-          (10000.0e0 + pool_id * 1000.0e0 + ABS(k) * 500.0e0)
-            + cum_micro / 1000000.0e0 AS liq,
-          1.0e0 + LEAST((k + 1) * 10, cur_t) / 10000.0e0 AS s_px,
-          1.0e0 + (k * 10) / 10000.0e0 AS e_px
-        FROM swklt),
+        SELECT w.pool_id, w.block, w.tx_idx, w.amt_eff, w.tick_moved, w.k,
+          (10000.0e0 + w.pool_id * 1000.0e0 + ABS(w.k) * 500.0e0)
+            + w.cum_micro / 1000000.0e0 AS liq,
+          bs.px AS s_px, be.px AS e_px
+        FROM swklt w
+        JOIN r5bpx be ON be.tick = w.k * 10
+        JOIN r5bpx bs ON bs.tick = LEAST((w.k + 1) * 10, w.cur_t)),
       twk1 AS (
         SELECT *, liq * (1.0e0 / e_px - 1.0e0 / s_px) AS cap,
           COALESCE(SUM(liq * (1.0e0 / e_px - 1.0e0 / s_px)) OVER (

@@ -148,11 +148,17 @@ object TipStream {
       .agg(sum(col("cnt")).as("n"),
         graft.ops.ExactAgg.dsum(col("vol")).as("sum_vol"))
 
-  /** Linearized tick of a price — the coordinate f10_tick_cross's planted
-    * curve uses (√P(t) = 1 + t/10⁴, so t = ⌊(px−1)·10⁴⌋). The real
-    * tick_math.rs log-base-1.0001 form needs libm pow/log; the linear form
-    * keeps the streaming fold engine-portable. */
-  def tickOf(px: Double): Long = math.floor((px - 1.0) * 10000.0).toLong
+  /** EXACT tick of an observed price — ⌊√px·2^96⌋ through TickMath's
+    * integer inverse (tick_math.rs get_tick_at_sqrt_ratio), the coordinate
+    * every fold shares with f10_tick_cross's kernel. Engine-portable with
+    * no libm dependency: sqrt is IEEE-correctly-rounded, the 2^96 scale is
+    * exact, and the inverse is integer arithmetic. Long.MinValue sentinel
+    * for rates with no tick (non-positive / off-band) — a bucket of its
+    * own, never equal to a real tick. */
+  def tickOf(px: Double): Long = {
+    val t = graft.functions.TickMath.tickAtRateOrNull(px)
+    if (t == null) Long.MinValue else t.intValue.toLong
+  }
 
   // ── V3 tick-liquidity fold (the per-tick state the coordinate-only fold
   //    lacked: uniswap_v3_math/{tick_math,tick_bitmap}.rs — mints/burns
@@ -184,21 +190,29 @@ object TipStream {
     * each swap walks ranges downward from the PRE-price tick (f10's
     * kernel: capacity Δx = L·(1/√P_lo − 1/√P_start), crossing initialized
     * boundaries until the 0.997-fee-adjusted input is spent), reading
-    * liquidity = base(pool, k) + the net deltas applied so far. All
-    * arithmetic mirrors the relational oracle op-for-op: the walk
-    * accumulates in k-descending order (the window-sum frame order) and
-    * per-range outputs snap to micro-units before totalling. */
+    * liquidity = base(pool, k) + the net deltas applied so far. Ticks and
+    * boundary prices are EXACT: tick-of-price via TickMath's integer
+    * inverse, range boundaries via the Q64.96 product chain (band-memoized
+    * — a handful of small ticks per pool). All arithmetic mirrors the
+    * relational oracle op-for-op: the walk accumulates in k-descending
+    * order (the window-sum frame order) and per-range outputs snap to
+    * micro-units before totalling; a price whose tick is undefined (out of
+    * the shared valid band) prices nothing, like the oracle's NULL-tick
+    * row drop. */
   def updateTickState(
       pool: Long,
       events: Iterator[TickEvent],
       state: GroupState[TickLiqState]): Iterator[TickQuote] = {
+    import graft.functions.TickMath
     val sorted = events.toSeq.sortBy(e => (e.block, e.txIdx, e.kind))
     var st = state.getOption.getOrElse(TickLiqState(Double.NaN, false, Map.empty))
     val out = scala.collection.mutable.ArrayBuffer.empty[TickQuote]
     sorted.foreach { e =>
       if (e.kind == 2) {
-        if (st.hasPx) {
-          val preTick = tickOf(st.lastPx)
+        val preT = if (st.hasPx) TickMath.tickAtRateOrNull(st.lastPx) else null
+        val curTickO = TickMath.tickAtRateOrNull(e.px)
+        if (preT != null && curTickO != null) {
+          val preTick = preT.intValue.toLong
           val curT = clampTick(preTick)
           val amtEff = e.vol * 0.997
           var cum = 0.0
@@ -209,8 +223,8 @@ object TipStream {
             if (cum < amtEff) {
               val liq = (10000.0 + pool * 1000.0 + math.abs(k) * 500.0) +
                 st.liqMicro.getOrElse(k, 0L) / 1e6
-              val sPx = 1.0 + math.min((k + 1) * 10, curT) / 10000.0
-              val ePx = 1.0 + (k * 10) / 10000.0
+              val sPx = TickMath.sqrtPxBand(math.min((k + 1) * 10, curT))
+              val ePx = TickMath.sqrtPxBand(k * 10)
               val cap = liq * (1.0 / ePx - 1.0 / sPx)
               nT += 1
               val full = cum + cap <= amtEff
@@ -224,7 +238,7 @@ object TipStream {
             k -= 1
           }
           out += TickQuote(pool, e.block, e.txIdx, curT, nT, nC, exh,
-            preTick != tickOf(e.px), outM)
+            preTick != curTickO.intValue.toLong, outM)
         }
         st = st.copy(lastPx = e.px, hasPx = true)
       } else {

@@ -287,4 +287,41 @@ class GoldenScenarioSpec extends SparkTestBase {
     val killed = InspectorOps.matrixCrossKills(e).as[String].collect().toSet
     assert(killed == Set("C1", "A2", "A3"), killed)
   }
+
+  test("v3_tick_boundary: one-ulp prices straddle tick 25 exactly") {
+    import graft.streaming.TipStream
+    import TipStream.{TickEvent, TickQuote}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    // smallest double whose ⌊√rate·2^96⌋ quantization reaches the tick-25
+    // ratio, and its one-ulp predecessor (tick 24) — only the exact
+    // integer tick math separates them; a linearized or libm-log
+    // coordinate puts both on the same side. Golden outputs cross-checked
+    // externally against tools/tickmath_proto.py.
+    val rateA = java.lang.Double.parseDouble("0x1.00a4096906978p0")
+    val rateB = Math.nextDown(rateA)
+    assert(graft.functions.TickMath.tickAtRateOrNull(rateA).intValue == 25)
+    assert(graft.functions.TickMath.tickAtRateOrNull(rateB).intValue == 24)
+    def run(seed: Double, swap: Double, name: String): TickQuote = {
+      val input = MemoryStream[TickEvent]
+      val q = TipStream.tickQuotes(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(TickEvent(3L, 1L, 0L, 2, 0L, 0L, seed, 1.0))
+        input.addData(TickEvent(3L, 1L, 1L, 2, 0L, 0L, swap, 1.0))
+        q.processAllAvailable()
+        val rows = spark.table(name).as[TickQuote].collect()
+        assert(rows.length == 1) // the seed swap has no prior price
+        rows.head
+      } finally q.stop()
+    }
+    val a = run(rateA, rateB, "tick_ulp_a") // pre-tick 25 → band cur_t −15
+    assert(a.curT == -15L && a.tickMoved && a.nCrossed == 0L)
+    assert(a.outMicro == 995435L)
+    val b = run(rateB, rateA, "tick_ulp_b") // one ulp down → cur_t −16
+    assert(b.curT == -16L && b.tickMoved && b.nCrossed == 0L)
+    assert(b.outMicro == 995335L)
+  }
 }

@@ -97,7 +97,9 @@ class StreamingSpec extends SparkTestBase {
     implicit val sqlCtx = spark.sqlContext
     // drive the same planted scenario twice: with and without a batch-1
     // mint of 2.0 liquidity into range k=-1 of pool 1; the batch-2 swap
-    // walks from tick(1.0035)=35 → clamped cur_t = -5, touching k=-1 first
+    // walks from the EXACT tick(1.0035)=34 (⌊√rate·2^96⌋ through the
+    // integer inverse — the linearized coordinate said 35) → clamped
+    // cur_t = -6, touching k=-1 first
     def run(withMint: Boolean, name: String): Seq[TickQuote] = {
       val input = MemoryStream[TickEvent]
       val q = TipStream.tickQuotes(input.toDS())
@@ -121,12 +123,16 @@ class StreamingSpec extends SparkTestBase {
     val base = run(withMint = false, "tick_base")
     assert(boosted.size == 1 && base.size == 1) // seed swap is unpriced
     val (b, u) = (boosted.head, base.head)
-    assert(b.curT == -5L && u.curT == -5L)
+    assert(b.curT == -6L && u.curT == -6L)
     assert(b.nCrossed == 8L && b.exhausted) // k=-1..-8 all crossed fully
-    assert(b.tickMoved) // tick(1.0035)=35 → tick(1.0010)=10
+    assert(b.tickMoved) // tick(1.0035)=34 → tick(1.0010)=9
     // every range full → out = Σ L_k·(s_px−e_px); only k=-1's L differs, by
-    // the carried mint's ΔL=2.0, over width s−e=0.0005 → exactly 1000 µ
-    assert(b.outMicro - u.outMicro == 1000L)
+    // the carried mint's ΔL=2.0, over the EXACT Q64.96 width
+    // √P(-6)−√P(-10) ≈ 2.0·10⁻⁴ → 400 micro-units after the snap
+    // (externally cross-checked against the integer chain in
+    // tools/tickmath_proto.py: 49437353 vs 49436953 µ)
+    assert(b.outMicro == 49437353L && u.outMicro == 49436953L)
+    assert(b.outMicro - u.outMicro == 400L)
   }
 
   test("R2/S5 tip mode follows a directory and write-behinds per micro-batch") {

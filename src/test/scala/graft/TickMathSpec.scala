@@ -116,6 +116,47 @@ class TickMathSpec extends SparkTestBase {
     }
   }
 
+  test("ratio → double is correctly rounded (golden bit patterns)") {
+    // float(Fraction(ratio, 2^96)) in Python — true round-to-nearest-even
+    // of the exact rational; BigInteger.doubleValue / 2^96 must land on the
+    // same bits (and the oracle's VARCHAR→DOUBLE parse does too)
+    val golden = Seq(
+      -100 -> "0x1.fd724eeb1ea86p-1", -10 -> "0x1.ffbe7bd0e4c31p-1",
+      -1 -> "0x1.fff972677adf6p-1", 0 -> "0x1.0p0",
+      1 -> "0x1.000346d6ff116p0", 10 -> "0x1.0020c649300bep0",
+      100 -> "0x1.01487bee1c17ep0", 10000 -> "0x1.a60fe569cab6cp0",
+      -10000 -> "0x1.368d2c8b62fc8p-1")
+    golden.foreach { case (t, hex) =>
+      assert(sqrtPxAtTick(t) == java.lang.Double.parseDouble(hex), s"tick $t")
+      assert(sqrtPxBand(t.toLong) == sqrtPxAtTick(t), s"band $t")
+    }
+    // band memo agrees with the direct path outside the memo range too
+    Seq(-600L, 600L).foreach(t => assert(sqrtPxBand(t) == sqrtPxAtTick(t.toInt)))
+  }
+
+  test("tick_at_rate expression: exact ticks, codegen'd, null off-band") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    assert(!functions.TickAtRate(Literal(1.0)).isInstanceOf[CodegenFallback])
+    val s = spark
+    import s.implicits._
+    val rates = Seq(1.0035, 1.0010, 1.0, 0.5, 2.0, 1e-8, 1e8,
+      0.0, -3.0, 1e-40, 1.8446744073709552e19, 1e40)
+    val rows = rates.toDF("rate")
+      .withColumn("tick", tick_at_rate(col("rate"))).collect()
+    rows.zip(rates).foreach { case (r, rate) =>
+      val exp = tickAtRateOrNull(rate)
+      if (exp == null) assert(r.isNullAt(1), s"rate $rate should be null")
+      else assert(r.getInt(1) == exp.intValue, s"rate $rate")
+    }
+    // the planted streaming-scenario coordinates, exact
+    assert(tickAtRateOrNull(1.0035).intValue == 34)
+    assert(tickAtRateOrNull(1.0010).intValue == 9)
+    // non-positive / overflow-band rates are null on both engines
+    Seq(0.0, -3.0, 1e-40, 1.8446744073709552e19, 1e40, Double.NaN)
+      .foreach(r => assert(tickAtRateOrNull(r) == null, s"rate $r"))
+  }
+
   test("rate → tick portability path") {
     assert(tickAtRate(1.0) == 0)
     // monotone over a wide grid; each tick consistent with the exact inverse
