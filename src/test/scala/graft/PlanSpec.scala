@@ -47,6 +47,15 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Generate posexplode"), p)
   }
 
+  test("s3 trained-IVF probe never shuffles exploded vector elements") {
+    // training's (cell, pos) rollup runs in its own jobs; the PROBE plan
+    // must stay a broadcast-fold: no element explode, no nested loop on
+    // the inverted-list join
+    val p = plan("s3_ann_ivf")
+    assert(!p.contains("Generate posexplode"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
   test("actions block-range scan prunes partitions at the source") {
     val p = plan("s2_actions_range_scan")
     assert(p.contains("PartitionFilters: ["), p)
