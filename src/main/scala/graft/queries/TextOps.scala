@@ -20,6 +20,10 @@ object TextOps extends QueryModule {
   /** Decoded media metadata row (the typed output of the decode stage). */
   case class MediaMeta(doc_id: Long, kind: String, n_bytes: Long, w: Long, h: Long)
 
+  /** Output of the REAL decode stage: dimensions and the raster pixel sum
+    * read back from the decoded image, not from the generator. */
+  case class MediaDecoded(doc_id: Long, kind: String, w: Long, h: Long, px_sum: Long)
+
   /** Occurrence count of literal `pat` inside column `c` (both engines:
     * length-difference / pattern-length). */
   private def occExpr(c: String, pat: String): String =
@@ -185,11 +189,10 @@ object TextOps extends QueryModule {
 
   /** Multimodal plumbing: opaque BINARY payloads carrying a magic-byte
     * header (PNG/GIF magics, alternating per doc) + typed metadata sniffed
-    * from the first bytes. The decode stage for real image/audio bytes is a
-    * stub (no codec libs in this env); the Spark-side binary schema,
-    * byte-slicing, and metadata rollup exercised here are real. Both
-    * engines compare the header in the hex-string domain (DuckDB has no
-    * BLOB substring overload). */
+    * from the first bytes — the cheap sniff-only pass that runs BEFORE any
+    * codec (real decode lives in `mm_decode_pipeline` below). Both engines
+    * compare the header in the hex-string domain (DuckDB has no BLOB
+    * substring overload). */
   private val mmBinaryMeta = QueryDef(
     "mm_binary_meta",
     (s, dir) => {
@@ -220,46 +223,79 @@ object TextOps extends QueryModule {
             FROM documents)
       GROUP BY 1 ORDER BY 1"""))
 
-  /** Multimodal decode PIPELINE: binary payloads → per-partition typed
-    * decode (`mapPartitions` over `Dataset[(id, bytes)]` — the Scala analog
-    * of a `mapInPandas` batch UDF: imperative per-record work, Encoder-typed
-    * batch shape, partition-parallel) → metadata rollup. The codec call is
-    * a STUB (no image/audio libs in this container): kind comes from real
-    * magic-byte sniffing, width/height from a deterministic fake in place
-    * of the decoder. Schema, partitioning, and batch plumbing are real. */
+  /** Multimodal decode PIPELINE with a REAL codec: per-partition ENCODE
+    * (deterministic grayscale `BufferedImage`, pixel(x,y) = (x+y) % 256,
+    * written through JDK `javax.imageio` as PNG for even doc_ids / BMP for
+    * odd — both lossless in the JDK) → opaque binary payload → per-partition
+    * DECODE (`ImageIO.read` on the bytes; kind from real magic-byte
+    * sniffing) → metadata rollup. Width, height, and the raster pixel sum
+    * in the output are read back from the DECODED image, never from the
+    * generator's variables, so a broken or fake decode hash-mismatches:
+    * the oracle recomputes the same values from the closed-form generative
+    * formula (w=16+id%32, h=16+id%24, Σ(x+y) = h·w(w-1)/2 + w·h(h-1)/2,
+    * exact because max(x+y)=84 < 256 — the mod never wraps).
+    * `mapPartitions` over `Dataset[T]` is the Scala analog of a
+    * `mapInPandas` batch UDF: imperative per-record codec work,
+    * Encoder-typed batch shape, partition-parallel — the plumbing that
+    * carries image/audio/video columns at 100 TB. */
   private val mmDecodePipeline = QueryDef(
     "mm_decode_pipeline",
     (s, dir) => {
       import s.implicits._
       val payloads = Tables.documents(s, dir)
-        .withColumn("magic",
-          when(pmod(col("doc_id"), lit(2)) === 0, "89504e47").otherwise("47494638"))
-        .withColumn("payload",
-          concat(to_binary(col("magic"), lit("hex")), col("text").cast("binary")))
-        .select(col("doc_id"), col("payload"))
-        .as[(Long, Array[Byte])]
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { iter =>
+          javax.imageio.ImageIO.setUseCache(false)
+          iter.map { id =>
+            val w = 16 + (id % 32).toInt
+            val h = 16 + (id % 24).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val raster = img.getRaster
+            var x = 0
+            while (x < w) {
+              var y = 0
+              while (y < h) { raster.setSample(x, y, 0, (x + y) % 256); y += 1 }
+              x += 1
+            }
+            val fmt = if (id % 2 == 0) "png" else "bmp"
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, fmt, baos)
+            (id, baos.toByteArray)
+          }
+        }
       val meta = payloads.mapPartitions { iter =>
+        javax.imageio.ImageIO.setUseCache(false)
         iter.map { case (id, bytes) =>
-          val magic = bytes.take(4).map("%02x".format(_)).mkString
-          val kind = if (magic == "89504e47") "image/png"
-            else if (magic == "47494638") "image/gif" else "unknown"
-          // STUB: a real decoder (libpng/ffmpeg) would produce dimensions
-          // here; deterministic fake keeps the pipeline verifiable.
-          MediaMeta(id, kind, bytes.length.toLong,
-            16L + bytes.length % 32, 16L + bytes.length % 24)
+          val kind =
+            if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+              bytes(2) == 'N' && bytes(3) == 'G') "image/png"
+            else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') "image/bmp"
+            else "unknown"
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          var pxSum = 0L
+          var x = 0
+          while (x < w) {
+            var y = 0
+            while (y < h) { pxSum += raster.getSample(x, y, 0); y += 1 }
+            x += 1
+          }
+          MediaDecoded(id, kind, w.toLong, h.toLong, pxSum)
         }
       }
       meta.groupBy("kind")
-        .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("sum_bytes"),
-          sum(col("w")).as("sum_w"), sum(col("h")).as("sum_h"))
+        .agg(count(lit(1)).as("n"), sum(col("w")).as("sum_w"),
+          sum(col("h")).as("sum_h"), sum(col("px_sum")).as("sum_px"))
         .orderBy("kind")
     },
     Some("""SELECT kind, COUNT(*) AS n,
-      CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes,
-      CAST(SUM(16 + n_bytes % 32) AS BIGINT) AS sum_w,
-      CAST(SUM(16 + n_bytes % 24) AS BIGINT) AS sum_h
-      FROM (SELECT CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/gif' END AS kind,
-              octet_length(encode(text)) + 4 AS n_bytes
+      CAST(SUM(w) AS BIGINT) AS sum_w,
+      CAST(SUM(h) AS BIGINT) AS sum_h,
+      CAST(SUM(h * w * (w - 1) / 2 + w * h * (h - 1) / 2) AS BIGINT) AS sum_px
+      FROM (SELECT CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/bmp' END AS kind,
+              16 + doc_id % 32 AS w, 16 + doc_id % 24 AS h
             FROM documents)
       GROUP BY 1 ORDER BY 1"""))
 }
