@@ -21,7 +21,23 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "events")
+  /** The `events` fixture has shipped `ts` as both INT64 epoch-nanos and
+    * parquet TIMESTAMP (µs) across driver regenerations. Downstream code
+    * (EventOps/MiscOps) is written against the epoch-nanos contract, so
+    * normalize here: when the read schema types `ts` as a timestamp,
+    * project it back to epoch-nanos (`unix_micros * 1000`). DuckDB oracles
+    * read the same parquet with `epoch_us(ts)` which agrees in both cases.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val df = apply(spark, dir, "events")
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case _ => df
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 }
