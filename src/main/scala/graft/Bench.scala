@@ -31,30 +31,46 @@ object Bench {
     def clearCaches(): Unit = spark.sharedState.cacheManager.clearCache()
 
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run for local profiling of a
-    // single query's wall-clock without the full 140-query suite
+    // single query's wall-clock without the full 140-query suite.
+    // Empty / whitespace-only values mean "no filter" — otherwise
+    // SPARK_GRAFT_ONLY="" would silently time nothing.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val selected = only.fold(SparkEntry.queries)(f =>
       SparkEntry.queries.filter { case (n, _) => f(n) })
+    only.foreach { f =>
+      val unknown = f -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(s"[bench] WARNING unknown SPARK_GRAFT_ONLY names: ${unknown.mkString(",")}")
+    }
 
-    // warm-up (untimed)
+    // warm-up (untimed); clear caches per query so persist()s inside one
+    // query can't occupy storage memory while the next one warms
     selected.foreach { case (_, fn) =>
       try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
+      clearCaches()
     }
-    clearCaches()
 
-    val results = selected.map { case (name, fn) =>
+    // A query that throws must never record its (fast) exception path as a
+    // timing — keep failures out of `queries`/total and list them apart.
+    val timed = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
+      val ok = try { consume(fn(spark, sfDir)); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
       val dt = (System.nanoTime() - t0) / 1e9
       clearCaches()
-      name -> dt
+      (name, dt, ok)
     }
+    val results = timed.collect { case (n, dt, true) => n -> dt }.toMap
+    val failed = timed.collect { case (n, _, false) => n }.toSeq.sorted
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // The driver tail-truncates stdout (BENCH_r{N}.json has been unparseable
     // four rounds running), so persist the complete per-query map in-repo.

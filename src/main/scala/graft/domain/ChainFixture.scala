@@ -484,12 +484,34 @@ object ChainFixture {
             s"$path.inprogress_${ProcessHandle.current().pid()}_" +
               java.util.UUID.randomUUID().toString.take(8))
           write(tmp.toString)
-          if (!fs.rename(tmp, target)) fs.delete(tmp, true)
+          publish(s.sparkContext.hadoopConfiguration, tmp, target)
         }
         materialized += path
       }
       s.read.parquet(path)
     }
+
+  /** Atomic not-exists publish of `tmp` as `target`. `FileSystem.rename`
+    * on RawLocalFileSystem has move-INTO semantics when the target
+    * directory already exists — the race loser would nest its half-written
+    * attempt inside the winner's published table and return true (ADVICE
+    * r7). `FileContext.rename(…, Rename.NONE)` refuses an existing target
+    * instead; the loser then deletes its own attempt and reads the
+    * winner's table. A post-rename existence check backstops any
+    * filesystem whose failure mode is silent. */
+  private[graft] def publish(conf: org.apache.hadoop.conf.Configuration,
+      tmp: org.apache.hadoop.fs.Path, target: org.apache.hadoop.fs.Path): Unit = {
+    val fs = target.getFileSystem(conf)
+    val won =
+      try {
+        org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, conf)
+          .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.NONE)
+        true
+      } catch { case _: java.io.IOException => false } // incl. FileAlreadyExists
+    if (!won) fs.delete(tmp, true): Unit
+    if (!fs.exists(target))
+      throw new java.io.IOException(s"materialize publish failed: $target")
+  }
 
   /** Write-once-per-root parquet materialization of a derived table — the
     * pipeline shape the reference uses (classified trees are PERSISTED,

@@ -31,15 +31,19 @@ object StreamOracle extends QueryModule {
 
   /** Register a staging directory for recursive deletion at JVM exit —
     * Verify/Bench run in one JVM per invocation, so each process cleans
-    * its own /tmp footprint without racing lazy readers of the data. */
-  private def deleteOnExit(dir: String): Unit =
+    * its own /tmp footprint without racing lazy readers of the data.
+    * ONE hook drains a shared queue: registering a hook per run would
+    * accumulate unbounded Thread objects across a 147-query suite. */
+  private val exitDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val exitHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete(): Unit
       }
-      rm(new java.io.File(dir))
+      exitDirs.forEach(d => rm(new java.io.File(d)))
     }))
+  private def deleteOnExit(dir: String): Unit = { exitHook; exitDirs.add(dir): Unit }
 
   private def withCtes(sql: String) = Some(s"WITH ${ChainFixture.sqlCtes} $sql")
   /** Like [[withCtes]] but RECURSIVE — for oracles splicing in the
