@@ -20,8 +20,8 @@ object SparkEntry {
 
   val modules: Seq[QueryModule] =
     Seq(Relational, EventOps, TextOps, DedupOps, SimilarityOps, ClassifyOps,
-      AbiBreadthOps, InspectorOps, PricingOps, CexOps, MiscOps, FidelityOps,
-      streaming.StreamOracle)
+      AbiBreadthOps, IndirectOps, InspectorOps, PricingOps, CexOps, MiscOps,
+      FidelityOps, streaming.StreamOracle)
 
   lazy val all: Seq[QueryDef] = modules.flatMap(_.defs)
 

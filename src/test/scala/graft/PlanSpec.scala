@@ -108,6 +108,22 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("indirected decodes stay broadcast-only and never fall out of codegen") {
+    // Curve (pool, coin_index) registry joins, Balancer poolId->pair join,
+    // and the array-of-struct explode: all dimensions broadcast, the trace
+    // fact never shuffles into a sort-merge join, and the decode stage sits
+    // inside WholeStageCodegen
+    for (q <- Seq("c1_curve_indexed", "c1_balancer_poolid", "f5_abi_tuple",
+        "f5_abi_string")) {
+      val df = SparkEntry.queries(q)(spark, SfDir)
+      df.collect() // finalize the AQE plan so codegen spans are rendered
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("SortMergeJoin"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+      assert("""\*\(\d+\)""".r.findFirstIn(p).isDefined, s"$q:\n$p")
+    }
+  }
+
   test("abi decode expressions are codegen'd, not fallback") {
     import graft.functions.{AbiSelector, AbiWord}
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
