@@ -462,7 +462,7 @@ object ChainFixture {
     * executor and downstream stage reads the same tables; the default is a
     * per-JVM tmpdir root (concurrent local JVMs running the same suite must
     * not collide on, or read each other's half-written, tables). */
-  private def matRoot(s: SparkSession): String =
+  private[graft] def matRoot(s: SparkSession): String =
     s.conf.getOption("spark.graft.matRoot").getOrElse(
       s"${System.getProperty("java.io.tmpdir")}/graft_mat_${ProcessHandle.current().pid()}")
 
@@ -473,7 +473,7 @@ object ChainFixture {
     * its attempt and reads the winner's table (ADVICE r6). The in-memory
     * set only short-circuits re-checks within one JVM; cross-JVM reuse
     * goes through the filesystem existence check. */
-  private[domain] def materializeWith(s: SparkSession, path: String)(
+  private[graft] def materializeWith(s: SparkSession, path: String)(
       write: String => Unit): DataFrame =
     synchronized {
       if (!materialized.contains(path)) {
@@ -522,7 +522,7 @@ object ChainFixture {
     materializeWith(s, s"${matRoot(s)}_$key")(
       p => df.write.mode("overwrite").parquet(p))
 
-  private[domain] def dirKey(dir: String): String =
+  private[graft] def dirKey(dir: String): String =
     dir.replaceAll("[^A-Za-z0-9]", "_")
 
   /** The traces table, materialized (raw decode input, S1 store analog). */

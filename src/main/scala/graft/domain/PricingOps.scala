@@ -25,7 +25,7 @@ object PricingOps extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(g1EdgeTable, g2KPaths, g2PathsEnum,
     g3SubgraphPrice, g4SubgraphVerify, g4VerifiedRoutes, g5RegistryCache,
-    g6PriceEmission)
+    g5CrossRunCache, g6PriceEmission)
 
   /** Simple-path search bound (hops) and endpoints for the DISTRIBUTED
     * enumeration: token 8 sits 3-4 near-ring steps from 0, so the bounded
@@ -416,6 +416,67 @@ object PricingOps extends QueryModule {
         CAST(SUM(CASE WHEN pv.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_reused
       FROM pe LEFT JOIN pe pv
         ON pv.epoch + 1 = pe.epoch AND pv.src = pe.src AND pv.dst = pe.dst
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** Path of the persisted verified-subgraph registry for [[g5CrossRunCache]]
+    * (exposed for the cache-hit test). */
+  private[graft] def g5CachePath(s: SparkSession, dir: String): String =
+    s"${ChainFixture.matRoot(s)}_g5reg_${ChainFixture.dirKey(dir)}"
+
+  /** G5 (cross-run form): the verified-subgraph REGISTRY persisted across
+    * runs (graphs/registry.rs:34-120 semantics — verified subgraphs live in
+    * a registry, get REUSED until they expire, and are pruned
+    * `prune_dead_subgraphs`-style past a block horizon). The registry table
+    * is built once per fixture and atomically published under `matRoot`
+    * ([[ChainFixture.materializeWith]]); every later call — and every later
+    * RUN sharing the matRoot — reads the parquet instead of recomputing
+    * (the cache-hit arm is asserted in DomainSpec). The query itself
+    * reports registry composition per epoch: total cached subgraphs,
+    * verified ones (seen in ≥2 distinct blocks — the subgraph_verifier
+    * bar), still-live ones (within the 2-epoch expiry horizon of the
+    * fixture tip), and expired-but-cached ones awaiting pruning. */
+  private val g5CrossRunCache = QueryDef(
+    "g5_cross_run_cache",
+    (s, dir) => {
+      val reg = ChainFixture.materializeWith(s, g5CachePath(s, dir)) { p =>
+        ChainFixture.actionsTable(s, dir)
+          .filter(col("action_type") === "swap" &&
+            col("amount_in").isNotNull && col("amount_out").isNotNull)
+          .select(expr("block_number div 100").as("epoch"),
+            col("token_in_id").as("src"), col("token_out_id").as("dst"),
+            col("block_number"))
+          .groupBy("epoch", "src", "dst")
+          .agg(countDistinct(col("block_number")).as("n_blocks"),
+            count(lit(1)).as("n_obs"))
+          .write.mode("overwrite").parquet(p)
+      }
+      val tip = reg.groupBy().agg(max(col("epoch")).as("tip_epoch"))
+      reg.crossJoin(broadcast(tip))
+        .groupBy(col("epoch"))
+        .agg(count(lit(1)).as("n_subgraphs"),
+          sum(when(col("n_blocks") >= 2, 1L).otherwise(0L)).as("n_verified"),
+          sum(when(col("n_blocks") >= 2 && col("epoch") >= col("tip_epoch") - 2, 1L)
+            .otherwise(0L)).as("n_live"),
+          sum(when(col("n_blocks") >= 2 && col("epoch") < col("tip_epoch") - 2, 1L)
+            .otherwise(0L)).as("n_expired"),
+          sum(col("n_obs")).as("n_observations"))
+        .orderBy("epoch")
+    },
+    withCtes("""reg AS (
+        SELECT block_number // 100 AS epoch, token_in_id AS src,
+          token_out_id AS dst, COUNT(DISTINCT block_number) AS n_blocks,
+          COUNT(*) AS n_obs
+        FROM actions
+        WHERE action_type = 'swap' AND amount_in IS NOT NULL
+          AND amount_out IS NOT NULL
+        GROUP BY 1, 2, 3),
+      tip AS (SELECT MAX(epoch) AS tip_epoch FROM reg)
+      SELECT epoch, COUNT(*) AS n_subgraphs,
+        CAST(SUM(CASE WHEN n_blocks >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_verified,
+        CAST(SUM(CASE WHEN n_blocks >= 2 AND epoch >= tip_epoch - 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+        CAST(SUM(CASE WHEN n_blocks >= 2 AND epoch < tip_epoch - 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_expired,
+        CAST(SUM(n_obs) AS BIGINT) AS n_observations
+      FROM reg CROSS JOIN tip
       GROUP BY 1 ORDER BY 1"""))
 
   /** G6: per-tx-index price emission — DexQuotes rows (pool, block, tx_idx,

@@ -58,4 +58,18 @@ class MaterializeSpec extends SparkTestBase {
     val leftovers = new java.io.File(root).listFiles().map(_.getName).filter(_.contains("inprogress"))
     assert(leftovers.isEmpty, s"leftover attempts: ${leftovers.toSeq}")
   }
+
+  test("g5 registry survives as a cross-run parquet cache: built once, reread after") {
+    import graft.domain.PricingOps
+    val q = SparkEntry.queries("g5_cross_run_cache")
+    val first = q(spark, SfDir).collect()
+    val path = PricingOps.g5CachePath(spark, SfDir)
+    val dirF = new java.io.File(path)
+    assert(dirF.isDirectory, s"registry cache not persisted at $path")
+    val mtimes = dirF.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    val second = q(spark, SfDir).collect()
+    val after = dirF.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    assert(after == mtimes, "second run rewrote the registry instead of reusing it")
+    assert(second.map(_.toString).sorted.sameElements(first.map(_.toString).sorted))
+  }
 }
