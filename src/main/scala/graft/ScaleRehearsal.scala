@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 scale rehearsal (VERDICT r8 task #7): synthesize a ~10× copy of the
+  * sf0.1 fixture under /tmp and measure the heavy queries at both scales so
+  * super-linear blowups that plan inspection can't show are caught by a
+  * measured sf0.1→sf1 wall-clock ratio (linear scaling ⇒ ratio ≈ copies).
+  *
+  * Scaling model — facts scale, dimensions don't (the TPC-H SF contract,
+  * and how a chain grows: more blocks, same pools/tokens):
+  *   - lineitem/orders: K key-shifted copies. The shift is a multiple of
+  *     192 above the max key, so `block_number = l_orderkey div 16`, the
+  *     EOA rotation (`%4`, `div 64 % 3`) and builder frames extend the
+  *     timeline with identical per-block structure.
+  *   - events: K copies; event_id/user_id shifted (new users), ts shifted
+  *     by the span so the stream timeline extends instead of densifying.
+  *   - documents: K copies with every WORD copy-tagged (`c3_the`), so
+  *     shingles across copies are disjoint — the near-dup RATE stays
+  *     constant while the corpus grows K× (replicating text verbatim would
+  *     inflate LSH bucket fan-out quadratically — a different experiment).
+  *   - embeddings: K copies, vectors rotated by k positions (norm
+  *     preserved, direction new) — a K×-corpus ANN workload, not K
+  *     duplicate point-clouds.
+  *   - region/nation/customer/supplier/part: copied as-is (dimensions).
+  *
+  * This writes ONLY under /tmp (testdata is read-only) and is evidence
+  * tooling, not a registered query — oracles still run on driver data.
+  *
+  * Usage: runMain graft.ScaleRehearsal gen|run|both [q1,q2,...]
+  */
+object ScaleRehearsal {
+  val SrcDir = "/root/testdata/sf0.1"
+  val OutDir = "/tmp/graft_sf1"
+  val Copies = 10
+
+  /** The heavy set: slowest legitimate queries of BENCH_full_r07 plus the
+    * dedup/ANN scale paths whose behavior is corpus-size-sensitive. */
+  val Heavy: Seq[String] = Seq(
+    "r4_late_data", "a5_block_analysis_wide", "s5_write_behind",
+    "d7_dedup_pipeline", "j2_dex_asof", "r4_stream_window",
+    "d4_jaccard_verify", "j5_basket_fill", "r5_stream_fold", "r5_tick_fold",
+    "q1_sandwich", "q5_jit", "d2_minhash_lsh", "s1_ann_bruteforce",
+    "s3_ann_ivf")
+
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("both")
+    val only = args.drop(1).headOption
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (mode == "gen" || mode == "both") gen(spark)
+    if (mode == "run" || mode == "both") run(spark, only)
+    spark.stop()
+  }
+
+  private def keySpan(s: SparkSession): Long = {
+    val mx = s.read.parquet(s"$SrcDir/orders.parquet")
+      .agg(max("o_orderkey")).head.getLong(0)
+    (mx / 192 + 1) * 192
+  }
+
+  def gen(spark: SparkSession): Unit = {
+    new java.io.File(OutDir).mkdirs()
+    def write(name: String, df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$OutDir/$name.parquet")
+      println(s"[sf1-gen] $name done")
+    }
+    def src(name: String) = spark.read.parquet(s"$SrcDir/$name.parquet")
+    // dimensions: verbatim
+    Seq("region", "nation", "customer", "supplier", "part")
+      .foreach(t => write(t, src(t)))
+    val span = keySpan(spark)
+    def copies(df: DataFrame): DataFrame =
+      df.crossJoin(spark.range(Copies).select(col("id").as("copy_k")))
+    write("lineitem", copies(src("lineitem"))
+      .withColumn("l_orderkey", col("l_orderkey") + col("copy_k") * span)
+      .drop("copy_k"))
+    write("orders", copies(src("orders"))
+      .withColumn("o_orderkey", col("o_orderkey") + col("copy_k") * span)
+      .drop("copy_k"))
+    val ev = src("events")
+    val tsSpanUs = ev.agg((unix_micros(max("ts")) - unix_micros(min("ts")) +
+      3600L * 1000000L).as("s")).head.getLong(0)
+    write("events", copies(ev)
+      .withColumn("event_id", col("event_id") + col("copy_k") * 1000000000L)
+      .withColumn("user_id", col("user_id") + col("copy_k") * 1000000L)
+      .withColumn("ts", timestamp_micros(unix_micros(col("ts")) +
+        col("copy_k") * tsSpanUs))
+      .drop("copy_k"))
+    write("documents", copies(src("documents"))
+      .withColumn("doc_id", col("doc_id") + col("copy_k") * 1000000000L)
+      .withColumn("text", when(col("copy_k") === 0, col("text")).otherwise(
+        concat_ws(" ", transform(split(col("text"), " "),
+          w => concat(lit("c"), col("copy_k"), lit("_"), w)))))
+      .withColumn("n_chars", length(col("text")))
+      .drop("copy_k"))
+    write("embeddings", copies(src("embeddings"))
+      .withColumn("vec_id", col("vec_id") + col("copy_k") * 1000000000L)
+      .withColumn("embedding", expr(
+        """concat(slice(embedding, cast(copy_k + 1 as int),
+             size(embedding) - cast(copy_k as int)),
+           slice(embedding, 1, cast(copy_k as int)))"""))
+      .drop("copy_k"))
+  }
+
+  def run(spark: SparkSession, only: Option[Set[String]]): Unit = {
+    val names = Heavy.filter(n => only.forall(_.contains(n)))
+    def consume(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    def time(name: String, dir: String): Double = {
+      spark.sharedState.cacheManager.clearCache()
+      val t0 = System.nanoTime()
+      consume(SparkEntry.queries(name)(spark, dir))
+      (System.nanoTime() - t0) / 1e9
+    }
+    // untimed warm-up at each scale: JVM/codegen + the one-time fixture
+    // materialization for the dir (actions/traces parquet store)
+    names.foreach { n =>
+      try { time(n, SrcDir); time(n, OutDir) }
+      catch { case e: Throwable =>
+        println(s"[sf1-warm] $n FAILED: ${e.getMessage}") }
+    }
+    val rows = names.flatMap { n =>
+      try {
+        val a = time(n, SrcDir); val b = time(n, OutDir)
+        println(f"[sf1] $n%-28s sf0.1 $a%7.2fs  sf1 $b%7.2fs  ratio ${b / a}%5.2f")
+        Some((n, a, b))
+      } catch { case e: Throwable =>
+        println(s"[sf1] $n FAILED: ${e.getMessage}"); None }
+    }
+    val js = rows.map { case (n, a, b) =>
+      f""""$n":{"sf01":$a%.3f,"sf1":$b%.3f,"ratio":${b / a}%.2f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"sf1_rehearsal","copies":$Copies,"queries":$js}""")
+  }
+}

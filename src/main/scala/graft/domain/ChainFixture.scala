@@ -502,12 +502,21 @@ object ChainFixture {
   private[graft] def publish(conf: org.apache.hadoop.conf.Configuration,
       tmp: org.apache.hadoop.fs.Path, target: org.apache.hadoop.fs.Path): Unit = {
     val fs = target.getFileSystem(conf)
-    val won =
+    var won =
       try {
         org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, conf)
           .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.NONE)
         true
       } catch { case _: java.io.IOException => false } // incl. FileAlreadyExists
+    // Rename.NONE's not-exists check is itself racy: if the winner's rename
+    // lands between our check and our rename, the local-FS fallback still
+    // moves tmp INTO target. The tmp name is writer-unique, so detect our
+    // own nested attempt under the published table and withdraw it.
+    val nested = new org.apache.hadoop.fs.Path(target, tmp.getName)
+    if (won && fs.exists(nested)) {
+      fs.delete(nested, true): Unit
+      won = false
+    }
     if (!won) fs.delete(tmp, true): Unit
     if (!fs.exists(target))
       throw new java.io.IOException(s"materialize publish failed: $target")
