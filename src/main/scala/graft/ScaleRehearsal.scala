@@ -87,14 +87,16 @@ object ScaleRehearsal {
     write("orders", copies(src("orders"))
       .withColumn("o_orderkey", col("o_orderkey") + col("copy_k") * span)
       .drop("copy_k"))
-    val ev = src("events")
+    // the fixture types ts as TIMESTAMP_NTZ (or INT64 nanos in other
+    // driver generations) — normalize through TIMESTAMP for the micros math
+    val ev = src("events").withColumn("ts", col("ts").cast("timestamp"))
     val tsSpanUs = ev.agg((unix_micros(max("ts")) - unix_micros(min("ts")) +
       3600L * 1000000L).as("s")).head.getLong(0)
     write("events", copies(ev)
       .withColumn("event_id", col("event_id") + col("copy_k") * 1000000000L)
       .withColumn("user_id", col("user_id") + col("copy_k") * 1000000L)
       .withColumn("ts", timestamp_micros(unix_micros(col("ts")) +
-        col("copy_k") * tsSpanUs))
+        col("copy_k") * tsSpanUs).cast("timestamp_ntz"))
       .drop("copy_k"))
     write("documents", copies(src("documents"))
       .withColumn("doc_id", col("doc_id") + col("copy_k") * 1000000000L)

@@ -120,9 +120,13 @@ object PricingOps extends QueryModule {
       FROM edges ORDER BY 1, 2"""))
 
   /** G2: Yen's k-shortest paths on the collected edge list — bounded
-    * driver-side loop (iterative; driver records a rows-only check). Edge
-    * cost is −ln(px)-like: hop count first, then lexicographic path as the
-    * deterministic tiebreak. Searches token 0 → token 20, k = 3. */
+    * driver-side loop (iterative, SURVEY §4.3 sanctioned: the edge list is
+    * dimension-sized). Edge cost is hop count first, then the lexicographic
+    * path string as the deterministic tiebreak; with an exact shortest-path
+    * subroutine under that order, Yen's k results ARE the global top-k
+    * loopless paths — so the query is fully oracle-checkable against a
+    * bounded recursive-CTE enumeration (no longer rows-only).
+    * Searches token 0 → token 20, k = 3. */
   private val g2KPaths = QueryDef(
     "g2_kpaths",
     (s, dir) => {
@@ -143,7 +147,14 @@ object PricingOps extends QueryModule {
             if !visited.contains(n) && !banned.contains((p.head, n)) &&
               !bannedNodes.contains(n)
           } yield n :: p
-          found = next.find(_.head == to).map(_.reverse)
+          // exact (hops, lex) minimum: among same-level hits take the
+          // lexicographic-min path, not the first in iteration order —
+          // this is what makes Yen's output equal the global top-k of the
+          // recursive-CTE enumeration the oracle runs
+          val hits = next.filter(_.head == to)
+          found =
+            if (hits.isEmpty) None
+            else Some(hits.minBy(_.reverse.mkString(",")).reverse)
           visited = visited ++ next.map(_.head)
           frontier = next.groupBy(_.head).values.map(_.minBy(_.reverse.mkString(","))).toList
         }
@@ -177,7 +188,32 @@ object PricingOps extends QueryModule {
         .map { case (p, i) => (i + 1, p.length - 1, p.mkString("->")) }
         .toDF("rank", "n_hops", "path")
     },
-    None)
+    // Yen's with cost (hops, lex path-string) and an EXACT shortest-path
+    // subroutine returns precisely the global k smallest loopless paths
+    // under that order — which a bounded recursive-CTE enumeration can
+    // rank directly. Fixture 0→20 tops out at 11 hops (1×10-hop path,
+    // then 55×11-hop); the 12-hop bound leaves headroom and stays ~40k
+    // walk states.
+    withCtes(s"""$edgesCte,
+      e2 AS (SELECT DISTINCT src, dst FROM edges),
+      kp AS (
+        SELECT * FROM (
+          WITH RECURSIVE walk(path, head) AS (
+            SELECT [src, dst] AS path, dst AS head FROM e2 WHERE src = 0
+            UNION ALL
+            SELECT list_append(w.path, e.dst), e.dst
+            FROM walk w JOIN e2 e ON w.head = e.src
+            WHERE w.head <> 20 AND NOT list_contains(w.path, e.dst)
+              AND len(w.path) <= 12)
+          SELECT path FROM walk WHERE head = 20))
+      SELECT CAST(rank AS INT) AS rank, CAST(len(path) - 1 AS INT) AS n_hops,
+        list_aggregate(list_transform(path, x -> CAST(x AS VARCHAR)),
+          'string_agg', '->') AS path
+      FROM (
+        SELECT path, ROW_NUMBER() OVER (ORDER BY len(path),
+          list_aggregate(list_transform(path, x -> CAST(x AS VARCHAR)),
+            'string_agg', ',')) AS rank
+        FROM kp) WHERE rank <= 3 ORDER BY rank"""))
 
   /** G3: subgraph price fetch — 2-hop quotes through an intermediary,
     * best-product route per (src, dst) pair (the multiply-along-path +
