@@ -25,7 +25,8 @@ import org.apache.spark.sql.streaming.OutputMode
 object StreamOracle extends QueryModule {
 
   def defs: Seq[QueryDef] =
-    Seq(r5StreamFold, r4StreamWindow, r5TickFold, r4LateData, s5WriteBehind)
+    Seq(r5StreamFold, r4StreamWindow, r5TickFold, r4LateData, s5WriteBehind,
+      d8StreamDedup)
 
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -508,4 +509,78 @@ object StreamOracle extends QueryModule {
         COUNT(*) AS n,
         CAST(CAST(SUM(CAST(vol AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_vol
       FROM kept GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** One pre-rolled dedup unit: content hash, arrival batch, min-doc
+    * representative, event time (batches are an hour apart). */
+  case class DedupEvent(h: String, b: Long, rep: Long, ts: java.sql.Timestamp)
+
+  /** D8: STREAMING exact dedup — the ingest-time twin of `d1_exact_dedup`.
+    * A corpus arrives in three micro-batches (doc_id % 3 — duplicates
+    * straddle batches); the stream keeps the FIRST occurrence of each
+    * content hash via `dropDuplicatesWithinWatermark`, the production API
+    * whose state store is bounded by the watermark horizon (here 1 day
+    * against a 2-hour event span, so nothing expires and the output is the
+    * global first-seen set — at 100 TB/day the same query with a tighter
+    * horizon bounds state to the dedup window instead of the corpus).
+    * Each batch is pre-rolled to one unit per (hash, batch) with the
+    * min-doc_id representative, so within-batch survivor choice is
+    * deterministic and the entry verifies exactly the CROSS-BATCH state
+    * carry. Output joins the kept rows back to the per-hash batch count —
+    * n_dup_batches_dropped counts later-batch re-occurrences the state
+    * suppressed. */
+  private val d8StreamDedup = QueryDef(
+    "d8_stream_dedup",
+    (s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val pre = graft.Tables.documents(s, dir)
+        // head fingerprint, not the full text: this corpus has zero exact
+        // full-text duplicates (d1 reports 0 clusters), so keying on the
+        // 100-char head is what makes cross-batch suppression actually
+        // fire (477 distinct heads over 500 docs at sf0.01)
+        .select(md5(substring(col("text"), 1, 100)).as("h"),
+          (col("doc_id") % 3).as("b"), col("doc_id"))
+        .groupBy("h", "b").agg(min(col("doc_id")).as("rep"))
+        .withColumn("ts", timestamp_micros(
+          lit(1700000000000000L) + col("b") * 3600L * 1000000L))
+        .persist()
+      try {
+        val units = pre.as[DedupEvent].collect().sortBy(e => (e.b, e.h))
+        val input = MemoryStream[DedupEvent]
+        val name = s"d8_dedup_${runSeq.incrementAndGet()}"
+        val q = input.toDS()
+          .withWatermark("ts", "1 day")
+          .dropDuplicatesWithinWatermark("h")
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Append()).start()
+        try {
+          (0L to 2L).foreach { b =>
+            input.addData(units.filter(_.b == b).toSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        val nb = pre.groupBy("h").agg(count(lit(1)).as("n_batches"))
+        s.table(name)
+          .join(nb, "h")
+          .groupBy(col("b").as("batch"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("rep")).as("sum_doc_id"),
+            sum(col("n_batches") - 1).as("n_dup_batches_dropped"))
+          .orderBy("batch")
+      } finally { pre.unpersist(false); () }
+    },
+    Some("""WITH pre AS (
+        SELECT md5(substr(text, 1, 100)) AS h, doc_id % 3 AS b,
+          MIN(doc_id) AS rep
+        FROM documents GROUP BY 1, 2),
+      nb AS (SELECT h, COUNT(*) AS n_batches FROM pre GROUP BY 1),
+      first AS (SELECT h, MIN(b) AS b FROM pre GROUP BY 1),
+      kept AS (
+        SELECT p.h, p.b, p.rep FROM pre p
+        JOIN first f ON f.h = p.h AND f.b = p.b)
+      SELECT k.b AS batch, COUNT(*) AS n_kept,
+        CAST(SUM(k.rep) AS BIGINT) AS sum_doc_id,
+        CAST(SUM(n.n_batches - 1) AS BIGINT) AS n_dup_batches_dropped
+      FROM kept k JOIN nb n ON n.h = k.h
+      GROUP BY 1 ORDER BY 1"""))
 }
