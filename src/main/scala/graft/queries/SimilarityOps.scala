@@ -50,7 +50,8 @@ object SimilarityOps extends QueryModule {
   private[graft] def numCellsFor(corpus: Long): Int =
     math.max(MinCells, math.floor(math.sqrt(corpus / 8.0)).toInt)
 
-  def defs: Seq[QueryDef] = Seq(s1BruteForce, s2AnnLsh, s3AnnIvf, s4AnnRecall)
+  def defs: Seq[QueryDef] =
+    Seq(s1BruteForce, s2AnnLsh, s3AnnIvf, s4AnnRecall, s5AnnPq)
 
   /** Sequential double fold of an array expression. */
   private def dblSum(arrExpr: String): Column =
@@ -420,5 +421,181 @@ object SimilarityOps extends QueryModule {
         sigs AS (SELECT vec_id, $bits AS sig FROM proj)
         SELECT sig, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec
         FROM sigs GROUP BY 1 ORDER BY 1"""
+    })
+
+  // ── product quantization (PQ) — the compressed-index scale path ─────────
+
+  private val PqM = 4       // subspaces (production: D/8)
+  private val PqSubDim = 16 // dims per subspace (64 / PqM)
+  private val PqK = 8       // codes per subspace (production: 256 → 1 byte)
+  private val PqIters = 5
+
+  /** Squared L2 between two double arrays, per-row fold, micro-snapped so
+    * Spark's left-to-right fold and DuckDB's unordered SUM land on the
+    * same double (the s3 dot-product determinism argument). Difference is
+    * squared by MULTIPLICATION — pow() may differ by 1 ulp across libm. */
+  private def sqDistCol(aCol: String, bCol: String): Column =
+    graft.ops.ExactAgg.snap(
+      dblSum(s"zip_with($aCol, $bCol, (a, b) -> (a - b) * (a - b))"))
+
+  /** (vec_id, m, sub): each vector split into PqM contiguous subvectors. */
+  private def subFrame(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), expr(
+        s"""explode(transform(sequence(0, ${PqM - 1}),
+             m -> struct(m AS m, slice(emb, m * $PqSubDim + 1, $PqSubDim) AS sub)))""")
+        .as("ms"))
+      .select(col("vec_id"), col("ms.m").as("m"), col("ms.sub").as("sub"))
+
+  private def pqCentsDf(s: SparkSession,
+      cb: Array[Array[Array[Double]]]): DataFrame = {
+    import s.implicits._
+    cb.zipWithIndex.flatMap { case (cs, m) =>
+      cs.zipWithIndex.map { case (cent, c) => (m.toLong, c.toLong, cent.toSeq) }
+    }.toSeq.toDF("m", "c", "cent")
+  }
+
+  /** Argmin-code assignment of every (vec, subspace) against the codebook:
+    * broadcast the (PqM·PqK)-row centroid table, per-row snapped L2 fold,
+    * deterministic (dist, c) tie-break. Keeps `sub` for the update step. */
+  private def pqAssign(s: SparkSession, sub: DataFrame,
+      cb: Array[Array[Array[Double]]]): DataFrame =
+    TopK.perGroup(
+      sub.join(broadcast(pqCentsDf(s, cb)), "m")
+        .withColumn("dist", sqDistCol("sub", "cent")),
+      Seq("vec_id", "m"), Seq(col("dist").asc, col("c").asc), 1,
+      rankCol = "crank")
+      .select("vec_id", "m", "c", "sub", "dist")
+
+  private val pqCodebooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+
+  /** Per-subspace Lloyd's k-means, PqIters rounds, seeded from the first
+    * PqK corpus vectors' subvectors — the PQ training pass. Same
+    * determinism scheme as the IVF codebook: snapped assignment scores,
+    * exact-decimal snapped means, empty codes carry. The collected state
+    * per round is PqM·PqK·PqSubDim = 512 doubles. */
+  private def trainPqCodebook(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    pqCodebooks.computeIfAbsent(dir, _ => {
+      val emb = Tables.embeddings(s, dir)
+        .filter(col("vec_id") >= NumQueries)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      val sub = subFrame(emb).persist()
+      try {
+        val seeds = emb.filter(col("vec_id") < NumQueries + PqK)
+          .orderBy("vec_id").collect()
+          .map(_.getSeq[Double](1).toArray)
+        var cb = Array.tabulate(PqM, PqK) { (m, c) =>
+          seeds(c).slice(m * PqSubDim, (m + 1) * PqSubDim)
+        }
+        for (_ <- 0 until PqIters) {
+          val sums = pqAssign(s, sub, cb)
+            .select(col("m"), col("c"), posexplode(col("sub")).as(Seq("p", "x")))
+            .groupBy("m", "c", "p")
+            .agg(graft.ops.ExactAgg.dsum(col("x")).as("sx"), count(lit(1)).as("n"))
+            .withColumn("cx", graft.ops.ExactAgg.snap(col("sx") / col("n")))
+            .select(col("m").cast("int"), col("c").cast("int"),
+              col("p").cast("int"), col("cx"))
+            .collect()
+          val next = cb.map(_.map(_.clone()))
+          sums.foreach(r => next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+            r.getDouble(3))
+          cb = next
+        }
+        cb
+      } finally { sub.unpersist(false); () }
+    })
+
+  /** S5: product-quantization ANN with asymmetric distance (ADC) — the
+    * COMPRESSED index beside brute-force (s1), sign-LSH (s2), and IVF
+    * (s3): each corpus vector is stored as PqM one-byte codes (here 3-bit
+    * — PqK=8 — at fixture scale; 256 codes in production), a query builds
+    * its PqM×PqK distance table ONCE, and every candidate's approximate
+    * distance is PqM table lookups summed — no corpus-side float math at
+    * probe time. Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search" (TPAMI 2011). Scale shape: the codes table is ~D/(8·PqSubDim)
+    * of the raw corpus bytes (64 floats → 4 bytes here), the query tables
+    * broadcast, and the probe is one linear scan of the codes with
+    * map-side partial top-k. The oracle re-derives the per-subspace
+    * codebooks with PqIters unrolled k-means rounds, re-encodes, and
+    * recomputes ADC — no side copies the other's centroids. */
+  private val s5AnnPq = QueryDef(
+    "s5_ann_pq",
+    (s, dir) => {
+      val cb = trainPqCodebook(s, dir)
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      // corpus → codes (the compressed index)
+      val codes = pqAssign(s, subFrame(emb.filter(col("vec_id") >= NumQueries)), cb)
+        .select(col("vec_id").as("c_id"), col("m").as("cm"), col("c").as("code"))
+      // query → full distance TABLE (every code kept, not just argmin)
+      val qtab = subFrame(emb.filter(col("vec_id") < NumQueries))
+        .join(broadcast(pqCentsDf(s, cb)), "m")
+        .withColumn("dist", sqDistCol("sub", "cent"))
+        .select(col("vec_id").as("q_id"), col("m"), col("c"), col("dist"))
+      val adc = codes.join(broadcast(qtab),
+          col("cm") === col("m") && col("code") === col("c"))
+        .groupBy("q_id", "c_id")
+        .agg(graft.ops.ExactAgg.dsum(col("dist")).as("adc_dist"))
+      TopK.perGroup(adc, Seq("q_id"),
+          Seq(col("adc_dist").asc, col("c_id").asc), 3)
+        .select("q_id", "rank", "c_id", "adc_dist")
+        .orderBy("q_id", "rank")
+    },
+    Some {
+      import graft.ops.ExactAgg.{sqlSnap, sqlSum}
+      val iters = (0 until PqIters).map { i =>
+        s"""pd$i AS MATERIALIZED (
+          SELECT s.vec_id, s.m, k.c,
+            ${sqlSnap("SUM((s.x - k.cx) * (s.x - k.cx))")} AS dist
+          FROM subc s JOIN pq$i k ON k.m = s.m AND k.p = s.p
+          GROUP BY 1, 2, 3),
+        pa$i AS MATERIALIZED (
+          SELECT vec_id, m, c FROM (
+            SELECT vec_id, m, c, ROW_NUMBER() OVER (
+              PARTITION BY vec_id, m ORDER BY dist ASC, c ASC) AS rk
+            FROM pd$i) WHERE rk = 1),
+        ps$i AS MATERIALIZED (
+          SELECT a.m, a.c, e.p, ${sqlSum("e.x")} AS sx, COUNT(*) AS n
+          FROM pa$i a JOIN subc e ON e.vec_id = a.vec_id AND e.m = a.m
+          GROUP BY 1, 2, 3),
+        pq${i + 1} AS MATERIALIZED (
+          SELECT k.m, k.c, k.p, COALESCE(${sqlSnap("s.sx / s.n")}, k.cx) AS cx
+          FROM pq$i k LEFT JOIN ps$i s
+            ON s.m = k.m AND s.c = k.c AND s.p = k.p)"""
+      }.mkString(",\n      ")
+      s"""WITH el AS (
+        SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS x
+        FROM (SELECT vec_id, embedding,
+                unnest(generate_series(1, len(embedding))) AS pos FROM embeddings)),
+      sube AS MATERIALIZED (
+        SELECT vec_id, CAST((pos - 1) // $PqSubDim AS BIGINT) AS m,
+          CAST((pos - 1) % $PqSubDim AS BIGINT) AS p, x
+        FROM el),
+      subc AS MATERIALIZED (SELECT * FROM sube WHERE vec_id >= $NumQueries),
+      pq0 AS MATERIALIZED (
+        SELECT m, vec_id - $NumQueries AS c, p, x AS cx FROM subc
+        WHERE vec_id < ${NumQueries + PqK}),
+      $iters,
+      df AS MATERIALIZED (
+        SELECT s.vec_id, s.m, k.c,
+          ${sqlSnap("SUM((s.x - k.cx) * (s.x - k.cx))")} AS dist
+        FROM sube s JOIN pq$PqIters k ON k.m = s.m AND k.p = s.p
+        GROUP BY 1, 2, 3),
+      codes AS MATERIALIZED (
+        SELECT vec_id AS c_id, m, c FROM (
+          SELECT vec_id, m, c, ROW_NUMBER() OVER (
+            PARTITION BY vec_id, m ORDER BY dist ASC, c ASC) AS rk
+          FROM df WHERE vec_id >= $NumQueries) WHERE rk = 1),
+      adc AS (
+        SELECT q.vec_id AS q_id, cd.c_id, ${sqlSum("q.dist")} AS adc_dist
+        FROM df q JOIN codes cd ON cd.m = q.m AND cd.c = q.c
+        WHERE q.vec_id < $NumQueries
+        GROUP BY 1, 2)
+      SELECT q_id, rank, c_id, adc_dist FROM (
+        SELECT q_id, c_id, adc_dist, CAST(ROW_NUMBER() OVER (
+          PARTITION BY q_id ORDER BY adc_dist ASC, c_id ASC) AS INT) AS rank
+        FROM adc) WHERE rank <= 3 ORDER BY q_id, rank"""
     })
 }
