@@ -39,7 +39,7 @@ object InspectorOps extends QueryModule {
   def defs: Seq[QueryDef] = Seq(a3BundleHeader, q7Liquidations, q2AtomicArb,
     q8SearcherActivity, q1Sandwich, q5Jit, j7PoolOverlap, j8JitBracket,
     j9TriggerDomain, j10ComposerDedup, j10BundleDedup, j11JitSandwich,
-    q9MevBlock, w3ShrinkLoop, q2ArbTree)
+    q9MevBlock, w3ShrinkLoop, q2ArbTree, q2RequirementArms)
 
   private def withCtes(sql: String) = Some(s"WITH $sqlDomainCtes, $sql")
 
@@ -318,6 +318,214 @@ object InspectorOps extends QueryModule {
         MAX(CASE WHEN arb_type = 'cross_pair' THEN
           CASE WHEN n_swaps = 2 THEN 1 ELSE jump END END) AS max_jump
       FROM typed_t GROUP BY 1 ORDER BY 1"""))
+
+  // ── the per-type requirement LADDER (atomic_arb.rs:173-198) ─────────────
+
+  /** Profit clamp bounds (the reference's MAX_PROFIT/MIN_PROFIT, scaled to
+    * the fixture's per-tx PnL range): outside them the price data is
+    * distrusted — profit zeroes and has_dex_price drops, DOUBLING every
+    * count bar (requirement_multiplier 1→2). */
+  private val ClampMaxUsd = 250000.0
+  private val ClampMinUsd = -250000.0
+  /** A tx is "private order-flow" when its root frame pays ≤ this public
+    * tip (fixture analog of TxInfo::is_private; priority_fee ∈ 1..~101). */
+  private val PrivateTipBar = 10L
+  /** Searcher bundle-count bars (atomic_arb.rs: 20·mult triangle/cross/
+    * stable, 100·mult long-tail). The fixture's EOA rotation spreads typed
+    * arbs near-uniformly (~221..241 per EOA at sf0.01), so the reference's
+    * literals would be all-true; the bars scale to ≈p50 / ≈p85 of that
+    * distribution, preserving the semantics — long-tail demands a much
+    * stronger searcher history — with both sides of each bar populated.
+    * The ×2 clamp multiplier pushes either bar past every EOA, so a
+    * distrusted price genuinely disables the count arm. */
+  private val CountBarMain = 232L
+  private val CountBarLongTail = 240L
+
+  /** Q2 (validity form): the reference's per-type requirement arms — the
+    * decision LADDER that turns a typed candidate into an accepted arb
+    * (atomic_arb.rs:173-198), with every signal a fixture analog:
+    *   - profit clamp: |profit| beyond the bounds → profit := 0,
+    *     has_dex_price := false, count bars double (requirement_multiplier);
+    *   - searcher count: the EOA's typed-arb bundle count (the reference's
+    *     is_searcher_of_type_with_count_threshold over its searcher DB);
+    *   - labelled: the J1 searcher dimension (EOAs 0..3);
+    *   - private: root frame public tip ≤ [[PrivateTipBar]];
+    *   - coinbase transfer: the tx carries a builder-payment root frame;
+    *   - mev_contract: root frame targets a known pool contract.
+    * Arms per type (∥ = OR):
+    *   triangle    valid ⟺ profitable ∥ count≥20·m ∥ labelled ∥ (coinbase ∧ private)
+    *   cross_pair  valid ⟺ profitable ∥ stable-jump ∥ count≥20·m ∥ labelled ∥ private ∥ coinbase
+    *   stablecoin  valid ⟺ profitable ∥ count≥20·m ∥ labelled ∥ private ∥ coinbase
+    *   long_tail   valid ⟺ longtail-arm ∧ (profitable ∥ ¬has_dex_price),
+    *     longtail-arm = count≥100·m ∥ labelled ∥ (private ∧ coinbase) ∥ mev_contract
+    * Output: one row per type with the population each arm passes — so the
+    * oracle checks the whole ladder, not just the final verdict. */
+  private val q2RequirementArms = QueryDef(
+    "q2_requirement_arms",
+    (s, dir) => {
+      val sw = swaps(s, dir)
+      val typed = arbTreeOf(sw).select("tx_hash", "arb_type", "n_swaps")
+      // stable-jump: is_stable_pair at the FIRST discontinuity leg
+      // (token_bought = previous leg's out, token_sold = this leg's in)
+      val w = Window.partitionBy("tx_hash").orderBy("trace_idx")
+      val jumpStable = sw
+        .withColumn("p_out", lag(col("token_out_id"), 1).over(w))
+        .withColumn("leg_pos", row_number().over(w))
+        .filter(col("p_out").isNotNull && col("p_out") =!= col("token_in_id"))
+        .groupBy("tx_hash")
+        .agg(min_by(col("p_out") < 5 && col("token_in_id") < 5, col("leg_pos"))
+          .as("jump_stable"))
+      val roots = tracesTable(s, dir).filter(col("trace_idx") === 1)
+        .select(col("tx_hash"),
+          (col("priority_fee") <= PrivateTipBar).as("is_private"),
+          (col("to_address") ===
+            md5(concat(lit("builder:"), col("block_number") % NumBuilders)))
+            .as("coinbase"),
+          col("to_address"))
+      val poolDim = pools(s).select(col("address").as("p_addr"))
+      val sig = roots.join(broadcast(poolDim),
+          col("to_address") === col("p_addr"), "left")
+        .select(col("tx_hash"), col("is_private"), col("coinbase"),
+          col("p_addr").isNotNull.as("mev_contract"))
+      val hdr = bundleHeaders(s, dir).select("tx_hash", "eoa", "profit_usd")
+      val base = typed.join(hdr, "tx_hash")
+      val eoaCounts = base.groupBy("eoa").agg(count(lit(1)).as("s_count"))
+      val lbl = ChainFixture.searchers(s)
+      val armed = base
+        .join(broadcast(eoaCounts), "eoa")
+        .join(broadcast(lbl), col("eoa") === col("s_eoa"), "left")
+        .join(sig, "tx_hash")
+        .join(jumpStable, Seq("tx_hash"), "left")
+        .withColumn("has_dex_price",
+          col("profit_usd") < ClampMaxUsd && col("profit_usd") > ClampMinUsd)
+        .withColumn("profit", when(col("has_dex_price"), col("profit_usd"))
+          .otherwise(lit(0.0)))
+        .withColumn("mult", when(col("has_dex_price"), 1L).otherwise(2L))
+        .withColumn("profitable", col("profit") > 0)
+        .withColumn("labelled", col("s_eoa").isNotNull)
+        .withColumn("cnt_main", col("s_count") >= col("mult") * CountBarMain)
+        .withColumn("cnt_lt", col("s_count") >= col("mult") * CountBarLongTail)
+        .withColumn("is_valid",
+          when(col("arb_type") === "triangle", col("profitable") ||
+            col("cnt_main") || col("labelled") ||
+            (col("coinbase") && col("is_private")))
+          .when(col("arb_type") === "cross_pair", col("profitable") ||
+            coalesce(col("jump_stable"), lit(false)) || col("cnt_main") ||
+            col("labelled") || col("is_private") || col("coinbase"))
+          .when(col("arb_type") === "stablecoin", col("profitable") ||
+            col("cnt_main") || col("labelled") || col("is_private") ||
+            col("coinbase"))
+          .otherwise((col("cnt_lt") || col("labelled") ||
+            (col("is_private") && col("coinbase")) || col("mev_contract")) &&
+            (col("profitable") || !col("has_dex_price"))))
+      armed.groupBy("arb_type")
+        .agg(count(lit(1)).as("n_arbs"),
+          sum(when(col("is_valid"), 1L).otherwise(0L)).as("n_valid"),
+          sum(when(col("profitable"), 1L).otherwise(0L)).as("n_profitable"),
+          sum(when(!col("has_dex_price"), 1L).otherwise(0L)).as("n_clamped"),
+          sum(when(col("labelled"), 1L).otherwise(0L)).as("n_labelled"),
+          sum(when(col("is_private"), 1L).otherwise(0L)).as("n_private"),
+          sum(when(col("coinbase"), 1L).otherwise(0L)).as("n_coinbase"),
+          sum(when(col("mev_contract"), 1L).otherwise(0L)).as("n_mev_contract"),
+          sum(when(col("cnt_main"), 1L).otherwise(0L)).as("n_count_main"),
+          dsumR(when(col("is_valid"), col("profit")).otherwise(lit(0.0)))
+            .as("sum_profit_kept"))
+        .orderBy("arb_type")
+    },
+    withCtes(s"""legs_v AS (
+        SELECT tx_hash, trace_idx, token_in_id, token_out_id,
+          LAG(token_out_id) OVER w AS p_out,
+          ROW_NUMBER() OVER w AS leg_pos
+        FROM swaps WINDOW w AS (PARTITION BY tx_hash ORDER BY trace_idx)),
+      typed_v AS (
+        SELECT tx_hash,
+          CASE WHEN n_swaps = 2 THEN
+            CASE WHEN first_in = last_out AND jump IS NULL THEN 'triangle'
+                 WHEN first_in = last_out AND out0 < 5 AND in_last < 5 THEN 'stablecoin'
+                 WHEN first_in = last_out THEN 'cross_pair'
+                 WHEN first_in < 5 AND last_out < 5 THEN 'stablecoin'
+                 ELSE 'long_tail' END
+          ELSE
+            CASE WHEN first_in <> last_out THEN
+                   CASE WHEN first_in < 5 AND last_out < 5 THEN 'stablecoin'
+                        ELSE 'long_tail' END
+                 WHEN jump IS NOT NULL THEN 'cross_pair'
+                 ELSE 'triangle' END
+          END AS arb_type
+        FROM (
+          SELECT tx_hash, COUNT(*) AS n_swaps,
+            ARG_MIN(token_in_id, trace_idx) AS first_in,
+            ARG_MAX(token_out_id, trace_idx) AS last_out,
+            ARG_MIN(token_out_id, trace_idx) AS out0,
+            ARG_MAX(token_in_id, trace_idx) AS in_last,
+            MIN(CASE WHEN p_out IS NOT NULL AND p_out <> token_in_id
+                     THEN leg_pos - 1 END) AS jump
+          FROM legs_v GROUP BY 1 HAVING COUNT(*) >= 2)),
+      jstab AS (
+        SELECT tx_hash,
+          ARG_MIN(p_out < 5 AND token_in_id < 5, leg_pos) AS jump_stable
+        FROM legs_v
+        WHERE p_out IS NOT NULL AND p_out <> token_in_id
+        GROUP BY 1),
+      roots_v AS (
+        SELECT t.tx_hash, t.priority_fee <= $PrivateTipBar AS is_private,
+          t.to_address = md5('builder:' || t.block_number % $NumBuilders)
+            AS coinbase,
+          p.address IS NOT NULL AS mev_contract
+        FROM trace t
+        LEFT JOIN pool p ON t.to_address = p.address
+        WHERE t.trace_idx = 1),
+      base_v AS (
+        SELECT ty.tx_hash, ty.arb_type, h.eoa, h.profit_usd
+        FROM typed_v ty JOIN header h ON ty.tx_hash = h.tx_hash),
+      ecnt AS (SELECT eoa, COUNT(*) AS s_count FROM base_v GROUP BY 1),
+      lblv AS $searchersCteBody,
+      armed AS (
+        SELECT b.*, c.s_count, l.s_eoa IS NOT NULL AS labelled,
+          r.is_private, r.coinbase, r.mev_contract,
+          COALESCE(j.jump_stable, false) AS jump_stable,
+          b.profit_usd < $ClampMaxUsd AND b.profit_usd > $ClampMinUsd
+            AS has_dex_price
+        FROM base_v b
+        JOIN ecnt c ON b.eoa = c.eoa
+        LEFT JOIN lblv l ON b.eoa = l.s_eoa
+        JOIN roots_v r ON b.tx_hash = r.tx_hash
+        LEFT JOIN jstab j ON b.tx_hash = j.tx_hash),
+      armed2 AS (
+        SELECT *,
+          CASE WHEN has_dex_price THEN profit_usd ELSE 0.0 END AS profit,
+          CASE WHEN has_dex_price THEN 1 ELSE 2 END AS mult
+        FROM armed),
+      armed3 AS (
+        SELECT *,
+          profit > 0 AS profitable,
+          s_count >= $CountBarMain * mult AS cnt_main,
+          s_count >= $CountBarLongTail * mult AS cnt_lt
+        FROM armed2),
+      verdict AS (
+        SELECT *,
+          CASE arb_type
+            WHEN 'triangle' THEN profitable OR cnt_main OR labelled
+              OR (coinbase AND is_private)
+            WHEN 'cross_pair' THEN profitable OR jump_stable OR cnt_main
+              OR labelled OR is_private OR coinbase
+            WHEN 'stablecoin' THEN profitable OR cnt_main OR labelled
+              OR is_private OR coinbase
+            ELSE (cnt_lt OR labelled OR (is_private AND coinbase)
+              OR mev_contract) AND (profitable OR NOT has_dex_price)
+          END AS is_valid
+        FROM armed3)
+      SELECT arb_type, COUNT(*) AS n_arbs,
+        CAST(SUM(CASE WHEN is_valid THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+        CAST(SUM(CASE WHEN profitable THEN 1 ELSE 0 END) AS BIGINT) AS n_profitable,
+        CAST(SUM(CASE WHEN NOT has_dex_price THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+        CAST(SUM(CASE WHEN labelled THEN 1 ELSE 0 END) AS BIGINT) AS n_labelled,
+        CAST(SUM(CASE WHEN is_private THEN 1 ELSE 0 END) AS BIGINT) AS n_private,
+        CAST(SUM(CASE WHEN coinbase THEN 1 ELSE 0 END) AS BIGINT) AS n_coinbase,
+        CAST(SUM(CASE WHEN mev_contract THEN 1 ELSE 0 END) AS BIGINT) AS n_mev_contract,
+        CAST(SUM(CASE WHEN cnt_main THEN 1 ELSE 0 END) AS BIGINT) AS n_count_main,
+        ${sqlSumR("CASE WHEN is_valid THEN profit ELSE 0.0 END")} AS sum_profit_kept
+      FROM verdict GROUP BY 1 ORDER BY 1"""))
 
   /** Distinct swap-leg candidate set (block, tx, pool, direction) — the
     * trigger-search input q2 AND j9 both scan; materialized so the distinct
