@@ -185,7 +185,10 @@ object MultimodalOps extends QueryModule {
         }
       frames.groupBy("stride")
         .agg(count(lit(1)).as("n_sampled"),
-          countDistinct(col("doc_id")).as("n_clips"),
+          // frame 0 is sampled from EVERY clip (0 % stride == 0), so the
+          // clip count is a plain conditional sum — no distinct-aggregate
+          // shuffle
+          sum(when(col("frame_idx") === 0, 1L).otherwise(0L)).as("n_clips"),
           sum(col("frame_idx")).as("sum_frame_idx"),
           sum(col("px_sum")).as("sum_px"))
         .orderBy("stride")
@@ -202,7 +205,7 @@ object MultimodalOps extends QueryModule {
         FROM clips c CROSS JOIN range(12) f(f)
         WHERE f.f < c.nf AND f.f % c.stride = 0)
       SELECT stride, COUNT(*) AS n_sampled,
-        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_clips,
+        CAST(SUM(CASE WHEN frame_idx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clips,
         CAST(SUM(frame_idx) AS BIGINT) AS sum_frame_idx,
         CAST(SUM(h * w * (w - 1) / 2 + w * h * (h - 1) / 2
           + w * h * frame_idx) AS BIGINT) AS sum_px

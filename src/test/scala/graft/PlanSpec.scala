@@ -267,4 +267,30 @@ class PlanSpec extends SparkTestBase {
       assert(salted.nonEmpty, s"$name: no bucket-salted window spec:\n$p")
     }
   }
+
+  test("PQ ADC probe broadcasts the query tables and never cross-joins") {
+    // The codes scan is the big side at scale: the per-query distance
+    // tables must arrive by broadcast, and nothing may degrade to a
+    // cartesian/nested-loop pairing of queries x corpus.
+    val p = plan("s5_ann_pq")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("multimodal codec passes are single-scan: one shuffle to the rollup") {
+    // decode/resize/frame-sample/audio are row-local mapPartitions passes;
+    // the only exchange allowed is the final partial->final aggregation.
+    for (name <- Seq("mm_resize", "mm_frame_sample", "mm_audio_features")) {
+      val p = plan(name)
+      val exchanges = "Exchange ".r.findAllMatchIn(p).size
+      assert(exchanges <= 2, s"$name: $exchanges exchanges in plan:\n$p")
+    }
+  }
+
+  test("q2 requirement ladder joins facts equi-keyed, dimensions broadcast") {
+    val p = plan("q2_requirement_arms")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
