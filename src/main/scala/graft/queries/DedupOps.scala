@@ -25,7 +25,8 @@ object DedupOps extends QueryModule {
   private[queries] val NumBands = 4 // 2 hashes per band
 
   def defs: Seq[QueryDef] = Seq(d1ExactDedup, d2MinhashLsh, d3Simhash,
-    d4JaccardVerify, d5DedupClusters, d6EmbeddingNearDup, d7DedupPipeline)
+    d4JaccardVerify, d5DedupClusters, d6EmbeddingNearDup, d7DedupPipeline,
+    d9KeepBest)
 
   // ── shared shingle machinery (Spark side) ────────────────────────────────
 
@@ -181,7 +182,17 @@ object DedupOps extends QueryModule {
     * grows O(Σ cluster²). This is the 100 TB path when the LSH candidate
     * graph outgrows the driver. */
   private[graft] val MaxLabelRounds = 10
-  private[graft] def distributedClusters(cand: DataFrame): DataFrame = {
+  private[graft] def distributedClusters(cand: DataFrame): DataFrame =
+    distributedLabels(cand)
+      .groupBy("lbl")
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") >= 2)
+      .select(col("lbl").as("cluster_rep"), col("n_members"))
+      .orderBy("cluster_rep")
+
+  /** The label-propagation loop of [[distributedClusters]], exposed at
+    * per-node grain: (doc_id, lbl) for every node of the edge set. */
+  private[graft] def distributedLabels(cand: DataFrame): DataFrame = {
     val sym = cand.unionByName(
       cand.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).persist()
     var labels = sym.groupBy("doc_a")
@@ -206,12 +217,7 @@ object DedupOps extends QueryModule {
       iters += 1
     }
     sym.unpersist(false)
-    labels
-      .groupBy("lbl")
-      .agg(count(lit(1)).as("n_members"))
-      .filter(col("n_members") >= 2)
-      .select(col("lbl").as("cluster_rep"), col("n_members"))
-      .orderBy("cluster_rep")
+    labels.select(col("doc_a").as("doc_id"), col("lbl"))
   }
 
   /** Connected components over the LSH candidate pairs — the clustering
@@ -246,6 +252,30 @@ object DedupOps extends QueryModule {
         .filter(_._2 >= 2).toSeq.sortBy(_._1)
         .toDF("cluster_rep", "n_members")
     } else distributedClusters(cand)
+  }
+
+  /** Per-node cluster membership (doc_id, lbl) over an edge frame — the
+    * same driver-union-find / distributed-propagation split as
+    * [[clusterEdges]], but keeping the member grain so a downstream policy
+    * can choose WHICH doc survives each cluster. */
+  private[queries] def clusterLabels(s: SparkSession, edgeDf: DataFrame): DataFrame = {
+    val cand = edgeDf.persist()
+    val nEdges = cand.count()
+    if (nEdges <= 1000000) {
+      import s.implicits._
+      val edges = cand.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.toSeq.map(x => (x, find(x))).sortBy(_._1)
+        .toDF("doc_id", "lbl")
+    } else distributedLabels(cand)
   }
 
   private val d5DedupClusters = QueryDef(
@@ -414,4 +444,77 @@ object DedupOps extends QueryModule {
       SELECT lbl AS cluster_rep, COUNT(*) AS n_members,
         COUNT(*) - 1 AS n_removed
       FROM labels GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1"""))
+
+  /** D9: quality-aware survivor selection — the POLICY stage after
+    * clustering: instead of d7's keep-min-id, each verified near-dup
+    * cluster keeps its best member by (lexical diversity, length, id) —
+    * the "keep the richest version" rule a training-data pipeline applies
+    * so boilerplate-heavy variants are the ones dropped. Lexical diversity
+    * = |distinct words| / |words|, an IEEE division both engines compute
+    * bit-identically; the argmax runs as ONE max_by over a struct ordering
+    * (no per-cluster sort), so the policy is a single aggregation at
+    * cluster grain regardless of corpus size. */
+  private val d9KeepBest = QueryDef(
+    "d9_keep_best",
+    (s, dir) => {
+      val sh = shingles(s, dir).persist()
+      val verified = jaccardScored(sh)
+        .filter(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+      val quality = Tables.documents(s, dir)
+        .withColumn("words", split(col("text"), " "))
+        .withColumn("quality", size(array_distinct(col("words"))).cast("double")
+          / size(col("words")))
+        .select(col("doc_id").as("q_doc"), col("quality"), col("n_chars"))
+      clusterLabels(s, verified)
+        .join(quality, col("doc_id") === col("q_doc"))
+        .groupBy("lbl")
+        .agg(count(lit(1)).as("n_members"),
+          max_by(col("doc_id"),
+            struct(col("quality"), col("n_chars"), -col("doc_id"))).as("kept_doc"),
+          max(col("quality")).as("best_quality"),
+          (count(lit(1)) - 1).as("n_removed"))
+        .filter(col("n_members") >= 2)
+        .select(col("lbl").as("cluster_rep"), col("n_members"), col("kept_doc"),
+          col("best_quality"), col("n_removed"))
+        .orderBy("cluster_rep")
+    },
+    Some(s"""WITH RECURSIVE $shinglesCte, $sigCte, $bandsCte, $candCte,
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2),
+      ver AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5),
+      sym AS (SELECT doc_a, doc_b FROM ver
+              UNION SELECT doc_b, doc_a FROM ver),
+      reach(doc_a, doc_b) AS (
+        SELECT doc_a, doc_b FROM sym
+        UNION
+        SELECT r.doc_a, s.doc_b FROM reach r JOIN sym s ON r.doc_b = s.doc_a
+        WHERE r.doc_a <> s.doc_b),
+      labels AS (SELECT doc_a AS doc_id, LEAST(MIN(doc_b), doc_a) AS lbl
+                 FROM reach GROUP BY doc_a),
+      qual AS (
+        SELECT doc_id AS q_doc,
+          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')) AS quality,
+          n_chars
+        FROM documents),
+      ranked AS (
+        SELECT l.lbl, l.doc_id, q.quality, q.n_chars,
+          ROW_NUMBER() OVER (PARTITION BY l.lbl
+            ORDER BY q.quality DESC, q.n_chars DESC, l.doc_id ASC) AS rk
+        FROM labels l JOIN qual q ON l.doc_id = q.q_doc)
+      SELECT lbl AS cluster_rep, COUNT(*) AS n_members,
+        MAX(CASE WHEN rk = 1 THEN doc_id END) AS kept_doc,
+        MAX(quality) AS best_quality,
+        COUNT(*) - 1 AS n_removed
+      FROM ranked GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1"""))
 }
