@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
 object TextOps extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(langId, qualityScore, tokenCount, fingerprint,
-    corpusFilter, mmBinaryMeta, mmDecodePipeline)
+    corpusFilter, textClean, mmBinaryMeta, mmDecodePipeline)
 
   /** Decoded media metadata row (the typed output of the decode stage). */
   case class MediaMeta(doc_id: Long, kind: String, n_bytes: Long, w: Long, h: Long)
@@ -193,6 +193,69 @@ object TextOps extends QueryModule {
     * codec (real decode lives in `mm_decode_pipeline` below). Both engines
     * compare the header in the hex-string domain (DuckDB has no BLOB
     * substring overload). */
+  /** Text CLEANING — the normalization pass upstream of every dedup/
+    * quality stage: URL stripping, markup-tag removal, whitespace
+    * collapse, case folding. The fixture corpus is synthetic-clean, so the
+    * dirt is INJECTED deterministically (spam URL + doubled spaces on
+    * doc_id%3==0, a void markup tail on doc_id%2==0, upper-cased noise),
+    * then the cleaning pipeline — three regexp_replace passes + lower +
+    * trim, all codegen'd builtins — must reproduce the closed-form
+    * expected text byte-for-byte (`n_roundtrip_ok`). The regexes are in
+    * the Java∩RE2 common dialect so both engines execute the SAME
+    * patterns; DuckDB gets the 'g' flag (its default is first-match). */
+  private val textClean = QueryDef(
+    "t_text_clean",
+    (s, dir) => {
+      val dirty = Tables.documents(s, dir)
+        .withColumn("dirty", concat(
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit("VISIT http://spam.example/"),
+              md5(col("doc_id").cast("string")), lit(" NOW  ")))
+            .otherwise(lit("")),
+          col("text"),
+          when(pmod(col("doc_id"), lit(2)) === 0, " <br/><hr/>").otherwise("")))
+      val cleaned = dirty.withColumn("clean",
+          trim(regexp_replace(regexp_replace(regexp_replace(lower(col("dirty")),
+            "https?://[^ ]+", ""), "<[^>]*>", ""), " +", " ")))
+        .withColumn("expected", concat(
+          when(pmod(col("doc_id"), lit(3)) === 0, "visit now ").otherwise(""),
+          col("text")))
+      cleaned
+        .groupBy(pmod(col("doc_id"), lit(3)).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("dirty"))).as("sum_dirty_chars"),
+          sum(length(col("clean"))).as("sum_clean_chars"),
+          sum(when(col("dirty").contains("http"), 1L).otherwise(0L))
+            .as("n_urls_removed"),
+          sum(when(col("clean") === col("expected"), 1L).otherwise(0L))
+            .as("n_roundtrip_ok"))
+        .orderBy("bucket")
+    },
+    Some("""WITH dirty AS (
+        SELECT doc_id, text,
+          (CASE WHEN doc_id % 3 = 0
+            THEN 'VISIT http://spam.example/' || md5(CAST(doc_id AS VARCHAR)) || ' NOW  '
+            ELSE '' END)
+          || text
+          || (CASE WHEN doc_id % 2 = 0 THEN ' <br/><hr/>' ELSE '' END) AS d
+        FROM documents),
+      cleaned AS (
+        SELECT doc_id, text, d,
+          trim(regexp_replace(regexp_replace(regexp_replace(lower(d),
+            'https?://[^ ]+', '', 'g'), '<[^>]*>', '', 'g'), ' +', ' ', 'g'))
+            AS clean,
+          (CASE WHEN doc_id % 3 = 0 THEN 'visit now ' ELSE '' END) || text
+            AS expected
+        FROM dirty)
+      SELECT doc_id % 3 AS bucket, COUNT(*) AS n_docs,
+        CAST(SUM(length(d)) AS BIGINT) AS sum_dirty_chars,
+        CAST(SUM(length(clean)) AS BIGINT) AS sum_clean_chars,
+        CAST(SUM(CASE WHEN d LIKE '%http%' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_urls_removed,
+        CAST(SUM(CASE WHEN clean = expected THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_roundtrip_ok
+      FROM cleaned GROUP BY 1 ORDER BY 1"""))
+
   private val mmBinaryMeta = QueryDef(
     "mm_binary_meta",
     (s, dir) => {
