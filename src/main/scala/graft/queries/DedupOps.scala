@@ -258,7 +258,7 @@ object DedupOps extends QueryModule {
     * same driver-union-find / distributed-propagation split as
     * [[clusterEdges]], but keeping the member grain so a downstream policy
     * can choose WHICH doc survives each cluster. */
-  private[queries] def clusterLabels(s: SparkSession, edgeDf: DataFrame): DataFrame = {
+  private[graft] def clusterLabels(s: SparkSession, edgeDf: DataFrame): DataFrame = {
     val cand = edgeDf.persist()
     val nEdges = cand.count()
     if (nEdges <= 1000000) {

@@ -116,4 +116,16 @@ class OpsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(out == Seq((1L, 3L), (5L, 2L), (20L, 5L)))
   }
+
+  test("DedupOps clusterLabels agrees per-node between driver and distributed paths") {
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (20L, 21L), (21L, 22L),
+      (22L, 23L), (23L, 24L)).toDF("doc_a", "doc_b")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val driver = norm(graft.queries.DedupOps.clusterLabels(spark, edges))
+    val dist = norm(graft.queries.DedupOps.distributedLabels(edges))
+    assert(driver == dist, s"driver=$driver dist=$dist")
+    assert(driver == Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L),
+      (20L, 20L), (21L, 20L), (22L, 20L), (23L, 20L), (24L, 20L)))
+  }
 }

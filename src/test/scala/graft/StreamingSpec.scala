@@ -187,4 +187,30 @@ class StreamingSpec extends SparkTestBase {
     // bit-identical, not doubled (mode("append") fails this test)
     assert(after == before, s"replay changed output: ${after.size} vs ${before.size} rows")
   }
+
+  test("D8 streaming dedup suppresses re-occurrences across micro-batches only") {
+    import graft.streaming.StreamOracle.DedupEvent
+    implicit val sqlCtx = spark.sqlContext
+    def ev(h: String, b: Long, rep: Long) =
+      DedupEvent(h, b, rep, new java.sql.Timestamp(1700000000000L + b * 3600000L))
+    val input = MemoryStream[DedupEvent]
+    val q = input.toDS()
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark("h")
+      .writeStream.format("memory").queryName("d8_planted")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(ev("a", 0, 10), ev("b", 0, 11))
+      q.processAllAvailable()
+      // batch 1: "a" re-occurs (state suppresses), "c" is new
+      input.addData(ev("a", 1, 20), ev("c", 1, 21))
+      q.processAllAvailable()
+      // batch 2: "b" and "c" re-occur, "d" is new
+      input.addData(ev("b", 2, 30), ev("c", 2, 31), ev("d", 2, 32))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("d8_planted").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(kept == Seq(("a", 0L), ("b", 0L), ("c", 1L), ("d", 2L)), kept.toString)
+  }
 }
