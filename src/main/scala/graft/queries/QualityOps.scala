@@ -1,0 +1,288 @@
+package graft.queries
+
+import graft.ops.ExactAgg
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-based quality + corpus-shaping operators for a pretraining data
+  * pipeline: n-gram LM perplexity filtering (CCNet), DSIR importance
+  * weighting, sliding-window chunking, TF-IDF term extraction, and
+  * deterministic source-mixture balancing.
+  *
+  * Scale stances (the 100 TB story, per op):
+  *   - bigram LM: the trained count tables are VOCABULARY-sized (≪ corpus —
+  *     Heaps' law), so scoring is one explode + two hash joins against
+  *     dimension tables; the corpus is never self-joined. On a cluster the
+  *     count tables broadcast (or hash-partition by word for web-scale
+  *     vocabularies); training itself is one map-side-combined groupBy.
+  *   - DSIR: the feature space is HASHED to a fixed 256-bucket table
+  *     (Xie et al., "Data Selection for Language Models via Importance
+  *     Resampling") precisely so the importance model stays a broadcastable
+  *     constant-size dimension no matter the corpus size.
+  *   - chunking: pure row-local explode — linear, no shuffle.
+  *   - TF-IDF: the DF table is vocabulary-sized; the only corpus-sized
+  *     shuffle is the (doc, word) rollup that any TF computation needs.
+  *   - source mix: the policy table is one row per source (20 here,
+  *     thousands at worst) — broadcast; selection is a deterministic
+  *     per-row hash test, so the sample is reproducible under any
+  *     partitioning, ordering, or incremental corpus growth.
+  *
+  * Every float reduction goes through [[ExactAgg]] (snap + exact decimal
+  * sum) so results are bit-stable across engines and parallelism.
+  */
+object QualityOps extends QueryModule {
+
+  def defs: Seq[QueryDef] = Seq(bigramLm, dsirWeight, chunkOverlap,
+    idfTopTerms, sourceMix)
+
+  /** Uniform-in-[0,65536) integer from the first 4 md5 nibbles of the doc
+    * id — the portable per-document coin every deterministic sampling op
+    * shares (same algebra in Spark and DuckDB; no engine hash involved). */
+  private val uNibbles =
+    """((instr('0123456789abcdef', substring(h,1,1))-1)*4096
+      + (instr('0123456789abcdef', substring(h,2,1))-1)*256
+      + (instr('0123456789abcdef', substring(h,3,1))-1)*16
+      + (instr('0123456789abcdef', substring(h,4,1))-1))"""
+
+  /** T: bigram-LM perplexity scoring — the CCNet/KenLM quality signal
+    * (Wenzek et al., "CCNet: Extracting High Quality Monolingual Datasets
+    * from Web Crawl Data"): train an add-1-smoothed word-bigram LM on the
+    * deterministic train split (md5 nibble ≤ 'b', the [[PipelineOps]]
+    * t_hash_split convention) and score EVERY document by mean negative
+    * log-likelihood; docs above the fixture-p80 threshold flag as
+    * perplexity outliers. Unseen bigrams back off to 1/(c1+V). */
+  private val bigramLm = QueryDef(
+    "t_bigram_lm",
+    (s, dir) => {
+      val w = Tables.documents(s, dir)
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("is_train",
+          substring(md5(col("doc_id").cast("string")), 1, 1) <= "b")
+      val bg = w.select(col("doc_id"), col("is_train"),
+        expr("""inline(transform(sequence(1, size(ws)-1),
+                i -> struct(element_at(ws,i) AS w1, element_at(ws,i+1) AS w2)))"""))
+      val b = bg.filter(col("is_train")).groupBy("w1", "w2")
+        .agg(count(lit(1)).as("cb"))
+      val c1 = b.groupBy("w1").agg(sum(col("cb")).as("c1"))
+      val v = bg.filter(col("is_train"))
+        .select(col("w1").as("w")).union(bg.filter(col("is_train")).select(col("w2")))
+        .agg(countDistinct(col("w")).as("v"))
+      val sc = bg
+        .join(b, Seq("w1", "w2"), "left")
+        .join(c1, Seq("w1"), "left")
+        .crossJoin(broadcast(v))
+        .withColumn("nll", -log(
+          (coalesce(col("cb"), lit(0)) + 1).cast("double") /
+            (coalesce(col("c1"), lit(0)) + col("v")).cast("double")))
+      sc.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          (ExactAgg.dsumR(col("nll")) / count(lit(1))).as("avg_nll"))
+        .withColumn("flag_perplex", (col("avg_nll") > 3.43e0).cast("long"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws,
+          substring(md5(CAST(doc_id AS VARCHAR)),1,1) <= 'b' AS is_train
+        FROM documents),
+      bg AS (SELECT doc_id, is_train, ws[i.i] AS w1, ws[i.i+1] AS w2
+        FROM w, LATERAL unnest(generate_series(1, len(ws)-1)) AS i(i)),
+      b AS (SELECT w1, w2, COUNT(*) AS cb FROM bg WHERE is_train GROUP BY 1,2),
+      c1 AS (SELECT w1, SUM(cb) AS c1 FROM b GROUP BY 1),
+      v AS (SELECT COUNT(DISTINCT w) AS v FROM (
+        SELECT w1 AS w FROM bg WHERE is_train
+        UNION ALL SELECT w2 FROM bg WHERE is_train)),
+      sc AS (SELECT g.doc_id,
+          -ln(CAST(COALESCE(b.cb,0)+1 AS DOUBLE)
+              / CAST(COALESCE(c1.c1,0)+v.v AS DOUBLE)) AS nll
+        FROM bg g LEFT JOIN b ON g.w1=b.w1 AND g.w2=b.w2
+        LEFT JOIN c1 ON g.w1=c1.w1 CROSS JOIN v)
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+        (${ExactAgg.sqlSumR("nll")} / COUNT(*)) AS avg_nll,
+        CAST(CASE WHEN (${ExactAgg.sqlSumR("nll")} / COUNT(*)) > 3.43e0
+          THEN 1 ELSE 0 END AS BIGINT) AS flag_perplex
+      FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** T: DSIR importance weights — hashed-unigram importance resampling
+    * (Xie et al., NeurIPS 2023): estimate target (the doc_id % 41 = 0 eval
+    * set, the [[PipelineOps]] decontamination convention) and raw-corpus
+    * unigram distributions over 256 md5-hashed buckets with +0.5 Laplace
+    * smoothing, and score every raw document by its mean per-token
+    * log-importance ln(p_target/p_raw); docs above the fixture's p80
+    * (-0.1727 — smoothing bias centers the mean near -0.2, so the ordering,
+    * not the sign, carries the signal) are selected. The importance model
+    * is a fixed 256-row broadcast table. */
+  private val dsirWeight = QueryDef(
+    "t_dsir_weight",
+    (s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .withColumn("is_eval", pmod(col("doc_id"), lit(41)) === 0)
+        .select(col("doc_id"), col("is_eval"),
+          explode(split(col("text"), " ")).as("word"))
+        .withColumn("b", substring(md5(col("word")), 1, 2))
+      val ct = tok.filter(col("is_eval")).groupBy("b").agg(count(lit(1)).as("ct"))
+      val cr = tok.filter(!col("is_eval")).groupBy("b").agg(count(lit(1)).as("cr"))
+      val lr = ct.join(cr, Seq("b"), "full_outer")
+        .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"),
+          coalesce(col("cr"), lit(0L)).as("cr"))
+      val tots = tok.agg(
+        sum(col("is_eval").cast("long")).as("tt"),
+        sum((!col("is_eval")).cast("long")).as("tr"))
+      val scored = tok.filter(!col("is_eval"))
+        .join(broadcast(lr), Seq("b"))
+        .crossJoin(broadcast(tots))
+        .withColumn("logr", log(
+          ((col("ct") + 0.5e0) / (col("tt") + 128.0e0)) /
+            ((col("cr") + 0.5e0) / (col("tr") + 128.0e0))))
+      scored.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          (ExactAgg.dsumR(col("logr")) / count(lit(1))).as("avg_logr"))
+        .withColumn("selected", (col("avg_logr") > -0.1727e0).cast("long"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tok AS (SELECT doc_id, doc_id % 41 = 0 AS is_eval,
+          substring(md5(wo.word),1,2) AS b
+        FROM documents, LATERAL unnest(string_split(text,' ')) AS wo(word)),
+      ct AS (SELECT b, COUNT(*) AS ct FROM tok WHERE is_eval GROUP BY 1),
+      cr AS (SELECT b, COUNT(*) AS cr FROM tok WHERE NOT is_eval GROUP BY 1),
+      lr AS (SELECT COALESCE(ct.b, cr.b) AS b, COALESCE(ct.ct,0) AS ct,
+          COALESCE(cr.cr,0) AS cr
+        FROM ct FULL OUTER JOIN cr ON ct.b = cr.b),
+      tots AS (SELECT SUM(CASE WHEN is_eval THEN 1 ELSE 0 END) AS tt,
+          SUM(CASE WHEN is_eval THEN 0 ELSE 1 END) AS tr FROM tok),
+      sc AS (SELECT doc_id,
+          ln(((ct + 0.5e0) / (tt + 128.0e0)) / ((cr + 0.5e0) / (tr + 128.0e0)))
+            AS logr
+        FROM tok JOIN lr USING (b) CROSS JOIN tots WHERE NOT is_eval)
+      SELECT doc_id, COUNT(*) AS n_words,
+        (${ExactAgg.sqlSumR("logr")} / COUNT(*)) AS avg_logr,
+        CAST(CASE WHEN (${ExactAgg.sqlSumR("logr")} / COUNT(*)) > -0.1727e0
+          THEN 1 ELSE 0 END AS BIGINT) AS selected
+      FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** T: sliding-window chunking — fixed 64-token windows at stride 48
+    * (16-token overlap), the RAG / context-extension chunker. Every token
+    * position is covered, the final window is allowed to run short, and
+    * chunk boundaries depend only on the document (never on partitioning).
+    * Emits the chunk table itself — id, offset, length, boundary words —
+    * because downstream embedding jobs consume exactly this. */
+  private val chunkOverlap = QueryDef(
+    "t_chunk_overlap",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("n", size(col("ws")))
+        .withColumn("k", when(col("n") <= 64, lit(0))
+          .otherwise(ceil((col("n") - 64).cast("double") / 48.0e0).cast("int")))
+        .select(col("doc_id"), col("ws"), col("n"),
+          expr("""inline(transform(sequence(0, k),
+                  kk -> struct(kk AS chunk_id, kk*48+1 AS start_tok)))"""))
+        .withColumn("n_tok", least(lit(64), col("n") - col("start_tok") + 1))
+        .withColumn("first_w", expr("element_at(ws, start_tok)"))
+        .withColumn("last_w", expr("element_at(ws, start_tok + n_tok - 1)"))
+        .select("doc_id", "chunk_id", "start_tok", "n_tok", "first_w", "last_w")
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      d AS (SELECT doc_id, ws, len(ws) AS n,
+          CASE WHEN len(ws) <= 64 THEN 0
+            ELSE CAST(ceil(CAST(len(ws)-64 AS DOUBLE)/48.0e0) AS INTEGER)
+          END AS k
+        FROM w),
+      c AS (SELECT doc_id, ws, n, kk.kk AS chunk_id, kk.kk*48+1 AS start_tok,
+          least(64, n - (kk.kk*48+1) + 1) AS n_tok
+        FROM d, LATERAL unnest(generate_series(0, k)) AS kk(kk))
+      SELECT doc_id, chunk_id, start_tok, n_tok,
+        ws[start_tok] AS first_w, ws[start_tok + n_tok - 1] AS last_w
+      FROM c ORDER BY doc_id, chunk_id"""))
+
+  /** T: TF-IDF top-term extraction — per-document highest tf·idf term
+    * (idf = ln(N/df)), the classic keyword/topic signal. Scores are
+    * grid-snapped BEFORE ranking so the (score desc, term asc) order is
+    * identical in both engines even when libm ln differs by an ulp. */
+  private val idfTopTerms = QueryDef(
+    "t_idf_top_terms",
+    (s, dir) => {
+      val tf = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+      val scored = tf.join(df, Seq("word")).crossJoin(broadcast(n))
+        .withColumn("score", ExactAgg.snap(
+          col("tf") * log(col("n").cast("double") / col("df").cast("double"))))
+      val byDoc = Window.partitionBy("doc_id")
+      scored
+        .withColumn("n_terms", count(lit(1)).over(byDoc))
+        .withColumn("rk", row_number().over(
+          byDoc.orderBy(col("score").desc, col("word").asc)))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("n_terms"), col("word").as("top_term"),
+          col("score").as("top_score"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tf AS (SELECT doc_id, wo.word AS word, COUNT(*) AS tf
+        FROM documents, LATERAL unnest(string_split(text,' ')) AS wo(word)
+        GROUP BY 1, 2),
+      df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n FROM documents),
+      sc AS (SELECT doc_id, word,
+          ${ExactAgg.sqlSnap("tf * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE))")}
+            AS score
+        FROM tf JOIN df USING (word) CROSS JOIN n),
+      rk AS (SELECT doc_id, word, score,
+          COUNT(*) OVER (PARTITION BY doc_id) AS n_terms,
+          ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, word ASC) AS rk
+        FROM sc)
+      SELECT doc_id, n_terms, word AS top_term, score AS top_score
+      FROM rk WHERE rk = 1 ORDER BY doc_id"""))
+
+  /** T: source-mixture balancing — hit per-source target weights (the
+    * data-mixing step of every pretraining recipe) by deterministic
+    * downsampling: acceptance probability p_s = (w_s/n_s) / max_t(w_t/n_t)
+    * keeps the most-underrepresented source whole and thins the rest;
+    * a document is kept iff its md5-nibble uniform < p_s, so membership is
+    * a pure function of (doc_id, corpus counts) — stable under
+    * repartitioning and reproducible on re-runs. Target weights cycle
+    * 1.0/1.5/2.0 by source index so every branch is live. */
+  private val sourceMix = QueryDef(
+    "t_source_mix",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pol = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("idx", substring(col("source"), 4, 2).cast("int"))
+        .withColumn("w", lit(1.0e0) + pmod(col("idx"), lit(3)).cast("double") * 0.5e0)
+        .withColumn("ratio", col("w") / col("n_docs"))
+      val mx = pol.agg(max(col("ratio")).as("maxratio"))
+      val p = pol.crossJoin(broadcast(mx))
+        .withColumn("p_keep", col("ratio") / col("maxratio"))
+        .select("source", "p_keep")
+      docs
+        .withColumn("h", md5(col("doc_id").cast("string")))
+        .withColumn("u", expr(uNibbles))
+        .join(broadcast(p), Seq("source"))
+        .withColumn("keep", (col("u").cast("double") < col("p_keep") * 65536.0e0)
+          .cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_kept"),
+          first(col("p_keep")).as("p_keep"))
+        .withColumn("achieved", col("n_kept").cast("double") / col("n_docs"))
+        .orderBy("source")
+    },
+    Some(s"""WITH pol AS (SELECT source, COUNT(*) AS n_docs,
+          (1.0e0 + (CAST(substring(source, 4, 2) AS INTEGER) % 3) * 0.5e0)
+            / COUNT(*) AS ratio
+        FROM documents GROUP BY 1),
+      mx AS (SELECT MAX(ratio) AS maxratio FROM pol),
+      p AS (SELECT source, ratio / maxratio AS p_keep FROM pol CROSS JOIN mx),
+      d AS (SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents),
+      k AS (SELECT d.source, doc_id, p_keep,
+          CASE WHEN CAST($uNibbles AS DOUBLE) < p_keep * 65536.0e0
+            THEN 1 ELSE 0 END AS keep
+        FROM d JOIN p ON d.source = p.source)
+      SELECT source, COUNT(*) AS n_docs, CAST(SUM(keep) AS BIGINT) AS n_kept,
+        MAX(p_keep) AS p_keep,
+        CAST(SUM(keep) AS DOUBLE) / COUNT(*) AS achieved
+      FROM k GROUP BY 1 ORDER BY 1"""))
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants + plan pins for the QualityOps corpus-shaping operators. */
+class QualitySpec extends SparkTestBase {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, SfDir)
+
+  private def plan(name: String): String =
+    run(name).queryExecution.executedPlan.toString
+
+  test("t_bigram_lm scores every document and both flag arms are live") {
+    val total = Tables.documents(spark, SfDir).count()
+    val rows = run("t_bigram_lm")
+    assert(rows.count() == total, "every doc gets a perplexity score")
+    val flags = rows.groupBy("flag_perplex").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flags.keySet == Set(0L, 1L), s"both arms live: $flags")
+  }
+
+  test("t_bigram_lm train docs score lower NLL than held-out on average") {
+    // The LM saw the train split — its mean NLL must beat the holdout's.
+    val df = run("t_bigram_lm")
+      .withColumn("is_train",
+        substring(md5(col("doc_id").cast("string")), 1, 1) <= "b")
+      .groupBy("is_train").agg(avg("avg_nll").as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(df(true) < df(false), s"train ${df(true)} vs holdout ${df(false)}")
+  }
+
+  test("t_dsir_weight importance model joins as a broadcast") {
+    val p = plan("t_dsir_weight")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("t_dsir_weight excludes the eval target set and both arms are live") {
+    val rows = run("t_dsir_weight")
+    assert(rows.filter(pmod(col("doc_id"), lit(41)) === 0).count() == 0)
+    // threshold is tuned to the sf0.01 gate fixture's p80; here just assert
+    // the selection actually discriminates (neither arm vacuous)
+    val sel = rows.agg(sum("selected"), count(lit(1))).head()
+    assert(sel.getLong(0) > 0 && sel.getLong(0) < sel.getLong(1),
+      s"selected ${sel.getLong(0)}/${sel.getLong(1)}")
+  }
+
+  test("t_chunk_overlap covers every token with correct stride geometry") {
+    val chunks = run("t_chunk_overlap").collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val nDocs = Tables.documents(spark, SfDir).count()
+    assert(chunks.size == nDocs)
+    val docLen = Tables.documents(spark, SfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    chunks.foreach { case (doc, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("chunk_id"))
+      // starts advance by the stride; first chunk starts at token 1
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Int]("chunk_id") == i)
+        assert(r.getAs[Int]("start_tok") == i * 48 + 1)
+      }
+      // last chunk reaches exactly the end of the document
+      val last = sorted.last
+      assert(last.getAs[Int]("start_tok") + last.getAs[Int]("n_tok") - 1
+        == docLen(doc), s"doc $doc end coverage")
+      // every non-final chunk is full-width
+      sorted.init.foreach(r => assert(r.getAs[Int]("n_tok") == 64))
+    }
+  }
+
+  test("t_idf_top_terms picks a term present in the document") {
+    val top = run("t_idf_top_terms").select("doc_id", "top_term").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docs = Tables.documents(spark, SfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
+    top.foreach { case (d, t) => assert(docs(d).contains(t), s"doc $d term $t") }
+    assert(top.size == docs.size)
+  }
+
+  test("t_source_mix keeps the scarcest-weighted source whole and thins others") {
+    val rows = run("t_source_mix").collect()
+    assert(rows.length == 20)
+    val whole = rows.filter(_.getAs[Double]("p_keep") >= 1.0 - 1e-12)
+    assert(whole.nonEmpty, "some source must be kept whole (p=1 anchor)")
+    whole.foreach(r =>
+      assert(r.getAs[Long]("n_kept") == r.getAs[Long]("n_docs")))
+    assert(rows.exists(r => r.getAs[Long]("n_kept") < r.getAs[Long]("n_docs")),
+      "some source must actually be thinned")
+    // deterministic: achieved fraction tracks p_keep within binomial noise
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("achieved") - r.getAs[Double]("p_keep"))
+        < 0.25, r.toString)
+    }
+  }
+
+  test("t_source_mix policy table joins as a broadcast") {
+    val p = plan("t_source_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+}
