@@ -51,7 +51,7 @@ object SimilarityOps extends QueryModule {
     math.max(MinCells, math.floor(math.sqrt(corpus / 8.0)).toInt)
 
   def defs: Seq[QueryDef] =
-    Seq(s1BruteForce, s2AnnLsh, s3AnnIvf, s4AnnRecall, s5AnnPq)
+    Seq(s1BruteForce, s2AnnLsh, s3AnnIvf, s4AnnRecall, s5AnnPq, s6RpReduce)
 
   /** Sequential double fold of an array expression. */
   private def dblSum(arrExpr: String): Column =
@@ -597,5 +597,75 @@ object SimilarityOps extends QueryModule {
         SELECT q_id, c_id, adc_dist, CAST(ROW_NUMBER() OVER (
           PARTITION BY q_id ORDER BY adc_dist ASC, c_id ASC) AS INT) AS rank
         FROM adc) WHERE rank <= 3 ORDER BY q_id, rank"""
+    })
+
+  // ── S6: random-projection dimensionality reduction ──────────────────────
+
+  private val RpOut = 16 // output dims (64 → 16, 4× compression)
+
+  /** ±1 sign for (output dim j, input pos i) from md5("j_i") — the same
+    * digest both engines expose, so the Spark side can PRECOMPUTE the
+    * matrix as a literal while the oracle re-derives it in SQL. */
+  private def rpSign(j: Int, i: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${j}_$i".getBytes("UTF-8"))
+    // first hex nibble ≤ '7'  ⇔  high bit of first byte clear
+    if ((d(0) & 0x80) == 0) 1.0 else -1.0
+  }
+
+  /** S6: sparse random projection (Achlioptas signs / JL transform) — embed
+    * 64-dim vectors into 16 dims with a fixed ±1/√16 sign matrix and report
+    * per-label norm preservation. The matrix is a CONSTANT literal folded
+    * into whole-stage codegen — one linear scan, no shuffle before the
+    * 10-row label rollup; at 100 TB this is the cheap front-end that makes
+    * downstream ANN/cluster passes 4× narrower. Ratios are grid-snapped so
+    * min/max/avg hash across engines. */
+  private val s6RpReduce = QueryDef(
+    "s6_rp_reduce",
+    (s, dir) => {
+      val sgnLit = (0 until RpOut).map { j =>
+        (1 to 64).map(i => s"${rpSign(j, i)}D").mkString("array(", ",", ")")
+      }.mkString("array(", ",", ")")
+      Tables.embeddings(s, dir)
+        .withColumn("sgns", expr(sgnLit))
+        .withColumn("proj", expr(
+          s"""transform(sequence(0, ${RpOut - 1}), j ->
+               aggregate(zip_with(embedding, element_at(sgns, j + 1),
+                 (a, b) -> CAST(a AS DOUBLE) * b), 0D, (acc, x) -> acc + x)
+               / ${math.sqrt(RpOut)}D)"""))
+        .withColumn("orig_sq", dblSum(
+          "transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+        .withColumn("proj_sq", dblSum("transform(proj, x -> x * x)"))
+        .withColumn("ratio", graft.ops.ExactAgg.snap(col("proj_sq") / col("orig_sq")))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          (graft.ops.ExactAgg.dsumR(col("ratio")) / count(lit(1))).as("avg_ratio"),
+          min(col("ratio")).as("min_ratio"),
+          max(col("ratio")).as("max_ratio"))
+        .orderBy("label")
+    },
+    Some {
+      import graft.ops.ExactAgg.{sqlSnap, sqlSumR}
+      s"""WITH el AS (
+        SELECT vec_id, label, pos, CAST(embedding[pos] AS DOUBLE) AS x
+        FROM (SELECT vec_id, label, embedding,
+                unnest(generate_series(1, len(embedding))) AS pos
+              FROM embeddings)),
+      pr AS (
+        SELECT vec_id, label, j.j,
+          SUM(x * CASE WHEN substring(md5(CAST(j.j AS VARCHAR) || '_'
+              || CAST(pos AS VARCHAR)), 1, 1) <= '7'
+            THEN 1.0e0 ELSE -1.0e0 END) / ${math.sqrt(RpOut)} AS p
+        FROM el, LATERAL unnest(generate_series(0, ${RpOut - 1})) AS j(j)
+        GROUP BY 1, 2, 3),
+      prsq AS (SELECT vec_id, SUM(p * p) AS psq FROM pr GROUP BY 1),
+      osq AS (SELECT vec_id, label, SUM(x * x) AS osq FROM el GROUP BY 1, 2),
+      rt AS (
+        SELECT o.vec_id, o.label, ${sqlSnap("psq / osq")} AS ratio
+        FROM osq o JOIN prsq USING (vec_id))
+      SELECT label, COUNT(*) AS n_vecs,
+        (${sqlSumR("ratio")} / COUNT(*)) AS avg_ratio,
+        MIN(ratio) AS min_ratio, MAX(ratio) AS max_ratio
+      FROM rt GROUP BY 1 ORDER BY 1"""
     })
 }

@@ -278,6 +278,15 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastExchange"), p)
   }
 
+  test("s6 random projection is one scan with a constant folded sign matrix") {
+    // the sign matrix is a literal: no join of any kind may appear, and the
+    // only exchange is the partial->final label rollup
+    val p = plan("s6_rp_reduce")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Generate"), p)
+    assert(p.count(_ == '\n') < 40, s"plan unexpectedly deep:\n$p")
+  }
+
   test("multimodal codec passes are single-scan: one shuffle to the rollup") {
     // decode/resize/frame-sample/audio are row-local mapPartitions passes;
     // the only exchange allowed is the final partial->final aggregation.
