@@ -51,7 +51,8 @@ object SimilarityOps extends QueryModule {
     math.max(MinCells, math.floor(math.sqrt(corpus / 8.0)).toInt)
 
   def defs: Seq[QueryDef] =
-    Seq(s1BruteForce, s2AnnLsh, s3AnnIvf, s4AnnRecall, s5AnnPq, s6RpReduce)
+    Seq(s1BruteForce, s2AnnLsh, s3AnnIvf, s4AnnRecall, s5AnnPq, s6RpReduce,
+      s7KmeansClusters)
 
   /** Sequential double fold of an array expression. */
   private def dblSum(arrExpr: String): Column =
@@ -597,6 +598,70 @@ object SimilarityOps extends QueryModule {
         SELECT q_id, c_id, adc_dist, CAST(ROW_NUMBER() OVER (
           PARTITION BY q_id ORDER BY adc_dist ASC, c_id ASC) AS INT) AS rank
         FROM adc) WHERE rank <= 3 ORDER BY q_id, rank"""
+    })
+
+  /** S7: k-means corpus clustering — the document-organization view of the
+    * same trained codebook the IVF index probes ([[trainCodebook]] is
+    * memoized, so s3/s4/s7 share one training pass): every corpus vector
+    * assigns to its cell, and each cluster reports size, inertia (Σ‖x−c‖²,
+    * the k-means objective), the majority ground-truth label, and label
+    * purity — the quality readout a topic-clustering / mixture-construction
+    * pipeline wants. One broadcast-centroid linear scan + a cells-sized
+    * rollup; the oracle re-derives the codebook with unrolled k-means SQL
+    * rounds and recomputes purity independently. */
+  private val s7KmeansClusters = QueryDef(
+    "s7_kmeans_clusters",
+    (s, dir) => {
+      val cb = trainCodebook(s, dir)
+      val emb = Tables.embeddings(s, dir)
+        .filter(col("vec_id") >= NumQueries)
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      val asg = assignCells(s, emb, cb)
+        .join(broadcast(centsDf(s, cb)), Seq("cell"))
+        .withColumn("sqd", graft.ops.ExactAgg.snap(dblSum(
+          "zip_with(emb, cent, (a, b) -> (a - b) * (a - b))")))
+      val byLbl = asg.groupBy("cell", "label").agg(count(lit(1)).as("nl"))
+      val maj = TopK.perGroup(byLbl, Seq("cell"),
+          Seq(col("nl").desc, col("label").asc), 1, rankCol = "lrank")
+        .select(col("cell"), col("label").as("maj_label"), col("nl").as("n_maj"))
+      asg.groupBy("cell")
+        .agg(count(lit(1)).as("n_vecs"),
+          graft.ops.ExactAgg.dsumR(col("sqd")).as("inertia"))
+        .join(maj, Seq("cell"))
+        .withColumn("purity", col("n_maj").cast("double") / col("n_vecs"))
+        .select("cell", "n_vecs", "inertia", "maj_label", "purity")
+        .orderBy("cell")
+    },
+    Some {
+      import graft.ops.ExactAgg.{sqlSnap, sqlSumR}
+      s"""WITH el AS (
+        SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS x
+        FROM (SELECT vec_id, embedding,
+                unnest(generate_series(1, len(embedding))) AS pos FROM embeddings)),
+      $kmOracleCtes,
+      sqd AS (
+        SELECT a.c_id, a.cell,
+          ${sqlSnap("SUM((e.x - k.c) * (e.x - k.c))")} AS sqd
+        FROM ccl a
+        JOIN el e ON e.vec_id = a.c_id
+        JOIN km$KmIters k ON k.cell = a.cell AND k.pos = e.pos
+        GROUP BY 1, 2),
+      lbl AS (
+        SELECT a.cell, b.label, COUNT(*) AS nl
+        FROM ccl a JOIN embeddings b ON b.vec_id = a.c_id
+        GROUP BY 1, 2),
+      maj AS (
+        SELECT cell, label AS maj_label, nl AS n_maj FROM (
+          SELECT cell, label, nl, ROW_NUMBER() OVER (
+            PARTITION BY cell ORDER BY nl DESC, label ASC) AS rk
+          FROM lbl) WHERE rk = 1),
+      cl AS (
+        SELECT cell, COUNT(*) AS n_vecs, ${sqlSumR("sqd")} AS inertia
+        FROM sqd GROUP BY 1)
+      SELECT cl.cell, cl.n_vecs, cl.inertia, maj.maj_label,
+        CAST(maj.n_maj AS DOUBLE) / cl.n_vecs AS purity
+      FROM cl JOIN maj ON maj.cell = cl.cell ORDER BY cl.cell"""
     })
 
   // ── S6: random-projection dimensionality reduction ──────────────────────

@@ -98,4 +98,18 @@ class QualitySpec extends SparkTestBase {
     val p = plan("t_source_mix")
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("s7_kmeans_clusters partitions the whole corpus with live purity") {
+    val corpus = Tables.embeddings(spark, SfDir)
+      .filter(col("vec_id") >= 30).count()
+    val rows = run("s7_kmeans_clusters").collect()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == corpus,
+      "every corpus vector lands in exactly one cluster")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("inertia") > 0.0)
+      val purity = r.getAs[Double]("purity")
+      assert(purity >= 0.1 - 1e-12 && purity <= 1.0,
+        s"purity at least the majority-label floor: $r")
+    }
+  }
 }
