@@ -34,7 +34,7 @@ import org.apache.spark.sql.functions._
 object QualityOps extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(bigramLm, dsirWeight, chunkOverlap,
-    idfTopTerms, sourceMix, bpeMerges)
+    idfTopTerms, sourceMix, bpeMerges, bpeEncode)
 
   /** Uniform-in-[0,65536) integer from the first 4 md5 nibbles of the doc
     * id — the portable per-document coin every deterministic sampling op
@@ -305,6 +305,36 @@ object QualityOps extends QueryModule {
     * pair, merged symbol, weighted pair frequency, corpus symbol count
     * after the merge). The oracle re-derives every round with unrolled
     * MATERIALIZED CTEs — no side copies the other's merges. */
+  /** The unrolled-training CTE chain shared by both BPE oracles: w$i =
+    * (word, freq, s) after i merges, m$i = round-i winning pair, tot$i =
+    * corpus symbol count after round i. */
+  private def bpeChainCtes: String = {
+    val rounds = (0 until BpeRounds).map { i =>
+      s"""pc$i AS MATERIALIZED (
+        SELECT sy[i.i] AS a, sy[i.i+1] AS b, SUM(freq) AS pf
+        FROM (SELECT freq, string_split(trim(s), '  ') AS sy FROM w$i) t,
+             LATERAL unnest(generate_series(1, len(sy)-1)) AS i(i)
+        GROUP BY 1, 2),
+      m$i AS MATERIALIZED (
+        SELECT a, b, pf FROM pc$i ORDER BY pf DESC, a ASC, b ASC LIMIT 1),
+      w${i + 1} AS MATERIALIZED (
+        SELECT word, freq, replace(s,
+          ' ' || (SELECT a FROM m$i) || '  ' || (SELECT b FROM m$i) || ' ',
+          ' ' || (SELECT a FROM m$i) || (SELECT b FROM m$i) || ' ') AS s
+        FROM w$i),
+      tot${i + 1} AS MATERIALIZED (
+        SELECT SUM(freq * len(string_split(trim(s), '  '))) AS n FROM w${i + 1})"""
+    }.mkString(",\n      ")
+    s"""w0 AS MATERIALIZED (
+      SELECT word, COUNT(*) AS freq,
+        ' ' || array_to_string(list_transform(generate_series(1, len(word)),
+          i -> word[i]), '  ') || ' ' AS s
+      FROM (SELECT wo.word AS word FROM documents,
+            LATERAL unnest(string_split(text,' ')) AS wo(word))
+      GROUP BY word),
+    $rounds"""
+  }
+
   private val bpeMerges = QueryDef(
     "t_bpe_merges",
     (s, dir) => {
@@ -315,39 +345,60 @@ object QualityOps extends QueryModule {
         .orderBy("step")
     },
     Some {
-      val rounds = (0 until BpeRounds).map { i =>
-        s"""pc$i AS MATERIALIZED (
-          SELECT sy[i.i] AS a, sy[i.i+1] AS b, SUM(freq) AS pf
-          FROM (SELECT freq, string_split(trim(s), '  ') AS sy FROM w$i) t,
-               LATERAL unnest(generate_series(1, len(sy)-1)) AS i(i)
-          GROUP BY 1, 2),
-        m$i AS MATERIALIZED (
-          SELECT a, b, pf FROM pc$i ORDER BY pf DESC, a ASC, b ASC LIMIT 1),
-        w${i + 1} AS MATERIALIZED (
-          SELECT freq, replace(s,
-            ' ' || (SELECT a FROM m$i) || '  ' || (SELECT b FROM m$i) || ' ',
-            ' ' || (SELECT a FROM m$i) || (SELECT b FROM m$i) || ' ') AS s
-          FROM w$i),
-        tot${i + 1} AS MATERIALIZED (
-          SELECT SUM(freq * len(string_split(trim(s), '  '))) AS n FROM w${i + 1})"""
-      }.mkString(",\n      ")
       val out = (0 until BpeRounds).map { i =>
         s"""SELECT $i AS step, a AS sym_a, b AS sym_b, a || b AS merged,
           CAST(pf AS BIGINT) AS pair_freq,
           (SELECT CAST(n AS BIGINT) FROM tot${i + 1}) AS syms_after
         FROM m$i"""
       }.mkString("\n      UNION ALL ")
-      s"""WITH w0 AS MATERIALIZED (
-        SELECT COUNT(*) AS freq,
-          ' ' || array_to_string(list_transform(generate_series(1, len(word)),
-            i -> word[i]), '  ') || ' ' AS s
-        FROM (SELECT wo.word AS word FROM documents,
-              LATERAL unnest(string_split(text,' ')) AS wo(word))
-        GROUP BY word),
-      $rounds
+      s"""WITH $bpeChainCtes
       $out
       ORDER BY step"""
     })
+
+  /** T: BPE encoding — APPLY the learned merges: every distinct word
+    * re-encodes through the merge chain (vocabulary-sized work, never
+    * per-occurrence), the corpus joins back on word, and each source
+    * reports its token count and chars-per-token compression — the metric
+    * a tokenizer is judged by. Train + apply together make the tokenizer
+    * path end-to-end: corpus → merges → encoded corpus. */
+  private val bpeEncode = QueryDef(
+    "t_bpe_encode",
+    (s, dir) => {
+      val merges = trainBpe(s, dir)
+      val enc0 = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .distinct()
+        .withColumn("s", concat(lit(" "),
+          expr("""array_join(transform(sequence(1, length(word)),
+                  i -> substring(word, i, 1)), '  ')"""),
+          lit(" ")))
+      val enc = merges.foldLeft(enc0) { case (df, (a, b, _, _)) =>
+        df.withColumn("s", expr(s"replace(s, ' $a  $b ', ' $a$b ')"))
+      }.withColumn("n_sym", size(split(trim(col("s")), "  ")))
+        .select("word", "n_sym")
+      Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        .join(enc, Seq("word"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("word"))).as("n_chars"),
+          sum(col("n_sym")).as("n_tokens"))
+        .withColumn("chars_per_token",
+          col("n_chars").cast("double") / col("n_tokens"))
+        .orderBy("source")
+    },
+    Some(s"""WITH $bpeChainCtes,
+      enc AS (SELECT word, len(string_split(trim(s), '  ')) AS n_sym
+              FROM w$BpeRounds),
+      tok AS (SELECT source, wo.word AS word FROM documents,
+              LATERAL unnest(string_split(text,' ')) AS wo(word))
+      SELECT source, COUNT(*) AS n_words,
+        CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+        CAST(SUM(n_sym) AS BIGINT) AS n_tokens,
+        CAST(SUM(length(word)) AS DOUBLE) / SUM(n_sym) AS chars_per_token
+      FROM tok JOIN enc USING (word)
+      GROUP BY 1 ORDER BY 1"""))
 
   /** T: source-mixture balancing — hit per-source target weights (the
     * data-mixing step of every pretraining recipe) by deterministic

@@ -118,6 +118,21 @@ class QualitySpec extends SparkTestBase {
     }
   }
 
+  test("t_bpe_encode compresses every source and conserves char counts") {
+    val rows = run("t_bpe_encode").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      // merges fired: fewer tokens than chars, but never below chars/2
+      assert(r.getAs[Long]("n_tokens") < r.getAs[Long]("n_chars"))
+      assert(r.getAs[Long]("n_tokens") * 2 >= r.getAs[Long]("n_chars"))
+    }
+    // char conservation against the raw corpus (spaces excluded)
+    val chars = Tables.documents(spark, SfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .agg(sum(length(col("w")))).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("n_chars")).sum == chars)
+  }
+
   test("s7_kmeans_clusters partitions the whole corpus with live purity") {
     val corpus = Tables.embeddings(spark, SfDir)
       .filter(col("vec_id") >= 30).count()
