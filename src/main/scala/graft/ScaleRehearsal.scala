@@ -42,7 +42,12 @@ object ScaleRehearsal {
     "d7_dedup_pipeline", "j2_dex_asof", "r4_stream_window",
     "d4_jaccard_verify", "j5_basket_fill", "r5_stream_fold", "r5_tick_fold",
     "q1_sandwich", "q5_jit", "d2_minhash_lsh", "s1_ann_bruteforce",
-    "s3_ann_ivf")
+    "s3_ann_ivf",
+    // round-9 second-half additions whose cost scales with the corpus
+    // (the memoized trainers t_bpe_*/s7 are excluded: their timed pass
+    // would measure the per-JVM cache, not the training)
+    "t_decontaminate", "d10_substring_dedup", "t_bigram_lm",
+    "d9_keep_best", "t_idf_top_terms")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("both")

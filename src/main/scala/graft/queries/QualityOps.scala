@@ -34,7 +34,7 @@ import org.apache.spark.sql.functions._
 object QualityOps extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(bigramLm, dsirWeight, chunkOverlap,
-    idfTopTerms, sourceMix, bpeMerges, bpeEncode)
+    idfTopTerms, sourceMix, bpeMerges, bpeEncode, qualityLr)
 
   /** Uniform-in-[0,65536) integer from the first 4 md5 nibbles of the doc
     * id — the portable per-document coin every deterministic sampling op
@@ -399,6 +399,158 @@ object QualityOps extends QueryModule {
         CAST(SUM(length(word)) AS DOUBLE) / SUM(n_sym) AS chars_per_token
       FROM tok JOIN enc USING (word)
       GROUP BY 1 ORDER BY 1"""))
+
+  // ── learned quality classifier (logistic regression) ──────────────────
+
+  private val LrRounds = 6
+
+  /** Driver-side replica of [[ExactAgg.snap]] with IDENTICAL IEEE ops, for
+    * the per-round weight updates that live on the driver. */
+  private def snapD(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  /** T: learned quality classifier — DISTILL the rule-based corpus filter
+    * (t_corpus_filter's keep/drop verdict) into a linear model by batch
+    * logistic regression: the weak-supervision step where hand rules label
+    * a seed set and a trained classifier generalizes them (the
+    * fastText-classifier pattern of CCNet/LLaMA data prep). Three
+    * standardized features (length, stopword ratio, marker-language
+    * margin) + bias; [[LrRounds]] full-batch GD rounds with weights
+    * grid-snapped each round so both engines walk the identical
+    * float trajectory. The model state (4 weights) is dimension-sized:
+    * each round is ONE linear scan aggregating loss/accuracy/4 gradient
+    * components — at 100 TB the same loop holds with the gradient rollup
+    * as the only (map-side-combined) shuffle. Output = the training curve
+    * plus the weight trajectory; the oracle re-trains with unrolled CTE
+    * rounds. Accuracy is judged on z > 0 (no libm in the decision). */
+  private val qualityLr = QueryDef(
+    "t_quality_lr",
+    (s, dir) => {
+      import s.implicits._
+      val occ = Map("the" -> 5, "a" -> 3, "of" -> 4, "data" -> 6, "query" -> 7)
+        .map { case (wd, l) =>
+          wd -> s"(length(padded) - length(replace(padded, ' $wd ', ''))) / $l"
+        }
+      val base = Tables.documents(s, dir)
+        .withColumn("padded", concat(lit(" "), col("text"), lit(" ")))
+        .withColumn("nw", size(split(col("text"), " ")).cast("long"))
+        .withColumn("s_the", expr(occ("the")))
+        .withColumn("s_data", expr(occ("data")))
+        .withColumn("s_query", expr(occ("query")))
+        .withColumn("n_stop",
+          expr(occ("the")) + expr(occ("a")) + expr(occ("of")))
+        .withColumn("f1", col("nw").cast("double") / 100.0e0)
+        .withColumn("f2", col("n_stop") / col("nw"))
+        .withColumn("f3", col("s_the") - greatest(col("s_data"), col("s_query")))
+        .withColumn("quality", col("f1") + col("f2") * 2.0e0)
+        .withColumn("y",
+          when(col("s_the") >= col("s_data") && col("s_the") >= col("s_query")
+            && col("quality") >= 0.45e0 && col("nw").between(20, 90), 1.0e0)
+            .otherwise(0.0e0))
+        .select("f1", "f2", "f3", "y")
+      val st = base.agg(
+        count(lit(1)).as("n"),
+        ExactAgg.dsum(col("f1")).as("su1"), ExactAgg.dsum(col("f1") * col("f1")).as("sq1"),
+        ExactAgg.dsum(col("f2")).as("su2"), ExactAgg.dsum(col("f2") * col("f2")).as("sq2"),
+        ExactAgg.dsum(col("f3")).as("su3"), ExactAgg.dsum(col("f3") * col("f3")).as("sq3"))
+        .head()
+      val n = st.getLong(0)
+      def ms(su: Double, sq: Double): (Double, Double) = {
+        val m = snapD(su / n)
+        (m, snapD(math.sqrt(sq / n - m * m)))
+      }
+      val (m1, s1) = ms(st.getDouble(1), st.getDouble(2))
+      val (m2, s2) = ms(st.getDouble(3), st.getDouble(4))
+      val (m3, s3) = ms(st.getDouble(5), st.getDouble(6))
+      val bz = base.select(
+        ((col("f1") - m1) / s1).as("x1"),
+        ((col("f2") - m2) / s2).as("x2"),
+        ((col("f3") - m3) / s3).as("x3"), col("y"))
+        .persist()
+      try {
+        val w = Array(0.0, 0.0, 0.0, 0.0)
+        val rows = (0 until LrRounds).map { step =>
+          val z = col("x1") * w(0) + col("x2") * w(1) + col("x3") * w(2) + lit(w(3))
+          val p = lit(1.0e0) / (lit(1.0e0) + exp(-z))
+          val r = bz.agg(
+            ExactAgg.dsumR(log(lit(1.0e0) +
+              exp(-((lit(2.0e0) * col("y") - lit(1.0e0)) * z)))).as("lsum"),
+            sum(when((z > 0.0e0) === (col("y") === 1.0e0), 1L).otherwise(0L)).as("ncorr"),
+            ExactAgg.dsumR((p - col("y")) * col("x1")).as("g1"),
+            ExactAgg.dsumR((p - col("y")) * col("x2")).as("g2"),
+            ExactAgg.dsumR((p - col("y")) * col("x3")).as("g3"),
+            ExactAgg.dsumR(p - col("y")).as("g4"))
+            .head()
+          val out = (step, w(0), w(1), w(2), w(3),
+            snapD(r.getDouble(0) / n), r.getLong(1), n)
+          for (j <- 0 until 4) w(j) = snapD(w(j) - r.getDouble(2 + j) / n)
+          out
+        }
+        rows.toDF("step", "w1", "w2", "w3", "w4", "avg_loss", "n_correct", "n_docs")
+          .orderBy("step")
+      } finally { bz.unpersist(false); () }
+    },
+    Some {
+      import ExactAgg.{sqlSnap, sqlSum, sqlSumR}
+      val zSql = "(x1*w1 + x2*w2 + x3*w3 + w4)"
+      val pSql = s"(1.0e0/(1.0e0 + EXP(-$zSql)))"
+      val rounds = (0 until LrRounds).map { i =>
+        s"""r$i AS MATERIALIZED (
+          SELECT COUNT(*) AS n,
+            ${sqlSumR(s"LN(1.0e0 + EXP(-((2.0e0*y - 1.0e0) * $zSql)))")} AS lsum,
+            SUM(CASE WHEN ($zSql > 0.0e0) = (y = 1.0e0) THEN 1 ELSE 0 END) AS ncorr,
+            ${sqlSumR(s"($pSql - y) * x1")} AS g1,
+            ${sqlSumR(s"($pSql - y) * x2")} AS g2,
+            ${sqlSumR(s"($pSql - y) * x3")} AS g3,
+            ${sqlSumR(s"$pSql - y")} AS g4
+          FROM bz CROSS JOIN wr$i),
+        wr${i + 1} AS MATERIALIZED (
+          SELECT ${sqlSnap("w1 - g1/n")} AS w1, ${sqlSnap("w2 - g2/n")} AS w2,
+            ${sqlSnap("w3 - g3/n")} AS w3, ${sqlSnap("w4 - g4/n")} AS w4
+          FROM wr$i CROSS JOIN r$i)"""
+      }.mkString(",\n      ")
+      val out = (0 until LrRounds).map { i =>
+        s"""SELECT $i AS step, w1, w2, w3, w4,
+          ${sqlSnap("lsum/n")} AS avg_loss, CAST(ncorr AS BIGINT) AS n_correct,
+          CAST(n AS BIGINT) AS n_docs
+        FROM wr$i CROSS JOIN r$i"""
+      }.mkString("\n      UNION ALL ")
+      s"""WITH base AS (
+        SELECT (CAST(nw AS DOUBLE) / 100.0e0) AS f1,
+          (n_stop / nw) AS f2,
+          (s_the - GREATEST(s_data, s_query)) AS f3,
+          CASE WHEN s_the >= s_data AND s_the >= s_query
+            AND ((CAST(nw AS DOUBLE) / 100.0e0) + (n_stop / nw) * 2.0e0) >= 0.45e0
+            AND nw BETWEEN 20 AND 90 THEN 1.0e0 ELSE 0.0e0 END AS y
+        FROM (SELECT nw,
+            (length(padded) - length(replace(padded, ' the ', ''))) / 5 AS s_the,
+            (length(padded) - length(replace(padded, ' data ', ''))) / 6 AS s_data,
+            (length(padded) - length(replace(padded, ' query ', ''))) / 7 AS s_query,
+            (length(padded) - length(replace(padded, ' the ', ''))) / 5
+              + (length(padded) - length(replace(padded, ' a ', ''))) / 3
+              + (length(padded) - length(replace(padded, ' of ', ''))) / 4 AS n_stop
+          FROM (SELECT ' ' || text || ' ' AS padded,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+                FROM documents))),
+      st AS (SELECT COUNT(*) AS n,
+          ${sqlSum("f1")} AS su1, ${sqlSum("f1*f1")} AS sq1,
+          ${sqlSum("f2")} AS su2, ${sqlSum("f2*f2")} AS sq2,
+          ${sqlSum("f3")} AS su3, ${sqlSum("f3*f3")} AS sq3
+        FROM base),
+      m AS (SELECT n, ${sqlSnap("su1/n")} AS m1, ${sqlSnap("su2/n")} AS m2,
+          ${sqlSnap("su3/n")} AS m3, sq1, sq2, sq3 FROM st),
+      sd AS (SELECT n, m1, m2, m3,
+          ${sqlSnap("SQRT(sq1/n - m1*m1)")} AS s1,
+          ${sqlSnap("SQRT(sq2/n - m2*m2)")} AS s2,
+          ${sqlSnap("SQRT(sq3/n - m3*m3)")} AS s3
+        FROM m),
+      bz AS MATERIALIZED (
+        SELECT (f1 - m1)/s1 AS x1, (f2 - m2)/s2 AS x2, (f3 - m3)/s3 AS x3, y
+        FROM base CROSS JOIN sd),
+      wr0 AS (SELECT 0.0e0 AS w1, 0.0e0 AS w2, 0.0e0 AS w3, 0.0e0 AS w4),
+      $rounds
+      $out
+      ORDER BY step"""
+    })
 
   /** T: source-mixture balancing — hit per-source target weights (the
     * data-mixing step of every pretraining recipe) by deterministic

@@ -133,6 +133,20 @@ class QualitySpec extends SparkTestBase {
     assert(rows.map(_.getAs[Long]("n_chars")).sum == chars)
   }
 
+  test("t_quality_lr training loss decreases monotonically and beats majority") {
+    val rows = run("t_quality_lr").orderBy("step").collect()
+    assert(rows.length == 6)
+    // round 0 is the zero-weight model: its accuracy IS the majority class
+    val base = rows.head
+    assert(base.getAs[Double]("w1") == 0.0 && base.getAs[Double]("w4") == 0.0)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Double]("avg_loss") < a.getAs[Double]("avg_loss"),
+        s"loss must fall every round: $a -> $b")
+    }
+    assert(rows.last.getAs[Long]("n_correct") > base.getAs[Long]("n_correct"),
+      "trained model must beat the majority-class baseline")
+  }
+
   test("s7_kmeans_clusters partitions the whole corpus with live purity") {
     val corpus = Tables.embeddings(spark, SfDir)
       .filter(col("vec_id") >= 30).count()
