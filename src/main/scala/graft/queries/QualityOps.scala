@@ -34,7 +34,7 @@ import org.apache.spark.sql.functions._
 object QualityOps extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(bigramLm, dsirWeight, chunkOverlap,
-    idfTopTerms, sourceMix, bpeMerges, bpeEncode, qualityLr)
+    idfTopTerms, sourceMix, bpeMerges, bpeEncode, qualityLr, jsonlRoundtrip)
 
   /** Uniform-in-[0,65536) integer from the first 4 md5 nibbles of the doc
     * id — the portable per-document coin every deterministic sampling op
@@ -398,6 +398,41 @@ object QualityOps extends QueryModule {
         CAST(SUM(n_sym) AS BIGINT) AS n_tokens,
         CAST(SUM(length(word)) AS DOUBLE) / SUM(n_sym) AS chars_per_token
       FROM tok JOIN enc USING (word)
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** T: JSONL interchange roundtrip — write the corpus as JSON-lines (the
+    * de-facto training-data exchange format), read it back with an explicit
+    * schema (schema inference on 100 TB is a second full scan), and prove
+    * byte fidelity by aggregating a CONTENT checksum (md5-nibble algebra
+    * over the text) per source. The oracle computes the same aggregates
+    * from the ORIGINAL parquet, so equality is exactly roundtrip fidelity.
+    * Partitioned write, parallel read — both sides scale as plain scans. */
+  private val jsonlRoundtrip = QueryDef(
+    "t_jsonl_roundtrip",
+    (s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_" +
+        graft.domain.ChainFixture.dirKey(dir)
+      Tables.documents(s, dir)
+        .write.mode("overwrite").json(out)
+      s.read.schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .json(out)
+        .withColumn("h", md5(col("text")))
+        .withColumn("u", expr(uNibbles))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          sum(length(col("text"))).as("sum_text_len"),
+          sum("u").as("content_checksum"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("source")
+    },
+    Some(s"""SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+        CAST(SUM($uNibbles) AS BIGINT) AS content_checksum,
+        MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      FROM (SELECT source, doc_id, n_chars, text, md5(text) AS h
+            FROM documents)
       GROUP BY 1 ORDER BY 1"""))
 
   // ── learned quality classifier (logistic regression) ──────────────────
