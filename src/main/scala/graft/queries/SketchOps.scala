@@ -1,0 +1,201 @@
+package graft.queries
+
+import graft.ops.ExactAgg
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sketch operators — the approximate-analytics layer a
+  * 100 TB pipeline leans on when exact answers are not worth their shuffle:
+  * KMV (k-minimum-values) distinct-count estimation and Bloom-filter
+  * membership. Both sketches are built from md5 (identical in Spark and
+  * DuckDB), so unlike engine-private HLL/bloom implementations
+  * (approx_count_distinct, BloomFilterAggregate) every bit of the sketch —
+  * and therefore the estimate itself — is oracle-checkable hash-exactly.
+  *
+  * Scale shape: a sketch is a CONSTANT-size summary built in one
+  * map-side-combinable pass (bit_or / top-k rollup); merging partial
+  * sketches across partitions is exactly the bit_or / min-k of the
+  * partials, which is why these run as plain aggregations at any scale.
+  */
+object SketchOps extends QueryModule {
+
+  def defs: Seq[QueryDef] = Seq(kmvDistinct, bloomFilter)
+
+  /** Integer value of md5 hex chars [from, from+n) of column `h` — the
+    * engine-portable uniform hash both sketches draw bits from. */
+  private def nibbleVal(from: Int, n: Int): String =
+    (0 until n).map { i =>
+      val p = math.pow(16.0, (n - 1 - i).toDouble).toLong
+      s"(instr('0123456789abcdef', substring(h,${from + i},1))-1)*${p}L"
+    }.mkString("(", " + ", ")")
+
+  /** DuckDB spelling of [[nibbleVal]] (no L suffix; same algebra). */
+  private def nibbleValSql(from: Int, n: Int): String =
+    (0 until n).map { i =>
+      val p = math.pow(16.0, (n - 1 - i).toDouble).toLong
+      s"(instr('0123456789abcdef', substring(h,${from + i},1))-1)*CAST($p AS BIGINT)"
+    }.mkString("(", " + ", ")")
+
+  private val KmvK = 64
+
+  /** Distinct word-3-gram shingles per source with their md5 — the input
+    * stream both sketches summarize. */
+  private def shingleHashes(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), expr(
+        """explode(if(size(split(text, ' ')) >= 3,
+          transform(sequence(1, size(split(text, ' ')) - 2),
+            i -> concat_ws(' ', slice(split(text, ' '), i, 3))),
+          array()))""").as("sh"))
+
+  private val shSqlCte =
+    """shs AS (SELECT source, doc_id,
+        w[i.i] || ' ' || w[i.i+1] || ' ' || w[i.i+2] AS sh
+      FROM (SELECT source, doc_id, string_split(text,' ') AS w FROM documents),
+           LATERAL unnest(generate_series(1, len(w) - 2)) AS i(i))"""
+
+  /** SK1: KMV distinct-count estimation (Bar-Yossef et al., the
+    * k-minimum-values sketch): per source, keep the K smallest md5 values
+    * of the distinct shingles; with u_K = the K-th smallest as a fraction
+    * of the hash space, distinct ≈ (K-1)/u_K. The fraction is read from
+    * the first 12 hex nibbles (48 uniform bits). Reported against the
+    * exact distinct count with the relative error — the honest measure an
+    * approximate operator ships with. The sketch state is K hashes per
+    * group: the rollup is a bounded top-k, mergeable across partitions. */
+  private val kmvDistinct = QueryDef(
+    "sk1_kmv_distinct",
+    (s, dir) => {
+      val sh = shingleHashes(s, dir)
+        .select(col("source"), col("sh")).distinct()
+        .withColumn("h", md5(col("sh")))
+      val exact = sh.groupBy("source").agg(count(lit(1)).as("exact_distinct"))
+      val kth = sh
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy(col("h").asc)))
+        .filter(col("rk") === KmvK)
+        .withColumn("u",
+          expr(nibbleVal(1, 12)).cast("double") / math.pow(16.0, 12.0))
+        .select(col("source"),
+          ExactAgg.snap(lit((KmvK - 1).toDouble) / col("u")).as("kmv_estimate"))
+      exact.join(kth, Seq("source"))
+        .withColumn("rel_error", ExactAgg.snap(
+          abs(col("kmv_estimate") - col("exact_distinct")) /
+            col("exact_distinct")))
+        .orderBy("source")
+    },
+    Some(s"""WITH $shSqlCte,
+      d AS (SELECT DISTINCT source, sh FROM shs),
+      hh AS (SELECT source, md5(sh) AS h FROM d),
+      exact AS (SELECT source, COUNT(*) AS exact_distinct FROM hh GROUP BY 1),
+      kth AS (
+        SELECT source,
+          ${ExactAgg.sqlSnap(
+            s"CAST(${KmvK - 1} AS DOUBLE) / (CAST(${nibbleValSql(1, 12)} AS DOUBLE) / POWER(16, 12))")}
+            AS kmv_estimate
+        FROM (SELECT source, h, ROW_NUMBER() OVER (
+            PARTITION BY source ORDER BY h ASC) AS rk FROM hh)
+        WHERE rk = $KmvK)
+      SELECT source, exact_distinct, kmv_estimate,
+        ${ExactAgg.sqlSnap("ABS(kmv_estimate - exact_distinct) / exact_distinct")}
+          AS rel_error
+      FROM exact JOIN kth USING (source) ORDER BY source"""))
+
+  // Bloom geometry: m = 3840 bits (64 words x 60 bits — shifts stay below
+  // the signed-64 overflow DuckDB rejects), j = 2 hash functions from
+  // disjoint md5 nibble ranges. n ≈ 600 eval shingles → FP ≈ 7%.
+  private val BloomWords = 64
+  private val BloomBits = BloomWords * 60
+
+  /** SK2: Bloom-filter membership — build a filter over the EVAL set's
+    * shingles (doc_id % 41 = 0, the decontamination target), probe every
+    * other document's shingles, and report the false-positive rate against
+    * exact membership. The filter is a (word_index, bits) TABLE built by
+    * bit_or — the representation that scales to millions of bits while
+    * staying broadcastable and partition-mergeable — and the probe is two
+    * broadcast lookups per key. Bloom's contract (no false negatives) is
+    * verified as a column: every exact member must probe positive. This is
+    * the scale path for decontamination: the bit table broadcasts where
+    * the exact eval gram set would not. */
+  private val bloomFilter = QueryDef(
+    "sk2_bloom_filter",
+    (s, dir) => {
+      val withPos = (df: org.apache.spark.sql.DataFrame) => df
+        .withColumn("h", md5(col("sh")))
+        .withColumn("p1", expr(s"${nibbleVal(1, 3)} % $BloomBits"))
+        .withColumn("p2", expr(s"${nibbleVal(4, 3)} % $BloomBits"))
+      val sh = shingleHashes(s, dir)
+        .withColumn("is_eval", pmod(col("doc_id"), lit(41)) === 0)
+      val evalSh = withPos(
+        sh.filter(col("is_eval")).select(col("sh")).distinct())
+      val filt = evalSh.select(col("p1").as("p"))
+        .union(evalSh.select(col("p2").as("p")))
+        .withColumn("widx", expr("p DIV 60"))
+        .withColumn("bit", expr("shiftleft(1L, CAST(p % 60 AS INT))"))
+        .groupBy("widx").agg(bit_or(col("bit")).as("bits"))
+      val evalSet = sh.filter(col("is_eval")).select(col("sh")).distinct()
+      val probes = withPos(
+        sh.filter(!col("is_eval")).select(col("source"), col("sh")).distinct())
+        .join(evalSet.withColumn("member", lit(1L)), Seq("sh"), "left")
+        .withColumn("member", coalesce(col("member"), lit(0L)))
+        .join(broadcast(filt.select(col("widx").as("w1"), col("bits").as("b1"))),
+          expr("p1 DIV 60") === col("w1"), "left")
+        .join(broadcast(filt.select(col("widx").as("w2"), col("bits").as("b2"))),
+          expr("p2 DIV 60") === col("w2"), "left")
+        .withColumn("bloom_pos", (
+          expr("(shiftright(coalesce(b1, 0L), CAST(p1 % 60 AS INT)) & 1L) = 1L") &&
+          expr("(shiftright(coalesce(b2, 0L), CAST(p2 % 60 AS INT)) & 1L) = 1L"))
+          .cast("long"))
+      probes
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_probes"),
+          sum("member").as("n_member"),
+          sum("bloom_pos").as("n_bloom_pos"),
+          sum(when(col("bloom_pos") === 1 && col("member") === 0, 1L)
+            .otherwise(0L)).as("n_false_pos"),
+          sum(when(col("bloom_pos") === 0 && col("member") === 1, 1L)
+            .otherwise(0L)).as("n_false_neg"))
+        .withColumn("fp_rate", ExactAgg.snap(
+          col("n_false_pos").cast("double") /
+            greatest(col("n_probes") - col("n_member"), lit(1L))))
+        .orderBy("source")
+    },
+    Some {
+      val p1 = s"(${nibbleValSql(1, 3)} % $BloomBits)"
+      val p2 = s"(${nibbleValSql(4, 3)} % $BloomBits)"
+      s"""WITH $shSqlCte,
+      ev AS (SELECT DISTINCT sh FROM shs WHERE doc_id % 41 = 0),
+      evp AS (SELECT $p1 AS p FROM (SELECT sh, md5(sh) AS h FROM ev)
+              UNION ALL
+              SELECT $p2 AS p FROM (SELECT sh, md5(sh) AS h FROM ev)),
+      filt AS (
+        SELECT (p // 60) AS widx,
+          bit_or(CAST(1 AS BIGINT) << CAST(p % 60 AS INTEGER)) AS bits
+        FROM evp GROUP BY 1),
+      pr AS (SELECT DISTINCT source, sh FROM shs WHERE doc_id % 41 <> 0),
+      prh AS (
+        SELECT source, p.sh, $p1 AS p1, $p2 AS p2,
+          CASE WHEN e.sh IS NULL THEN 0 ELSE 1 END AS member
+        FROM (SELECT source, sh, md5(sh) AS h FROM pr) p
+        LEFT JOIN ev e ON e.sh = p.sh),
+      jd AS (
+        SELECT source, member,
+          CASE WHEN ((COALESCE(f1.bits, 0) >> CAST(p1 % 60 AS INTEGER)) & 1) = 1
+            AND ((COALESCE(f2.bits, 0) >> CAST(p2 % 60 AS INTEGER)) & 1) = 1
+            THEN 1 ELSE 0 END AS bloom_pos
+        FROM prh
+        LEFT JOIN filt f1 ON f1.widx = (p1 // 60)
+        LEFT JOIN filt f2 ON f2.widx = (p2 // 60))
+      SELECT source, COUNT(*) AS n_probes,
+        CAST(SUM(member) AS BIGINT) AS n_member,
+        CAST(SUM(bloom_pos) AS BIGINT) AS n_bloom_pos,
+        CAST(SUM(CASE WHEN bloom_pos = 1 AND member = 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_false_pos,
+        CAST(SUM(CASE WHEN bloom_pos = 0 AND member = 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_false_neg,
+        ${ExactAgg.sqlSnap(
+          """CAST(SUM(CASE WHEN bloom_pos = 1 AND member = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+           / GREATEST(COUNT(*) - SUM(member), 1)""")} AS fp_rate
+      FROM jd GROUP BY 1 ORDER BY 1"""
+    })
+}
