@@ -26,7 +26,7 @@ object StreamOracle extends QueryModule {
 
   def defs: Seq[QueryDef] =
     Seq(r5StreamFold, r4StreamWindow, r5TickFold, r4LateData, s5WriteBehind,
-      d8StreamDedup)
+      d8StreamDedup, r8StreamJoin)
 
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -509,6 +509,92 @@ object StreamOracle extends QueryModule {
         COUNT(*) AS n,
         CAST(CAST(SUM(CAST(vol AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_vol
       FROM kept GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Impression-side unit for the stream-stream join. */
+  case class ImpEvent(a_user: Long, a_type: String,
+      a_ts: java.sql.Timestamp, batch: Long)
+  /** Conversion-side unit for the stream-stream join. */
+  case class ConvEvent(b_user: Long, b_value: Double,
+      b_ts: java.sql.Timestamp, batch: Long)
+
+  /** R8: STREAM-STREAM event-time interval join — the two-sided-state
+    * Structured Streaming primitive: view/click impressions join purchases
+    * by the same user within a 6-hour attribution window, both sides
+    * watermarked, Append-mode inner join, driven through three time-range
+    * micro-batches. The watermark delay (48 h) strictly dominates the
+    * interval against ~10-day batch strides, so — provably — no stored row
+    * whose partner is still to come is evicted and no arriving row is
+    * late-dropped: the streamed result equals the static interval join
+    * EXACTLY, which is what makes the DuckDB oracle hash-exact while the
+    * execution still exercises real cross-batch two-sided join state. The
+    * cross-batch carry itself is pinned by a planted scenario in
+    * StreamingSpec. */
+  private val r8StreamJoin = QueryDef(
+    "r8_stream_join",
+    (s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val ev = graft.Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("us"), col("value"))
+        .persist()
+      try {
+        val (mn, mx) = {
+          val r = ev.agg(min("us"), max("us")).head(); (r.getLong(0), r.getLong(1)) }
+        val third = (mx - mn) / 3 + 1
+        val withBatch = ev
+          .withColumn("batch", expr(s"(us - ${mn}L) div ${third}L"))
+          .withColumn("tsc", expr("timestamp_micros(us)"))
+        val imps = withBatch
+          .filter(col("event_type").isin("view", "click"))
+          .select(col("user_id").as("a_user"), col("event_type").as("a_type"),
+            col("tsc").as("a_ts"), col("batch"))
+          .as[ImpEvent].collect().sortBy(e => (e.batch, e.a_ts.getTime, e.a_user))
+        val convs = withBatch
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id").as("b_user"), col("value").as("b_value"),
+            col("tsc").as("b_ts"), col("batch"))
+          .as[ConvEvent].collect().sortBy(e => (e.batch, e.b_ts.getTime, e.b_user))
+        val inA = MemoryStream[ImpEvent]
+        val inB = MemoryStream[ConvEvent]
+        val joined = inA.toDS().drop("batch").withWatermark("a_ts", "48 hours")
+          .join(inB.toDS().drop("batch").withWatermark("b_ts", "48 hours"),
+            expr("""a_user = b_user AND b_ts >= a_ts
+                    AND b_ts <= a_ts + INTERVAL 6 HOURS"""))
+        val name = s"r8_join_${runSeq.incrementAndGet()}"
+        val q = joined.writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Append()).start()
+        try {
+          (0L to 2L).foreach { b =>
+            inA.addData(imps.filter(_.batch == b).toSeq)
+            inB.addData(convs.filter(_.batch == b).toSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.table(name)
+          .withColumn("day", expr("unix_micros(b_ts) div 86400000000"))
+          .groupBy("a_type", "day")
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("a_user")).as("n_users"),
+            graft.ops.ExactAgg.dsum(col("b_value")).as("sum_value"))
+          .orderBy("a_type", "day")
+      } finally { ev.unpersist(false); () }
+    },
+    Some(s"""WITH e AS (
+        SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+        FROM events),
+      pairs AS (
+        SELECT a.event_type AS a_type, a.user_id AS a_user,
+          b.us AS b_us, b.value AS b_value
+        FROM e a JOIN e b
+          ON a.user_id = b.user_id
+          AND a.event_type IN ('view', 'click') AND b.event_type = 'purchase'
+          AND b.us >= a.us AND b.us <= a.us + 21600000000)
+      SELECT a_type, (b_us // 86400000000) AS day,
+        COUNT(*) AS n_pairs,
+        CAST(COUNT(DISTINCT a_user) AS BIGINT) AS n_users,
+        ${graft.ops.ExactAgg.sqlSum("b_value")} AS sum_value
+      FROM pairs GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   /** One pre-rolled dedup unit: content hash, arrival batch, min-doc
     * representative, event time (batches are an hour apart). */

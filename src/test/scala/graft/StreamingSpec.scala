@@ -213,4 +213,38 @@ class StreamingSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
     assert(kept == Seq(("a", 0L), ("b", 0L), ("c", 1L), ("d", 2L)), kept.toString)
   }
+
+  test("R8 stream-stream join matches impressions to later-batch purchases") {
+    import graft.streaming.StreamOracle.{ConvEvent, ImpEvent}
+    import org.apache.spark.sql.functions.expr
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    def ts(offMin: Long) = new java.sql.Timestamp(t0 + offMin * 60000L)
+    val inA = MemoryStream[ImpEvent]
+    val inB = MemoryStream[ConvEvent]
+    val joined = inA.toDS().drop("batch").withWatermark("a_ts", "48 hours")
+      .join(inB.toDS().drop("batch").withWatermark("b_ts", "48 hours"),
+        expr("a_user = b_user AND b_ts >= a_ts AND b_ts <= a_ts + INTERVAL 6 HOURS"))
+    val q = joined.writeStream.format("memory").queryName("r8_planted")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 0: impressions only — user 1 (view), user 2 (click)
+      inA.addData(ImpEvent(1L, "view", ts(0), 0L), ImpEvent(2L, "click", ts(30), 0L))
+      q.processAllAvailable()
+      // batch 1: purchases — user 1 inside the 6 h window (CROSS-BATCH
+      // state carry), user 2 OUTSIDE the window, user 3 with no impression
+      inB.addData(ConvEvent(1L, 10.0, ts(120), 1L),
+        ConvEvent(2L, 20.0, ts(30 + 361), 1L), ConvEvent(3L, 30.0, ts(60), 1L))
+      q.processAllAvailable()
+      // batch 2: same-batch pair — user 4 impression + purchase together
+      inA.addData(ImpEvent(4L, "view", ts(200), 2L))
+      inB.addData(ConvEvent(4L, 40.0, ts(210), 2L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.table("r8_planted").collect()
+      .map(r => (r.getAs[Long]("a_user"), r.getAs[Double]("b_value")))
+      .toSeq.sorted
+    assert(pairs == Seq((1L, 10.0), (4L, 40.0)),
+      s"expected exactly the in-window cross-batch and same-batch pairs: $pairs")
+  }
 }
