@@ -562,8 +562,19 @@ object StreamOracle extends QueryModule {
             expr("""a_user = b_user AND b_ts >= a_ts
                     AND b_ts <= a_ts + INTERVAL 6 HOURS"""))
         val name = s"r8_join_${runSeq.incrementAndGet()}"
-        val q = joined.writeStream.format("memory").queryName(name)
-          .outputMode(OutputMode.Append()).start()
+        // a stream-stream join commits TWO state stores per shuffle
+        // partition per micro-batch; at the suite default of 32 that is
+        // 192 store commits for three batches — far more than this state
+        // volume needs (21.6s -> 5.5s at sf0.1). Partition count should
+        // track state VOLUME: tiny here, many partitions across executors
+        // at cluster scale. The stream pins its own partitioning at start,
+        // so other queries are unaffected; restored in finally.
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q =
+          try joined.writeStream.format("memory").queryName(name)
+            .outputMode(OutputMode.Append()).start()
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
         try {
           (0L to 2L).foreach { b =>
             inA.addData(imps.filter(_.batch == b).toSeq)
