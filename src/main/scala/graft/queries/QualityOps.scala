@@ -34,7 +34,8 @@ import org.apache.spark.sql.functions._
 object QualityOps extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(bigramLm, dsirWeight, chunkOverlap,
-    idfTopTerms, sourceMix, bpeMerges, bpeEncode, qualityLr, jsonlRoundtrip)
+    idfTopTerms, sourceMix, bpeMerges, bpeEncode, qualityLr, jsonlRoundtrip,
+    stratifiedSample)
 
   /** Uniform-in-[0,65536) integer from the first 4 md5 nibbles of the doc
     * id — the portable per-document coin every deterministic sampling op
@@ -399,6 +400,36 @@ object QualityOps extends QueryModule {
         CAST(SUM(length(word)) AS DOUBLE) / SUM(n_sym) AS chars_per_token
       FROM tok JOIN enc USING (word)
       GROUP BY 1 ORDER BY 1"""))
+
+  /** T: stratified sampling — a fixed-size deterministic sample per
+    * (source, lang) stratum (the eval-set construction step): rank by
+    * md5(doc_id) within the stratum and keep the 3 smallest — membership is
+    * a pure function of the ids present, independent of partitioning or
+    * row order, and approximately uniform because md5 is. Emits the sample
+    * rows themselves (downstream eval jobs consume exactly this) plus the
+    * stratum size. One shuffle (the per-stratum rank); bounded output. */
+  private val stratifiedSample = QueryDef(
+    "t_stratified_sample",
+    (s, dir) => {
+      val ranked = Tables.documents(s, dir)
+        .withColumn("h", md5(col("doc_id").cast("string")))
+        .withColumn("n_stratum", count(lit(1)).over(
+          Window.partitionBy("source", "lang")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source", "lang").orderBy(col("h").asc)))
+      ranked.filter(col("rk") <= 3)
+        .select(col("source"), col("lang"), col("rk").cast("long").as("rk"),
+          col("doc_id"), col("n_chars"), col("n_stratum"))
+        .orderBy("source", "lang", "rk")
+    },
+    Some("""SELECT source, lang, CAST(rk AS BIGINT) AS rk, doc_id, n_chars,
+        n_stratum
+      FROM (SELECT source, lang, doc_id, n_chars,
+          COUNT(*) OVER (PARTITION BY source, lang) AS n_stratum,
+          ROW_NUMBER() OVER (PARTITION BY source, lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC) AS rk
+        FROM documents)
+      WHERE rk <= 3 ORDER BY source, lang, rk"""))
 
   /** T: JSONL interchange roundtrip — write the corpus as JSON-lines (the
     * de-facto training-data exchange format), read it back with an explicit
