@@ -26,7 +26,7 @@ object StreamOracle extends QueryModule {
 
   def defs: Seq[QueryDef] =
     Seq(r5StreamFold, r4StreamWindow, r5TickFold, r4LateData, s5WriteBehind,
-      d8StreamDedup, r8StreamJoin)
+      d8StreamDedup, r8StreamJoin, r8OuterJoin)
 
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -529,32 +529,43 @@ object StreamOracle extends QueryModule {
     * execution still exercises real cross-batch two-sided join state. The
     * cross-batch carry itself is pinned by a planted scenario in
     * StreamingSpec. */
+  /** Pre-rolled attribution inputs: impressions, purchases (each tagged
+    * with its time-tercile batch) and the max event-time in micros. */
+  private def attribEvents(s: SparkSession, dir: String)
+      : (Array[ImpEvent], Array[ConvEvent], Long) = {
+    import s.implicits._
+    val ev = graft.Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("us"), col("value"))
+      .persist()
+    try {
+      val (mn, mx) = {
+        val r = ev.agg(min("us"), max("us")).head(); (r.getLong(0), r.getLong(1)) }
+      val third = (mx - mn) / 3 + 1
+      val withBatch = ev
+        .withColumn("batch", expr(s"(us - ${mn}L) div ${third}L"))
+        .withColumn("tsc", expr("timestamp_micros(us)"))
+      val imps = withBatch
+        .filter(col("event_type").isin("view", "click"))
+        .select(col("user_id").as("a_user"), col("event_type").as("a_type"),
+          col("tsc").as("a_ts"), col("batch"))
+        .as[ImpEvent].collect().sortBy(e => (e.batch, e.a_ts.getTime, e.a_user))
+      val convs = withBatch
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("b_user"), col("value").as("b_value"),
+          col("tsc").as("b_ts"), col("batch"))
+        .as[ConvEvent].collect().sortBy(e => (e.batch, e.b_ts.getTime, e.b_user))
+      (imps, convs, mx)
+    } finally { ev.unpersist(false); () }
+  }
+
   private val r8StreamJoin = QueryDef(
     "r8_stream_join",
     (s, dir) => {
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      val ev = graft.Tables.events(s, dir)
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          expr("ts div 1000").as("us"), col("value"))
-        .persist()
-      try {
-        val (mn, mx) = {
-          val r = ev.agg(min("us"), max("us")).head(); (r.getLong(0), r.getLong(1)) }
-        val third = (mx - mn) / 3 + 1
-        val withBatch = ev
-          .withColumn("batch", expr(s"(us - ${mn}L) div ${third}L"))
-          .withColumn("tsc", expr("timestamp_micros(us)"))
-        val imps = withBatch
-          .filter(col("event_type").isin("view", "click"))
-          .select(col("user_id").as("a_user"), col("event_type").as("a_type"),
-            col("tsc").as("a_ts"), col("batch"))
-          .as[ImpEvent].collect().sortBy(e => (e.batch, e.a_ts.getTime, e.a_user))
-        val convs = withBatch
-          .filter(col("event_type") === "purchase")
-          .select(col("user_id").as("b_user"), col("value").as("b_value"),
-            col("tsc").as("b_ts"), col("batch"))
-          .as[ConvEvent].collect().sortBy(e => (e.batch, e.b_ts.getTime, e.b_user))
+      locally {
+        val (imps, convs, _) = attribEvents(s, dir)
         val inA = MemoryStream[ImpEvent]
         val inB = MemoryStream[ConvEvent]
         val joined = inA.toDS().drop("batch").withWatermark("a_ts", "48 hours")
@@ -589,7 +600,7 @@ object StreamOracle extends QueryModule {
             countDistinct(col("a_user")).as("n_users"),
             graft.ops.ExactAgg.dsum(col("b_value")).as("sum_value"))
           .orderBy("a_type", "day")
-      } finally { ev.unpersist(false); () }
+      }
     },
     Some(s"""WITH e AS (
         SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
@@ -606,6 +617,76 @@ object StreamOracle extends QueryModule {
         CAST(COUNT(DISTINCT a_user) AS BIGINT) AS n_users,
         ${graft.ops.ExactAgg.sqlSum("b_value")} AS sum_value
       FROM pairs GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** R8b: stream-stream LEFT OUTER interval join — the watermark-DRIVEN
+    * emission path the inner join never exercises: an unmatched impression
+    * emits its null-joined row only when the advancing watermark proves no
+    * future purchase can land in its window (state eviction IS the
+    * emission). A far-future sentinel batch on BOTH streams (non-joining:
+    * the sentinel impression sits 7 h after the sentinel purchase) pushes
+    * the final watermark past every real impression's window, so every
+    * unmatched row flushes and the streamed result equals the static LEFT
+    * OUTER join exactly — a hash-exact oracle over the eviction-emission
+    * machinery. */
+  private val r8OuterJoin = QueryDef(
+    "r8_outer_join",
+    (s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val (imps, convs, mx) = attribEvents(s, dir)
+      val inA = MemoryStream[ImpEvent]
+      val inB = MemoryStream[ConvEvent]
+      val joined = inA.toDS().drop("batch").withWatermark("a_ts", "48 hours")
+        .join(inB.toDS().drop("batch").withWatermark("b_ts", "48 hours"),
+          expr("""a_user = b_user AND b_ts >= a_ts
+                  AND b_ts <= a_ts + INTERVAL 6 HOURS"""),
+          "left_outer")
+      val name = s"r8_outer_${runSeq.incrementAndGet()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q =
+        try joined.writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Append()).start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try {
+        (0L to 2L).foreach { b =>
+          inA.addData(imps.filter(_.batch == b).toSeq)
+          inB.addData(convs.filter(_.batch == b).toSeq)
+          q.processAllAvailable()
+        }
+        // sentinel flush: 100 days past the data, watermark sails past
+        // every real window; the pair cannot join (imp 7 h after conv)
+        val far = mx + 100L * 86400000000L
+        inB.addData(ConvEvent(-1L, 0.0, new java.sql.Timestamp(far / 1000L), 3L))
+        inA.addData(ImpEvent(-1L, "view",
+          new java.sql.Timestamp((far + 7L * 3600000000L) / 1000L), 3L))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(name)
+        .filter(col("a_user") >= 0L)
+        .groupBy("a_type")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("b_user")).as("n_matched"),
+          (count(lit(1)) - count(col("b_user"))).as("n_unmatched"),
+          graft.ops.ExactAgg.dsum(col("b_value")).as("sum_matched_value"))
+        .orderBy("a_type")
+    },
+    Some(s"""WITH e AS (
+        SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+        FROM events),
+      lj AS (
+        SELECT a.event_type AS a_type, b.user_id AS bu, b.value AS b_value
+        FROM (SELECT user_id, event_type, us FROM e
+              WHERE event_type IN ('view', 'click')) a
+        LEFT JOIN (SELECT user_id, us, value FROM e
+              WHERE event_type = 'purchase') b
+          ON a.user_id = b.user_id
+          AND b.us >= a.us AND b.us <= a.us + 21600000000)
+      SELECT a_type, COUNT(*) AS n_rows,
+        CAST(COUNT(bu) AS BIGINT) AS n_matched,
+        CAST(COUNT(*) - COUNT(bu) AS BIGINT) AS n_unmatched,
+        ${graft.ops.ExactAgg.sqlSum("b_value")} AS sum_matched_value
+      FROM lj GROUP BY 1 ORDER BY 1"""))
 
   /** One pre-rolled dedup unit: content hash, arrival batch, min-doc
     * representative, event time (batches are an hour apart). */
