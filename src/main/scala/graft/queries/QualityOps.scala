@@ -35,7 +35,7 @@ object QualityOps extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(bigramLm, dsirWeight, chunkOverlap,
     idfTopTerms, sourceMix, bpeMerges, bpeEncode, qualityLr, jsonlRoundtrip,
-    stratifiedSample)
+    stratifiedSample, zipfFit)
 
   /** Uniform-in-[0,65536) integer from the first 4 md5 nibbles of the doc
     * id — the portable per-document coin every deterministic sampling op
@@ -400,6 +400,83 @@ object QualityOps extends QueryModule {
         CAST(SUM(length(word)) AS DOUBLE) / SUM(n_sym) AS chars_per_token
       FROM tok JOIN enc USING (word)
       GROUP BY 1 ORDER BY 1"""))
+
+  /** T: corpus frequency-distribution diagnostics — fit the Zipf exponent
+    * by closed-form least squares on (ln rank, ln freq) over the word
+    * frequency table, plus top-10 mass share and the hapax fraction of
+    * 3-gram shingles. Natural text fits slope ≈ −1; this synthetic corpus
+    * reads ≈ −0.18 (near-uniform) — exactly the diagnostic that tells a
+    * pipeline its data does not look like language. The regression is five
+    * exact-decimal sums over a vocabulary-sized table; everything else is
+    * rank arithmetic. */
+  private val zipfFit = QueryDef(
+    "t_zipf_fit",
+    (s, dir) => {
+      val f = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val ranked = f
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("c").desc, col("w").asc)))
+        .withColumn("x", log(col("rk").cast("double")))
+        .withColumn("y", log(col("c").cast("double")))
+      val tot = f.agg(sum(col("c")).as("tot"))
+      val top10 = ranked.filter(col("rk") <= 10)
+        .agg(sum(col("c")).as("top10"))
+      val sh = Tables.documents(s, dir)
+        .select(expr(
+          """explode(if(size(split(text, ' ')) >= 3,
+            transform(sequence(1, size(split(text, ' ')) - 2),
+              i -> concat_ws(' ', slice(split(text, ' '), i, 3))),
+            array()))""").as("sh"))
+        .groupBy("sh").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_sh"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      val n = count(lit(1)).cast("double")
+      val reg = ranked.agg(
+        count(lit(1)).as("n_vocab"),
+        ExactAgg.snap((n * ExactAgg.dsumR(col("x") * col("y"))
+          - ExactAgg.dsumR(col("x")) * ExactAgg.dsumR(col("y"))) /
+          (n * ExactAgg.dsumR(col("x") * col("x"))
+            - ExactAgg.dsumR(col("x")) * ExactAgg.dsumR(col("x"))))
+          .as("zipf_slope"))
+      reg.crossJoin(broadcast(tot)).crossJoin(broadcast(top10))
+        .crossJoin(broadcast(sh))
+        .withColumn("top10_share", ExactAgg.snap(
+          col("top10").cast("double") / col("tot")))
+        .withColumn("hapax_frac", ExactAgg.snap(
+          col("n_hapax").cast("double") / col("n_sh")))
+        .select("n_vocab", "zipf_slope", "top10_share", "hapax_frac")
+    },
+    Some {
+      import ExactAgg.{sqlSnap, sqlSumR}
+      s"""WITH f AS (SELECT wo.word AS w, COUNT(*) AS c
+        FROM documents, LATERAL unnest(string_split(text,' ')) AS wo(word)
+        GROUP BY 1),
+      r AS (SELECT c, ln(CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w ASC)
+          AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y,
+          ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS rk
+        FROM f),
+      reg AS (SELECT COUNT(*) AS n_vocab,
+          ${sqlSnap(s"""(CAST(COUNT(*) AS DOUBLE) * ${sqlSumR("x*y")}
+            - ${sqlSumR("x")} * ${sqlSumR("y")})
+            / (CAST(COUNT(*) AS DOUBLE) * ${sqlSumR("x*x")}
+            - ${sqlSumR("x")} * ${sqlSumR("x")})""")} AS zipf_slope
+        FROM r),
+      tot AS (SELECT SUM(c) AS tot FROM f),
+      t10 AS (SELECT SUM(c) AS top10 FROM r WHERE rk <= 10),
+      shc AS (SELECT sh, COUNT(*) AS c FROM (
+          SELECT w[i.i] || ' ' || w[i.i+1] || ' ' || w[i.i+2] AS sh
+          FROM (SELECT string_split(text,' ') AS w FROM documents),
+               LATERAL unnest(generate_series(1, len(w) - 2)) AS i(i))
+        GROUP BY 1),
+      shs AS (SELECT COUNT(*) AS n_sh,
+          SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax FROM shc)
+      SELECT n_vocab, zipf_slope,
+        ${sqlSnap("CAST(top10 AS DOUBLE) / tot")} AS top10_share,
+        ${sqlSnap("CAST(n_hapax AS DOUBLE) / n_sh")} AS hapax_frac
+      FROM reg CROSS JOIN tot CROSS JOIN t10 CROSS JOIN shs"""
+    })
 
   /** T: stratified sampling — a fixed-size deterministic sample per
     * (source, lang) stratum (the eval-set construction step): rank by

@@ -52,7 +52,7 @@ object SimilarityOps extends QueryModule {
 
   def defs: Seq[QueryDef] =
     Seq(s1BruteForce, s2AnnLsh, s3AnnIvf, s4AnnRecall, s5AnnPq, s6RpReduce,
-      s7KmeansClusters)
+      s7KmeansClusters, s8Int8Quant)
 
   /** Sequential double fold of an array expression. */
   private def dblSum(arrExpr: String): Column =
@@ -662,6 +662,65 @@ object SimilarityOps extends QueryModule {
       SELECT cl.cell, cl.n_vecs, cl.inertia, maj.maj_label,
         CAST(maj.n_maj AS DOUBLE) / cl.n_vecs AS purity
       FROM cl JOIN maj ON maj.cell = cl.cell ORDER BY cl.cell"""
+    })
+
+  /** S8: int8 embedding quantization — the 4× storage compression every
+    * large vector store applies: per-vector absmax scale (s = max|x|/127),
+    * symmetric round-to-nearest codes q = floor(x/s + 0.5) in [-127, 127],
+    * and the quality readout that decides whether the compression is
+    * acceptable — per-label reconstruction MSE and cosine(original,
+    * dequantized). Rounding is floor(x+0.5) (not round(): Spark rounds the
+    * shortest decimal repr while DuckDB rounds the true binary value — the
+    * NOTES r2 hash-failure mode); every reduction is snapped. One linear
+    * codegen scan, label-rollup shuffle only. */
+  private val s8Int8Quant = QueryDef(
+    "s8_int8_quant",
+    (s, dir) => {
+      Tables.embeddings(s, dir)
+        .withColumn("emb", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("scale", expr(
+          "aggregate(emb, 0D, (acc, x) -> greatest(acc, abs(x))) / 127D"))
+        .withColumn("dq", expr(
+          """transform(emb, x -> greatest(-127D, least(127D,
+               floor(x / scale + 0.5D))) * scale)"""))
+        .withColumn("mse", graft.ops.ExactAgg.snap(
+          dblSum("zip_with(emb, dq, (a, b) -> (a - b) * (a - b))")
+            / size(col("emb"))))
+        .withColumn("cos", graft.ops.ExactAgg.snap(
+          dotCol("emb", "dq") /
+            (sqrt(dblSum("transform(emb, x -> x * x)")) *
+              sqrt(dblSum("transform(dq, x -> x * x)")))))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          (graft.ops.ExactAgg.dsumR(col("mse")) / count(lit(1))).as("avg_mse"),
+          (graft.ops.ExactAgg.dsumR(col("cos")) / count(lit(1))).as("avg_cos"),
+          min(col("cos")).as("min_cos"))
+        .orderBy("label")
+    },
+    Some {
+      import graft.ops.ExactAgg.{sqlSnap, sqlSumR}
+      s"""WITH el AS (
+        SELECT vec_id, label, pos, CAST(embedding[pos] AS DOUBLE) AS x
+        FROM (SELECT vec_id, label, embedding,
+                unnest(generate_series(1, len(embedding))) AS pos
+              FROM embeddings)),
+      sc AS (SELECT vec_id, MAX(ABS(x)) / 127 AS scale FROM el GROUP BY 1),
+      dq AS (
+        SELECT e.vec_id, e.label, e.pos, e.x,
+          GREATEST(-127e0, LEAST(127e0, FLOOR(e.x / s.scale + 0.5e0))) * s.scale
+            AS d
+        FROM el e JOIN sc s ON s.vec_id = e.vec_id),
+      pv AS (
+        SELECT vec_id, label,
+          ${sqlSnap("SUM((x - d) * (x - d)) / COUNT(*)")} AS mse,
+          ${sqlSnap("SUM(x * d) / (SQRT(SUM(x * x)) * SQRT(SUM(d * d)))")}
+            AS cos
+        FROM dq GROUP BY 1, 2)
+      SELECT label, COUNT(*) AS n_vecs,
+        (${sqlSumR("mse")} / COUNT(*)) AS avg_mse,
+        (${sqlSumR("cos")} / COUNT(*)) AS avg_cos,
+        MIN(cos) AS min_cos
+      FROM pv GROUP BY 1 ORDER BY 1"""
     })
 
   // ── S6: random-projection dimensionality reduction ──────────────────────
