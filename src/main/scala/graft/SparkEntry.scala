@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   val modules: Seq[QueryModule] =
-    Seq(Relational, EventOps, TextOps, MultimodalOps, DedupOps, SimilarityOps, PipelineOps, QualityOps, SketchOps, ClassifyOps,
+    Seq(Relational, EventOps, TextOps, MultimodalOps, DedupOps, SimilarityOps, PipelineOps, QualityOps, SketchOps, RetrievalOps, ClassifyOps,
       AbiBreadthOps, IndirectOps, InspectorOps, PricingOps, CexOps, MiscOps,
       FidelityOps, streaming.StreamOracle)
 
