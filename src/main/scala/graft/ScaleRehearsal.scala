@@ -47,7 +47,13 @@ object ScaleRehearsal {
     // (the memoized trainers t_bpe_*/s7 are excluded: their timed pass
     // would measure the per-JVM cache, not the training)
     "t_decontaminate", "d10_substring_dedup", "t_bigram_lm",
-    "d9_keep_best", "t_idf_top_terms")
+    "d9_keep_best", "t_idf_top_terms",
+    // third-wave additions (retrieval, sketches, trainers, scans); the
+    // r8 stream joins are excluded — their MemoryStream drive collects
+    // the feed to the driver, a test-harness shape whose sf1 cost would
+    // measure the harness, not the operator
+    "rt1_bm25_topk", "rt2_hybrid_rrf", "sk1_kmv_distinct",
+    "sk2_bloom_filter", "t_quality_lr", "s8_int8_quant")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("both")
