@@ -52,7 +52,7 @@ object SimilarityOps extends QueryModule {
 
   def defs: Seq[QueryDef] =
     Seq(s1BruteForce, s2AnnLsh, s3AnnIvf, s4AnnRecall, s5AnnPq, s6RpReduce,
-      s7KmeansClusters, s8Int8Quant)
+      s7KmeansClusters, s8Int8Quant, d11SemanticDedup)
 
   /** Sequential double fold of an array expression. */
   private def dblSum(arrExpr: String): Column =
@@ -662,6 +662,108 @@ object SimilarityOps extends QueryModule {
       SELECT cl.cell, cl.n_vecs, cl.inertia, maj.maj_label,
         CAST(maj.n_maj AS DOUBLE) / cl.n_vecs AS purity
       FROM cl JOIN maj ON maj.cell = cl.cell ORDER BY cl.cell"""
+    })
+
+  /** D11: SemDeDup — semantic deduplication (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication"):
+    * cluster the corpus with the SHARED trained codebook, compare pairs
+    * only WITHIN a cluster (the approximation that turns an O(N²) cosine
+    * matrix into per-cluster blocks — the k-means front-end exists
+    * precisely to bound this join), mark pairs with exact cosine ≥ 0.40
+    * (fixture-tuned; web embeddings use ~0.95+) as semantic duplicates,
+    * connect them into groups, and keep the min-id exemplar per group.
+    * Per-cluster report: vectors, pairs checked (the block size the
+    * approximation actually paid for), duplicate pairs, groups, removed.
+    * The component labeling runs on the duplicate EDGES only (tiny);
+    * the oracle re-derives the codebook and labels via recursive SQL. */
+  private val d11SemanticDedup = QueryDef(
+    "d11_semantic_dedup",
+    (s, dir) => {
+      val cb = trainCodebook(s, dir)
+      val emb = Tables.embeddings(s, dir)
+        .filter(col("vec_id") >= NumQueries)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+        .withColumn("nrm", sqrt(dblSum("transform(emb, x -> x * x)")))
+      val asg = assignCells(s, emb, cb).persist()
+      var pairs0: Option[org.apache.spark.sql.DataFrame] = None
+      try {
+        val a = asg.select(col("cell"), col("vec_id").as("va"),
+          col("emb").as("ea"), col("nrm").as("na"))
+        val b = asg.select(col("cell").as("cell_b"), col("vec_id").as("vb"),
+          col("emb").as("eb"), col("nrm").as("nb"))
+        val pairs = a.join(b,
+            col("cell") === col("cell_b") && col("va") < col("vb"))
+          .withColumn("cos", graft.ops.ExactAgg.snap(
+            dotCol("ea", "eb") / (col("na") * col("nb"))))
+          .select("cell", "va", "vb", "cos")
+          .persist()
+        pairs0 = Some(pairs)
+        val dups = pairs.filter(col("cos") >= 0.40e0)
+        val labels = DedupOps.clusterLabels(s,
+            dups.select(col("va").as("doc_a"), col("vb").as("doc_b")))
+          .withColumnRenamed("doc_id", "vec_id")
+        val groups = labels.join(asg.select("vec_id", "cell"), Seq("vec_id"))
+          .groupBy("cell", "lbl")
+          .agg(count(lit(1)).as("n_members"))
+        val perCell = groups.groupBy("cell")
+          .agg(count(lit(1)).as("n_groups"),
+            sum(col("n_members") - 1).as("n_removed"))
+        pairs.groupBy("cell")
+          .agg(count(lit(1)).as("n_pairs_checked"),
+            sum((col("cos") >= 0.40e0).cast("long")).as("n_dup_pairs"))
+          .join(perCell, Seq("cell"), "left")
+          .select(col("cell"), col("n_pairs_checked"), col("n_dup_pairs"),
+            coalesce(col("n_groups"), lit(0L)).as("n_groups"),
+            coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+          .orderBy("cell")
+      } finally { asg.unpersist(false); pairs0.foreach(_.unpersist(false)); () }
+    },
+    Some {
+      s"""WITH RECURSIVE el AS (
+        SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS x
+        FROM (SELECT vec_id, embedding,
+                unnest(generate_series(1, len(embedding))) AS pos FROM embeddings)),
+      $kmOracleCtes,
+      nrm2 AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM el
+               WHERE vec_id >= $NumQueries GROUP BY 1),
+      prs AS (
+        SELECT ca.cell, ca.c_id AS va, cb.c_id AS vb,
+          ${graft.ops.ExactAgg.sqlSnap("SUM(ea.x * eb.x) / (MAX(na.nrm) * MAX(nb.nrm))")}
+            AS cos
+        FROM ccl ca
+        JOIN ccl cb ON cb.cell = ca.cell AND ca.c_id < cb.c_id
+        JOIN el ea ON ea.vec_id = ca.c_id
+        JOIN el eb ON eb.vec_id = cb.c_id AND eb.pos = ea.pos
+        JOIN nrm2 na ON na.vec_id = ca.c_id
+        JOIN nrm2 nb ON nb.vec_id = cb.c_id
+        GROUP BY 1, 2, 3),
+      dupe AS (SELECT va, vb FROM prs WHERE cos >= 0.40e0),
+      sym AS (SELECT va AS a, vb AS b FROM dupe
+              UNION SELECT vb, va FROM dupe),
+      reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+        WHERE r.a <> s.b),
+      labels AS (SELECT a AS vec_id, LEAST(MIN(b), a) AS lbl
+                 FROM reach GROUP BY a),
+      grp AS (SELECT c.cell, l.lbl, COUNT(*) AS n_members
+        FROM labels l JOIN ccl c ON c.c_id = l.vec_id
+        GROUP BY 1, 2),
+      pc AS (SELECT cell, COUNT(*) AS n_groups,
+          SUM(n_members - 1) AS n_removed
+        FROM grp GROUP BY 1),
+      blocks AS (
+        SELECT cell, COUNT(*) AS n_pairs_checked,
+          SUM(CASE WHEN cos >= 0.40e0 THEN 1 ELSE 0 END) AS n_dup_pairs
+        FROM prs GROUP BY 1)
+      SELECT b.cell, CAST(b.n_pairs_checked AS BIGINT) AS n_pairs_checked,
+        CAST(b.n_dup_pairs AS BIGINT) AS n_dup_pairs,
+        CAST(COALESCE(pc.n_groups, 0) AS BIGINT) AS n_groups,
+        CAST(COALESCE(pc.n_removed, 0) AS BIGINT) AS n_removed
+      FROM blocks b LEFT JOIN pc ON pc.cell = b.cell
+      ORDER BY b.cell"""
     })
 
   /** S8: int8 embedding quantization — the 4× storage compression every
