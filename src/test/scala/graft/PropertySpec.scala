@@ -1,0 +1,96 @@
+package graft
+
+import graft.ops.{AsOfJoin, ExactAgg, TopK}
+import org.apache.spark.sql.functions._
+import org.scalacheck.rng.Seed
+import org.scalacheck.{Arbitrary, Gen}
+
+/** Property-based checks of the reusable operator library: each core op is
+  * compared against a trivially-correct driver-side reference on many
+  * RANDOMIZED inputs (fixed seeds — reproducible), across several
+  * partitionings. This is the class of bug the fixture can't plant: a
+  * fencepost that only fires on a shape the hand-written cases missed. */
+class PropertySpec extends SparkTestBase {
+
+  private def sample[A](gen: Gen[A], seed: Long): A =
+    gen.pureApply(Gen.Parameters.default, Seed(seed))
+
+  private val doublesGen: Gen[List[Double]] =
+    Gen.chooseNum(1, 120).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-1e6, 1e6).map(x => math.rint(x * 64) / 64)))
+
+  test("dsum is invariant under repartitioning and permutation (50 random sets)") {
+    import spark.implicits._
+    for (seed <- 1 to 50) {
+      val xs = sample(doublesGen, seed.toLong)
+      val expected = ExactAgg.dsumDriver(xs)
+      for (parts <- Seq(1, 3, 7)) {
+        val got = xs.toDF("x").repartition(parts)
+          .agg(ExactAgg.dsum(col("x"))).head().getDouble(0)
+        assert(got == expected, s"seed=$seed parts=$parts: $got != $expected")
+      }
+      val shuffled = scala.util.Random.javaRandomToRandom(
+        new java.util.Random(seed.toLong)).shuffle(xs)
+      val gotShuffled = shuffled.toDF("x").agg(ExactAgg.dsum(col("x")))
+        .head().getDouble(0)
+      assert(gotShuffled == expected, s"seed=$seed permuted: $gotShuffled")
+    }
+  }
+
+  private case class L(k: Long, ts: Long, v: Long)
+  private val eventsGen: Gen[(List[L], List[L])] = for {
+    nl <- Gen.chooseNum(0, 40)
+    nr <- Gen.chooseNum(0, 40)
+    mk = for {
+      k <- Gen.chooseNum(0L, 3L)
+      ts <- Gen.chooseNum(0L, 30L) // narrow range → many exact ts ties
+      v <- Gen.chooseNum(0L, 999L)
+    } yield L(k, ts, v)
+    l <- Gen.listOfN(nl, mk)
+    r <- Gen.listOfN(nr, mk)
+  } yield (l, r)
+
+  test("AsOfJoin.backward equals the brute-force reference (40 random workloads)") {
+    import spark.implicits._
+    for (seed <- 1 to 40) {
+      val (ls, rsRaw) = sample(eventsGen, 1000L + seed)
+      // right side must be unique per (key, ts) for a well-defined as-of:
+      // keep the max-v row, exactly what the op's contract assumes
+      val rs = rsRaw.groupBy(r => (r.k, r.ts)).map(_._2.maxBy(_.v)).toList
+      val left = ls.map(l => (l.k, l.ts, l.v)).toDF("k", "ts", "lv")
+      val right = rs.map(r => (r.k, r.ts, r.v)).toDF("k", "ts", "rv")
+      val got = AsOfJoin.backward(left, right, Seq("k"), "ts", "rv", "last_rv")
+        .select("k", "ts", "lv", "last_rv")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))
+        .sorted
+      val expect = ls.map { l =>
+        val m = rs.filter(r => r.k == l.k && r.ts <= l.ts)
+        (l.k, l.ts, l.v,
+          if (m.isEmpty) -1L else m.maxBy(_.ts).v)
+      }.sorted
+      assert(got.toSeq == expect, s"seed=$seed")
+    }
+  }
+
+  test("TopK.perGroup equals sort-take under total orders (40 random workloads)") {
+    import spark.implicits._
+    for (seed <- 1 to 40) {
+      val (ls, _) = sample(eventsGen, 2000L + seed)
+      if (ls.nonEmpty) {
+        val df = ls.map(l => (l.k, l.ts, l.v)).toDF("k", "ts", "v")
+        val got = TopK.perGroup(df, Seq("k"),
+            Seq(col("ts").desc, col("v").asc), 3)
+          .select("k", "rank", "ts", "v").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+          .sorted
+        val expect = ls.groupBy(_.k).toSeq.flatMap { case (k, rows) =>
+          rows.sortBy(r => (-r.ts, r.v)).take(3).zipWithIndex
+            .map { case (r, i) => (k, i + 1, r.ts, r.v) }
+        }.sorted
+        assert(got.toSeq == expect, s"seed=$seed")
+      }
+    }
+  }
+}
