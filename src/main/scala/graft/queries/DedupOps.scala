@@ -26,7 +26,7 @@ object DedupOps extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(d1ExactDedup, d2MinhashLsh, d3Simhash,
     d4JaccardVerify, d5DedupClusters, d6EmbeddingNearDup, d7DedupPipeline,
-    d9KeepBest)
+    d9KeepBest, d12CdcChunks)
 
   // ── shared shingle machinery (Spark side) ────────────────────────────────
 
@@ -374,6 +374,76 @@ object DedupOps extends QueryModule {
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
   }
+
+  /** D12: content-defined chunking dedup — the storage-dedup classic
+    * (Muthitacharoen et al., LBFS): chunk boundaries fall where the hash
+    * of the 8-char window opens with nibble '0' (p = 1/16 → ~16-char
+    * average chunks), so INSERTIONS only reshape the chunks they touch —
+    * unlike fixed-width blocks, identical content re-chunks identically at
+    * any offset. Chunks dedup by hash across the whole corpus; per-source
+    * report includes chunk-char conservation (Σ chunk lengths = Σ doc
+    * lengths) and the cross-document shared-chunk count. Row-local chunking
+    * (one explode + per-doc window); the only corpus-wide state is the
+    * chunk-hash table — content-addressed and mergeable, the scale story
+    * of every dedup store. */
+  private val d12CdcChunks = QueryDef(
+    "d12_cdc_chunks",
+    (s, dir) => {
+      val ch = Tables.documents(s, dir)
+        .withColumn("n", length(col("text")))
+        .select(col("doc_id"), col("source"), col("n"), col("text"), expr(
+          """explode(filter(transform(sequence(1, n),
+               i -> IF(i = 1 OR (i + 7 <= n
+                 AND substring(md5(substring(text, i, 8)), 1, 1) = '0'),
+                 i, CAST(NULL AS INT))),
+             x -> x IS NOT NULL))""").as("st"))
+        .withColumn("clen",
+          coalesce(lead(col("st"), 1).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+              .orderBy("st")), col("n") + 1) - col("st"))
+        .withColumn("ch", md5(expr("substring(text, st, clen)")))
+        .select("doc_id", "source", "clen", "ch")
+        .persist()
+      try {
+        val shared = ch.groupBy("ch")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") > 1)
+          .select(col("ch"), lit(1L).as("is_shared"))
+        ch.join(broadcast(shared), Seq("ch"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_chunks"),
+            countDistinct(col("ch")).as("n_unique"),
+            sum(col("clen")).as("sum_chunk_chars"),
+            sum(coalesce(col("is_shared"), lit(0L))).as("n_shared_chunks"))
+          .withColumn("avg_chunk_len", graft.ops.ExactAgg.snap(
+            col("sum_chunk_chars").cast("double") / col("n_chunks")))
+          .orderBy("source")
+      } finally { ch.unpersist(false); () }
+    },
+    Some(s"""WITH d AS (SELECT doc_id, source, text, len(text) AS n
+        FROM documents),
+      st AS (SELECT doc_id, source, n, text, i.i AS st
+        FROM d, LATERAL unnest(generate_series(1, n)) AS i(i)
+        WHERE i.i = 1 OR (i.i + 7 <= n
+          AND substring(md5(substring(text, i.i, 8)), 1, 1) = '0')),
+      ch AS (SELECT doc_id, source,
+          COALESCE(LEAD(st) OVER (PARTITION BY doc_id ORDER BY st), n + 1)
+            - st AS clen,
+          md5(substring(text, st,
+            COALESCE(LEAD(st) OVER (PARTITION BY doc_id ORDER BY st), n + 1)
+              - st)) AS ch
+        FROM st),
+      sh AS (SELECT ch FROM (SELECT ch, COUNT(DISTINCT doc_id) AS nd
+             FROM ch GROUP BY 1) WHERE nd > 1)
+      SELECT source, COUNT(*) AS n_chunks,
+        CAST(COUNT(DISTINCT c.ch) AS BIGINT) AS n_unique,
+        CAST(SUM(clen) AS BIGINT) AS sum_chunk_chars,
+        CAST(SUM(CASE WHEN sh.ch IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+          AS n_shared_chunks,
+        ${graft.ops.ExactAgg.sqlSnap("CAST(SUM(clen) AS DOUBLE) / COUNT(*)")}
+          AS avg_chunk_len
+      FROM ch c LEFT JOIN sh ON sh.ch = c.ch
+      GROUP BY 1 ORDER BY 1"""))
 
   /** Verified near-dup edge table (jaccard ≥ 0.5), MATERIALIZED once per
     * (matRoot, fixture dir) — the persisted-intermediate pattern the

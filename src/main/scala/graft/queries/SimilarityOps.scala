@@ -52,7 +52,7 @@ object SimilarityOps extends QueryModule {
 
   def defs: Seq[QueryDef] =
     Seq(s1BruteForce, s2AnnLsh, s3AnnIvf, s4AnnRecall, s5AnnPq, s6RpReduce,
-      s7KmeansClusters, s8Int8Quant, d11SemanticDedup)
+      s7KmeansClusters, s8Int8Quant, d11SemanticDedup, s10HardNegatives)
 
   /** Sequential double fold of an array expression. */
   private def dblSum(arrExpr: String): Column =
@@ -663,6 +663,54 @@ object SimilarityOps extends QueryModule {
         CAST(maj.n_maj AS DOUBLE) / cl.n_vecs AS purity
       FROM cl JOIN maj ON maj.cell = cl.cell ORDER BY cl.cell"""
     })
+
+  /** S10: contrastive hard-negative mining — for every query vector, the
+    * top 3 corpus vectors whose cosine lands in the HARD band [0.25, 0.40):
+    * similar enough to be confusable, below the [[d11SemanticDedup]]
+    * duplicate bar — exactly the negatives a contrastive embedding trainer
+    * wants (easy negatives teach nothing; duplicates poison the loss).
+    * Same broadcast-query + per-row-fold + salted-top-k shape as s1 — the
+    * corpus is never exploded. */
+  private val s10HardNegatives = QueryDef(
+    "s10_hard_negatives",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          normCol("embedding").as("qn"))
+      val corpus = emb.filter(col("vec_id") >= NumQueries)
+        .select(col("vec_id").as("c_id"), col("embedding"),
+          normCol("embedding").as("cn"))
+      val banded = corpus.crossJoin(broadcast(q))
+        .select(col("q_id"), col("c_id"), graft.ops.ExactAgg.snap(
+          dotCol("q_emb", "embedding") / (col("qn") * col("cn"))).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.25e0 && col("cos_sim") < 0.40e0)
+      TopK.perGroup(banded, Seq("q_id"),
+          Seq(col("cos_sim").desc, col("c_id").asc), 3)
+        .select("q_id", "rank", "c_id", "cos_sim")
+        .orderBy("q_id", "rank")
+    },
+    Some(s"""WITH el AS (
+        SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS x
+        FROM (SELECT vec_id, embedding,
+                unnest(generate_series(1, len(embedding))) AS pos
+              FROM embeddings)),
+      nrm AS (SELECT vec_id, SQRT(SUM(x * x)) AS norm FROM el GROUP BY 1),
+      cos AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+          ${graft.ops.ExactAgg.sqlSnap("SUM(q.x * c.x) / (MAX(qn.norm) * MAX(cn.norm))")}
+            AS cos_sim
+        FROM el q
+        JOIN el c ON c.pos = q.pos AND c.vec_id >= $NumQueries
+        JOIN nrm qn ON qn.vec_id = q.vec_id
+        JOIN nrm cn ON cn.vec_id = c.vec_id
+        WHERE q.vec_id < $NumQueries
+        GROUP BY 1, 2)
+      SELECT q_id, rank, c_id, cos_sim FROM (
+        SELECT q_id, c_id, cos_sim, CAST(ROW_NUMBER() OVER (
+          PARTITION BY q_id ORDER BY cos_sim DESC, c_id ASC) AS INT) AS rank
+        FROM cos WHERE cos_sim >= 0.25e0 AND cos_sim < 0.40e0)
+      WHERE rank <= 3 ORDER BY q_id, rank"""))
 
   /** D11: SemDeDup — semantic deduplication (Abbas et al., "SemDeDup:
     * Data-efficient learning at web-scale through semantic deduplication"):
