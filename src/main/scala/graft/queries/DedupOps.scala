@@ -391,12 +391,11 @@ object DedupOps extends QueryModule {
     (s, dir) => {
       val ch = Tables.documents(s, dir)
         .withColumn("n", length(col("text")))
-        .select(col("doc_id"), col("source"), col("n"), col("text"), expr(
-          """explode(filter(transform(sequence(1, n),
-               i -> IF(i = 1 OR (i + 7 <= n
-                 AND substring(md5(substring(text, i, 8)), 1, 1) = '0'),
-                 i, CAST(NULL AS INT))),
-             x -> x IS NOT NULL))""").as("st"))
+        // one-pass native boundary kernel (codegen'd Catalyst expression;
+        // bit-equal to the oracle's per-position md5 predicate — see
+        // functions.TextHash)
+        .select(col("doc_id"), col("source"), col("n"), col("text"),
+          explode(graft.functions.TextHash.cdc_boundaries(col("text"))).as("st"))
         .withColumn("clen",
           coalesce(lead(col("st"), 1).over(
             org.apache.spark.sql.expressions.Window.partitionBy("doc_id")

@@ -287,6 +287,27 @@ class PlanSpec extends SparkTestBase {
     assert(p.count(_ == '\n') < 40, s"plan unexpectedly deep:\n$p")
   }
 
+  test("d12 CDC boundary kernel is codegen'd and matches the SQL-form predicate") {
+    val p = plan("d12_cdc_chunks")
+    assert(p.contains("cdc_boundaries"), p)
+    // the native kernel must agree position-for-position with the
+    // SQL-expressible lambda it replaced, on every fixture document
+    import org.apache.spark.sql.functions.col
+    val df = Tables.documents(spark, SfDir)
+      .withColumn("n", org.apache.spark.sql.functions.length(col("text")))
+    val native = df.select(col("doc_id"),
+        graft.functions.TextHash.cdc_boundaries(col("text")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val sqlForm = df.select(col("doc_id"), org.apache.spark.sql.functions.expr(
+        """filter(transform(sequence(1, n),
+             i -> IF(i = 1 OR (i + 7 <= n
+               AND substring(md5(substring(text, i, 8)), 1, 1) = '0'),
+               i, CAST(NULL AS INT))),
+           x -> x IS NOT NULL)""").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(native == sqlForm)
+  }
+
   test("multimodal codec passes are single-scan: one shuffle to the rollup") {
     // decode/resize/frame-sample/audio are row-local mapPartitions passes;
     // the only exchange allowed is the final partial->final aggregation.
