@@ -26,7 +26,90 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalOps extends QueryModule {
 
-  def defs: Seq[QueryDef] = Seq(mmResize, mmFrameSample, mmAudioFeatures)
+  def defs: Seq[QueryDef] = Seq(mmResize, mmFrameSample, mmAudioFeatures,
+    mmPixelDedup)
+
+  /** One decoded image's identity row: the md5 of its decoded pixel
+    * array plus its container format. */
+  case class PixelHashRow(doc_id: Long, px_hash: String, is_png: Long,
+      w: Long, h: Long)
+
+  /** MM: cross-container image dedup — the multimodal twin of
+    * `d1_exact_dedup`: duplicates are images with IDENTICAL decoded
+    * pixels even when their BYTES differ because the container does
+    * (the same picture saved as PNG by one crawler and BMP by another —
+    * byte-level dedup cannot see it). Each doc renders the image of its
+    * seed (doc_id % 23) and encodes it as PNG or BMP by parity; the
+    * pipeline decodes through the real `javax.imageio` codec, hashes the
+    * DECODED raster row-major, and groups by pixel hash. The oracle
+    * derives the expected groups from the planted seed formula — so a
+    * decode that loses pixel fidelity (or a hash that collides/splits)
+    * mismatches the group structure, not just a checksum. */
+  private val mmPixelDedup = QueryDef(
+    "mm_pixel_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val rows = Tables.documents(s, dir)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { iter =>
+          javax.imageio.ImageIO.setUseCache(false)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          iter.map { id =>
+            val seed = (id % 23).toInt
+            val w = 16 + seed
+            val h = 16 + (seed * 7) % 24
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val raster = img.getRaster
+            var x = 0
+            while (x < w) {
+              var y = 0
+              while (y < h) {
+                raster.setSample(x, y, 0, (x * 3 + y * 5 + seed) % 251); y += 1
+              }
+              x += 1
+            }
+            val fmt = if (id % 2 == 0) "png" else "bmp"
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, fmt, baos)
+            // decode the CONTAINER bytes back and hash the decoded raster
+            val dec = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(baos.toByteArray))
+            val dr = dec.getRaster
+            val px = new Array[Byte](dec.getWidth * dec.getHeight)
+            var i = 0
+            var yy = 0
+            while (yy < dec.getHeight) {
+              var xx = 0
+              while (xx < dec.getWidth) {
+                px(i) = dr.getSample(xx, yy, 0).toByte; i += 1; xx += 1
+              }
+              yy += 1
+            }
+            md.reset()
+            val hex = md.digest(px).map(b => f"$b%02x").mkString
+            PixelHashRow(id, hex, if (id % 2 == 0) 1L else 0L,
+              dec.getWidth.toLong, dec.getHeight.toLong)
+          }
+        }
+      rows.groupBy("px_hash")
+        .agg(min(col("doc_id")).as("min_doc"),
+          count(lit(1)).as("n_docs"),
+          sum(col("is_png")).as("n_png"),
+          (count(lit(1)) - sum(col("is_png"))).as("n_bmp"),
+          first(col("w")).as("w"), first(col("h")).as("h"))
+        .drop("px_hash")
+        .orderBy("min_doc")
+    },
+    Some("""SELECT MIN(doc_id) AS min_doc, COUNT(*) AS n_docs,
+        CAST(SUM(is_png) AS BIGINT) AS n_png,
+        CAST(COUNT(*) - SUM(is_png) AS BIGINT) AS n_bmp,
+        CAST(16 + seed AS BIGINT) AS w,
+        CAST(16 + (seed * 7) % 24 AS BIGINT) AS h
+      FROM (SELECT doc_id, doc_id % 23 AS seed,
+              CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS is_png
+            FROM documents)
+      GROUP BY seed ORDER BY 1"""))
 
   /** Thumbnail row: dims and pixel sum of the RESIZED image plus a
     * re-decode verification bit (thumbnail re-encoded to PNG, decoded
