@@ -35,7 +35,7 @@ object QualityOps extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(bigramLm, dsirWeight, chunkOverlap,
     idfTopTerms, sourceMix, bpeMerges, bpeEncode, qualityLr, jsonlRoundtrip,
-    stratifiedSample, zipfFit)
+    stratifiedSample, zipfFit, datasetCard)
 
   /** Uniform-in-[0,65536) integer from the first 4 md5 nibbles of the doc
     * id — the portable per-document coin every deterministic sampling op
@@ -400,6 +400,73 @@ object QualityOps extends QueryModule {
         CAST(SUM(length(word)) AS DOUBLE) / SUM(n_sym) AS chars_per_token
       FROM tok JOIN enc USING (word)
       GROUP BY 1 ORDER BY 1"""))
+
+  /** T: the dataset card — the one-row summary a corpus release ships
+    * with (docs, tokens, chars, languages, sources, vocabulary, exact-dup
+    * rate, mean document length, token-length p50/p90): every number a
+    * consumer reads before training. One pass over the corpus plus
+    * vocabulary-sized rollups; percentiles are exact ranks (not
+    * approx_percentile, which is engine-private). */
+  private val datasetCard = QueryDef(
+    "t_dataset_card",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      val base = d.agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        sum("n_chars").as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(md5(col("text"))).as("n_unique_texts"))
+      val vocab = d.select(explode(split(col("text"), " ")).as("w"))
+        .agg(countDistinct(col("w")).as("n_vocab"))
+      // exact percentile via the VALUE histogram: the only global window
+      // runs over distinct token-lengths (domain-bounded), never the corpus
+      val hist = d.groupBy("n_tok").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(
+          Window.orderBy(col("n_tok").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val n = d.count()
+      val p50 = hist.filter(col("cum") >= (n + 1) / 2)
+        .agg(min(col("n_tok")).as("p50_tokens"))
+      val p90 = hist.filter(col("cum") >= math.ceil(n * 0.9).toLong)
+        .agg(min(col("n_tok")).as("p90_tokens"))
+      base.crossJoin(broadcast(vocab))
+        .crossJoin(broadcast(p50)).crossJoin(broadcast(p90))
+        .withColumn("dup_rate", ExactAgg.snap(
+          (col("n_docs") - col("n_unique_texts")).cast("double") / col("n_docs")))
+        .withColumn("mean_doc_tokens", ExactAgg.snap(
+          col("n_tokens").cast("double") / col("n_docs")))
+    },
+    Some(s"""WITH d AS (SELECT doc_id, lang, source, n_chars, text,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      base AS (SELECT COUNT(*) AS n_docs,
+          CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+          CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+          CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+          CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+          CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts
+        FROM d),
+      vocab AS (SELECT CAST(COUNT(DISTINCT wo.word) AS BIGINT) AS n_vocab
+        FROM documents, LATERAL unnest(string_split(text,' ')) AS wo(word)),
+      hist AS (SELECT n_tok, COUNT(*) AS c,
+          SUM(COUNT(*)) OVER (ORDER BY n_tok ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          (SELECT COUNT(*) FROM d) AS n
+        FROM d GROUP BY n_tok),
+      p50 AS (SELECT MIN(n_tok) AS p50_tokens FROM hist
+              WHERE cum >= (n + 1) // 2),
+      p90 AS (SELECT MIN(n_tok) AS p90_tokens FROM hist
+              WHERE cum >= CAST(CEIL(n * 0.9e0) AS BIGINT))
+      SELECT n_docs, n_tokens, n_chars, n_langs, n_sources, n_unique_texts,
+        n_vocab, p50_tokens, p90_tokens,
+        ${ExactAgg.sqlSnap(
+          "CAST(n_docs - n_unique_texts AS DOUBLE) / n_docs")} AS dup_rate,
+        ${ExactAgg.sqlSnap("CAST(n_tokens AS DOUBLE) / n_docs")}
+          AS mean_doc_tokens
+      FROM base CROSS JOIN vocab CROSS JOIN p50 CROSS JOIN p90"""))
 
   /** T: corpus frequency-distribution diagnostics — fit the Zipf exponent
     * by closed-form least squares on (ln rank, ln freq) over the word
