@@ -35,7 +35,7 @@ object QualityOps extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(bigramLm, dsirWeight, chunkOverlap,
     idfTopTerms, sourceMix, bpeMerges, bpeEncode, qualityLr, jsonlRoundtrip,
-    stratifiedSample, zipfFit, datasetCard)
+    stratifiedSample, zipfFit, datasetCard, dpRelease)
 
   /** Uniform-in-[0,65536) integer from the first 4 md5 nibbles of the doc
     * id — the portable per-document coin every deterministic sampling op
@@ -400,6 +400,55 @@ object QualityOps extends QueryModule {
         CAST(SUM(length(word)) AS DOUBLE) / SUM(n_sym) AS chars_per_token
       FROM tok JOIN enc USING (word)
       GROUP BY 1 ORDER BY 1"""))
+
+  /** Laplace noise with scale `b` from a 16-bit md5 uniform of `keyExpr`:
+    * inverse-CDF transform of u' = (v + 0.5)/65536 ∈ (0,1) — the +0.5
+    * offset keeps u' off 0, 1, AND exactly 0.5, so the ln never sees 0 and
+    * the sign never ties. Same algebra both engines. */
+  private def lapNoise(keyExpr: String, b: Double): String = {
+    val v = s"""((instr('0123456789abcdef', substring(md5($keyExpr),1,1))-1)*4096
+      + (instr('0123456789abcdef', substring(md5($keyExpr),2,1))-1)*256
+      + (instr('0123456789abcdef', substring(md5($keyExpr),3,1))-1)*16
+      + (instr('0123456789abcdef', substring(md5($keyExpr),4,1))-1))"""
+    s"""(-$b * (CASE WHEN (($v + 0.5e0) / 65536.0e0) >= 0.5e0
+        THEN 1.0e0 ELSE -1.0e0 END)
+      * ln(1.0e0 - 2.0e0 * abs((($v + 0.5e0) / 65536.0e0) - 0.5e0)))"""
+  }
+
+  /** T: differentially-private release — per-source statistics published
+    * through the Laplace mechanism: counts at sensitivity 1 (b = 1/ε,
+    * ε = 0.5), token sums with per-document contribution CLIPPED to 100
+    * (the clip is what bounds sensitivity — an unclipped sum has none),
+    * b = 100/ε. Noise is the exact inverse-CDF transform of a
+    * deterministic md5 uniform keyed by (source, statistic) — auditable
+    * and engine-portable where a seeded RNG would be neither. True values
+    * ride along so the release's error is itself measurable. */
+  private val dpRelease = QueryDef(
+    "t_dp_release",
+    (s, dir) => {
+      val eps = 0.5
+      Tables.documents(s, dir)
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+        .withColumn("tok_clip", least(col("n_tok"), lit(100L)))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok_clip")).as("sum_tok_clipped"))
+        .withColumn("noisy_docs", ExactAgg.snap(
+          col("n_docs") + expr(lapNoise("concat(source, '|count')", 1.0 / eps))))
+        .withColumn("noisy_tokens", ExactAgg.snap(
+          col("sum_tok_clipped") +
+            expr(lapNoise("concat(source, '|tokens')", 100.0 / eps))))
+        .orderBy("source")
+    },
+    Some(s"""SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(LEAST(CAST(len(string_split(text, ' ')) AS BIGINT), 100))
+          AS BIGINT) AS sum_tok_clipped,
+        ${ExactAgg.sqlSnap(
+          s"COUNT(*) + ${lapNoise("source || '|count'", 2.0)}")} AS noisy_docs,
+        ${ExactAgg.sqlSnap(
+          s"""SUM(LEAST(CAST(len(string_split(text, ' ')) AS BIGINT), 100))
+            + ${lapNoise("source || '|tokens'", 200.0)}""")} AS noisy_tokens
+      FROM documents GROUP BY 1 ORDER BY 1"""))
 
   /** T: the dataset card — the one-row summary a corpus release ships
     * with (docs, tokens, chars, languages, sources, vocabulary, exact-dup
