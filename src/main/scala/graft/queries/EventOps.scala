@@ -27,7 +27,108 @@ object EventOps extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(a1Deltas, a2Valuation, a7ArgminDownsample,
     f9ExpDecay, w1LagLead, w2Sessionize, w4LastIgnoreNulls, j2AsOf,
-    j3RangeJoin, j4Vwap, j6SandwichPattern, j9TriggerSearch, r4SlidingWindow)
+    j3RangeJoin, j4Vwap, j6SandwichPattern, j9TriggerSearch, r4SlidingWindow,
+    w5Funnel, w6CohortRetention)
+
+  /** W5: conversion funnel — the ordered-stage analytics classic: per
+    * user, first `view`, first `click` AT OR AFTER that view, first
+    * `purchase` at or after that click; the funnel reports stage reach and
+    * the mean stage-transition latency. Each stage is one conditional-min
+    * aggregation at user grain — no self-join of the event fact; the
+    * ordering constraint rides in the WHEN predicate. */
+  private val w5Funnel = QueryDef(
+    "w5_funnel",
+    (s, dir) => {
+      val e = ev(s, dir).select(col("user_id"), col("event_type"), col("us"))
+      val v = e.groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("us"))).as("v1"))
+      val c = e.join(v, Seq("user_id"))
+        .groupBy(col("user_id"), col("v1"))
+        .agg(min(when(col("event_type") === "click" && col("us") >= col("v1"),
+          col("us"))).as("c1"))
+      val p = e.join(c, Seq("user_id"))
+        .groupBy(col("user_id"), col("v1"), col("c1"))
+        .agg(min(when(col("event_type") === "purchase" && col("us") >= col("c1"),
+          col("us"))).as("p1"))
+      p.agg(count(lit(1)).as("n_users"),
+        sum(col("v1").isNotNull.cast("long")).as("n_view"),
+        sum(col("c1").isNotNull.cast("long")).as("n_click_after_view"),
+        sum(col("p1").isNotNull.cast("long")).as("n_purchase_after_click"),
+        graft.ops.ExactAgg.snap(
+          graft.ops.ExactAgg.dsumR((col("c1") - col("v1")).cast("double") / 3600e6)
+            / sum(col("c1").isNotNull.cast("long"))).as("avg_view_to_click_h"),
+        graft.ops.ExactAgg.snap(
+          graft.ops.ExactAgg.dsumR((col("p1") - col("c1")).cast("double") / 3600e6)
+            / sum(col("p1").isNotNull.cast("long"))).as("avg_click_to_buy_h"))
+    },
+    Some {
+      import graft.ops.ExactAgg.{sqlSnap, sqlSumR}
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      v AS (SELECT user_id,
+          MIN(CASE WHEN event_type = 'view' THEN us END) AS v1
+        FROM e GROUP BY 1),
+      c AS (SELECT e.user_id, v.v1,
+          MIN(CASE WHEN event_type = 'click' AND us >= v1 THEN us END) AS c1
+        FROM e JOIN v ON v.user_id = e.user_id GROUP BY 1, 2),
+      p AS (SELECT e.user_id, c.v1, c.c1,
+          MIN(CASE WHEN event_type = 'purchase' AND us >= c1 THEN us END) AS p1
+        FROM e JOIN c ON c.user_id = e.user_id GROUP BY 1, 2, 3)
+      SELECT COUNT(*) AS n_users,
+        CAST(SUM(CASE WHEN v1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_view,
+        CAST(SUM(CASE WHEN c1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_click_after_view,
+        CAST(SUM(CASE WHEN p1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_purchase_after_click,
+        ${sqlSnap(s"""${sqlSumR("CAST(c1 - v1 AS DOUBLE) / 3600e6")}
+          / SUM(CASE WHEN c1 IS NOT NULL THEN 1 ELSE 0 END)""")}
+          AS avg_view_to_click_h,
+        ${sqlSnap(s"""${sqlSumR("CAST(p1 - c1 AS DOUBLE) / 3600e6")}
+          / SUM(CASE WHEN p1 IS NOT NULL THEN 1 ELSE 0 END)""")}
+          AS avg_click_to_buy_h
+      FROM p"""
+    })
+
+  /** W6: cohort retention — users cohorted by first-active day; for the
+    * classic offsets (0/1/3/7/14 days) the matrix reports how many of
+    * each cohort were active again. Two distinct-rollups at (user, day)
+    * and (cohort, offset) grain — the fact is never self-joined; the
+    * cohort dimension rides back by a user-grain join. */
+  private val w6CohortRetention = QueryDef(
+    "w6_cohort_retention",
+    (s, dir) => {
+      val days = ev(s, dir)
+        .select(col("user_id"), expr("us div 86400000000").as("day"))
+        .distinct()
+      val cohort = days.groupBy("user_id").agg(min(col("day")).as("c_day"))
+      val sizes = cohort.groupBy("c_day").agg(count(lit(1)).as("cohort_size"))
+      days.join(cohort, Seq("user_id"))
+        .withColumn("offset", col("day") - col("c_day"))
+        .filter(col("offset").isin(0L, 1L, 3L, 7L, 14L))
+        .groupBy(col("c_day"), col("offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(sizes, Seq("c_day"))
+        .withColumn("retention", graft.ops.ExactAgg.snap(
+          col("n_active").cast("double") / col("cohort_size")))
+        .select("c_day", "offset", "n_active", "cohort_size", "retention")
+        .orderBy("c_day", "offset")
+    },
+    Some(s"""WITH days AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        FROM events),
+      cohort AS (SELECT user_id, MIN(day) AS c_day FROM days GROUP BY 1),
+      sizes AS (SELECT c_day, COUNT(*) AS cohort_size FROM cohort GROUP BY 1),
+      act AS (
+        SELECT c.c_day, d.day - c.c_day AS off, COUNT(*) AS n_active
+        FROM days d JOIN cohort c ON c.user_id = d.user_id
+        WHERE d.day - c.c_day IN (0, 1, 3, 7, 14)
+        GROUP BY 1, 2)
+      SELECT a.c_day, a.off AS offset, CAST(a.n_active AS BIGINT) AS n_active,
+        CAST(s.cohort_size AS BIGINT) AS cohort_size,
+        ${graft.ops.ExactAgg.sqlSnap(
+          "CAST(a.n_active AS DOUBLE) / s.cohort_size")} AS retention
+      FROM act a JOIN sizes s ON s.c_day = a.c_day
+      ORDER BY 1, 2"""))
 
   /** A1 account_for_actions (accounting.rs:19-56): fold a typed action
     * stream into net deltas per account — signed conditional sums, one
