@@ -28,7 +28,119 @@ object EventOps extends QueryModule {
   def defs: Seq[QueryDef] = Seq(a1Deltas, a2Valuation, a7ArgminDownsample,
     f9ExpDecay, w1LagLead, w2Sessionize, w4LastIgnoreNulls, j2AsOf,
     j3RangeJoin, j4Vwap, j6SandwichPattern, j9TriggerSearch, r4SlidingWindow,
-    w5Funnel, w6CohortRetention)
+    w5Funnel, w6CohortRetention, w7AbTest, w8Anomaly)
+
+  /** W7: A/B experiment readout — users assigned to arms by md5 parity
+    * (deterministic, balanced, assignment independent of behavior), the
+    * metric is per-user mean purchase value, and the readout is the
+    * two-sample z statistic from exact-decimal sums: the experimentation
+    * primitive every event platform ships. All moments are
+    * order-independent reductions; the z arithmetic runs on identical
+    * doubles in both engines. */
+  private val w7AbTest = QueryDef(
+    "w7_ab_test",
+    (s, dir) => {
+      import graft.ops.ExactAgg.{dsum, dsumR, snap}
+      val per = ev(s, dir)
+        .filter(col("event_type") === "purchase")
+        .withColumn("arm",
+          when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
+            .otherwise("B"))
+        .groupBy("arm", "user_id")
+        .agg((dsum(col("value")) / count(lit(1))).as("user_mean"))
+      val arms = per.groupBy("arm")
+        .agg(count(lit(1)).as("n_users"),
+          snap(dsumR(col("user_mean")) / count(lit(1))).as("mean"),
+          snap(dsumR(col("user_mean") * col("user_mean")) / count(lit(1)))
+            .as("m2"))
+        .withColumn("var", snap(col("m2") - col("mean") * col("mean")))
+      val a = arms.filter(col("arm") === "A")
+        .select(col("n_users").as("n_a"), col("mean").as("mean_a"),
+          col("var").as("var_a"))
+      val b = arms.filter(col("arm") === "B")
+        .select(col("n_users").as("n_b"), col("mean").as("mean_b"),
+          col("var").as("var_b"))
+      a.crossJoin(b)
+        .withColumn("z", snap((col("mean_a") - col("mean_b")) /
+          sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b"))))
+        .select("n_a", "n_b", "mean_a", "mean_b", "z")
+    },
+    Some {
+      import graft.ops.ExactAgg.{sqlSnap, sqlSum, sqlSumR}
+      s"""WITH per AS (
+        SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+            THEN 'A' ELSE 'B' END AS arm, user_id,
+          (${sqlSum("value")} / COUNT(*)) AS user_mean
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2),
+      arms AS (
+        SELECT arm, COUNT(*) AS n_users,
+          ${sqlSnap(s"${sqlSumR("user_mean")} / COUNT(*)")} AS mean,
+          ${sqlSnap(s"${sqlSumR("user_mean * user_mean")} / COUNT(*)")} AS m2
+        FROM per GROUP BY 1),
+      v AS (SELECT arm, n_users, mean,
+          ${sqlSnap("m2 - mean * mean")} AS var FROM arms)
+      SELECT a.n_users AS n_a, b.n_users AS n_b,
+        a.mean AS mean_a, b.mean AS mean_b,
+        ${sqlSnap("""(a.mean - b.mean)
+          / SQRT(a.var / a.n_users + b.var / b.n_users)""")} AS z
+      FROM (SELECT * FROM v WHERE arm = 'A') a
+      CROSS JOIN (SELECT * FROM v WHERE arm = 'B') b"""
+    })
+
+  /** W8: trailing-window anomaly detection — per-day event volume scored
+    * against the PRECEDING 7-day mean/std (the day itself excluded, so a
+    * spike cannot mask itself); days with z > 2 flag. Day volumes are a
+    * date-grain table, so the trailing window runs over ~30 rows — the
+    * corpus contributes one count rollup. */
+  private val w8Anomaly = QueryDef(
+    "w8_anomaly",
+    (s, dir) => {
+      import graft.ops.ExactAgg.snap
+      val w = Window.orderBy(col("day").asc).rowsBetween(-7, -1)
+      ev(s, dir)
+        .select(expr("us div 86400000000").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("n_events"))
+        .withColumn("trail_n", count(lit(1)).over(w))
+        .withColumn("trail_mean", snap(sum(col("n_events")).over(w)
+          .cast("double") / col("trail_n")))
+        .withColumn("trail_m2", snap(
+          sum(col("n_events") * col("n_events")).over(w).cast("double")
+            / col("trail_n")))
+        .filter(col("trail_n") === 7)
+        .withColumn("sd", sqrt(snap(
+          col("trail_m2") - col("trail_mean") * col("trail_mean"))))
+        .withColumn("z", snap(
+          (col("n_events") - col("trail_mean")) / col("sd")))
+        .withColumn("is_anomaly", (abs(col("z")) > 2.0e0).cast("long"))
+        .select("day", "n_events", "trail_mean", "z", "is_anomaly")
+        .orderBy("day")
+    },
+    Some {
+      import graft.ops.ExactAgg.sqlSnap
+      s"""WITH days AS (
+        SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n_events
+        FROM events GROUP BY 1),
+      tr AS (
+        SELECT day, n_events,
+          COUNT(*) OVER w AS trail_n,
+          ${sqlSnap("CAST(SUM(n_events) OVER w AS DOUBLE) / (COUNT(*) OVER w)")}
+            AS trail_mean,
+          ${sqlSnap(
+            "CAST(SUM(n_events * n_events) OVER w AS DOUBLE) / (COUNT(*) OVER w)")}
+            AS trail_m2
+        FROM days
+        WINDOW w AS (ORDER BY day ASC ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      sc AS (
+        SELECT day, n_events, trail_mean,
+          ${sqlSnap(s"""(n_events - trail_mean)
+            / SQRT(${sqlSnap("trail_m2 - trail_mean * trail_mean")})""")} AS z
+        FROM tr WHERE trail_n = 7)
+      SELECT day, n_events, trail_mean, z,
+        CAST(CASE WHEN ABS(z) > 2.0e0 THEN 1 ELSE 0 END AS BIGINT)
+          AS is_anomaly
+      FROM sc ORDER BY day"""
+    })
 
   /** W5: conversion funnel — the ordered-stage analytics classic: per
     * user, first `view`, first `click` AT OR AFTER that view, first
