@@ -53,7 +53,9 @@ object ScaleRehearsal {
     // the feed to the driver, a test-harness shape whose sf1 cost would
     // measure the harness, not the operator
     "rt1_bm25_topk", "rt2_hybrid_rrf", "sk1_kmv_distinct",
-    "sk2_bloom_filter", "t_quality_lr", "s8_int8_quant")
+    "sk2_bloom_filter", "t_quality_lr", "s8_int8_quant",
+    // fourth wave: block-bounded SemDeDup, CDC chunking, pixel dedup
+    "d11_semantic_dedup", "d12_cdc_chunks", "mm_pixel_dedup")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("both")

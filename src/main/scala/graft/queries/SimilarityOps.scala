@@ -671,6 +671,9 @@ object SimilarityOps extends QueryModule {
     * wants (easy negatives teach nothing; duplicates poison the loss).
     * Same broadcast-query + per-row-fold + salted-top-k shape as s1 — the
     * corpus is never exploded. */
+  /** Max expected members per SemDeDup comparison block. */
+  private val BlockCap = 64.0
+
   private val s10HardNegatives = QueryDef(
     "s10_hard_negatives",
     (s, dir) => {
@@ -736,12 +739,24 @@ object SimilarityOps extends QueryModule {
       val asg = assignCells(s, emb, cb).persist()
       var pairs0: Option[org.apache.spark.sql.DataFrame] = None
       try {
-        val a = asg.select(col("cell"), col("vec_id").as("va"),
-          col("emb").as("ea"), col("nrm").as("na"))
-        val b = asg.select(col("cell").as("cell_b"), col("vec_id").as("vb"),
-          col("emb").as("eb"), col("nrm").as("nb"))
+        // block bounding: the IVF cell law (cells ∝ √N) would let
+        // within-cell pair work grow ~N^1.5; salting each cell into S
+        // sub-blocks of ≤ BlockCap expected members caps total pair work
+        // at ~N·BlockCap/2 — linear — at the cost of missing cross-block
+        // pairs, the same approximation SemDeDup makes by over-clustering.
+        // S = 1 (no-op) until a cell would exceed the cap; the oracle
+        // derives the identical S from its own counts.
+        val nCorpus = asg.count()
+        val sSub = math.max(1L,
+          math.ceil(nCorpus.toDouble / (cb.length * BlockCap)).toLong)
+        val a = asg.select(col("cell"), pmod(col("vec_id"), lit(sSub)).as("sub"),
+          col("vec_id").as("va"), col("emb").as("ea"), col("nrm").as("na"))
+        val b = asg.select(col("cell").as("cell_b"),
+          pmod(col("vec_id"), lit(sSub)).as("sub_b"),
+          col("vec_id").as("vb"), col("emb").as("eb"), col("nrm").as("nb"))
         val pairs = a.join(b,
-            col("cell") === col("cell_b") && col("va") < col("vb"))
+            col("cell") === col("cell_b") && col("sub") === col("sub_b") &&
+              col("va") < col("vb"))
           .withColumn("cos", graft.ops.ExactAgg.snap(
             dotCol("ea", "eb") / (col("na") * col("nb"))))
           .select("cell", "va", "vb", "cos")
@@ -775,12 +790,17 @@ object SimilarityOps extends QueryModule {
       $kmOracleCtes,
       nrm2 AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM el
                WHERE vec_id >= $NumQueries GROUP BY 1),
+      sdiv AS (
+        SELECT GREATEST(1, CAST(CEIL(CAST((SELECT COUNT(DISTINCT vec_id)
+            FROM elc) AS DOUBLE) / ((SELECT cells FROM prm) * 64.0e0))
+          AS BIGINT)) AS sv),
       prs AS (
         SELECT ca.cell, ca.c_id AS va, cb.c_id AS vb,
           ${graft.ops.ExactAgg.sqlSnap("SUM(ea.x * eb.x) / (MAX(na.nrm) * MAX(nb.nrm))")}
             AS cos
         FROM ccl ca
         JOIN ccl cb ON cb.cell = ca.cell AND ca.c_id < cb.c_id
+          AND ca.c_id % (SELECT sv FROM sdiv) = cb.c_id % (SELECT sv FROM sdiv)
         JOIN el ea ON ea.vec_id = ca.c_id
         JOIN el eb ON eb.vec_id = cb.c_id AND eb.pos = ea.pos
         JOIN nrm2 na ON na.vec_id = ca.c_id
