@@ -55,7 +55,7 @@ object GraftExtensions {
         b(args)
       })
 
-  /** The six decode functions, by SQL name. */
+  /** The six decode functions plus the CDC boundary kernel, by SQL name. */
   val descriptions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     build("abi_word", 2)(a => AbiWord(a(0), intArg("abi_word", a(1)))),
@@ -64,7 +64,8 @@ object GraftExtensions {
     build("abi_log_word", 2)(a => AbiLogWord(a(0), intArg("abi_log_word", a(1)))),
     build("abi_array_len", 2)(a => AbiArrayLen(a(0), intArg("abi_array_len", a(1)))),
     build("abi_array_elem", 3)(a => AbiArrayElem(a(0),
-      intArg("abi_array_elem", a(1)), intArg("abi_array_elem", a(2)))))
+      intArg("abi_array_elem", a(1)), intArg("abi_array_elem", a(2)))),
+    build("cdc_boundaries", 1)(a => CdcBoundaries(a(0))))
 
   /** Install the functions on a live session (idempotent — re-registration
     * replaces the identical builder). */

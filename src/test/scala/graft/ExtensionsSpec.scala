@@ -62,6 +62,19 @@ class ExtensionsSpec extends SparkTestBase {
     decodeChecks(spark)
   }
 
+  test("cdc_boundaries is callable from SQL text and matches the kernel") {
+    GraftExtensions.register(spark)
+    val rows = spark.sql(
+      "SELECT cdc_boundaries('the quick brown fox jumps over the lazy dog') AS b")
+      .collect()
+    val viaSql = rows.head.getSeq[Int](0)
+    val viaKernel = graft.functions.TextHash.cdcBoundariesKernel(
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        "the quick brown fox jumps over the lazy dog")).toIntArray.toSeq
+    assert(viaSql == viaKernel)
+    assert(viaSql.head == 1)
+  }
+
   test("SQL-planned decode stays inside whole-stage codegen") {
     GraftExtensions.register(spark)
     val df = spark.sql(
