@@ -8,13 +8,24 @@ import org.apache.spark.sql.functions._
 /** Driver contract — see /root/repo/SURVEY.md §7 + BASELINE.md.
   *
   * Every implemented operator from SURVEY.md §2 is registered here as a
-  * named query with (where ANSI SQL can express it) a DuckDB oracle over the
-  * same parquet tables. Modules:
-  *   - [[queries.Relational]]   scans/filters/joins/aggs/sorts (§2.1-2.8)
-  *   - [[queries.EventOps]]     windows/as-of/range/sessions (§2.4-2.6, §2.9)
-  *   - [[queries.TextOps]]      text analysis (training-data ops)
-  *   - [[queries.DedupOps]]     exact/MinHash-LSH/SimHash/Jaccard dedup
-  *   - [[queries.SimilarityOps]] ANN cosine (brute-force + sign-LSH)
+  * named query with a DuckDB oracle over the same parquet tables. Modules:
+  *   - [[queries.Relational]]    scans/filters/joins/aggs/sorts (§2.1-2.8)
+  *   - [[queries.EventOps]]      windows/as-of/range/sessions + funnel/
+  *     cohort/AB/anomaly event analytics (§2.4-2.6, §2.9)
+  *   - [[queries.TextOps]]       text analysis + media sniff/decode
+  *   - [[queries.MultimodalOps]] resize / frame-sample / audio / pixel dedup
+  *   - [[queries.DedupOps]]      exact/LSH/SimHash/Jaccard/substring/CDC dedup
+  *   - [[queries.SimilarityOps]] ANN (brute/LSH/IVF/PQ), k-means, SemDeDup,
+  *     random projection, int8 quantization, hard negatives
+  *   - [[queries.PipelineOps]]   decontamination/repetition/PII/splits/packing
+  *   - [[queries.QualityOps]]    LM perplexity, DSIR, BPE, LR classifier,
+  *     mixing, chunking, JSONL, sampling, Zipf, dataset card, DP release
+  *   - [[queries.SketchOps]]     KMV distinct, Bloom membership
+  *   - [[queries.RetrievalOps]]  BM25, hybrid RRF
+  *   - domain modules (Classify/Indirect/Inspector/Pricing/Cex/Fidelity/
+  *     Accounting over [[domain.ChainFixture]]) — the reference pipeline
+  *   - [[streaming.StreamOracle]] / [[streaming.TipStream]] — streamed
+  *     entries hash-checked against batch oracles (§2.9)
   */
 object SparkEntry {
 
