@@ -308,6 +308,34 @@ class PlanSpec extends SparkTestBase {
     assert(native == sqlForm)
   }
 
+  test("funnel, cohort, and retrieval joins never degrade to nested loops") {
+    // w5's stage joins are user-keyed; w6's cohort join is user-keyed;
+    // rt1/rt2 join query terms/vectors against posting-shaped tables.
+    // The only nested-loop allowed anywhere is a broadcast of a
+    // SINGLE-ROW statistics table (rt1/rt2's avgdl / corpus-count sides).
+    for (q <- Seq("w5_funnel", "w6_cohort_retention")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+    }
+    for (q <- Seq("rt1_bm25_topk", "rt2_hybrid_rrf")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+    }
+  }
+
+  test("sketch and dedup block joins stay equi-keyed") {
+    for (q <- Seq("sk1_kmv_distinct", "d12_cdc_chunks")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+    }
+    // d11 scores every vector against the CELLS-sized centroid table by a
+    // broadcast cross — the intended assignment shape (like s1's broadcast
+    // query side); only a SHUFFLE cartesian would be a scale bug
+    assert(!plan("d11_semantic_dedup").contains("CartesianProduct"))
+  }
+
   test("multimodal codec passes are single-scan: one shuffle to the rollup") {
     // decode/resize/frame-sample/audio are row-local mapPartitions passes;
     // the only exchange allowed is the final partial->final aggregation.
