@@ -2,6 +2,7 @@ package graft
 
 import graft.ops.{AsOfJoin, ExactAgg, TopK}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.expr
 import org.scalacheck.rng.Seed
 import org.scalacheck.{Arbitrary, Gen}
 
@@ -71,6 +72,56 @@ class PropertySpec extends SparkTestBase {
           if (m.isEmpty) -1L else m.maxBy(_.ts).v)
       }.sorted
       assert(got.toSeq == expect, s"seed=$seed")
+    }
+  }
+
+  test("CdcBoundaries kernel equals the SQL-form predicate on random text") {
+    import spark.implicits._
+    val textGen: Gen[String] = Gen.chooseNum(1, 400).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(5 -> Gen.alphaLowerChar, 1 -> Gen.const(' ')))
+        .map(_.mkString))
+    val texts = (1 to 60).map(seed => sample(textGen, 3000L + seed))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .withColumn("n", org.apache.spark.sql.functions.length(col("text")))
+    val native = df.select(col("doc_id"),
+        graft.functions.TextHash.cdc_boundaries(col("text")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val sqlForm = df.select(col("doc_id"), expr(
+        """filter(transform(sequence(1, n),
+             i -> IF(i = 1 OR (i + 7 <= n
+               AND substring(md5(substring(text, i, 8)), 1, 1) = '0'),
+               i, CAST(NULL AS INT))),
+           x -> x IS NOT NULL)""").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(native == sqlForm)
+  }
+
+  test("Sessionize.byGap equals the brute-force reference (40 random workloads)") {
+    import graft.ops.Sessionize
+    import spark.implicits._
+    for (seed <- 1 to 40) {
+      val (ls, _) = sample(eventsGen, 4000L + seed)
+      if (ls.nonEmpty) {
+        // unique tiebreak per row: v replaced by a running index
+        val rows = ls.zipWithIndex.map { case (l, i) => (l.k, l.ts, i.toLong) }
+        val got = Sessionize.byGap(rows.toDF("k", "ts", "tb"),
+            Seq("k"), "ts", "tb", gapMicros = 5L)
+          .select("k", "ts", "tb", "session_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .sorted
+        val expect = rows.groupBy(_._1).toSeq.flatMap { case (k, rs) =>
+          val sorted = rs.sortBy(r => (r._2, r._3))
+          var sess = 0L
+          var prev = Long.MinValue
+          sorted.map { r =>
+            if (prev != Long.MinValue && r._2 - prev > 5L) sess += 1
+            prev = r._2
+            (k, r._2, r._3, sess)
+          }
+        }.sorted
+        assert(got.toSeq == expect, s"seed=$seed")
+      }
     }
   }
 
