@@ -634,7 +634,11 @@ object QualityOps extends QueryModule {
   private val jsonlRoundtrip = QueryDef(
     "t_jsonl_roundtrip",
     (s, dir) => {
+      // per-JVM path (pid suffix): two concurrent JVMs running the suite
+      // must not interleave write/read on the same staging dir — the same
+      // isolation rule the ChainFixture matRoot default applies
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_" +
+        s"${ProcessHandle.current().pid()}_" +
         graft.domain.ChainFixture.dirKey(dir)
       Tables.documents(s, dir)
         .write.mode("overwrite").json(out)
