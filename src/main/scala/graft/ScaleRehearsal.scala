@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
   * This writes ONLY under /tmp (testdata is read-only) and is evidence
   * tooling, not a registered query — oracles still run on driver data.
   *
-  * Usage: runMain graft.ScaleRehearsal gen|run|both [q1,q2,...]
+  * Usage: runMain graft.ScaleRehearsal gen|run|both|sf10gen|sf10run|sf10 [q1,q2,...]
   */
 object ScaleRehearsal {
   val SrcDir = "/root/testdata/sf0.1"
@@ -55,7 +55,29 @@ object ScaleRehearsal {
     "rt1_bm25_topk", "rt2_hybrid_rrf", "sk1_kmv_distinct",
     "sk2_bloom_filter", "t_quality_lr", "s8_int8_quant",
     // fourth wave: block-bounded SemDeDup, CDC chunking, pixel dedup
-    "d11_semantic_dedup", "d12_cdc_chunks", "mm_pixel_dedup")
+    "d11_semantic_dedup", "d12_cdc_chunks", "mm_pixel_dedup",
+    // round 10: the stream-stream joins + streaming dedup are now
+    // file-drop-driven (no driver-collected feed), so the rehearsal
+    // finally measures the OPERATOR; plus the Big Mac assembly, the
+    // decimal accounting chain, and breadth to the full bench top-50
+    "r8_stream_join", "r8_outer_join", "d8_stream_dedup", "q1_bigmac",
+    "a1_delta_decimal", "j4_multihop", "j4_intermediary",
+    "q4_cexdex_quotes", "j10_bundle_dedup", "q4_quote_windows",
+    "j10_composer_dedup", "q3_global", "q2_requirement_arms",
+    "j9_trigger_domain", "d5_dedup_clusters", "q3_reconstruct",
+    "q2_atomic_arb", "d3_simhash", "f5_abi_tuple", "j7_pool_overlap",
+    "p13_frontend_prunes", "j5_optimistic", "c6_tax_fixup",
+    "r3_rendezvous", "j4_weighted_vwam", "q9_mev_block", "t_zipf_fit",
+    "t_repetition_stats", "q3_cexdex_markout", "j4_staged_vwam",
+    "q6_jit_cex_dex", "c5_multiframe_pair", "g6_price_emission",
+    "q3_merge_swaps")
+
+  /** sf10 probe (VERDICT r9 #8): the five heaviest, at 100× sf0.1 — the
+    * 100×-claims check a 10× rehearsal can't make. */
+  val Sf10Probe: Seq[String] = Seq(
+    "a5_block_analysis_wide", "j2_dex_asof", "r5_stream_fold",
+    "d2_minhash_lsh", "t_decontaminate")
+  val Sf10Dir = "/tmp/graft_sf10"
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("both")
@@ -70,8 +92,10 @@ object ScaleRehearsal {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (mode == "gen" || mode == "both") gen(spark)
+    if (mode == "gen" || mode == "both") gen(spark, Copies, OutDir)
     if (mode == "run" || mode == "both") run(spark, only)
+    if (mode == "sf10gen" || mode == "sf10") gen(spark, 100, Sf10Dir)
+    if (mode == "sf10run" || mode == "sf10") runSf10(spark, only)
     spark.stop()
   }
 
@@ -81,11 +105,11 @@ object ScaleRehearsal {
     (mx / 192 + 1) * 192
   }
 
-  def gen(spark: SparkSession): Unit = {
-    new java.io.File(OutDir).mkdirs()
+  def gen(spark: SparkSession, copiesN: Int, outDir: String): Unit = {
+    new java.io.File(outDir).mkdirs()
     def write(name: String, df: DataFrame): Unit = {
-      df.write.mode("overwrite").parquet(s"$OutDir/$name.parquet")
-      println(s"[sf1-gen] $name done")
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      println(s"[sfgen $outDir] $name done")
     }
     def src(name: String) = spark.read.parquet(s"$SrcDir/$name.parquet")
     // dimensions: verbatim
@@ -93,7 +117,7 @@ object ScaleRehearsal {
       .foreach(t => write(t, src(t)))
     val span = keySpan(spark)
     def copies(df: DataFrame): DataFrame =
-      df.crossJoin(spark.range(Copies).select(col("id").as("copy_k")))
+      df.crossJoin(spark.range(copiesN).select(col("id").as("copy_k")))
     write("lineitem", copies(src("lineitem"))
       .withColumn("l_orderkey", col("l_orderkey") + col("copy_k") * span)
       .drop("copy_k"))
@@ -121,9 +145,9 @@ object ScaleRehearsal {
     write("embeddings", copies(src("embeddings"))
       .withColumn("vec_id", col("vec_id") + col("copy_k") * 1000000000L)
       .withColumn("embedding", expr(
-        """concat(slice(embedding, cast(copy_k + 1 as int),
-             size(embedding) - cast(copy_k as int)),
-           slice(embedding, 1, cast(copy_k as int)))"""))
+        """concat(slice(embedding, cast(copy_k % size(embedding) + 1 as int),
+             size(embedding) - cast(copy_k % size(embedding) as int)),
+           slice(embedding, 1, cast(copy_k % size(embedding) as int)))"""))
       .drop("copy_k"))
   }
 
@@ -156,5 +180,36 @@ object ScaleRehearsal {
       f""""$n":{"sf01":$a%.3f,"sf1":$b%.3f,"ratio":${b / a}%.2f}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"sf1_rehearsal","copies":$Copies,"queries":$js}""")
+  }
+
+  /** The 100× probe: one warm + one timed pass per query at sf10 against
+    * a fresh timed sf0.1 baseline (same JVM, cache cleared between). */
+  def runSf10(spark: SparkSession, only: Option[Set[String]]): Unit = {
+    val names = Sf10Probe.filter(n => only.forall(_.contains(n)))
+    def consume(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    def time(name: String, dir: String): Double = {
+      spark.sharedState.cacheManager.clearCache()
+      val t0 = System.nanoTime()
+      consume(SparkEntry.queries(name)(spark, dir))
+      (System.nanoTime() - t0) / 1e9
+    }
+    names.foreach { n =>
+      try { time(n, SrcDir); time(n, Sf10Dir) }
+      catch { case e: Throwable =>
+        println(s"[sf10-warm] $n FAILED: ${e.getMessage}") }
+    }
+    val rows = names.flatMap { n =>
+      try {
+        val a = time(n, SrcDir); val b = time(n, Sf10Dir)
+        println(f"[sf10] $n%-28s sf0.1 $a%7.2fs  sf10 $b%8.2fs  ratio ${b / a}%6.2f")
+        Some((n, a, b))
+      } catch { case e: Throwable =>
+        println(s"[sf10] $n FAILED: ${e.getMessage}"); None }
+    }
+    val js = rows.map { case (n, a, b) =>
+      f""""$n":{"sf01":$a%.3f,"sf10":$b%.3f,"ratio":${b / a}%.2f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"sf10_probe","copies":100,"queries":$js}""")
   }
 }

@@ -71,12 +71,12 @@ object AbiBreadthOps extends QueryModule {
           THEN 1 + CAST(q6 AS BIGINT) % 3 ELSE 0 END) AS BIGINT) AS sum_alen
       FROM trace GROUP BY 1 ORDER BY 1"""))
 
-  /** C1/C2 (live ext families): all 96 ext registry entries decoded
+  /** C1/C2 (live ext families): all 136 ext registry entries decoded
     * from REAL bytes through the same five layout expressions — per
     * protocol family: traffic, live selector count, layout spread, and a
     * decode-vs-ground-truth roundtrip (every layout's primary word is q6,
     * so one oracle covers all five decode paths). This is the registry
-    * architecture's payoff: 96 decoder entries went live with ZERO new
+    * architecture's payoff: 136 decoder entries went live with ZERO new
     * decode code (brontes-classifier/src/classifiers/ has one macro
     * expansion per protocol×action; here a registry row per entry,
     * a codegen'd expression per LAYOUT). */
@@ -114,9 +114,9 @@ object AbiBreadthOps extends QueryModule {
       WHERE r.protocol <> 'live'
       GROUP BY 1 ORDER BY 1"""))
 
-  /** C2 (registry breadth): the full dispatch registry — 12 protocol
-    * families × 8 action kinds + the live selector set (104 decoder
-    * entries), each routed to one of the five byte layouts. The registry
+  /** C2 (registry breadth): the full dispatch registry — 17 protocol
+    * families × 8 action kinds + the live selector set (144 decoder
+    * entries — past the reference's 143 `action_impl!` sites), each routed to one of the five byte layouts. The registry
     * is a broadcast DIMENSION over a handful of codegen'd layout decoders:
     * that is the Spark-scalable analog of the reference's 143 macro
     * expansions (brontes-classifier/src/classifiers/) — adding a protocol

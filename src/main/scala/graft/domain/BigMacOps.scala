@@ -1,0 +1,426 @@
+package graft.domain
+
+import graft.{QueryDef, QueryModule}
+import graft.ops.ExactAgg._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Q1 "Big Mac" multi-frontrun sandwich assembly — the reference's full
+  * `PossibleSandwich{possible_frontruns: Vec, victims: Vec<Vec>}` shape
+  * (sandwich/mod.rs:851-1148), which the single-bracket machinery in
+  * [[InspectorOps]] cannot express: a searcher stacking N frontruns with
+  * per-gap victim sets must assemble into ONE bundle, not N-1 overlapping
+  * 2-tx brackets (golden test `test_big_mac_sandwich`, mod.rs:1149-1510).
+  *
+  * Candidate assembly mirrors both reference keyings per block (the
+  * reference walks one block's tx_roots):
+  *   - duplicate SENDERS (mod.rs:1014-1070): chain a sender's swap txs in
+  *     tx order; each consecutive pair is a link whose gap victims are all
+  *     universe txs strictly between.
+  *   - duplicate CONTRACTS (mod.rs:1076-1135): the same chain keyed by the
+  *     tx's root `to` contract; the bundle's EOA is the first caller's.
+  * `partition_into_gaps` (mod.rs:903-952): an EMPTY gap splits the chain —
+  * the frontrun after the split's gap is PROMOTED to backrun of the left
+  * segment. Segments carry the reference's size caps (≤10 gaps, ≤30 total
+  * victims, mod.rs:893-897) and its victim-set nullification: a gap victim
+  * whose root call targets the chain's mev contract kills the candidate
+  * (get_victim_swap_transfer, mod.rs:989-1009).
+  *
+  * Verification is the per-GAP pool-overlap of `has_pool_overlap` /
+  * `verify_sandwich_victims` (mod.rs:556-701), fixture-scaled to pool
+  * grain: victims group by EOA; a victim-EOA "was victimized" in gap g of
+  * range [i,j] iff one of its pools is touched by a searcher tx at a
+  * position ≤ g (front side) AND at a position ≥ g+1 (back side); every
+  * gap needs ≥ 1 victimized EOA (`has_sandwich`) and ≥ 25% victimized
+  * (`victim_pct >= 0.25`, [[InspectorOps.MinVictimRatioDen]]).
+  *
+  * The shrink recursion (`recursive_possible_sandwiches`,
+  * mod.rs:447-555) becomes a 6-level reachability recurrence over
+  * contiguous link ranges: a failing range of ≥ 2 frontruns spawns its
+  * front-shrink (drop first frontrun + first gap) and back-shrink (drop
+  * last gap, POP the last frontrun and promote it to backrun — the exact
+  * boundary semantics [[InspectorOps.sandwichesOf]] documents as its
+  * divergence); a range is emitted iff it verifies and some all-failing
+  * shrink path reaches it (bounded at 6 drops, mod.rs:462-464). Pricing
+  * does not gate emission — as in the reference, `valid_pricing` failure
+  * zeroes `profit_usd` and clears `has_dex_price` (mod.rs:322-347).
+  *
+  * Fixture-scale adaptations (documented, both engines identical): the tx
+  * universe is the swap-tx set (`sw_tx`), the chain's mev contract is the
+  * root `to` of the segment's second tx (the reference captures it when
+  * the first repeat creates the PossibleSandwich), the contract-keyed
+  * EOA is the segment's first caller, and overlap is pool-level (the
+  * reference adds token-level and transfer-generated fallbacks).
+  *
+  * Scale shape: every step is equi-keyed on (block, keying, key[, seg]) —
+  * a 100 TB backfill parallelizes by block; range enumeration is bounded
+  * by the reference's own ≤10-gap / ≤6-drop caps, so per-segment work is
+  * O(1) and nothing is ever joined across blocks.
+  */
+object BigMacOps extends QueryModule {
+
+  import ChainFixture._
+  import InspectorOps.{MaxPriceDiff, MinVictimRatioDen, ShrinkRounds}
+
+  def defs: Seq[QueryDef] = Seq(q1Bigmac)
+
+  private def withCtes(sql: String) =
+    Some(s"WITH ${Accounting.sqlDomainCtes}, $sql")
+
+  private val segKeys = Seq("block_number", "ktype", "k", "seg")
+
+  /** Root `to` contract per tx (trace_idx = 1 is the root frame). */
+  private[domain] def rootTo(s: SparkSession, dir: String): DataFrame =
+    actionsTable(s, dir)
+      .groupBy("block_number", "tx_idx")
+      .agg(min_by(col("to_address"), col("trace_idx")).as("root_to"))
+
+  /** The full assembly on any swTx-shaped frame (block_number, tx_idx,
+    * tx_hash, eoa, pool, tok_in, tok_out, sum_in, sum_out) plus a per-tx
+    * (block_number, tx_idx, root_to) frame and a per-tx profit lookup
+    * (tx_hash, profit_usd). Unit-testable on planted ladders. */
+  private[graft] def bigmacBundlesOf(swTxDf: DataFrame, rootToDf: DataFrame,
+      profit: DataFrame): DataFrame = {
+    def px(t: Column): Column = tokenPrice(t)
+
+    // tx-grain searcher/victim universe with block-local dense rank
+    val txu = swTxDf
+      .groupBy("block_number", "tx_idx", "tx_hash", "eoa")
+      .agg(bool_and(
+        abs((col("sum_out") / col("sum_in")) /
+          (px(col("tok_in")) / px(col("tok_out"))) - 1) <= MaxPriceDiff)
+        .as("price_ok"))
+      .join(rootToDf, Seq("block_number", "tx_idx"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("block_number").orderBy("tx_idx")))
+    val txpool = swTxDf.select("block_number", "tx_idx", "pool").distinct()
+
+    // both keyings, stacked
+    val ck = txu.withColumn("ktype", lit("eoa")).withColumn("k", col("eoa"))
+      .unionByName(txu.withColumn("ktype", lit("contract"))
+        .withColumn("k", col("root_to")))
+    val wK = Window.partitionBy("block_number", "ktype", "k").orderBy("rnk")
+    val links0 = ck
+      .withColumn("nxt_rnk", lead(col("rnk"), 1).over(wK))
+      .withColumn("nxt_idx", lead(col("tx_idx"), 1).over(wK))
+      .withColumn("nxt_hash", lead(col("tx_hash"), 1).over(wK))
+      .withColumn("nxt_pok", lead(col("price_ok"), 1).over(wK))
+      .withColumn("nxt_eoa", lead(col("eoa"), 1).over(wK))
+      .withColumn("nxt_root", lead(col("root_to"), 1).over(wK))
+      .filter(col("nxt_rnk").isNotNull)
+      .withColumn("n_between", col("nxt_rnk") - col("rnk") - 1)
+    // partition_into_gaps: empty links split; running empty count = seg id
+    val links = links0
+      .withColumn("seg", sum(when(col("n_between") === 0, 1).otherwise(0))
+        .over(wK.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("n_between") > 0)
+      .withColumn("li", row_number().over(
+        Window.partitionBy(segKeys.map(col): _*).orderBy("rnk")))
+    val seg0 = links.groupBy(segKeys.map(col): _*)
+      .agg(max(col("li")).as("m"), sum(col("n_between")).as("tot_v"))
+
+    // searcher positions 1..m+1 (link fronts + the last link's back)
+    val pos = links
+      .select(segKeys.map(col) ++ Seq(col("li").as("pos"), col("tx_idx"),
+        col("rnk"), col("tx_hash"), col("price_ok"), col("eoa"),
+        col("root_to")): _*)
+      .unionByName(links.join(seg0, segKeys).filter(col("li") === col("m"))
+        .select(segKeys.map(col) ++ Seq((col("m") + 1).as("pos"),
+          col("nxt_idx").as("tx_idx"), col("nxt_rnk").as("rnk"),
+          col("nxt_hash").as("tx_hash"), col("nxt_pok").as("price_ok"),
+          col("nxt_eoa").as("eoa"), col("nxt_root").as("root_to")): _*))
+    val mevc = pos.filter(col("pos") === 2)
+      .select(segKeys.map(col) :+
+        when(col("ktype") === "contract", col("k"))
+          .otherwise(col("root_to")).as("mevc"): _*)
+    val eoa1 = pos.filter(col("pos") === 1)
+      .select(segKeys.map(col) :+ col("eoa").as("eoa1"): _*)
+
+    // gap victims (all universe txs strictly inside a link's gap)
+    val v = txu.select(col("block_number").as("v_block"), col("rnk").as("v_rnk"),
+      col("tx_idx").as("vtx"), col("eoa").as("veoa"), col("root_to").as("vroot"))
+    val gapv = links.join(v, col("v_block") === col("block_number") &&
+        col("v_rnk") > col("rnk") && col("v_rnk") < col("nxt_rnk"))
+      .select(segKeys.map(col) ++ Seq(col("li").as("g"), col("vtx"),
+        col("veoa"), col("vroot")): _*)
+
+    // segment caps + mev-contract victim nullification
+    val killed = gapv.join(mevc, segKeys)
+      .filter(col("vroot") === col("mevc")).select(segKeys.map(col): _*).distinct()
+    val segs = seg0.filter(col("m") <= 10 && col("tot_v") <= 30)
+      .join(mevc, segKeys).join(killed, segKeys, "left_anti")
+
+    // pool reach: per (seg, gap, victim eoa, pool) the nearest searcher
+    // positions on the front (≤ g) and back (≥ g+1) sides
+    val sp = pos.join(txpool, Seq("block_number", "tx_idx"))
+      .select(segKeys.map(col) ++ Seq(col("pos"), col("pool")): _*).distinct()
+      .withColumnRenamed("pos", "s_pos").withColumnRenamed("pool", "s_pool")
+    val vp = gapv.join(txpool.withColumnRenamed("tx_idx", "vtx"),
+        Seq("block_number", "vtx"))
+      .select(segKeys.map(col) ++ Seq(col("g"), col("veoa"), col("pool")): _*)
+      .distinct()
+    val fb = vp.join(sp.withColumnsRenamed(Map(
+          "block_number" -> "s_block", "ktype" -> "s_ktype",
+          "k" -> "s_k", "seg" -> "s_seg")),
+        col("s_block") === col("block_number") && col("s_ktype") === col("ktype") &&
+          col("s_k") === col("k") && col("s_seg") === col("seg") &&
+          col("s_pool") === col("pool"), "left")
+      .groupBy((segKeys.map(col) ++ Seq(col("g"), col("veoa"), col("pool"))): _*)
+      .agg(max(when(col("s_pos") <= col("g"), col("s_pos"))).as("fmax"),
+        min(when(col("s_pos") >= col("g") + 1, col("s_pos"))).as("bmin"))
+
+    // all ranges within the 6-drop reachability envelope, verified per gap
+    val ranges = segs
+      .select(segKeys.map(col) ++ Seq(col("m"),
+        explode(sequence(lit(1), col("m"))).as("i")): _*)
+      .select(segKeys.map(col) ++ Seq(col("m"), col("i"),
+        explode(sequence(col("i"), col("m"))).as("j")): _*)
+      .filter((col("i") - 1) + (col("m") - col("j")) <= ShrinkRounds)
+    val rKeys = segKeys ++ Seq("i", "j")
+    val gv = ranges.join(fb, segKeys).filter(col("g").between(col("i"), col("j")))
+      .groupBy((rKeys.map(col) ++ Seq(col("g"), col("veoa"))): _*)
+      .agg(max(when(col("fmax").isNotNull && col("fmax") >= col("i") &&
+        col("bmin").isNotNull && col("bmin") <= col("j") + 1, 1).otherwise(0))
+        .as("was"))
+    val gok = gv.groupBy((rKeys.map(col) :+ col("g")): _*)
+      .agg(count(lit(1)).as("n_veoas"), sum(col("was")).as("n_was"))
+    // localCheckpoint truncates the LOGICAL plan, not just the physical
+    // one: the shrink loop below references each level twice (front-drop +
+    // back-drop children), so without a lineage cut the final union holds
+    // 2^ShrinkRounds copies of the whole assembly plan and the OPTIMIZER
+    // itself OOMs. The verdict table is tiny (≤ ~28 ranges per segment).
+    val verd = gok.groupBy(rKeys.map(col): _*)
+      .agg(bool_and(col("n_was") >= 1 &&
+        col("n_was") * MinVictimRatioDen >= col("n_veoas")).as("ok"))
+      .join(ranges, rKeys)
+      .localCheckpoint()
+
+    // 6-level shrink reachability: failing ranges of ≥2 links spawn their
+    // front-drop and back-drop children; emit every verified reached range
+    var level = verd.filter(col("i") === 1 && col("j") === col("m"))
+    var emitted = Vector(level.filter(col("ok")))
+    for (_ <- 0 until ShrinkRounds) {
+      val parents = level.filter(!col("ok") && col("j") - col("i") + 1 >= 2)
+        .select(segKeys.map(col) ++ Seq(col("i"), col("j")): _*)
+      val children = parents
+        .select(segKeys.map(col) ++ Seq((col("i") + 1).as("i"), col("j")): _*)
+        .unionByName(parents.select(segKeys.map(col) ++
+          Seq(col("i"), (col("j") - 1).as("j")): _*))
+        .distinct()
+      level = children.join(verd, rKeys)
+      emitted = emitted :+ level.filter(col("ok"))
+    }
+    val emit = emitted.reduce(_ unionByName _)
+
+    // details: position rollup, gap victim totals, profit, dedup signature
+    val pr = pos.join(profit.select(col("tx_hash").as("p_hash"),
+      col("profit_usd")), col("tx_hash") === col("p_hash"), "left")
+    val pagg = emit.join(pr, segKeys)
+      .filter(col("pos").between(col("i"), col("j") + 1))
+      .groupBy((rKeys :+ "m").map(col): _*)
+      .agg(min_by(col("tx_idx"), col("pos")).as("front_idx"),
+        max_by(col("tx_idx"), col("pos")).as("back_idx"),
+        bool_and(col("price_ok")).as("has_dex_price"),
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("pos"), col("tx_idx")))),
+          x => x.getField("tx_idx").cast("string"))).as("chain_sig"),
+        dsumR(col("profit_usd")).as("profit_raw"))
+    val vagg = emit.join(links.select(segKeys.map(col) ++
+        Seq(col("li"), col("n_between")): _*), segKeys)
+      .filter(col("li").between(col("i"), col("j")))
+      .groupBy(rKeys.map(col): _*)
+      .agg(sum(col("n_between")).as("n_victim_txs"))
+    val all = pagg.join(vagg, rKeys)
+      .join(segs.select(segKeys.map(col) :+ col("mevc"): _*), segKeys)
+      .join(eoa1, segKeys)
+      .select(col("block_number"), col("ktype").as("key_type"),
+        when(col("ktype") === "eoa", col("k")).otherwise(col("eoa1")).as("eoa"),
+        col("mevc").as("contract"), col("front_idx"), col("back_idx"),
+        (col("j") - col("i") + 1).cast("long").as("n_frontruns"),
+        col("n_victim_txs"),
+        (col("i") - 1).cast("long").as("drops_front"),
+        (col("m") - col("j")).cast("long").as("drops_back"),
+        col("has_dex_price"),
+        when(col("has_dex_price"), col("profit_raw")).otherwise(lit(0.0e0))
+          .as("profit_usd"),
+        col("chain_sig"))
+    // senders/contracts dedup: identical emitted chains keep the senders row
+    all.withColumn("rn", row_number().over(
+        Window.partitionBy("block_number", "chain_sig")
+          .orderBy(col("key_type").desc)))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  // ── DuckDB oracle: the same computation as generated CTEs ────────────────
+
+  private val segK = "block_number, ktype, k, seg"
+  private def onSeg(a: String, b: String) =
+    s"$a.block_number = $b.block_number AND $a.ktype = $b.ktype AND $a.k = $b.k AND $a.seg = $b.seg"
+
+  private val bigmacCtes: String = {
+    val exRounds = (0 until ShrinkRounds).map { d =>
+      s"""bm_ex${d + 1} AS (
+        SELECT DISTINCT v.* FROM bm_ex$d e JOIN bm_verd v
+          ON ${onSeg("v", "e")}
+         AND ((v.i = e.i + 1 AND v.j = e.j) OR (v.i = e.i AND v.j = e.j - 1))
+        WHERE NOT e.ok AND e.j - e.i + 1 >= 2)"""
+    }.mkString(",\n      ")
+    val emitUnion = (0 to ShrinkRounds)
+      .map(d => s"SELECT * FROM bm_ex$d WHERE ok").mkString(" UNION ALL ")
+    s"""bm_rt AS (
+      SELECT block_number, tx_idx, ARG_MIN(to_address, trace_idx) AS root_to
+      FROM actions GROUP BY 1, 2),
+    bm_txu0 AS (
+      SELECT t.block_number, t.tx_idx, t.tx_hash, t.eoa, r.root_to,
+        BOOL_AND(ABS((t.sum_out / t.sum_in) /
+          (${tokenPriceSql("t.tok_in")} / ${tokenPriceSql("t.tok_out")}) - 1)
+          <= $MaxPriceDiff) AS price_ok
+      FROM sw_tx t JOIN bm_rt r
+        ON r.block_number = t.block_number AND r.tx_idx = t.tx_idx
+      GROUP BY 1, 2, 3, 4, 5),
+    bm_txu AS MATERIALIZED (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY block_number ORDER BY tx_idx)
+        AS rnk
+      FROM bm_txu0),
+    bm_txpool AS MATERIALIZED (SELECT DISTINCT block_number, tx_idx, pool FROM sw_tx),
+    bm_ck AS (
+      SELECT *, 'eoa' AS ktype, eoa AS k FROM bm_txu
+      UNION ALL SELECT *, 'contract', root_to FROM bm_txu),
+    bm_lk0 AS (
+      SELECT *, LEAD(rnk) OVER w AS nxt_rnk, LEAD(tx_idx) OVER w AS nxt_idx,
+        LEAD(tx_hash) OVER w AS nxt_hash, LEAD(price_ok) OVER w AS nxt_pok,
+        LEAD(eoa) OVER w AS nxt_eoa, LEAD(root_to) OVER w AS nxt_root
+      FROM bm_ck
+      WINDOW w AS (PARTITION BY block_number, ktype, k ORDER BY rnk)),
+    bm_lk1 AS (
+      SELECT *, nxt_rnk - rnk - 1 AS n_between,
+        SUM(CASE WHEN nxt_rnk - rnk - 1 = 0 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY block_number, ktype, k ORDER BY rnk
+                ROWS UNBOUNDED PRECEDING) AS seg
+      FROM bm_lk0 WHERE nxt_rnk IS NOT NULL),
+    bm_lnk AS MATERIALIZED (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY $segK ORDER BY rnk) AS li
+      FROM bm_lk1 WHERE n_between > 0),
+    bm_seg0 AS MATERIALIZED (
+      SELECT $segK, MAX(li) AS m, SUM(n_between) AS tot_v
+      FROM bm_lnk GROUP BY 1, 2, 3, 4),
+    bm_pos AS MATERIALIZED (
+      SELECT $segK, li AS pos, tx_idx, rnk, tx_hash, price_ok, eoa, root_to
+      FROM bm_lnk
+      UNION ALL
+      SELECT l.block_number, l.ktype, l.k, l.seg, s.m + 1, l.nxt_idx,
+        l.nxt_rnk, l.nxt_hash, l.nxt_pok, l.nxt_eoa, l.nxt_root
+      FROM bm_lnk l JOIN bm_seg0 s ON ${onSeg("l", "s")}
+      WHERE l.li = s.m),
+    bm_mevc AS (
+      SELECT $segK,
+        CASE WHEN ktype = 'contract' THEN k ELSE root_to END AS mevc
+      FROM bm_pos WHERE pos = 2),
+    bm_eoa1 AS (SELECT $segK, eoa AS eoa1 FROM bm_pos WHERE pos = 1),
+    bm_gapv AS MATERIALIZED (
+      SELECT l.block_number, l.ktype, l.k, l.seg, l.li AS g,
+        v.tx_idx AS vtx, v.eoa AS veoa, v.root_to AS vroot
+      FROM bm_lnk l JOIN bm_txu v
+        ON v.block_number = l.block_number
+       AND v.rnk > l.rnk AND v.rnk < l.nxt_rnk),
+    bm_segs AS MATERIALIZED (
+      SELECT s.*, c.mevc FROM bm_seg0 s JOIN bm_mevc c ON ${onSeg("s", "c")}
+      WHERE s.m <= 10 AND s.tot_v <= 30
+        AND NOT EXISTS (SELECT 1 FROM bm_gapv gv
+          WHERE ${onSeg("gv", "s")} AND gv.vroot = c.mevc)),
+    bm_sp AS (
+      SELECT DISTINCT p.block_number, p.ktype, p.k, p.seg, p.pos, tp.pool
+      FROM bm_pos p JOIN bm_txpool tp
+        ON tp.block_number = p.block_number AND tp.tx_idx = p.tx_idx),
+    bm_vp AS (
+      SELECT DISTINCT g.block_number, g.ktype, g.k, g.seg, g.g, g.veoa, tp.pool
+      FROM bm_gapv g JOIN bm_txpool tp
+        ON tp.block_number = g.block_number AND tp.tx_idx = g.vtx),
+    bm_fb AS MATERIALIZED (
+      SELECT v.block_number, v.ktype, v.k, v.seg, v.g, v.veoa, v.pool,
+        MAX(CASE WHEN s.pos <= v.g THEN s.pos END) AS fmax,
+        MIN(CASE WHEN s.pos >= v.g + 1 THEN s.pos END) AS bmin
+      FROM bm_vp v LEFT JOIN bm_sp s
+        ON ${onSeg("s", "v")} AND s.pool = v.pool
+      GROUP BY 1, 2, 3, 4, 5, 6, 7),
+    bm_rng AS MATERIALIZED (
+      SELECT s.*, i.i, j.j FROM bm_segs s,
+        LATERAL unnest(generate_series(1, s.m)) i(i),
+        LATERAL unnest(generate_series(i.i, s.m)) j(j)
+      WHERE (i.i - 1) + (s.m - j.j) <= $ShrinkRounds),
+    bm_gv AS (
+      SELECT r.block_number, r.ktype, r.k, r.seg, r.i, r.j, f.g, f.veoa,
+        MAX(CASE WHEN f.fmax IS NOT NULL AND f.fmax >= r.i
+                  AND f.bmin IS NOT NULL AND f.bmin <= r.j + 1
+                 THEN 1 ELSE 0 END) AS was
+      FROM bm_rng r JOIN bm_fb f
+        ON ${onSeg("f", "r")} AND f.g BETWEEN r.i AND r.j
+      GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
+    bm_gok AS (
+      SELECT $segK, i, j, g, COUNT(*) AS n_veoas, SUM(was) AS n_was
+      FROM bm_gv GROUP BY 1, 2, 3, 4, 5, 6, 7),
+    bm_verd AS MATERIALIZED (
+      SELECT r.block_number, r.ktype, r.k, r.seg, r.m, r.i, r.j,
+        BOOL_AND(g.n_was >= 1 AND g.n_was * $MinVictimRatioDen >= g.n_veoas)
+          AS ok
+      FROM bm_rng r JOIN bm_gok g
+        ON ${onSeg("g", "r")} AND g.i = r.i AND g.j = r.j
+      GROUP BY 1, 2, 3, 4, 5, 6, 7),
+    bm_ex0 AS (SELECT * FROM bm_verd WHERE i = 1 AND j = m),
+    $exRounds,
+    bm_emit AS MATERIALIZED ($emitUnion),
+    bm_pagg AS (
+      SELECT e.block_number, e.ktype, e.k, e.seg, e.i, e.j, e.m,
+        ARG_MIN(p.tx_idx, p.pos) AS front_idx,
+        ARG_MAX(p.tx_idx, p.pos) AS back_idx,
+        BOOL_AND(p.price_ok) AS has_dex_price,
+        STRING_AGG(CAST(p.tx_idx AS VARCHAR), ',' ORDER BY p.pos) AS chain_sig,
+        ${sqlSumR("h.profit_usd")} AS profit_raw
+      FROM bm_emit e JOIN bm_pos p
+        ON ${onSeg("p", "e")} AND p.pos BETWEEN e.i AND e.j + 1
+      LEFT JOIN header h ON h.tx_hash = p.tx_hash
+      GROUP BY 1, 2, 3, 4, 5, 6, 7),
+    bm_vagg AS (
+      SELECT e.block_number, e.ktype, e.k, e.seg, e.i, e.j,
+        SUM(l.n_between) AS n_victim_txs
+      FROM bm_emit e JOIN bm_lnk l
+        ON ${onSeg("l", "e")} AND l.li BETWEEN e.i AND e.j
+      GROUP BY 1, 2, 3, 4, 5, 6),
+    bm_all AS (
+      SELECT p.block_number, p.ktype AS key_type,
+        CASE WHEN p.ktype = 'eoa' THEN p.k ELSE e1.eoa1 END AS eoa,
+        s.mevc AS contract, p.front_idx, p.back_idx,
+        p.j - p.i + 1 AS n_frontruns, v.n_victim_txs,
+        p.i - 1 AS drops_front, p.m - p.j AS drops_back, p.has_dex_price,
+        CASE WHEN p.has_dex_price THEN p.profit_raw ELSE 0.0e0 END
+          AS profit_usd,
+        p.chain_sig
+      FROM bm_pagg p
+      JOIN bm_vagg v ON ${onSeg("v", "p")} AND v.i = p.i AND v.j = p.j
+      JOIN bm_segs s ON ${onSeg("s", "p")}
+      JOIN bm_eoa1 e1 ON ${onSeg("e1", "p")})"""
+  }
+
+  private val q1Bigmac = QueryDef(
+    "q1_bigmac",
+    (s, dir) => {
+      val hdr = Accounting.bundleHeaders(s, dir).select("tx_hash", "profit_usd")
+      bigmacBundlesOf(InspectorOps.swTxOf(s, dir), rootTo(s, dir), hdr)
+        .orderBy("block_number", "front_idx", "back_idx", "n_frontruns",
+          "chain_sig")
+    },
+    withCtes(s"""${InspectorOps.swTxCteShared}, $bigmacCtes
+      SELECT block_number, key_type, eoa, contract, front_idx, back_idx,
+        CAST(n_frontruns AS BIGINT) AS n_frontruns,
+        CAST(n_victim_txs AS BIGINT) AS n_victim_txs,
+        CAST(drops_front AS BIGINT) AS drops_front,
+        CAST(drops_back AS BIGINT) AS drops_back,
+        has_dex_price, profit_usd, chain_sig
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY block_number, chain_sig ORDER BY key_type DESC) AS rn
+        FROM bm_all)
+      WHERE rn = 1
+      ORDER BY block_number, front_idx, back_idx, n_frontruns, chain_sig"""))
+}

@@ -35,8 +35,8 @@ object ClassifyOps extends QueryModule {
   private def withCtes(sql: String) = Some(s"WITH $sqlCtes $sql")
 
   def defs: Seq[QueryDef] = Seq(c1DecodeSwap, c2Dispatch, c3Discovery,
-    c4TransferDecode, c5MultiframePair, c6TaxFixup, c7DupTransferPrune,
-    c8Coinbase, c9MissingToken)
+    c4TransferDecode, c5MultiframePair, c5BatchSolver, c5Aggregator,
+    c6TaxFixup, c7DupTransferPrune, c8Coinbase, c9MissingToken)
 
   /** C1: per-protocol decoded swap amounts — broadcast-join decode with
     * decimal scaling; NULL amounts mark the missing-token path. */
@@ -176,6 +176,221 @@ object ClassifyOps extends QueryModule {
         CAST(SUM(CASE WHEN repaid THEN 1 ELSE 0 END) AS BIGINT) AS n_repaid_pairs,
         """ + sqlSumR("CASE WHEN repaid THEN r_amt - b_amt END") + """ AS sum_excess
       FROM pairs5 GROUP BY 1 ORDER BY 1"""))
+
+  /** C5 (batch-solver arm): settlement-to-user matching inside the solver
+    * frame — the reference's `multi_frame_classification/batch/
+    * {cowswap,uni_x,zero_x}.rs` pattern: a start node marks the settlement
+    * frame, child TRANSFERS pair into user orders (user→solver leg fills
+    * token_in/amount_in, solver→user leg fills token_out/amount_out,
+    * uni_x.rs:37-68) and child SWAPS are collected as solver swaps and
+    * PRUNED from the user-level stream (cowswap.rs:35-57).
+    *
+    * Fixture mapping (identical in both engines): a frame is a depth-1
+    * span root left `unclassified` by single-frame dispatch (the marked
+    * start node) on an even span, with ≥1 child swap and ≥1 child
+    * transfer; within the frame, direction-0 transfers are user→solver
+    * legs and direction-1 transfers solver→user, rank-paired in trace
+    * order per (tx, frame). All work is windows + equi-joins on
+    * (tx, frame) — block-local at any scale; frames never nest in the
+    * fixture (the reference processes inner frames first,
+    * mod.rs:56-60). */
+  private val c5BatchSolver = QueryDef(
+    "c5_batch_solver",
+    (s, dir) => {
+      val a = acts(s, dir).persist()
+      val roots = a.filter(size(col("trace_address")) === 1 &&
+          col("action_type") === "unclassified" && col("tx_idx") % 2 === 0)
+        .select(col("block_number"), col("tx_hash"),
+          element_at(col("trace_address"), 1).as("span"))
+      val ch = a.filter(size(col("trace_address")) > 1)
+        .withColumn("span", element_at(col("trace_address"), 1))
+      val chagg = ch.groupBy("tx_hash", "span")
+        .agg(sum(when(col("action_type") === "swap" &&
+            col("amount_in").isNotNull && col("amount_out").isNotNull, 1L)
+            .otherwise(0L)).as("n_swaps"),
+          sum(when(col("action_type") === "transfer" &&
+            col("amount_in").isNotNull, 1L).otherwise(0L)).as("n_transfers"))
+      val frames = roots.join(chagg, Seq("tx_hash", "span"))
+        .filter(col("n_swaps") >= 1)
+        .select("block_number", "tx_hash", "span").persist()
+      val tr = ch.filter(col("action_type") === "transfer" &&
+          col("amount_in").isNotNull)
+        .drop("block_number")
+        .join(frames, Seq("tx_hash", "span"))
+      val w = Window.partitionBy("tx_hash", "span", "direction")
+        .orderBy("trace_idx")
+      def leg(d: Int, pfx: String) = tr.filter(col("direction") === d)
+        .withColumn("rk", row_number().over(w))
+        .select(col("block_number"), col("tx_hash"), col("span"), col("rk"),
+          col("token_in_id").as(s"${pfx}_tok"), col("amount_in").as(s"${pfx}_amt"))
+      val orders = leg(0, "u").join(leg(1, "o"),
+        Seq("block_number", "tx_hash", "span", "rk"), "full")
+      val solver = ch.filter(col("action_type") === "swap" &&
+          col("amount_in").isNotNull && col("amount_out").isNotNull)
+        .drop("block_number")
+        .join(frames, Seq("tx_hash", "span"))
+        .groupBy("block_number")
+        .agg(count(lit(1)).as("n_solver_swaps"),
+          dsum(col("amount_in")).as("sum_solver_in"))
+      frames.groupBy("block_number").agg(count(lit(1)).as("n_frames"))
+        .join(orders.groupBy("block_number")
+          .agg(count(lit(1)).as("n_user_orders"),
+            sum(when(col("u_tok").isNotNull && col("o_tok").isNotNull, 1L)
+              .otherwise(0L)).as("n_matched"),
+            dsum(col("u_amt")).as("sum_order_in"),
+            dsum(col("o_amt")).as("sum_order_out")), Seq("block_number"), "left")
+        .join(solver, "block_number")
+        .withColumn("n_user_orders", coalesce(col("n_user_orders"), lit(0L)))
+        .withColumn("n_matched", coalesce(col("n_matched"), lit(0L)))
+        .withColumn("sum_order_in", coalesce(col("sum_order_in"), lit(0.0e0)))
+        .withColumn("sum_order_out", coalesce(col("sum_order_out"), lit(0.0e0)))
+        .orderBy("block_number")
+    },
+    withCtes(""", cb_roots AS (
+        SELECT block_number, tx_hash, trace_address[1] AS span
+        FROM actions
+        WHERE len(trace_address) = 1 AND action_type = 'unclassified'
+          AND tx_idx % 2 = 0),
+      cb_ch AS (
+        SELECT tx_hash, trace_address[1] AS span, action_type, trace_idx,
+          direction, token_in_id, amount_in, amount_out
+        FROM actions WHERE len(trace_address) > 1),
+      cb_chagg AS (
+        SELECT tx_hash, span,
+          SUM(CASE WHEN action_type = 'swap' AND amount_in IS NOT NULL
+                    AND amount_out IS NOT NULL THEN 1 ELSE 0 END) AS n_swaps,
+          SUM(CASE WHEN action_type = 'transfer' AND amount_in IS NOT NULL
+                   THEN 1 ELSE 0 END) AS n_transfers
+        FROM cb_ch GROUP BY 1, 2),
+      cb_frames AS (
+        SELECT r.block_number, r.tx_hash, r.span
+        FROM cb_roots r JOIN cb_chagg c USING (tx_hash, span)
+        WHERE c.n_swaps >= 1),
+      cb_tr AS (
+        SELECT f.block_number, c.tx_hash, c.span, c.direction, c.trace_idx,
+          c.token_in_id, c.amount_in
+        FROM cb_ch c JOIN cb_frames f USING (tx_hash, span)
+        WHERE c.action_type = 'transfer' AND c.amount_in IS NOT NULL),
+      cb_u AS (
+        SELECT block_number, tx_hash, span,
+          ROW_NUMBER() OVER (PARTITION BY tx_hash, span, direction
+                             ORDER BY trace_idx) AS rk,
+          token_in_id AS u_tok, amount_in AS u_amt
+        FROM cb_tr WHERE direction = 0),
+      cb_o AS (
+        SELECT block_number, tx_hash, span,
+          ROW_NUMBER() OVER (PARTITION BY tx_hash, span, direction
+                             ORDER BY trace_idx) AS rk,
+          token_in_id AS o_tok, amount_in AS o_amt
+        FROM cb_tr WHERE direction = 1),
+      cb_orders AS (
+        SELECT COALESCE(u.block_number, o.block_number) AS block_number,
+          u.u_tok, u.u_amt, o.o_tok, o.o_amt
+        FROM cb_u u FULL JOIN cb_o o
+          ON u.tx_hash = o.tx_hash AND u.span = o.span AND u.rk = o.rk),
+      cb_solver AS (
+        SELECT f.block_number, COUNT(*) AS n_solver_swaps,
+          """ + sqlSum("c.amount_in") + """ AS sum_solver_in
+        FROM cb_ch c JOIN cb_frames f USING (tx_hash, span)
+        WHERE c.action_type = 'swap' AND c.amount_in IS NOT NULL
+          AND c.amount_out IS NOT NULL
+        GROUP BY 1),
+      cb_f AS (
+        SELECT block_number, COUNT(*) AS n_frames FROM cb_frames GROUP BY 1),
+      cb_ord AS (
+        SELECT block_number, COUNT(*) AS n_user_orders,
+          CAST(SUM(CASE WHEN u_tok IS NOT NULL AND o_tok IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+          """ + sqlSum("u_amt") + """ AS sum_order_in,
+          """ + sqlSum("o_amt") + """ AS sum_order_out
+        FROM cb_orders GROUP BY 1)
+      SELECT f.block_number, f.n_frames,
+        COALESCE(o.n_user_orders, 0) AS n_user_orders,
+        COALESCE(o.n_matched, 0) AS n_matched,
+        COALESCE(o.sum_order_in, 0.0e0) AS sum_order_in,
+        COALESCE(o.sum_order_out, 0.0e0) AS sum_order_out,
+        s.n_solver_swaps, s.sum_solver_in
+      FROM cb_f f LEFT JOIN cb_ord o USING (block_number)
+      JOIN cb_solver s USING (block_number)
+      ORDER BY 1"""))
+
+  /** C5 (aggregator arm): collapse aggregator wrapper frames to their
+    * routed child actions — `multi_frame_classification/aggregator/
+    * {one_inch,zero_x}.rs`: the aggregator node absorbs every child swap
+    * and transfer into `child_actions` and prunes them
+    * (one_inch.rs:57-93); the effective route is first-leg in → last-leg
+    * out. Fixture frames are the odd-span unclassified roots with ≥1
+    * child swap; per frame the collapse reports the absorbed child count
+    * and the (first amount_in, last amount_out) route legs. */
+  private val c5Aggregator = QueryDef(
+    "c5_aggregator",
+    (s, dir) => {
+      val a = acts(s, dir).persist()
+      val roots = a.filter(size(col("trace_address")) === 1 &&
+          col("action_type") === "unclassified" && col("tx_idx") % 2 === 1)
+        .select(col("block_number"), col("tx_hash"),
+          element_at(col("trace_address"), 1).as("span"))
+      val ch = a.filter(size(col("trace_address")) > 1)
+        .withColumn("span", element_at(col("trace_address"), 1))
+      val sw = ch.filter(col("action_type") === "swap" &&
+        col("amount_in").isNotNull && col("amount_out").isNotNull)
+      val absorb = ch.filter(col("action_type").isin("swap", "transfer") &&
+          col("amount_in").isNotNull)
+        .groupBy("tx_hash", "span").agg(count(lit(1)).as("n_absorbed"))
+      val route = sw.groupBy("tx_hash", "span")
+        .agg(count(lit(1)).as("n_legs"),
+          min_by(col("amount_in"), col("trace_idx")).as("route_in"),
+          max_by(col("amount_out"), col("trace_idx")).as("route_out"),
+          min_by(col("token_in_id"), col("trace_idx")).as("route_tok_in"),
+          max_by(col("token_out_id"), col("trace_idx")).as("route_tok_out"))
+      roots.join(route, Seq("tx_hash", "span"))
+        .join(absorb, Seq("tx_hash", "span"))
+        .groupBy("block_number")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(col("n_absorbed")).as("n_pruned_children"),
+          sum(when(col("n_legs") > 1, 1L).otherwise(0L)).as("n_multi_leg"),
+          dsum(col("route_in")).as("sum_route_in"),
+          dsum(col("route_out")).as("sum_route_out"),
+          sum(when(col("route_tok_in") === col("route_tok_out"), 1L)
+            .otherwise(0L)).as("n_cyclic_routes"))
+        .orderBy("block_number")
+    },
+    withCtes(""", ca_roots AS (
+        SELECT block_number, tx_hash, trace_address[1] AS span
+        FROM actions
+        WHERE len(trace_address) = 1 AND action_type = 'unclassified'
+          AND tx_idx % 2 = 1),
+      ca_ch AS (
+        SELECT tx_hash, trace_address[1] AS span, action_type, trace_idx,
+          token_in_id, token_out_id, amount_in, amount_out
+        FROM actions WHERE len(trace_address) > 1),
+      ca_absorb AS (
+        SELECT tx_hash, span, COUNT(*) AS n_absorbed
+        FROM ca_ch
+        WHERE action_type IN ('swap', 'transfer') AND amount_in IS NOT NULL
+        GROUP BY 1, 2),
+      ca_route AS (
+        SELECT tx_hash, span, COUNT(*) AS n_legs,
+          ARG_MIN(amount_in, trace_idx) AS route_in,
+          ARG_MAX(amount_out, trace_idx) AS route_out,
+          ARG_MIN(token_in_id, trace_idx) AS route_tok_in,
+          ARG_MAX(token_out_id, trace_idx) AS route_tok_out
+        FROM ca_ch
+        WHERE action_type = 'swap' AND amount_in IS NOT NULL
+          AND amount_out IS NOT NULL
+        GROUP BY 1, 2)
+      SELECT r.block_number, COUNT(*) AS n_frames,
+        CAST(SUM(a.n_absorbed) AS BIGINT) AS n_pruned_children,
+        CAST(SUM(CASE WHEN t.n_legs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_multi_leg,
+        """ + sqlSum("t.route_in") + """ AS sum_route_in,
+        """ + sqlSum("t.route_out") + """ AS sum_route_out,
+        CAST(SUM(CASE WHEN t.route_tok_in = t.route_tok_out THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_cyclic_routes
+      FROM ca_roots r
+      JOIN ca_route t USING (tx_hash, span)
+      JOIN ca_absorb a USING (tx_hash, span)
+      GROUP BY 1 ORDER BY 1"""))
 
   /** C6: tax-token fixup — subtract sibling same-tx transfer fees from the
     * swap's received amount (span-join + conditional rewrite). */

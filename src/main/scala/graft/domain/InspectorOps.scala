@@ -39,7 +39,8 @@ object InspectorOps extends QueryModule {
   def defs: Seq[QueryDef] = Seq(a3BundleHeader, q7Liquidations, q2AtomicArb,
     q8SearcherActivity, q1Sandwich, q5Jit, j7PoolOverlap, j8JitBracket,
     j9TriggerDomain, j10ComposerDedup, j10BundleDedup, j11JitSandwich,
-    q9MevBlock, w3ShrinkLoop, q2ArbTree, q2RequirementArms)
+    q9MevBlock, w3ShrinkLoop, q2ArbTree, q2RequirementArms, j6BracketW3,
+    a1DeltaDecimal)
 
   private def withCtes(sql: String) = Some(s"WITH $sqlDomainCtes, $sql")
 
@@ -81,14 +82,19 @@ object InspectorOps extends QueryModule {
           dsum(col("amount_out")).as("sum_out"))
         .withColumnRenamed("from_address", "eoa"))
 
-  /** Expand a (block_number, tx_idx)-keyed frame into the 2-block sliding
-    * windows: each row lands in window keys {block, block+1}, so window `w`
-    * sees blocks {w-1, w}. `ord` is the global tx order (tx_idx < TxPerBlock
-    * by construction). Rows double, but every downstream join stays
-    * equi-keyed on the block-grained `wnd`. */
-  private[graft] def windowed(df: DataFrame): DataFrame =
+  /** Expand a (block_number, tx_idx)-keyed frame into `w`-block sliding
+    * windows: each row lands in window keys {block .. block+w-1}, so
+    * window `wnd` sees blocks {wnd-w+1 .. wnd}. The reference makes the
+    * window a per-inspector declaration (`block_window()`,
+    * brontes-inspect/src/lib.rs:94; multi_block.rs:6-33) — parameterized
+    * here the same way, defaulting to [[BlockWindow]]. `ord` is the
+    * global tx order (tx_idx < TxPerBlock by construction). Rows expand
+    * ×w, but every downstream join stays equi-keyed on the block-grained
+    * `wnd`. */
+  private[graft] def windowed(df: DataFrame, w: Int = BlockWindow): DataFrame =
     df.withColumn("ord", col("block_number") * TxPerBlock + col("tx_idx"))
-      .withColumn("wnd", explode(array(col("block_number"), col("block_number") + 1)))
+      .withColumn("wnd", explode(sequence(col("block_number"),
+        col("block_number") + (w - 1))))
 
   /** J6 bracket over the 2-block window: consecutive opposite-direction
     * same-pool txs by one EOA, where "consecutive" is evaluated inside each
@@ -97,10 +103,11 @@ object InspectorOps extends QueryModule {
     * emitting a pair only from the window that equals its BACK block makes
     * each bracket appear exactly once. Carries `valid_pricing`
     * (MAX_PRICE_DIFF sanity on both legs against the fixture price dim). */
-  private[graft] def bracketsOf(swTxDf: DataFrame): DataFrame = {
+  private[graft] def bracketsOf(swTxDf: DataFrame,
+      blockWindow: Int = BlockWindow): DataFrame = {
     val w = Window.partitionBy("wnd", "eoa", "pool").orderBy("ord")
     def px(t: Column): Column = tokenPrice(t)
-    windowed(swTxDf)
+    windowed(swTxDf, blockWindow)
       .withColumn("back_block", lead(col("block_number"), 1).over(w))
       .withColumn("back_ord", lead(col("ord"), 1).over(w))
       .withColumn("back_dir", lead(col("dir"), 1).over(w))
@@ -123,6 +130,11 @@ object InspectorOps extends QueryModule {
         col("back_ord"), col("back_in"), col("back_out"), col("back_tx"),
         col("valid_pricing"))
   }
+
+  /** The swap-tx rollup + its oracle CTE, shared with [[BigMacOps]]. */
+  private[domain] def swTxOf(s: SparkSession, dir: String): DataFrame =
+    swTx(s, dir)
+  private[domain] def swTxCteShared: String = swTxCte
 
   /** Brackets are scanned by j6/j10/j11 — materialized like the other
     * pipeline intermediates so the window over swTx runs once per JVM. */
@@ -1455,4 +1467,145 @@ object InspectorOps extends QueryModule {
       SELECT found_at_iter, COUNT(*) AS n_valid,
         CAST(SUM(n_victims) AS BIGINT) AS n_victims
       FROM sand GROUP BY 1 ORDER BY 1"""))
+
+  /** J6 at block_window = 3: the same bracket machinery through the
+    * PARAMETERIZED window expansion ([[windowed]]; the reference declares
+    * `block_window()` per inspector, brontes-inspect/src/lib.rs:94) —
+    * proving the explode count scales with `w` instead of a hardcoded
+    * 2-block pair. Span-2 brackets (front two blocks before the back) are
+    * exactly the finds a 2-block window cannot see. */
+  private val j6BracketW3 = QueryDef(
+    "j6_bracket_w3",
+    (s, dir) => bracketsOf(swTx(s, dir), 3)
+      .groupBy(col("back_block").as("block_number"))
+      .agg(count(lit(1)).as("n_brackets"),
+        sum(when(col("back_block") - col("front_block") === 1, 1L)
+          .otherwise(0L)).as("n_span1"),
+        sum(when(col("back_block") - col("front_block") === 2, 1L)
+          .otherwise(0L)).as("n_span2"),
+        sum(col("valid_pricing").cast("long")).as("n_valid_pricing"))
+      .orderBy("block_number"),
+    withCtes(s"""$swTxCte,
+      ${swWCte.replace("sw_w AS", "sw_w3 AS")
+        .replace("unnest([block_number, block_number + 1])",
+          "unnest(generate_series(block_number, block_number + 2))")},
+      ${brktCte.replace("brkt AS", "brkt3 AS").replace("FROM sw_w", "FROM sw_w3")}
+      SELECT back_block AS block_number, COUNT(*) AS n_brackets,
+        CAST(SUM(CASE WHEN back_block - front_block = 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_span1,
+        CAST(SUM(CASE WHEN back_block - front_block = 2 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_span2,
+        CAST(SUM(CASE WHEN valid_pricing THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_valid_pricing
+      FROM brkt3 GROUP BY 1 ORDER BY 1"""))
+
+  /** A1→A3 at DECIMAL precision — the SURVEY §1.2 stance demonstrated
+    * end-to-end: token deltas, USD valuation, gas, and profit computed in
+    * EXACT decimal arithmetic with NO floating-point op anywhere on the
+    * path. Per-row amounts are recovered as integer micro-units
+    * (`ROUND(amount × 1e6)` — exact: every fixture amount is a 6-dp
+    * decimal), prices are exact decimals (1 + id/10), and every
+    * multiply/add keeps precision ≤ 38 so neither engine rounds. Outputs
+    * are cast to DECIMAL(38,18) on both sides so the scales (and hence
+    * string forms) agree exactly. */
+  private val a1DeltaDecimal = QueryDef(
+    "a1_delta_decimal",
+    (s, dir) => {
+      val a = actionsTable(s, dir)
+      val micro6 = "CAST(0.000001 AS DECIMAL(7,6))"
+      val inLeg = a.filter(col("token_in_id").isNotNull &&
+          col("amount_in").isNotNull &&
+          col("action_type").isin("swap", "transfer", "mint", "burn", "liquidation"))
+        .select(col("block_number"), col("tx_hash"),
+          col("token_in_id").as("token_id"),
+          (when(col("action_type") === "burn", lit(1)).otherwise(lit(-1)) *
+            expr(s"CAST(ROUND(amount_in * 1000000.0e0) AS DECIMAL(12,0)) * $micro6"))
+            .as("delta_dec"))
+      val outLeg = a.filter(col("token_out_id").isNotNull &&
+          col("amount_out").isNotNull &&
+          col("action_type").isin("swap", "mint", "burn", "liquidation"))
+        .select(col("block_number"), col("tx_hash"),
+          col("token_out_id").as("token_id"),
+          (when(col("action_type") === "mint", lit(-1)).otherwise(lit(1)) *
+            expr(s"CAST(ROUND(amount_out * 1000000.0e0) AS DECIMAL(12,0)) * $micro6"))
+            .as("delta_dec"))
+      val rev = inLeg.unionByName(outLeg)
+        .withColumn("price_dec", expr(
+          """CAST(1 AS DECIMAL(2,0)) +
+             CAST(token_id AS DECIMAL(2,0)) * CAST(0.1 AS DECIMAL(2,1))"""))
+        .groupBy("block_number", "tx_hash")
+        // exact downcast (per-tx revenue < 1e13): pins a common narrow
+        // scale so the block-level subtraction stays inside width 38 on
+        // BOTH engines (DuckDB errors past 38; Spark silently rounds)
+        .agg(sum(col("delta_dec") * col("price_dec"))
+          .cast("decimal(20,7)").as("rev_dec"))
+      // gas_usd = wei × EthUsd / 1e9 = wei × (EthUsd/1000) × 1e-6 — exact
+      // at scale 6 because EthUsd is a whole multiple of 1000
+      val gas = tracesTable(s, dir)
+        .join(broadcast(blocks(s, dir)
+          .select(col("block_number").as("b_block"), col("base_fee"))),
+          col("block_number") === col("b_block"))
+        .groupBy("block_number", "tx_hash")
+        .agg(expr(s"""CAST(SUM(gas_used * (priority_fee + base_fee)) *
+            ${(Accounting.EthUsd / 1000).toLong} AS DECIMAL(14,0)) *
+            CAST(0.000001 AS DECIMAL(7,6))""").as("gas_dec"))
+      gas.join(rev, Seq("block_number", "tx_hash"), "left")
+        .withColumn("rev_dec",
+          coalesce(col("rev_dec"), expr("CAST(0 AS DECIMAL(20,7))")))
+        .groupBy("block_number")
+        .agg(count(lit(1)).as("n_txs"),
+          sum(col("rev_dec")).as("sum_rev"),
+          sum(col("gas_dec")).as("sum_gas"),
+          sum(col("rev_dec") - col("gas_dec")).as("sum_profit"))
+        // emitted as the DECIMAL(38,18) STRING form: python-side readers
+        // coerce decimals inconsistently (pandas object vs float64), so
+        // the exact fixed-scale text is the stable comparison surface
+        .select(col("block_number"), col("n_txs"),
+          col("sum_rev").cast("decimal(38,18)").cast("string")
+            .as("sum_revenue_usd"),
+          col("sum_gas").cast("decimal(38,18)").cast("string")
+            .as("sum_gas_usd"),
+          col("sum_profit").cast("decimal(38,18)").cast("string")
+            .as("sum_profit_usd"))
+        .orderBy("block_number")
+    },
+    withCtes(s""" dd_in AS (
+        SELECT block_number, tx_hash, token_in_id AS token_id,
+          (CASE WHEN action_type = 'burn' THEN 1 ELSE -1 END) *
+            CAST(ROUND(amount_in * 1000000.0e0) AS DECIMAL(12,0)) *
+            CAST(0.000001 AS DECIMAL(7,6)) AS delta_dec
+        FROM actions
+        WHERE token_in_id IS NOT NULL AND amount_in IS NOT NULL
+          AND action_type IN ('swap','transfer','mint','burn','liquidation')),
+      dd_out AS (
+        SELECT block_number, tx_hash, token_out_id,
+          (CASE WHEN action_type = 'mint' THEN -1 ELSE 1 END) *
+            CAST(ROUND(amount_out * 1000000.0e0) AS DECIMAL(12,0)) *
+            CAST(0.000001 AS DECIMAL(7,6)) AS delta_dec
+        FROM actions
+        WHERE token_out_id IS NOT NULL AND amount_out IS NOT NULL
+          AND action_type IN ('swap','mint','burn','liquidation')),
+      dd_rev AS (
+        SELECT block_number, tx_hash,
+          CAST(SUM(delta_dec * (CAST(1 AS DECIMAL(2,0)) +
+            CAST(token_id AS DECIMAL(2,0)) * CAST(0.1 AS DECIMAL(2,1))))
+            AS DECIMAL(20,7)) AS rev_dec
+        FROM (SELECT * FROM dd_in UNION ALL SELECT * FROM dd_out)
+        GROUP BY 1, 2),
+      dd_gas AS (
+        SELECT t.block_number, t.tx_hash,
+          CAST(SUM(t.gas_used * (t.priority_fee + b.base_fee)) *
+            ${(Accounting.EthUsd / 1000).toLong} AS DECIMAL(14,0)) *
+            CAST(0.000001 AS DECIMAL(7,6)) AS gas_dec
+        FROM trace t JOIN blocks b ON t.block_number = b.block_number
+        GROUP BY 1, 2)
+      SELECT g.block_number, COUNT(*) AS n_txs,
+        CAST(CAST(SUM(COALESCE(r.rev_dec, CAST(0 AS DECIMAL(20,7))))
+          AS DECIMAL(38,18)) AS VARCHAR) AS sum_revenue_usd,
+        CAST(CAST(SUM(g.gas_dec) AS DECIMAL(38,18)) AS VARCHAR) AS sum_gas_usd,
+        CAST(CAST(SUM(COALESCE(r.rev_dec, CAST(0 AS DECIMAL(20,7))) - g.gas_dec)
+          AS DECIMAL(38,18)) AS VARCHAR) AS sum_profit_usd
+      FROM dd_gas g LEFT JOIN dd_rev r
+        ON g.block_number = r.block_number AND g.tx_hash = r.tx_hash
+      GROUP BY 1 ORDER BY 1"""))
 }

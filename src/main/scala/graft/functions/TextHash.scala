@@ -21,9 +21,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * static call, so a chunking projection stays inside whole-stage codegen.
   *
   * Byte/char equivalence: the predicate is defined over CHARACTER windows
-  * (matching the SQL oracle); this kernel slices BYTES, which is identical
-  * while the text is single-byte (the corpus invariant — pure `[a-z ]`).
-  * Multi-byte input would need a char-index decode pass first.
+  * (matching the SQL oracle); the fast path slices BYTES, which is
+  * identical while the text is single-byte (pure ASCII). The kernel
+  * guards this at runtime — any input whose byte length differs from its
+  * char length takes a char-indexed fallback that slices code-point
+  * windows via `substringSQL` (exact SQL-substring semantics), so
+  * multi-byte input produces correct boundaries instead of silently
+  * hashing misaligned byte windows.
   */
 object TextHash {
 
@@ -35,6 +39,7 @@ object TextHash {
   def cdcBoundariesKernel(s: UTF8String): ArrayData = {
     val bytes = s.getBytes
     val n = bytes.length
+    if (s.numChars() != n) return cdcBoundariesCharKernel(s)
     val md = java.security.MessageDigest.getInstance("MD5")
     val buf = new java.util.ArrayList[Integer](math.max(4, n / 12))
     buf.add(1)
@@ -45,6 +50,30 @@ object TextHash {
       if ((md.digest()(0) & 0xf0) == 0) buf.add(p)
       p += 1
     }
+    toArrayData(buf)
+  }
+
+  /** Char-indexed fallback for multi-byte text: slices 8 CODE-POINT
+    * windows with SQL-substring semantics (`substringSQL`), hashing each
+    * window's UTF-8 bytes — exact parity with the oracle predicate at the
+    * cost of one slice per position. */
+  private def cdcBoundariesCharKernel(s: UTF8String): ArrayData = {
+    val chars = s.numChars()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = new java.util.ArrayList[Integer](math.max(4, chars / 12))
+    buf.add(1)
+    var p = 2
+    while (p + 7 <= chars) {
+      val w = s.substringSQL(p, 8)
+      md.reset()
+      md.update(w.getBytes)
+      if ((md.digest()(0) & 0xf0) == 0) buf.add(p)
+      p += 1
+    }
+    toArrayData(buf)
+  }
+
+  private def toArrayData(buf: java.util.ArrayList[Integer]): ArrayData = {
     val out = new Array[Int](buf.size)
     var i = 0
     while (i < out.length) { out(i) = buf.get(i); i += 1 }

@@ -110,8 +110,11 @@ object EventOps extends QueryModule {
         .filter(col("trail_n") === 7)
         .withColumn("sd", sqrt(snap(
           col("trail_m2") - col("trail_mean") * col("trail_mean"))))
-        .withColumn("z", snap(
-          (col("n_events") - col("trail_mean")) / col("sd")))
+        // explicit zero-variance guard: Spark (ANSI off) yields NULL for
+        // x/0.0 while DuckDB yields Infinity — pin NULL on both sides
+        .withColumn("z", when(col("sd") === 0.0e0, lit(null).cast("double"))
+          .otherwise(snap(
+            (col("n_events") - col("trail_mean")) / col("sd"))))
         .withColumn("is_anomaly", (abs(col("z")) > 2.0e0).cast("long"))
         .select("day", "n_events", "trail_mean", "z", "is_anomaly")
         .orderBy("day")
@@ -133,8 +136,11 @@ object EventOps extends QueryModule {
         WINDOW w AS (ORDER BY day ASC ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
       sc AS (
         SELECT day, n_events, trail_mean,
-          ${sqlSnap(s"""(n_events - trail_mean)
-            / SQRT(${sqlSnap("trail_m2 - trail_mean * trail_mean")})""")} AS z
+          CASE WHEN SQRT(${sqlSnap("trail_m2 - trail_mean * trail_mean")}) = 0
+               THEN NULL
+               ELSE ${sqlSnap(s"""(n_events - trail_mean)
+                 / SQRT(${sqlSnap("trail_m2 - trail_mean * trail_mean")})""")}
+          END AS z
         FROM tr WHERE trail_n = 7)
       SELECT day, n_events, trail_mean, z,
         CAST(CASE WHEN ABS(z) > 2.0e0 THEN 1 ELSE 0 END AS BIGINT)
@@ -147,7 +153,15 @@ object EventOps extends QueryModule {
     * `purchase` at or after that click; the funnel reports stage reach and
     * the mean stage-transition latency. Each stage is one conditional-min
     * aggregation at user grain — no self-join of the event fact; the
-    * ordering constraint rides in the WHEN predicate. */
+    * ordering constraint rides in the WHEN predicate.
+    *
+    * Skew stance at 100 TB: the shuffle key is `user_id`, and a power
+    * user is bounded by human event rates (even 1 event/sec for a year
+    * is ~3×10⁷ rows ≈ single-digit GB — one task, not a spill). The
+    * per-user state is O(1) (three conditional mins), so AQE's skew-join
+    * split plus the map-side partial aggregation already flatten any
+    * hot key; salting would only buy a second shuffle. Same stance for
+    * w6's (user, day) rollup. */
   private val w5Funnel = QueryDef(
     "w5_funnel",
     (s, dir) => {

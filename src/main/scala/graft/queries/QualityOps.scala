@@ -274,9 +274,6 @@ object QualityOps extends QueryModule {
         .select("freq", "s")
         .persist()
       try {
-        var totalSyms = vocab
-          .select(sum(col("freq") * size(split(trim(col("s")), "  "))))
-          .head().getLong(0)
         var cur = vocab
         val merges = Seq.newBuilder[(String, String, Long, Long)]
         for (_ <- 0 until BpeRounds) {
@@ -291,12 +288,19 @@ object QualityOps extends QueryModule {
             .orderBy(col("pf").desc, col("a").asc, col("b").asc)
             .limit(1).head()
           val (a, b, pf) = (top.getString(0), top.getString(1), top.getLong(2))
-          totalSyms -= pf // each merged occurrence replaces 2 symbols with 1
-          merges += ((a, b, pf, totalSyms))
           // corpus words are pure [a-z] (fixture invariant), so the merge
           // pair embeds into the expression text without escaping
           cur = cur.withColumn("s",
             expr(s"replace(s, ' $a  $b ', ' $a$b ')"))
+          // Recount symbols AFTER the replace (one vocab-sized aggregate),
+          // mirroring the oracle's tot$i recount: pf counts OVERLAPPING
+          // adjacent pairs while replace merges left-to-right
+          // non-overlapping, so `totalSyms -= pf` over-decrements on a
+          // self-overlapping run ('x x x' merges once, pf counts twice).
+          val totalSyms = cur
+            .select(sum(col("freq") * size(split(trim(col("s")), "  "))))
+            .head().getLong(0)
+          merges += ((a, b, pf, totalSyms))
         }
         merges.result()
       } finally { vocab.unpersist(false); () }

@@ -78,7 +78,12 @@ object SketchOps extends QueryModule {
           expr(nibbleVal(1, 12)).cast("double") / math.pow(16.0, 12.0))
         .select(col("source"),
           ExactAgg.snap(lit((KmvK - 1).toDouble) / col("u")).as("kmv_estimate"))
-      exact.join(kth, Seq("source"))
+      // Groups with < K distinct shingles have no rank-K row: standard
+      // KMV falls back to the exact distinct count (the sketch holds the
+      // whole set), so a left join + coalesce keeps every group.
+      exact.join(kth, Seq("source"), "left")
+        .withColumn("kmv_estimate",
+          coalesce(col("kmv_estimate"), col("exact_distinct").cast("double")))
         .withColumn("rel_error", ExactAgg.snap(
           abs(col("kmv_estimate") - col("exact_distinct")) /
             col("exact_distinct")))
@@ -96,10 +101,12 @@ object SketchOps extends QueryModule {
         FROM (SELECT source, h, ROW_NUMBER() OVER (
             PARTITION BY source ORDER BY h ASC) AS rk FROM hh)
         WHERE rk = $KmvK)
-      SELECT source, exact_distinct, kmv_estimate,
-        ${ExactAgg.sqlSnap("ABS(kmv_estimate - exact_distinct) / exact_distinct")}
+      SELECT source, exact_distinct,
+        COALESCE(kmv_estimate, CAST(exact_distinct AS DOUBLE)) AS kmv_estimate,
+        ${ExactAgg.sqlSnap(
+          "ABS(COALESCE(kmv_estimate, CAST(exact_distinct AS DOUBLE)) - exact_distinct) / exact_distinct")}
           AS rel_error
-      FROM exact JOIN kth USING (source) ORDER BY source"""))
+      FROM exact LEFT JOIN kth USING (source) ORDER BY source"""))
 
   // Bloom geometry: m = 3840 bits (64 words x 60 bits — shifts stay below
   // the signed-64 overflow DuckDB rejects), j = 2 hash functions from

@@ -510,13 +510,6 @@ object StreamOracle extends QueryModule {
         CAST(CAST(SUM(CAST(vol AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_vol
       FROM kept GROUP BY 1, 2 ORDER BY 1, 2"""))
 
-  /** Impression-side unit for the stream-stream join. */
-  case class ImpEvent(a_user: Long, a_type: String,
-      a_ts: java.sql.Timestamp, batch: Long)
-  /** Conversion-side unit for the stream-stream join. */
-  case class ConvEvent(b_user: Long, b_value: Double,
-      b_ts: java.sql.Timestamp, batch: Long)
-
   /** R8: STREAM-STREAM event-time interval join — the two-sided-state
     * Structured Streaming primitive: view/click impressions join purchases
     * by the same user within a 6-hour attribution window, both sides
@@ -529,78 +522,106 @@ object StreamOracle extends QueryModule {
     * execution still exercises real cross-batch two-sided join state. The
     * cross-batch carry itself is pinned by a planted scenario in
     * StreamingSpec. */
-  /** Pre-rolled attribution inputs: impressions, purchases (each tagged
-    * with its time-tercile batch) and the max event-time in micros. */
-  private def attribEvents(s: SparkSession, dir: String)
-      : (Array[ImpEvent], Array[ConvEvent], Long) = {
-    import s.implicits._
+  /** Impression-side unit — used by StreamingSpec's planted cross-batch
+    * join scenarios (the registered queries are file-drop-driven). */
+  case class ImpEvent(a_user: Long, a_type: String,
+      a_ts: java.sql.Timestamp, batch: Long)
+  /** Conversion-side unit (see [[ImpEvent]]). */
+  case class ConvEvent(b_user: Long, b_value: Double,
+      b_ts: java.sql.Timestamp, batch: Long)
+  /** One pre-rolled dedup unit: content hash, arrival batch, min-doc
+    * representative, event time (see [[ImpEvent]]). */
+  case class DedupEvent(h: String, b: Long, rep: Long, ts: java.sql.Timestamp)
+
+  /** Pre-rolled attribution inputs as FRAMES (no driver-side collect —
+    * the batches land as parquet drops, so the operator, not the harness,
+    * is what a scale run measures): each side tagged with its
+    * time-tercile batch, plus the max event-time in micros. */
+  private def attribFrames(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Long) = {
     val ev = graft.Tables.events(s, dir)
-      .select(col("event_id"), col("user_id"), col("event_type"),
+      .select(col("user_id"), col("event_type"),
         expr("ts div 1000").as("us"), col("value"))
-      .persist()
+    val r = ev.agg(min("us"), max("us")).head()
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    val third = (mx - mn) / 3 + 1
+    val withBatch = ev
+      .withColumn("batch", expr(s"(us - ${mn}L) div ${third}L"))
+      .withColumn("tsc", expr("timestamp_micros(us)"))
+    val imps = withBatch.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id").as("a_user"), col("event_type").as("a_type"),
+        col("tsc").as("a_ts"), col("batch"))
+    val convs = withBatch.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("value").as("b_value"),
+        col("tsc").as("b_ts"), col("batch"))
+    (imps, convs, mx)
+  }
+
+  /** Stream-local shuffle-partition count: a stream-stream join commits
+    * TWO state stores per shuffle partition per micro-batch; at the suite
+    * default of 32 that is 192 store commits for three batches — far more
+    * than this state volume needs (21.6 s → 5.5 s at sf0.1). Partition
+    * count should track state VOLUME: tiny here, many partitions across
+    * executors at cluster scale. The stream runs on a CLONED session
+    * pinned to this value, so the suite-global setting is never touched
+    * (not even transiently) and concurrently-planned batch queries are
+    * unaffected. */
+  private val StreamShufflePartitions = "4"
+
+  /** Drive a two-sided parquet-drop FILE stream (the `s5_write_behind`
+    * pattern): per-batch single-file appends land under src dirs while
+    * the query runs — source discovery, checkpointing, and the parquet
+    * sink all sit on the measured path, with no driver-side collect. The
+    * joined output is read back on the MAIN session. */
+  private def driveTwoSided(s: SparkSession, aDf: DataFrame, bDf: DataFrame,
+      nBatches: Long, joinExpr: String, joinType: String,
+      sentinel: Option[(DataFrame, DataFrame)], tag: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+    deleteOnExit(tmp)
+    val (srcA, srcB, out, ckpt) = (s"$tmp/a", s"$tmp/b", s"$tmp/out", s"$tmp/ckpt")
+    aDf.filter(col("batch") === 0).drop("batch").coalesce(1).write.parquet(srcA)
+    bDf.filter(col("batch") === 0).drop("batch").coalesce(1).write.parquet(srcB)
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+    val a = s2.readStream.schema(aDf.drop("batch").schema).parquet(srcA)
+      .withWatermark("a_ts", "48 hours")
+    val b = s2.readStream.schema(bDf.drop("batch").schema).parquet(srcB)
+      .withWatermark("b_ts", "48 hours")
+    val q = a.join(b, expr(joinExpr), joinType)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
     try {
-      val (mn, mx) = {
-        val r = ev.agg(min("us"), max("us")).head(); (r.getLong(0), r.getLong(1)) }
-      val third = (mx - mn) / 3 + 1
-      val withBatch = ev
-        .withColumn("batch", expr(s"(us - ${mn}L) div ${third}L"))
-        .withColumn("tsc", expr("timestamp_micros(us)"))
-      val imps = withBatch
-        .filter(col("event_type").isin("view", "click"))
-        .select(col("user_id").as("a_user"), col("event_type").as("a_type"),
-          col("tsc").as("a_ts"), col("batch"))
-        .as[ImpEvent].collect().sortBy(e => (e.batch, e.a_ts.getTime, e.a_user))
-      val convs = withBatch
-        .filter(col("event_type") === "purchase")
-        .select(col("user_id").as("b_user"), col("value").as("b_value"),
-          col("tsc").as("b_ts"), col("batch"))
-        .as[ConvEvent].collect().sortBy(e => (e.batch, e.b_ts.getTime, e.b_user))
-      (imps, convs, mx)
-    } finally { ev.unpersist(false); () }
+      q.processAllAvailable()
+      (1L until nBatches).foreach { i =>
+        aDf.filter(col("batch") === i).drop("batch").coalesce(1)
+          .write.mode("append").parquet(srcA)
+        bDf.filter(col("batch") === i).drop("batch").coalesce(1)
+          .write.mode("append").parquet(srcB)
+        q.processAllAvailable()
+      }
+      sentinel.foreach { case (sa, sb) =>
+        sa.coalesce(1).write.mode("append").parquet(srcA)
+        sb.coalesce(1).write.mode("append").parquet(srcB)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.read.parquet(out)
   }
 
   private val r8StreamJoin = QueryDef(
     "r8_stream_join",
     (s, dir) => {
-      import s.implicits._
-      implicit val sqlCtx = s.sqlContext
-      locally {
-        val (imps, convs, _) = attribEvents(s, dir)
-        val inA = MemoryStream[ImpEvent]
-        val inB = MemoryStream[ConvEvent]
-        val joined = inA.toDS().drop("batch").withWatermark("a_ts", "48 hours")
-          .join(inB.toDS().drop("batch").withWatermark("b_ts", "48 hours"),
-            expr("""a_user = b_user AND b_ts >= a_ts
-                    AND b_ts <= a_ts + INTERVAL 6 HOURS"""))
-        val name = s"r8_join_${runSeq.incrementAndGet()}"
-        // a stream-stream join commits TWO state stores per shuffle
-        // partition per micro-batch; at the suite default of 32 that is
-        // 192 store commits for three batches — far more than this state
-        // volume needs (21.6s -> 5.5s at sf0.1). Partition count should
-        // track state VOLUME: tiny here, many partitions across executors
-        // at cluster scale. The stream pins its own partitioning at start,
-        // so other queries are unaffected; restored in finally.
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        val q =
-          try joined.writeStream.format("memory").queryName(name)
-            .outputMode(OutputMode.Append()).start()
-          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        try {
-          (0L to 2L).foreach { b =>
-            inA.addData(imps.filter(_.batch == b).toSeq)
-            inB.addData(convs.filter(_.batch == b).toSeq)
-            q.processAllAvailable()
-          }
-        } finally q.stop()
-        s.table(name)
-          .withColumn("day", expr("unix_micros(b_ts) div 86400000000"))
-          .groupBy("a_type", "day")
-          .agg(count(lit(1)).as("n_pairs"),
-            countDistinct(col("a_user")).as("n_users"),
-            graft.ops.ExactAgg.dsum(col("b_value")).as("sum_value"))
-          .orderBy("a_type", "day")
-      }
+      val (imps, convs, _) = attribFrames(s, dir)
+      driveTwoSided(s, imps, convs, 3,
+        """a_user = b_user AND b_ts >= a_ts
+           AND b_ts <= a_ts + INTERVAL 6 HOURS""", "inner", None, "r8j")
+        .withColumn("day", expr("unix_micros(b_ts) div 86400000000"))
+        .groupBy("a_type", "day")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("a_user")).as("n_users"),
+          graft.ops.ExactAgg.dsum(col("b_value")).as("sum_value"))
+        .orderBy("a_type", "day")
     },
     Some(s"""WITH e AS (
         SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
@@ -631,38 +652,19 @@ object StreamOracle extends QueryModule {
   private val r8OuterJoin = QueryDef(
     "r8_outer_join",
     (s, dir) => {
-      import s.implicits._
-      implicit val sqlCtx = s.sqlContext
-      val (imps, convs, mx) = attribEvents(s, dir)
-      val inA = MemoryStream[ImpEvent]
-      val inB = MemoryStream[ConvEvent]
-      val joined = inA.toDS().drop("batch").withWatermark("a_ts", "48 hours")
-        .join(inB.toDS().drop("batch").withWatermark("b_ts", "48 hours"),
-          expr("""a_user = b_user AND b_ts >= a_ts
-                  AND b_ts <= a_ts + INTERVAL 6 HOURS"""),
-          "left_outer")
-      val name = s"r8_outer_${runSeq.incrementAndGet()}"
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val q =
-        try joined.writeStream.format("memory").queryName(name)
-          .outputMode(OutputMode.Append()).start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      try {
-        (0L to 2L).foreach { b =>
-          inA.addData(imps.filter(_.batch == b).toSeq)
-          inB.addData(convs.filter(_.batch == b).toSeq)
-          q.processAllAvailable()
-        }
-        // sentinel flush: 100 days past the data, watermark sails past
-        // every real window; the pair cannot join (imp 7 h after conv)
-        val far = mx + 100L * 86400000000L
-        inB.addData(ConvEvent(-1L, 0.0, new java.sql.Timestamp(far / 1000L), 3L))
-        inA.addData(ImpEvent(-1L, "view",
-          new java.sql.Timestamp((far + 7L * 3600000000L) / 1000L), 3L))
-        q.processAllAvailable()
-      } finally q.stop()
-      s.table(name)
+      val (imps, convs, mx) = attribFrames(s, dir)
+      // sentinel flush: 100 days past the data, watermark sails past
+      // every real window; the pair cannot join (imp 7 h after conv)
+      val far = mx + 100L * 86400000000L
+      val sentA = s.range(1).select(lit(-1L).as("a_user"),
+        lit("view").as("a_type"),
+        expr(s"timestamp_micros(${far + 7L * 3600000000L}L)").as("a_ts"))
+      val sentB = s.range(1).select(lit(-1L).as("b_user"),
+        lit(0.0).as("b_value"), expr(s"timestamp_micros(${far}L)").as("b_ts"))
+      driveTwoSided(s, imps, convs, 3,
+        """a_user = b_user AND b_ts >= a_ts
+           AND b_ts <= a_ts + INTERVAL 6 HOURS""", "left_outer",
+        Some((sentA, sentB)), "r8o")
         .filter(col("a_user") >= 0L)
         .groupBy("a_type")
         .agg(count(lit(1)).as("n_rows"),
@@ -688,10 +690,6 @@ object StreamOracle extends QueryModule {
         ${graft.ops.ExactAgg.sqlSum("b_value")} AS sum_matched_value
       FROM lj GROUP BY 1 ORDER BY 1"""))
 
-  /** One pre-rolled dedup unit: content hash, arrival batch, min-doc
-    * representative, event time (batches are an hour apart). */
-  case class DedupEvent(h: String, b: Long, rep: Long, ts: java.sql.Timestamp)
-
   /** D8: STREAMING exact dedup — the ingest-time twin of `d1_exact_dedup`.
     * A corpus arrives in three micro-batches (doc_id % 3 — duplicates
     * straddle batches); the stream keeps the FIRST occurrence of each
@@ -709,8 +707,6 @@ object StreamOracle extends QueryModule {
   private val d8StreamDedup = QueryDef(
     "d8_stream_dedup",
     (s, dir) => {
-      import s.implicits._
-      implicit val sqlCtx = s.sqlContext
       val pre = graft.Tables.documents(s, dir)
         // head fingerprint, not the full text: this corpus has zero exact
         // full-text duplicates (d1 reports 0 clusters), so keying on the
@@ -723,22 +719,31 @@ object StreamOracle extends QueryModule {
           lit(1700000000000000L) + col("b") * 3600L * 1000000L))
         .persist()
       try {
-        val units = pre.as[DedupEvent].collect().sortBy(e => (e.b, e.h))
-        val input = MemoryStream[DedupEvent]
-        val name = s"d8_dedup_${runSeq.incrementAndGet()}"
-        val q = input.toDS()
+        // file-source drive (s5_write_behind pattern): batches land as
+        // single-file parquet drops — no driver-side collect, and source
+        // discovery + checkpointing sit on the measured path
+        val tmp = java.nio.file.Files.createTempDirectory("graft_d8").toString
+        deleteOnExit(tmp)
+        val (src, out, ckpt) = (s"$tmp/src", s"$tmp/out", s"$tmp/ckpt")
+        pre.filter(col("b") === 0).coalesce(1).write.parquet(src)
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+        val q = s2.readStream.schema(pre.schema).parquet(src)
           .withWatermark("ts", "1 day")
           .dropDuplicatesWithinWatermark("h")
-          .writeStream.format("memory").queryName(name)
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
           .outputMode(OutputMode.Append()).start()
         try {
-          (0L to 2L).foreach { b =>
-            input.addData(units.filter(_.b == b).toSeq)
+          q.processAllAvailable()
+          (1L to 2L).foreach { b =>
+            pre.filter(col("b") === b).coalesce(1)
+              .write.mode("append").parquet(src)
             q.processAllAvailable()
           }
         } finally q.stop()
         val nb = pre.groupBy("h").agg(count(lit(1)).as("n_batches"))
-        s.table(name)
+        s.read.parquet(out)
           .join(nb, "h")
           .groupBy(col("b").as("batch"))
           .agg(count(lit(1)).as("n_kept"),

@@ -2,6 +2,7 @@ package graft
 
 import graft.domain.InspectorOps
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /** FIXTURES.md §C golden scenarios: hand-planted patterns with
   * closed-form expected outputs (the Spark analog of the reference's
@@ -323,5 +324,106 @@ class GoldenScenarioSpec extends SparkTestBase {
     val b = run(rateB, rateA, "tick_ulp_b") // one ulp down → cur_t −16
     assert(b.curT == -16L && b.tickMoved && b.nCrossed == 0L)
     assert(b.outMicro == 995335L)
+  }
+
+  // ── Big Mac multi-frontrun assembly (domain.BigMacOps) ───────────────────
+
+  // per-tx root contract + per-tx profit lookups for bigmacBundlesOf
+  private def rootsOf(df: DataFrame): DataFrame =
+    df.select(col("block_number"), col("tx_idx"),
+      concat(lit("r_"), col("tx_hash")).as("root_to")).distinct()
+  private val noProfit =
+    Seq(("none", 0.0)).toDF("tx_hash", "profit_usd").limit(0)
+
+  test("big_mac: a 3-frontrun ladder assembles into ONE bundle, not brackets") {
+    val df = swTxOf(
+      (1L, 0L, "f1", "atk", "P", 0L, 7L, 8L, 10.0, 9.0),
+      (1L, 1L, "v1", "vicA", "P", 0L, 7L, 8L, 5.0, 4.4),
+      (1L, 2L, "v2", "vicB", "P", 0L, 7L, 8L, 3.0, 2.6),
+      (1L, 3L, "f2", "atk", "P", 0L, 7L, 8L, 10.0, 9.0),
+      (1L, 4L, "v3", "vicC", "P", 0L, 7L, 8L, 5.0, 4.4),
+      (1L, 6L, "f3", "atk", "P", 0L, 7L, 8L, 10.0, 9.0),
+      (1L, 7L, "v4", "vicD", "P", 0L, 7L, 8L, 5.0, 4.4),
+      (1L, 9L, "bk", "atk", "P", 1L, 8L, 7L, 27.0, 33.0))
+    val out = graft.domain.BigMacOps
+      .bigmacBundlesOf(df, rootsOf(df), noProfit).collect()
+    // the reference's test_big_mac_sandwich shape: one bundle with the
+    // full frontrun stack and per-gap victims — NOT three 2-tx brackets
+    assert(out.length == 1, out.mkString("; "))
+    val r = out.head
+    assert(r.getAs[Long]("n_frontruns") == 3L)
+    assert(r.getAs[Long]("n_victim_txs") == 4L)
+    assert(r.getAs[Long]("front_idx") == 0L && r.getAs[Long]("back_idx") == 9L)
+    assert(r.getAs[String]("key_type") == "eoa")
+    assert(r.getAs[Long]("drops_front") == 0L && r.getAs[Long]("drops_back") == 0L)
+  }
+
+  test("big_mac back-shrink POPS the last frontrun and promotes it to backrun") {
+    val df = swTxOf(
+      (1L, 0L, "f1", "atk", "P", 0L, 7L, 8L, 10.0, 9.0),
+      (1L, 1L, "v1", "vicA", "P", 0L, 7L, 8L, 5.0, 4.4),
+      (1L, 2L, "f2", "atk", "P", 0L, 7L, 8L, 10.0, 9.0),
+      (1L, 3L, "v2", "vicB", "Q", 0L, 7L, 8L, 5.0, 4.4), // no pool overlap
+      (1L, 5L, "bk", "atk", "P", 1L, 8L, 7L, 18.0, 22.0))
+    val out = graft.domain.BigMacOps
+      .bigmacBundlesOf(df, rootsOf(df), noProfit).collect()
+    // full chain fails on the Q-only gap; the back-shrink's bundle reports
+    // the POPPED frontrun f2 (tx 2) as its backrun — an actual boundary
+    // tx, unlike the halved-ord divergence sandwichesOf documents
+    assert(out.length == 1, out.mkString("; "))
+    val r = out.head
+    assert(r.getAs[Long]("front_idx") == 0L && r.getAs[Long]("back_idx") == 2L)
+    assert(r.getAs[Long]("n_frontruns") == 1L)
+    assert(r.getAs[Long]("drops_back") == 1L && r.getAs[Long]("drops_front") == 0L)
+  }
+
+  test("big_mac duplicate-CONTRACT keying catches a multi-EOA bundle") {
+    val df = swTxOf(
+      (1L, 0L, "f1", "eoaA", "P", 0L, 7L, 8L, 10.0, 9.0),
+      (1L, 1L, "v1", "vicA", "P", 0L, 7L, 8L, 5.0, 4.4),
+      (1L, 2L, "bk", "eoaB", "P", 1L, 8L, 7L, 9.0, 11.0))
+    val roots = df.select(col("block_number"), col("tx_idx"),
+      when(col("eoa").startsWith("eoa"), lit("C"))
+        .otherwise(concat(lit("r_"), col("tx_hash"))).as("root_to")).distinct()
+    val out = graft.domain.BigMacOps
+      .bigmacBundlesOf(df, roots, noProfit).collect()
+    assert(out.length == 1, out.mkString("; "))
+    val r = out.head
+    assert(r.getAs[String]("key_type") == "contract")
+    assert(r.getAs[String]("eoa") == "eoaA") // the first caller's EOA
+    assert(r.getAs[String]("contract") == "C")
+  }
+
+  test("big_mac_not: a gap victim calling the mev contract kills the candidate") {
+    val df = swTxOf(
+      (1L, 0L, "f1", "atk", "P", 0L, 7L, 8L, 10.0, 9.0),
+      (1L, 1L, "v1", "vicA", "P", 0L, 7L, 8L, 5.0, 4.4),
+      (1L, 2L, "bk", "atk", "P", 1L, 8L, 7L, 9.0, 11.0))
+    // the victim's root call targets the chain's mev contract (= the root
+    // of the segment's second tx) -> get_victim_swap_transfer nullifies
+    val roots = df.select(col("block_number"), col("tx_idx"),
+      when(col("tx_hash") === "v1", lit("r_bk"))
+        .otherwise(concat(lit("r_"), col("tx_hash"))).as("root_to")).distinct()
+    val out = graft.domain.BigMacOps
+      .bigmacBundlesOf(df, roots, noProfit)
+      .filter(col("key_type") === "eoa").collect()
+    assert(out.isEmpty, out.mkString("; "))
+  }
+
+  test("big_mac partition_into_gaps: an EMPTY gap splits the chain in two") {
+    val df = swTxOf(
+      (1L, 0L, "f1", "atk", "P", 0L, 7L, 8L, 10.0, 9.0),
+      (1L, 1L, "v1", "vicA", "P", 0L, 7L, 8L, 5.0, 4.4),
+      (1L, 2L, "m1", "atk", "P", 1L, 8L, 7L, 9.0, 11.0),
+      (1L, 3L, "m2", "atk", "P", 0L, 7L, 8L, 10.0, 9.0), // empty gap m1->m2
+      (1L, 4L, "v2", "vicB", "P", 0L, 7L, 8L, 5.0, 4.4),
+      (1L, 5L, "bk", "atk", "P", 1L, 8L, 7L, 9.0, 11.0))
+    val out = graft.domain.BigMacOps
+      .bigmacBundlesOf(df, rootsOf(df), noProfit)
+      .orderBy("front_idx").collect()
+    // two segments: (f1 -> m1) around v1, (m2 -> bk) around v2
+    assert(out.length == 2, out.mkString("; "))
+    assert(out(0).getAs[Long]("front_idx") == 0L && out(0).getAs[Long]("back_idx") == 2L)
+    assert(out(1).getAs[Long]("front_idx") == 3L && out(1).getAs[Long]("back_idx") == 5L)
   }
 }
