@@ -83,8 +83,24 @@ object BigMacOps extends QueryModule {
   private[graft] def bigmacBundlesOf(swTxDf: DataFrame, rootToDf: DataFrame,
       profit: DataFrame): DataFrame = {
     def px(t: Column): Column = tokenPrice(t)
+    var tmark = System.nanoTime()
+    def mark(n: String): Unit = {
+      if (sys.env.contains("GRAFT_BM_TIME"))
+        println(f"[bmt] $n%-12s ${(System.nanoTime() - tmark) / 1e9}%6.2fs")
+      tmark = System.nanoTime()
+    }
+    def dbg(n: String, df: DataFrame): Unit = {
+      if (sys.env.contains("GRAFT_BM_DBG")) {
+        val t0 = System.nanoTime()
+        val c = df.count()
+        println(f"[bmd] $n%-12s ${(System.nanoTime() - t0) / 1e9}%6.2fs  rows=$c")
+      }
+    }
 
-    // tx-grain searcher/victim universe with block-local dense rank
+    // tx-grain searcher/victim universe with block-local dense rank.
+    // txu / links / pos each feed 4+ downstream joins — localCheckpoint
+    // (eager, plan-truncating) computes the window chains ONCE instead of
+    // once per consumer (31.6 s → the assembly's real cost at sf0.1).
     val txu = swTxDf
       .groupBy("block_number", "tx_idx", "tx_hash", "eoa")
       .agg(bool_and(
@@ -94,6 +110,8 @@ object BigMacOps extends QueryModule {
       .join(rootToDf, Seq("block_number", "tx_idx"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("block_number").orderBy("tx_idx")))
+      .localCheckpoint()
+    mark("txu")
     val txpool = swTxDf.select("block_number", "tx_idx", "pool").distinct()
 
     // both keyings, stacked
@@ -117,6 +135,8 @@ object BigMacOps extends QueryModule {
       .filter(col("n_between") > 0)
       .withColumn("li", row_number().over(
         Window.partitionBy(segKeys.map(col): _*).orderBy("rnk")))
+      .localCheckpoint()
+    mark("links")
     val seg0 = links.groupBy(segKeys.map(col): _*)
       .agg(max(col("li")).as("m"), sum(col("n_between")).as("tot_v"))
 
@@ -130,6 +150,8 @@ object BigMacOps extends QueryModule {
           col("nxt_idx").as("tx_idx"), col("nxt_rnk").as("rnk"),
           col("nxt_hash").as("tx_hash"), col("nxt_pok").as("price_ok"),
           col("nxt_eoa").as("eoa"), col("nxt_root").as("root_to")): _*))
+      .localCheckpoint()
+    mark("pos")
     val mevc = pos.filter(col("pos") === 2)
       .select(segKeys.map(col) :+
         when(col("ktype") === "contract", col("k"))
@@ -185,33 +207,48 @@ object BigMacOps extends QueryModule {
         .as("was"))
     val gok = gv.groupBy((rKeys.map(col) :+ col("g")): _*)
       .agg(count(lit(1)).as("n_veoas"), sum(col("was")).as("n_was"))
-    // localCheckpoint truncates the LOGICAL plan, not just the physical
-    // one: the shrink loop below references each level twice (front-drop +
-    // back-drop children), so without a lineage cut the final union holds
-    // 2^ShrinkRounds copies of the whole assembly plan and the OPTIMIZER
-    // itself OOMs. The verdict table is tiny (≤ ~28 ranges per segment).
     val verd = gok.groupBy(rKeys.map(col): _*)
       .agg(bool_and(col("n_was") >= 1 &&
         col("n_was") * MinVictimRatioDen >= col("n_veoas")).as("ok"))
       .join(ranges, rKeys)
-      .localCheckpoint()
+    mark("verd")
+    dbg("gapv", gapv); dbg("segs", segs); dbg("fb", fb); dbg("ranges", ranges)
+    dbg("gv", gv); dbg("gok", gok); dbg("verd", verd)
 
     // 6-level shrink reachability: failing ranges of ≥2 links spawn their
-    // front-drop and back-drop children; emit every verified reached range
-    var level = verd.filter(col("i") === 1 && col("j") === col("m"))
-    var emitted = Vector(level.filter(col("ok")))
-    for (_ <- 0 until ShrinkRounds) {
-      val parents = level.filter(!col("ok") && col("j") - col("i") + 1 >= 2)
-        .select(segKeys.map(col) ++ Seq(col("i"), col("j")): _*)
-      val children = parents
-        .select(segKeys.map(col) ++ Seq((col("i") + 1).as("i"), col("j")): _*)
-        .unionByName(parents.select(segKeys.map(col) ++
-          Seq(col("i"), (col("j") - 1).as("j")): _*))
-        .distinct()
-      level = children.join(verd, rKeys)
-      emitted = emitted :+ level.filter(col("ok"))
-    }
-    val emit = emitted.reduce(_ unionByName _)
+    // front-drop and back-drop children; emit every verified reached range.
+    // A segment holds ≤ ~28 candidate ranges, so the recursion runs INSIDE
+    // one array expression per segment (roll ranges up with collect_list,
+    // step the levels with aggregate() so each level is MATERIALIZED in the
+    // accumulator — naively nesting the levels as filter/exists lambdas
+    // re-evaluates every inner level per outer element, O(n^drops)/segment,
+    // and cost 30+ s at sf0.1 — then explode the emitted set): one shuffle,
+    // versus the 14 a per-level join/distinct loop costs. A range at drops
+    // d is reachable only at level d, so the emit concat cannot duplicate.
+    val emitExpr =
+      s"""aggregate(
+        sequence(1, $ShrinkRounds),
+        named_struct(
+          'lvl', filter(rs, r -> r.i = 1 AND r.j = r.m),
+          'em', filter(rs, r -> false)),
+        (acc, d) -> named_struct(
+          'lvl', filter(rs, r -> exists(acc.lvl, p ->
+            (NOT p.ok) AND p.j - p.i + 1 >= 2 AND
+            ((r.i = p.i + 1 AND r.j = p.j) OR (r.i = p.i AND r.j = p.j - 1)))),
+          'em', concat(acc.em, filter(acc.lvl, r -> r.ok))),
+        acc -> concat(acc.em, filter(acc.lvl, r -> r.ok)))"""
+    // emit is ~hundreds of rows but feeds BOTH detail rollups (pagg, vagg);
+    // the checkpoint runs the whole verification chain once, not twice.
+    val emit = verd
+      .groupBy(segKeys.map(col): _*)
+      .agg(collect_list(struct(col("i"), col("j"), col("m"), col("ok")))
+        .as("rs"))
+      .select(segKeys.map(col) :+ explode(expr(emitExpr)).as("r"): _*)
+      .select(segKeys.map(col) ++
+        Seq(col("r.i").as("i"), col("r.j").as("j"), col("r.m").as("m")): _*)
+      .localCheckpoint()
+    mark("emit")
+    dbg("emit", emit)
 
     // details: position rollup, gap victim totals, profit, dedup signature
     val pr = pos.join(profit.select(col("tx_hash").as("p_hash"),

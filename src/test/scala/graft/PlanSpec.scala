@@ -351,4 +351,26 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q1_bigmac chain assembly joins are all equi-keyed (no nested loop)") {
+    // candidate chains, gap victims, pool-reach and range verification all
+    // key on (block, keying, key, seg) — a nested-loop anywhere means the
+    // per-block assembly degenerated to a cross product
+    assert(!plan("q1_bigmac").contains("BroadcastNestedLoopJoin"))
+    assert(!plan("q1_bigmac").contains("CartesianProduct"))
+  }
+
+  test("c5 batch/aggregator frame joins are equi-keyed on (tx, span)") {
+    assert(!plan("c5_batch_solver").contains("BroadcastNestedLoopJoin"))
+    assert(!plan("c5_aggregator").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("a1_delta_decimal never touches a DOUBLE op between source and output") {
+    // the decimal chain's point is NO floating arithmetic: the only
+    // double appearance allowed is the micro-unit recovery ROUND(x*1e6)
+    // at the leaves (the source columns are double)
+    val p = plan("a1_delta_decimal")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("DECIMAL") || p.toLowerCase.contains("decimal"), p)
+  }
 }
