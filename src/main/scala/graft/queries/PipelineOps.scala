@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
 object PipelineOps extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(decontaminate, substringDedup, repetitionStats,
-    piiScrub, hashSplit, seqPacking)
+    piiScrub, hashSplit, seqPacking, shuffleShard)
 
   /** Word n-grams of length `n` as a portable column over `ws` (split
     * text). Fixture docs have ≥10 words, so `size(ws)-n+1 ≥ 1` always and
@@ -338,4 +338,55 @@ object PipelineOps extends QueryModule {
         MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
         CAST(SUM(straddles) AS BIGINT) AS n_straddle
       FROM b GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** T: deterministic epoch shuffle + shard assignment — the last step of
+    * training-data prep. Every document gets a pseudo-random but
+    * REPRODUCIBLE position: key = md5("ep<e>:" || doc_id) (re-salting by
+    * epoch gives each epoch an independent order without re-materializing
+    * the corpus), shard = first hex nibble of the key (16 shards), and the
+    * within-shard order is the key itself.
+    *
+    * 100 TB story: this is exactly
+    * `repartition(shard).sortWithinPartitions(key)` — one hash shuffle and
+    * a PER-PARTITION sort; no global sort/range-exchange ever happens, and
+    * shard sizes concentrate around n/16 (md5 uniformity), so no shard
+    * becomes a straggler. The rollup emits per-(epoch, shard) doc/token
+    * totals plus the first five doc_ids in shuffled order — the head
+    * preview pins the actual ordering (not just the partition sizes) to
+    * the oracle, proving determinism across engines. */
+  private val shuffleShard = QueryDef(
+    "t_shuffle_shard",
+    (s, dir) => {
+      val base = Tables.documents(s, dir)
+        .withColumn("epoch", explode(array(lit(1), lit(2))))
+        .withColumn("key", md5(concat(lit("ep"), col("epoch"),
+          lit(":"), col("doc_id").cast("string"))))
+        .withColumn("shard", substring(col("key"), 1, 1))
+        .withColumn("n_toks", size(split(col("text"), " ")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("epoch", "shard").orderBy("key", "doc_id")))
+      base.groupBy("epoch", "shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks").cast("long")).as("sum_tokens"),
+          concat_ws(",", transform(
+            array_sort(collect_list(when(col("rk") <= 5,
+              struct(col("rk"), col("doc_id"))))),
+            x => x.getField("doc_id").cast("string"))).as("head_docs"))
+        .orderBy("epoch", "shard")
+    },
+    Some("""WITH b AS (
+        SELECT e.e AS epoch, doc_id,
+          md5('ep' || CAST(e.e AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))
+            AS key,
+          len(string_split(text, ' ')) AS n_toks
+        FROM documents, LATERAL unnest([1, 2]) AS e(e)),
+      r AS (SELECT *, substr(key, 1, 1) AS shard,
+          ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY key, doc_id)
+            AS rk
+        FROM b)
+      SELECT epoch, shard, COUNT(*) AS n_docs,
+        CAST(SUM(n_toks) AS BIGINT) AS sum_tokens,
+        STRING_AGG(CASE WHEN rk <= 5 THEN CAST(doc_id AS VARCHAR) END, ','
+          ORDER BY rk) AS head_docs
+      FROM r GROUP BY 1, 2 ORDER BY 1, 2"""))
 }
