@@ -397,7 +397,9 @@ object ClassifyOps extends QueryModule {
   private val c6TaxFixup = QueryDef(
     "c6_tax_fixup",
     (s, dir) => {
-      val a = acts(s, dir).persist()
+      // no persist: two pruned scans beat one full-width cache materialize
+      // (sf1 rehearsal r10: the cached form ran 10.5x at 10x data)
+      val a = acts(s, dir)
       val fees = a.filter(col("action_type") === "transfer" && col("fee").isNotNull)
         .groupBy(col("tx_hash").as("f_tx"), col("token_in_id").as("f_tok"))
         .agg(dsum(col("fee")).as("fee_sum"))

@@ -656,7 +656,10 @@ object FidelityOps extends QueryModule {
   private val r3Rendezvous = QueryDef(
     "r3_rendezvous",
     (s, dir) => {
-      val a = actionsTable(s, dir).persist()
+      // no persist: caching the full-width fact table costs more than the
+      // two PRUNED columnar scans it would save, and measurably turns
+      // super-linear at 10x data (sf1 rehearsal r10: 11.0x -> linear)
+      val a = actionsTable(s, dir)
       val treeReady = a.groupBy("block_number").agg(count(lit(1)).as("n_actions"))
       val quotesReady = a.filter(col("action_type") === "swap" &&
           col("amount_in").isNotNull && col("amount_out").isNotNull)
