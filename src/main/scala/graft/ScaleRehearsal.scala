@@ -73,11 +73,26 @@ object ScaleRehearsal {
     "q3_merge_swaps")
 
   /** sf10 probe (VERDICT r9 #8): the five heaviest, at 100× sf0.1 — the
-    * 100×-claims check a 10× rehearsal can't make. */
+    * 100×-claims check a 10× rehearsal can't make. The pool-state fold is
+    * probed through its FILE-DRIVEN drive (`s5_write_behind`, parquet
+    * drops + checkpointed follower) rather than `r5_stream_fold`, whose
+    * MemoryStream harness collects the whole feed to the driver — at 100×
+    * that collect OOMs the HARNESS while the fold itself is fine (the two
+    * drives run the same `TipStream.poolQuotes` against the same oracle). */
   val Sf10Probe: Seq[String] = Seq(
-    "a5_block_analysis_wide", "j2_dex_asof", "r5_stream_fold",
+    "a5_block_analysis_wide", "j2_dex_asof", "s5_write_behind",
     "d2_minhash_lsh", "t_decontaminate")
   val Sf10Dir = "/tmp/graft_sf10"
+
+  /** Skew probe: the user-partitioned event analytics (funnel, cohorts,
+    * sessionize) re-measured on an sf1-sized events table where ONE user
+    * owns ~30% of all rows — the power-user case the w5/w6 scaladoc argues
+    * is bounded. The stance is argued from per-user state being O(1) and
+    * AQE skew-splitting; this measures it instead: ratio ≈ 1 means the hot
+    * key does not become a straggler at equal row count. */
+  val SkewProbe: Seq[String] = Seq("w5_funnel", "w6_cohort_retention",
+    "w2_sessionize", "w7_ab_test")
+  val SkewDir = "/tmp/graft_skew"
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("both")
@@ -96,6 +111,7 @@ object ScaleRehearsal {
     if (mode == "run" || mode == "both") run(spark, only)
     if (mode == "sf10gen" || mode == "sf10") gen(spark, 100, Sf10Dir)
     if (mode == "sf10run" || mode == "sf10") runSf10(spark, only)
+    if (mode == "skew") runSkew(spark)
     spark.stop()
   }
 
@@ -180,6 +196,48 @@ object ScaleRehearsal {
       f""""$n":{"sf01":$a%.3f,"sf1":$b%.3f,"ratio":${b / a}%.2f}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"sf1_rehearsal","copies":$Copies,"queries":$js}""")
+  }
+
+  /** Skewed events table + probe: same schema and ROW COUNT as the sf1
+    * events table, but ~30% of rows remapped to user_id = -42 (an md5
+    * nibble draw keeps the selection deterministic). Non-event tables are
+    * read from the sf1 dir via symlinks so registered queries run as-is. */
+  def runSkew(spark: SparkSession): Unit = {
+    import java.nio.file.{Files, Paths}
+    new java.io.File(SkewDir).mkdirs()
+    val ev = spark.read.parquet(s"$OutDir/events.parquet")
+    ev.withColumn("user_id",
+        when(substring(md5(col("event_id").cast("string")), 1, 1) <= "4",
+          lit(-42L)).otherwise(col("user_id")))
+      .write.mode("overwrite").parquet(s"$SkewDir/events.parquet")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach { t =>
+      val l = Paths.get(s"$SkewDir/$t.parquet")
+      if (!Files.exists(l, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+        Files.createSymbolicLink(l, Paths.get(s"$OutDir/$t.parquet"))
+    }
+    val hot = spark.read.parquet(s"$SkewDir/events.parquet")
+      .filter(col("user_id") === -42L).count()
+    val tot = ev.count()
+    println(f"[skew] hot-user rows $hot of $tot (${100.0 * hot / tot}%.1f%%)")
+    def consume(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    def time(name: String, dir: String): Double = {
+      spark.sharedState.cacheManager.clearCache()
+      val t0 = System.nanoTime()
+      consume(SparkEntry.queries(name)(spark, dir))
+      (System.nanoTime() - t0) / 1e9
+    }
+    SkewProbe.foreach { n => time(n, OutDir); time(n, SkewDir) } // warm
+    val rows = SkewProbe.map { n =>
+      val a = time(n, OutDir); val b = time(n, SkewDir)
+      println(f"[skew] $n%-22s uniform $a%6.2fs  skewed $b%6.2fs  ratio ${b / a}%5.2f")
+      (n, a, b)
+    }
+    val js = rows.map { case (n, a, b) =>
+      f""""$n":{"uniform":$a%.3f,"skewed":$b%.3f,"ratio":${b / a}%.2f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"skew_probe","hot_frac":${1.0 * hot / tot},"queries":$js}""")
   }
 
   /** The 100× probe: one warm + one timed pass per query at sf10 against

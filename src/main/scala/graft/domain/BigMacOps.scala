@@ -70,6 +70,28 @@ object BigMacOps extends QueryModule {
 
   private val segKeys = Seq("block_number", "ktype", "k", "seg")
 
+  /** The shrink-reachability recursion as one SQL array expression over a
+    * per-segment `rs: array<struct<i,j,m,ok>>` column: level 0 is the full
+    * range [1,m]; a failing level-d range of ≥ 2 links spawns its
+    * front-drop (i+1,j) and back-drop (i,j-1) children at level d+1; the
+    * result is every `ok` range reached within `rounds` drops. Stepped via
+    * aggregate() so each level's array is MATERIALIZED in the accumulator
+    * (naively nesting the levels as filter/exists lambdas re-evaluates the
+    * whole inner level per outer element — O(n^rounds) per segment).
+    * Property-tested against a direct BFS in BigMacShrinkSpec. */
+  private[graft] def shrinkEmitExpr(rounds: Int): String =
+    s"""aggregate(
+      sequence(1, $rounds),
+      named_struct(
+        'lvl', filter(rs, r -> r.i = 1 AND r.j = r.m),
+        'em', filter(rs, r -> false)),
+      (acc, d) -> named_struct(
+        'lvl', filter(rs, r -> exists(acc.lvl, p ->
+          (NOT p.ok) AND p.j - p.i + 1 >= 2 AND
+          ((r.i = p.i + 1 AND r.j = p.j) OR (r.i = p.i AND r.j = p.j - 1)))),
+        'em', concat(acc.em, filter(acc.lvl, r -> r.ok))),
+      acc -> concat(acc.em, filter(acc.lvl, r -> r.ok)))"""
+
   /** Root `to` contract per tx (trace_idx = 1 is the root frame). */
   private[domain] def rootTo(s: SparkSession, dir: String): DataFrame =
     actionsTable(s, dir)
@@ -225,18 +247,7 @@ object BigMacOps extends QueryModule {
     // and cost 30+ s at sf0.1 — then explode the emitted set): one shuffle,
     // versus the 14 a per-level join/distinct loop costs. A range at drops
     // d is reachable only at level d, so the emit concat cannot duplicate.
-    val emitExpr =
-      s"""aggregate(
-        sequence(1, $ShrinkRounds),
-        named_struct(
-          'lvl', filter(rs, r -> r.i = 1 AND r.j = r.m),
-          'em', filter(rs, r -> false)),
-        (acc, d) -> named_struct(
-          'lvl', filter(rs, r -> exists(acc.lvl, p ->
-            (NOT p.ok) AND p.j - p.i + 1 >= 2 AND
-            ((r.i = p.i + 1 AND r.j = p.j) OR (r.i = p.i AND r.j = p.j - 1)))),
-          'em', concat(acc.em, filter(acc.lvl, r -> r.ok))),
-        acc -> concat(acc.em, filter(acc.lvl, r -> r.ok)))"""
+    val emitExpr = shrinkEmitExpr(ShrinkRounds)
     // emit is ~hundreds of rows but feeds BOTH detail rollups (pagg, vagg);
     // the checkpoint runs the whole verification chain once, not twice.
     val emit = verd
