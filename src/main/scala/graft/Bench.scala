@@ -78,8 +78,9 @@ object Bench {
     // before the driver writes the current round's artifact).
     try {
       val repo = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"))
-      // a filtered profiling run must not clobber the full-suite artifacts
-      if (repo.isDirectory && only.isEmpty) {
+      // a filtered profiling run — or a smoke run at any other scale
+      // factor — must not clobber the sf0.1 full-suite artifacts
+      if (repo.isDirectory && only.isEmpty && sfDir.contains("sf0.1")) {
         val rN = repo.listFiles().map(_.getName)
           .flatMap { n =>
             val m = "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(n)
