@@ -898,6 +898,43 @@ object InspectorOps extends QueryModule {
       JOIN header hb ON s.back_tx = hb.tx_hash
       GROUP BY 1 ORDER BY 1"""))
 
+  /** The JIT bracket + victim core, DataFrame-parameterized so the golden
+    * scenarios drive the SAME dataflow q5_jit runs (the reference pins this
+    * behavior in jit/mod.rs's test battery: test_only_jit /
+    * test_misclassified_jit / test_multihop_jit). `mintBurn` is
+    * actions-shaped (block_number, from_address, pool, tx_idx, trace_idx,
+    * action_type, token_in_id, token_out_id, amount_in, amount_out);
+    * `victims` is sw_tx-shaped (block_number, tx_idx, eoa, pool). One row
+    * per (block, eoa, pool) bracket with ≥ 1 NON-searcher victim swap
+    * strictly inside the (mint_idx, burn_idx) range; fee_usd is the
+    * burn-minus-mint fee-delta model priced per token. */
+  private[graft] def jitBracketsOf(mintBurn: DataFrame, victims: DataFrame): DataFrame = {
+    def side(t: String, agg: Column => Column, idxName: String) = mintBurn
+      .filter(col("action_type") === t && col("pool").isNotNull &&
+        col("amount_in").isNotNull && col("amount_out").isNotNull)
+      .groupBy(col("block_number"), col("from_address").as("eoa"), col("pool"))
+      .agg(agg(col("tx_idx")).as(idxName),
+        min_by(col("token_in_id"), col("trace_idx")).as(s"${t}_t0"),
+        min_by(col("token_out_id"), col("trace_idx")).as(s"${t}_t1"),
+        dsum(col("amount_in")).as(s"${t}_in"),
+        dsum(col("amount_out")).as(s"${t}_out"))
+    val m = side("mint", min, "mint_idx")
+    val b = side("burn", max, "burn_idx")
+    val jit = m.join(b, Seq("block_number", "eoa", "pool"))
+      .filter(col("mint_idx") < col("burn_idx"))
+    val v = victims.select(col("block_number").as("v_block"),
+      col("pool").as("v_pool"), col("tx_idx").as("v_idx"), col("eoa").as("v_eoa"))
+    jit.join(v, col("v_block") === col("block_number") && col("v_pool") === col("pool") &&
+        col("v_idx") > col("mint_idx") && col("v_idx") < col("burn_idx") &&
+        col("v_eoa") =!= col("eoa"))
+      .groupBy("block_number", "eoa", "pool", "mint_idx", "burn_idx",
+        "mint_t0", "mint_t1", "mint_in", "mint_out", "burn_in", "burn_out")
+      .agg(count(lit(1)).as("n_victims"))
+      .withColumn("fee_usd",
+        (col("burn_in") - col("mint_in")) * tokenPrice(col("mint_t0")) +
+          (col("burn_out") - col("mint_out")) * tokenPrice(col("mint_t1")))
+  }
+
   /** Q5: JIT liquidity — mint→burn bracket (J8) with ≥1 victim swap in
     * between. Primary PnL is full delta-accounting over the bundle's
     * mint/burn txs via the A1–A3 header; the fee-delta model (burn minus
@@ -906,21 +943,6 @@ object InspectorOps extends QueryModule {
     "q5_jit",
     (s, dir) => {
       val a = actionsTable(s, dir).persist()
-      def side(t: String, agg: Column => Column, idxName: String) = a
-        .filter(col("action_type") === t && col("pool").isNotNull &&
-          col("amount_in").isNotNull && col("amount_out").isNotNull)
-        .groupBy(col("block_number"), col("from_address").as("eoa"), col("pool"))
-        .agg(agg(col("tx_idx")).as(idxName),
-          min_by(col("token_in_id"), col("trace_idx")).as(s"${t}_t0"),
-          min_by(col("token_out_id"), col("trace_idx")).as(s"${t}_t1"),
-          dsum(col("amount_in")).as(s"${t}_in"),
-          dsum(col("amount_out")).as(s"${t}_out"))
-      val m = side("mint", min, "mint_idx")
-      val b = side("burn", max, "burn_idx")
-      val jit = m.join(b, Seq("block_number", "eoa", "pool"))
-        .filter(col("mint_idx") < col("burn_idx"))
-      val v = swTx(s, dir).select(col("block_number").as("v_block"),
-        col("pool").as("v_pool"), col("tx_idx").as("v_idx"), col("eoa").as("v_eoa"))
       // PRIMARY PnL: full delta-accounting over the bundle's mint/burn txs
       // via the A1–A3 header (the searcher address-set's token deltas ×
       // prices − gas, shared_utils.rs:344-460); the fee-delta model stays
@@ -935,15 +957,7 @@ object InspectorOps extends QueryModule {
         .groupBy("block_number", "eoa", "pool")
         .agg(dsumR(col("profit_usd")).as("acct_profit"),
           count(lit(1)).as("n_bundle_txs"))
-      jit.join(v, col("v_block") === col("block_number") && col("v_pool") === col("pool") &&
-          col("v_idx") > col("mint_idx") && col("v_idx") < col("burn_idx") &&
-          col("v_eoa") =!= col("eoa"))
-        .groupBy("block_number", "eoa", "pool", "mint_idx", "burn_idx",
-          "mint_t0", "mint_t1", "mint_in", "mint_out", "burn_in", "burn_out")
-        .agg(count(lit(1)).as("n_victims"))
-        .withColumn("fee_usd",
-          (col("burn_in") - col("mint_in")) * tokenPrice(col("mint_t0")) +
-            (col("burn_out") - col("mint_out")) * tokenPrice(col("mint_t1")))
+      jitBracketsOf(a, swTx(s, dir))
         .join(jpnl, Seq("block_number", "eoa", "pool"))
         .groupBy("block_number")
         .agg(count(lit(1)).as("n_jit"), sum(col("n_victims")).as("n_victims"),

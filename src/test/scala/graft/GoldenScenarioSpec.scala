@@ -426,4 +426,70 @@ class GoldenScenarioSpec extends SparkTestBase {
     assert(out(0).getAs[Long]("front_idx") == 0L && out(0).getAs[Long]("back_idx") == 2L)
     assert(out(1).getAs[Long]("front_idx") == 3L && out(1).getAs[Long]("back_idx") == 5L)
   }
+
+  // actions-shaped mint/burn rows for the JIT core
+  // (jit/jit_liquidity.rs:701-803's planted-block battery):
+  // (block, tx_idx, trace_idx, action_type, eoa, pool, tok_in, tok_out, in, out)
+  private def mbOf(
+      rows: (Long, Long, Long, String, String, String, Long, Long, Double, Double)*): DataFrame =
+    rows.toDF("block_number", "tx_idx", "trace_idx", "action_type",
+      "from_address", "pool", "token_in_id", "token_out_id",
+      "amount_in", "amount_out")
+
+  test("only_jit: mint → victim swaps → burn brackets with counted victims") {
+    val mb = mbOf(
+      (1L, 1L, 0L, "mint", "jitter", "P", 3L, 4L, 100.0, 200.0),
+      (1L, 5L, 0L, "burn", "jitter", "P", 3L, 4L, 110.0, 220.0))
+    val v = swTxOf(
+      (1L, 2L, "v1", "vicA", "P", 0L, 3L, 4L, 10.0, 9.0),
+      (1L, 3L, "v2", "vicB", "P", 0L, 3L, 4L, 10.0, 9.0))
+    val out = InspectorOps.jitBracketsOf(mb, v).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_victims") == 2)
+    // fee-delta: (110−100)·price(3) + (220−200)·price(4) = 10·1.3 + 20·1.4
+    assert(math.abs(out.head.getAs[Double]("fee_usd") - 41.0) < 1e-9)
+  }
+
+  test("misclassified_jit: a bracket with no victim swap inside is not JIT") {
+    val mb = mbOf(
+      (1L, 1L, 0L, "mint", "jitter", "P", 3L, 4L, 100.0, 200.0),
+      (1L, 2L, 0L, "burn", "jitter", "P", 3L, 4L, 110.0, 220.0)) // adjacent
+    val v = swTxOf(
+      (1L, 3L, "v1", "vicA", "P", 0L, 3L, 4L, 10.0, 9.0), // after the burn
+      (1L, 0L, "v2", "vicB", "Q", 0L, 3L, 4L, 10.0, 9.0)) // other pool
+    assert(InspectorOps.jitBracketsOf(mb, v).count() == 0)
+  }
+
+  test("misclassified_jit2: burn before mint never brackets") {
+    val mb = mbOf(
+      (1L, 1L, 0L, "burn", "jitter", "P", 3L, 4L, 110.0, 220.0),
+      (1L, 5L, 0L, "mint", "jitter", "P", 3L, 4L, 100.0, 200.0))
+    val v = swTxOf(
+      (1L, 3L, "v1", "vicA", "P", 0L, 3L, 4L, 10.0, 9.0)) // between, in vain
+    assert(InspectorOps.jitBracketsOf(mb, v).count() == 0)
+  }
+
+  test("jit_not: the searcher's own swap inside the bracket is not a victim") {
+    val mb = mbOf(
+      (1L, 1L, 0L, "mint", "jitter", "P", 3L, 4L, 100.0, 200.0),
+      (1L, 5L, 0L, "burn", "jitter", "P", 3L, 4L, 110.0, 220.0))
+    val v = swTxOf(
+      (1L, 3L, "sw", "jitter", "P", 0L, 3L, 4L, 10.0, 9.0)) // self-swap
+    assert(InspectorOps.jitBracketsOf(mb, v).count() == 0)
+  }
+
+  test("multihop_jit: one EOA bracketing two pools yields two brackets") {
+    val mb = mbOf(
+      (1L, 1L, 0L, "mint", "jitter", "P", 3L, 4L, 100.0, 200.0),
+      (1L, 1L, 1L, "mint", "jitter", "Q", 5L, 6L, 50.0, 60.0),
+      (1L, 5L, 0L, "burn", "jitter", "P", 3L, 4L, 110.0, 220.0),
+      (1L, 5L, 1L, "burn", "jitter", "Q", 5L, 6L, 55.0, 66.0))
+    val v = swTxOf(
+      (1L, 2L, "v1", "vicA", "P", 0L, 3L, 4L, 10.0, 9.0),
+      (1L, 3L, "v2", "vicB", "Q", 0L, 5L, 6L, 10.0, 9.0))
+    val out = InspectorOps.jitBracketsOf(mb, v).orderBy("pool").collect()
+    assert(out.length == 2)
+    assert(out.map(_.getAs[String]("pool")).toSeq == Seq("P", "Q"))
+    assert(out.forall(_.getAs[Long]("n_victims") == 1L))
+  }
 }
