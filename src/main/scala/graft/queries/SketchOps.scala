@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   */
 object SketchOps extends QueryModule {
 
-  def defs: Seq[QueryDef] = Seq(kmvDistinct, bloomFilter)
+  def defs: Seq[QueryDef] = Seq(kmvDistinct, bloomFilter, hllDistinct, cmsHeavyHitters)
 
   /** Integer value of md5 hex chars [from, from+n) of column `h` — the
     * engine-portable uniform hash both sketches draw bits from. */
@@ -107,6 +107,159 @@ object SketchOps extends QueryModule {
           "ABS(COALESCE(kmv_estimate, CAST(exact_distinct AS DOUBLE)) - exact_distinct) / exact_distinct")}
           AS rel_error
       FROM exact LEFT JOIN kth USING (source) ORDER BY source"""))
+
+  // HLL geometry: p = 8 → m = 256 registers; rank read from the 48 bits
+  // of md5 nibbles 3-14 (leading-zero count + 1, saturating at 49).
+  private val HllM = 256
+
+  /** SK3: HyperLogLog distinct-count estimation (Flajolet et al. 2007) —
+    * the register-array sketch behind every engine's approx_count_distinct,
+    * rebuilt here from md5 so the full register state AND the estimate are
+    * oracle-checkable hash-exactly (engine-private HLL++ states are not).
+    * Per source: bucket = 8 leading hash bits, register = max over the
+    * bucket's hashes of (leading zero bits of the next 48 + 1), estimate =
+    * α·m²/Σ2^(−M_j) with the standard small-range linear-counting
+    * correction. The sketch is 256 registers per group built by one
+    * map-side-combinable MAX rollup — mergeable across partitions (max of
+    * partial registers IS the union sketch), which is what makes HLL the
+    * 100 TB cardinality workhorse. Reported against the exact distinct
+    * count with relative error, like sk1. */
+  private val hllDistinct = QueryDef(
+    "sk3_hll_distinct",
+    (s, dir) => {
+      val sh = shingleHashes(s, dir)
+        .select(col("source"), col("sh")).distinct()
+        .withColumn("h", md5(col("sh")))
+      val exact = sh.groupBy("source").agg(count(lit(1)).as("exact_distinct"))
+      val regs = sh
+        .withColumn("bucket", expr(nibbleVal(1, 2)))
+        .withColumn("trimmed", regexp_replace(expr("substring(h, 3, 12)"), "^0+", ""))
+        .withColumn("nv",
+          expr("instr('0123456789abcdef', substring(trimmed, 1, 1)) - 1"))
+        .withColumn("rho", when(col("trimmed") === "", lit(49)).otherwise(
+          lit(4) * (lit(12) - length(col("trimmed"))) +
+            when(col("nv") >= 8, 0).when(col("nv") >= 4, 1)
+              .when(col("nv") >= 2, 2).otherwise(3) + lit(1)))
+        .groupBy("source", "bucket").agg(max(col("rho")).as("m_j"))
+      val est = regs.groupBy("source")
+        .agg(count(lit(1)).as("n_used"),
+          sum(pow(lit(2.0), -col("m_j"))).as("z_used"))
+        .withColumn("v", lit(HllM) - col("n_used"))
+        .withColumn("z", col("z_used") + col("v").cast("double"))
+        .withColumn("e_raw",
+          lit(0.7213 / (1.0 + 1.079 / HllM)) * lit(HllM.toDouble * HllM) / col("z"))
+        .withColumn("hll_estimate", ExactAgg.snap(
+          when(col("e_raw") <= lit(2.5 * HllM) && col("v") > 0,
+            lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v")))
+            .otherwise(col("e_raw"))))
+      exact.join(est, Seq("source"))
+        .select(col("source"), col("exact_distinct"), col("hll_estimate"),
+          col("n_used").as("n_registers_used"),
+          ExactAgg.snap(abs(col("hll_estimate") - col("exact_distinct")) /
+            col("exact_distinct")).as("rel_error"))
+        .orderBy("source")
+    },
+    Some(s"""WITH $shSqlCte,
+      d AS (SELECT DISTINCT source, sh FROM shs),
+      hh AS (SELECT source, md5(sh) AS h FROM d),
+      exact AS (SELECT source, COUNT(*) AS exact_distinct FROM hh GROUP BY 1),
+      rr AS (
+        SELECT source, ${nibbleValSql(1, 2)} AS bucket,
+          regexp_replace(substring(h, 3, 12), '^0+', '') AS trimmed,
+          (instr('0123456789abcdef', substring(regexp_replace(substring(h, 3, 12), '^0+', ''), 1, 1)) - 1) AS nv
+        FROM hh),
+      regs AS (
+        SELECT source, bucket, MAX(CASE WHEN trimmed = '' THEN 49
+          ELSE 4 * (12 - length(trimmed)) +
+            (CASE WHEN nv >= 8 THEN 0 WHEN nv >= 4 THEN 1
+                  WHEN nv >= 2 THEN 2 ELSE 3 END) + 1 END) AS m_j
+        FROM rr GROUP BY 1, 2),
+      est AS (
+        SELECT source, COUNT(*) AS n_used,
+          SUM(POWER(2.0, -m_j)) + CAST($HllM - COUNT(*) AS DOUBLE) AS z,
+          $HllM - COUNT(*) AS v
+        FROM regs GROUP BY 1),
+      ee AS (
+        SELECT source, n_used, v,
+          (0.7213 / (1.0 + 1.079 / $HllM)) * CAST($HllM AS DOUBLE) * $HllM / z AS e_raw
+        FROM est)
+      SELECT e.source, x.exact_distinct,
+        ${ExactAgg.sqlSnap(
+          s"CASE WHEN e_raw <= 2.5 * $HllM AND v > 0 THEN CAST($HllM AS DOUBLE) * ln(CAST($HllM AS DOUBLE) / v) ELSE e_raw END")}
+          AS hll_estimate,
+        e.n_used AS n_registers_used,
+        ${ExactAgg.sqlSnap(
+          s"ABS((CASE WHEN e_raw <= 2.5 * $HllM AND v > 0 THEN CAST($HllM AS DOUBLE) * ln(CAST($HllM AS DOUBLE) / v) ELSE e_raw END) - x.exact_distinct) / x.exact_distinct")}
+          AS rel_error
+      FROM ee e JOIN exact x USING (source) ORDER BY source"""))
+
+  // CMS geometry: depth 4 rows from disjoint md5 nibble ranges, width 16 —
+  // deliberately narrow so collisions actually occur at fixture scale and
+  // the min-over-rows recovery is exercised, not vacuous.
+  private val CmsW = 16
+  private val CmsD = 4
+
+  /** SK4: Count-Min heavy hitters (Cormode & Muthukrishnan 2005) — the
+    * frequency sketch for when exact per-term counts don't fit: d hash
+    * rows × w counters, each cell the SUM of counts hashing to it;
+    * a term's estimate is the MIN over its d cells (always ≥ exact — the
+    * one-sided error CMS guarantees, asserted as a column). The sketch is
+    * a d×w table built by one map-side-combinable SUM — partials merge by
+    * cell-wise addition — and probing broadcasts the candidate terms.
+    * Reports the exact top-10 corpus words with their CMS estimate and
+    * overcount. */
+  private val cmsHeavyHitters = QueryDef(
+    "sk4_cms_topk",
+    (s, dir) => {
+      val wc = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("exact_cnt"))
+        .withColumn("h", md5(col("word")))
+      val posed = wc.select(col("word"), col("exact_cnt"),
+        posexplode(array((0 until CmsD).map(i =>
+          expr(s"${nibbleVal(1 + 3 * i, 3)} % $CmsW")): _*)).as(Seq("ri", "c")))
+      val cells = posed.groupBy("ri", "c")
+        .agg(sum(col("exact_cnt")).as("cell_sum"))
+      val top = wc.withColumn("rk", row_number().over(
+          Window.orderBy(col("exact_cnt").desc, col("word").asc)))
+        .filter(col("rk") <= 10)
+      val topPos = top.select(col("word"), col("exact_cnt"), col("rk"),
+        posexplode(array((0 until CmsD).map(i =>
+          expr(s"${nibbleVal(1 + 3 * i, 3)} % $CmsW")): _*)).as(Seq("ri", "c")))
+      topPos.join(broadcast(cells), Seq("ri", "c"))
+        .groupBy("word", "exact_cnt", "rk")
+        .agg(min(col("cell_sum")).as("cms_estimate"))
+        .select(col("word"), col("exact_cnt"), col("cms_estimate"),
+          (col("cms_estimate") - col("exact_cnt")).as("overcount"),
+          (col("cms_estimate") >= col("exact_cnt")).as("one_sided_ok"))
+        .orderBy(col("exact_cnt").desc, col("word").asc)
+    },
+    Some {
+      val cols = (0 until CmsD).map(i =>
+        s"(${nibbleValSql(1 + 3 * i, 3)} % $CmsW)")
+      s"""WITH wc AS (
+        SELECT word, COUNT(*) AS exact_cnt, md5(word) AS h
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> '' GROUP BY word),
+      posed AS (
+        ${(0 until CmsD).map(i =>
+          s"SELECT word, exact_cnt, $i AS ri, ${cols(i)} AS c FROM wc")
+          .mkString("\n        UNION ALL ")}),
+      cells AS (SELECT ri, c, SUM(exact_cnt) AS cell_sum
+        FROM posed GROUP BY 1, 2),
+      top AS (SELECT word FROM (
+        SELECT word, exact_cnt, ROW_NUMBER() OVER (
+          ORDER BY exact_cnt DESC, word ASC) AS rk FROM wc) WHERE rk <= 10)
+      SELECT p.word AS word, p.exact_cnt AS exact_cnt,
+        CAST(MIN(cl.cell_sum) AS BIGINT) AS cms_estimate,
+        CAST(MIN(cl.cell_sum) - p.exact_cnt AS BIGINT) AS overcount,
+        MIN(cl.cell_sum) >= p.exact_cnt AS one_sided_ok
+      FROM posed p
+      JOIN top t ON t.word = p.word
+      JOIN cells cl ON cl.ri = p.ri AND cl.c = p.c
+      GROUP BY 1, 2 ORDER BY p.exact_cnt DESC, p.word ASC"""
+    })
 
   // Bloom geometry: m = 3840 bits (64 words x 60 bits — shifts stay below
   // the signed-64 overflow DuckDB rejects), j = 2 hash functions from
