@@ -793,6 +793,48 @@ object CexOps extends QueryModule {
     * reference's HIGH_PROFIT_THRESHOLD = $10,000, markout/types.rs:26,
     * scaled to the fixture's PnL distribution so the arm genuinely
     * bisects). */
+  /** The four-arm filter_possible_cex_dex validity gate plus the
+    * max_arb_delta sanity clamp, DataFrame-parameterized so golden
+    * scenarios drive the SAME column dataflow q3_global runs
+    * (cex_dex/markout.rs:639-725; the reference pins each arm in its
+    * test battery — test_cex_dex / test_eoa_cex_dex /
+    * test_cex_dex_markout_bad_price). Input rows carry the per-leg
+    * aggregates (pv_mk, pv_tk, v, rate, amount_in, pair_a, pair_b,
+    * n_ex_maker_pos, n_ex_taker_pos, best_tk_pnl, best_tk_ex) and the
+    * joined context (n_hist, s_eoa); output appends pnl_maker/pnl_taker,
+    * the tiered max_diff clamp with passes_sanity, and the arm_pnl /
+    * arm_hist / arm_one_ex / arm_outlier / is_valid flags. */
+  private[graft] def cexDexValidityArms(legs: DataFrame): DataFrame = {
+    val tokPx = tokenPrice(col("pair_a"))
+    legs
+      .withColumn("pnl_maker", (col("pv_mk") / col("v") - col("rate")) *
+        col("amount_in") * tokPx)
+      .withColumn("pnl_taker", (col("pv_tk") / col("v") - col("rate")) *
+        col("amount_in") * tokPx)
+      // max_arb_delta: base 3, labeled searchers get pnl-tiered slack
+      .withColumn("max_diff",
+        when(col("s_eoa").isNotNull && col("pnl_maker") < 5.0, lit(10.0))
+          .when(col("s_eoa").isNotNull && col("pnl_maker") < 40.0, lit(8.0))
+          .when(col("s_eoa").isNotNull && col("pnl_maker") < 100.0, lit(5.0))
+          .otherwise(lit(3.0)))
+      .withColumn("cex_out", (col("pv_mk") / col("v")) * col("amount_in"))
+      .withColumn("dex_out", col("rate") * col("amount_in"))
+      .withColumn("passes_sanity",
+        least(col("cex_out"), col("dex_out")) * col("max_diff") >=
+          greatest(col("cex_out"), col("dex_out")))
+      .withColumn("is_stable", isStablePair(col("pair_a"), col("pair_b")))
+      .withColumn("arm_pnl", col("pnl_maker") > 0 || col("pnl_taker") > 0 ||
+        col("n_ex_maker_pos") >= 2 || col("n_ex_taker_pos") >= 2)
+      .withColumn("arm_hist", col("n_hist") > 40 || col("s_eoa").isNotNull)
+      .withColumn("arm_one_ex",
+        (col("n_ex_maker_pos") === 1 || col("n_ex_taker_pos") === 1) && !col("is_stable"))
+      .withColumn("arm_outlier", col("n_ex_taker_pos") === 1 &&
+        col("best_tk_pnl") > HighProfitUsd &&
+        col("best_tk_ex").isin(OutlierExchanges: _*) && !col("is_stable"))
+      .withColumn("is_valid", col("arm_pnl") || col("arm_hist") ||
+        col("arm_one_ex") || col("arm_outlier"))
+  }
+
   val HighProfitUsd = 500.0
 
   /** The exchanges whose lone-profitability marks an outlier (the
@@ -856,36 +898,9 @@ object CexOps extends QueryModule {
           sum(when(col("e_pnl_tk") > 0, 1L).otherwise(0L)).as("n_ex_taker_pos"),
           max(when(col("e_pnl_tk") > 0, col("e_pnl_tk"))).as("best_tk_pnl"),
           max(when(col("e_pnl_tk") > 0, col("exchange"))).as("best_tk_ex"))
-      val tokPx = tokenPrice(col("pair_a"))
-      val arm = legs
+      val arm = cexDexValidityArms(legs
         .join(hist, col("eoa") === col("h_eoa"), "left")
-        .join(broadcast(searchers), col("eoa") === col("s_eoa"), "left")
-        .withColumn("pnl_maker", (col("pv_mk") / col("v") - col("rate")) *
-          col("amount_in") * tokPx)
-        .withColumn("pnl_taker", (col("pv_tk") / col("v") - col("rate")) *
-          col("amount_in") * tokPx)
-        // max_arb_delta: base 3, labeled searchers get pnl-tiered slack
-        .withColumn("max_diff",
-          when(col("s_eoa").isNotNull && col("pnl_maker") < 5.0, lit(10.0))
-            .when(col("s_eoa").isNotNull && col("pnl_maker") < 40.0, lit(8.0))
-            .when(col("s_eoa").isNotNull && col("pnl_maker") < 100.0, lit(5.0))
-            .otherwise(lit(3.0)))
-        .withColumn("cex_out", (col("pv_mk") / col("v")) * col("amount_in"))
-        .withColumn("dex_out", col("rate") * col("amount_in"))
-        .withColumn("passes_sanity",
-          least(col("cex_out"), col("dex_out")) * col("max_diff") >=
-            greatest(col("cex_out"), col("dex_out")))
-        .withColumn("is_stable", isStablePair(col("pair_a"), col("pair_b")))
-        .withColumn("arm_pnl", col("pnl_maker") > 0 || col("pnl_taker") > 0 ||
-          col("n_ex_maker_pos") >= 2 || col("n_ex_taker_pos") >= 2)
-        .withColumn("arm_hist", col("n_hist") > 40 || col("s_eoa").isNotNull)
-        .withColumn("arm_one_ex",
-          (col("n_ex_maker_pos") === 1 || col("n_ex_taker_pos") === 1) && !col("is_stable"))
-        .withColumn("arm_outlier", col("n_ex_taker_pos") === 1 &&
-          col("best_tk_pnl") > HighProfitUsd &&
-          col("best_tk_ex").isin(OutlierExchanges: _*) && !col("is_stable"))
-        .withColumn("is_valid", col("arm_pnl") || col("arm_hist") ||
-          col("arm_one_ex") || col("arm_outlier"))
+        .join(broadcast(searchers), col("eoa") === col("s_eoa"), "left"))
       arm.groupBy("pair_a")
         .agg(count(lit(1)).as("n_legs"),
           dsumR(col("pnl_maker")).as("sum_pnl_maker"),

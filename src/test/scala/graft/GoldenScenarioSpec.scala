@@ -478,6 +478,76 @@ class GoldenScenarioSpec extends SparkTestBase {
     assert(InspectorOps.jitBracketsOf(mb, v).count() == 0)
   }
 
+  // leg-aggregate rows for the cex-dex validity gate
+  // (cex_dex/markout.rs:639-725's filter_possible_cex_dex battery):
+  // (pv_mk, pv_tk, v, rate, amount_in, pair_a, pair_b,
+  //  n_ex_maker_pos, n_ex_taker_pos, best_tk_pnl, best_tk_ex, n_hist, s_eoa)
+  private def legsOf(
+      rows: (Double, Double, Double, Double, Double, Long, Long,
+        Long, Long, Double, String, Long, String)*): DataFrame =
+    rows.toDF("pv_mk", "pv_tk", "v", "rate", "amount_in", "pair_a", "pair_b",
+      "n_ex_maker_pos", "n_ex_taker_pos", "best_tk_pnl", "best_tk_ex",
+      "n_hist", "s_eoa")
+
+  private def armsOf(df: DataFrame) =
+    graft.domain.CexOps.cexDexValidityArms(df).collect().head
+
+  test("cex_dex validity: a profitable maker leg passes on the pnl arm alone") {
+    val r = armsOf(legsOf(
+      (1.1, 0.9, 1.0, 1.0, 10.0, 7L, 8L, 0L, 0L, 0.0, "ex1", 0L, null)))
+    assert(r.getAs[Boolean]("arm_pnl") && r.getAs[Boolean]("is_valid"))
+    assert(!r.getAs[Boolean]("arm_hist") && !r.getAs[Boolean]("arm_one_ex") &&
+      !r.getAs[Boolean]("arm_outlier"))
+    // pnl_maker = (1.1 − 1.0) · 10 · price(7) = 1 · 1.7
+    assert(math.abs(r.getAs[Double]("pnl_maker") - 1.7) < 1e-9)
+  }
+
+  test("cex_dex_not: a losing leg with no history or venue signal is invalid") {
+    val r = armsOf(legsOf(
+      (0.9, 0.9, 1.0, 1.0, 10.0, 7L, 8L, 0L, 0L, 0.0, "ex1", 0L, null)))
+    assert(!r.getAs[Boolean]("is_valid"))
+  }
+
+  test("eoa_cex_dex: a labeled searcher validates a losing leg (hist arm)") {
+    val r = armsOf(legsOf(
+      (0.9, 0.9, 1.0, 1.0, 10.0, 7L, 8L, 0L, 0L, 0.0, "ex1", 0L, "s1")))
+    assert(r.getAs[Boolean]("arm_hist") && r.getAs[Boolean]("is_valid"))
+    val h = armsOf(legsOf( // 41 prior mev txs validate the same leg
+      (0.9, 0.9, 1.0, 1.0, 10.0, 7L, 8L, 0L, 0L, 0.0, "ex1", 41L, null)))
+    assert(h.getAs[Boolean]("arm_hist") && h.getAs[Boolean]("is_valid"))
+  }
+
+  test("multi_exchange arm: losing globally but priced off 2 venues is real") {
+    val r = armsOf(legsOf(
+      (0.9, 0.9, 1.0, 1.0, 10.0, 7L, 8L, 2L, 0L, 0.0, "ex1", 0L, null)))
+    assert(r.getAs[Boolean]("arm_pnl") && r.getAs[Boolean]("is_valid"))
+  }
+
+  test("one_ex and outlier arms fire on a lone venue — unless the pair is stable") {
+    val r = armsOf(legsOf(
+      (0.9, 0.9, 1.0, 1.0, 10.0, 7L, 8L, 0L, 1L, 600.0, "ex3", 0L, null)))
+    assert(r.getAs[Boolean]("arm_one_ex") && r.getAs[Boolean]("arm_outlier") &&
+      r.getAs[Boolean]("is_valid"))
+    val st = armsOf(legsOf( // same signal on a stable-stable pair: suppressed
+      (0.9, 0.9, 1.0, 1.0, 10.0, 1L, 2L, 0L, 1L, 600.0, "ex3", 0L, null)))
+    assert(!st.getAs[Boolean]("arm_one_ex") && !st.getAs[Boolean]("arm_outlier") &&
+      !st.getAs[Boolean]("is_valid"))
+    val nx = armsOf(legsOf( // high profit on a NON-outlier venue: one_ex only
+      (0.9, 0.9, 1.0, 1.0, 10.0, 7L, 8L, 0L, 1L, 600.0, "ex1", 0L, null)))
+    assert(nx.getAs[Boolean]("arm_one_ex") && !nx.getAs[Boolean]("arm_outlier"))
+  }
+
+  test("markout_bad_price: the max_arb_delta clamp is tiered by searcher label") {
+    // cex_out = 2, dex_out = 10 — a 5× spread fails the base ×3 clamp but
+    // passes a labeled searcher's ×10 tier (pnl_maker < 5)
+    val unlabeled = armsOf(legsOf(
+      (0.2, 0.2, 1.0, 1.0, 10.0, 7L, 8L, 0L, 0L, 0.0, "ex1", 0L, null)))
+    assert(!unlabeled.getAs[Boolean]("passes_sanity"))
+    val labeled = armsOf(legsOf(
+      (0.2, 0.2, 1.0, 1.0, 10.0, 7L, 8L, 0L, 0L, 0.0, "ex1", 0L, "s1")))
+    assert(labeled.getAs[Boolean]("passes_sanity"))
+  }
+
   test("multihop_jit: one EOA bracketing two pools yields two brackets") {
     val mb = mbOf(
       (1L, 1L, 0L, "mint", "jitter", "P", 3L, 4L, 100.0, 200.0),
