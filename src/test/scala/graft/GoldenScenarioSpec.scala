@@ -95,6 +95,17 @@ class GoldenScenarioSpec extends SparkTestBase {
     assert(InspectorOps.sandwichesOf(df).count() == 0)
   }
 
+  test("sandwich_not: the attacker's own mid-bracket tx is never a victim") {
+    // the only "victim" swap between the brackets is the attacker's —
+    // v.eoa <> c.eoa excludes it, so no sandwich forms
+    // (the reference's related-victim guard, sandwich/mod.rs victim sets)
+    val df = swTxOf(
+      (1L, 0L, "f", "atk", "P", 0L, 7L, 8L, 100.0, 90.0),
+      (1L, 1L, "s", "atk", "P", 0L, 7L, 8L, 50.0, 44.0), // own tx inside
+      (1L, 3L, "b", "atk", "P", 1L, 8L, 7L, 90.0, 120.0))
+    assert(InspectorOps.sandwichesOf(df).count() == 0)
+  }
+
   test("shrink heals a low victim ratio when the noise sits near the back") {
     val df = swTxOf(
       (1L, 0L, "f", "atk", "P", 0L, 7L, 8L, 100.0, 90.0),
