@@ -70,7 +70,10 @@ object ScaleRehearsal {
     "r3_rendezvous", "j4_weighted_vwam", "q9_mev_block", "t_zipf_fit",
     "t_repetition_stats", "q3_cexdex_markout", "j4_staged_vwam",
     "q6_jit_cex_dex", "c5_multiframe_pair", "g6_price_emission",
-    "q3_merge_swaps")
+    "q3_merge_swaps",
+    // round 10, session 3: the new sketches — constant-size summaries
+    // whose build pass must stay a linear scan at 10× corpus
+    "sk3_hll_distinct", "sk4_cms_topk")
 
   /** sf10 probe (VERDICT r9 #8): the five heaviest, at 100× sf0.1 — the
     * 100×-claims check a 10× rehearsal can't make. The pool-state fold is
