@@ -24,6 +24,51 @@ object Accounting {
 
   val EthUsd = 2000.0
 
+  /** `MAX_PROFIT`/`MIN_PROFIT` (brontes-inspect/src/mev_inspectors/
+    * mod.rs:12-13): a bundle profit at or beyond ±15M USD is treated as a
+    * pricing artifact — the reference zeroes the profit and drops the
+    * priced flag (liquidations.rs:121-124, searcher_activity.rs:106-109). */
+  val MaxProfitUsd = 1.5e7
+
+  /** Txs whose delta set touches a token with unknown decimals — the
+    * per-token price lookup fails for these (`get_deltas_usd` → `None`,
+    * shared_utils.rs:344-460), so the revenue side of the header is
+    * unusable. This is C9's quarantine set viewed per-tx: one distinct
+    * projection off the already-pruned actions scan, never a fact join. */
+  def unpricedTxs(actionsDf: DataFrame): DataFrame =
+    actionsDf.filter(
+      (col("token_in_id").isNotNull && col("dec_in").isNull) ||
+        (col("token_out_id").isNotNull && col("dec_out").isNull))
+      .select("tx_hash").distinct()
+
+  /** The priced-profit gate shared by the Liquidation and SearcherActivity
+    * inspectors (liquidations.rs:100-124, searcher_activity.rs:86-109).
+    * Input rows carry `revenue_usd`, `gas_usd` and an INT `priced`
+    * (1 = every token in the tx's delta set has a known price). Emits
+    *   profit_usd     — revenue − gas when priced and inside ±15M, else 0
+    *   has_dex_price  — 1 only when the profit survived both checks
+    * (the reference's `>= MAX_PROFIT || <= MIN_PROFIT` zeroing, boundary
+    * inclusive). DataFrame-parameterized so golden scenarios drive the
+    * same expression the registered queries run. */
+  private[graft] def pricedProfitGate(df: DataFrame): DataFrame =
+    df.withColumn("profit_raw",
+        when(col("priced") === 1, col("revenue_usd") - col("gas_usd"))
+          .otherwise(lit(0.0)))
+      .withColumn("has_dex_price",
+        when(col("priced") === 1 && col("profit_raw") < MaxProfitUsd &&
+          col("profit_raw") > -MaxProfitUsd, 1).otherwise(0))
+      .withColumn("profit_usd",
+        when(col("has_dex_price") === 1, col("profit_raw")).otherwise(lit(0.0)))
+      .drop("profit_raw", "priced")
+
+  /** Oracle forms of [[pricedProfitGate]] (e-notation keeps DuckDB in
+    * doubles; `raw` must be the revenue−gas expression, `priced` the 0/1
+    * flag). */
+  def sqlGateProfit(raw: String, priced: String): String =
+    s"CASE WHEN $priced = 1 AND $raw < 1.5e7 AND $raw > -1.5e7 THEN $raw ELSE 0.0e0 END"
+  def sqlGateFlag(raw: String, priced: String): String =
+    s"CAST(CASE WHEN $priced = 1 AND $raw < 1.5e7 AND $raw > -1.5e7 THEN 1 ELSE 0 END AS INTEGER)"
+
   /** Deterministic token-price dimension (42 ids incl. quarantined 40/41) —
     * the DataFrame form of the single price surface [[ChainFixture.tokenPrice]]. */
   def tokenPrices(s: SparkSession): DataFrame =

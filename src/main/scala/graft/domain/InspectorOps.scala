@@ -40,7 +40,7 @@ object InspectorOps extends QueryModule {
     q8SearcherActivity, q1Sandwich, q5Jit, j7PoolOverlap, j8JitBracket,
     j9TriggerDomain, j10ComposerDedup, j10BundleDedup, j11JitSandwich,
     q9MevBlock, w3ShrinkLoop, q2ArbTree, q2RequirementArms, j6BracketW3,
-    a1DeltaDecimal)
+    a1DeltaDecimal, q7LiqBundles, q8SearcherTx)
 
   private def withCtes(sql: String) = Some(s"WITH $sqlDomainCtes, $sql")
 
@@ -775,6 +775,110 @@ object InspectorOps extends QueryModule {
         ${sqlSum("h.gas_usd")} AS sum_gas
       FROM liqtx l JOIN header h ON l.tx_hash = h.tx_hash
       GROUP BY 1 ORDER BY 1"""))
+
+  /** The per-tx liquidation bundle core, DataFrame-parameterized so the
+    * golden battery drives the dataflow q7_liq_bundles runs. Mirrors
+    * `calculate_liquidation` (liquidations.rs:76-156): a tx is a bundle
+    * only if it carries ≥1 liquidation event; `liquidation_swaps` ride
+    * along as a count; revenue is the A1–A3 header's delta accounting
+    * (the reference folds transfers — in our model swap/mint/burn legs
+    * carry the same flows post-C7 double-count removal); profit passes
+    * the shared [[Accounting.pricedProfitGate]] (unpriced-token txs and
+    * the ±15M clamp zero out, flag dropped). */
+  private[graft] def liquidationBundlesOf(
+      actionsDf: DataFrame, headers: DataFrame): DataFrame = {
+    val liq = actionsDf.filter(col("action_type") === "liquidation")
+      .groupBy("tx_hash").agg(count(lit(1)).as("n_liq"))
+    val sw = actionsDf.filter(col("action_type") === "swap" &&
+        col("amount_in").isNotNull && col("amount_out").isNotNull)
+      .groupBy("tx_hash").agg(count(lit(1)).as("n_liq_swaps"))
+    val unp = unpricedTxs(actionsDf).withColumn("unp", lit(1))
+    pricedProfitGate(
+      liq.join(sw, Seq("tx_hash"), "left")
+        .withColumn("n_liq_swaps", coalesce(col("n_liq_swaps"), lit(0L)))
+        .join(headers, "tx_hash")
+        .join(unp, Seq("tx_hash"), "left")
+        .withColumn("priced", when(col("unp").isNull, 1).otherwise(0))
+        .drop("unp"))
+      .select("tx_hash", "block_number", "eoa", "n_liq", "n_liq_swaps",
+        "revenue_usd", "gas_usd", "profit_usd", "has_dex_price")
+  }
+
+  /** Q7 (bundle form): one row per liquidation tx with the reference's
+    * header semantics — has_dex_price + the ±15M profit clamp
+    * (liquidations.rs:100-124) — alongside the q7_liquidations per-block
+    * rollup. Scale shape: three tx_hash-keyed rollups off the pruned
+    * actions scan joined to the materialized header — all equi-joins. */
+  private val q7LiqBundles = QueryDef(
+    "q7_liq_bundles",
+    (s, dir) => liquidationBundlesOf(actionsTable(s, dir), bundleHeaders(s, dir))
+      .orderBy("tx_hash"),
+    withCtes(s"""liqb AS (
+        SELECT tx_hash, COUNT(*) AS n_liq FROM actions
+        WHERE action_type = 'liquidation' GROUP BY 1),
+      swb AS (SELECT tx_hash, COUNT(*) AS n_liq_swaps FROM swaps GROUP BY 1),
+      unpriced AS (
+        SELECT DISTINCT tx_hash FROM actions
+        WHERE (token_in_id IS NOT NULL AND dec_in IS NULL)
+           OR (token_out_id IS NOT NULL AND dec_out IS NULL)),
+      liqbase AS (
+        SELECT l.tx_hash, h.block_number, h.eoa, l.n_liq,
+          CAST(COALESCE(s.n_liq_swaps, 0) AS BIGINT) AS n_liq_swaps,
+          h.revenue_usd, h.gas_usd,
+          CASE WHEN u.tx_hash IS NULL THEN 1 ELSE 0 END AS priced
+        FROM liqb l JOIN header h ON l.tx_hash = h.tx_hash
+        LEFT JOIN swb s ON l.tx_hash = s.tx_hash
+        LEFT JOIN unpriced u ON l.tx_hash = u.tx_hash)
+      SELECT tx_hash, block_number, eoa, n_liq, n_liq_swaps,
+        revenue_usd, gas_usd,
+        ${sqlGateProfit("revenue_usd - gas_usd", "priced")} AS profit_usd,
+        ${sqlGateFlag("revenue_usd - gas_usd", "priced")} AS has_dex_price
+      FROM liqbase ORDER BY tx_hash"""))
+
+  /** The per-tx searcher-activity core (searcher_activity.rs:54-138):
+    * only txs from a LABELED searcher EOA with ≥1 transfer become
+    * SearcherTx bundles; profit passes the same priced gate + clamp. */
+  private[graft] def searcherTxOf(actionsDf: DataFrame, headers: DataFrame,
+      searchersDf: DataFrame): DataFrame = {
+    val xfers = actionsDf.filter(col("action_type") === "transfer")
+      .groupBy("tx_hash").agg(count(lit(1)).as("n_transfers"))
+    val unp = unpricedTxs(actionsDf).withColumn("unp", lit(1))
+    pricedProfitGate(
+      xfers.join(headers, "tx_hash")
+        .join(broadcast(searchersDf.withColumnRenamed("s_eoa", "eoa")), Seq("eoa"))
+        .join(unp, Seq("tx_hash"), "left")
+        .withColumn("priced", when(col("unp").isNull, 1).otherwise(0))
+        .drop("unp"))
+      .select("tx_hash", "block_number", "eoa", "n_transfers",
+        "revenue_usd", "gas_usd", "profit_usd", "has_dex_price")
+  }
+
+  /** Q8 (bundle form): the per-tx SearcherTx emission with the priced
+    * gate, alongside the q8_searcher_activity per-EOA rollup. The
+    * searcher label set is a broadcast dimension (J1's lookup shape). */
+  private val q8SearcherTx = QueryDef(
+    "q8_searcher_tx",
+    (s, dir) => searcherTxOf(actionsTable(s, dir), bundleHeaders(s, dir),
+      ChainFixture.searchers(s)).orderBy("tx_hash"),
+    withCtes(s"""xfers AS (
+        SELECT tx_hash, COUNT(*) AS n_transfers FROM actions
+        WHERE action_type = 'transfer' GROUP BY 1),
+      unpriced AS (
+        SELECT DISTINCT tx_hash FROM actions
+        WHERE (token_in_id IS NOT NULL AND dec_in IS NULL)
+           OR (token_out_id IS NOT NULL AND dec_out IS NULL)),
+      searchers3 AS $searchersCteBody,
+      stxbase AS (
+        SELECT x.tx_hash, h.block_number, h.eoa, x.n_transfers,
+          h.revenue_usd, h.gas_usd,
+          CASE WHEN u.tx_hash IS NULL THEN 1 ELSE 0 END AS priced
+        FROM xfers x JOIN header h ON x.tx_hash = h.tx_hash
+        JOIN searchers3 s ON h.eoa = s.s_eoa
+        LEFT JOIN unpriced u ON x.tx_hash = u.tx_hash)
+      SELECT tx_hash, block_number, eoa, n_transfers, revenue_usd, gas_usd,
+        ${sqlGateProfit("revenue_usd - gas_usd", "priced")} AS profit_usd,
+        ${sqlGateFlag("revenue_usd - gas_usd", "priced")} AS has_dex_price
+      FROM stxbase ORDER BY tx_hash"""))
 
   /** Q2: atomic arbitrage — cyclic continuous swap paths classified
     * Triangle / CrossPair / Stablecoin / LongTail (backrun.rs:54), PnL from

@@ -573,4 +573,98 @@ class GoldenScenarioSpec extends SparkTestBase {
     assert(out.map(_.getAs[String]("pool")).toSeq == Seq("P", "Q"))
     assert(out.forall(_.getAs[Long]("n_victims") == 1L))
   }
+
+  // actions-shaped rows for the liquidation / searcher-tx bundle cores
+  // (liquidations.rs:76-156, searcher_activity.rs:54-138):
+  // (tx_hash, action_type, amount_in, amount_out, tok_in, tok_out,
+  //  dec_in, dec_out) — a None decimal marks the token unpriceable (C9)
+  private def bundleActsOf(
+      rows: (String, String, Double, Double, Option[Long], Option[Long],
+        Option[Int], Option[Int])*): DataFrame =
+    rows.toDF("tx_hash", "action_type", "amount_in", "amount_out",
+      "token_in_id", "token_out_id", "dec_in", "dec_out")
+
+  // A3-header-shaped rows: (tx_hash, block, eoa, revenue_usd, gas_usd)
+  private def headersOf(
+      rows: (String, Long, String, Double, Double)*): DataFrame =
+    rows.toDF("tx_hash", "block_number", "eoa", "revenue_usd", "gas_usd")
+
+  private def liqOf(acts: DataFrame, hdr: DataFrame) =
+    InspectorOps.liquidationBundlesOf(acts, hdr).collect()
+
+  test("aave_liquidation: a priced liq tx yields one bundle, profit = rev − gas") {
+    val out = liqOf(
+      bundleActsOf(
+        ("L", "liquidation", 10.0, 9.0, Some(3L), Some(4L), Some(18), Some(18)),
+        ("L", "swap", 5.0, 4.5, Some(3L), Some(4L), Some(18), Some(18)),
+        ("L", "swap", 2.0, 1.8, Some(4L), Some(3L), Some(18), Some(18))),
+      headersOf(("L", 7L, "liquidator", 2865.5, 2793.9)))
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_liq") == 1 && r.getAs[Long]("n_liq_swaps") == 2)
+    assert(math.abs(r.getAs[Double]("profit_usd") - 71.6) < 1e-9)
+    assert(r.getAs[Int]("has_dex_price") == 1)
+  }
+
+  test("liquidation_not: a tx with swaps but no liquidation event is no bundle") {
+    val out = liqOf(
+      bundleActsOf(("S", "swap", 5.0, 4.5, Some(3L), Some(4L), Some(18), Some(18))),
+      headersOf(("S", 7L, "eoa1", 100.0, 1.0)))
+    assert(out.isEmpty) // liquidations.rs:87-90: liqs.is_empty() → None
+  }
+
+  test("liquidation unpriced: an unknown-decimals token zeroes the profit") {
+    val out = liqOf(
+      bundleActsOf(
+        ("L", "liquidation", 10.0, 9.0, Some(3L), Some(40L), Some(18), None)),
+      headersOf(("L", 7L, "liquidator", 500.0, 10.0)))
+    assert(out.length == 1) // the bundle still emits (rev falls to Zero)…
+    assert(out.head.getAs[Double]("profit_usd") == 0.0) // …but unpriced
+    assert(out.head.getAs[Int]("has_dex_price") == 0)
+  }
+
+  test("profit clamp: |profit| at or past 15M is a pricing artifact → zeroed") {
+    def one(rev: Double, gas: Double) = liqOf(
+      bundleActsOf(("L", "liquidation", 1.0, 1.0, Some(3L), Some(4L), Some(18), Some(18))),
+      headersOf(("L", 7L, "e", rev, gas))).head
+    val hi = one(2.0e7, 100.0) // ≥ MAX_PROFIT (mod.rs:12)
+    assert(hi.getAs[Double]("profit_usd") == 0.0 && hi.getAs[Int]("has_dex_price") == 0)
+    val lo = one(-1.6e7, 100.0) // ≤ MIN_PROFIT (mod.rs:13)
+    assert(lo.getAs[Double]("profit_usd") == 0.0 && lo.getAs[Int]("has_dex_price") == 0)
+    val edge = one(1.5e7, 0.0) // boundary inclusive: >= zeroes
+    assert(edge.getAs[Double]("profit_usd") == 0.0 && edge.getAs[Int]("has_dex_price") == 0)
+    val under = one(1.5e7 - 1.0, 0.0) // one dollar inside survives
+    assert(under.getAs[Double]("profit_usd") == 1.5e7 - 1.0 &&
+      under.getAs[Int]("has_dex_price") == 1)
+  }
+
+  test("searcher_tx: only labeled EOAs with transfers emit bundles") {
+    val acts = bundleActsOf(
+      ("T1", "transfer", 5.0, 5.0, Some(3L), None, Some(18), None),
+      ("T1", "transfer", 2.0, 2.0, Some(4L), None, Some(18), None),
+      ("T2", "transfer", 5.0, 5.0, Some(3L), None, Some(18), None),
+      ("T3", "swap", 5.0, 4.5, Some(3L), Some(4L), Some(18), Some(18)))
+    val hdr = headersOf(
+      ("T1", 7L, "searcher1", 120.0, 20.0), // labeled + transfers → bundle
+      ("T2", 7L, "normie", 120.0, 20.0), //    unlabeled → dropped
+      ("T3", 7L, "searcher1", 120.0, 20.0)) // no transfers → dropped
+    val out = InspectorOps.searcherTxOf(acts, hdr,
+      Seq("searcher1").toDF("s_eoa")).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("tx_hash") == "T1" && r.getAs[Long]("n_transfers") == 2)
+    assert(math.abs(r.getAs[Double]("profit_usd") - 100.0) < 1e-9)
+    assert(r.getAs[Int]("has_dex_price") == 1)
+  }
+
+  test("searcher_tx loser: a labeled searcher's losing tx stays a bundle") {
+    // searcher_activity has no profitability arm — the label IS the gate
+    val out = InspectorOps.searcherTxOf(
+      bundleActsOf(("T", "transfer", 5.0, 5.0, Some(3L), None, Some(18), None)),
+      headersOf(("T", 7L, "s1", 10.0, 90.0)),
+      Seq("s1").toDF("s_eoa")).collect()
+    assert(out.length == 1)
+    assert(math.abs(out.head.getAs[Double]("profit_usd") + 80.0) < 1e-9)
+    assert(out.head.getAs[Int]("has_dex_price") == 1)
+  }
 }
