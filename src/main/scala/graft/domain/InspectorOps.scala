@@ -40,7 +40,7 @@ object InspectorOps extends QueryModule {
     q8SearcherActivity, q1Sandwich, q5Jit, j7PoolOverlap, j8JitBracket,
     j9TriggerDomain, j10ComposerDedup, j10BundleDedup, j11JitSandwich,
     q9MevBlock, w3ShrinkLoop, q2ArbTree, q2RequirementArms, j6BracketW3,
-    a1DeltaDecimal, q7LiqBundles, q8SearcherTx)
+    a1DeltaDecimal, q7LiqBundles, q8SearcherTx, q9PossibleMev)
 
   private def withCtes(sql: String) = Some(s"WITH $sqlDomainCtes, $sql")
 
@@ -1569,6 +1569,121 @@ object InspectorOps extends QueryModule {
       LEFT JOIN arbblk a ON h.block_number = a.block_number
       JOIN blocks b ON h.block_number = b.block_number
       ORDER BY 1"""))
+
+  /** `DISCOVERY_PRIORITY_FEE_MULTIPLIER` (composer/mod.rs:58): a tx's
+    * priority fee must exceed the block mean by this many population
+    * std-devs to trigger discovery. */
+  val DiscoveryStdDevs = 2.0
+
+  /** The missed-MEV discovery core (`DiscoveryInspector.find_possible_mev`,
+    * discovery.rs:33-74, composed in composer/mod.rs:93-134): per-block
+    * mean + POPULATION std-dev over per-tx priority fees
+    * (tree/mod.rs:145-161); a tx becomes possible MEV when it made a
+    * coinbase transfer OR paid > mean + 2σ priority fee — `is_private` is
+    * REPORTED but never triggers alone (`was_triggered`,
+    * mev/block.rs:350-354); txs claimed by any classified bundle are
+    * removed (composer/mod.rs:118-127). Exact-decimal block sums keep the
+    * σ boundary engine-exact; `txs` carries one row per tx with
+    * priority_fee / is_private / coinbase_transfer, `claimed` the bundle
+    * tx-hash set. DataFrame-parameterized for the golden battery. */
+  private[graft] def possibleMevOf(txs: DataFrame, claimed: DataFrame): DataFrame = {
+    val stats = txs.groupBy(col("block_number").as("s_block"))
+      .agg(count(lit(1)).as("n_txs"),
+        dsum(col("priority_fee")).as("sum_pf"),
+        dsum(col("priority_fee") * col("priority_fee")).as("sum_pf2"))
+      .withColumn("avg_pf", col("sum_pf") / col("n_txs"))
+      .withColumn("sd_pf", sqrt(greatest(
+        col("sum_pf2") / col("n_txs") - col("avg_pf") * col("avg_pf"), lit(0.0))))
+      .select("s_block", "avg_pf", "sd_pf")
+    txs.join(stats, col("block_number") === col("s_block"))
+      .withColumn("high_priority_fee",
+        (col("priority_fee") > col("avg_pf") + lit(DiscoveryStdDevs) * col("sd_pf"))
+          .cast("int"))
+      .filter(col("coinbase_transfer") === 1 || col("high_priority_fee") === 1)
+      .join(claimed.select("tx_hash").distinct(), Seq("tx_hash"), "left_anti")
+      .select("block_number", "tx_idx", "tx_hash", "priority_fee",
+        "is_private", "coinbase_transfer", "high_priority_fee")
+  }
+
+  /** Q9 (possible-MEV surface): the MevBlock's `possible_mev` collection —
+    * unclaimed txs that look like missed MEV. Per-tx signals come off the
+    * trace scan (root-trace priority fee, any payment to the block
+    * beneficiary); the private-mempool label is a deterministic md5 draw
+    * (the reference reads an indexed-mempool dimension, metadata we model
+    * like the searcher label set). The claimed set unions every bundle's
+    * tx hashes — sandwich front/back/victims (sandwich.rs:137-142), JIT
+    * mint+burn, liquidations, arbs. Scale shape: block-keyed equi-joins
+    * only; the claimed side is a semi-join fed by the already-materialized
+    * bundle tables. */
+  private val q9PossibleMev = QueryDef(
+    "q9_possible_mev",
+    (s, dir) => {
+      val t = tracesTable(s, dir)
+      val b = blocks(s, dir).select(col("block_number").as("b_block"),
+        col("beneficiary"))
+      val perTx = t.join(broadcast(b), col("block_number") === col("b_block"))
+        .groupBy("block_number", "tx_idx", "tx_hash")
+        .agg(min_by(col("priority_fee"), col("trace_idx")).as("priority_fee"),
+          max(when(col("to_address") === col("beneficiary"), 1).otherwise(0))
+            .as("coinbase_transfer"))
+        .withColumn("is_private",
+          (substring(md5(concat(lit("priv:"), col("tx_hash"))), 1, 1) <= "3")
+            .cast("int"))
+      val sd = sandwiches(s, dir)
+      val victims = sd.select(col("wnd").as("s_wnd"), col("pool").as("s_pool"),
+          col("dir").as("s_dir"), col("eoa").as("s_eoa"),
+          col("front_ord"), col("back_ord"))
+        .join(windowed(swTx(s, dir)),
+          col("wnd") === col("s_wnd") && col("pool") === col("s_pool") &&
+            col("dir") === col("s_dir") && col("eoa") =!= col("s_eoa") &&
+            col("ord") > col("front_ord") && col("ord") < col("back_ord"))
+        .select("tx_hash")
+      val claimed = sd.select(col("front_tx").as("tx_hash"))
+        .unionByName(sd.select(col("back_tx").as("tx_hash")))
+        .unionByName(victims)
+        .unionByName(jitPairs(s, dir).select("tx_hash"))
+        .unionByName(jitPairs(s, dir).select(col("burn_tx").as("tx_hash")))
+        .unionByName(actionsTable(s, dir)
+          .filter(col("action_type") === "liquidation").select("tx_hash"))
+        .unionByName(arbs(s, dir).select("tx_hash"))
+      possibleMevOf(perTx, claimed).orderBy("tx_hash")
+    },
+    withCtes(s"""$sandwichCtes, $arbCte, $jitpCte,
+      pm_tx AS (
+        SELECT t.block_number, t.tx_idx, t.tx_hash,
+          ARG_MIN(t.priority_fee, t.trace_idx) AS priority_fee,
+          MAX(CASE WHEN t.to_address = b.beneficiary THEN 1 ELSE 0 END)
+            AS coinbase_transfer
+        FROM trace t JOIN blocks b ON t.block_number = b.block_number
+        GROUP BY 1, 2, 3),
+      pm_stat AS (
+        SELECT block_number AS s_block, COUNT(*) AS n_txs,
+          ${sqlSum("priority_fee")} AS sum_pf,
+          ${sqlSum("priority_fee * priority_fee")} AS sum_pf2
+        FROM pm_tx GROUP BY 1),
+      pm_claimed AS (
+        SELECT front_tx AS tx_hash FROM sand
+        UNION SELECT back_tx FROM sand
+        UNION SELECT v.tx_hash FROM sand sx JOIN sw_w v
+          ON v.wnd = sx.wnd AND v.pool = sx.pool AND v.dir = sx.dir
+         AND v.eoa <> sx.eoa AND v.ord > sx.front_ord AND v.ord < sx.back_ord
+        UNION SELECT tx_hash FROM jitp
+        UNION SELECT burn_tx FROM jitp
+        UNION SELECT DISTINCT tx_hash FROM actions WHERE action_type = 'liquidation'
+        UNION SELECT tx_hash FROM arb)
+      SELECT p.block_number, p.tx_idx, p.tx_hash, p.priority_fee,
+        CAST(substr(md5('priv:' || p.tx_hash), 1, 1) <= '3' AS INTEGER) AS is_private,
+        p.coinbase_transfer,
+        CAST(p.priority_fee > sum_pf / n_txs + $DiscoveryStdDevs *
+          sqrt(GREATEST(sum_pf2 / n_txs - (sum_pf / n_txs) * (sum_pf / n_txs),
+            0.0e0)) AS INTEGER) AS high_priority_fee
+      FROM pm_tx p JOIN pm_stat st ON p.block_number = st.s_block
+      WHERE (p.coinbase_transfer = 1
+             OR p.priority_fee > sum_pf / n_txs + $DiscoveryStdDevs *
+               sqrt(GREATEST(sum_pf2 / n_txs - (sum_pf / n_txs) * (sum_pf / n_txs),
+                 0.0e0)))
+        AND p.tx_hash NOT IN (SELECT tx_hash FROM pm_claimed)
+      ORDER BY p.tx_hash"""))
 
   /** W3: the bounded shrink loop's per-round yield — how many verified
     * sandwiches were found at each shrink depth (0 = no shrink needed).

@@ -657,6 +657,60 @@ class GoldenScenarioSpec extends SparkTestBase {
     assert(r.getAs[Int]("has_dex_price") == 1)
   }
 
+  // per-tx discovery rows (discovery.rs:33-74):
+  // (block, tx_idx, tx_hash, priority_fee, is_private, coinbase_transfer)
+  private def pmTxOf(rows: (Long, Long, String, Long, Int, Int)*): DataFrame =
+    rows.toDF("block_number", "tx_idx", "tx_hash", "priority_fee",
+      "is_private", "coinbase_transfer")
+
+  private val noClaims = Seq.empty[String].toDF("tx_hash")
+
+  test("possible_mev: a 2-sigma priority-fee outlier triggers discovery") {
+    // 7 zero-fee txs + one at 70: mean 8.75, population sd 23.15,
+    // threshold 55.05 — only the outlier crosses it
+    val txs = pmTxOf((0L to 6L).map(i => (1L, i, s"t$i", 0L, 0, 0)) :+
+      (1L, 7L, "mev", 70L, 0, 0): _*)
+    val out = InspectorOps.possibleMevOf(txs, noClaims).collect()
+    assert(out.map(_.getAs[String]("tx_hash")).toSeq == Seq("mev"))
+    assert(out.head.getAs[Int]("high_priority_fee") == 1)
+  }
+
+  test("possible_mev: a coinbase transfer triggers regardless of fee") {
+    val txs = pmTxOf(
+      (1L, 0L, "bribe", 0L, 0, 1), // zero fee, paid the builder directly
+      (1L, 1L, "t1", 10L, 0, 0),
+      (1L, 2L, "t2", 10L, 0, 0))
+    val out = InspectorOps.possibleMevOf(txs, noClaims).collect()
+    assert(out.map(_.getAs[String]("tx_hash")).toSeq == Seq("bribe"))
+    assert(out.head.getAs[Int]("high_priority_fee") == 0)
+  }
+
+  test("possible_mev_not: private alone never triggers (was_triggered)") {
+    // mev/block.rs:350-354: coinbase || high fee — is_private is a
+    // reported flag, not a trigger
+    val txs = pmTxOf(
+      (1L, 0L, "priv", 10L, 1, 0),
+      (1L, 1L, "t1", 10L, 0, 0))
+    assert(InspectorOps.possibleMevOf(txs, noClaims).count() == 0)
+  }
+
+  test("possible_mev_not: a flat-fee block has no outliers") {
+    val txs = pmTxOf((0L to 4L).map(i => (1L, i, s"t$i", 100L, 0, 0)): _*)
+    assert(InspectorOps.possibleMevOf(txs, noClaims).count() == 0)
+  }
+
+  test("possible_mev: bundle-claimed txs are removed from the collection") {
+    // composer/mod.rs:118-127: every classified bundle's tx hashes drop
+    val txs = pmTxOf(
+      (1L, 0L, "claimed", 0L, 0, 1),
+      (1L, 1L, "free", 0L, 1, 1),
+      (1L, 2L, "t2", 5L, 0, 0))
+    val out = InspectorOps.possibleMevOf(txs,
+      Seq("claimed").toDF("tx_hash")).collect()
+    assert(out.map(_.getAs[String]("tx_hash")).toSeq == Seq("free"))
+    assert(out.head.getAs[Int]("is_private") == 1) // flag reported through
+  }
+
   test("searcher_tx loser: a labeled searcher's losing tx stays a bundle") {
     // searcher_activity has no profitability arm — the label IS the gate
     val out = InspectorOps.searcherTxOf(
