@@ -40,7 +40,7 @@ object InspectorOps extends QueryModule {
     q8SearcherActivity, q1Sandwich, q5Jit, j7PoolOverlap, j8JitBracket,
     j9TriggerDomain, j10ComposerDedup, j10BundleDedup, j11JitSandwich,
     q9MevBlock, w3ShrinkLoop, q2ArbTree, q2RequirementArms, j6BracketW3,
-    a1DeltaDecimal, q7LiqBundles, q8SearcherTx, q9PossibleMev)
+    a1DeltaDecimal, q7LiqBundles, q8SearcherTx, q9PossibleMev, q9BuilderPnl)
 
   private def withCtes(sql: String) = Some(s"WITH $sqlDomainCtes, $sql")
 
@@ -1684,6 +1684,201 @@ object InspectorOps extends QueryModule {
                  0.0e0)))
         AND p.tx_hash NOT IN (SELECT tx_hash FROM pm_claimed)
       ORDER BY p.tx_hash"""))
+
+  /** The builder/proposer block-PnL core (`calculate_builder_profit` +
+    * `pre_process`, composer/utils.rs:199-443), DataFrame-parameterized
+    * for the golden battery. Per block:
+    *   - totals over per-tx ROOT gas details: Σ gas_used,
+    *     Σ priority_fee·gas_used, Σ coinbase value (utils.rs:405-443)
+    *   - proposer payment: the block's LAST tx, when its root action is a
+    *     native transfer from the builder (or the ultrasound collateral
+    *     address — that match sets bid_adjusted) or to the proposer fee
+    *     recipient, pays its value to the proposer; otherwise the
+    *     relay-metadata fallback reward applies (utils.rs:307-332)
+    *   - sponsorship: builder→address transfers count only when that
+    *     address paid the builder MORE (priority fee + coinbase) than it
+    *     received, and never to the proposer recipient (utils.rs:359-403)
+    *   - builder_eth_profit = priority fees + bribes − sponsorship −
+    *     proposer reward (utils.rs:296-297)
+    *   - vertically-integrated searchers: bundle profit (SearcherTx-type
+    *     profit excluded) + gas tips from the builder's own searcher set
+    *     (utils.rs:334-357).
+    * Shapes: `perTx`(block_number, tx_idx, eoa, gas_used, priority_fee,
+    * coinbase_value), `ethXfer`(block_number, tx_idx, from_address,
+    * to_address, value, is_root), `meta`(block_number, beneficiary,
+    * proposer_recipient, fallback_reward, collateral), `bundles`
+    * (block_number, eoa, profit_usd, gas_paid, mev_type),
+    * `builderSearchers`(builder_addr, s_eoa). */
+  private[graft] def builderPnlOf(perTx: DataFrame, ethXfer: DataFrame,
+      bundles: DataFrame, meta: DataFrame, builderSearchers: DataFrame): DataFrame = {
+    val tot = perTx.groupBy("block_number")
+      .agg(sum(col("gas_used")).as("total_gas_used"),
+        sum(col("priority_fee") * col("gas_used")).as("total_priority_fee"),
+        sum(col("coinbase_value")).as("total_bribe"),
+        max(col("tx_idx")).as("last_idx"))
+    val lastX = ethXfer.filter(col("is_root") === 1)
+      .join(tot.select(col("block_number").as("l_block"), col("last_idx")),
+        col("block_number") === col("l_block") && col("tx_idx") === col("last_idx"))
+      .join(meta.select(col("block_number").as("m_block"), col("beneficiary"),
+          col("proposer_recipient").as("m_recipient"), col("collateral")),
+        col("block_number") === col("m_block"))
+      .filter(col("from_address") === col("beneficiary") ||
+        col("from_address") <=> col("collateral") ||
+        col("to_address") === col("m_recipient"))
+      .select(col("block_number").as("p_block"), col("value").as("tree_reward"),
+        col("to_address").as("tree_recipient"),
+        (col("from_address") <=> col("collateral")).cast("int").as("tree_adjusted"))
+    val prop = meta.join(lastX, col("block_number") === col("p_block"), "left")
+      .select(col("block_number"), col("beneficiary"), col("collateral"),
+        coalesce(col("tree_reward"), col("fallback_reward")).as("proposer_reward"),
+        coalesce(col("tree_recipient"), col("proposer_recipient")).as("proposer_recipient"),
+        coalesce(col("tree_adjusted"), lit(0)).as("bid_adjusted"))
+    val paidBy = perTx.groupBy(col("block_number").as("g_block"), col("eoa"))
+      .agg((sum(col("priority_fee")) + sum(col("coinbase_value"))).as("total_paid"))
+    val spons = ethXfer
+      .join(prop.select(col("block_number").as("s_block"),
+          col("beneficiary").as("s_builder"),
+          col("proposer_recipient").as("s_recipient")),
+        col("block_number") === col("s_block"))
+      .filter(col("from_address") === col("s_builder") &&
+        col("to_address") =!= col("s_recipient"))
+      .join(paidBy, col("block_number") === col("g_block") &&
+        col("to_address") === col("eoa"), "left")
+      .withColumn("amt", when(coalesce(col("total_paid"), lit(0L)) > col("value"),
+        col("value")).otherwise(lit(0L)))
+      .groupBy(col("block_number").as("x_block"))
+      .agg(sum(col("amt")).as("sponsorship"))
+    val vert = bundles
+      .join(meta.select(col("block_number").as("v_block"),
+          col("beneficiary").as("v_builder")),
+        col("block_number") === col("v_block"))
+      .join(builderSearchers, col("builder_addr") === col("v_builder") &&
+        col("s_eoa") === col("eoa"), "left_semi")
+      .groupBy(col("block_number").as("b_block"))
+      .agg(dsumR(when(col("mev_type") =!= "searcher_tx", col("profit_usd"))
+          .otherwise(lit(0.0))).as("builder_mev_profit_usd"),
+        dsumR(col("gas_paid")).as("searcher_tip_usd"))
+    prop.join(tot.drop("last_idx"), Seq("block_number"))
+      .join(spons, col("block_number") === col("x_block"), "left")
+      .join(vert, col("block_number") === col("b_block"), "left")
+      .select(col("block_number"), col("beneficiary"), col("total_gas_used"),
+        col("total_priority_fee"), col("total_bribe"),
+        col("proposer_reward"), col("proposer_recipient"), col("bid_adjusted"),
+        coalesce(col("sponsorship"), lit(0L)).as("sponsorship"),
+        (col("total_priority_fee") + col("total_bribe") -
+          coalesce(col("sponsorship"), lit(0L)) - col("proposer_reward"))
+          .as("builder_eth_profit"),
+        coalesce(col("builder_mev_profit_usd"), lit(0.0)).as("builder_mev_profit_usd"),
+        coalesce(col("searcher_tip_usd"), lit(0.0)).as("searcher_tip_usd"))
+  }
+
+  /** Q9 (builder PnL surface): the MevBlock header's builder/proposer
+    * economics over the fixture chain. Root gas details come off the
+    * trace scan (root-trace fee, coinbase value = the builder-payment
+    * frame's q6); relay metadata is a deterministic per-block dimension
+    * (the reference reads mev-boost relay data — the fixture has no
+    * builder-originated native transfers, so the proposer reward always
+    * takes the relay-fallback arm and sponsorship is structurally zero;
+    * the tree-payment, bid-adjustment, and sponsorship-gating arms are
+    * pinned by the golden battery). Vertically-integrated searcher PnL
+    * attributes each block's typed bundles (j10's candidate set × A3
+    * header) to the builder owning that searcher EOA. All joins are
+    * block-keyed equi-joins; dimensions broadcast. */
+  private val q9BuilderPnl = QueryDef(
+    "q9_builder_pnl",
+    (s, dir) => {
+      val t = tracesTable(s, dir)
+      val b = blocks(s, dir)
+      val perTx = t.join(broadcast(b.select(col("block_number").as("bb"),
+          col("beneficiary").as("ben"))), col("block_number") === col("bb"))
+        .groupBy(col("block_number"), col("tx_idx"),
+          col("from_address").as("eoa"))
+        .agg(min_by(col("gas_used"), col("trace_idx")).as("gas_used"),
+          min_by(col("priority_fee"), col("trace_idx")).as("priority_fee"),
+          sum(when(col("to_address") === col("ben"), col("q6").cast("long"))
+            .otherwise(lit(0L))).as("coinbase_value"))
+      val meta = b.select(col("block_number"), col("beneficiary"),
+        md5(concat(lit("proposer:"), col("block_number") % 8)).as("proposer_recipient"),
+        ((col("block_number") % 97 + 1) * 1000000L).as("fallback_reward"),
+        lit(null).cast("string").as("collateral"))
+      val hdr = bundleHeaders(s, dir)
+      val cand = jitPairs(s, dir).select(col("tx_hash"),
+          lit("jit").as("mev_type"))
+        .unionByName(actionsTable(s, dir)
+          .filter(col("action_type") === "liquidation")
+          .select("tx_hash").distinct()
+          .withColumn("mev_type", lit("liquidation")))
+        .unionByName(arbs(s, dir).select(col("tx_hash"),
+          lit("arb").as("mev_type")))
+      val bundles = cand.join(hdr, "tx_hash")
+        .select(col("block_number"), col("eoa"), col("profit_usd"),
+          col("gas_usd").as("gas_paid"), col("mev_type"))
+      val bs = s.range(NumSearchers).select(
+        md5(concat(lit("builder:"), col("id") % NumBuilders)).as("builder_addr"),
+        md5(concat(lit("eoa:"), col("id"))).as("s_eoa"))
+      val ethXfer = s.emptyDataFrame
+        .select(lit(0L).as("block_number"), lit(0L).as("tx_idx"),
+          lit("").as("from_address"), lit("").as("to_address"),
+          lit(0L).as("value"), lit(0).as("is_root")).limit(0)
+      builderPnlOf(perTx, ethXfer, bundles, meta, broadcast(bs))
+        .orderBy("block_number")
+    },
+    withCtes(s"""$arbCte, $jitpCte,
+      bp_tx AS (
+        SELECT t.block_number, t.tx_idx, t.from_address AS eoa,
+          ARG_MIN(t.gas_used, t.trace_idx) AS gas_used,
+          ARG_MIN(t.priority_fee, t.trace_idx) AS priority_fee,
+          SUM(CASE WHEN t.to_address = b.beneficiary THEN t.q6 ELSE 0 END)
+            AS coinbase_value
+        FROM trace t JOIN blocks b ON t.block_number = b.block_number
+        GROUP BY 1, 2, 3),
+      bp_tot AS (
+        SELECT block_number,
+          CAST(SUM(gas_used) AS BIGINT) AS total_gas_used,
+          CAST(SUM(priority_fee * gas_used) AS BIGINT) AS total_priority_fee,
+          CAST(SUM(coinbase_value) AS BIGINT) AS total_bribe
+        FROM bp_tx GROUP BY 1),
+      bp_meta AS (
+        SELECT block_number, beneficiary,
+          md5('proposer:' || block_number % 8) AS proposer_recipient,
+          (block_number % 97 + 1) * 1000000 AS fallback_reward
+        FROM blocks),
+      bp_bundles AS (
+        SELECT h.block_number, h.eoa, h.profit_usd, h.gas_usd AS gas_paid,
+          c.mev_type
+        FROM (SELECT tx_hash, 'jit' AS mev_type FROM jitp
+              UNION ALL SELECT DISTINCT tx_hash, 'liquidation' FROM actions
+                WHERE action_type = 'liquidation'
+              UNION ALL SELECT tx_hash, 'arb' FROM arb) c
+        JOIN header h ON c.tx_hash = h.tx_hash),
+      bp_bs AS (
+        SELECT md5('builder:' || (i % $NumBuilders)) AS builder_addr,
+          md5('eoa:' || i) AS s_eoa
+        FROM range($NumSearchers) t(i)),
+      bp_vert AS (
+        SELECT bb.block_number,
+          ${sqlSumR("CASE WHEN bb.mev_type <> 'searcher_tx' THEN bb.profit_usd ELSE 0.0e0 END")}
+            AS builder_mev_profit_usd,
+          ${sqlSumR("bb.gas_paid")} AS searcher_tip_usd
+        FROM bp_bundles bb
+        JOIN bp_meta m ON bb.block_number = m.block_number
+        WHERE EXISTS (SELECT 1 FROM bp_bs s
+          WHERE s.builder_addr = m.beneficiary AND s.s_eoa = bb.eoa)
+        GROUP BY 1)
+      SELECT m.block_number, m.beneficiary, t.total_gas_used,
+        t.total_priority_fee, t.total_bribe,
+        CAST(m.fallback_reward AS BIGINT) AS proposer_reward,
+        m.proposer_recipient,
+        0 AS bid_adjusted,
+        CAST(0 AS BIGINT) AS sponsorship,
+        CAST(t.total_priority_fee + t.total_bribe - m.fallback_reward AS BIGINT)
+          AS builder_eth_profit,
+        COALESCE(v.builder_mev_profit_usd, 0.0e0) AS builder_mev_profit_usd,
+        COALESCE(v.searcher_tip_usd, 0.0e0) AS searcher_tip_usd
+      FROM bp_meta m
+      JOIN bp_tot t ON m.block_number = t.block_number
+      LEFT JOIN bp_vert v ON m.block_number = v.block_number
+      ORDER BY m.block_number"""))
 
   /** W3: the bounded shrink loop's per-round yield — how many verified
     * sandwiches were found at each shrink depth (0 = no shrink needed).

@@ -711,6 +711,85 @@ class GoldenScenarioSpec extends SparkTestBase {
     assert(out.head.getAs[Int]("is_private") == 1) // flag reported through
   }
 
+  // builder-PnL shapes (composer/utils.rs:199-443)
+  private def bpTxOf(rows: (Long, Long, String, Long, Long, Long)*): DataFrame =
+    rows.toDF("block_number", "tx_idx", "eoa", "gas_used", "priority_fee",
+      "coinbase_value")
+  private def bpXferOf(rows: (Long, Long, String, String, Long, Int)*): DataFrame =
+    rows.toDF("block_number", "tx_idx", "from_address", "to_address", "value",
+      "is_root")
+  private def bpMetaOf(rows: (Long, String, String, Long, Option[String])*): DataFrame =
+    rows.toDF("block_number", "beneficiary", "proposer_recipient",
+      "fallback_reward", "collateral")
+  private def bpBundlesOf(rows: (Long, String, Double, Double, String)*): DataFrame =
+    rows.toDF("block_number", "eoa", "profit_usd", "gas_paid", "mev_type")
+  private val noXfers = bpXferOf()
+  private val noBundles = bpBundlesOf()
+  private val noOwned = Seq.empty[(String, String)].toDF("builder_addr", "s_eoa")
+  private def pnlOf(perTx: DataFrame, xfer: DataFrame, bundles: DataFrame,
+      meta: DataFrame, owned: DataFrame) =
+    InspectorOps.builderPnlOf(perTx, xfer, bundles, meta, owned).collect().head
+
+  test("builder_pnl: relay fallback when the last tx pays no proposer") {
+    val r = pnlOf(
+      bpTxOf((1L, 0L, "a", 100L, 10L, 0L), (1L, 1L, "b", 200L, 5L, 50L)),
+      noXfers, noBundles,
+      bpMetaOf((1L, "bld", "prop", 500L, None)), noOwned)
+    assert(r.getAs[Long]("total_priority_fee") == 2000L) // Σ fee·gas
+    assert(r.getAs[Long]("total_bribe") == 50L)
+    assert(r.getAs[Long]("proposer_reward") == 500L) // utils.rs:269-273 fallback
+    assert(r.getAs[String]("proposer_recipient") == "prop")
+    assert(r.getAs[Int]("bid_adjusted") == 0)
+    assert(r.getAs[Long]("builder_eth_profit") == 2000L + 50L - 500L)
+  }
+
+  test("builder_pnl: the LAST tx's root transfer from the builder pays the proposer") {
+    val r = pnlOf(
+      bpTxOf((1L, 0L, "a", 100L, 10L, 0L), (1L, 1L, "b", 100L, 10L, 0L)),
+      bpXferOf(
+        (1L, 0L, "bld", "early", 999L, 1), // not the last tx — never counts
+        (1L, 1L, "bld", "actual_prop", 300L, 1)),
+      noBundles, bpMetaOf((1L, "bld", "prop", 500L, None)), noOwned)
+    assert(r.getAs[Long]("proposer_reward") == 300L)
+    assert(r.getAs[String]("proposer_recipient") == "actual_prop") // transfer.to
+    assert(r.getAs[Long]("builder_eth_profit") == 2000L - 300L)
+  }
+
+  test("builder_pnl: a collateral-address payment marks the bid ultrasound-adjusted") {
+    val r = pnlOf(
+      bpTxOf((1L, 0L, "a", 100L, 10L, 0L)),
+      bpXferOf((1L, 0L, "coll", "prop", 200L, 1)),
+      noBundles, bpMetaOf((1L, "bld", "prop", 500L, Some("coll"))), noOwned)
+    assert(r.getAs[Long]("proposer_reward") == 200L)
+    assert(r.getAs[Int]("bid_adjusted") == 1) // utils.rs:320 is_from_collateral
+  }
+
+  test("builder_pnl: sponsorship counts only net-positive refunds, never the proposer") {
+    val r = pnlOf(
+      bpTxOf((1L, 0L, "A", 10L, 100L, 0L), (1L, 1L, "B", 10L, 100L, 0L)),
+      bpXferOf(
+        (1L, 0L, "bld", "A", 40L, 0), //  A paid 100 > 40 → sponsored
+        (1L, 1L, "bld", "B", 500L, 0), // B paid 100 < 500 → not
+        (1L, 0L, "bld", "prop", 99L, 0)), // proposer recipient → ignored
+      noBundles, bpMetaOf((1L, "bld", "prop", 500L, None)), noOwned)
+    assert(r.getAs[Long]("sponsorship") == 40L)
+    assert(r.getAs[Long]("builder_eth_profit") == 2000L - 40L - 500L)
+  }
+
+  test("builder_pnl: vertically-integrated searchers tip profit, SearcherTx only gas") {
+    val r = pnlOf(
+      bpTxOf((1L, 0L, "a", 10L, 1L, 0L)),
+      noXfers,
+      bpBundlesOf(
+        (1L, "s1", 30.0, 5.0, "jit"), //         owned → profit + tip
+        (1L, "s1", 99.0, 7.0, "searcher_tx"), // owned → tip only (utils.rs:348-352)
+        (1L, "other", 88.0, 9.0, "arb")), //     unowned → neither
+      bpMetaOf((1L, "bld", "prop", 0L, None)),
+      Seq(("bld", "s1")).toDF("builder_addr", "s_eoa"))
+    assert(math.abs(r.getAs[Double]("builder_mev_profit_usd") - 30.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("searcher_tip_usd") - 12.0) < 1e-9)
+  }
+
   test("searcher_tx loser: a labeled searcher's losing tx stays a bundle") {
     // searcher_activity has no profitability arm — the label IS the gate
     val out = InspectorOps.searcherTxOf(
