@@ -40,7 +40,8 @@ object InspectorOps extends QueryModule {
     q8SearcherActivity, q1Sandwich, q5Jit, j7PoolOverlap, j8JitBracket,
     j9TriggerDomain, j10ComposerDedup, j10BundleDedup, j11JitSandwich,
     q9MevBlock, w3ShrinkLoop, q2ArbTree, q2RequirementArms, j6BracketW3,
-    a1DeltaDecimal, q7LiqBundles, q8SearcherTx, q9PossibleMev, q9BuilderPnl)
+    a1DeltaDecimal, q7LiqBundles, q8SearcherTx, q9PossibleMev, q9BuilderPnl,
+    q9MevCount)
 
   private def withCtes(sql: String) = Some(s"WITH $sqlDomainCtes, $sql")
 
@@ -1879,6 +1880,94 @@ object InspectorOps extends QueryModule {
       JOIN bp_tot t ON m.block_number = t.block_number
       LEFT JOIN bp_vert v ON m.block_number = v.block_number
       ORDER BY m.block_number"""))
+
+  /** The composer's final bundle filter + count (`filter_and_count_bundles`,
+    * composer/utils.rs:149-180): Sandwich and AtomicArb bundles survive
+    * only when profitable OR when no pricing was calculated (the
+    * unpriced-token arm — a loss that might be a pricing artifact is
+    * kept for review); every other MEV type passes unfiltered. Input rows
+    * carry (mev_type, profit_usd, no_pricing); output is the MevCount
+    * table per type. DataFrame-parameterized for the golden battery. */
+  private[graft] def filterCountBundlesOf(bundles: DataFrame): DataFrame =
+    bundles.withColumn("kept",
+        when(col("mev_type").isin("sandwich", "arb"),
+          (col("profit_usd") > 0) || col("no_pricing") === 1)
+          .otherwise(lit(true)))
+      .groupBy("mev_type")
+      .agg(count(lit(1)).as("n_raw"),
+        sum(col("kept").cast("long")).as("n_final"),
+        dsumR(when(col("kept"), col("profit_usd")).otherwise(lit(0.0)))
+          .as("sum_profit_final"))
+      .orderBy("mev_type")
+
+  /** Q9 (MevCount surface): the filtered per-type bundle census feeding
+    * the MevBlock header. Sandwich profit is the front+back header PnL;
+    * a bundle is unpriced when any of its txs touches a quarantined
+    * token (the has_dex_price analog of `no_pricing_calculated`). */
+  private val q9MevCount = QueryDef(
+    "q9_mev_count",
+    (s, dir) => {
+      val hdr = bundleHeaders(s, dir)
+        .select(col("tx_hash"), col("profit_usd"))
+      val unp = unpricedTxs(actionsTable(s, dir)).withColumn("unp", lit(1))
+      def flag(df: DataFrame, tx: String): DataFrame = df
+        .join(unp.select(col("tx_hash").as(s"u_$tx"), col("unp").as(s"unp_$tx")),
+          col(tx) === col(s"u_$tx"), "left")
+      val sand = flag(flag(sandwiches(s, dir)
+          .join(hdr.select(col("tx_hash").as("front_tx"),
+            col("profit_usd").as("front_profit")), "front_tx")
+          .join(hdr.select(col("tx_hash").as("back_tx"),
+            col("profit_usd").as("back_profit")), "back_tx"),
+          "front_tx"), "back_tx")
+        .select(lit("sandwich").as("mev_type"),
+          (col("front_profit") + col("back_profit")).as("profit_usd"),
+          (coalesce(col("unp_front_tx"), lit(0)) +
+            coalesce(col("unp_back_tx"), lit(0)) > 0).cast("int").as("no_pricing"))
+      def perTx(src: DataFrame, t: String): DataFrame = src
+        .join(hdr, "tx_hash")
+        .join(unp.select(col("tx_hash"), col("unp")), Seq("tx_hash"), "left")
+        .select(lit(t).as("mev_type"), col("profit_usd"),
+          coalesce(col("unp"), lit(0)).as("no_pricing"))
+      val arb = perTx(arbs(s, dir).select("tx_hash"), "arb")
+      val jit = perTx(jitPairs(s, dir).select("tx_hash"), "jit")
+      val liq = perTx(actionsTable(s, dir)
+        .filter(col("action_type") === "liquidation")
+        .select("tx_hash").distinct(), "liquidation")
+      filterCountBundlesOf(sand.unionByName(arb).unionByName(jit).unionByName(liq))
+    },
+    withCtes(s"""$sandwichCtes, $arbCte, $jitpCte,
+      fc_unp AS (
+        SELECT DISTINCT tx_hash FROM actions
+        WHERE (token_in_id IS NOT NULL AND dec_in IS NULL)
+           OR (token_out_id IS NOT NULL AND dec_out IS NULL)),
+      fc_bundles AS (
+        SELECT 'sandwich' AS mev_type,
+          hf.profit_usd + hb.profit_usd AS profit_usd,
+          CASE WHEN uf.tx_hash IS NOT NULL OR ub.tx_hash IS NOT NULL
+            THEN 1 ELSE 0 END AS no_pricing
+        FROM sand s2
+        JOIN header hf ON s2.front_tx = hf.tx_hash
+        JOIN header hb ON s2.back_tx = hb.tx_hash
+        LEFT JOIN fc_unp uf ON s2.front_tx = uf.tx_hash
+        LEFT JOIN fc_unp ub ON s2.back_tx = ub.tx_hash
+        UNION ALL
+        SELECT t.mev_type, h.profit_usd,
+          CASE WHEN u.tx_hash IS NOT NULL THEN 1 ELSE 0 END
+        FROM (SELECT tx_hash, 'arb' AS mev_type FROM arb
+              UNION ALL SELECT tx_hash, 'jit' FROM jitp
+              UNION ALL SELECT DISTINCT tx_hash, 'liquidation' FROM actions
+                WHERE action_type = 'liquidation') t
+        JOIN header h ON t.tx_hash = h.tx_hash
+        LEFT JOIN fc_unp u ON t.tx_hash = u.tx_hash)
+      SELECT mev_type, COUNT(*) AS n_raw,
+        CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+        ${sqlSumR("CASE WHEN kept THEN profit_usd ELSE 0.0e0 END")}
+          AS sum_profit_final
+      FROM (SELECT *,
+        CASE WHEN mev_type IN ('sandwich', 'arb')
+          THEN profit_usd > 0 OR no_pricing = 1 ELSE true END AS kept
+        FROM fc_bundles)
+      GROUP BY 1 ORDER BY 1"""))
 
   /** W3: the bounded shrink loop's per-round yield — how many verified
     * sandwiches were found at each shrink depth (0 = no shrink needed).

@@ -790,6 +790,25 @@ class GoldenScenarioSpec extends SparkTestBase {
     assert(math.abs(r.getAs[Double]("searcher_tip_usd") - 12.0) < 1e-9)
   }
 
+  test("mev_count filter: losing sandwiches/arbs drop unless unpriced; others pass") {
+    // composer/utils.rs:158-165: Sandwich|AtomicArb keep iff
+    // profit_usd > 0 || no_pricing_calculated; every other type passes
+    val bundles = Seq(
+      ("sandwich", 10.0, 0), //  profitable → kept
+      ("sandwich", -5.0, 0), //  loser, priced → dropped
+      ("sandwich", -5.0, 1), //  loser, UNPRICED → kept for review
+      ("arb", 0.0, 0), //        zero profit is not profit → dropped
+      ("jit", -9.0, 0), //       filter never applies → kept
+      ("liquidation", -9.0, 0))
+      .toDF("mev_type", "profit_usd", "no_pricing")
+    val out = InspectorOps.filterCountBundlesOf(bundles).collect()
+      .map(r => r.getAs[String]("mev_type") ->
+        (r.getAs[Long]("n_raw"), r.getAs[Long]("n_final"))).toMap
+    assert(out("sandwich") == (3L, 2L))
+    assert(out("arb") == (1L, 0L))
+    assert(out("jit") == (1L, 1L) && out("liquidation") == (1L, 1L))
+  }
+
   test("searcher_tx loser: a labeled searcher's losing tx stays a bundle") {
     // searcher_activity has no profitability arm — the label IS the gate
     val out = InspectorOps.searcherTxOf(
