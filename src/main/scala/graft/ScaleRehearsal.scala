@@ -73,7 +73,11 @@ object ScaleRehearsal {
     "q3_merge_swaps",
     // round 10, session 3: the new sketches — constant-size summaries
     // whose build pass must stay a linear scan at 10× corpus
-    "sk3_hll_distinct", "sk4_cms_topk")
+    "sk3_hll_distinct", "sk4_cms_topk",
+    // round 10, session 4: the inspector bundle/census surfaces — all
+    // block-keyed equi-joins that must stay linear in the chain length
+    "q7_liq_bundles", "q8_searcher_tx", "q9_possible_mev",
+    "q9_builder_pnl", "q9_mev_count")
 
   /** sf10 probe (VERDICT r9 #8): the five heaviest, at 100× sf0.1 — the
     * 100×-claims check a 10× rehearsal can't make. The pool-state fold is
