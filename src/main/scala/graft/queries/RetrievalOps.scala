@@ -31,8 +31,19 @@ object RetrievalOps extends QueryModule {
 
   /** (q_doc, cand, bm25) — snapped BM25 score of every candidate document
     * for every query document (candidates sharing ≥1 term; q itself
-    * excluded). */
+    * excluded). rt1 ranks it and rt2 fuses it with the vector ranking, so
+    * the corpus-sized tf/df build runs ONCE per (JVM, dir) and both
+    * consumers read the compact score table — the d4 verified-edge
+    * persisted-intermediate pattern (a narrow derived table, not a cached
+    * full-width scan, so column pruning is unaffected). */
   private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+    import graft.domain.ChainFixture
+    ChainFixture.materializeWith(s,
+      s"${ChainFixture.matRoot(s)}_bm25_${ChainFixture.dirKey(dir)}")(
+      p => computeBm25Scores(s, dir).write.mode("overwrite").parquet(p))
+  }
+
+  private def computeBm25Scores(s: SparkSession, dir: String): DataFrame = {
     val tf = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
