@@ -39,6 +39,21 @@ object SketchOps extends QueryModule {
 
   private val KmvK = 64
 
+  /** Distinct (source, shingle, md5) — sk1 and sk3 summarize exactly this
+    * stream, so the corpus explode + distinct runs ONCE per (JVM, dir)
+    * and both sketches read the compact table (the d4/BM25
+    * persisted-intermediate pattern; a narrow derived table, so pruning
+    * is unaffected). */
+  private def distinctShingleHashes(
+      s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import graft.domain.ChainFixture
+    ChainFixture.materializeWith(s,
+      s"${ChainFixture.matRoot(s)}_skshingle_${ChainFixture.dirKey(dir)}")(
+      p => shingleHashes(s, dir).select(col("source"), col("sh")).distinct()
+        .withColumn("h", md5(col("sh")))
+        .write.mode("overwrite").parquet(p))
+  }
+
   /** Distinct word-3-gram shingles per source with their md5 — the input
     * stream both sketches summarize. */
   private def shingleHashes(s: org.apache.spark.sql.SparkSession, dir: String) =
@@ -66,9 +81,7 @@ object SketchOps extends QueryModule {
   private val kmvDistinct = QueryDef(
     "sk1_kmv_distinct",
     (s, dir) => {
-      val sh = shingleHashes(s, dir)
-        .select(col("source"), col("sh")).distinct()
-        .withColumn("h", md5(col("sh")))
+      val sh = distinctShingleHashes(s, dir)
       val exact = sh.groupBy("source").agg(count(lit(1)).as("exact_distinct"))
       val kth = sh
         .withColumn("rk", row_number().over(
@@ -127,9 +140,7 @@ object SketchOps extends QueryModule {
   private val hllDistinct = QueryDef(
     "sk3_hll_distinct",
     (s, dir) => {
-      val sh = shingleHashes(s, dir)
-        .select(col("source"), col("sh")).distinct()
-        .withColumn("h", md5(col("sh")))
+      val sh = distinctShingleHashes(s, dir)
       val exact = sh.groupBy("source").agg(count(lit(1)).as("exact_distinct"))
       val regs = sh
         .withColumn("bucket", expr(nibbleVal(1, 2)))
