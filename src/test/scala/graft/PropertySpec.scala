@@ -144,4 +144,51 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  private case class PmTx(block: Long, idx: Long, pf: Long,
+    priv: Int, cb: Int, claimed: Boolean)
+  private val pmGen: Gen[List[PmTx]] = for {
+    nb <- Gen.chooseNum(1, 5)
+    blocks <- Gen.sequence[List[List[PmTx]], List[PmTx]]((0 until nb).toList.map { b =>
+      for {
+        nt <- Gen.chooseNum(1, 30)
+        txs <- Gen.sequence[List[PmTx], PmTx]((0 until nt).toList.map { i =>
+          for {
+            pf <- Gen.chooseNum(0L, 1000L)
+            priv <- Gen.frequency((7, Gen.const(0)), (3, Gen.const(1)))
+            cb <- Gen.frequency((9, Gen.const(0)), (1, Gen.const(1)))
+            cl <- Gen.frequency((8, Gen.const(false)), (2, Gen.const(true)))
+          } yield PmTx(b.toLong, i.toLong, pf, priv, cb, cl)
+        })
+      } yield txs
+    })
+  } yield blocks.flatten
+
+  test("possibleMevOf equals the direct 2-sigma reference (40 random workloads)") {
+    import spark.implicits._
+    for (seed <- 1 to 40) {
+      val txs = sample(pmGen, 4000L + seed)
+      val df = txs.map(t => (t.block, t.idx, s"t${t.block}_${t.idx}", t.pf,
+        t.priv, t.cb)).toDF("block_number", "tx_idx", "tx_hash",
+        "priority_fee", "is_private", "coinbase_transfer")
+      val claimed = txs.filter(_.claimed)
+        .map(t => s"t${t.block}_${t.idx}").toDF("tx_hash")
+      val got = graft.domain.InspectorOps.possibleMevOf(df, claimed)
+        .select("tx_hash", "high_priority_fee").collect()
+        .map(r => (r.getString(0), r.getInt(1))).sorted.toSeq
+      // driver reference: exact long sums (the decimal sums are exact on
+      // integer fees) → identical double mean/σ arithmetic
+      val expect = txs.groupBy(_.block).toSeq.flatMap { case (_, rows) =>
+        val n = rows.length.toDouble
+        val mean = rows.map(_.pf).sum / n
+        val sd = math.sqrt(math.max(
+          rows.map(t => t.pf * t.pf).sum / n - mean * mean, 0.0))
+        rows.filter(t => !t.claimed)
+          .map(t => (t, if (t.pf > mean + 2.0 * sd) 1 else 0))
+          .filter { case (t, hi) => t.cb == 1 || hi == 1 }
+          .map { case (t, hi) => (s"t${t.block}_${t.idx}", hi) }
+      }.sorted
+      assert(got == expect, s"seed=$seed")
+    }
+  }
 }
