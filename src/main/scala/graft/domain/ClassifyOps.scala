@@ -35,8 +35,58 @@ object ClassifyOps extends QueryModule {
   private def withCtes(sql: String) = Some(s"WITH $sqlCtes $sql")
 
   def defs: Seq[QueryDef] = Seq(c1DecodeSwap, c2Dispatch, c3Discovery,
-    c4TransferDecode, c5MultiframePair, c5BatchSolver, c5Aggregator,
-    c6TaxFixup, c7DupTransferPrune, c8Coinbase, c9MissingToken)
+    c3FactoryDecode, c4TransferDecode, c5MultiframePair, c5BatchSolver,
+    c5Aggregator, c6TaxFixup, c7DupTransferPrune, c8Coinbase, c9MissingToken)
+
+  /** C3 (byte-level discovery decode): the `discovery_impl!` pattern —
+    * factory `createPair(tokenA, tokenB)` calldata decoded from REAL
+    * packed bytes through the same codegen'd word expressions the C1
+    * family uses, then canonicalized by the reference's swap rule
+    * (token_a > token_b → swap, classifiers/uniswap/discovery.rs:10-14)
+    * into a NewPool row per deployment. Tokens ride the calldata in
+    * DEPLOY order (odd pools deploy reversed), so the swap arm is
+    * exercised on ~half the registry; the oracle recomputes the canonical
+    * pair from the pool dimension's SOURCE integer columns —
+    * decode-vs-ground-truth, the c1_ext_family pattern. One broadcast
+    * dimension scan, decode inside whole-stage codegen. */
+  private val c3FactoryDecode = QueryDef(
+    "c3_factory_decode",
+    (s, dir) => {
+      import graft.functions.AbiCalldata.{abi_selector, abi_word}
+      def word(c: org.apache.spark.sql.Column) = lpad(lower(hex(c)), 64, "0")
+      val dec = pools(s)
+        .withColumn("token_a", when(pmod(col("pool_id"), lit(2)) === 0,
+          col("t0_id")).otherwise(col("t1_id")))
+        .withColumn("token_b", when(pmod(col("pool_id"), lit(2)) === 0,
+          col("t1_id")).otherwise(col("t0_id")))
+        .withColumn("fsel", substring(md5(concat(lit("fac:"), col("protocol"))), 1, 8))
+        .withColumn("calldata",
+          unhex(concat(col("fsel"), word(col("token_a")), word(col("token_b")))))
+        .withColumn("dec_a", abi_word(col("calldata"), 0))
+        .withColumn("dec_b", abi_word(col("calldata"), 1))
+        .withColumn("sel_ok",
+          (abi_selector(col("calldata")) === col("fsel")).cast("long"))
+        .withColumn("tok0", least(col("dec_a"), col("dec_b")))
+        .withColumn("tok1", greatest(col("dec_a"), col("dec_b")))
+        .withColumn("deploy_swapped", (col("dec_a") > col("dec_b")).cast("long"))
+      dec.groupBy("protocol")
+        .agg(count(lit(1)).as("n_new_pools"),
+          sum(col("sel_ok")).as("n_sel_ok"),
+          sum(when(col("tok0") === least(col("t0_id"), col("t1_id")) &&
+            col("tok1") === greatest(col("t0_id"), col("t1_id")), 1L)
+            .otherwise(0L)).as("n_canonical_ok"),
+          sum(col("deploy_swapped")).as("n_deploy_swapped"),
+          sum(col("tok0") + col("tok1")).as("sum_token_ids"))
+        .orderBy("protocol")
+    },
+    withCtes(s"""SELECT protocol, COUNT(*) AS n_new_pools,
+        COUNT(*) AS n_sel_ok, COUNT(*) AS n_canonical_ok,
+        CAST(SUM(CASE WHEN
+            (CASE WHEN pool_id % 2 = 0 THEN t0_id ELSE t1_id END) >
+            (CASE WHEN pool_id % 2 = 0 THEN t1_id ELSE t0_id END)
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_deploy_swapped,
+        CAST(SUM(t0_id + t1_id) AS BIGINT) AS sum_token_ids
+      FROM pool GROUP BY 1 ORDER BY 1"""))
 
   /** C1: per-protocol decoded swap amounts — broadcast-join decode with
     * decimal scaling; NULL amounts mark the missing-token path. */
