@@ -41,7 +41,7 @@ object InspectorOps extends QueryModule {
     j9TriggerDomain, j10ComposerDedup, j10BundleDedup, j11JitSandwich,
     q9MevBlock, w3ShrinkLoop, q2ArbTree, q2RequirementArms, j6BracketW3,
     a1DeltaDecimal, q7LiqBundles, q8SearcherTx, q9PossibleMev, q9BuilderPnl,
-    q9MevCount)
+    q9MevCount, j11Composed)
 
   private def withCtes(sql: String) = Some(s"WITH $sqlDomainCtes, $sql")
 
@@ -1525,6 +1525,54 @@ object InspectorOps extends QueryModule {
         CAST(COUNT(DISTINCT block_number) AS BIGINT) AS n_blocks
       FROM (SELECT DISTINCT back_block AS block_number, eoa FROM brkt) b
       JOIN (SELECT DISTINCT block_number, eoa FROM jitp) j USING (block_number, eoa)"""))
+
+  /** The exact JitSandwich composition (`compose_sandwich_jit`,
+    * brontes-types/src/mev/jit_sandwich.rs:109-180 via the
+    * MEV_COMPOSABILITY_FILTER, composer_filters.rs:20-48): a sandwich and
+    * a JIT bundle compose when they SHARE A TX HASH — the composer's
+    * trigger is tx-hash overlap (`try_deduping_mev`,
+    * composer/utils.rs:124-147), then the mints/burns attach only at the
+    * sandwich positions whose hash matches the JIT's mint/burn tx
+    * (jit_sandwich.rs:135-155; a non-matching side attaches None, the
+    * composition still forms). Block/EOA overlap alone (the j11 census
+    * heuristic) is NOT enough. DataFrame-parameterized for the golden
+    * battery; inputs are sandwich-shaped ([[sandwichesOf]]) and
+    * jitPairs-shaped frames. */
+  private[graft] def composeJitSandwichOf(sand: DataFrame, jp: DataFrame): DataFrame =
+    sand.join(jp.select(col("tx_hash").as("mint_tx"),
+        col("burn_tx"), col("pool").as("jit_pool")),
+      col("front_tx") === col("mint_tx") || col("back_tx") === col("burn_tx") ||
+        col("front_tx") === col("burn_tx") || col("back_tx") === col("mint_tx"))
+      .select(col("back_block").as("block_number"), col("eoa"), col("pool"),
+        col("jit_pool"), col("front_tx"), col("back_tx"), col("n_victims"),
+        (col("front_tx") === col("mint_tx")).cast("int").as("mint_at_front"),
+        (col("back_tx") === col("burn_tx")).cast("int").as("burn_at_back"))
+
+  /** J11 (exact form): the tx-hash-matched JitSandwich compositions per
+    * block — with the attach-position split — alongside the
+    * j11_jit_sandwich block/EOA census. */
+  private val j11Composed = QueryDef(
+    "j11_composed",
+    (s, dir) => composeJitSandwichOf(sandwiches(s, dir), jitPairs(s, dir))
+      .groupBy("block_number")
+      .agg(count(lit(1)).as("n_composed"),
+        sum(col("n_victims")).as("n_victims"),
+        countDistinct(col("eoa")).as("n_eoas"),
+        sum(col("mint_at_front")).as("n_mint_at_front"),
+        sum(col("burn_at_back")).as("n_burn_at_back"))
+      .orderBy("block_number"),
+    withCtes(s"""$sandwichCtes, $jitpCte
+      SELECT s2.back_block AS block_number, COUNT(*) AS n_composed,
+        CAST(SUM(s2.n_victims) AS BIGINT) AS n_victims,
+        CAST(COUNT(DISTINCT s2.eoa) AS BIGINT) AS n_eoas,
+        CAST(SUM(CASE WHEN s2.front_tx = j.tx_hash THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_mint_at_front,
+        CAST(SUM(CASE WHEN s2.back_tx = j.burn_tx THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_burn_at_back
+      FROM sand s2 JOIN jitp j
+        ON s2.front_tx = j.tx_hash OR s2.back_tx = j.burn_tx
+        OR s2.front_tx = j.burn_tx OR s2.back_tx = j.tx_hash
+      GROUP BY 1 ORDER BY 1"""))
 
   /** Q9/A4: MevBlock rollup — per-block bundle counts by type + builder +
     * gas/profit totals (the composer's final block row). */

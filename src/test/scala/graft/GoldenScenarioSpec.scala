@@ -809,6 +809,33 @@ class GoldenScenarioSpec extends SparkTestBase {
     assert(out("jit") == (1L, 1L) && out("liquidation") == (1L, 1L))
   }
 
+  test("jit_sandwich composes on shared tx hashes with per-position attachment") {
+    // compose_sandwich_jit (jit_sandwich.rs:109-180): trigger is tx-hash
+    // overlap; mints/burns attach only where the position's hash matches
+    val sand = InspectorOps.sandwichesOf(swTxOf(
+      (1L, 0L, "f", "atk", "P", 0L, 7L, 8L, 100.0, 90.0),
+      (1L, 1L, "v1", "vic", "P", 0L, 7L, 8L, 50.0, 44.0),
+      (1L, 3L, "b", "atk", "P", 1L, 8L, 7L, 90.0, 120.0)))
+    def jpOf(rows: (Long, String, String, String, String)*) =
+      rows.toDF("block_number", "eoa", "pool", "tx_hash", "burn_tx")
+    // exact: front tx mints, back tx burns → both positions attach
+    val exact = InspectorOps.composeJitSandwichOf(sand,
+      jpOf((1L, "atk", "P", "f", "b"))).collect()
+    assert(exact.length == 1)
+    assert(exact.head.getAs[Int]("mint_at_front") == 1 &&
+      exact.head.getAs[Int]("burn_at_back") == 1)
+    // partial: only the mint tx is shared → composition still forms,
+    // burn side attaches nothing (jit_sandwich.rs:146-155 → None)
+    val partial = InspectorOps.composeJitSandwichOf(sand,
+      jpOf((1L, "atk", "P", "f", "other_burn"))).collect()
+    assert(partial.length == 1)
+    assert(partial.head.getAs[Int]("mint_at_front") == 1 &&
+      partial.head.getAs[Int]("burn_at_back") == 0)
+    // disjoint: block/EOA overlap without a shared hash never composes
+    assert(InspectorOps.composeJitSandwichOf(sand,
+      jpOf((1L, "atk", "P", "m_other", "b_other"))).count() == 0)
+  }
+
   test("searcher_tx loser: a labeled searcher's losing tx stays a bundle") {
     // searcher_activity has no profitability arm — the label IS the gate
     val out = InspectorOps.searcherTxOf(
