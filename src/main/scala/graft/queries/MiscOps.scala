@@ -20,9 +20,81 @@ object MiscOps extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(p4ModifySpans, p5MapFilter, p9CollectVec,
     p10ZipPadded, p11MergeIter, p13FrontendPrunes, p14RemoveDup,
+    p18RevertSubtree,
     t1SortDedup, t3BundleOrdering, t4SetSemiDiff,
     f2SwapRate, f4StableClass, f6HexFormat, f7GasMath, f8MaxArbDelta,
     f10PoolMath, f10TickMath, f10TickCross, s4PartitionedSink)
+
+  /** P18 revert-subtree pruning (tree_builder/mod.rs:330-332: an errored
+    * trace classifies to `Action::Revert` and contributes nothing; in EVM
+    * semantics the error propagates to the whole call SUBTREE — the
+    * reference's reverting-contract test family, atomic_arb.rs
+    * `test_reverting_contract`/`test_more_reverting`). Reverted frames
+    * are a deterministic md5 draw (~1/16, the fixture's mempool-label
+    * pattern); a trace drops when ANY reverted frame in its tx is a
+    * trace_address PREFIX of it (self included) — the P3 span machinery
+    * run as an existence test. Per-tx frame counts are tiny (≤7), so the
+    * prefix join is equi-keyed on tx_hash with a bounded residual. */
+  /** The subtree-drop rule alone, DataFrame-parameterized for the golden
+    * battery: a trace drops when any reverted frame (`r_tx`, `r_addr`) in
+    * its tx is a trace_address prefix of it — self included, siblings
+    * untouched. */
+  private[graft] def revertDroppedOf(t: org.apache.spark.sql.DataFrame,
+      rev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    t.join(rev,
+      col("tx_hash") === col("r_tx") &&
+        slice(col("trace_address"), lit(1), size(col("r_addr"))) === col("r_addr"),
+      "left_semi")
+
+  private val p18RevertSubtree = QueryDef(
+    "p18_revert_subtree",
+    (s, dir) => {
+      val t = ChainFixture.tracesTable(s, dir)
+        .select(col("block_number"), col("tx_hash"), col("trace_idx"),
+          col("trace_address"), col("q6").cast("long").as("q6l"))
+      val rev = t.filter(substring(md5(concat(lit("rev:"), col("tx_hash"),
+          lit(":"), col("trace_idx"))), 1, 1) === "0")
+        .select(col("block_number").as("r_block"), col("tx_hash").as("r_tx"),
+          col("trace_address").as("r_addr"))
+      val dropped = revertDroppedOf(t, rev)
+        .select(col("block_number"), col("tx_hash"), col("trace_idx"))
+        .withColumn("dropped", lit(1L))
+      val revBlk = rev.groupBy(col("r_block").as("block_number"))
+        .agg(count(lit(1)).as("n_revert_frames"))
+      t.join(dropped, Seq("block_number", "tx_hash", "trace_idx"), "left")
+        .groupBy("block_number")
+        .agg(count(lit(1)).as("n_traces"),
+          sum(coalesce(col("dropped"), lit(0L))).as("n_dropped"),
+          sum(when(col("dropped").isNull, 1L).otherwise(0L)).as("n_survivors"),
+          sum(when(col("dropped").isNull, col("q6l")).otherwise(0L))
+            .as("sum_q6_survivors"))
+        .join(revBlk, Seq("block_number"), "left")
+        .withColumn("n_revert_frames", coalesce(col("n_revert_frames"), lit(0L)))
+        .orderBy("block_number")
+    },
+    withDomain(s""", rev AS (
+        SELECT block_number, tx_hash, trace_address FROM trace
+        WHERE substring(md5('rev:' || tx_hash || ':' || trace_idx), 1, 1) = '0'),
+      drp AS (
+        SELECT DISTINCT t.block_number, t.tx_hash, t.trace_idx
+        FROM trace t
+        WHERE EXISTS (SELECT 1 FROM rev r WHERE r.tx_hash = t.tx_hash
+          AND t.trace_address[1:len(r.trace_address)] = r.trace_address)),
+      revblk AS (SELECT block_number, COUNT(*) AS n_revert_frames
+                 FROM rev GROUP BY 1)
+      SELECT t.block_number, COUNT(*) AS n_traces,
+        CAST(SUM(CASE WHEN d.trace_idx IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dropped,
+        CAST(SUM(CASE WHEN d.trace_idx IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_survivors,
+        CAST(SUM(CASE WHEN d.trace_idx IS NULL THEN CAST(q6 AS BIGINT)
+          ELSE 0 END) AS BIGINT) AS sum_q6_survivors,
+        COALESCE(MAX(r.n_revert_frames), 0) AS n_revert_frames
+      FROM trace t
+      LEFT JOIN drp d ON t.block_number = d.block_number
+        AND t.tx_hash = d.tx_hash AND t.trace_idx = d.trace_idx
+      LEFT JOIN revblk r ON t.block_number = r.block_number
+      GROUP BY 1 ORDER BY 1"""))
 
   /** P4 modify_spans (tree/mod.rs:204): conditional in-place rewrite of
     * rows inside matched spans — rewrite becomes re-projection. */

@@ -836,6 +836,23 @@ class GoldenScenarioSpec extends SparkTestBase {
       jpOf((1L, "atk", "P", "m_other", "b_other"))).count() == 0)
   }
 
+  test("revert prune drops the reverted frame's whole subtree, never siblings") {
+    // tree_builder/mod.rs:330-332: an errored frame classifies to Revert;
+    // the EVM propagates the error to the whole call subtree
+    val t = Seq(
+      ("tx", 1L, Seq(1L)), //     reverted root
+      ("tx", 2L, Seq(1L, 1L)), // child → drops
+      ("tx", 3L, Seq(1L, 2L)), // child → drops
+      ("tx", 4L, Seq(2L)), //     sibling → survives
+      ("tx", 5L, Seq(12L)), //    [12] is NOT prefixed by [1] — survives
+      ("tx2", 6L, Seq(1L, 1L))) // other tx → survives
+      .toDF("tx_hash", "trace_idx", "trace_address")
+    val rev = Seq(("tx", Seq(1L))).toDF("r_tx", "r_addr")
+    val dropped = graft.queries.MiscOps.revertDroppedOf(t, rev)
+      .select("trace_idx").collect().map(_.getLong(0)).sorted.toSeq
+    assert(dropped == Seq(1L, 2L, 3L))
+  }
+
   test("searcher_tx loser: a labeled searcher's losing tx stays a bundle") {
     // searcher_activity has no profitability arm — the label IS the gate
     val out = InspectorOps.searcherTxOf(
