@@ -77,7 +77,10 @@ object ScaleRehearsal {
     // round 10, session 4: the inspector bundle/census surfaces — all
     // block-keyed equi-joins that must stay linear in the chain length
     "q7_liq_bundles", "q8_searcher_tx", "q9_possible_mev",
-    "q9_builder_pnl", "q9_mev_count")
+    "q9_builder_pnl", "q9_mev_count",
+    // the trace-scale revert prune (prefix semi-join over the call tree)
+    // and the hash-matched JitSandwich composition over bundle tables
+    "p18_revert_subtree", "j11_composed")
 
   /** sf10 probe (VERDICT r9 #8): the five heaviest, at 100× sf0.1 — the
     * 100×-claims check a 10× rehearsal can't make. The pool-state fold is
