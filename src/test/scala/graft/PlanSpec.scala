@@ -365,6 +365,47 @@ class PlanSpec extends SparkTestBase {
     assert(!plan("c5_aggregator").contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q9_possible_mev removes claimed txs by anti-join, stats by equi-join") {
+    // the claimed-set removal must plan as a LeftAnti (semi-join shape, no
+    // row multiplication) and the block-stats attach as an equi-join —
+    // a nested loop would mean the per-block σ lookup degenerated
+    val p = plan("q9_possible_mev")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q7/q8 bundle emissions never nested-loop the unpriced-tx flag") {
+    assert(!plan("q7_liq_bundles").contains("BroadcastNestedLoopJoin"))
+    assert(!plan("q8_searcher_tx").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q9_builder_pnl joins block-keyed only; searcher set is a semi-join") {
+    val p = plan("q9_builder_pnl")
+    assert(p.contains("LeftSemi"), p) // vertically-integrated ownership
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("rt1/rt2 read the materialized BM25 score table, not a rebuilt pipeline") {
+    // after materialization the ranking consumes a parquet scan of the
+    // compact (q_doc, cand, bm25) table: the corpus tf/df explode
+    // (Generate over the split text) must be absent from the query plan
+    val p = plan("rt1_bm25_topk")
+    assert(!p.contains("Generate explode"), p)
+  }
+
+  test("p18 revert prune drops subtrees via semi-join, counts via equi-join") {
+    val p = plan("p18_revert_subtree")
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("c3_factory_decode is a single dimension pass, decode in codegen") {
+    val p = plan("c3_factory_decode")
+    // the whole decode runs over the Range-sourced pool dimension — no
+    // fact scan, no join of any kind in the plan
+    assert(p.contains("Range ("), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("a1_delta_decimal never touches a DOUBLE op between source and output") {
     // the decimal chain's point is NO floating arithmetic: the only
     // double appearance allowed is the micro-unit recovery ROUND(x*1e6)
