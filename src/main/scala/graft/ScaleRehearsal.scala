@@ -91,7 +91,10 @@ object ScaleRehearsal {
     * drives run the same `TipStream.poolQuotes` against the same oracle). */
   val Sf10Probe: Seq[String] = Seq(
     "a5_block_analysis_wide", "j2_dex_asof", "s5_write_behind",
-    "d2_minhash_lsh", "t_decontaminate")
+    "d2_minhash_lsh", "t_decontaminate",
+    // round 10, session 4: the discovery surface — its claimed-set
+    // anti-join forces the sandwich/jit/arb bundle pipeline at 100×
+    "q9_possible_mev")
   val Sf10Dir = "/tmp/graft_sf10"
 
   /** Skew probe: the user-partitioned event analytics (funnel, cohorts,
