@@ -38,7 +38,8 @@ object CexOps extends QueryModule {
   def defs: Seq[QueryDef] = Seq(j4StagedVwam, j4Intermediary, j4Multihop,
     j4WeightedVwam,
     q3CexDexMarkout,
-    q3Reconstruct, q3MergeSwaps, q3Global, j5Optimistic, j5BasketFill,
+    q3Reconstruct, q3MergeSwaps, q3Global, q3TriangularFilter,
+    j5Optimistic, j5BasketFill,
     j3Intermediary, q4CexDexQuotes, q4QuoteWindows, a8MostLiquid,
     a9SearcherStats, j1TxInfo, j12MetadataJoin, r1RangeChunks, r6FailedData)
 
@@ -640,6 +641,53 @@ object CexOps extends QueryModule {
     * and exercising the reference's ≠2-candidate rejection (a pool touched
     * by two swaps of one tx yields 4 legs → rejected, as in the reference).
     * Pure groupBy — one shuffle on (tx, counterparty), linear at any SF. */
+  /** `is_triangular_arb` (cex_dex_markout.rs:693-706): a candidate tx
+    * whose ordered swap legs CLOSE a cycle (first token_in == last
+    * token_out, ≥2 swaps) is a misrouted atomic arb, not a CEX-DEX —
+    * the reference drops it before the validity gate
+    * (cex_dex_markout.rs:192-200, `test_not_triangular_arb_false_positive`).
+    * DataFrame-parameterized over a swaps-shaped frame for the goldens:
+    * classifies every swap-bearing tx single / multihop_open / triangular. */
+  private[graft] def triangularClassOf(swapsDf: DataFrame): DataFrame =
+    swapsDf.groupBy("tx_hash")
+      .agg(count(lit(1)).as("n_swaps"),
+        min_by(col("token_in_id"), col("trace_idx")).as("first_in"),
+        max_by(col("token_out_id"), col("trace_idx")).as("last_out"))
+      .withColumn("clazz",
+        when(col("n_swaps") === 1, "single")
+          .when(col("first_in") === col("last_out"), "triangular")
+          .otherwise("multihop_open"))
+
+  /** Q3 (triangular filter census): how the false-positive filter cuts
+    * the candidate stream — triangular txs are EXCLUDED from the CEX-DEX
+    * candidate set (the registered q3 queries' single-swap gate is a
+    * structural subset: with one swap the cycle test is vacuously false).
+    * One groupBy over the pruned swap scan. */
+  private val q3TriangularFilter = QueryDef(
+    "q3_triangular_filter",
+    (s, dir) => triangularClassOf(
+      actionsTable(s, dir).filter(col("action_type") === "swap" &&
+        col("amount_in").isNotNull && col("amount_out").isNotNull))
+      .groupBy("clazz")
+      .agg(count(lit(1)).as("n_txs"),
+        sum(col("n_swaps")).as("n_legs"),
+        sum(when(col("clazz") === "triangular", 1L).otherwise(0L))
+          .as("n_excluded"))
+      .orderBy("clazz"),
+    withCtes(s"""tri AS (
+        SELECT tx_hash, COUNT(*) AS n_swaps,
+          ARG_MIN(token_in_id, trace_idx) AS first_in,
+          ARG_MAX(token_out_id, trace_idx) AS last_out
+        FROM swaps GROUP BY 1)
+      SELECT clazz, COUNT(*) AS n_txs,
+        CAST(SUM(n_swaps) AS BIGINT) AS n_legs,
+        CAST(SUM(CASE WHEN clazz = 'triangular' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_excluded
+      FROM (SELECT *, CASE WHEN n_swaps = 1 THEN 'single'
+              WHEN first_in = last_out THEN 'triangular'
+              ELSE 'multihop_open' END AS clazz FROM tri)
+      GROUP BY 1 ORDER BY 1"""))
+
   private val q3Reconstruct = QueryDef(
     "q3_reconstruct",
     (s, dir) => {

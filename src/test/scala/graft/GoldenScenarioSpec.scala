@@ -853,6 +853,21 @@ class GoldenScenarioSpec extends SparkTestBase {
     assert(dropped == Seq(1L, 2L, 3L))
   }
 
+  test("cex_dex_not: a closed swap cycle is a triangular arb, not a CEX-DEX") {
+    // is_triangular_arb (cex_dex_markout.rs:693-706): first token_in ==
+    // last token_out over the ORDERED legs, ≥2 swaps → excluded
+    val sw = Seq(
+      ("cyc", 0L, 7L, 8L), ("cyc", 1L, 8L, 9L), ("cyc", 2L, 9L, 7L), // closes
+      ("open", 0L, 7L, 8L), ("open", 1L, 8L, 9L), //   open chain → kept
+      ("one", 0L, 7L, 7L)) // single swap: cycle test vacuous → single
+      .toDF("tx_hash", "trace_idx", "token_in_id", "token_out_id")
+    val out = graft.domain.CexOps.triangularClassOf(sw).collect()
+      .map(r => r.getAs[String]("tx_hash") -> r.getAs[String]("clazz")).toMap
+    assert(out("cyc") == "triangular")
+    assert(out("open") == "multihop_open")
+    assert(out("one") == "single")
+  }
+
   test("searcher_tx loser: a labeled searcher's losing tx stays a bundle") {
     // searcher_activity has no profitability arm — the label IS the gate
     val out = InspectorOps.searcherTxOf(
