@@ -579,19 +579,23 @@ object InspectorOps extends QueryModule {
   }
 
   /** J8: mint immediately followed by burn on the same (block, eoa, pool). */
-  private[domain] def jitPairs(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("block_number", "from_address", "pool")
-      .orderBy("tx_idx", "trace_idx")
-    actionsTable(s, dir)
-      .filter(col("action_type").isin("mint", "burn") && col("pool").isNotNull)
-      .withColumn("nxt", lead(col("action_type"), 1).over(w))
-      .withColumn("nxt_idx", lead(col("tx_idx"), 1).over(w))
-      .withColumn("nxt_tx", lead(col("tx_hash"), 1).over(w))
-      .filter(col("action_type") === "mint" && col("nxt") === "burn")
-      .select(col("block_number"), col("from_address").as("eoa"), col("pool"),
-        col("tx_hash"), col("tx_idx").as("mint_idx"), col("nxt_idx").as("burn_idx"),
-        col("nxt_tx").as("burn_tx"), col("protocol"))
-  }
+  /** Materialized like swTx/brackets: seven consumers (j10 ×2, j11 ×2,
+    * q9_possible_mev, q9_mev_count, q9_builder_pnl) read the mint→burn
+    * pair table, so the window over the actions scan runs once per JVM. */
+  private[domain] def jitPairs(s: SparkSession, dir: String): DataFrame =
+    ChainFixture.materialize(s, s"jitp_${ChainFixture.dirKey(dir)}", {
+      val w = Window.partitionBy("block_number", "from_address", "pool")
+        .orderBy("tx_idx", "trace_idx")
+      actionsTable(s, dir)
+        .filter(col("action_type").isin("mint", "burn") && col("pool").isNotNull)
+        .withColumn("nxt", lead(col("action_type"), 1).over(w))
+        .withColumn("nxt_idx", lead(col("tx_idx"), 1).over(w))
+        .withColumn("nxt_tx", lead(col("tx_hash"), 1).over(w))
+        .filter(col("action_type") === "mint" && col("nxt") === "burn")
+        .select(col("block_number"), col("from_address").as("eoa"), col("pool"),
+          col("tx_hash"), col("tx_idx").as("mint_idx"), col("nxt_idx").as("burn_idx"),
+          col("nxt_tx").as("burn_tx"), col("protocol"))
+    })
 
   // ── shared oracle fragments ───────────────────────────────────────────────
 
