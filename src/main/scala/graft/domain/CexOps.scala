@@ -784,33 +784,40 @@ object CexOps extends QueryModule {
     * collapse deterministically merges >2-leg chains where the reference's
     * single pass over an unordered map merges one pair per intermediary.
     * One window + one groupBy, both partitioned by tx. */
+  /** The merge core alone, DataFrame-parameterized for the golden battery
+    * (`test_cex_dex_merging_swaps_failure`): maximal token-continuous
+    * chains per tx; a token-in that does not continue the previous leg's
+    * token-out BREAKS the chain — non-adjacent legs never merge. */
+  private[graft] def mergeSwapsOf(swapsDf: DataFrame): DataFrame = {
+    val w = Window.partitionBy("tx_hash").orderBy("trace_idx")
+    swapsDf
+      .withColumn("p_tok", lag(col("token_out_id"), 1).over(w))
+      .withColumn("brk",
+        when(col("p_tok").isNull || col("p_tok") =!= col("token_in_id"), 1L)
+          .otherwise(0L))
+      .withColumn("chain_id", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("tx_hash", "chain_id")
+      .agg(count(lit(1)).as("n_legs"),
+        min_by(col("token_in_id"), col("trace_idx")).as("token_in"),
+        max_by(col("token_out_id"), col("trace_idx")).as("token_out"),
+        min_by(col("amount_in"), col("trace_idx")).as("amount_in"),
+        max_by(col("amount_out"), col("trace_idx")).as("amount_out"),
+        min(col("trace_idx")).as("trace_idx"))
+      .filter(col("n_legs") >= 2)
+      .select("tx_hash", "trace_idx", "token_in", "token_out",
+        "amount_in", "amount_out", "n_legs")
+  }
+
   private val q3MergeSwaps = QueryDef(
     "q3_merge_swaps",
-    (s, dir) => {
-      val w = Window.partitionBy("tx_hash").orderBy("trace_idx")
+    (s, dir) => mergeSwapsOf(
       actionsTable(s, dir)
         .filter(col("action_type") === "swap" &&
           col("amount_in").isNotNull && col("amount_out").isNotNull)
         .select("tx_hash", "trace_idx", "token_in_id", "token_out_id",
-          "amount_in", "amount_out")
-        .withColumn("p_tok", lag(col("token_out_id"), 1).over(w))
-        .withColumn("brk",
-          when(col("p_tok").isNull || col("p_tok") =!= col("token_in_id"), 1L)
-            .otherwise(0L))
-        .withColumn("chain_id", sum(col("brk")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy("tx_hash", "chain_id")
-        .agg(count(lit(1)).as("n_legs"),
-          min_by(col("token_in_id"), col("trace_idx")).as("token_in"),
-          max_by(col("token_out_id"), col("trace_idx")).as("token_out"),
-          min_by(col("amount_in"), col("trace_idx")).as("amount_in"),
-          max_by(col("amount_out"), col("trace_idx")).as("amount_out"),
-          min(col("trace_idx")).as("trace_idx"))
-        .filter(col("n_legs") >= 2)
-        .select("tx_hash", "trace_idx", "token_in", "token_out",
-          "amount_in", "amount_out", "n_legs")
-        .orderBy("tx_hash", "trace_idx")
-    },
+          "amount_in", "amount_out"))
+      .orderBy("tx_hash", "trace_idx"),
     withCtes("""sw_seq AS (
         SELECT tx_hash, trace_idx, token_in_id, token_out_id, amount_in, amount_out,
           LAG(token_out_id) OVER w AS p_tok

@@ -868,6 +868,32 @@ class GoldenScenarioSpec extends SparkTestBase {
     assert(out("one") == "single")
   }
 
+  test("merge_swaps: token-continuous legs collapse; a break never merges") {
+    // cex_merge_possible_swaps (shared_utils.rs:725-792) + the
+    // test_cex_dex_merging_swaps_failure negative: A→B,B→C merges to A→C;
+    // a leg whose token_in does not continue the chain starts a new one
+    def swOf(rows: (String, Long, Long, Long, Double, Double)*) =
+      rows.toDF("tx_hash", "trace_idx", "token_in_id", "token_out_id",
+        "amount_in", "amount_out")
+    val merged = graft.domain.CexOps.mergeSwapsOf(swOf(
+      ("m", 0L, 7L, 8L, 100.0, 90.0),
+      ("m", 1L, 8L, 9L, 90.0, 80.0))).collect()
+    assert(merged.length == 1)
+    assert(merged.head.getAs[Long]("token_in") == 7L &&
+      merged.head.getAs[Long]("token_out") == 9L &&
+      merged.head.getAs[Long]("n_legs") == 2L)
+    // failure case: 7→8 then 9→10 — no shared intermediary, NO merge
+    assert(graft.domain.CexOps.mergeSwapsOf(swOf(
+      ("f", 0L, 7L, 8L, 100.0, 90.0),
+      ("f", 1L, 9L, 10L, 50.0, 45.0))).count() == 0)
+    // break in the middle: 7→8, 8→9, then 3→4 → one 2-leg merge only
+    val part = graft.domain.CexOps.mergeSwapsOf(swOf(
+      ("p", 0L, 7L, 8L, 100.0, 90.0),
+      ("p", 1L, 8L, 9L, 90.0, 80.0),
+      ("p", 2L, 3L, 4L, 10.0, 9.0))).collect()
+    assert(part.length == 1 && part.head.getAs[Long]("token_out") == 9L)
+  }
+
   test("searcher_tx loser: a labeled searcher's losing tx stays a bundle") {
     // searcher_activity has no profitability arm — the label IS the gate
     val out = InspectorOps.searcherTxOf(
