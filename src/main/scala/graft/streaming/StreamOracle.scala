@@ -3,17 +3,20 @@ package graft.streaming
 import graft.{QueryDef, QueryModule}
 import graft.domain.ChainFixture
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
 /** Batch-equivalence oracle for the streaming trio (SURVEY §2.9 R2/R5 +
   * §2.1 S5): the tip pipeline's stateful per-pool fold is deterministic and
-  * SQL-expressible, so the REAL Structured Streaming query (MemoryStream →
-  * flatMapGroupsWithState → memory sink, multiple micro-batches) can be
-  * hash-checked against a relational DuckDB formulation of the same fold —
-  * closing the "streaming path untested vs oracle" gap with a genuine
-  * streamed execution, not a batch stand-in.
+  * SQL-expressible, so the REAL Structured Streaming query (parquet-drop
+  * file source → flatMapGroupsWithState → parquet sink, one micro-batch per
+  * single-file drop) can be hash-checked against a relational DuckDB
+  * formulation of the same fold — closing the "streaming path untested vs
+  * oracle" gap with a genuine streamed execution, not a batch stand-in.
+  * EVERY entry here is file-driven: source discovery, checkpointing, and
+  * the sink sit on the measured path, and there is no driver-side collect
+  * of fact-sized data anywhere in the harness — what the bench times is the
+  * operator.
   *
   * Input updates are pre-rolled to one row per (pool, block, tx) so the
   * fold's (block, txIdx) sort is a TOTAL order and the emission sequence is
@@ -63,41 +66,74 @@ object StreamOracle extends QueryModule {
       .agg(min_by(col("amount_out") / col("amount_in"), col("trace_idx")).as("px"),
         graft.ops.ExactAgg.dsum(col("amount_in")).as("vol"))
 
+  /** Tercile batch tag by block: 0 / 1 / 2 cut at maxBlock/3 and
+    * 2·maxBlock/3 — the micro-batch composition every fold entry shares,
+    * computed from a one-row agg (no fact-sized driver action). */
+  private def withBlockTerciles(in: DataFrame): DataFrame = {
+    val mbRow = in.agg(max(col("block"))).head()
+    val mb = if (mbRow.isNullAt(0)) 0L else mbRow.getLong(0)
+    val (cut1, cut2) = (mb / 3, 2 * mb / 3)
+    in.withColumn("batch",
+      when(col("block") <= cut1, 0L)
+        .when(col("block") <= cut2, 1L).otherwise(2L))
+  }
+
+  /** Drive a ONE-sided parquet-drop FILE stream (the `s5_write_behind`
+    * pattern, shared by the r4/r5 fold entries): the input frame carries a
+    * `batch` column; each batch lands as a single-file parquet append under
+    * the src dir while the query runs, so every drop is one micro-batch and
+    * the state carry across drops is what the entry verifies. `transform`
+    * builds the streaming plan on a CLONED session pinned to the
+    * stream-local shuffle-partition count; the output parquet is read back
+    * on the MAIN session. No driver-side collect anywhere. */
+  private def driveFold(s: SparkSession, in: DataFrame, nBatches: Long,
+      tag: String)(
+      transform: (SparkSession, DataFrame) => DataFrame): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+    deleteOnExit(tmp)
+    val (src, out, ckpt) = (s"$tmp/src", s"$tmp/out", s"$tmp/ckpt")
+    val data = in.persist()
+    try {
+      data.filter(col("batch") === 0L).drop("batch")
+        .coalesce(1).write.parquet(src)
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+      val stream = s2.readStream.schema(in.drop("batch").schema).parquet(src)
+      val q = transform(s2, stream)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable()
+        (1L until nBatches).foreach { i =>
+          data.filter(col("batch") === i).drop("batch")
+            .coalesce(1).write.mode("append").parquet(src)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally { data.unpersist(false); () }
+    s.read.parquet(out)
+  }
+
   private val r5StreamFold = QueryDef(
     "r5_stream_fold",
     (s, dir) => {
-      import s.implicits._
-      implicit val sqlCtx = s.sqlContext
-      val upd = updates(s, dir).as[TipStream.PoolUpdate]
-        .collect().sortBy(u => (u.block, u.txIdx, u.pool))
-      val maxBlock = upd.iterator.map(_.block).foldLeft(0L)(math.max)
-      val cut1 = maxBlock / 3
-      val cut2 = 2 * maxBlock / 3
-      val input = MemoryStream[TipStream.PoolUpdate]
-      // unique sink name per invocation (Bench runs every query twice)
-      val name = s"r5_fold_${runSeq.incrementAndGet()}"
-      val q = TipStream.poolQuotes(input.toDS())
-        .writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Append()).start()
-      try {
-        // three micro-batches in block order — the fold's state must carry
-        input.addData(upd.filter(_.block <= cut1).toSeq)
-        q.processAllAvailable()
-        input.addData(upd.filter(u => u.block > cut1 && u.block <= cut2).toSeq)
-        q.processAllAvailable()
-        input.addData(upd.filter(_.block > cut2).toSeq)
-        q.processAllAvailable()
-        def tick(c: org.apache.spark.sql.Column) =
-          graft.functions.TickMath.tick_at_rate(c)
-        s.table(name)
-          .select(col("pool"), col("block"), col("prePx"), col("postPx"),
-            col("nUpdates").as("n_updates"),
-            (col("prePx").isNotNull &&
-              tick(col("prePx")) =!= tick(col("postPx"))).as("crossed"))
-          .withColumnRenamed("prePx", "pre_px")
-          .withColumnRenamed("postPx", "post_px")
-          .orderBy("pool", "n_updates")
-      } finally q.stop()
+      // three single-file drops in block order — the fold's state must
+      // carry across the micro-batch boundaries
+      val batched = withBlockTerciles(updates(s, dir))
+      def tick(c: org.apache.spark.sql.Column) =
+        graft.functions.TickMath.tick_at_rate(c)
+      driveFold(s, batched, 3, "r5f") { (s2, stream) =>
+        import s2.implicits._
+        TipStream.poolQuotes(stream.as[TipStream.PoolUpdate]).toDF()
+      }
+        .select(col("pool"), col("block"), col("prePx"), col("postPx"),
+          col("nUpdates").as("n_updates"),
+          (col("prePx").isNotNull &&
+            tick(col("prePx")) =!= tick(col("postPx"))).as("crossed"))
+        .withColumnRenamed("prePx", "pre_px")
+        .withColumnRenamed("postPx", "post_px")
+        .orderBy("pool", "n_updates")
     },
     withCtesRec(foldOracleSql))
 
@@ -198,8 +234,6 @@ object StreamOracle extends QueryModule {
     "r5_tick_fold",
     (s, dir) => {
       import org.apache.spark.sql.types.DecimalType
-      import s.implicits._
-      implicit val sqlCtx = s.sqlContext
       val vp = ChainFixture.pools(s).filter(col("protocol") === "uniswap_v3")
         .select(col("pool_id"), col("address"))
       val acts = ChainFixture.actionsTable(s, dir)
@@ -224,32 +258,18 @@ object StreamOracle extends QueryModule {
           when(col("kind") === 0, col("mag")).otherwise(-col("mag"))
             .as("deltaMicro"),
           lit(0.0).as("px"), lit(0.0).as("vol"))
-      val ev = sev.unionByName(lev).as[TipStream.TickEvent]
-        .collect().sortBy(e => (e.block, e.txIdx, e.kind, e.pool))
-      val maxBlock = ev.iterator.map(_.block).foldLeft(0L)(math.max)
-      val cut1 = maxBlock / 3
-      val cut2 = 2 * maxBlock / 3
-      val input = MemoryStream[TipStream.TickEvent]
-      val name = s"r5_tick_${runSeq.incrementAndGet()}"
-      val q = TipStream.tickQuotes(input.toDS())
-        .writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Append()).start()
-      try {
-        input.addData(ev.filter(_.block <= cut1).toSeq)
-        q.processAllAvailable()
-        input.addData(ev.filter(e => e.block > cut1 && e.block <= cut2).toSeq)
-        q.processAllAvailable()
-        input.addData(ev.filter(_.block > cut2).toSeq)
-        q.processAllAvailable()
-        s.table(name)
-          .groupBy(col("pool").as("pool_id"))
-          .agg(count(lit(1)).as("n_priced"),
-            sum(col("nCrossed")).as("n_crossed"),
-            sum(when(col("exhausted"), 1L).otherwise(0L)).as("n_exhausted"),
-            sum(when(col("tickMoved"), 1L).otherwise(0L)).as("n_tick_moved"),
-            sum(col("outMicro")).as("sum_out_micro"))
-          .orderBy("pool_id")
-      } finally q.stop()
+      val batched = withBlockTerciles(sev.unionByName(lev))
+      driveFold(s, batched, 3, "r5t") { (s2, stream) =>
+        import s2.implicits._
+        TipStream.tickQuotes(stream.as[TipStream.TickEvent]).toDF()
+      }
+        .groupBy(col("pool").as("pool_id"))
+        .agg(count(lit(1)).as("n_priced"),
+          sum(col("nCrossed")).as("n_crossed"),
+          sum(when(col("exhausted"), 1L).otherwise(0L)).as("n_exhausted"),
+          sum(when(col("tickMoved"), 1L).otherwise(0L)).as("n_tick_moved"),
+          sum(col("outMicro")).as("sum_out_micro"))
+        .orderBy("pool_id")
     },
     withCtesRec(s""", vpt AS (
         SELECT pool_id, address FROM pool WHERE protocol = 'uniswap_v3'),
@@ -348,42 +368,26 @@ object StreamOracle extends QueryModule {
       FROM twk3 GROUP BY 1 ORDER BY 1"""))
 
   /** R4 batch-equivalence: the REAL streamed 2-block sliding window
-    * (MemoryStream → flatMapGroupsWithState → memory sink, three
-    * micro-batches cut mid-stream so the previous-block state must carry
-    * across batch boundaries) against a LAG-window DuckDB formulation.
-    * Input is (pool, block)-grain decimal-exact volumes, so the window
-    * total is a single deterministic IEEE addition on both engines. */
+    * (parquet-drop file source → flatMapGroupsWithState → parquet sink,
+    * three micro-batches cut mid-stream so the previous-block state must
+    * carry across batch boundaries) against a LAG-window DuckDB
+    * formulation. Input is (pool, block)-grain decimal-exact volumes, so
+    * the window total is a single deterministic IEEE addition on both
+    * engines. */
   private val r4StreamWindow = QueryDef(
     "r4_stream_window",
     (s, dir) => {
-      import s.implicits._
-      implicit val sqlCtx = s.sqlContext
       val blocks = updates(s, dir)
         .groupBy(col("pool"), col("block"))
         .agg(graft.ops.ExactAgg.dsum(col("vol")).as("vol"),
           count(lit(1)).as("n"))
-        .as[TipStream.BlockVol]
-        .collect().sortBy(b => (b.block, b.pool))
-      val maxBlock = blocks.iterator.map(_.block).foldLeft(0L)(math.max)
-      val cut1 = maxBlock / 3
-      val cut2 = 2 * maxBlock / 3
-      val input = MemoryStream[TipStream.BlockVol]
-      val name = s"r4_wnd_${runSeq.incrementAndGet()}"
-      val q = TipStream.blockWindows(input.toDS())
-        .writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Append()).start()
-      try {
-        input.addData(blocks.filter(_.block <= cut1).toSeq)
-        q.processAllAvailable()
-        input.addData(blocks.filter(b => b.block > cut1 && b.block <= cut2).toSeq)
-        q.processAllAvailable()
-        input.addData(blocks.filter(_.block > cut2).toSeq)
-        q.processAllAvailable()
-        s.table(name)
-          .select(col("pool"), col("block"), col("wndVol").as("wnd_vol"),
-            col("wndN").as("wnd_n"), col("blksInWnd").as("blks_in_wnd"))
-          .orderBy("pool", "block")
-      } finally q.stop()
+      driveFold(s, withBlockTerciles(blocks), 3, "r4w") { (s2, stream) =>
+        import s2.implicits._
+        TipStream.blockWindows(stream.as[TipStream.BlockVol]).toDF()
+      }
+        .select(col("pool"), col("block"), col("wndVol").as("wnd_vol"),
+          col("wndN").as("wnd_n"), col("blksInWnd").as("blks_in_wnd"))
+        .orderBy("pool", "block")
     },
     withCtes(""", upd AS (
         SELECT pool, block_number AS block, tx_idx,
@@ -424,17 +428,11 @@ object StreamOracle extends QueryModule {
   private val r4LateData = QueryDef(
     "r4_late_data",
     (s, dir) => {
-      import s.implicits._
-      implicit val sqlCtx = s.sqlContext
-      val upd = updates(s, dir).as[TipStream.PoolUpdate]
-        .collect().sortBy(u => (u.block, u.txIdx, u.pool))
-      val maxBlock = upd.iterator.map(_.block).foldLeft(0L)(math.max)
+      val upd = updates(s, dir)
+      val mbRow = upd.agg(max(col("block"))).head()
+      val maxBlock = if (mbRow.isNullAt(0)) 0L else mbRow.getLong(0)
       val cut1 = maxBlock / 3
       val cut2 = 2 * maxBlock / 3
-      def batchOf(u: TipStream.PoolUpdate): Int = {
-        val natural = if (u.block <= cut1) 1 else if (u.block <= cut2) 2 else 3
-        natural + (if ((u.block + u.txIdx) % 5 == 2) 1 else 0) // late slice
-      }
       // partial-aggregate each batch to (pool, window) units before the
       // stateful shuffle (TipStream.WndUpdate): the drop/merge decision is
       // per (window, batch), the unit's event time is its max row's, and
@@ -446,36 +444,35 @@ object StreamOracle extends QueryModule {
       // ~15 significant digits — orders of magnitude above these per-
       // (pool, window, batch) sums; a pipeline combining to larger units
       // would carry the partial as DECIMAL instead.
-      val units = upd.groupBy { u =>
-        (u.pool, (u.block * 1000000L + u.txIdx * 1000L) / 10000000L, batchOf(u))
-      }.toSeq.map { case ((pool, _, b), g) =>
-        val mx = g.maxBy(u => (u.block, u.txIdx))
-        b -> TipStream.WndUpdate(pool, mx.block, mx.txIdx,
-          graft.ops.ExactAgg.dsumDriver(g.map(_.vol)), g.size.toLong)
+      val units = upd
+        .withColumn("batch",
+          (when(col("block") <= cut1, 0L).when(col("block") <= cut2, 1L)
+            .otherwise(2L) +
+            // late slice: these rows arrive one batch after their tercile
+            when((col("block") + col("txIdx")) % 5 === 2, 1L).otherwise(0L)))
+        .groupBy(col("pool"),
+          expr("(block * 1000000L + txIdx * 1000L) div 10000000L").as("wnd"),
+          col("batch"))
+        .agg(max(struct(col("block"), col("txIdx"))).as("mx"),
+          graft.ops.ExactAgg.dsum(col("vol")).as("vol"),
+          count(lit(1)).as("cnt"))
+        .select(col("pool"), col("mx.block").as("block"),
+          col("mx.txIdx").as("txIdx"), col("vol"), col("cnt"), col("batch"))
+      // the far-future sentinel rides the LAST data batch: its ts only
+      // enters the watermark after that batch, pushing it past every real
+      // window so Append mode flushes them (its own window never finalizes,
+      // and the trailing no-data micro-batch does the emit)
+      val sentinel = s.range(1).select(lit("zz_sentinel").as("pool"),
+        lit(maxBlock + 100000L).as("block"), lit(0L).as("txIdx"),
+        lit(0.0).as("vol"), lit(0L).as("cnt"), lit(3L).as("batch"))
+      driveFold(s, units.unionByName(sentinel), 4, "r4l") { (s2, stream) =>
+        import s2.implicits._
+        TipStream.lateWindowAgg(stream.as[TipStream.WndUpdate])
       }
-      val input = MemoryStream[TipStream.WndUpdate]
-      val name = s"r4_late_${runSeq.incrementAndGet()}"
-      val q = TipStream.lateWindowAgg(input.toDS())
-        .writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Append()).start()
-      try {
-        (1 to 4).foreach { b =>
-          var rows = units.filter(_._1 == b).map(_._2)
-            .sortBy(u => (u.block, u.txIdx, u.pool))
-          // the far-future sentinel rides the LAST data batch: its ts only
-          // enters the watermark after that batch, pushing it past every
-          // real window so Append mode flushes them (its own window never
-          // finalizes, and the trailing no-data micro-batch does the emit)
-          if (b == 4) rows = rows :+ TipStream.WndUpdate(
-            "zz_sentinel", maxBlock + 100000L, 0L, 0.0, 0L)
-          if (rows.nonEmpty) { input.addData(rows); q.processAllAvailable() }
-        }
-        s.table(name)
-          .filter(col("pool") =!= "zz_sentinel")
-          .select(unix_micros(col("window.start")).as("window_start_us"),
-            col("pool"), col("n"), col("sum_vol"))
-          .orderBy("window_start_us", "pool")
-      } finally q.stop()
+        .filter(col("pool") =!= "zz_sentinel")
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          col("pool"), col("n"), col("sum_vol"))
+        .orderBy("window_start_us", "pool")
     },
     withCtes(""", upd AS (
         SELECT pool, block_number AS block, tx_idx,
