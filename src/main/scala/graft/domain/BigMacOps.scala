@@ -105,19 +105,6 @@ object BigMacOps extends QueryModule {
   private[graft] def bigmacBundlesOf(swTxDf: DataFrame, rootToDf: DataFrame,
       profit: DataFrame): DataFrame = {
     def px(t: Column): Column = tokenPrice(t)
-    var tmark = System.nanoTime()
-    def mark(n: String): Unit = {
-      if (sys.env.contains("GRAFT_BM_TIME"))
-        println(f"[bmt] $n%-12s ${(System.nanoTime() - tmark) / 1e9}%6.2fs")
-      tmark = System.nanoTime()
-    }
-    def dbg(n: String, df: DataFrame): Unit = {
-      if (sys.env.contains("GRAFT_BM_DBG")) {
-        val t0 = System.nanoTime()
-        val c = df.count()
-        println(f"[bmd] $n%-12s ${(System.nanoTime() - t0) / 1e9}%6.2fs  rows=$c")
-      }
-    }
 
     // tx-grain searcher/victim universe with block-local dense rank.
     // txu / links / pos each feed 4+ downstream joins — localCheckpoint
@@ -133,7 +120,6 @@ object BigMacOps extends QueryModule {
       .withColumn("rnk", row_number().over(
         Window.partitionBy("block_number").orderBy("tx_idx")))
       .localCheckpoint()
-    mark("txu")
     val txpool = swTxDf.select("block_number", "tx_idx", "pool").distinct()
 
     // both keyings, stacked
@@ -158,7 +144,6 @@ object BigMacOps extends QueryModule {
       .withColumn("li", row_number().over(
         Window.partitionBy(segKeys.map(col): _*).orderBy("rnk")))
       .localCheckpoint()
-    mark("links")
     val seg0 = links.groupBy(segKeys.map(col): _*)
       .agg(max(col("li")).as("m"), sum(col("n_between")).as("tot_v"))
 
@@ -173,7 +158,6 @@ object BigMacOps extends QueryModule {
           col("nxt_hash").as("tx_hash"), col("nxt_pok").as("price_ok"),
           col("nxt_eoa").as("eoa"), col("nxt_root").as("root_to")): _*))
       .localCheckpoint()
-    mark("pos")
     val mevc = pos.filter(col("pos") === 2)
       .select(segKeys.map(col) :+
         when(col("ktype") === "contract", col("k"))
@@ -233,9 +217,6 @@ object BigMacOps extends QueryModule {
       .agg(bool_and(col("n_was") >= 1 &&
         col("n_was") * MinVictimRatioDen >= col("n_veoas")).as("ok"))
       .join(ranges, rKeys)
-    mark("verd")
-    dbg("gapv", gapv); dbg("segs", segs); dbg("fb", fb); dbg("ranges", ranges)
-    dbg("gv", gv); dbg("gok", gok); dbg("verd", verd)
 
     // 6-level shrink reachability: failing ranges of ≥2 links spawn their
     // front-drop and back-drop children; emit every verified reached range.
@@ -258,8 +239,6 @@ object BigMacOps extends QueryModule {
       .select(segKeys.map(col) ++
         Seq(col("r.i").as("i"), col("r.j").as("j"), col("r.m").as("m")): _*)
       .localCheckpoint()
-    mark("emit")
-    dbg("emit", emit)
 
     // details: position rollup, gap victim totals, profit, dedup signature
     val pr = pos.join(profit.select(col("tx_hash").as("p_hash"),
