@@ -36,7 +36,106 @@ object ClassifyOps extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(c1DecodeSwap, c2Dispatch, c3Discovery,
     c3FactoryDecode, c4TransferDecode, c5MultiframePair, c5BatchSolver,
-    c5Aggregator, c6TaxFixup, c7DupTransferPrune, c8Coinbase, c9MissingToken)
+    c5Aggregator, c5Liquidation, c6TaxFixup, c7DupTransferPrune, c8Coinbase,
+    c9MissingToken)
+
+  /** C5 (liquidations arm): Aave-style multi-frame stitching — the
+    * reference marks a liquidation start node, harvests the frame's child
+    * TRANSFERS (`TreeSearchBuilder::with_action(is_transfer)`,
+    * multi_frame_classification/liquidations/aave.rs:13-38, harvest
+    * mod.rs:34), and fills `liquidated_collateral` from the first transfer
+    * paid to the liquidator (`parse_v2_v3`, aave.rs:41-59) — OVERWRITING
+    * the decoded value, because Aave may return aTokens instead of the
+    * collateral asset (aave.rs:48-51).
+    *
+    * Fixture mapping (identical in both engines): a frame is a liquidation
+    * span root (depth 1); the liquidator-bound leg is the first
+    * direction-1 child transfer in trace order (the fixture's outbound
+    * direction — its `to == liquidator` analog); the transfer's amount and
+    * token replace the decoded collateral. When the root's own decode
+    * carried NULL (unknown collateral token, the C9 path), the stitch is
+    * the ONLY source of the amount — the case this arm exists for.
+    *
+    * Scale shape: one tx_hash+span equi-join between two pruned scans of
+    * the same actions fact, then a frame-grain min_by — block-local, no
+    * cross-tx state. */
+  private[graft] def stitchedLiquidations(actionsDf: DataFrame): DataFrame = {
+    val liq = actionsDf.filter(col("action_type") === "liquidation" &&
+        size(col("trace_address")) === 1)
+      .select(col("block_number"), col("tx_hash"), col("protocol"),
+        element_at(col("trace_address"), 1).as("span"), col("trace_idx"),
+        col("from_address").as("liquidator"),
+        col("token_in_id").as("debt_tok"), col("token_out_id").as("coll_tok"),
+        col("amount_in").as("covered_debt"),
+        col("amount_out").as("decoded_collateral"))
+    val tr = actionsDf.filter(col("action_type") === "transfer" &&
+        size(col("trace_address")) > 1 && col("direction") === 1 &&
+        col("amount_in").isNotNull)
+      .select(col("tx_hash"), element_at(col("trace_address"), 1).as("span"),
+        col("trace_idx").as("t_idx"), col("token_in_id").as("t_tok"),
+        col("amount_in").as("t_amt"))
+    liq.join(tr, Seq("tx_hash", "span"), "left")
+      .groupBy("block_number", "tx_hash", "protocol", "span", "trace_idx",
+        "liquidator", "debt_tok", "coll_tok", "covered_debt",
+        "decoded_collateral")
+      .agg(min_by(struct(col("t_amt"), col("t_tok")), col("t_idx")).as("h"))
+      .withColumn("stitched", col("h.t_amt").isNotNull)
+      .withColumn("liquidated_collateral",
+        coalesce(col("h.t_amt"), col("decoded_collateral")))
+      .withColumn("coll_tok_eff",
+        coalesce(when(col("stitched"), col("h.t_tok")), col("coll_tok")))
+      .drop("h")
+  }
+
+  /** Oracle CTE twin of [[stitchedLiquidations]] (emits `liq_st`). */
+  private[domain] val stitchedLiqCte: String = s"""liq_f AS (
+      SELECT block_number, tx_hash, protocol, trace_address[1] AS span,
+        trace_idx, from_address AS liquidator,
+        token_in_id AS debt_tok, token_out_id AS coll_tok,
+        amount_in AS covered_debt, amount_out AS decoded_collateral
+      FROM actions
+      WHERE action_type = 'liquidation' AND len(trace_address) = 1),
+    liq_tr AS (
+      SELECT tx_hash, trace_address[1] AS span, trace_idx AS t_idx,
+        token_in_id AS t_tok, amount_in AS t_amt
+      FROM actions
+      WHERE action_type = 'transfer' AND len(trace_address) > 1
+        AND direction = 1 AND amount_in IS NOT NULL),
+    liq_st AS (
+      SELECT block_number, tx_hash, protocol, span, trace_idx, liquidator,
+        debt_tok, coll_tok, covered_debt, decoded_collateral,
+        h_amt IS NOT NULL AS stitched,
+        COALESCE(h_amt, decoded_collateral) AS liquidated_collateral,
+        COALESCE(CASE WHEN h_amt IS NOT NULL THEN h_tok END, coll_tok)
+          AS coll_tok_eff
+      FROM (
+        SELECT f.block_number, f.tx_hash, f.protocol, f.span, f.trace_idx,
+          f.liquidator, f.debt_tok, f.coll_tok, f.covered_debt,
+          f.decoded_collateral,
+          ARG_MIN(t.t_amt, t.t_idx) AS h_amt, ARG_MIN(t.t_tok, t.t_idx) AS h_tok
+        FROM liq_f f LEFT JOIN liq_tr t
+          ON t.tx_hash = f.tx_hash AND t.span = f.span
+        GROUP BY ALL))"""
+
+  private val c5Liquidation = QueryDef(
+    "c5_liquidation",
+    (s, dir) => stitchedLiquidations(acts(s, dir))
+      .groupBy("protocol")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("stitched").cast("long")).as("n_stitched"),
+        sum((col("stitched") && col("decoded_collateral").isNull)
+          .cast("long")).as("n_healed_null"),
+        dsum(col("liquidated_collateral")).as("sum_collateral"),
+        dsum(col("covered_debt")).as("sum_debt"))
+      .orderBy("protocol"),
+    withCtes(s""", $stitchedLiqCte
+      SELECT protocol, COUNT(*) AS n_frames,
+        CAST(SUM(CASE WHEN stitched THEN 1 ELSE 0 END) AS BIGINT) AS n_stitched,
+        CAST(SUM(CASE WHEN stitched AND decoded_collateral IS NULL
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_healed_null,
+        ${sqlSum("liquidated_collateral")} AS sum_collateral,
+        ${sqlSum("covered_debt")} AS sum_debt
+      FROM liq_st GROUP BY 1 ORDER BY 1"""))
 
   /** C3 (byte-level discovery decode): the `discovery_impl!` pattern —
     * factory `createPair(tokenA, tokenB)` calldata decoded from REAL

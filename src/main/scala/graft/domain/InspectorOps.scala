@@ -805,28 +805,51 @@ object InspectorOps extends QueryModule {
       FROM header GROUP BY 1 ORDER BY 1"""))
 
   /** Q7: liquidation inspector — per-block rollup of liquidation-bearing
-    * txs with header PnL. */
+    * txs with header PnL, carrying the C5-stitched collateral valuation
+    * ([[ClassifyOps.stitchedLiquidations]]): frames whose decoded amounts
+    * live only in child transfer frames contribute through the harvested
+    * transfer amount and token, exactly as the reference's `parse_v2_v3`
+    * fill feeds its liquidation inspector. */
   private val q7Liquidations = QueryDef(
     "q7_liquidations",
     (s, dir) => {
       val liq = actionsTable(s, dir).filter(col("action_type") === "liquidation")
         .groupBy("tx_hash").agg(count(lit(1)).as("n_liq"))
+      val coll = ClassifyOps.stitchedLiquidations(actionsTable(s, dir))
+        .filter(col("liquidated_collateral").isNotNull &&
+          col("coll_tok_eff").isNotNull)
+        .withColumn("coll_usd",
+          col("liquidated_collateral") * tokenPrice(col("coll_tok_eff")))
+        .groupBy(col("tx_hash").as("c_hash"))
+        .agg(dsumR(col("coll_usd")).as("tx_coll_usd"))
       liq.join(bundleHeaders(s, dir), "tx_hash")
+        .join(coll, col("tx_hash") === col("c_hash"), "left")
         .groupBy("block_number")
         .agg(count(lit(1)).as("n_liq_txs"),
           sum(col("n_liq")).as("n_liquidations"),
           dsum(col("profit_usd")).as("sum_profit"),
-          dsum(col("gas_usd")).as("sum_gas"))
+          dsum(col("gas_usd")).as("sum_gas"),
+          dsum(col("tx_coll_usd")).as("sum_collateral_usd"))
         .orderBy("block_number")
     },
     withCtes(s"""liqtx AS (
         SELECT tx_hash, COUNT(*) AS n_liq FROM actions
-        WHERE action_type = 'liquidation' GROUP BY 1)
+        WHERE action_type = 'liquidation' GROUP BY 1),
+      ${ClassifyOps.stitchedLiqCte},
+      liqcoll AS (
+        SELECT tx_hash AS c_hash,
+          ${sqlSumR(s"liquidated_collateral * ${tokenPriceSql("coll_tok_eff")}")}
+            AS tx_coll_usd
+        FROM liq_st
+        WHERE liquidated_collateral IS NOT NULL AND coll_tok_eff IS NOT NULL
+        GROUP BY 1)
       SELECT h.block_number, COUNT(*) AS n_liq_txs,
         CAST(SUM(l.n_liq) AS BIGINT) AS n_liquidations,
         ${sqlSum("h.profit_usd")} AS sum_profit,
-        ${sqlSum("h.gas_usd")} AS sum_gas
+        ${sqlSum("h.gas_usd")} AS sum_gas,
+        ${sqlSum("c.tx_coll_usd")} AS sum_collateral_usd
       FROM liqtx l JOIN header h ON l.tx_hash = h.tx_hash
+      LEFT JOIN liqcoll c ON l.tx_hash = c.c_hash
       GROUP BY 1 ORDER BY 1"""))
 
   /** The per-tx liquidation bundle core, DataFrame-parameterized so the

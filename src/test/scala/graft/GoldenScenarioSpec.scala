@@ -601,6 +601,58 @@ class GoldenScenarioSpec extends SparkTestBase {
   private def liqOf(acts: DataFrame, hdr: DataFrame) =
     InspectorOps.liquidationBundlesOf(acts, hdr).collect()
 
+  // actions-shaped rows for the C5 liquidation stitch:
+  // (tx, trace_idx, action_type, trace_address, direction, tok_in, tok_out,
+  //  amount_in, amount_out)
+  private def liqActsOf(rows: (String, Long, String, Seq[Long], Long,
+      Option[Long], Option[Long], Option[Double], Option[Double])*): DataFrame =
+    rows.toDF("tx_hash", "trace_idx", "action_type", "trace_address",
+        "direction", "token_in_id", "token_out_id", "amount_in", "amount_out")
+      .withColumn("block_number", lit(1L))
+      .withColumn("protocol", lit("aave"))
+      .withColumn("from_address", lit("liquidator"))
+
+  test("c5 stitch: the first liquidator-bound child transfer fills a NULL collateral") {
+    val out = graft.domain.ClassifyOps.stitchedLiquidations(liqActsOf(
+      // liq root whose collateral decode is NULL (unknown token — the
+      // amounts-only-in-child-frames case the arm exists for)
+      ("t1", 0L, "liquidation", Seq(0L), 0L, Some(3L), None, Some(500.0), None),
+      ("t1", 1L, "transfer", Seq(0L, 1L), 1L, Some(9L), None, Some(123.456), None),
+      // a LATER direction-1 transfer must not win (find_map takes the first)
+      ("t1", 2L, "transfer", Seq(0L, 2L), 1L, Some(9L), None, Some(999.0), None)))
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Boolean]("stitched"))
+    assert(r.getAs[Double]("liquidated_collateral") == 123.456)
+    assert(r.getAs[Long]("coll_tok_eff") == 9L)
+  }
+
+  test("c5 stitch: the harvested transfer OVERWRITES a decoded collateral (aToken case)") {
+    val out = graft.domain.ClassifyOps.stitchedLiquidations(liqActsOf(
+      ("t3", 0L, "liquidation", Seq(0L), 0L, Some(3L), Some(4L), Some(10.0), Some(20.0)),
+      ("t3", 1L, "transfer", Seq(0L, 1L), 1L, Some(9L), None, Some(55.0), None)))
+      .collect()
+    assert(out.length == 1)
+    // aave.rs:48-51: the transfer amount replaces the decode unconditionally
+    assert(out.head.getAs[Double]("liquidated_collateral") == 55.0)
+    assert(out.head.getAs[Long]("coll_tok_eff") == 9L)
+  }
+
+  test("c5 stitch_not: no liquidator-bound child leaves the decode untouched") {
+    val out = graft.domain.ClassifyOps.stitchedLiquidations(liqActsOf(
+      ("t2", 0L, "liquidation", Seq(0L), 0L, Some(3L), Some(4L), Some(10.0), Some(20.0)),
+      // direction-0 child (inbound) is not a liquidator-bound leg
+      ("t2", 1L, "transfer", Seq(0L, 1L), 0L, Some(9L), None, Some(77.0), None),
+      // a transfer in ANOTHER span never harvests into this frame
+      ("t2", 2L, "transfer", Seq(5L, 1L), 1L, Some(9L), None, Some(88.0), None)))
+      .collect()
+    assert(out.length == 1)
+    assert(!out.head.getAs[Boolean]("stitched"))
+    assert(out.head.getAs[Double]("liquidated_collateral") == 20.0)
+    assert(out.head.getAs[Long]("coll_tok_eff") == 4L)
+  }
+
   test("aave_liquidation: a priced liq tx yields one bundle, profit = rev − gas") {
     val out = liqOf(
       bundleActsOf(
