@@ -46,12 +46,15 @@ import org.apache.spark.sql.functions._
   * does not gate emission — as in the reference, `valid_pricing` failure
   * zeroes `profit_usd` and clears `has_dex_price` (mod.rs:322-347).
   *
-  * Fixture-scale adaptations (documented, both engines identical): the tx
-  * universe is the swap-tx set (`sw_tx`), the chain's mev contract is the
-  * root `to` of the segment's second tx (the reference captures it when
-  * the first repeat creates the PossibleSandwich), the contract-keyed
-  * EOA is the segment's first caller, and overlap is pool-level (the
-  * reference adds token-level and transfer-generated fallbacks).
+  * Fixture-scale adaptations (documented, both engines identical): the
+  * chain/link/segment universe is the swap-tx set (`sw_tx`), the chain's
+  * mev contract is the root `to` of the segment's second tx (the
+  * reference captures it when the first repeat creates the
+  * PossibleSandwich), and the contract-keyed EOA is the segment's first
+  * caller. Victim verification carries BOTH reference overlap arms:
+  * pool-level reach, plus the transfer-victim / token-overlap fallbacks
+  * (`get_victim_swap_transfer` mod.rs:989-1009, `check_for_overlap`
+  * tokens arm mod.rs:701-760) — see [[bigmacBundlesOf]].
   *
   * Scale shape: every step is equi-keyed on (block, keying, key[, seg]) —
   * a 100 TB backfill parallelizes by block; range enumeration is bounded
@@ -101,9 +104,24 @@ object BigMacOps extends QueryModule {
   /** The full assembly on any swTx-shaped frame (block_number, tx_idx,
     * tx_hash, eoa, pool, tok_in, tok_out, sum_in, sum_out) plus a per-tx
     * (block_number, tx_idx, root_to) frame and a per-tx profit lookup
-    * (tx_hash, profit_usd). Unit-testable on planted ladders. */
+    * (tx_hash, profit_usd). Unit-testable on planted ladders.
+    *
+    * `transfersDf` (optional, tx-grain transfer legs: block_number,
+    * tx_idx, eoa, token) enables the reference's two victim fallbacks:
+    *   - TRANSFER-ONLY victims (`get_victim_swap_transfer`,
+    *     sandwich/mod.rs:989-1009, harvest `:127`): a gap tx with no swap
+    *     still joins the victim-EOA universe through its transfer legs —
+    *     and is subject to the same mev-contract nullification;
+    *   - TOKEN-level overlap (`check_for_overlap`'s matched_tokens arm,
+    *     mod.rs:701-760): a victim EOA counts as victimized when one of
+    *     its transferred TOKENS is touched by a searcher position on the
+    *     front side (≤ g) AND the back side (≥ g+1), even with no pool
+    *     overlap. Fixture-scale adaptation (identical in both engines):
+    *     the searcher side's token set is its swap legs' {tok_in,
+    *     tok_out}, the victim side's is its transfer legs' tokens, and
+    *     the front/back direction flags collapse into the position test. */
   private[graft] def bigmacBundlesOf(swTxDf: DataFrame, rootToDf: DataFrame,
-      profit: DataFrame): DataFrame = {
+      profit: DataFrame, transfersDf: Option[DataFrame] = None): DataFrame = {
     def px(t: Column): Column = tokenPrice(t)
 
     // tx-grain searcher/victim universe with block-local dense rank.
@@ -173,9 +191,32 @@ object BigMacOps extends QueryModule {
       .select(segKeys.map(col) ++ Seq(col("li").as("g"), col("vtx"),
         col("veoa"), col("vroot")): _*)
 
-    // segment caps + mev-contract victim nullification
+    // transfer-leg gap victims (get_victim_swap_transfer): tx-grain
+    // transfer legs strictly inside a link's gap by tx_idx — a tx with no
+    // swap still enters the victim-EOA universe through them
+    val gapt = transfersDf.map { tf =>
+      val t = tf.join(rootToDf, Seq("block_number", "tx_idx"))
+        .select(col("block_number").as("t_block"), col("tx_idx").as("t_idx"),
+          col("eoa").as("veoa"), col("token").as("vtok"),
+          col("root_to").as("vroot"))
+      // feeds killed + vt — checkpoint like txu/links/pos so the window
+      // chain behind links runs once, not once per consumer
+      links.join(t, col("t_block") === col("block_number") &&
+          col("t_idx") > col("tx_idx") && col("t_idx") < col("nxt_idx"))
+        .select(segKeys.map(col) ++ Seq(col("li").as("g"), col("veoa"),
+          col("vtok"), col("vroot")): _*)
+        .localCheckpoint()
+    }
+
+    // segment caps + mev-contract victim nullification (transfer-only
+    // victims nullify too — the reference checks every harvested victim's
+    // root, mod.rs:989-1009)
     val killed = gapv.join(mevc, segKeys)
-      .filter(col("vroot") === col("mevc")).select(segKeys.map(col): _*).distinct()
+      .filter(col("vroot") === col("mevc")).select(segKeys.map(col): _*)
+      .unionByName(gapt.map(_.join(mevc, segKeys)
+          .filter(col("vroot") === col("mevc")).select(segKeys.map(col): _*))
+        .getOrElse(gapv.limit(0).select(segKeys.map(col): _*)))
+      .distinct()
     val segs = seg0.filter(col("m") <= 10 && col("tot_v") <= 30)
       .join(mevc, segKeys).join(killed, segKeys, "left_anti")
 
@@ -198,6 +239,38 @@ object BigMacOps extends QueryModule {
       .agg(max(when(col("s_pos") <= col("g"), col("s_pos"))).as("fmax"),
         min(when(col("s_pos") >= col("g") + 1, col("s_pos"))).as("bmin"))
 
+    // token reach (check_for_overlap's matched_tokens arm): the searcher
+    // position's token set is its swap legs' {tok_in, tok_out}; per
+    // (seg, gap, victim eoa, transferred token) the nearest front/back
+    // searcher positions touching that token. Unioned with the pool reach
+    // into one per-EOA frame — `was` is the max over BOTH key spaces.
+    val reach = transfersDf match {
+      case None => fb
+      case Some(_) =>
+        val txtok = swTxDf
+          .select(col("block_number"), col("tx_idx"),
+            explode(array(col("tok_in"), col("tok_out"))).as("vtok"))
+          .distinct()
+        val st = pos.join(txtok, Seq("block_number", "tx_idx"))
+          .select(segKeys.map(col) ++ Seq(col("pos").as("s_pos"),
+            col("vtok").as("s_tok")): _*).distinct()
+        val vt = gapt.get
+          .select(segKeys.map(col) ++ Seq(col("g"), col("veoa"), col("vtok")): _*)
+          .distinct()
+        val ft = vt.join(st.withColumnsRenamed(Map(
+              "block_number" -> "s_block", "ktype" -> "s_ktype",
+              "k" -> "s_k", "seg" -> "s_seg")),
+            col("s_block") === col("block_number") &&
+              col("s_ktype") === col("ktype") && col("s_k") === col("k") &&
+              col("s_seg") === col("seg") && col("s_tok") === col("vtok"), "left")
+          .groupBy((segKeys.map(col) ++ Seq(col("g"), col("veoa"), col("vtok"))): _*)
+          .agg(max(when(col("s_pos") <= col("g"), col("s_pos"))).as("fmax"),
+            min(when(col("s_pos") >= col("g") + 1, col("s_pos"))).as("bmin"))
+        val cols = segKeys.map(col) ++
+          Seq(col("g"), col("veoa"), col("fmax"), col("bmin"))
+        fb.select(cols: _*).unionByName(ft.select(cols: _*))
+    }
+
     // all ranges within the 6-drop reachability envelope, verified per gap
     val ranges = segs
       .select(segKeys.map(col) ++ Seq(col("m"),
@@ -206,7 +279,8 @@ object BigMacOps extends QueryModule {
         explode(sequence(col("i"), col("m"))).as("j")): _*)
       .filter((col("i") - 1) + (col("m") - col("j")) <= ShrinkRounds)
     val rKeys = segKeys ++ Seq("i", "j")
-    val gv = ranges.join(fb, segKeys).filter(col("g").between(col("i"), col("j")))
+    val gv = ranges.join(reach, segKeys)
+      .filter(col("g").between(col("i"), col("j")))
       .groupBy((rKeys.map(col) ++ Seq(col("g"), col("veoa"))): _*)
       .agg(max(when(col("fmax").isNotNull && col("fmax") >= col("i") &&
         col("bmin").isNotNull && col("bmin") <= col("j") + 1, 1).otherwise(0))
@@ -351,11 +425,25 @@ object BigMacOps extends QueryModule {
       FROM bm_lnk l JOIN bm_txu v
         ON v.block_number = l.block_number
        AND v.rnk > l.rnk AND v.rnk < l.nxt_rnk),
+    bm_tf AS (
+      SELECT a.block_number, a.tx_idx, a.from_address AS eoa,
+        a.token_in_id AS vtok, r.root_to
+      FROM actions a JOIN bm_rt r
+        ON r.block_number = a.block_number AND r.tx_idx = a.tx_idx
+      WHERE a.action_type = 'transfer' AND a.amount_in IS NOT NULL),
+    bm_gapt AS MATERIALIZED (
+      SELECT l.block_number, l.ktype, l.k, l.seg, l.li AS g,
+        t.eoa AS veoa, t.vtok, t.root_to AS vroot
+      FROM bm_lnk l JOIN bm_tf t
+        ON t.block_number = l.block_number
+       AND t.tx_idx > l.tx_idx AND t.tx_idx < l.nxt_idx),
     bm_segs AS MATERIALIZED (
       SELECT s.*, c.mevc FROM bm_seg0 s JOIN bm_mevc c ON ${onSeg("s", "c")}
       WHERE s.m <= 10 AND s.tot_v <= 30
         AND NOT EXISTS (SELECT 1 FROM bm_gapv gv
-          WHERE ${onSeg("gv", "s")} AND gv.vroot = c.mevc)),
+          WHERE ${onSeg("gv", "s")} AND gv.vroot = c.mevc)
+        AND NOT EXISTS (SELECT 1 FROM bm_gapt gt
+          WHERE ${onSeg("gt", "s")} AND gt.vroot = c.mevc)),
     bm_sp AS (
       SELECT DISTINCT p.block_number, p.ktype, p.k, p.seg, p.pos, tp.pool
       FROM bm_pos p JOIN bm_txpool tp
@@ -364,13 +452,35 @@ object BigMacOps extends QueryModule {
       SELECT DISTINCT g.block_number, g.ktype, g.k, g.seg, g.g, g.veoa, tp.pool
       FROM bm_gapv g JOIN bm_txpool tp
         ON tp.block_number = g.block_number AND tp.tx_idx = g.vtx),
-    bm_fb AS MATERIALIZED (
+    bm_fb AS (
       SELECT v.block_number, v.ktype, v.k, v.seg, v.g, v.veoa, v.pool,
         MAX(CASE WHEN s.pos <= v.g THEN s.pos END) AS fmax,
         MIN(CASE WHEN s.pos >= v.g + 1 THEN s.pos END) AS bmin
       FROM bm_vp v LEFT JOIN bm_sp s
         ON ${onSeg("s", "v")} AND s.pool = v.pool
       GROUP BY 1, 2, 3, 4, 5, 6, 7),
+    bm_txtok AS (
+      SELECT DISTINCT block_number, tx_idx, tok FROM (
+        SELECT block_number, tx_idx, tok_in AS tok FROM sw_tx
+        UNION ALL SELECT block_number, tx_idx, tok_out FROM sw_tx)),
+    bm_st AS (
+      SELECT DISTINCT p.block_number, p.ktype, p.k, p.seg, p.pos, tt.tok
+      FROM bm_pos p JOIN bm_txtok tt
+        ON tt.block_number = p.block_number AND tt.tx_idx = p.tx_idx),
+    bm_vt AS (
+      SELECT DISTINCT block_number, ktype, k, seg, g, veoa, vtok
+      FROM bm_gapt),
+    bm_ft AS (
+      SELECT v.block_number, v.ktype, v.k, v.seg, v.g, v.veoa, v.vtok,
+        MAX(CASE WHEN s.pos <= v.g THEN s.pos END) AS fmax,
+        MIN(CASE WHEN s.pos >= v.g + 1 THEN s.pos END) AS bmin
+      FROM bm_vt v LEFT JOIN bm_st s
+        ON ${onSeg("s", "v")} AND s.tok = v.vtok
+      GROUP BY 1, 2, 3, 4, 5, 6, 7),
+    bm_reach AS MATERIALIZED (
+      SELECT block_number, ktype, k, seg, g, veoa, fmax, bmin FROM bm_fb
+      UNION ALL
+      SELECT block_number, ktype, k, seg, g, veoa, fmax, bmin FROM bm_ft),
     bm_rng AS MATERIALIZED (
       SELECT s.*, i.i, j.j FROM bm_segs s,
         LATERAL unnest(generate_series(1, s.m)) i(i),
@@ -381,7 +491,7 @@ object BigMacOps extends QueryModule {
         MAX(CASE WHEN f.fmax IS NOT NULL AND f.fmax >= r.i
                   AND f.bmin IS NOT NULL AND f.bmin <= r.j + 1
                  THEN 1 ELSE 0 END) AS was
-      FROM bm_rng r JOIN bm_fb f
+      FROM bm_rng r JOIN bm_reach f
         ON ${onSeg("f", "r")} AND f.g BETWEEN r.i AND r.j
       GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
     bm_gok AS (
@@ -433,7 +543,12 @@ object BigMacOps extends QueryModule {
     "q1_bigmac",
     (s, dir) => {
       val hdr = Accounting.bundleHeaders(s, dir).select("tx_hash", "profit_usd")
-      bigmacBundlesOf(InspectorOps.swTxOf(s, dir), rootTo(s, dir), hdr)
+      val tf = actionsTable(s, dir)
+        .filter(col("action_type") === "transfer" && col("amount_in").isNotNull)
+        .select(col("block_number"), col("tx_idx"),
+          col("from_address").as("eoa"), col("token_in_id").as("token"))
+      bigmacBundlesOf(InspectorOps.swTxOf(s, dir), rootTo(s, dir), hdr,
+          Some(tf))
         .orderBy("block_number", "front_idx", "back_idx", "n_frontruns",
           "chain_sig")
     },

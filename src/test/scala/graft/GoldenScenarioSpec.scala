@@ -430,6 +430,48 @@ class GoldenScenarioSpec extends SparkTestBase {
     assert(out.isEmpty, out.mkString("; "))
   }
 
+  test("big_mac: a transfer-only victim flips a dead candidate live via token overlap") {
+    // the only swap victim trades an unrelated pool AND tokens (dead:
+    // no pool reach, no token reach — n_was 0). The transfer-only tx "tv"
+    // never swaps, but transfers token 7, which the searcher touches on
+    // BOTH sides of the gap (tok_in of f1 and tok_out of bk) → the
+    // token-overlap arm victimizes its EOA: n_was 1 of n_veoas 2 → live
+    // (get_victim_swap_transfer + check_for_overlap tokens arm)
+    val df = swTxOf(
+      (1L, 0L, "f1", "atk", "P", 0L, 7L, 8L, 10.0, 9.0),
+      (1L, 1L, "v1", "vicA", "Q", 0L, 20L, 21L, 5.0, 4.2),
+      (1L, 3L, "bk", "atk", "P", 1L, 8L, 7L, 9.0, 11.0))
+    val tf = Seq((1L, 2L, "vicT", 7L))
+      .toDF("block_number", "tx_idx", "eoa", "token")
+    val roots = Seq((1L, 0L, "r_f1"), (1L, 1L, "r_v1"), (1L, 2L, "r_tv"),
+      (1L, 3L, "r_bk")).toDF("block_number", "tx_idx", "root_to")
+    val dead = graft.domain.BigMacOps
+      .bigmacBundlesOf(df, roots, noProfit).collect()
+    assert(dead.isEmpty, dead.mkString("; ")) // without the fallback: dead
+    val out = graft.domain.BigMacOps
+      .bigmacBundlesOf(df, roots, noProfit, Some(tf))
+      .filter(col("key_type") === "eoa").collect()
+    assert(out.length == 1, out.mkString("; "))
+    assert(out.head.getAs[Long]("front_idx") == 0L)
+    assert(out.head.getAs[Long]("back_idx") == 3L)
+  }
+
+  test("big_mac_not: a transfer-only victim calling the mev contract still kills") {
+    val df = swTxOf(
+      (1L, 0L, "f1", "atk", "P", 0L, 7L, 8L, 10.0, 9.0),
+      (1L, 1L, "v1", "vicA", "P", 0L, 7L, 8L, 5.0, 4.4),
+      (1L, 3L, "bk", "atk", "P", 1L, 8L, 7L, 9.0, 11.0))
+    val tf = Seq((1L, 2L, "vicT", 7L))
+      .toDF("block_number", "tx_idx", "eoa", "token")
+    // the transfer-only tx's root call targets the chain's mev contract
+    val roots = Seq((1L, 0L, "r_f1"), (1L, 1L, "r_v1"), (1L, 2L, "r_bk"),
+      (1L, 3L, "r_bk")).toDF("block_number", "tx_idx", "root_to")
+    val out = graft.domain.BigMacOps
+      .bigmacBundlesOf(df, roots, noProfit, Some(tf))
+      .filter(col("key_type") === "eoa").collect()
+    assert(out.isEmpty, out.mkString("; "))
+  }
+
   test("big_mac partition_into_gaps: an EMPTY gap splits the chain in two") {
     val df = swTxOf(
       (1L, 0L, "f1", "atk", "P", 0L, 7L, 8L, 10.0, 9.0),
