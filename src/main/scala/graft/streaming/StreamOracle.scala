@@ -29,7 +29,7 @@ object StreamOracle extends QueryModule {
 
   def defs: Seq[QueryDef] =
     Seq(r5StreamFold, r4StreamWindow, r5TickFold, r4LateData, s5WriteBehind,
-      d8StreamDedup, r8StreamJoin, r8OuterJoin)
+      c3StreamDiscovery, d8StreamDedup, r8StreamJoin, r8OuterJoin)
 
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -163,6 +163,70 @@ object StreamOracle extends QueryModule {
       SELECT pool, block, pre_px, post_px, n_updates,
         (pre_px IS NOT NULL AND pre_tick <> post_tick) AS crossed
       FROM fold ORDER BY pool, n_updates"""
+
+  /** C3 in tip mode (the streaming discovery upsert): factory NEW-POOL
+    * events ride the same file stream as the swap updates, and the
+    * registry is the fold's KEYED STATE ([[TipStream.registeredQuotes]]) —
+    * a pool deployed mid-stream starts pricing at its discovery event,
+    * earlier updates surface as `priced = false` quarantine rows, and the
+    * registration→pricing carry across micro-batch boundaries is exactly
+    * what the three tercile drops verify. Each pool's deploy block is the
+    * deterministic `(pool_id · 97) mod (max_block + 1)` spread, so every
+    * arm is live: pools registered before their first update, after their
+    * last, and mid-history. Oracle: the same fold over ONLY the
+    * post-deploy updates, unioned with the pre-deploy quarantine rows. */
+  private val c3StreamDiscovery = QueryDef(
+    "c3_stream_discovery",
+    (s, dir) => {
+      val upd = updates(s, dir)
+      val mbRow = upd.agg(max(col("block"))).head()
+      val mb = if (mbRow.isNullAt(0)) 0L else mbRow.getLong(0)
+      val dep = ChainFixture.pools(s)
+        .select(col("address").as("pool"),
+          (col("pool_id") * 97 % (mb + 1)).as("block"),
+          lit(-1L).as("txIdx"), lit(true).as("isNew"),
+          lit(0.0).as("px"), lit(0.0).as("vol"))
+      val ev = upd.withColumn("isNew", lit(false))
+        .select("pool", "block", "txIdx", "isNew", "px", "vol")
+        .unionByName(dep)
+      driveFold(s, withBlockTerciles(ev), 3, "c3sd") { (s2, stream) =>
+        import s2.implicits._
+        TipStream.registeredQuotes(stream.as[TipStream.RegEvent]).toDF()
+      }
+        .select(col("pool"), col("block"), col("txIdx").as("tx_idx"),
+          col("priced"), col("prePx").as("pre_px"),
+          col("postPx").as("post_px"), col("nUpdates").as("n_updates"))
+        .orderBy("pool", "block", "tx_idx")
+    },
+    withCtes(s""", upd AS (
+        SELECT pool, block_number AS block, tx_idx,
+          ARG_MIN(amount_out / amount_in, trace_idx) AS px
+        FROM actions
+        WHERE action_type = 'swap' AND pool IS NOT NULL
+          AND amount_in IS NOT NULL AND amount_out IS NOT NULL
+        GROUP BY 1, 2, 3),
+      sd_mb AS (SELECT MAX(block) AS mb FROM upd),
+      sd_dep AS (
+        SELECT address AS pool, (pool_id * 97) % (mb + 1) AS dep_block
+        FROM pool, sd_mb),
+      sd_pr AS (
+        SELECT u.* FROM upd u JOIN sd_dep d ON d.pool = u.pool
+        WHERE u.block >= d.dep_block),
+      sd_fold AS (
+        SELECT pool, block, tx_idx, true AS priced,
+          LAG(px) OVER w AS pre_px, px AS post_px,
+          ROW_NUMBER() OVER w AS n_updates
+        FROM sd_pr
+        WINDOW w AS (PARTITION BY pool ORDER BY block, tx_idx))
+      SELECT pool, block, tx_idx, priced, pre_px, post_px, n_updates
+      FROM sd_fold
+      UNION ALL
+      SELECT u.pool, u.block, u.tx_idx, false AS priced,
+        CAST(NULL AS DOUBLE) AS pre_px, u.px AS post_px,
+        CAST(0 AS BIGINT) AS n_updates
+      FROM upd u JOIN sd_dep d ON d.pool = u.pool
+      WHERE u.block < d.dep_block
+      ORDER BY pool, block, tx_idx"""))
 
   /** S5 (oracle-checked end-to-end): the R2 tip follower with the
     * write-behind sink — a REAL file-source stream (three parquet drops

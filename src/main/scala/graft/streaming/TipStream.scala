@@ -259,6 +259,88 @@ object TipStream {
         updateTickState)
   }
 
+  // ── C3 discovery in tip mode (streaming registry upsert) ─────────────────
+
+  /** One tip event: a factory NEW-POOL discovery (`isNew = true`, px/vol
+    * unused) or a swap update. Discovery rides the SAME total order as the
+    * updates (a deploy's txIdx is −1, so it sorts before any same-block
+    * update) — the reference's live loop feeds `discovery_impl!` results
+    * into the pricing registry as each block arrives
+    * (brontes-pricing/src/graphs/state_tracker.rs:1-288). */
+  case class RegEvent(pool: String, block: Long, txIdx: Long, isNew: Boolean,
+      px: Double, vol: Double)
+
+  /** Registry-gated pool state: `registered` flips on the pool's discovery
+    * event. Updates BEFORE registration never fold — the pricing graph
+    * only tracks discovered pools. */
+  case class RegPoolState(registered: Boolean, lastPx: Double,
+      cumVol: Double, nUpdates: Long)
+
+  /** Emission: priced quotes once registered; an unregistered update
+    * surfaces as a `priced = false` quarantine row (the R6 failed-data
+    * path) without touching state. */
+  case class RegQuote(pool: String, block: Long, txIdx: Long, priced: Boolean,
+      prePx: Option[Double], postPx: Double, cumVol: Double, nUpdates: Long)
+
+  /** R5 fold with the registry AS KEYED STATE: a pool created mid-stream
+    * starts pricing from its discovery event onward, closing the
+    * fixed-registry gap ([[poolQuotes]] prices every key from batch 0). */
+  def updateRegisteredState(
+      pool: String,
+      events: Iterator[RegEvent],
+      state: GroupState[RegPoolState]): Iterator[RegQuote] = {
+    val sorted = events.toSeq
+      .sortBy(e => (e.block, e.txIdx, if (e.isNew) 0 else 1))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      var st = state.getOption
+        .getOrElse(RegPoolState(registered = false, Double.NaN, 0.0, 0L))
+      val out = scala.collection.mutable.ArrayBuffer.empty[RegQuote]
+      sorted.foreach { e =>
+        if (e.isNew) st = st.copy(registered = true)
+        else if (st.registered) {
+          val pre = if (st.nUpdates == 0) None else Some(st.lastPx)
+          st = RegPoolState(registered = true, e.px, st.cumVol + e.vol,
+            st.nUpdates + 1)
+          out += RegQuote(pool, e.block, e.txIdx, priced = true, pre, e.px,
+            st.cumVol, st.nUpdates)
+        } else out += RegQuote(pool, e.block, e.txIdx, priced = false, None,
+          e.px, 0.0, 0L)
+      }
+      state.update(st)
+      out.iterator
+    }
+  }
+
+  /** Wiring: mixed discovery/update events → registry-gated emission. */
+  def registeredQuotes(events: Dataset[RegEvent]): Dataset[RegQuote] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.groupByKey(_.pool)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        updateRegisteredState)
+  }
+
+  /** The registry-TABLE upsert sink (C3 in tip mode): each micro-batch's
+    * discoveries land in the shared registry parquet other consumers read
+    * (G5's cross-run cache is the batch analog). Batch-id-keyed overwrite
+    * makes the at-least-once foreachBatch effectively exactly-once, as in
+    * [[writeBehind]]. */
+  def runDiscoveryUpsert(spark: SparkSession, srcDir: String,
+      registryDir: String, checkpoint: String): StreamingQuery = {
+    val schema = "pool STRING, block BIGINT, txIdx BIGINT, " +
+      "isNew BOOLEAN, px DOUBLE, vol DOUBLE"
+    spark.readStream.schema(schema).parquet(srcDir)
+      .filter(col("isNew"))
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        b.select(col("pool"), col("block").as("deploy_block"))
+          .write.mode("overwrite").parquet(s"$registryDir/batch=$batchId")
+      }
+      .start()
+  }
+
   /** True when a quote's pre→post move crossed an initialized tick
     * boundary — the streaming analog of the tick_bitmap walk: the V3 fold
     * must re-read range liquidity whenever this fires (uniswap_v3_math/

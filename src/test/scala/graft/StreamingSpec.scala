@@ -33,6 +33,47 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("C3 discovery upsert: a pool created in batch 2 is priced in batch 3") {
+    import TipStream.{RegEvent, RegQuote}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_c3sd_spec").toString
+    val (src, out, reg, ck1, ck2) = (s"$tmp/src", s"$tmp/out", s"$tmp/reg",
+      s"$tmp/ck1", s"$tmp/ck2")
+    def drop(mode: String, evs: RegEvent*): Unit =
+      evs.toSeq.toDF().coalesce(1).write.mode(mode).parquet(src)
+    // batch 1: pool X trades BEFORE discovery → quarantined, no state
+    drop("overwrite", RegEvent("X", 1L, 0L, isNew = false, 5.0, 2.0))
+    val schema = "pool STRING, block BIGINT, txIdx BIGINT, " +
+      "isNew BOOLEAN, px DOUBLE, vol DOUBLE"
+    val stream = spark.readStream.schema(schema).parquet(src)
+    val priceQ = TipStream.registeredQuotes(stream.as[RegEvent]).toDF()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck1)
+      .outputMode(OutputMode.Append()).start()
+    val discQ = TipStream.runDiscoveryUpsert(spark, src, reg, ck2)
+    try {
+      priceQ.processAllAvailable(); discQ.processAllAvailable()
+      // batch 2: the factory deploys X mid-stream → registry upsert
+      drop("append", RegEvent("X", 2L, -1L, isNew = true, 0.0, 0.0))
+      priceQ.processAllAvailable(); discQ.processAllAvailable()
+      // batch 3: X trades again → priced now, state starts fresh
+      drop("append", RegEvent("X", 3L, 0L, isNew = false, 7.0, 4.0),
+        RegEvent("X", 3L, 1L, isNew = false, 8.0, 1.0))
+      priceQ.processAllAvailable(); discQ.processAllAvailable()
+    } finally { priceQ.stop(); discQ.stop() }
+    val rows = spark.read.parquet(out).as[RegQuote].collect()
+      .sortBy(r => (r.block, r.txIdx))
+    assert(rows.map(r => (r.block, r.priced)).toSeq ==
+      Seq((1L, false), (3L, true), (3L, true)))
+    // the pre-discovery update never folded: batch-3 state starts at zero
+    assert(rows.filter(_.priced).map(_.nUpdates).toSeq == Seq(1L, 2L))
+    assert(rows.filter(_.priced).map(_.prePx).toSeq == Seq(None, Some(7.0)))
+    assert(rows.last.cumVol == 5.0)
+    // the registry TABLE grew mid-stream via the foreachBatch upsert
+    val regRows = spark.read.parquet(reg).collect()
+    assert(regRows.map(_.getAs[String]("pool")).toSeq == Seq("X"))
+    assert(regRows.head.getAs[Long]("deploy_block") == 2L)
+  }
+
   test("R4 watermark: late-within-delay merges, late-past-watermark drops, append flushes on close") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[TipStream.WndUpdate]
