@@ -151,8 +151,10 @@ object FidelityOps extends QueryModule {
     * revenue/gas/profit exact sums, max/min/avg profit,
     * average_profit_margin (block_analysis.rs:2024), top searcher by
     * profit :1903), candidates drawn from the shared inspector
-    * intermediates and valued by the A1–A3 bundle header — ~183 columns
-    * total, still zero Expand (distincts via distinct-pair passes). */
+    * intermediates and valued by the A1–A3 bundle header, plus the
+    * per-category most_transacted {pool, pair, dex} double argmax
+    * (:2072-2110) — 243 columns total, still zero Expand (distincts via
+    * distinct-pair passes, PlanSpec-pinned). */
   private val A5Categories =
     Seq("swap", "transfer", "mint", "burn", "liquidation", "unclassified")
 
@@ -377,6 +379,42 @@ object FidelityOps extends QueryModule {
         .join(mevBlk, Seq("block_bucket", "mev_type"), "left")
         .groupBy("block_bucket")
         .agg(mevAggs.head, mevAggs.tail: _*)
+      // ── per-MEV-category most_transacted families (block_analysis.rs:
+      //    2072-2110): busiest pool / pair / dex per MEV type, argmax by
+      //    summed bundle profit AND by summed profit+tip revenue — the
+      //    reference's `most_transacted` double argmax. Its Vec flatten
+      //    re-counts duplicate entities inside one bundle; here the
+      //    tx→entity map is DISTINCT per tx (documented adaptation, the
+      //    oracle identical). Same no-Expand shape: one hash agg at
+      //    (bucket, type, entity) grain per family + a tiny pivot; ties
+      //    break on the entity (the struct max / list-order pair). */
+      val pairKeyCol = concat(
+        least(col("token_in_id"), coalesce(col("token_out_id"), col("token_in_id"))),
+        lit(":"),
+        greatest(col("token_in_id"), coalesce(col("token_out_id"), col("token_in_id"))))
+      def mtWide(entities: DataFrame, prefix: String) = {
+        val g = mev.join(entities, "tx_hash")
+          .groupBy(col("block_bucket"), col("mev_type"), col("e"))
+          .agg(dsumR(col("profit_usd")).as("vp"),
+            dsumR(col("revenue_usd")).as("vr"))
+          .groupBy("block_bucket", "mev_type")
+          .agg(max(struct(col("vp"), col("e"))).as("sp"),
+            max(struct(col("vr"), col("e"))).as("sr"))
+        val aggs = A5MevTypes.flatMap { t =>
+          val is = col("mev_type") === t
+          Seq(max(when(is, col("sp.e"))).as(s"${prefix}_p_$t"),
+            max(when(is, col("sp.vp"))).as(s"${prefix}_p_v_$t"),
+            max(when(is, col("sr.e"))).as(s"${prefix}_r_$t"),
+            max(when(is, col("sr.vr"))).as(s"${prefix}_r_v_$t"))
+        }
+        g.groupBy("block_bucket").agg(aggs.head, aggs.tail: _*)
+      }
+      val mtPool = mtWide(a.filter(col("pool").isNotNull)
+        .select(col("tx_hash"), col("pool").as("e")).distinct(), "mt_pool")
+      val mtPair = mtWide(a.filter(col("token_in_id").isNotNull)
+        .select(col("tx_hash"), pairKeyCol.as("e")).distinct(), "mt_pair")
+      val mtDex = mtWide(a.filter(col("pool").isNotNull)
+        .select(col("tx_hash"), col("protocol").as("e")).distinct(), "mt_dex")
       perBlock
         .join(beoa, "block_number")
         .join(bpool, Seq("block_number"), "left")
@@ -398,6 +436,9 @@ object FidelityOps extends QueryModule {
         .join(poolTop, Seq("block_bucket"), "left")
         .join(pairTop, Seq("block_bucket"), "left")
         .join(mevWide, Seq("block_bucket"), "left")
+        .join(mtPool, Seq("block_bucket"), "left")
+        .join(mtPair, Seq("block_bucket"), "left")
+        .join(mtDex, Seq("block_bucket"), "left")
         // a bucket with no pooled actions has no poolTop row at all; its
         // npool counts are 0 (the oracle's COUNT(DISTINCT ..) = 0), while
         // its bpool argmax columns stay NULL as before
@@ -560,7 +601,36 @@ object FidelityOps extends QueryModule {
           ON g.block_bucket = e.block_bucket AND g.mev_type = e.mev_type
         LEFT JOIN mevnblk b
           ON g.block_bucket = b.block_bucket AND g.mev_type = b.mev_type
-        GROUP BY 1)
+        GROUP BY 1),
+      mtpoolmap AS (SELECT DISTINCT tx_hash, pool AS e
+        FROM actions WHERE pool IS NOT NULL),
+      mtpairmap AS (SELECT DISTINCT tx_hash,
+          CAST(LEAST(token_in_id, COALESCE(token_out_id, token_in_id)) AS VARCHAR)
+            || ':' ||
+          CAST(GREATEST(token_in_id, COALESCE(token_out_id, token_in_id)) AS VARCHAR) AS e
+        FROM actions WHERE token_in_id IS NOT NULL),
+      mtdexmap AS (SELECT DISTINCT tx_hash, protocol AS e
+        FROM actions WHERE pool IS NOT NULL),
+      ${Seq(("mtpool", "mtpoolmap", "mt_pool"), ("mtpair", "mtpairmap", "mt_pair"),
+          ("mtdex", "mtdexmap", "mt_dex")).map { case (cte, map, pfx) =>
+        s"""${cte}_g AS (
+        SELECT m.block_bucket, m.mev_type, t.e,
+          ${sqlSumR("m.profit_usd")} AS vp, ${sqlSumR("m.revenue_usd")} AS vr
+        FROM mevh m JOIN $map t ON t.tx_hash = m.tx_hash
+        GROUP BY 1, 2, 3),
+      ${cte}_a AS (
+        SELECT block_bucket, mev_type,
+          (list(e ORDER BY vp DESC, e DESC))[1] AS pe, MAX(vp) AS pv,
+          (list(e ORDER BY vr DESC, e DESC))[1] AS re, MAX(vr) AS rv
+        FROM ${cte}_g GROUP BY 1, 2),
+      ${cte}_p AS (SELECT block_bucket, ${A5MevTypes.map { t =>
+          s"""MAX(CASE WHEN mev_type = '$t' THEN pe END) AS ${pfx}_p_$t,
+          MAX(CASE WHEN mev_type = '$t' THEN pv END) AS ${pfx}_p_v_$t,
+          MAX(CASE WHEN mev_type = '$t' THEN re END) AS ${pfx}_r_$t,
+          MAX(CASE WHEN mev_type = '$t' THEN rv END) AS ${pfx}_r_v_$t"""
+        }.mkString(",\n          ")}
+        FROM ${cte}_a GROUP BY 1)"""
+      }.mkString(",\n      ")}
       SELECT r.*, ${A5Categories.map { t =>
         s"c.n_$t, c.ntx_$t, c.neoa_$t, c.npool_$t, c.in_$t, c.out_$t, " +
           s"c.maxin_$t, c.top_$t, c.toppool_$t, c.gas_$t, c.fee_$t"
@@ -573,6 +643,12 @@ object FidelityOps extends QueryModule {
           s"m.mev_n_$t, m.mev_neoa_$t, m.mev_nblk_$t, m.mev_rev_$t, " +
             s"m.mev_gas_$t, m.mev_profit_$t, m.mev_maxp_$t, m.mev_minp_$t, " +
             s"m.mev_avgp_$t, m.mev_margin_$t, m.mev_top_$t"
+        }.mkString(", ")},
+        ${A5MevTypes.flatMap { t =>
+          Seq("mt_pool" -> "mtp", "mt_pair" -> "mtr", "mt_dex" -> "mtd").map {
+            case (pfx, al) =>
+              s"$al.${pfx}_p_$t, $al.${pfx}_p_v_$t, $al.${pfx}_r_$t, $al.${pfx}_r_v_$t"
+          }
         }.mkString(", ")}
       FROM rollw r JOIN catw c USING (block_bucket)
       JOIN egp e USING (block_bucket)
@@ -580,6 +656,9 @@ object FidelityOps extends QueryModule {
       LEFT JOIN pgp p USING (block_bucket)
       LEFT JOIN prgp pr USING (block_bucket)
       LEFT JOIN mevp m USING (block_bucket)
+      LEFT JOIN mtpool_p mtp USING (block_bucket)
+      LEFT JOIN mtpair_p mtr USING (block_bucket)
+      LEFT JOIN mtdex_p mtd USING (block_bucket)
       ORDER BY block_bucket"""))
 
   /** F5: ABI decode registry — synthesized calldata (selector ‖ one 32-byte
