@@ -80,7 +80,10 @@ object ScaleRehearsal {
     "q9_builder_pnl", "q9_mev_count",
     // the trace-scale revert prune (prefix semi-join over the call tree)
     // and the hash-matched JitSandwich composition over bundle tables
-    "p18_revert_subtree", "j11_composed")
+    "p18_revert_subtree", "j11_composed",
+    // round 11: the C5 liquidation stitch, the per-block collateral
+    // valuation it feeds, and the registry-gated streaming discovery fold
+    "c5_liquidation", "q7_liquidations", "c3_stream_discovery")
 
   /** sf10 probe (VERDICT r9 #8): the five heaviest, at 100× sf0.1 — the
     * 100×-claims check a 10× rehearsal can't make. The pool-state fold is
@@ -94,7 +97,11 @@ object ScaleRehearsal {
     "d2_minhash_lsh", "t_decontaminate",
     // round 10, session 4: the discovery surface — its claimed-set
     // anti-join forces the sandwich/jit/arb bundle pipeline at 100×
-    "q9_possible_mev")
+    "q9_possible_mev",
+    // round 11 (VERDICT r10 #9): the heaviest domain/composer surfaces
+    // and the file-driven stream-stream joins — their 100× story
+    // previously rested on the 10× rehearsal alone
+    "q1_bigmac", "r8_stream_join", "r8_outer_join", "q9_mev_count")
   val Sf10Dir = "/tmp/graft_sf10"
 
   /** Skew probe: the user-partitioned event analytics (funnel, cohorts,

@@ -392,29 +392,34 @@ object FidelityOps extends QueryModule {
         least(col("token_in_id"), coalesce(col("token_out_id"), col("token_in_id"))),
         lit(":"),
         greatest(col("token_in_id"), coalesce(col("token_out_id"), col("token_in_id"))))
-      def mtWide(entities: DataFrame, prefix: String) = {
-        val g = mev.join(entities, "tx_hash")
-          .groupBy(col("block_bucket"), col("mev_type"), col("e"))
-          .agg(dsumR(col("profit_usd")).as("vp"),
-            dsumR(col("revenue_usd")).as("vr"))
-          .groupBy("block_bucket", "mev_type")
-          .agg(max(struct(col("vp"), col("e"))).as("sp"),
-            max(struct(col("vr"), col("e"))).as("sr"))
-        val aggs = A5MevTypes.flatMap { t =>
-          val is = col("mev_type") === t
-          Seq(max(when(is, col("sp.e"))).as(s"${prefix}_p_$t"),
-            max(when(is, col("sp.vp"))).as(s"${prefix}_p_v_$t"),
-            max(when(is, col("sr.e"))).as(s"${prefix}_r_$t"),
-            max(when(is, col("sr.vr"))).as(s"${prefix}_r_v_$t"))
+      // the three families STACK into one frame (`fam` tag) so the whole
+      // most_transacted surface costs ONE mev-join + one grain agg + one
+      // pivot, not three of each
+      val mtEntities = a.filter(col("pool").isNotNull)
+        .select(col("tx_hash"), lit("pool").as("fam"), col("pool").as("e"))
+        .unionByName(a.filter(col("token_in_id").isNotNull)
+          .select(col("tx_hash"), lit("pair").as("fam"), pairKeyCol.as("e")))
+        .unionByName(a.filter(col("pool").isNotNull)
+          .select(col("tx_hash"), lit("dex").as("fam"), col("protocol").as("e")))
+        .distinct()
+      val mtArg = mev.join(mtEntities, "tx_hash")
+        .groupBy(col("block_bucket"), col("mev_type"), col("fam"), col("e"))
+        .agg(dsumR(col("profit_usd")).as("vp"),
+          dsumR(col("revenue_usd")).as("vr"))
+        .groupBy("block_bucket", "mev_type", "fam")
+        .agg(max(struct(col("vp"), col("e"))).as("sp"),
+          max(struct(col("vr"), col("e"))).as("sr"))
+      val mtAggs = Seq("pool", "pair", "dex").flatMap { fam =>
+        A5MevTypes.flatMap { t =>
+          val is = col("mev_type") === t && col("fam") === fam
+          Seq(max(when(is, col("sp.e"))).as(s"mt_${fam}_p_$t"),
+            max(when(is, col("sp.vp"))).as(s"mt_${fam}_p_v_$t"),
+            max(when(is, col("sr.e"))).as(s"mt_${fam}_r_$t"),
+            max(when(is, col("sr.vr"))).as(s"mt_${fam}_r_v_$t"))
         }
-        g.groupBy("block_bucket").agg(aggs.head, aggs.tail: _*)
       }
-      val mtPool = mtWide(a.filter(col("pool").isNotNull)
-        .select(col("tx_hash"), col("pool").as("e")).distinct(), "mt_pool")
-      val mtPair = mtWide(a.filter(col("token_in_id").isNotNull)
-        .select(col("tx_hash"), pairKeyCol.as("e")).distinct(), "mt_pair")
-      val mtDex = mtWide(a.filter(col("pool").isNotNull)
-        .select(col("tx_hash"), col("protocol").as("e")).distinct(), "mt_dex")
+      val mtWideAll = mtArg.groupBy("block_bucket")
+        .agg(mtAggs.head, mtAggs.tail: _*)
       perBlock
         .join(beoa, "block_number")
         .join(bpool, Seq("block_number"), "left")
@@ -436,9 +441,7 @@ object FidelityOps extends QueryModule {
         .join(poolTop, Seq("block_bucket"), "left")
         .join(pairTop, Seq("block_bucket"), "left")
         .join(mevWide, Seq("block_bucket"), "left")
-        .join(mtPool, Seq("block_bucket"), "left")
-        .join(mtPair, Seq("block_bucket"), "left")
-        .join(mtDex, Seq("block_bucket"), "left")
+        .join(mtWideAll, Seq("block_bucket"), "left")
         // a bucket with no pooled actions has no poolTop row at all; its
         // npool counts are 0 (the oracle's COUNT(DISTINCT ..) = 0), while
         // its bpool argmax columns stay NULL as before
