@@ -107,7 +107,8 @@ object BigMacOps extends QueryModule {
     * (tx_hash, profit_usd). Unit-testable on planted ladders.
     *
     * `transfersDf` (optional, tx-grain transfer legs: block_number,
-    * tx_idx, eoa, token) enables the reference's two victim fallbacks:
+    * tx_idx, eoa, token, direction) enables the reference's three victim
+    * fallbacks:
     *   - TRANSFER-ONLY victims (`get_victim_swap_transfer`,
     *     sandwich/mod.rs:989-1009, harvest `:127`): a gap tx with no swap
     *     still joins the victim-EOA universe through its transfer legs —
@@ -119,7 +120,16 @@ object BigMacOps extends QueryModule {
     *     overlap. Fixture-scale adaptation (identical in both engines):
     *     the searcher side's token set is its swap legs' {tok_in,
     *     tok_out}, the victim side's is its transfer legs' tokens, and
-    *     the front/back direction flags collapse into the position test. */
+    *     the front/back direction flags collapse into the position test;
+    *   - GENERATED pools (`generate_possible_pools_from_transfers`,
+    *     mod.rs:819-838): a tx with EXACTLY two transfer legs of
+    *     different tokens in opposite directions is an unclassified-pool
+    *     interaction — fixture-scale, the inferred pool is that tx's root
+    *     `to` contract. Searcher positions chain their inferred pools
+    *     into the pool set (collect_frontrun_data, mod.rs:758-762), and a
+    *     victim's inferred pool victimizes on EITHER side's reach
+    *     (mod.rs:678-684 tests front OR back, unlike the both-sides pool
+    *     and token arms). */
   private[graft] def bigmacBundlesOf(swTxDf: DataFrame, rootToDf: DataFrame,
       profit: DataFrame, transfersDf: Option[DataFrame] = None): DataFrame = {
     def px(t: Column): Column = tokenPrice(t)
@@ -208,6 +218,25 @@ object BigMacOps extends QueryModule {
         .localCheckpoint()
     }
 
+    // generated pools (generate_possible_pools_from_transfers): a tx with
+    // EXACTLY two transfer legs, different tokens, opposite directions is
+    // an unclassified-pool interaction whose inferred pool is its root
+    // `to`. min/max comparisons stand in for countDistinct (no Expand).
+    val inferred = transfersDf.map { tf =>
+      tf.groupBy("block_number", "tx_idx")
+        .agg(count(lit(1)).as("nlegs"), min(col("eoa")).as("veoa"),
+          min(col("token")).as("tmin"), max(col("token")).as("tmax"),
+          min(col("direction")).as("dmin"), max(col("direction")).as("dmax"))
+        .filter(col("nlegs") === 2 && col("tmin") =!= col("tmax") &&
+          col("dmin") =!= col("dmax"))
+        .join(rootToDf, Seq("block_number", "tx_idx"))
+        .select(col("block_number"), col("tx_idx"), col("veoa"),
+          col("root_to").as("gpool"))
+        // feeds the searcher pool set (→ fb AND fg) and the victim
+        // generated-reach join — checkpoint so the legs agg runs once
+        .localCheckpoint()
+    }
+
     // segment caps + mev-contract victim nullification (transfer-only
     // victims nullify too — the reference checks every harvested victim's
     // root, mod.rs:989-1009)
@@ -221,55 +250,71 @@ object BigMacOps extends QueryModule {
       .join(mevc, segKeys).join(killed, segKeys, "left_anti")
 
     // pool reach: per (seg, gap, victim eoa, pool) the nearest searcher
-    // positions on the front (≤ g) and back (≥ g+1) sides
-    val sp = pos.join(txpool, Seq("block_number", "tx_idx"))
-      .select(segKeys.map(col) ++ Seq(col("pos"), col("pool")): _*).distinct()
-      .withColumnRenamed("pos", "s_pos").withColumnRenamed("pool", "s_pool")
-    val vp = gapv.join(txpool.withColumnRenamed("tx_idx", "vtx"),
+    // positions on the front (≤ g) and back (≥ g+1) sides. Searcher
+    // positions chain their GENERATED pools into the set
+    // (collect_frontrun_data, mod.rs:758-762).
+    val txpoolAll = inferred match {
+      case None => txpool
+      case Some(inf) => txpool.unionByName(
+        inf.select(col("block_number"), col("tx_idx"),
+          col("gpool").as("pool")))
+    }
+    // Searcher-side key positions and victim-side keys STACK across the
+    // three overlap arms (`fam` ∈ pool / tok / gen) so the whole reach
+    // surface costs ONE equi-join on (chain, fam, key) + one grain agg —
+    // not three of each:
+    //   - pool arm (has_pool_overlap): victim SWAP pools vs searcher
+    //     pools (incl. the searcher's GENERATED pools,
+    //     collect_frontrun_data mod.rs:758-762), front AND back reach;
+    //   - token arm (check_for_overlap's matched_tokens): victim
+    //     transfer-leg tokens vs searcher swap-leg {tok_in, tok_out},
+    //     front AND back;
+    //   - generated arm (mod.rs:678-684): the victim's inferred pools vs
+    //     the same searcher pool set, EITHER side's reach suffices
+    //     (`need_both` = false).
+    def onChainFam(s: DataFrame) = s.withColumnsRenamed(Map(
+      "block_number" -> "s_block", "ktype" -> "s_ktype",
+      "k" -> "s_k", "seg" -> "s_seg", "fam" -> "s_fam", "skey" -> "s_skey"))
+    val sPool = pos.join(txpoolAll, Seq("block_number", "tx_idx"))
+      .select(segKeys.map(col) ++ Seq(col("pos").as("s_pos"),
+        lit("pool").as("fam"), col("pool").as("skey")): _*)
+    val vPool = gapv.join(txpool.withColumnRenamed("tx_idx", "vtx"),
         Seq("block_number", "vtx"))
-      .select(segKeys.map(col) ++ Seq(col("g"), col("veoa"), col("pool")): _*)
-      .distinct()
-    val fb = vp.join(sp.withColumnsRenamed(Map(
-          "block_number" -> "s_block", "ktype" -> "s_ktype",
-          "k" -> "s_k", "seg" -> "s_seg")),
-        col("s_block") === col("block_number") && col("s_ktype") === col("ktype") &&
-          col("s_k") === col("k") && col("s_seg") === col("seg") &&
-          col("s_pool") === col("pool"), "left")
-      .groupBy((segKeys.map(col) ++ Seq(col("g"), col("veoa"), col("pool"))): _*)
-      .agg(max(when(col("s_pos") <= col("g"), col("s_pos"))).as("fmax"),
-        min(when(col("s_pos") >= col("g") + 1, col("s_pos"))).as("bmin"))
-
-    // token reach (check_for_overlap's matched_tokens arm): the searcher
-    // position's token set is its swap legs' {tok_in, tok_out}; per
-    // (seg, gap, victim eoa, transferred token) the nearest front/back
-    // searcher positions touching that token. Unioned with the pool reach
-    // into one per-EOA frame — `was` is the max over BOTH key spaces.
-    val reach = transfersDf match {
-      case None => fb
+      .select(segKeys.map(col) ++ Seq(col("g"), col("veoa"),
+        lit("pool").as("fam"), col("pool").as("vkey"),
+        lit(true).as("need_both")): _*)
+    val (sAll, vAll) = transfersDf match {
+      case None => (sPool, vPool)
       case Some(_) =>
         val txtok = swTxDf
           .select(col("block_number"), col("tx_idx"),
             explode(array(col("tok_in"), col("tok_out"))).as("vtok"))
-          .distinct()
-        val st = pos.join(txtok, Seq("block_number", "tx_idx"))
+        val sTok = pos.join(txtok, Seq("block_number", "tx_idx"))
           .select(segKeys.map(col) ++ Seq(col("pos").as("s_pos"),
-            col("vtok").as("s_tok")): _*).distinct()
-        val vt = gapt.get
-          .select(segKeys.map(col) ++ Seq(col("g"), col("veoa"), col("vtok")): _*)
-          .distinct()
-        val ft = vt.join(st.withColumnsRenamed(Map(
-              "block_number" -> "s_block", "ktype" -> "s_ktype",
-              "k" -> "s_k", "seg" -> "s_seg")),
-            col("s_block") === col("block_number") &&
-              col("s_ktype") === col("ktype") && col("s_k") === col("k") &&
-              col("s_seg") === col("seg") && col("s_tok") === col("vtok"), "left")
-          .groupBy((segKeys.map(col) ++ Seq(col("g"), col("veoa"), col("vtok"))): _*)
-          .agg(max(when(col("s_pos") <= col("g"), col("s_pos"))).as("fmax"),
-            min(when(col("s_pos") >= col("g") + 1, col("s_pos"))).as("bmin"))
-        val cols = segKeys.map(col) ++
-          Seq(col("g"), col("veoa"), col("fmax"), col("bmin"))
-        fb.select(cols: _*).unionByName(ft.select(cols: _*))
+            lit("tok").as("fam"), col("vtok").cast("string").as("skey")): _*)
+        val vTok = gapt.get
+          .select(segKeys.map(col) ++ Seq(col("g"), col("veoa"),
+            lit("tok").as("fam"), col("vtok").cast("string").as("vkey"),
+            lit(true).as("need_both")): _*)
+        val inf = inferred.get
+        val vGen = links.join(inf.select(col("block_number").as("t_block"),
+              col("tx_idx").as("t_idx"), col("veoa"), col("gpool")),
+            col("t_block") === col("block_number") &&
+              col("t_idx") > col("tx_idx") && col("t_idx") < col("nxt_idx"))
+          .select(segKeys.map(col) ++ Seq(col("li").as("g"), col("veoa"),
+            lit("pool").as("fam"), col("gpool").as("vkey"),
+            lit(false).as("need_both")): _*)
+        (sPool.unionByName(sTok),
+          vPool.unionByName(vTok).unionByName(vGen))
     }
+    val reach = vAll.distinct().join(onChainFam(sAll.distinct()),
+        col("s_block") === col("block_number") && col("s_ktype") === col("ktype") &&
+          col("s_k") === col("k") && col("s_seg") === col("seg") &&
+          col("fam") === col("s_fam") && col("s_skey") === col("vkey"), "left")
+      .groupBy((segKeys.map(col) ++ Seq(col("g"), col("veoa"), col("fam"),
+        col("vkey"), col("need_both"))): _*)
+      .agg(max(when(col("s_pos") <= col("g"), col("s_pos"))).as("fmax"),
+        min(when(col("s_pos") >= col("g") + 1, col("s_pos"))).as("bmin"))
 
     // all ranges within the 6-drop reachability envelope, verified per gap
     val ranges = segs
@@ -279,12 +324,13 @@ object BigMacOps extends QueryModule {
         explode(sequence(col("i"), col("m"))).as("j")): _*)
       .filter((col("i") - 1) + (col("m") - col("j")) <= ShrinkRounds)
     val rKeys = segKeys ++ Seq("i", "j")
+    val fOk = col("fmax").isNotNull && col("fmax") >= col("i")
+    val bOk = col("bmin").isNotNull && col("bmin") <= col("j") + 1
     val gv = ranges.join(reach, segKeys)
       .filter(col("g").between(col("i"), col("j")))
       .groupBy((rKeys.map(col) ++ Seq(col("g"), col("veoa"))): _*)
-      .agg(max(when(col("fmax").isNotNull && col("fmax") >= col("i") &&
-        col("bmin").isNotNull && col("bmin") <= col("j") + 1, 1).otherwise(0))
-        .as("was"))
+      .agg(max(when(when(col("need_both"), fOk && bOk).otherwise(fOk || bOk),
+        1).otherwise(0)).as("was"))
     val gok = gv.groupBy((rKeys.map(col) :+ col("g")): _*)
       .agg(count(lit(1)).as("n_veoas"), sum(col("was")).as("n_was"))
     val verd = gok.groupBy(rKeys.map(col): _*)
@@ -425,12 +471,18 @@ object BigMacOps extends QueryModule {
       FROM bm_lnk l JOIN bm_txu v
         ON v.block_number = l.block_number
        AND v.rnk > l.rnk AND v.rnk < l.nxt_rnk),
-    bm_tf AS (
+    bm_tf AS MATERIALIZED (
       SELECT a.block_number, a.tx_idx, a.from_address AS eoa,
-        a.token_in_id AS vtok, r.root_to
+        a.token_in_id AS vtok, a.direction, r.root_to
       FROM actions a JOIN bm_rt r
         ON r.block_number = a.block_number AND r.tx_idx = a.tx_idx
       WHERE a.action_type = 'transfer' AND a.amount_in IS NOT NULL),
+    bm_inf AS MATERIALIZED (
+      SELECT block_number, tx_idx, MIN(eoa) AS veoa, MIN(root_to) AS gpool
+      FROM bm_tf
+      GROUP BY 1, 2
+      HAVING COUNT(*) = 2 AND MIN(vtok) <> MAX(vtok)
+         AND MIN(direction) <> MAX(direction)),
     bm_gapt AS MATERIALIZED (
       SELECT l.block_number, l.ktype, l.k, l.seg, l.li AS g,
         t.eoa AS veoa, t.vtok, t.root_to AS vroot
@@ -444,9 +496,12 @@ object BigMacOps extends QueryModule {
           WHERE ${onSeg("gv", "s")} AND gv.vroot = c.mevc)
         AND NOT EXISTS (SELECT 1 FROM bm_gapt gt
           WHERE ${onSeg("gt", "s")} AND gt.vroot = c.mevc)),
-    bm_sp AS (
+    bm_txpool_all AS (
+      SELECT block_number, tx_idx, pool FROM bm_txpool
+      UNION ALL SELECT block_number, tx_idx, gpool FROM bm_inf),
+    bm_sp AS MATERIALIZED (
       SELECT DISTINCT p.block_number, p.ktype, p.k, p.seg, p.pos, tp.pool
-      FROM bm_pos p JOIN bm_txpool tp
+      FROM bm_pos p JOIN bm_txpool_all tp
         ON tp.block_number = p.block_number AND tp.tx_idx = p.tx_idx),
     bm_vp AS (
       SELECT DISTINCT g.block_number, g.ktype, g.k, g.seg, g.g, g.veoa, tp.pool
@@ -477,10 +532,28 @@ object BigMacOps extends QueryModule {
       FROM bm_vt v LEFT JOIN bm_st s
         ON ${onSeg("s", "v")} AND s.tok = v.vtok
       GROUP BY 1, 2, 3, 4, 5, 6, 7),
+    bm_vg AS (
+      SELECT DISTINCT l.block_number, l.ktype, l.k, l.seg, l.li AS g,
+        t.veoa, t.gpool
+      FROM bm_lnk l JOIN bm_inf t
+        ON t.block_number = l.block_number
+       AND t.tx_idx > l.tx_idx AND t.tx_idx < l.nxt_idx),
+    bm_fg AS (
+      SELECT v.block_number, v.ktype, v.k, v.seg, v.g, v.veoa, v.gpool,
+        MAX(CASE WHEN s.pos <= v.g THEN s.pos END) AS fmax,
+        MIN(CASE WHEN s.pos >= v.g + 1 THEN s.pos END) AS bmin
+      FROM bm_vg v LEFT JOIN bm_sp s
+        ON ${onSeg("s", "v")} AND s.pool = v.gpool
+      GROUP BY 1, 2, 3, 4, 5, 6, 7),
     bm_reach AS MATERIALIZED (
-      SELECT block_number, ktype, k, seg, g, veoa, fmax, bmin FROM bm_fb
+      SELECT block_number, ktype, k, seg, g, veoa, fmax, bmin,
+        true AS need_both FROM bm_fb
       UNION ALL
-      SELECT block_number, ktype, k, seg, g, veoa, fmax, bmin FROM bm_ft),
+      SELECT block_number, ktype, k, seg, g, veoa, fmax, bmin,
+        true AS need_both FROM bm_ft
+      UNION ALL
+      SELECT block_number, ktype, k, seg, g, veoa, fmax, bmin,
+        false AS need_both FROM bm_fg),
     bm_rng AS MATERIALIZED (
       SELECT s.*, i.i, j.j FROM bm_segs s,
         LATERAL unnest(generate_series(1, s.m)) i(i),
@@ -488,8 +561,11 @@ object BigMacOps extends QueryModule {
       WHERE (i.i - 1) + (s.m - j.j) <= $ShrinkRounds),
     bm_gv AS (
       SELECT r.block_number, r.ktype, r.k, r.seg, r.i, r.j, f.g, f.veoa,
-        MAX(CASE WHEN f.fmax IS NOT NULL AND f.fmax >= r.i
-                  AND f.bmin IS NOT NULL AND f.bmin <= r.j + 1
+        MAX(CASE WHEN CASE WHEN f.need_both
+                 THEN (f.fmax IS NOT NULL AND f.fmax >= r.i)
+                  AND (f.bmin IS NOT NULL AND f.bmin <= r.j + 1)
+                 ELSE (f.fmax IS NOT NULL AND f.fmax >= r.i)
+                   OR (f.bmin IS NOT NULL AND f.bmin <= r.j + 1) END
                  THEN 1 ELSE 0 END) AS was
       FROM bm_rng r JOIN bm_reach f
         ON ${onSeg("f", "r")} AND f.g BETWEEN r.i AND r.j
@@ -546,7 +622,8 @@ object BigMacOps extends QueryModule {
       val tf = actionsTable(s, dir)
         .filter(col("action_type") === "transfer" && col("amount_in").isNotNull)
         .select(col("block_number"), col("tx_idx"),
-          col("from_address").as("eoa"), col("token_in_id").as("token"))
+          col("from_address").as("eoa"), col("token_in_id").as("token"),
+          col("direction"))
       bigmacBundlesOf(InspectorOps.swTxOf(s, dir), rootTo(s, dir), hdr,
           Some(tf))
         .orderBy("block_number", "front_idx", "back_idx", "n_frontruns",

@@ -441,8 +441,8 @@ class GoldenScenarioSpec extends SparkTestBase {
       (1L, 0L, "f1", "atk", "P", 0L, 7L, 8L, 10.0, 9.0),
       (1L, 1L, "v1", "vicA", "Q", 0L, 20L, 21L, 5.0, 4.2),
       (1L, 3L, "bk", "atk", "P", 1L, 8L, 7L, 9.0, 11.0))
-    val tf = Seq((1L, 2L, "vicT", 7L))
-      .toDF("block_number", "tx_idx", "eoa", "token")
+    val tf = Seq((1L, 2L, "vicT", 7L, 0L))
+      .toDF("block_number", "tx_idx", "eoa", "token", "direction")
     val roots = Seq((1L, 0L, "r_f1"), (1L, 1L, "r_v1"), (1L, 2L, "r_tv"),
       (1L, 3L, "r_bk")).toDF("block_number", "tx_idx", "root_to")
     val dead = graft.domain.BigMacOps
@@ -456,13 +456,61 @@ class GoldenScenarioSpec extends SparkTestBase {
     assert(out.head.getAs[Long]("back_idx") == 3L)
   }
 
+  test("big_mac: a generated pool (2-leg transfer tx) victimizes on one-sided reach") {
+    // the swap victim trades unrelated pool Q / tokens 20,21 (dead on the
+    // pool and token arms). The transfer-only tx "tv" has EXACTLY two
+    // legs, different tokens (30,31 — also outside the searcher's token
+    // set), opposite directions → generate_possible_pools_from_transfers
+    // infers its root contract P as an unclassified pool; P is the
+    // searcher's pool, and the generated arm needs only ONE side's reach
+    // (mod.rs:678-684) → vicT victimized: n_was 1 of n_veoas 2 → live
+    val df = swTxOf(
+      (1L, 0L, "f1", "atk", "P", 0L, 7L, 8L, 10.0, 9.0),
+      (1L, 1L, "v1", "vicA", "Q", 0L, 20L, 21L, 5.0, 4.2),
+      (1L, 3L, "bk", "atk", "P", 1L, 8L, 7L, 9.0, 11.0))
+    val tf = Seq((1L, 2L, "vicT", 30L, 0L), (1L, 2L, "vicT", 31L, 1L))
+      .toDF("block_number", "tx_idx", "eoa", "token", "direction")
+    val roots = Seq((1L, 0L, "r_f1"), (1L, 1L, "r_v1"), (1L, 2L, "P"),
+      (1L, 3L, "r_bk")).toDF("block_number", "tx_idx", "root_to")
+    val dead = graft.domain.BigMacOps
+      .bigmacBundlesOf(df, roots, noProfit).collect()
+    assert(dead.isEmpty, dead.mkString("; "))
+    val out = graft.domain.BigMacOps
+      .bigmacBundlesOf(df, roots, noProfit, Some(tf))
+      .filter(col("key_type") === "eoa").collect()
+    assert(out.length == 1, out.mkString("; "))
+    assert(out.head.getAs[Long]("front_idx") == 0L)
+    assert(out.head.getAs[Long]("back_idx") == 3L)
+  }
+
+  test("big_mac_not: one transfer leg, same tokens, or same direction never infers a pool") {
+    val df = swTxOf(
+      (1L, 0L, "f1", "atk", "P", 0L, 7L, 8L, 10.0, 9.0),
+      (1L, 1L, "v1", "vicA", "Q", 0L, 20L, 21L, 5.0, 4.2),
+      (1L, 5L, "bk", "atk", "P", 1L, 8L, 7L, 9.0, 11.0))
+    // three gap txs, each failing ONE of the exactly-2 / diff-token /
+    // opposite-direction requirements (mod.rs:827-836)
+    val tf = Seq(
+      (1L, 2L, "t1", 30L, 0L), // one leg only
+      (1L, 3L, "t2", 30L, 0L), (1L, 3L, "t2", 30L, 1L), // same token
+      (1L, 4L, "t3", 30L, 0L), (1L, 4L, "t3", 31L, 0L)) // same direction
+      .toDF("block_number", "tx_idx", "eoa", "token", "direction")
+    val roots = Seq((1L, 0L, "r_f1"), (1L, 1L, "r_v1"), (1L, 2L, "P"),
+      (1L, 3L, "P"), (1L, 4L, "P"), (1L, 5L, "r_bk"))
+      .toDF("block_number", "tx_idx", "root_to")
+    val out = graft.domain.BigMacOps
+      .bigmacBundlesOf(df, roots, noProfit, Some(tf))
+      .filter(col("key_type") === "eoa").collect()
+    assert(out.isEmpty, out.mkString("; "))
+  }
+
   test("big_mac_not: a transfer-only victim calling the mev contract still kills") {
     val df = swTxOf(
       (1L, 0L, "f1", "atk", "P", 0L, 7L, 8L, 10.0, 9.0),
       (1L, 1L, "v1", "vicA", "P", 0L, 7L, 8L, 5.0, 4.4),
       (1L, 3L, "bk", "atk", "P", 1L, 8L, 7L, 9.0, 11.0))
-    val tf = Seq((1L, 2L, "vicT", 7L))
-      .toDF("block_number", "tx_idx", "eoa", "token")
+    val tf = Seq((1L, 2L, "vicT", 7L, 0L))
+      .toDF("block_number", "tx_idx", "eoa", "token", "direction")
     // the transfer-only tx's root call targets the chain's mev contract
     val roots = Seq((1L, 0L, "r_f1"), (1L, 1L, "r_v1"), (1L, 2L, "r_bk"),
       (1L, 3L, "r_bk")).toDF("block_number", "tx_idx", "root_to")
