@@ -137,7 +137,7 @@ object ScaleRehearsal {
 
   private def keySpan(s: SparkSession): Long = {
     val mx = s.read.parquet(s"$SrcDir/orders.parquet")
-      .agg(max("o_orderkey")).head.getLong(0)
+      .agg(max("o_orderkey")).head().getLong(0)
     (mx / 192 + 1) * 192
   }
 
@@ -164,7 +164,7 @@ object ScaleRehearsal {
     // driver generations) — normalize through TIMESTAMP for the micros math
     val ev = src("events").withColumn("ts", col("ts").cast("timestamp"))
     val tsSpanUs = ev.agg((unix_micros(max("ts")) - unix_micros(min("ts")) +
-      3600L * 1000000L).as("s")).head.getLong(0)
+      3600L * 1000000L).as("s")).head().getLong(0)
     write("events", copies(ev)
       .withColumn("event_id", col("event_id") + col("copy_k") * 1000000000L)
       .withColumn("user_id", col("user_id") + col("copy_k") * 1000000L)
