@@ -43,18 +43,22 @@ object ClassifyOps extends QueryModule {
     * reference marks a liquidation start node, harvests the frame's child
     * TRANSFERS (`TreeSearchBuilder::with_action(is_transfer)`,
     * multi_frame_classification/liquidations/aave.rs:13-38, harvest
-    * mod.rs:34), and fills `liquidated_collateral` from the first transfer
+    * mod.rs:34), and fills `liquidated_collateral` from the transfers
     * paid to the liquidator (`parse_v2_v3`, aave.rs:41-59) — OVERWRITING
     * the decoded value, because Aave may return aTokens instead of the
-    * collateral asset (aave.rs:48-51).
+    * collateral asset (aave.rs:48-51). The closure inside `find_map`
+    * always returns `None`, so it never short-circuits: EVERY
+    * liquidator-bound transfer overwrites the field and the LAST one in
+    * trace order wins (aave.rs:44-57).
     *
     * Fixture mapping (identical in both engines): a frame is a liquidation
-    * span root (depth 1); the liquidator-bound leg is the first
-    * direction-1 child transfer in trace order (the fixture's outbound
-    * direction — its `to == liquidator` analog); the transfer's amount and
-    * token replace the decoded collateral. When the root's own decode
-    * carried NULL (unknown collateral token, the C9 path), the stitch is
-    * the ONLY source of the amount — the case this arm exists for.
+    * span root (depth 1); the liquidator-bound legs are the direction-1
+    * child transfers in trace order (the fixture's outbound direction —
+    * its `to == liquidator` analog); the LAST leg's amount and token
+    * replace the decoded collateral (last-write-wins, as above). When the
+    * root's own decode carried NULL (unknown collateral token, the C9
+    * path), the stitch is the ONLY source of the amount — the case this
+    * arm exists for.
     *
     * Scale shape: one tx_hash+span equi-join between two pruned scans of
     * the same actions fact, then a frame-grain min_by — block-local, no
@@ -78,7 +82,7 @@ object ClassifyOps extends QueryModule {
       .groupBy("block_number", "tx_hash", "protocol", "span", "trace_idx",
         "liquidator", "debt_tok", "coll_tok", "covered_debt",
         "decoded_collateral")
-      .agg(min_by(struct(col("t_amt"), col("t_tok")), col("t_idx")).as("h"))
+      .agg(max_by(struct(col("t_amt"), col("t_tok")), col("t_idx")).as("h"))
       .withColumn("stitched", col("h.t_amt").isNotNull)
       .withColumn("liquidated_collateral",
         coalesce(col("h.t_amt"), col("decoded_collateral")))
@@ -112,7 +116,8 @@ object ClassifyOps extends QueryModule {
         SELECT f.block_number, f.tx_hash, f.protocol, f.span, f.trace_idx,
           f.liquidator, f.debt_tok, f.coll_tok, f.covered_debt,
           f.decoded_collateral,
-          ARG_MIN(t.t_amt, t.t_idx) AS h_amt, ARG_MIN(t.t_tok, t.t_idx) AS h_tok
+          (ARG_MAX({'a': t.t_amt, 'b': t.t_tok}, t.t_idx)).a AS h_amt,
+          (ARG_MAX({'a': t.t_amt, 'b': t.t_tok}, t.t_idx)).b AS h_tok
         FROM liq_f f LEFT JOIN liq_tr t
           ON t.tx_hash = f.tx_hash AND t.span = f.span
         GROUP BY ALL))"""

@@ -186,8 +186,16 @@ object StreamOracle extends QueryModule {
           (col("pool_id") * 97 % (mb + 1)).as("block"),
           lit(-1L).as("txIdx"), lit(true).as("isNew"),
           lit(0.0).as("px"), lit(0.0).as("vol"))
+      // both oracle arms inner-join updates to the registry-derived deploy
+      // table, so an update whose pool is absent from the pool dimension has
+      // no oracle counterpart — semi-join the stream's updates to the same
+      // dimension so neither engine ever sees an unregistered pool key (the
+      // fixture's dispatched swaps can't produce one today; this pins the
+      // contract structurally rather than by fixture accident)
       val ev = upd.withColumn("isNew", lit(false))
         .select("pool", "block", "txIdx", "isNew", "px", "vol")
+        .join(ChainFixture.pools(s).select(col("address").as("pool")),
+          Seq("pool"), "left_semi")
         .unionByName(dep)
       driveFold(s, withBlockTerciles(ev), 3, "c3sd") { (s2, stream) =>
         import s2.implicits._

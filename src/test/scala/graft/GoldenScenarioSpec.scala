@@ -702,19 +702,21 @@ class GoldenScenarioSpec extends SparkTestBase {
       .withColumn("protocol", lit("aave"))
       .withColumn("from_address", lit("liquidator"))
 
-  test("c5 stitch: the first liquidator-bound child transfer fills a NULL collateral") {
+  test("c5 stitch: the LAST liquidator-bound child transfer fills a NULL collateral") {
     val out = graft.domain.ClassifyOps.stitchedLiquidations(liqActsOf(
       // liq root whose collateral decode is NULL (unknown token — the
       // amounts-only-in-child-frames case the arm exists for)
       ("t1", 0L, "liquidation", Seq(0L), 0L, Some(3L), None, Some(500.0), None),
-      ("t1", 1L, "transfer", Seq(0L, 1L), 1L, Some(9L), None, Some(123.456), None),
-      // a LATER direction-1 transfer must not win (find_map takes the first)
+      ("t1", 1L, "transfer", Seq(0L, 1L), 1L, Some(8L), None, Some(123.456), None),
+      // parse_v2_v3's find_map closure always returns None (aave.rs:44-57),
+      // so it never short-circuits: every matching transfer overwrites and
+      // the LATER direction-1 transfer wins (last-write-wins)
       ("t1", 2L, "transfer", Seq(0L, 2L), 1L, Some(9L), None, Some(999.0), None)))
       .collect()
     assert(out.length == 1)
     val r = out.head
     assert(r.getAs[Boolean]("stitched"))
-    assert(r.getAs[Double]("liquidated_collateral") == 123.456)
+    assert(r.getAs[Double]("liquidated_collateral") == 999.0)
     assert(r.getAs[Long]("coll_tok_eff") == 9L)
   }
 
