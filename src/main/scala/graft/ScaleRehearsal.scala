@@ -48,10 +48,10 @@ object ScaleRehearsal {
     // would measure the per-JVM cache, not the training)
     "t_decontaminate", "d10_substring_dedup", "t_bigram_lm",
     "d9_keep_best", "t_idf_top_terms",
-    // third-wave additions (retrieval, sketches, trainers, scans); the
-    // r8 stream joins are excluded — their MemoryStream drive collects
-    // the feed to the driver, a test-harness shape whose sf1 cost would
-    // measure the harness, not the operator
+    // third-wave additions (retrieval, sketches, trainers, scans). The
+    // r8 stream joins were excluded at this point because their then
+    // MemoryStream drive collected the feed to the driver; they joined
+    // the list in round 10 once the drive went file-drop-driven (below)
     "rt1_bm25_topk", "rt2_hybrid_rrf", "sk1_kmv_distinct",
     "sk2_bloom_filter", "t_quality_lr", "s8_int8_quant",
     // fourth wave: block-bounded SemDeDup, CDC chunking, pixel dedup
@@ -85,13 +85,14 @@ object ScaleRehearsal {
     // valuation it feeds, and the registry-gated streaming discovery fold
     "c5_liquidation", "q7_liquidations", "c3_stream_discovery")
 
-  /** sf10 probe (VERDICT r9 #8): the five heaviest, at 100× sf0.1 — the
-    * 100×-claims check a 10× rehearsal can't make. The pool-state fold is
-    * probed through its FILE-DRIVEN drive (`s5_write_behind`, parquet
-    * drops + checkpointed follower) rather than `r5_stream_fold`, whose
-    * MemoryStream harness collects the whole feed to the driver — at 100×
-    * that collect OOMs the HARNESS while the fold itself is fine (the two
-    * drives run the same `TipStream.poolQuotes` against the same oracle). */
+  /** sf10 probe (VERDICT r9 #8): the heaviest surfaces at 100× sf0.1 —
+    * the 100×-claims check a 10× rehearsal can't make. The probe runs
+    * q1_bigmac with `spark.graft.bigmac.diskCheckpoint=true` (see
+    * [[graft.domain.BigMacOps]] `pin`): the assembly's fact-sized
+    * intermediates checkpoint to local DISK instead of executor storage
+    * memory, so the default 8 GiB/32-thread stand-in completes at 100×
+    * data — the r11 probe needed a 48 GiB heap because four fact-sized
+    * localCheckpoints competed with execution memory. */
   val Sf10Probe: Seq[String] = Seq(
     "a5_block_analysis_wide", "j2_dex_asof", "s5_write_behind",
     "d2_minhash_lsh", "t_decontaminate",
@@ -101,7 +102,11 @@ object ScaleRehearsal {
     // round 11 (VERDICT r10 #9): the heaviest domain/composer surfaces
     // and the file-driven stream-stream joins — their 100× story
     // previously rested on the 10× rehearsal alone
-    "q1_bigmac", "r8_stream_join", "r8_outer_join", "q9_mev_count")
+    "q1_bigmac", "r8_stream_join", "r8_outer_join", "q9_mev_count",
+    // round 12: the per-pool streaming folds — file-drop-driven since
+    // r11 (StreamOracle.driveFold), so the probe measures the OPERATOR's
+    // keyed state at 100×, not a driver-collected harness
+    "r5_stream_fold", "r5_tick_fold")
   val Sf10Dir = "/tmp/graft_sf10"
 
   /** Skew probe: the user-partitioned event analytics (funnel, cohorts,
@@ -131,7 +136,8 @@ object ScaleRehearsal {
     if (mode == "run" || mode == "both") run(spark, only)
     if (mode == "sf10gen" || mode == "sf10") gen(spark, 100, Sf10Dir)
     if (mode == "sf10run" || mode == "sf10") runSf10(spark, only)
-    if (mode == "skew") runSkew(spark)
+    if (mode == "skew") { runSkew(spark); runSkewDomain(spark) }
+    if (mode == "skewdom") runSkewDomain(spark)
     spark.stop()
   }
 
@@ -260,9 +266,71 @@ object ScaleRehearsal {
     println(s"""{"metric":"skew_probe","hot_frac":${1.0 * hot / tot},"queries":$js}""")
   }
 
+  /** Domain-key skew probe (VERDICT r11 #5): the q1_bigmac assembly on a
+    * synthesized block universe where ONE searcher EOA fronts 5 of every
+    * block's 16 txs — ~31% of ALL swap rows under a single global EOA —
+    * against a control with IDENTICAL per-block chain structure whose
+    * chain EOA is per-block unique (high key cardinality). Every shuffle
+    * in the assembly keys on (block, ktype, k[, seg]), so a globally hot
+    * searcher spreads across blocks; ratio ≈ 1 is that design claim
+    * MEASURED rather than argued. Both arms must produce identical bundle
+    * counts (same per-block structure) — cross-checked in the output. */
+  def runSkewDomain(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val nBlocks = 30000L
+    // 16 txs per block: slots 0,3,6,9,12 are the searcher chain (4 links,
+    // 2 gap victims each); victims share the block's pool (pool-arm
+    // verified) and carry one dead transfer leg (probes + inference live)
+    def arm(hotGlobal: Boolean): (DataFrame, DataFrame, DataFrame) = {
+      val u = spark.range(nBlocks * 16)
+        .select(expr("id div 16").as("block_number"),
+          (col("id") % 16).as("tx_idx"))
+        .withColumn("is_chain",
+          col("tx_idx") % 3 === 0 && col("tx_idx") <= 12)
+        .withColumn("pool",
+          concat(lit("P"), (col("block_number") % 97).cast("string")))
+        .withColumn("eoa", when(col("is_chain"),
+            if (hotGlobal) lit("HOT")
+            else concat(lit("h"), col("block_number").cast("string")))
+          .otherwise(concat(lit("v"), col("block_number").cast("string"),
+            lit("_"), col("tx_idx").cast("string"))))
+        .withColumn("tx_hash",
+          concat(lit("t"), col("block_number").cast("string"),
+            lit("_"), col("tx_idx").cast("string")))
+      val sw = u.select(col("block_number"), col("tx_idx"), col("tx_hash"),
+        col("eoa"), col("pool"), lit(7L).as("tok_in"), lit(8L).as("tok_out"),
+        lit(10.0).as("sum_in"), lit(9.0).as("sum_out"))
+      val roots = u.select(col("block_number"), col("tx_idx"),
+        concat(lit("r"), col("block_number").cast("string"),
+          lit("_"), col("tx_idx").cast("string")).as("root_to"))
+      val tf = u.filter(!col("is_chain"))
+        .select(col("block_number"), col("tx_idx"), col("eoa"),
+          lit(9L).as("token"), col("eoa").as("t_from"),
+          col("pool").as("t_to"))
+      (sw, roots, tf)
+    }
+    val prof = Seq.empty[(String, Double)].toDF("tx_hash", "profit_usd")
+    def pass(hot: Boolean): (Double, Long) = {
+      val (sw, roots, tf) = arm(hot)
+      spark.sharedState.cacheManager.clearCache()
+      val t0 = System.nanoTime()
+      val n = graft.domain.BigMacOps
+        .bigmacBundlesOf(sw, roots, prof, Some(tf)).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    pass(hot = false) // warm: JVM + codegen
+    val (ua, un) = pass(hot = false)
+    val (ha, hn) = pass(hot = true)
+    println(f"[skewdom] uniform $ua%.2fs ($un bundles)  hot-eoa $ha%.2fs ($hn bundles)  ratio ${ha / ua}%.2f")
+    println(f"""{"metric":"skew_domain","query":"q1_bigmac","hot_frac":${5.0 / 16}%.4f,"blocks":$nBlocks,"uniform_s":$ua%.3f,"hot_s":$ha%.3f,"ratio":${ha / ua}%.2f,"uniform_bundles":$un,"hot_bundles":$hn}""")
+  }
+
   /** The 100× probe: one warm + one timed pass per query at sf10 against
     * a fresh timed sf0.1 baseline (same JVM, cache cleared between). */
   def runSf10(spark: SparkSession, only: Option[Set[String]]): Unit = {
+    // disk-backed pins for the Big Mac assembly so the probe fits the
+    // default 8 GiB stand-in heap (see Sf10Probe scaladoc)
+    spark.conf.set("spark.graft.bigmac.diskCheckpoint", "true")
     val names = Sf10Probe.filter(n => only.forall(_.contains(n)))
     def consume(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()

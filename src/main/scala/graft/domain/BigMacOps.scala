@@ -27,13 +27,16 @@ import org.apache.spark.sql.functions._
   * whose root call targets the chain's mev contract kills the candidate
   * (get_victim_swap_transfer, mod.rs:989-1009).
   *
-  * Verification is the per-GAP pool-overlap of `has_pool_overlap` /
-  * `verify_sandwich_victims` (mod.rs:556-701), fixture-scaled to pool
-  * grain: victims group by EOA; a victim-EOA "was victimized" in gap g of
-  * range [i,j] iff one of its pools is touched by a searcher tx at a
-  * position ≤ g (front side) AND at a position ≥ g+1 (back side); every
-  * gap needs ≥ 1 victimized EOA (`has_sandwich`) and ≥ 25% victimized
-  * (`victim_pct >= 0.25`, [[InspectorOps.MinVictimRatioDen]]).
+  * Verification is the per-GAP overlap of `has_pool_overlap` /
+  * `verify_sandwich_victims` (mod.rs:556-701): victims group by EOA; a
+  * victim-EOA "was victimized" in gap g of range [i,j] through the pool,
+  * token, or generated-pool arm (see [[bigmacBundlesOf]]); every gap
+  * needs ≥ 25% victimized EOAs (`victim_pct >= 0.25`,
+  * [[InspectorOps.MinVictimRatioDen]]) AND the reference's `has_sandwich`
+  * strong condition — at least one victim whose overlap is BOTH-sided
+  * (front AND back reach; for the generated arm, an inferred pool in the
+  * front∩back searcher pool intersection, mod.rs:644-697). A gap whose
+  * only victims reach through one-sided inferred pools does NOT verify.
   *
   * The shrink recursion (`recursive_possible_sandwiches`,
   * mod.rs:447-555) becomes a 6-level reachability recurrence over
@@ -51,10 +54,13 @@ import org.apache.spark.sql.functions._
   * mev contract is the root `to` of the segment's second tx (the
   * reference captures it when the first repeat creates the
   * PossibleSandwich), and the contract-keyed EOA is the segment's first
-  * caller. Victim verification carries BOTH reference overlap arms:
-  * pool-level reach, plus the transfer-victim / token-overlap fallbacks
+  * caller. Victim verification carries ALL THREE reference overlap arms:
+  * pool-level reach, the transfer-victim / token-overlap fallbacks
   * (`get_victim_swap_transfer` mod.rs:989-1009, `check_for_overlap`
-  * tokens arm mod.rs:701-760) — see [[bigmacBundlesOf]].
+  * mod.rs:701-760 with `generate_tokens`' direction flags), and
+  * counterparty-grain generated pools with the frontrun accounting
+  * black list (`generate_possible_pools_from_transfers` mod.rs:819-838,
+  * black list mod.rs:152-153) — see [[bigmacBundlesOf]].
   *
   * Scale shape: every step is equi-keyed on (block, keying, key[, seg]) —
   * a 100 TB backfill parallelizes by block; range enumeration is bounded
@@ -95,6 +101,29 @@ object BigMacOps extends QueryModule {
         'em', concat(acc.em, filter(acc.lvl, r -> r.ok))),
       acc -> concat(acc.em, filter(acc.lvl, r -> r.ok)))"""
 
+  /** Plan-truncating materialization for the assembly's fact-sized
+    * intermediates (txu/links/pos/gapt/sinf/emit each feed 2-4 downstream
+    * joins — without it the window chains re-execute per consumer).
+    * Default: `localCheckpoint` (executor storage memory — right when the
+    * JVM has cluster-scale memory, i.e. production executors and the
+    * default bench). `spark.graft.bigmac.diskCheckpoint=true` switches to
+    * reliable disk checkpoints so a memory-bounded stand-in — the
+    * 8 GiB/32-thread probe JVM impersonating a 1000-executor cluster at
+    * 100× data — completes without pinning four fact-sized frames in
+    * storage memory (the r11 sf10 probe needed a 48 GiB heap for exactly
+    * that reason). */
+  private def pin(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    if (s.conf.get("spark.graft.bigmac.diskCheckpoint", "false") == "true") {
+      if (s.sparkContext.getCheckpointDir.isEmpty) {
+        val d = java.nio.file.Files.createTempDirectory("graft_ckpt")
+        d.toFile.deleteOnExit()
+        s.sparkContext.setCheckpointDir(d.toString)
+      }
+      df.checkpoint()
+    } else df.localCheckpoint()
+  }
+
   /** Root `to` contract per tx (trace_idx = 1 is the root frame). */
   private[domain] def rootTo(s: SparkSession, dir: String): DataFrame =
     actionsTable(s, dir)
@@ -106,37 +135,47 @@ object BigMacOps extends QueryModule {
     * (block_number, tx_idx, root_to) frame and a per-tx profit lookup
     * (tx_hash, profit_usd). Unit-testable on planted ladders.
     *
-    * `transfersDf` (optional, tx-grain transfer legs: block_number,
-    * tx_idx, eoa, token, direction) enables the reference's three victim
+    * `transfersDf` (optional, transfer LEGS with endpoints: block_number,
+    * tx_idx, eoa, token, t_from, t_to — the reference's
+    * NormalizedTransfer {from, to, token} triple, with `eoa` the victim
+    * EOA the leg groups under) enables the reference's three victim
     * fallbacks:
     *   - TRANSFER-ONLY victims (`get_victim_swap_transfer`,
     *     sandwich/mod.rs:989-1009, harvest `:127`): a gap tx with no swap
     *     still joins the victim-EOA universe through its transfer legs —
     *     and is subject to the same mev-contract nullification;
     *   - TOKEN-level overlap (`check_for_overlap`'s matched_tokens arm,
-    *     mod.rs:701-760): a victim EOA counts as victimized when one of
-    *     its transferred TOKENS is touched by a searcher position on the
-    *     front side (≤ g) AND the back side (≥ g+1), even with no pool
-    *     overlap. Fixture-scale adaptation (identical in both engines):
-    *     the searcher side's token set is its swap legs' {tok_in,
-    *     tok_out}, the victim side's is its transfer legs' tokens, and
-    *     the front/back direction flags collapse into the position test;
+    *     mod.rs:701-760): the searcher side is `generate_tokens`
+    *     (mod.rs:803-817) — swap legs as (tok_in, pool, true) /
+    *     (tok_out, pool, false) PLUS transfer legs as (token, to, true) /
+    *     (token, from, false) — and a victim transfer leg (token, to,
+    *     from) front-matches an entry (token, to, TRUE) or (token, from,
+    *     FALSE) and back-matches (token, to, FALSE) or (token, from,
+    *     TRUE); the matched key is the (token, counterparty) pair and a
+    *     victim counts when some pair matches on the front side (≤ g)
+    *     AND the back side (≥ g+1);
     *   - GENERATED pools (`generate_possible_pools_from_transfers`,
-    *     mod.rs:819-838): a tx with EXACTLY two transfer legs of
-    *     different tokens in opposite directions is an unclassified-pool
-    *     interaction — fixture-scale, the inferred pool is that tx's root
-    *     `to` contract. Searcher positions chain their inferred pools
-    *     into the pool set (collect_frontrun_data, mod.rs:758-762), and a
-    *     victim's inferred pool victimizes on EITHER side's reach
-    *     (mod.rs:678-684 tests front OR back, unlike the both-sides pool
-    *     and token arms). */
+    *     mod.rs:819-838) at COUNTERPARTY grain: over a leg set (the
+    *     victim EOA's gap legs; a searcher tx's legs), every endpoint
+    *     address incident to EXACTLY two legs of different tokens whose
+    *     `to`s differ is an unclassified pool — several per tx is fine —
+    *     excluding the frontruns' accounting address set (the black list,
+    *     mod.rs:152-153: each frontrun position's EOA and root contract).
+    *     Searcher positions chain their inferred pools into the pool set
+    *     (collect_frontrun_data, mod.rs:758-762), and a victim's inferred
+    *     pool victimizes on EITHER side's reach (mod.rs:678-684), though
+    *     only a front∩back one raises `has_sandwich` (mod.rs:674-684).
+    *     Adaptation (documented): the back side infers per searcher TX,
+    *     where the reference flattens the remaining frontruns + backrun
+    *     into one leg set (collect_backrun_data, mod.rs:784-800) — a
+    *     range-dependent grain that cannot pre-compute per position. */
   private[graft] def bigmacBundlesOf(swTxDf: DataFrame, rootToDf: DataFrame,
       profit: DataFrame, transfersDf: Option[DataFrame] = None): DataFrame = {
     def px(t: Column): Column = tokenPrice(t)
 
     // tx-grain searcher/victim universe with block-local dense rank.
-    // txu / links / pos each feed 4+ downstream joins — localCheckpoint
-    // (eager, plan-truncating) computes the window chains ONCE instead of
+    // txu / links / pos each feed 4+ downstream joins — pin (eager,
+    // plan-truncating) computes the window chains ONCE instead of
     // once per consumer (31.6 s → the assembly's real cost at sf0.1).
     val txu = swTxDf
       .groupBy("block_number", "tx_idx", "tx_hash", "eoa")
@@ -147,7 +186,7 @@ object BigMacOps extends QueryModule {
       .join(rootToDf, Seq("block_number", "tx_idx"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("block_number").orderBy("tx_idx")))
-      .localCheckpoint()
+      .transform(pin)
     val txpool = swTxDf.select("block_number", "tx_idx", "pool").distinct()
 
     // both keyings, stacked
@@ -171,7 +210,7 @@ object BigMacOps extends QueryModule {
       .filter(col("n_between") > 0)
       .withColumn("li", row_number().over(
         Window.partitionBy(segKeys.map(col): _*).orderBy("rnk")))
-      .localCheckpoint()
+      .transform(pin)
     val seg0 = links.groupBy(segKeys.map(col): _*)
       .agg(max(col("li")).as("m"), sum(col("n_between")).as("tot_v"))
 
@@ -185,7 +224,7 @@ object BigMacOps extends QueryModule {
           col("nxt_idx").as("tx_idx"), col("nxt_rnk").as("rnk"),
           col("nxt_hash").as("tx_hash"), col("nxt_pok").as("price_ok"),
           col("nxt_eoa").as("eoa"), col("nxt_root").as("root_to")): _*))
-      .localCheckpoint()
+      .transform(pin)
     val mevc = pos.filter(col("pos") === 2)
       .select(segKeys.map(col) :+
         when(col("ktype") === "contract", col("k"))
@@ -201,40 +240,72 @@ object BigMacOps extends QueryModule {
       .select(segKeys.map(col) ++ Seq(col("li").as("g"), col("vtx"),
         col("veoa"), col("vroot")): _*)
 
-    // transfer-leg gap victims (get_victim_swap_transfer): tx-grain
-    // transfer legs strictly inside a link's gap by tx_idx — a tx with no
-    // swap still enters the victim-EOA universe through them
+    // transfer legs in gaps (get_victim_swap_transfer): legs strictly
+    // inside a link's gap by tx_idx — a tx with no swap still enters the
+    // victim-EOA universe through them. Carries the leg ENDPOINTS for the
+    // token-overlap probes and the counterparty-grain pool inference.
     val gapt = transfersDf.map { tf =>
       val t = tf.join(rootToDf, Seq("block_number", "tx_idx"))
         .select(col("block_number").as("t_block"), col("tx_idx").as("t_idx"),
           col("eoa").as("veoa"), col("token").as("vtok"),
-          col("root_to").as("vroot"))
-      // feeds killed + vt — checkpoint like txu/links/pos so the window
-      // chain behind links runs once, not once per consumer
+          col("t_from"), col("t_to"), col("root_to").as("vroot"))
+      // feeds killed + probes + victim inference — checkpoint like
+      // txu/links/pos so the window chain behind links runs once
       links.join(t, col("t_block") === col("block_number") &&
           col("t_idx") > col("tx_idx") && col("t_idx") < col("nxt_idx"))
         .select(segKeys.map(col) ++ Seq(col("li").as("g"), col("veoa"),
-          col("vtok"), col("vroot")): _*)
-        .localCheckpoint()
+          col("vtok"), col("t_from"), col("t_to"), col("vroot")): _*)
+        .transform(pin)
     }
 
-    // generated pools (generate_possible_pools_from_transfers): a tx with
-    // EXACTLY two transfer legs, different tokens, opposite directions is
-    // an unclassified-pool interaction whose inferred pool is its root
-    // `to`. min/max comparisons stand in for countDistinct (no Expand).
-    val inferred = transfersDf.map { tf =>
-      tf.groupBy("block_number", "tx_idx")
-        .agg(count(lit(1)).as("nlegs"), min(col("eoa")).as("veoa"),
-          min(col("token")).as("tmin"), max(col("token")).as("tmax"),
-          min(col("direction")).as("dmin"), max(col("direction")).as("dmax"))
+    // frontrun accounting black list (collect_address_set_for_accounting
+    // over possible_frontruns_info only, mod.rs:152-153): per segment,
+    // each FRONTRUN position's EOA and root contract. Built once from the
+    // ORIGINAL full frontrun set and shared by every shrink range, as the
+    // reference clones it through the recursion.
+    val black = pos
+      .join(seg0.select(segKeys.map(col) :+ col("m"): _*), segKeys)
+      .filter(col("pos") <= col("m"))
+      .select(segKeys.map(col) :+
+        explode(array(col("eoa"), col("root_to"))).as("baddr"): _*)
+      .distinct()
+    def notBlacklisted(df: DataFrame, addr: String): DataFrame =
+      df.join(black.withColumnsRenamed(Map("block_number" -> "b_block",
+          "ktype" -> "b_ktype", "k" -> "b_k", "seg" -> "b_seg")),
+        col("b_block") === col("block_number") &&
+          col("b_ktype") === col("ktype") && col("b_k") === col("k") &&
+          col("b_seg") === col("seg") && col(addr) === col("baddr"),
+        "left_anti")
+
+    // generate_possible_pools_from_transfers at COUNTERPARTY grain
+    // (mod.rs:819-838): over a leg set, each leg is incident to both its
+    // endpoints; an address with EXACTLY two incident legs, different
+    // tokens, different `to`s is an inferred pool — several per group is
+    // fine. min/max comparisons stand in for countDistinct (no Expand).
+    def inferPools(legs: DataFrame, grain: Seq[String]): DataFrame = {
+      val g = grain.map(col)
+      legs.select(g ++ Seq(col("t_from").as("addr"), col("vtok"),
+          col("t_to")): _*)
+        .unionByName(legs.select(g ++ Seq(col("t_to").as("addr"),
+          col("vtok"), col("t_to")): _*))
+        .groupBy((g :+ col("addr")): _*)
+        .agg(count(lit(1)).as("nlegs"),
+          min(col("vtok")).as("tmin"), max(col("vtok")).as("tmax"),
+          min(col("t_to")).as("omin"), max(col("t_to")).as("omax"))
         .filter(col("nlegs") === 2 && col("tmin") =!= col("tmax") &&
-          col("dmin") =!= col("dmax"))
-        .join(rootToDf, Seq("block_number", "tx_idx"))
-        .select(col("block_number"), col("tx_idx"), col("veoa"),
-          col("root_to").as("gpool"))
-        // feeds the searcher pool set (→ fb AND fg) and the victim
-        // generated-reach join — checkpoint so the legs agg runs once
-        .localCheckpoint()
+          col("omin") =!= col("omax"))
+        .select((g :+ col("addr")): _*)
+    }
+
+    // searcher-side inference per TX (collect_frontrun_data maps each
+    // frontrun tx separately, mod.rs:744-782; per-tx for the BACK side is
+    // the documented adaptation — the reference flattens the remaining
+    // frontruns + backrun into one range-dependent leg set there)
+    val sinf = transfersDf.map { tf =>
+      inferPools(tf.select(col("block_number"), col("tx_idx"),
+          col("token").as("vtok"), col("t_from"), col("t_to")),
+        Seq("block_number", "tx_idx"))
+        .transform(pin)
     }
 
     // segment caps + mev-contract victim nullification (transfer-only
@@ -249,72 +320,106 @@ object BigMacOps extends QueryModule {
     val segs = seg0.filter(col("m") <= 10 && col("tot_v") <= 30)
       .join(mevc, segKeys).join(killed, segKeys, "left_anti")
 
-    // pool reach: per (seg, gap, victim eoa, pool) the nearest searcher
-    // positions on the front (≤ g) and back (≥ g+1) sides. Searcher
-    // positions chain their GENERATED pools into the set
-    // (collect_frontrun_data, mod.rs:758-762).
-    val txpoolAll = inferred match {
-      case None => txpool
-      case Some(inf) => txpool.unionByName(
-        inf.select(col("block_number"), col("tx_idx"),
-          col("gpool").as("pool")))
-    }
     // Searcher-side key positions and victim-side keys STACK across the
-    // three overlap arms (`fam` ∈ pool / tok / gen) so the whole reach
-    // surface costs ONE equi-join on (chain, fam, key) + one grain agg —
-    // not three of each:
+    // three overlap arms (`fam` ∈ pool / tok) so the whole reach surface
+    // costs ONE equi-join on (chain, fam, key) + one grain agg — not
+    // three of each:
     //   - pool arm (has_pool_overlap): victim SWAP pools vs searcher
-    //     pools (incl. the searcher's GENERATED pools,
-    //     collect_frontrun_data mod.rs:758-762), front AND back reach;
-    //   - token arm (check_for_overlap's matched_tokens): victim
-    //     transfer-leg tokens vs searcher swap-leg {tok_in, tok_out},
-    //     front AND back;
-    //   - generated arm (mod.rs:678-684): the victim's inferred pools vs
-    //     the same searcher pool set, EITHER side's reach suffices
-    //     (`need_both` = false).
+    //     pools (swap pools + the searcher's inferred counterparty
+    //     pools, collect_frontrun_data mod.rs:758-762, black-list
+    //     excluded), front AND back reach;
+    //   - token arm (check_for_overlap's matched_tokens + generate_tokens
+    //     direction flags): victim transfer-leg (token, counterparty)
+    //     probes vs searcher swap-leg AND transfer-leg entries — a leg's
+    //     `to` probe front-matches flag TRUE / back-matches flag FALSE,
+    //     its `from` probe the reverse; front AND back reach on the same
+    //     (token, counterparty) pair;
+    //   - generated arm (mod.rs:678-684): the victim's inferred
+    //     counterparty pools vs the same searcher pool set, EITHER
+    //     side's reach suffices (`need_both` = false) — but only a
+    //     front∩back inferred pool raises `has_sandwich`.
     def onChainFam(s: DataFrame) = s.withColumnsRenamed(Map(
       "block_number" -> "s_block", "ktype" -> "s_ktype",
       "k" -> "s_k", "seg" -> "s_seg", "fam" -> "s_fam", "skey" -> "s_skey"))
-    val sPool = pos.join(txpoolAll, Seq("block_number", "tx_idx"))
+    val sPoolSwap = pos.join(txpool, Seq("block_number", "tx_idx"))
       .select(segKeys.map(col) ++ Seq(col("pos").as("s_pos"),
-        lit("pool").as("fam"), col("pool").as("skey")): _*)
+        lit("pool").as("fam"), col("pool").as("skey"),
+        lit(null).cast("boolean").as("s_flg")): _*)
+    val sPool = sinf match {
+      case None => sPoolSwap
+      case Some(inf) => sPoolSwap.unionByName(
+        notBlacklisted(pos.join(inf, Seq("block_number", "tx_idx")), "addr")
+          .select(segKeys.map(col) ++ Seq(col("pos").as("s_pos"),
+            lit("pool").as("fam"), col("addr").as("skey"),
+            lit(null).cast("boolean").as("s_flg")): _*))
+    }
     val vPool = gapv.join(txpool.withColumnRenamed("tx_idx", "vtx"),
         Seq("block_number", "vtx"))
       .select(segKeys.map(col) ++ Seq(col("g"), col("veoa"),
         lit("pool").as("fam"), col("pool").as("vkey"),
+        lit(null).cast("boolean").as("v_to"),
         lit(true).as("need_both")): _*)
-    val (sAll, vAll) = transfersDf match {
-      case None => (sPool, vPool)
-      case Some(_) =>
-        val txtok = swTxDf
-          .select(col("block_number"), col("tx_idx"),
-            explode(array(col("tok_in"), col("tok_out"))).as("vtok"))
-        val sTok = pos.join(txtok, Seq("block_number", "tx_idx"))
+    def tkey(t: Column, a: Column): Column =
+      concat(t.cast("string"), lit("|"), a)
+    val (sAll, vAll) = (transfersDf, gapt) match {
+      case (Some(tf), Some(gt)) =>
+        // generate_tokens (mod.rs:803-817): swap legs (tok_in, pool,
+        // true) / (tok_out, pool, false) + transfer legs (token, to,
+        // true) / (token, from, false); matched key = (token, cp) pair
+        val sTokE = swTxDf.select(col("block_number"), col("tx_idx"),
+            col("tok_in").as("tok"), col("pool").as("addr"),
+            lit(true).as("flg"))
+          .unionByName(swTxDf.select(col("block_number"), col("tx_idx"),
+            col("tok_out").as("tok"), col("pool").as("addr"),
+            lit(false).as("flg")))
+          .unionByName(tf.select(col("block_number"), col("tx_idx"),
+            col("token").as("tok"), col("t_to").as("addr"),
+            lit(true).as("flg")))
+          .unionByName(tf.select(col("block_number"), col("tx_idx"),
+            col("token").as("tok"), col("t_from").as("addr"),
+            lit(false).as("flg")))
+        val sTok = pos.join(sTokE, Seq("block_number", "tx_idx"))
           .select(segKeys.map(col) ++ Seq(col("pos").as("s_pos"),
-            lit("tok").as("fam"), col("vtok").cast("string").as("skey")): _*)
-        val vTok = gapt.get
+            lit("tok").as("fam"), tkey(col("tok"), col("addr")).as("skey"),
+            col("flg").as("s_flg")): _*)
+        // victim probes (check_for_overlap mod.rs:725-740): a leg's
+        // (token, to) probe front-matches flag TRUE / back-matches flag
+        // FALSE; its (token, from) probe the reverse
+        val vTok = gt.select(segKeys.map(col) ++ Seq(col("g"), col("veoa"),
+            lit("tok").as("fam"), tkey(col("vtok"), col("t_to")).as("vkey"),
+            lit(true).as("v_to"), lit(true).as("need_both")): _*)
+          .unionByName(gt.select(segKeys.map(col) ++ Seq(col("g"),
+            col("veoa"), lit("tok").as("fam"),
+            tkey(col("vtok"), col("t_from")).as("vkey"),
+            lit(false).as("v_to"), lit(true).as("need_both")): _*))
+        // victim generated pools: the EOA's gap legs at counterparty
+        // grain, black-list-excluded; EITHER side's reach victimizes
+        val vGen = notBlacklisted(
+            inferPools(gt, segKeys ++ Seq("g", "veoa")), "addr")
           .select(segKeys.map(col) ++ Seq(col("g"), col("veoa"),
-            lit("tok").as("fam"), col("vtok").cast("string").as("vkey"),
-            lit(true).as("need_both")): _*)
-        val inf = inferred.get
-        val vGen = links.join(inf.select(col("block_number").as("t_block"),
-              col("tx_idx").as("t_idx"), col("veoa"), col("gpool")),
-            col("t_block") === col("block_number") &&
-              col("t_idx") > col("tx_idx") && col("t_idx") < col("nxt_idx"))
-          .select(segKeys.map(col) ++ Seq(col("li").as("g"), col("veoa"),
-            lit("pool").as("fam"), col("gpool").as("vkey"),
+            lit("pool").as("fam"), col("addr").as("vkey"),
+            lit(null).cast("boolean").as("v_to"),
             lit(false).as("need_both")): _*)
         (sPool.unionByName(sTok),
           vPool.unionByName(vTok).unionByName(vGen))
+      case _ => (sPool, vPool)
     }
+    // the direction-flag conditions live in the aggregate (the same
+    // (token, cp) pair may match front through one probe side and back
+    // through the other — the pair, not the probe, is the matched unit)
     val reach = vAll.distinct().join(onChainFam(sAll.distinct()),
         col("s_block") === col("block_number") && col("s_ktype") === col("ktype") &&
           col("s_k") === col("k") && col("s_seg") === col("seg") &&
           col("fam") === col("s_fam") && col("s_skey") === col("vkey"), "left")
       .groupBy((segKeys.map(col) ++ Seq(col("g"), col("veoa"), col("fam"),
         col("vkey"), col("need_both"))): _*)
-      .agg(max(when(col("s_pos") <= col("g"), col("s_pos"))).as("fmax"),
-        min(when(col("s_pos") >= col("g") + 1, col("s_pos"))).as("bmin"))
+      .agg(
+        max(when(col("s_pos") <= col("g") &&
+          (col("fam") === "pool" || col("s_flg") === col("v_to")),
+          col("s_pos"))).as("fmax"),
+        min(when(col("s_pos") >= col("g") + 1 &&
+          (col("fam") === "pool" || col("s_flg") === !col("v_to")),
+          col("s_pos"))).as("bmin"))
 
     // all ranges within the 6-drop reachability envelope, verified per gap
     val ranges = segs
@@ -330,11 +435,19 @@ object BigMacOps extends QueryModule {
       .filter(col("g").between(col("i"), col("j")))
       .groupBy((rKeys.map(col) ++ Seq(col("g"), col("veoa"))): _*)
       .agg(max(when(when(col("need_both"), fOk && bOk).otherwise(fOk || bOk),
-        1).otherwise(0)).as("was"))
+        1).otherwise(0)).as("was"),
+        // has_sandwich (mod.rs:644-697): a BOTH-sided overlap — the pool
+        // or token arm matched front AND back, or (need_both=false rows)
+        // a generated pool in the front∩back searcher pool intersection
+        max(when(fOk && bOk, 1).otherwise(0)).as("strong"))
     val gok = gv.groupBy((rKeys.map(col) :+ col("g")): _*)
-      .agg(count(lit(1)).as("n_veoas"), sum(col("was")).as("n_was"))
+      .agg(count(lit(1)).as("n_veoas"), sum(col("was")).as("n_was"),
+        max(col("strong")).as("has_sw"))
+    // per-gap verdict (verify_sandwich_victims tail, mod.rs:692-697):
+    // victim_pct >= 0.25 AND has_sandwich — a strong victim implies a
+    // victimized one, so has_sw subsumes the old n_was >= 1 floor
     val verd = gok.groupBy(rKeys.map(col): _*)
-      .agg(bool_and(col("n_was") >= 1 &&
+      .agg(bool_and(col("has_sw") === 1 &&
         col("n_was") * MinVictimRatioDen >= col("n_veoas")).as("ok"))
       .join(ranges, rKeys)
 
@@ -358,7 +471,7 @@ object BigMacOps extends QueryModule {
       .select(segKeys.map(col) :+ explode(expr(emitExpr)).as("r"): _*)
       .select(segKeys.map(col) ++
         Seq(col("r.i").as("i"), col("r.j").as("j"), col("r.m").as("m")): _*)
-      .localCheckpoint()
+      .transform(pin)
 
     // details: position rollup, gap victim totals, profit, dedup signature
     val pr = pos.join(profit.select(col("tx_hash").as("p_hash"),
@@ -471,21 +584,29 @@ object BigMacOps extends QueryModule {
       FROM bm_lnk l JOIN bm_txu v
         ON v.block_number = l.block_number
        AND v.rnk > l.rnk AND v.rnk < l.nxt_rnk),
+    bm_cpw AS (
+      SELECT block_number, tx_idx, trace_idx,
+        LAST_VALUE(CASE WHEN action_type IS NULL OR action_type <> 'transfer'
+            THEN to_address END IGNORE NULLS)
+          OVER (PARTITION BY block_number, tx_idx ORDER BY trace_idx
+                ROWS UNBOUNDED PRECEDING) AS cp0
+      FROM actions),
     bm_tf AS MATERIALIZED (
       SELECT a.block_number, a.tx_idx, a.from_address AS eoa,
-        a.token_in_id AS vtok, a.direction, r.root_to
-      FROM actions a JOIN bm_rt r
+        a.token_in_id AS vtok, r.root_to,
+        CASE WHEN a.direction = 0 THEN a.from_address
+             ELSE COALESCE(c.cp0, r.root_to) END AS t_from,
+        CASE WHEN a.direction = 0 THEN COALESCE(c.cp0, r.root_to)
+             ELSE a.from_address END AS t_to
+      FROM actions a
+      JOIN bm_cpw c ON c.block_number = a.block_number
+        AND c.tx_idx = a.tx_idx AND c.trace_idx = a.trace_idx
+      JOIN bm_rt r
         ON r.block_number = a.block_number AND r.tx_idx = a.tx_idx
       WHERE a.action_type = 'transfer' AND a.amount_in IS NOT NULL),
-    bm_inf AS MATERIALIZED (
-      SELECT block_number, tx_idx, MIN(eoa) AS veoa, MIN(root_to) AS gpool
-      FROM bm_tf
-      GROUP BY 1, 2
-      HAVING COUNT(*) = 2 AND MIN(vtok) <> MAX(vtok)
-         AND MIN(direction) <> MAX(direction)),
     bm_gapt AS MATERIALIZED (
       SELECT l.block_number, l.ktype, l.k, l.seg, l.li AS g,
-        t.eoa AS veoa, t.vtok, t.root_to AS vroot
+        t.eoa AS veoa, t.vtok, t.t_from, t.t_to, t.root_to AS vroot
       FROM bm_lnk l JOIN bm_tf t
         ON t.block_number = l.block_number
        AND t.tx_idx > l.tx_idx AND t.tx_idx < l.nxt_idx),
@@ -496,13 +617,33 @@ object BigMacOps extends QueryModule {
           WHERE ${onSeg("gv", "s")} AND gv.vroot = c.mevc)
         AND NOT EXISTS (SELECT 1 FROM bm_gapt gt
           WHERE ${onSeg("gt", "s")} AND gt.vroot = c.mevc)),
-    bm_txpool_all AS (
-      SELECT block_number, tx_idx, pool FROM bm_txpool
-      UNION ALL SELECT block_number, tx_idx, gpool FROM bm_inf),
+    bm_black AS MATERIALIZED (
+      SELECT DISTINCT block_number, ktype, k, seg, addr FROM (
+        SELECT p.block_number, p.ktype, p.k, p.seg, p.eoa AS addr
+        FROM bm_pos p JOIN bm_seg0 s ON ${onSeg("p", "s")}
+        WHERE p.pos <= s.m
+        UNION ALL
+        SELECT p.block_number, p.ktype, p.k, p.seg, p.root_to
+        FROM bm_pos p JOIN bm_seg0 s ON ${onSeg("p", "s")}
+        WHERE p.pos <= s.m)),
+    bm_sinf AS MATERIALIZED (
+      SELECT block_number, tx_idx, addr FROM (
+        SELECT block_number, tx_idx, t_from AS addr, vtok, t_to FROM bm_tf
+        UNION ALL
+        SELECT block_number, tx_idx, t_to, vtok, t_to FROM bm_tf)
+      GROUP BY 1, 2, 3
+      HAVING COUNT(*) = 2 AND MIN(vtok) <> MAX(vtok)
+         AND MIN(t_to) <> MAX(t_to)),
     bm_sp AS MATERIALIZED (
       SELECT DISTINCT p.block_number, p.ktype, p.k, p.seg, p.pos, tp.pool
-      FROM bm_pos p JOIN bm_txpool_all tp
-        ON tp.block_number = p.block_number AND tp.tx_idx = p.tx_idx),
+      FROM bm_pos p JOIN bm_txpool tp
+        ON tp.block_number = p.block_number AND tp.tx_idx = p.tx_idx
+      UNION
+      SELECT p.block_number, p.ktype, p.k, p.seg, p.pos, i.addr
+      FROM bm_pos p JOIN bm_sinf i
+        ON i.block_number = p.block_number AND i.tx_idx = p.tx_idx
+      WHERE NOT EXISTS (SELECT 1 FROM bm_black b
+        WHERE ${onSeg("b", "p")} AND b.addr = i.addr)),
     bm_vp AS (
       SELECT DISTINCT g.block_number, g.ktype, g.k, g.seg, g.g, g.veoa, tp.pool
       FROM bm_gapv g JOIN bm_txpool tp
@@ -514,36 +655,55 @@ object BigMacOps extends QueryModule {
       FROM bm_vp v LEFT JOIN bm_sp s
         ON ${onSeg("s", "v")} AND s.pool = v.pool
       GROUP BY 1, 2, 3, 4, 5, 6, 7),
-    bm_txtok AS (
-      SELECT DISTINCT block_number, tx_idx, tok FROM (
-        SELECT block_number, tx_idx, tok_in AS tok FROM sw_tx
-        UNION ALL SELECT block_number, tx_idx, tok_out FROM sw_tx)),
-    bm_st AS (
-      SELECT DISTINCT p.block_number, p.ktype, p.k, p.seg, p.pos, tt.tok
-      FROM bm_pos p JOIN bm_txtok tt
-        ON tt.block_number = p.block_number AND tt.tx_idx = p.tx_idx),
+    bm_stok AS (
+      SELECT block_number, tx_idx, tok_in AS tok, pool AS addr, true AS flg
+      FROM sw_tx
+      UNION ALL SELECT block_number, tx_idx, tok_out, pool, false FROM sw_tx
+      UNION ALL SELECT block_number, tx_idx, vtok, t_to, true FROM bm_tf
+      UNION ALL SELECT block_number, tx_idx, vtok, t_from, false FROM bm_tf),
+    bm_st AS MATERIALIZED (
+      SELECT DISTINCT p.block_number, p.ktype, p.k, p.seg, p.pos,
+        s.tok, s.addr, s.flg
+      FROM bm_pos p JOIN bm_stok s
+        ON s.block_number = p.block_number AND s.tx_idx = p.tx_idx),
     bm_vt AS (
-      SELECT DISTINCT block_number, ktype, k, seg, g, veoa, vtok
+      SELECT DISTINCT block_number, ktype, k, seg, g, veoa, vtok AS tok,
+        t_to AS addr, true AS v_to
+      FROM bm_gapt
+      UNION
+      SELECT DISTINCT block_number, ktype, k, seg, g, veoa, vtok,
+        t_from, false
       FROM bm_gapt),
     bm_ft AS (
-      SELECT v.block_number, v.ktype, v.k, v.seg, v.g, v.veoa, v.vtok,
-        MAX(CASE WHEN s.pos <= v.g THEN s.pos END) AS fmax,
-        MIN(CASE WHEN s.pos >= v.g + 1 THEN s.pos END) AS bmin
+      SELECT v.block_number, v.ktype, v.k, v.seg, v.g, v.veoa, v.tok, v.addr,
+        MAX(CASE WHEN s.pos <= v.g AND s.flg = v.v_to
+          THEN s.pos END) AS fmax,
+        MIN(CASE WHEN s.pos >= v.g + 1 AND s.flg = (NOT v.v_to)
+          THEN s.pos END) AS bmin
       FROM bm_vt v LEFT JOIN bm_st s
-        ON ${onSeg("s", "v")} AND s.tok = v.vtok
-      GROUP BY 1, 2, 3, 4, 5, 6, 7),
+        ON ${onSeg("s", "v")} AND s.tok = v.tok AND s.addr = v.addr
+      GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
     bm_vg AS (
-      SELECT DISTINCT l.block_number, l.ktype, l.k, l.seg, l.li AS g,
-        t.veoa, t.gpool
-      FROM bm_lnk l JOIN bm_inf t
-        ON t.block_number = l.block_number
-       AND t.tx_idx > l.tx_idx AND t.tx_idx < l.nxt_idx),
+      SELECT c.block_number, c.ktype, c.k, c.seg, c.g, c.veoa, c.addr
+      FROM (
+        SELECT block_number, ktype, k, seg, g, veoa, addr FROM (
+          SELECT block_number, ktype, k, seg, g, veoa, t_from AS addr,
+            vtok, t_to
+          FROM bm_gapt
+          UNION ALL
+          SELECT block_number, ktype, k, seg, g, veoa, t_to, vtok, t_to
+          FROM bm_gapt)
+        GROUP BY 1, 2, 3, 4, 5, 6, 7
+        HAVING COUNT(*) = 2 AND MIN(vtok) <> MAX(vtok)
+           AND MIN(t_to) <> MAX(t_to)) c
+      WHERE NOT EXISTS (SELECT 1 FROM bm_black b
+        WHERE ${onSeg("b", "c")} AND b.addr = c.addr)),
     bm_fg AS (
-      SELECT v.block_number, v.ktype, v.k, v.seg, v.g, v.veoa, v.gpool,
+      SELECT v.block_number, v.ktype, v.k, v.seg, v.g, v.veoa, v.addr,
         MAX(CASE WHEN s.pos <= v.g THEN s.pos END) AS fmax,
         MIN(CASE WHEN s.pos >= v.g + 1 THEN s.pos END) AS bmin
       FROM bm_vg v LEFT JOIN bm_sp s
-        ON ${onSeg("s", "v")} AND s.pool = v.gpool
+        ON ${onSeg("s", "v")} AND s.pool = v.addr
       GROUP BY 1, 2, 3, 4, 5, 6, 7),
     bm_reach AS MATERIALIZED (
       SELECT block_number, ktype, k, seg, g, veoa, fmax, bmin,
@@ -566,16 +726,20 @@ object BigMacOps extends QueryModule {
                   AND (f.bmin IS NOT NULL AND f.bmin <= r.j + 1)
                  ELSE (f.fmax IS NOT NULL AND f.fmax >= r.i)
                    OR (f.bmin IS NOT NULL AND f.bmin <= r.j + 1) END
-                 THEN 1 ELSE 0 END) AS was
+                 THEN 1 ELSE 0 END) AS was,
+        MAX(CASE WHEN (f.fmax IS NOT NULL AND f.fmax >= r.i)
+                  AND (f.bmin IS NOT NULL AND f.bmin <= r.j + 1)
+                 THEN 1 ELSE 0 END) AS strong
       FROM bm_rng r JOIN bm_reach f
         ON ${onSeg("f", "r")} AND f.g BETWEEN r.i AND r.j
       GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
     bm_gok AS (
-      SELECT $segK, i, j, g, COUNT(*) AS n_veoas, SUM(was) AS n_was
+      SELECT $segK, i, j, g, COUNT(*) AS n_veoas, SUM(was) AS n_was,
+        MAX(strong) AS has_sw
       FROM bm_gv GROUP BY 1, 2, 3, 4, 5, 6, 7),
     bm_verd AS MATERIALIZED (
       SELECT r.block_number, r.ktype, r.k, r.seg, r.m, r.i, r.j,
-        BOOL_AND(g.n_was >= 1 AND g.n_was * $MinVictimRatioDen >= g.n_veoas)
+        BOOL_AND(g.has_sw = 1 AND g.n_was * $MinVictimRatioDen >= g.n_veoas)
           AS ok
       FROM bm_rng r JOIN bm_gok g
         ON ${onSeg("g", "r")} AND g.i = r.i AND g.j = r.j
@@ -619,13 +783,29 @@ object BigMacOps extends QueryModule {
     "q1_bigmac",
     (s, dir) => {
       val hdr = Accounting.bundleHeaders(s, dir).select("tx_hash", "profit_usd")
+      val roots = rootTo(s, dir)
+      // leg endpoints (NormalizedTransfer {from, to}): the counterparty is
+      // the nearest PRECEDING non-transfer frame's contract in trace order
+      // (the frame that issued the transfer — a pool calling
+      // token.transfer), falling back to the root contract; direction-0
+      // legs run eoa→cp, direction-1 legs cp→eoa
+      val wCp = Window.partitionBy("block_number", "tx_idx")
+        .orderBy("trace_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val tf = actionsTable(s, dir)
+        .withColumn("cp0", last(when(col("action_type").isNull ||
+          col("action_type") =!= "transfer", col("to_address")),
+          ignoreNulls = true).over(wCp))
         .filter(col("action_type") === "transfer" && col("amount_in").isNotNull)
+        .join(roots, Seq("block_number", "tx_idx"))
+        .withColumn("cp", coalesce(col("cp0"), col("root_to")))
         .select(col("block_number"), col("tx_idx"),
           col("from_address").as("eoa"), col("token_in_id").as("token"),
-          col("direction"))
-      bigmacBundlesOf(InspectorOps.swTxOf(s, dir), rootTo(s, dir), hdr,
-          Some(tf))
+          when(col("direction") === 0, col("from_address"))
+            .otherwise(col("cp")).as("t_from"),
+          when(col("direction") === 0, col("cp"))
+            .otherwise(col("from_address")).as("t_to"))
+      bigmacBundlesOf(InspectorOps.swTxOf(s, dir), roots, hdr, Some(tf))
         .orderBy("block_number", "front_idx", "back_idx", "n_frontruns",
           "chain_sig")
     },

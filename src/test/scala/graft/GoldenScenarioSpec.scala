@@ -430,19 +430,28 @@ class GoldenScenarioSpec extends SparkTestBase {
     assert(out.isEmpty, out.mkString("; "))
   }
 
+  // transfer legs with endpoints (NormalizedTransfer {from, to}): the
+  // production entry derives them from (direction, counterparty) — the
+  // same mapping here keeps goldens at the production grain
+  private def tfOf(rows: (Long, Long, String, Long, Long, String)*): DataFrame =
+    rows.map { case (b, tx, eoa, tok, dir, cp) =>
+      if (dir == 0L) (b, tx, eoa, tok, eoa, cp) else (b, tx, eoa, tok, cp, eoa)
+    }.toDF("block_number", "tx_idx", "eoa", "token", "t_from", "t_to")
+
   test("big_mac: a transfer-only victim flips a dead candidate live via token overlap") {
     // the only swap victim trades an unrelated pool AND tokens (dead:
     // no pool reach, no token reach — n_was 0). The transfer-only tx "tv"
-    // never swaps, but transfers token 7, which the searcher touches on
-    // BOTH sides of the gap (tok_in of f1 and tok_out of bk) → the
-    // token-overlap arm victimizes its EOA: n_was 1 of n_veoas 2 → live
+    // never swaps, but sends token 7 TO the pool P that the searcher
+    // swaps on both sides: the victim's (7, P) `to`-probe front-matches
+    // f1's (tok_in=7, P, TRUE) entry and back-matches bk's (tok_out=7, P,
+    // FALSE) entry → the token-overlap arm victimizes its EOA, both-sided
+    // (has_sandwich): n_was 1 of n_veoas 2 → live
     // (get_victim_swap_transfer + check_for_overlap tokens arm)
     val df = swTxOf(
       (1L, 0L, "f1", "atk", "P", 0L, 7L, 8L, 10.0, 9.0),
       (1L, 1L, "v1", "vicA", "Q", 0L, 20L, 21L, 5.0, 4.2),
       (1L, 3L, "bk", "atk", "P", 1L, 8L, 7L, 9.0, 11.0))
-    val tf = Seq((1L, 2L, "vicT", 7L, 0L))
-      .toDF("block_number", "tx_idx", "eoa", "token", "direction")
+    val tf = tfOf((1L, 2L, "vicT", 7L, 0L, "P"))
     val roots = Seq((1L, 0L, "r_f1"), (1L, 1L, "r_v1"), (1L, 2L, "r_tv"),
       (1L, 3L, "r_bk")).toDF("block_number", "tx_idx", "root_to")
     val dead = graft.domain.BigMacOps
@@ -456,21 +465,22 @@ class GoldenScenarioSpec extends SparkTestBase {
     assert(out.head.getAs[Long]("back_idx") == 3L)
   }
 
-  test("big_mac: a generated pool (2-leg transfer tx) victimizes on one-sided reach") {
+  test("big_mac: a generated COUNTERPARTY pool flips a victim live (root ≠ counterparty)") {
     // the swap victim trades unrelated pool Q / tokens 20,21 (dead on the
     // pool and token arms). The transfer-only tx "tv" has EXACTLY two
-    // legs, different tokens (30,31 — also outside the searcher's token
-    // set), opposite directions → generate_possible_pools_from_transfers
-    // infers its root contract P as an unclassified pool; P is the
-    // searcher's pool, and the generated arm needs only ONE side's reach
-    // (mod.rs:678-684) → vicT victimized: n_was 1 of n_veoas 2 → live
+    // legs sharing the counterparty P, different tokens (30,31 — outside
+    // the searcher's token set), opposite directions →
+    // generate_possible_pools_from_transfers infers P as an unclassified
+    // pool AT COUNTERPARTY GRAIN — the tx's root contract is r_tv, NOT P,
+    // so root-grain inference would stay dead. P is the searcher's pool
+    // on BOTH sides (front∩back → has_sandwich) → vicT victimized:
+    // n_was 1 of n_veoas 2 → live
     val df = swTxOf(
       (1L, 0L, "f1", "atk", "P", 0L, 7L, 8L, 10.0, 9.0),
       (1L, 1L, "v1", "vicA", "Q", 0L, 20L, 21L, 5.0, 4.2),
       (1L, 3L, "bk", "atk", "P", 1L, 8L, 7L, 9.0, 11.0))
-    val tf = Seq((1L, 2L, "vicT", 30L, 0L), (1L, 2L, "vicT", 31L, 1L))
-      .toDF("block_number", "tx_idx", "eoa", "token", "direction")
-    val roots = Seq((1L, 0L, "r_f1"), (1L, 1L, "r_v1"), (1L, 2L, "P"),
+    val tf = tfOf((1L, 2L, "vicT", 30L, 0L, "P"), (1L, 2L, "vicT", 31L, 1L, "P"))
+    val roots = Seq((1L, 0L, "r_f1"), (1L, 1L, "r_v1"), (1L, 2L, "r_tv"),
       (1L, 3L, "r_bk")).toDF("block_number", "tx_idx", "root_to")
     val dead = graft.domain.BigMacOps
       .bigmacBundlesOf(df, roots, noProfit).collect()
@@ -489,14 +499,13 @@ class GoldenScenarioSpec extends SparkTestBase {
       (1L, 1L, "v1", "vicA", "Q", 0L, 20L, 21L, 5.0, 4.2),
       (1L, 5L, "bk", "atk", "P", 1L, 8L, 7L, 9.0, 11.0))
     // three gap txs, each failing ONE of the exactly-2 / diff-token /
-    // opposite-direction requirements (mod.rs:827-836)
-    val tf = Seq(
-      (1L, 2L, "t1", 30L, 0L), // one leg only
-      (1L, 3L, "t2", 30L, 0L), (1L, 3L, "t2", 30L, 1L), // same token
-      (1L, 4L, "t3", 30L, 0L), (1L, 4L, "t3", 31L, 0L)) // same direction
-      .toDF("block_number", "tx_idx", "eoa", "token", "direction")
-    val roots = Seq((1L, 0L, "r_f1"), (1L, 1L, "r_v1"), (1L, 2L, "P"),
-      (1L, 3L, "P"), (1L, 4L, "P"), (1L, 5L, "r_bk"))
+    // differing-`to` requirements (mod.rs:827-836) at counterparty grain
+    val tf = tfOf(
+      (1L, 2L, "t1", 30L, 0L, "P"), // one leg only
+      (1L, 3L, "t2", 30L, 0L, "P"), (1L, 3L, "t2", 30L, 1L, "P"), // same token
+      (1L, 4L, "t3", 30L, 0L, "P"), (1L, 4L, "t3", 31L, 0L, "P")) // both legs TO P
+    val roots = Seq((1L, 0L, "r_f1"), (1L, 1L, "r_v1"), (1L, 2L, "r_t1"),
+      (1L, 3L, "r_t2"), (1L, 4L, "r_t3"), (1L, 5L, "r_bk"))
       .toDF("block_number", "tx_idx", "root_to")
     val out = graft.domain.BigMacOps
       .bigmacBundlesOf(df, roots, noProfit, Some(tf))
@@ -509,11 +518,134 @@ class GoldenScenarioSpec extends SparkTestBase {
       (1L, 0L, "f1", "atk", "P", 0L, 7L, 8L, 10.0, 9.0),
       (1L, 1L, "v1", "vicA", "P", 0L, 7L, 8L, 5.0, 4.4),
       (1L, 3L, "bk", "atk", "P", 1L, 8L, 7L, 9.0, 11.0))
-    val tf = Seq((1L, 2L, "vicT", 7L, 0L))
-      .toDF("block_number", "tx_idx", "eoa", "token", "direction")
+    val tf = tfOf((1L, 2L, "vicT", 7L, 0L, "P"))
     // the transfer-only tx's root call targets the chain's mev contract
     val roots = Seq((1L, 0L, "r_f1"), (1L, 1L, "r_v1"), (1L, 2L, "r_bk"),
       (1L, 3L, "r_bk")).toDF("block_number", "tx_idx", "root_to")
+    val out = graft.domain.BigMacOps
+      .bigmacBundlesOf(df, roots, noProfit, Some(tf))
+      .filter(col("key_type") === "eoa").collect()
+    assert(out.isEmpty, out.mkString("; "))
+  }
+
+  test("big_mac_not: a gap whose only victim is a ONE-SIDED generated reach fails has_sandwich") {
+    // verify_sandwich_victims (mod.rs:644-697): the per-gap verdict needs
+    // victim_pct >= 0.25 AND has_sandwich, where has_sandwich is raised
+    // only by a BOTH-sided pool/token overlap or a generated pool in the
+    // front∩back searcher pool intersection. tv's inferred pool P is
+    // traded by the searcher on the FRONT side only (bk swaps R) — it
+    // victimizes tv (mod.rs:678-684 tests either side) but does NOT raise
+    // has_sandwich, and no other victim does → the gap fails.
+    val df = swTxOf(
+      (1L, 0L, "f1", "atk", "P", 0L, 7L, 8L, 10.0, 9.0),
+      (1L, 1L, "v1", "vicA", "Q", 0L, 20L, 21L, 5.0, 4.2),
+      (1L, 3L, "bk", "atk", "R", 1L, 8L, 7L, 9.0, 11.0))
+    val tf = tfOf((1L, 2L, "vicT", 30L, 0L, "P"), (1L, 2L, "vicT", 31L, 1L, "P"))
+    val roots = Seq((1L, 0L, "r_f1"), (1L, 1L, "r_v1"), (1L, 2L, "r_tv"),
+      (1L, 3L, "r_bk")).toDF("block_number", "tx_idx", "root_to")
+    val out = graft.domain.BigMacOps
+      .bigmacBundlesOf(df, roots, noProfit, Some(tf))
+      .filter(col("key_type") === "eoa").collect()
+    assert(out.isEmpty, out.mkString("; "))
+  }
+
+  test("big_mac: a one-sided generated victim still counts toward victim_pct when a strong victim coexists") {
+    // f1 swaps pools P and X; bk swaps P only. vicB (pool P) overlaps
+    // both sides → has_sandwich. tv's inferred pool X reaches the front
+    // only → was_victim but not strong (mod.rs:678-691). Six dead swap
+    // victims push n_veoas to 8, so the >= 25% gate needs BOTH vicB and
+    // tv counted (2·4 >= 8) — dropping tv's one-sided credit would kill
+    // the bundle.
+    val deadVics = (2L to 7L).map(i =>
+      (1L, i, s"v$i", s"vic$i", "Q", 0L, 20L, 21L, 5.0, 4.2))
+    val df = swTxOf(Seq(
+      (1L, 0L, "f1", "atk", "P", 0L, 7L, 8L, 10.0, 9.0),
+      (1L, 0L, "f1", "atk", "X", 0L, 7L, 8L, 10.0, 9.0),
+      (1L, 1L, "v1", "vicB", "P", 0L, 7L, 8L, 5.0, 4.4)) ++ deadVics ++ Seq(
+      (1L, 9L, "bk", "atk", "P", 1L, 8L, 7L, 9.0, 11.0)): _*)
+    val tf = tfOf((1L, 8L, "vicT", 30L, 0L, "X"), (1L, 8L, "vicT", 31L, 1L, "X"))
+    val roots = (Seq(0L -> "r_f1", 1L -> "r_v1", 8L -> "r_tv", 9L -> "r_bk") ++
+      (2L to 7L).map(i => i -> s"r_v$i"))
+      .map { case (tx, r) => (1L, tx, r) }
+      .toDF("block_number", "tx_idx", "root_to")
+    val dead = graft.domain.BigMacOps
+      .bigmacBundlesOf(df, roots, noProfit).collect()
+    assert(dead.isEmpty, dead.mkString("; ")) // vicB alone: 1·4 < 8
+    val out = graft.domain.BigMacOps
+      .bigmacBundlesOf(df, roots, noProfit, Some(tf))
+      .filter(col("key_type") === "eoa").collect()
+    assert(out.length == 1, out.mkString("; "))
+    assert(out.head.getAs[Long]("front_idx") == 0L)
+    assert(out.head.getAs[Long]("back_idx") == 9L)
+  }
+
+  test("big_mac_not: a BLACK-LISTED counterparty (frontrun accounting address) is never inferred") {
+    // the frontrun's root contract IS its pool P (an EOA calling the pool
+    // directly), so the segment's black list (mod.rs:152-153 —
+    // collect_address_set_for_accounting over the frontruns) holds
+    // {atk, P}. tv's two legs share counterparty P, which WOULD infer P —
+    // a both-sided searcher pool — but the black list excludes it
+    // (mod.rs:827-830) → no victim, no bundle. The sibling golden above
+    // (root r_f1 ≠ P) is the unblacklisted control that DOES emit.
+    val df = swTxOf(
+      (1L, 0L, "f1", "atk", "P", 0L, 7L, 8L, 10.0, 9.0),
+      (1L, 1L, "v1", "vicA", "Q", 0L, 20L, 21L, 5.0, 4.2),
+      (1L, 3L, "bk", "atk", "P", 1L, 8L, 7L, 9.0, 11.0))
+    val tf = tfOf((1L, 2L, "vicT", 30L, 0L, "P"), (1L, 2L, "vicT", 31L, 1L, "P"))
+    val roots = Seq((1L, 0L, "P"), (1L, 1L, "r_v1"), (1L, 2L, "r_tv"),
+      (1L, 3L, "r_bk")).toDF("block_number", "tx_idx", "root_to")
+    val out = graft.domain.BigMacOps
+      .bigmacBundlesOf(df, roots, noProfit, Some(tf))
+      .filter(col("key_type") === "eoa").collect()
+    assert(out.isEmpty, out.mkString("; "))
+  }
+
+  test("big_mac: a searcher TRANSFER leg victimizes through token overlap (generate_tokens)") {
+    // the searcher's frontrun leg is a TRANSFER, not a swap: f1 sends
+    // token 9 to counterparty A (entry (9, A, TRUE)), bk receives token 9
+    // from A (entry (9, A, FALSE)). The victim sends token 9 TO A: its
+    // (9, A) `to`-probe front-matches the TRUE entry and back-matches the
+    // FALSE one → both-sided token overlap (generate_tokens
+    // mod.rs:803-817 + check_for_overlap :725-740). Without the searcher
+    // transfer legs the searcher token set is {7,8} only → dead.
+    val df = swTxOf(
+      (1L, 0L, "f1", "atk", "P", 0L, 7L, 8L, 10.0, 9.0),
+      (1L, 1L, "v1", "vicA", "Q", 0L, 20L, 21L, 5.0, 4.2),
+      (1L, 3L, "bk", "atk", "P", 1L, 8L, 7L, 9.0, 11.0))
+    val roots = Seq((1L, 0L, "r_f1"), (1L, 1L, "r_v1"), (1L, 2L, "r_tv"),
+      (1L, 3L, "r_bk")).toDF("block_number", "tx_idx", "root_to")
+    val tfVictimOnly = tfOf((1L, 2L, "vicT", 9L, 0L, "A"))
+    val dead = graft.domain.BigMacOps
+      .bigmacBundlesOf(df, roots, noProfit, Some(tfVictimOnly))
+      .filter(col("key_type") === "eoa").collect()
+    assert(dead.isEmpty, dead.mkString("; "))
+    val tfFull = tfOf(
+      (1L, 0L, "atk", 9L, 0L, "A"), // searcher frontrun transfer leg
+      (1L, 2L, "vicT", 9L, 0L, "A"),
+      (1L, 3L, "atk", 9L, 1L, "A")) // searcher backrun transfer leg
+    val out = graft.domain.BigMacOps
+      .bigmacBundlesOf(df, roots, noProfit, Some(tfFull))
+      .filter(col("key_type") === "eoa").collect()
+    assert(out.length == 1, out.mkString("; "))
+    assert(out.head.getAs[Long]("front_idx") == 0L)
+    assert(out.head.getAs[Long]("back_idx") == 3L)
+  }
+
+  test("big_mac_not: a reversed victim leg fails the token-overlap direction flags") {
+    // same shape as above but the victim RECEIVES token 9 from A — its
+    // probes are (9, vicT, to) and (9, A, from); the (9, A) from-probe
+    // needs a FALSE entry on the front (searcher has TRUE there) and a
+    // TRUE entry on the back (searcher has FALSE) → no match either side
+    val df = swTxOf(
+      (1L, 0L, "f1", "atk", "P", 0L, 7L, 8L, 10.0, 9.0),
+      (1L, 1L, "v1", "vicA", "Q", 0L, 20L, 21L, 5.0, 4.2),
+      (1L, 3L, "bk", "atk", "P", 1L, 8L, 7L, 9.0, 11.0))
+    val roots = Seq((1L, 0L, "r_f1"), (1L, 1L, "r_v1"), (1L, 2L, "r_tv"),
+      (1L, 3L, "r_bk")).toDF("block_number", "tx_idx", "root_to")
+    val tf = tfOf(
+      (1L, 0L, "atk", 9L, 0L, "A"),
+      (1L, 2L, "vicT", 9L, 1L, "A"), // reversed: A → vicT
+      (1L, 3L, "atk", 9L, 1L, "A"))
     val out = graft.domain.BigMacOps
       .bigmacBundlesOf(df, roots, noProfit, Some(tf))
       .filter(col("key_type") === "eoa").collect()
