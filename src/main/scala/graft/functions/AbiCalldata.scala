@@ -59,6 +59,15 @@ object AbiCalldata {
     * length. */
   def abi_array_elem(c: Column, headIdx: Int, elemIdx: Int): Column =
     B.column(AbiArrayElem(B.expression(c), headIdx, elemIdx))
+
+  /** ABI `address` in word `i`: the word's trailing 20 bytes as a 40-char
+    * lowercase hex string, NULL when the buffer is short or the 12-byte
+    * zero prefix is violated (a well-formed address word is
+    * zero-padded — nonzero padding means the word is not an address). The
+    * Maker-PSM-style layout: `buyGem(address usr, uint256 gemAmt)`
+    * (classifiers/maker/psm.rs `call_data.usr`). */
+  def abi_address(c: Column, i: Int): Column =
+    B.column(AbiAddress(B.expression(c), i))
 }
 
 case class AbiWord(child: Expression, wordIdx: Int) extends UnaryExpression {
@@ -399,6 +408,83 @@ case class AbiArrayElem(child: Expression, headIdx: Int, elemIdx: Int)
          |      }
          |      ${ev.value} = $v;
          |    }
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** ABI address-word decode: a Solidity `address` argument occupies the
+  * trailing 20 bytes of its 32-byte word; the leading 12 bytes MUST be
+  * zero (validated — nonzero padding decodes to NULL, not a truncated
+  * address). Returns lowercase hex, the address form the rest of the
+  * fixture uses. */
+case class AbiAddress(child: Expression, wordIdx: Int) extends UnaryExpression {
+  require(wordIdx >= 0, "wordIdx must be non-negative")
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "abi_address"
+  // SQL-surface type contract: a wrong-typed argument fails at
+  // ANALYSIS time instead of as a codegen/eval ClassCastException
+  // (AbstractDataType/ExpectsInputTypes are private[sql], so the public
+  // checkInputDataTypes hook carries the contract)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BINARY input, got ${child.dataType.catalogString}")
+
+  private val wordOff = 4 + wordIdx * 32
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    if (b.length < wordOff + 32) null
+    else {
+      var zero = true
+      var i = 0
+      while (i < 12) { if (b(wordOff + i) != 0) zero = false; i += 1 }
+      if (!zero) null
+      else {
+        val out = new Array[Byte](40)
+        i = 0
+        while (i < 20) {
+          val v = b(wordOff + 12 + i) & 0xff
+          out(2 * i) = Character.forDigit(v >>> 4, 16).toByte
+          out(2 * i + 1) = Character.forDigit(v & 0xf, 16).toByte
+          i += 1
+        }
+        UTF8String.fromBytes(out)
+      }
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val zero = ctx.freshName("zero")
+      val out = ctx.freshName("hex")
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
+      s"""
+         |if ($c.length < ${wordOff + 32}) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  boolean $zero = true;
+         |  for (int $i = 0; $i < 12; $i++) {
+         |    if ($c[$wordOff + $i] != 0) $zero = false;
+         |  }
+         |  if (!$zero) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    byte[] $out = new byte[40];
+         |    for (int $i = 0; $i < 20; $i++) {
+         |      int $v = $c[${wordOff + 12} + $i] & 0xff;
+         |      $out[2 * $i] = (byte) java.lang.Character.forDigit($v >>> 4, 16);
+         |      $out[2 * $i + 1] = (byte) java.lang.Character.forDigit($v & 0xf, 16);
+         |    }
+         |    ${ev.value} = UTF8String.fromBytes($out);
          |  }
          |}
        """.stripMargin

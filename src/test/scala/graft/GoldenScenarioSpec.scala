@@ -1189,4 +1189,72 @@ class GoldenScenarioSpec extends SparkTestBase {
     assert(math.abs(out.head.getAs[Double]("profit_usd") + 80.0) < 1e-9)
     assert(out.head.getAs[Int]("has_dex_price") == 1)
   }
+
+  // ── REAL ABI layouts (domain.RealAbiOps — maker/psm.rs, curve/v1_meta.rs) ──
+
+  private def w64(v: Long): String = f"$v%064x"
+
+  test("real_abi: abi_address decodes the trailing 20 bytes and REJECTS nonzero padding") {
+    // buyGem(address usr, uint256 gemAmt) word layout (psm.rs): the
+    // address word is 12 zero bytes ‖ 20 address bytes
+    val addr20 = "00000000" + "ab" * 16
+    val good = "aabbccdd" + ("00" * 12) + addr20 + w64(1000000L)
+    val bad = "aabbccdd" + "01" + ("00" * 11) + addr20 + w64(5L)
+    val short = "aabbccdd" + "00" * 16
+    val out = Seq(good, bad, short).toDF("h")
+      .select(
+        graft.functions.AbiCalldata.abi_address(unhex(col("h")), 0).as("usr"),
+        graft.functions.AbiCalldata.abi_word(unhex(col("h")), 1).as("amt"))
+      .collect()
+    assert(out(0).getString(0) == addr20 && out(0).getLong(1) == 1000000L)
+    assert(out(1).isNullAt(0), "nonzero pad byte must decode to NULL, not truncate")
+    assert(out(2).isNullAt(0))
+  }
+
+  test("real_abi psm: buy/sell DAI legs combine the calldata amount with the LOG fee") {
+    // per-classifier shape (the reference plants a tx and asserts the
+    // NormalizedSwap equality, v1_meta.rs:228+): gemAmt 2_000_000 (2.0
+    // scaled), fee 25 bps → buy amount_in 2.005, sell amount_out 1.995
+    // (psm.rs:40-47, :90-97)
+    def frame(isBuy: Boolean) = Seq(("eoa" * 10 + "42", 2000000L, 25L, isBuy))
+      .toDF("from_address", "gem", "fee", "is_buy")
+      .select(col("is_buy"),
+        unhex(concat(lit("aabbccdd"), lit("0" * 32),
+          md5(col("from_address")), lpad(lower(hex(col("gem"))), 64, "0")))
+          .as("calldata"),
+        unhex(concat(lpad(lower(hex(col("gem"))), 64, "0"),
+          lpad(lower(hex(col("fee"))), 64, "0"))).as("log_data"),
+        md5(col("from_address")).as("from_address"))
+    val buy = graft.domain.RealAbiOps.psmDecode(frame(isBuy = true)).head()
+    assert(buy.getAs[String]("usr") ==
+      "00000000" + buy.getAs[String]("from_address"))
+    assert(buy.getAs[Long]("gem_amt") == 2000000L)
+    assert(buy.getAs[Long]("fee_dec") == 25L)
+    assert(buy.getAs[Double]("dai_leg") == 2.0 + 2.0 * 0.0025)
+    val sell = graft.domain.RealAbiOps.psmDecode(frame(isBuy = false)).head()
+    assert(sell.getAs[Double]("dai_leg") == 2.0 - 2.0 * 0.0025)
+  }
+
+  test("real_abi curve: exchange_underlying amounts ride the LOG and the pool is the CALLER") {
+    // TokenExchangeUnderlying data = sold_id ‖ tokens_sold ‖ bought_id ‖
+    // tokens_bought (v1_meta.rs exchange_underlying_0: log.tokens_sold /
+    // log.tokens_bought); the calldata's dx intentionally DISAGREES here —
+    // the decode must surface the log's values and flag the mismatch
+    val df = Seq(("mp", 1L, 500L, 0L, 480L, 999L))
+      .toDF("caller_pool", "i", "dx_log", "j", "dy_log", "dx_calldata")
+      .select(col("caller_pool"),
+        unhex(concat(lit("3df02124"), lit(w64(1L)), lit(w64(0L)),
+          lpad(lower(hex(col("dx_calldata"))), 64, "0"), lit(w64(7L))))
+          .as("calldata"),
+        unhex(concat(lit(w64(1L)), lpad(lower(hex(col("dx_log"))), 64, "0"),
+          lit(w64(0L)), lpad(lower(hex(col("dy_log"))), 64, "0")))
+          .as("log_data"))
+    val r = graft.domain.RealAbiOps.underlyingDecode(df).head()
+    assert(r.getAs[Long]("sid") == 1L && r.getAs[Long]("bid") == 0L)
+    assert(r.getAs[Long]("amt_in") == 500L && r.getAs[Long]("amt_out") == 480L)
+    assert(r.getAs[Long]("cd_i") == 1L && r.getAs[Long]("cd_dx") == 999L)
+    assert(r.getAs[Long]("cd_dx") != r.getAs[Long]("amt_in"),
+      "the log is the amount source; the calldata echo must be separable")
+    assert(r.getAs[String]("caller_pool") == "mp") // pool = info.from_address
+  }
 }

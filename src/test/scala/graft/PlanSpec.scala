@@ -114,7 +114,7 @@ class PlanSpec extends SparkTestBase {
     // fact never shuffles into a sort-merge join, and the decode stage sits
     // inside WholeStageCodegen
     for (q <- Seq("c1_curve_indexed", "c1_balancer_poolid", "f5_abi_tuple",
-        "f5_abi_string")) {
+        "f5_abi_string", "c1_psm_swap", "c1_curve_underlying")) {
       val df = SparkEntry.queries(q)(spark, SfDir)
       df.collect() // finalize the AQE plan so codegen spans are rendered
       val p = df.queryExecution.executedPlan.toString
@@ -172,6 +172,7 @@ class PlanSpec extends SparkTestBase {
     assert(!AbiLogWord(dummy, 0).isInstanceOf[CodegenFallback])
     assert(!AbiArrayLen(dummy, 0).isInstanceOf[CodegenFallback])
     assert(!AbiArrayElem(dummy, 0, 0).isInstanceOf[CodegenFallback])
+    assert(!graft.functions.AbiAddress(dummy, 0).isInstanceOf[CodegenFallback])
     // eval parity over all four layouts, including the signed negative
     // word and the offset-followed tail: id>=1 so -id is genuinely negative
     val df = spark.range(1, 6).select(
