@@ -1,7 +1,8 @@
 package graft.domain
 
 import graft.QueryDef
-import graft.functions.AbiCalldata.{abi_address, abi_log_word, abi_word}
+import graft.functions.AbiCalldata.{abi_address, abi_int_word, abi_log_word,
+  abi_pool_id_address, abi_ret_int, abi_tuple_address, abi_tuple_word, abi_word}
 import graft.ops.ExactAgg.{dsum, sqlSum}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
@@ -49,11 +50,30 @@ object RealAbiOps extends graft.QueryModule {
 
   import ChainFixture._
 
-  def defs: Seq[QueryDef] = Seq(c1PsmSwap, c1CurveUnderlying)
+  def defs: Seq[QueryDef] = Seq(c1PsmSwap, c1CurveUnderlying, c1UniV3Swap,
+    c1BalancerOnSwap, c1AaveLiquidation, c1UniV2Swap)
 
   private def withCtes(sql: String) = Some(s"WITH ${ChainFixture.sqlCtes} $sql")
 
   private def word(c: Column) = lpad(lower(hex(c)), 64, "0")
+
+  /** SIGNED int256 word: non-negative values zero-pad; negative values
+    * sign-extend with 0xff (hex of a negative BIGINT is already the
+    * 16-char two's complement of its low 8 bytes). */
+  private def sword(c: Column) =
+    when(c >= 0, word(c)).otherwise(concat(lit("f" * 48), lower(hex(c))))
+
+  /** Exact 10^dec as DOUBLE: every power of ten through 10^22 is exactly
+    * representable, so `raw / pow10d(dec)` is ONE correctly-rounded IEEE op
+    * — bit-identical across engines without trusting either engine's
+    * pow(). Spark side: a literal array built from exact BigDecimal powers
+    * (element_at is codegen'd); DuckDB side: a correctly-rounded
+    * decimal-string parse of the same values. */
+  private val pow10Lits: Column =
+    array((0 to 22).map(d => lit(BigDecimal(10).pow(d).toDouble)): _*)
+  private def pow10d(dec: Column) = element_at(pow10Lits, dec.cast("int") + 1)
+
+  private val sqlPow10 = "CAST('1' || REPEAT('0', %s) AS DOUBLE)"
 
   /** The PSM decode core on any frame with (calldata, log_data, is_buy):
     * usr from the address word, gemAmt from calldata word1, fee (bps, DAI
@@ -218,5 +238,522 @@ object RealAbiOps extends graft.QueryModule {
       FROM cuij c
       JOIN pcu ci ON c.to_address = ci.address AND c.i = ci.coin_idx
       JOIN pcu cj ON c.to_address = cj.address AND c.j = cj.coin_idx
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** The V3 swap decode core on any frame with (calldata, ret_data, t0_id,
+    * t1x): recipient from the calldata address word, amountSpecified as
+    * SIGNED calldata int256, the two pool-view deltas as SIGNED return
+    * words, then the reference's sign resolution — `amount0 < 0` ⇒ token1
+    * in / token0 out with `in = amount1, out = |amount0|`, else the
+    * converse (uniswap_v3.rs:31-46). Unit-tested on planted bytes for both
+    * sign arms in the reference's per-classifier test shape. */
+  private[graft] def v3SwapDecode(t: org.apache.spark.sql.DataFrame) = t
+    .withColumn("recipient", abi_address(col("calldata"), 0))
+    .withColumn("spec_dec", abi_int_word(col("calldata"), 2))
+    .withColumn("a0", abi_ret_int(col("ret_data"), 0))
+    .withColumn("a1", abi_ret_int(col("ret_data"), 1))
+    .withColumn("token_in_id",
+      when(col("a0") < 0, col("t1x")).otherwise(col("t0_id")))
+    .withColumn("token_out_id",
+      when(col("a0") < 0, col("t0_id")).otherwise(col("t1x")))
+    .withColumn("in_raw", when(col("a0") < 0, col("a1")).otherwise(col("a0")))
+    .withColumn("out_raw",
+      when(col("a0") < 0, -col("a0")).otherwise(-col("a1")))
+
+  /** The onSwap decode core on any frame with (calldata, ret_data): the
+    * SwapRequest tuple fields through the offset indirection (kind,
+    * tokenIn/tokenOut/from as validated addresses, amount, the poolId's
+    * LEADING 20 bytes as the pool), plus head word1 (balanceTokenIn) and
+    * the single-word return amount (balancer_v2.rs:20-47). */
+  private[graft] def onSwapDecode(t: org.apache.spark.sql.DataFrame) = t
+    .withColumn("kind", abi_tuple_word(col("calldata"), 0, 0))
+    .withColumn("tok_in_dec", abi_tuple_address(col("calldata"), 0, 1))
+    .withColumn("tok_out_dec", abi_tuple_address(col("calldata"), 0, 2))
+    .withColumn("amt_dec", abi_tuple_word(col("calldata"), 0, 3))
+    .withColumn("pool_dec", abi_pool_id_address(col("calldata"), 0, 4))
+    .withColumn("from_dec", abi_tuple_address(col("calldata"), 0, 6))
+    .withColumn("bal_in", abi_word(col("calldata"), 1))
+    .withColumn("out_dec", abi_log_word(col("ret_data"), 0))
+
+  /** The liquidationCall decode core on any frame with (calldata): five
+    * static words — three validated addresses, the debt amount, and the
+    * receiveAToken bool (aave/v3.rs:10-40). */
+  private[graft] def liquidationCallDecode(t: org.apache.spark.sql.DataFrame) = t
+    .withColumn("coll_dec", abi_address(col("calldata"), 0))
+    .withColumn("debt_dec", abi_address(col("calldata"), 1))
+    .withColumn("debtor", abi_address(col("calldata"), 2))
+    .withColumn("debt_to_cover", abi_word(col("calldata"), 3))
+    .withColumn("receive_atoken", abi_word(col("calldata"), 4) === 1)
+
+  /** C1 (Uniswap V3 `swap`): the reference decodes amounts from the call's
+    * RETURN data as SIGNED int256 deltas — `(int256 amount0, int256
+    * amount1)`, the POOL's view, where the trader-bound side is NEGATIVE —
+    * and resolves direction from the SIGN: `amount0 < 0` ⇒ token1 in /
+    * token0 out, else token0 in / token1 out
+    * (classifiers/uniswap/uniswap_v3.rs:22-46 `return_data.amount0/
+    * amount1`, `is_negative()` branch). Calldata carries `swap(address
+    * recipient, bool zeroForOne, int256 amountSpecified, uint160
+    * sqrtPriceLimitX96, bytes)` — amountSpecified is NEGATIVE for
+    * exact-output swaps, exercising the signed CALLDATA decode on both
+    * sign arms; the reference reads only `recipient` from it (:24).
+    * Amounts scale by each token's OWN decimals
+    * (`to_scaled_rational(t0_info.decimals)`, :33-45) — real per-token
+    * scaling, not the fixture's fixed 1e6 — and a missing token info
+    * fails the whole classification (`try_fetch_token_info(...)?`,
+    * :28-29), so rows touching the unregistered ids 40/41 quarantine
+    * instead of summing (the C9 path).
+    *
+    * Scale shape: one pruned trace scan, two broadcast dim joins, every
+    * decode codegen'd; the signed return decode is the innermost loop. */
+  private val c1UniV3Swap = QueryDef(
+    "c1_univ3_swap",
+    (s, dir) => {
+      val up = pools(s).filter(col("protocol") === "uniswap_v3")
+        .select(col("address").as("p_addr"), col("t0_id"), col("t1_id"))
+      val t = tracesTable(s, dir)
+        .filter(col("selector") === SelV3Swap)
+        .withColumn("q6l", col("q6").cast("long"))
+        .withColumn("p2l", col("p2").cast("long"))
+        .join(broadcast(up), col("to_address") === col("p_addr"))
+        // C9 hook: the uniswap_v3 pool subspace never references the
+        // unregistered ids 40/41 itself, so a deterministic sliver of rows
+        // models a stale registry entry — token1 resolves to a missing id
+        // and try_fetch_token_info fails (quarantine, not a sum)
+        .withColumn("t1x",
+          when((col("q6l") + col("p2l")) % 41 === 0,
+            lit(NumTokens.toLong) + col("p2l") % 2).otherwise(col("t1_id")))
+        .withColumn("zero_for_one", col("direction") === 0)
+        // pool-view deltas: input side positive, trader-bound side negative
+        .withColumn("a0_src",
+          when(col("zero_for_one"), col("q6l")).otherwise(-col("p2l")))
+        .withColumn("a1_src",
+          when(col("zero_for_one"), -col("p2l")).otherwise(col("q6l")))
+        // exact-input (positive) vs exact-output (negative) alternates
+        .withColumn("spec_src",
+          when((col("q6l") + col("p2l")) % 2 === 0, col("q6l"))
+            .otherwise(-col("p2l")))
+        .withColumn("calldata", unhex(concat(col("selector"),
+          lit("0" * 32), col("from_address"), // recipient address word
+          word(when(col("zero_for_one"), 1L).otherwise(0L)), // bool word
+          sword(col("spec_src")), // int256 amountSpecified
+          word(col("p2l") % 1000000)))) // sqrtPriceLimitX96 stand-in
+        .withColumn("ret_data",
+          unhex(concat(sword(col("a0_src")), sword(col("a1_src")))))
+      val dec = v3SwapDecode(t)
+      val ti = tokens(s).select(col("token_id").as("ti_id"),
+        col("decimals").as("dec_in"))
+      val to = tokens(s).select(col("token_id").as("to_id"),
+        col("decimals").as("dec_out"))
+      dec
+        .join(broadcast(ti), col("token_in_id") === col("ti_id"), "left")
+        .join(broadcast(to), col("token_out_id") === col("to_id"), "left")
+        .withColumn("ok", col("dec_in").isNotNull && col("dec_out").isNotNull)
+        .groupBy("token_in_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("spec_dec") < 0, 1L).otherwise(0L)).as("n_exact_out"),
+          sum(when(col("recipient") ===
+            concat(lit("0" * 8), col("from_address")), 1L).otherwise(0L))
+            .as("n_recipient_ok"),
+          dsum(when(col("ok"),
+            col("in_raw").cast("double") / pow10d(col("dec_in")))
+            .otherwise(lit(0.0))).as("sum_amount_in"),
+          dsum(when(col("ok"),
+            col("out_raw").cast("double") / pow10d(col("dec_out")))
+            .otherwise(lit(0.0))).as("sum_amount_out"),
+          countDistinct(col("token_out_id")).as("n_out_tokens"),
+          sum(when(!col("ok"), 1L).otherwise(0L)).as("n_quarantined"))
+        .orderBy("token_in_id")
+    },
+    withCtes(s""", v3w AS (
+        SELECT t.direction, CAST(t.q6 AS BIGINT) AS q6l,
+          CAST(t.p2 AS BIGINT) AS p2l, t.q6, t.p2, p.t0_id,
+          CASE WHEN (CAST(t.q6 AS BIGINT) + CAST(t.p2 AS BIGINT)) % 41 = 0
+            THEN $NumTokens + CAST(t.p2 AS BIGINT) % 2 ELSE p.t1_id END AS t1x
+        FROM trace t
+        JOIN pool p ON t.to_address = p.address AND p.protocol = 'uniswap_v3'
+        WHERE t.selector = '$SelV3Swap')
+      SELECT
+        CASE WHEN v.direction = 0 THEN v.t0_id ELSE v.t1x END AS token_in_id,
+        COUNT(*) AS n,
+        CAST(SUM(CASE WHEN (v.q6l + v.p2l) % 2 = 1
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_out,
+        COUNT(*) AS n_recipient_ok,
+        ${sqlSum(s"""CASE WHEN ti.token_id IS NOT NULL AND tt.token_id IS NOT NULL
+          THEN v.q6 / ${sqlPow10.format("ti.decimals")} ELSE 0.0e0 END""")}
+          AS sum_amount_in,
+        ${sqlSum(s"""CASE WHEN ti.token_id IS NOT NULL AND tt.token_id IS NOT NULL
+          THEN v.p2 / ${sqlPow10.format("tt.decimals")} ELSE 0.0e0 END""")}
+          AS sum_amount_out,
+        CAST(COUNT(DISTINCT CASE WHEN v.direction = 0 THEN v.t1x
+          ELSE v.t0_id END) AS BIGINT) AS n_out_tokens,
+        CAST(SUM(CASE WHEN ti.token_id IS NULL OR tt.token_id IS NULL
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined
+      FROM v3w v
+      LEFT JOIN tok ti
+        ON ti.token_id = CASE WHEN v.direction = 0 THEN v.t0_id ELSE v.t1x END
+      LEFT JOIN tok tt
+        ON tt.token_id = CASE WHEN v.direction = 0 THEN v.t1x ELSE v.t0_id END
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** C1 (Balancer V2 `onSwap`): the SwapRequest STRUCT carries a dynamic
+    * `bytes userData` member, so the whole tuple is ABI-passed by OFFSET —
+    * head word0 points at the tail where the struct's static fields sit as
+    * consecutive words `(kind, tokenIn, tokenOut, amount, poolId,
+    * lastChangeBlock, from, to, userData-offset)`
+    * (classifiers/balancer/balancer_v2.rs:20-47, IPoolSwapStructs). The
+    * pool identity is NOT an argument address: it is the LEADING 20 bytes
+    * of the `bytes32 poolId` field (`pool_id_to_address`, :219-226 — the
+    * trailing 12 bytes are specialization + nonce, free-form). amount_in
+    * rides the CALLDATA (`swapRequest.amount`), amount_out the single-word
+    * RETURN (`return_data.amount`, :32); token infos resolve from the
+    * DECODED tokenIn/tokenOut addresses and a missing token fails the
+    * classification (`try_fetch_token_info(...)?`). from/to come from the
+    * struct, not the frame (:37-38).
+    *
+    * Fixture casting: sushiswap-protocol pools play the Balancer pools on
+    * SelV3Swap frames (disjoint from [[c1UniV3Swap]]'s uniswap_v3 set); the
+    * 12 junk poolId bytes derive from p2 so they are nonzero and varied.
+    *
+    * Scale shape: one pruned trace scan + broadcast dims; the decode is
+    * four offset-following expressions, all codegen'd. */
+  private val c1BalancerOnSwap = QueryDef(
+    "c1_balancer_onswap",
+    (s, dir) => {
+      val bp = pools(s).filter(col("protocol") === "sushiswap")
+        .select(col("address").as("p_addr"), col("t0_id"), col("t1_id"))
+      val t = tracesTable(s, dir)
+        .filter(col("selector") === SelV3Swap)
+        .withColumn("q6l", col("q6").cast("long"))
+        .withColumn("p2l", col("p2").cast("long"))
+        .join(broadcast(bp), col("to_address") === col("p_addr"))
+        // C9 hook, same rotation as c1_univ3_swap: sushiswap pools never
+        // reference ids 40/41, so a sliver of rows models a stale entry
+        .withColumn("t1x",
+          when((col("q6l") + col("p2l")) % 41 === 0,
+            lit(NumTokens.toLong) + col("p2l") % 2).otherwise(col("t1_id")))
+        .withColumn("tin_id",
+          when(col("direction") === 0, col("t0_id")).otherwise(col("t1x")))
+        .withColumn("tout_id",
+          when(col("direction") === 0, col("t1x")).otherwise(col("t0_id")))
+        .withColumn("kind_src", col("p2l") % 2) // GIVEN_IN / GIVEN_OUT
+        .withColumn("calldata", unhex(concat(col("selector"),
+          word(lit(96L)), // head w0: tuple offset (3 head words * 32)
+          word(col("q6l") * 2), word(col("p2l") * 2), // balances in/out
+          // tuple tail: kind ‖ tokenIn ‖ tokenOut ‖ amount ‖ poolId ‖
+          //             lastChangeBlock ‖ from ‖ to ‖ userData offset ‖ len 0
+          word(col("kind_src")),
+          lit("0" * 32), md5(concat(lit("tok:"), col("tin_id"))),
+          lit("0" * 32), md5(concat(lit("tok:"), col("tout_id"))),
+          word(col("q6l")),
+          lit("0" * 8), col("p_addr"), lpad(lower(hex(col("p2l"))), 24, "0"),
+          word(col("block_number")),
+          lit("0" * 32), col("from_address"),
+          lit("0" * 32), col("from_address"),
+          word(lit(288L)), word(lit(0L)))))
+        .withColumn("ret_data", unhex(word(col("p2l"))))
+      val dec = onSwapDecode(t)
+      val ti = tokens(s).select(col("address").as("ti_addr"),
+        col("token_id").as("token_in_id"), col("decimals").as("dec_in"))
+      val to = tokens(s).select(col("address").as("to_addr"),
+        col("decimals").as("dec_out"))
+      dec
+        // token info from the DECODED addresses (try_fetch_token_info)
+        .join(broadcast(ti),
+          substring(col("tok_in_dec"), 9, 32) === col("ti_addr"), "left")
+        .join(broadcast(to),
+          substring(col("tok_out_dec"), 9, 32) === col("to_addr"), "left")
+        .withColumn("ok", col("dec_in").isNotNull && col("dec_out").isNotNull)
+        .groupBy(when(col("kind") === 0, "given_in").otherwise("given_out")
+          .as("kind"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pool_dec") === concat(lit("0" * 8), col("p_addr")),
+            1L).otherwise(0L)).as("n_pool_ok"),
+          sum(when(col("amt_dec") === col("q6l") &&
+            col("bal_in") === col("q6l") * 2 &&
+            col("from_dec") === concat(lit("0" * 8), col("from_address")),
+            1L).otherwise(0L)).as("n_roundtrip_ok"),
+          dsum(when(col("ok"),
+            col("amt_dec").cast("double") / pow10d(col("dec_in")))
+            .otherwise(lit(0.0))).as("sum_amount_in"),
+          dsum(when(col("ok"),
+            col("out_dec").cast("double") / pow10d(col("dec_out")))
+            .otherwise(lit(0.0))).as("sum_amount_out"),
+          countDistinct(col("token_in_id")).as("n_in_tokens"),
+          sum(when(!col("ok"), 1L).otherwise(0L)).as("n_quarantined"))
+        .orderBy("kind")
+    },
+    withCtes(s""", bw AS (
+        SELECT t.direction, CAST(t.p2 AS BIGINT) AS p2l, t.q6, t.p2, p.t0_id,
+          CASE WHEN (CAST(t.q6 AS BIGINT) + CAST(t.p2 AS BIGINT)) % 41 = 0
+            THEN $NumTokens + CAST(t.p2 AS BIGINT) % 2 ELSE p.t1_id END AS t1x
+        FROM trace t
+        JOIN pool p ON t.to_address = p.address AND p.protocol = 'sushiswap'
+        WHERE t.selector = '$SelV3Swap')
+      SELECT
+        CASE WHEN b.p2l % 2 = 0 THEN 'given_in' ELSE 'given_out' END AS kind,
+        COUNT(*) AS n,
+        COUNT(*) AS n_pool_ok,
+        COUNT(*) AS n_roundtrip_ok,
+        ${sqlSum(s"""CASE WHEN ti.token_id IS NOT NULL AND tt.token_id IS NOT NULL
+          THEN b.q6 / ${sqlPow10.format("ti.decimals")} ELSE 0.0e0 END""")}
+          AS sum_amount_in,
+        ${sqlSum(s"""CASE WHEN ti.token_id IS NOT NULL AND tt.token_id IS NOT NULL
+          THEN b.p2 / ${sqlPow10.format("tt.decimals")} ELSE 0.0e0 END""")}
+          AS sum_amount_out,
+        CAST(COUNT(DISTINCT ti.token_id) AS BIGINT) AS n_in_tokens,
+        CAST(SUM(CASE WHEN ti.token_id IS NULL OR tt.token_id IS NULL
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined
+      FROM bw b
+      LEFT JOIN tok ti
+        ON ti.token_id = CASE WHEN b.direction = 0 THEN b.t0_id ELSE b.t1x END
+      LEFT JOIN tok tt
+        ON tt.token_id = CASE WHEN b.direction = 0 THEN b.t1x ELSE b.t0_id END
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** The V2 swap decode core on any frame with (calldata, log_data, t0_id,
+    * t1x): the four Swap-event amounts from the LOG, recipient + the two
+    * calldata amountOut echoes, then the reference's zero-side direction
+    * resolution — `amount0In == 0` ⇒ token1 in / token0 out, else the
+    * converse (uniswap_v2.rs:32-65). A missing log (empty `log_data`)
+    * NULLs every log field, and `log_ok` carries the
+    * `log_data.swap_field?` failure: token identity resolves to NULL, the
+    * row quarantines. */
+  private[graft] def v2SwapDecode(t: org.apache.spark.sql.DataFrame) = t
+    .withColumn("a0in", abi_log_word(col("log_data"), 0))
+    .withColumn("a1in", abi_log_word(col("log_data"), 1))
+    .withColumn("a0out", abi_log_word(col("log_data"), 2))
+    .withColumn("a1out", abi_log_word(col("log_data"), 3))
+    .withColumn("cd_a0out", abi_word(col("calldata"), 0))
+    .withColumn("cd_a1out", abi_word(col("calldata"), 1))
+    .withColumn("recipient", abi_address(col("calldata"), 2))
+    .withColumn("log_ok", col("a0in").isNotNull)
+    // -1 sentinel (not NULL) for the failed-classification group: the two
+    // engines disagree on NULL-first vs NULL-last ordering
+    .withColumn("token_in_id",
+      when(!col("log_ok"), lit(-1L))
+        .when(col("a0in") === 0, col("t1x")).otherwise(col("t0_id")))
+    .withColumn("token_out_id",
+      when(!col("log_ok"), lit(-1L))
+        .when(col("a0in") === 0, col("t0_id")).otherwise(col("t1x")))
+    .withColumn("in_raw",
+      when(col("a0in") === 0, col("a1in")).otherwise(col("a0in")))
+    .withColumn("out_raw",
+      when(col("a0in") === 0, col("a0out")).otherwise(col("a1out")))
+
+  /** C1 (Uniswap V2 `swap`): calldata is `swap(uint256 amount0Out, uint256
+    * amount1Out, address to, bytes data)` but the AMOUNTS the reference
+    * trusts ride the Swap EVENT — `(amount0In, amount1In, amount0Out,
+    * amount1Out)` — and direction resolves from which `amountIn` side is
+    * ZERO: `amount0In == 0` ⇒ token1 in / token0 out, else the converse
+    * (classifiers/uniswap/uniswap_v2.rs:32-65). The log is an OPTION: the
+    * `[..Swap]` pattern searches the subtree and `log_data.swap_field?`
+    * FAILS the classification when absent — a second quarantine shape
+    * (missing log, before any token fetch) next to the missing-token one
+    * (both `try_fetch_token_info(...)?`, :28-29). The calldata's
+    * amount0Out/amount1Out echo the log's out side and the recipient is
+    * `call_data.to` (:23).
+    *
+    * Fixture casting: a (q6+p2) % 37 sliver carries an EMPTY log payload
+    * (the log-missing arm); the % 41 sliver rotates token1 onto the
+    * unregistered ids (the C9 arm), as in [[c1UniV3Swap]].
+    *
+    * Scale shape: one pruned trace scan + broadcast dims, all decode
+    * codegen'd. */
+  private val c1UniV2Swap = QueryDef(
+    "c1_univ2_swap",
+    (s, dir) => {
+      val vp = pools(s).filter(col("protocol") === "uniswap_v2")
+        .select(col("address").as("p_addr"), col("t0_id"), col("t1_id"))
+      val t = tracesTable(s, dir)
+        .filter(col("selector") === SelV2Swap)
+        .withColumn("q6l", col("q6").cast("long"))
+        .withColumn("p2l", col("p2").cast("long"))
+        .join(broadcast(vp), col("to_address") === col("p_addr"))
+        .withColumn("t1x",
+          when((col("q6l") + col("p2l")) % 41 === 0,
+            lit(NumTokens.toLong) + col("p2l") % 2).otherwise(col("t1_id")))
+        .withColumn("log_missing", (col("q6l") + col("p2l")) % 37 === 0)
+        .withColumn("a0in_src",
+          when(col("direction") === 0, col("q6l")).otherwise(lit(0L)))
+        .withColumn("a1in_src",
+          when(col("direction") === 0, lit(0L)).otherwise(col("q6l")))
+        .withColumn("a0out_src",
+          when(col("direction") === 0, lit(0L)).otherwise(col("p2l")))
+        .withColumn("a1out_src",
+          when(col("direction") === 0, col("p2l")).otherwise(lit(0L)))
+        .withColumn("calldata", unhex(concat(col("selector"),
+          word(col("a0out_src")), word(col("a1out_src")),
+          lit("0" * 32), col("from_address"), // to (recipient)
+          word(lit(128L))))) // bytes data offset
+        .withColumn("log_data",
+          when(col("log_missing"), unhex(lit("")))
+            .otherwise(unhex(concat(word(col("a0in_src")),
+              word(col("a1in_src")), word(col("a0out_src")),
+              word(col("a1out_src"))))))
+      val dec = v2SwapDecode(t)
+      val ti = tokens(s).select(col("token_id").as("ti_id"),
+        col("decimals").as("dec_in"))
+      val to = tokens(s).select(col("token_id").as("to_id"),
+        col("decimals").as("dec_out"))
+      dec
+        .join(broadcast(ti), col("token_in_id") === col("ti_id"), "left")
+        .join(broadcast(to), col("token_out_id") === col("to_id"), "left")
+        .withColumn("ok", col("log_ok") &&
+          col("dec_in").isNotNull && col("dec_out").isNotNull)
+        .groupBy("token_in_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(!col("log_ok"), 1L).otherwise(0L)).as("n_log_missing"),
+          sum(when(col("log_ok") && (col("dec_in").isNull ||
+            col("dec_out").isNull), 1L).otherwise(0L)).as("n_quarantined"),
+          sum(when(col("ok") && col("a0in") === 0, 1L).otherwise(0L))
+            .as("n_t1_in"),
+          sum(when(col("log_ok") &&
+            col("cd_a0out") === col("a0out") &&
+            col("cd_a1out") === col("a1out") &&
+            col("recipient") === concat(lit("0" * 8), col("from_address")),
+            1L).otherwise(0L)).as("n_echo_ok"),
+          dsum(when(col("ok"),
+            col("in_raw").cast("double") / pow10d(col("dec_in")))
+            .otherwise(lit(0.0))).as("sum_amount_in"),
+          dsum(when(col("ok"),
+            col("out_raw").cast("double") / pow10d(col("dec_out")))
+            .otherwise(lit(0.0))).as("sum_amount_out"))
+        .orderBy("token_in_id")
+    },
+    withCtes(s""", v2w AS (
+        SELECT t.direction, CAST(t.q6 AS BIGINT) AS q6l,
+          CAST(t.p2 AS BIGINT) AS p2l, t.q6, t.p2, p.t0_id,
+          CASE WHEN (CAST(t.q6 AS BIGINT) + CAST(t.p2 AS BIGINT)) % 41 = 0
+            THEN $NumTokens + CAST(t.p2 AS BIGINT) % 2 ELSE p.t1_id END AS t1x,
+          (CAST(t.q6 AS BIGINT) + CAST(t.p2 AS BIGINT)) % 37 = 0 AS log_missing
+        FROM trace t
+        JOIN pool p ON t.to_address = p.address AND p.protocol = 'uniswap_v2'
+        WHERE t.selector = '$SelV2Swap'),
+      v2k AS (
+        SELECT *,
+          CASE WHEN log_missing THEN -1
+               WHEN direction = 1 THEN t1x ELSE t0_id END AS tin,
+          CASE WHEN log_missing THEN -1
+               WHEN direction = 1 THEN t0_id ELSE t1x END AS tout
+        FROM v2w)
+      SELECT v.tin AS token_in_id, COUNT(*) AS n,
+        CAST(SUM(CASE WHEN v.log_missing THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_log_missing,
+        CAST(SUM(CASE WHEN NOT v.log_missing
+          AND (ti.token_id IS NULL OR tt.token_id IS NULL)
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+        CAST(SUM(CASE WHEN NOT v.log_missing AND ti.token_id IS NOT NULL
+          AND tt.token_id IS NOT NULL AND v.direction = 1
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_t1_in,
+        CAST(SUM(CASE WHEN NOT v.log_missing THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_echo_ok,
+        ${sqlSum(s"""CASE WHEN NOT v.log_missing AND ti.token_id IS NOT NULL
+          AND tt.token_id IS NOT NULL
+          THEN v.q6 / ${sqlPow10.format("ti.decimals")} ELSE 0.0e0 END""")}
+          AS sum_amount_in,
+        ${sqlSum(s"""CASE WHEN NOT v.log_missing AND ti.token_id IS NOT NULL
+          AND tt.token_id IS NOT NULL
+          THEN v.p2 / ${sqlPow10.format("tt.decimals")} ELSE 0.0e0 END""")}
+          AS sum_amount_out
+      FROM v2k v
+      LEFT JOIN tok ti ON ti.token_id = v.tin
+      LEFT JOIN tok tt ON tt.token_id = v.tout
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** C1 (Aave V3 `liquidationCall`): five static words — `(address
+    * collateralAsset, address debtAsset, address user, uint256 debtToCover,
+    * bool receiveAToken)` (classifiers/aave/v3.rs:10-40). The reference
+    * fills the bundle fields asymmetrically: `pool` is the CALLING contract
+    * (`info.from_address` — the searcher's contract, NOT the call target),
+    * `liquidator` is the tx sender (`info.msg_sender`), `debtor` is the
+    * decoded `user` arg, `covered_debt` scales `debtToCover` by the DEBT
+    * token's decimals, and `liquidated_collateral` is ZERO at this stage —
+    * "filled in later" by the multi-frame child-transfer stitch, the C5
+    * arm this feeds ([[ClassifyOps.stitchedLiquidations]]). Fetching the
+    * COLLATERAL token info happens before construction, so an unregistered
+    * collateral (ids 40/41) fails the whole classification
+    * (`try_fetch_token_info(call_data.collateralAsset)?`, :22) — the rows
+    * quarantine, they don't sum.
+    *
+    * Fixture casting: the caller of a depth-1 frame is the tx's ROOT
+    * contract (trace_idx 1's target) — one per-tx equi-join, block-local.
+    * Debt = the pool's t0 (always registered), collateral = t1 (crosses
+    * 40/41), debtor EOA derives from (q6+p2). */
+  private val c1AaveLiquidation = QueryDef(
+    "c1_aave_liquidation",
+    (s, dir) => {
+      val tr = tracesTable(s, dir)
+      val roots = tr.filter(col("trace_idx") === 1)
+        .select(col("tx_hash"), col("to_address").as("caller"))
+      val lp = pools(s).select(col("address").as("p_addr"), col("protocol"),
+        col("t0_id"), col("t1_id"))
+      val t = tr
+        .filter(col("selector") === SelLiquidation &&
+          size(col("trace_address")) === 1)
+        .withColumn("q6l", col("q6").cast("long"))
+        .withColumn("p2l", col("p2").cast("long"))
+        .join(broadcast(lp), col("to_address") === col("p_addr"))
+        .join(roots, Seq("tx_hash"))
+        .withColumn("debtor_src",
+          md5(concat(lit("eoa:"), (col("q6l") + col("p2l")) % 12)))
+        .withColumn("calldata", unhex(concat(col("selector"),
+          lit("0" * 32), md5(concat(lit("tok:"), col("t1_id"))), // collateral
+          lit("0" * 32), md5(concat(lit("tok:"), col("t0_id"))), // debt
+          lit("0" * 32), col("debtor_src"), // user
+          word(col("q6l")), // debtToCover
+          word(col("p2l") % 2)))) // receiveAToken bool
+      val dec = liquidationCallDecode(t)
+      val td = tokens(s).select(col("address").as("td_addr"),
+        col("decimals").as("dec_debt"))
+      val tc = tokens(s).select(col("address").as("tc_addr"),
+        col("token_id").as("coll_id"))
+      dec
+        .join(broadcast(td),
+          substring(col("debt_dec"), 9, 32) === col("td_addr"), "left")
+        .join(broadcast(tc),
+          substring(col("coll_dec"), 9, 32) === col("tc_addr"), "left")
+        // collateral info is fetched FIRST (v3.rs:22) — missing ⇒ the whole
+        // classification errors out, the row never becomes an action
+        .withColumn("ok", col("coll_id").isNotNull)
+        .groupBy("protocol")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_classified"),
+          sum(when(!col("ok"), 1L).otherwise(0L)).as("n_quarantined"),
+          sum(when(col("ok") && col("debtor") === concat(lit("0" * 8),
+            col("debtor_src")), 1L).otherwise(0L)).as("n_debtor_ok"),
+          sum(when(col("ok") && col("receive_atoken"), 1L).otherwise(0L))
+            .as("n_receive_atoken"),
+          dsum(when(col("ok"),
+            col("debt_to_cover").cast("double") / pow10d(col("dec_debt")))
+            .otherwise(lit(0.0))).as("sum_covered_debt"),
+          countDistinct(when(col("ok"), col("caller"))).as("n_pools"),
+          countDistinct(when(col("ok"), col("from_address")))
+            .as("n_liquidators"))
+        .orderBy("protocol")
+    },
+    withCtes(s""", liq_roots AS (
+        SELECT tx_hash, to_address AS caller FROM trace WHERE trace_idx = 1)
+      SELECT p.protocol, COUNT(*) AS n,
+        CAST(SUM(CASE WHEN p.t1_id < $NumTokens THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_classified,
+        CAST(SUM(CASE WHEN p.t1_id >= $NumTokens THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_quarantined,
+        CAST(SUM(CASE WHEN p.t1_id < $NumTokens THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_debtor_ok,
+        CAST(SUM(CASE WHEN p.t1_id < $NumTokens
+          AND CAST(t.p2 AS BIGINT) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_receive_atoken,
+        ${sqlSum(s"""CASE WHEN p.t1_id < $NumTokens
+          THEN t.q6 / ${sqlPow10.format("td.decimals")} ELSE 0.0e0 END""")}
+          AS sum_covered_debt,
+        CAST(COUNT(DISTINCT CASE WHEN p.t1_id < $NumTokens THEN r.caller END)
+          AS BIGINT) AS n_pools,
+        CAST(COUNT(DISTINCT CASE WHEN p.t1_id < $NumTokens
+          THEN t.from_address END) AS BIGINT) AS n_liquidators
+      FROM trace t
+      JOIN pool p ON t.to_address = p.address
+      JOIN liq_roots r ON r.tx_hash = t.tx_hash
+      JOIN tok td ON td.token_id = p.t0_id
+      WHERE t.selector = '$SelLiquidation' AND len(t.trace_address) = 1
       GROUP BY 1 ORDER BY 1"""))
 }

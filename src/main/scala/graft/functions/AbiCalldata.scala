@@ -68,6 +68,39 @@ object AbiCalldata {
     * (classifiers/maker/psm.rs `call_data.usr`). */
   def abi_address(c: Column, i: Int): Column =
     B.column(AbiAddress(B.expression(c), i))
+
+  /** Word `i` of RETURN data decoded as SIGNED int256 → BIGINT. Return
+    * buffers carry bare 32-byte words (no selector prefix); same
+    * sign-extension contract as [[abi_int_word]]. The Uniswap-V3-style
+    * source: `swap` returns `(int256 amount0, int256 amount1)` where the
+    * pool's OUTPUT side arrives negative
+    * (classifiers/uniswap/uniswap_v3.rs `return_data.amount0/amount1`). */
+  def abi_ret_int(c: Column, i: Int): Column =
+    B.column(AbiRetIntWord(B.expression(c), i))
+
+  /** Low 8 bytes of FIELD `fieldIdx` of the dynamic TUPLE whose offset
+    * pointer sits in head word `headIdx` (a struct with any dynamic member
+    * is passed by offset; its static fields are words at the tail). The
+    * Balancer-V2-style source: `onSwap(SwapRequest,...)` where SwapRequest
+    * carries `bytes userData` (classifiers/balancer/balancer_v2.rs
+    * `call_data.swapRequest.amount`). */
+  def abi_tuple_word(c: Column, headIdx: Int, fieldIdx: Int): Column =
+    B.column(AbiTupleWord(B.expression(c), headIdx, fieldIdx))
+
+  /** ABI `address` FIELD of an offset-passed tuple: trailing 20 bytes of
+    * tuple field `fieldIdx`, 12-zero-byte pad validated (NULL otherwise) —
+    * [[abi_address]] through one offset indirection
+    * (`swapRequest.tokenIn/tokenOut/from/to`). */
+  def abi_tuple_address(c: Column, headIdx: Int, fieldIdx: Int): Column =
+    B.column(AbiTupleAddress(B.expression(c), headIdx, fieldIdx))
+
+  /** LEADING 20 bytes of tuple field `fieldIdx` as a 40-char hex string —
+    * the Balancer `bytes32 poolId` shape, whose FIRST portion is the
+    * pool's contract address (balancer_v2.rs `pool_id_to_address`,
+    * :219-226); the trailing 12 bytes are the pool specialization + nonce
+    * and are NOT validated (any value is legal there). */
+  def abi_pool_id_address(c: Column, headIdx: Int, fieldIdx: Int): Column =
+    B.column(AbiTupleB32Prefix(B.expression(c), headIdx, fieldIdx))
 }
 
 case class AbiWord(child: Expression, wordIdx: Int) extends UnaryExpression {
@@ -486,6 +519,323 @@ case class AbiAddress(child: Expression, wordIdx: Int) extends UnaryExpression {
          |    }
          |    ${ev.value} = UTF8String.fromBytes($out);
          |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Signed int256 word decode over BARE words (return data / log data —
+  * no 4-byte selector prefix): same sign-extension contract as
+  * [[AbiIntWord]] (upper 24 bytes uniform 0x00/0xff, low 8 bytes read as
+  * two's complement, out-of-i64-range → NULL). The return-data arm of
+  * action_impl! (brontes-macros), e.g. UniswapV3 swapReturn. */
+case class AbiRetIntWord(child: Expression, wordIdx: Int) extends UnaryExpression {
+  require(wordIdx >= 0, "wordIdx must be non-negative")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "abi_ret_int"
+  // SQL-surface type contract: a wrong-typed argument fails at
+  // ANALYSIS time instead of as a codegen/eval ClassCastException
+  // (AbstractDataType/ExpectsInputTypes are private[sql], so the public
+  // checkInputDataTypes hook carries the contract)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BINARY input, got ${child.dataType.catalogString}")
+
+  private val wordOff = wordIdx * 32
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    if (b.length < wordOff + 32) null
+    else {
+      val ext = b(wordOff) & 0xff
+      if (ext != 0 && ext != 0xff) null
+      else {
+        var ok = true
+        var i = 1
+        while (i < 24) { if ((b(wordOff + i) & 0xff) != ext) ok = false; i += 1 }
+        if (!ok || ((b(wordOff + 24) & 0x80) == 0x80) != (ext == 0xff)) null
+        else {
+          var v = 0L
+          i = 0
+          while (i < 8) { v = (v << 8) | (b(wordOff + 24 + i) & 0xffL); i += 1 }
+          v
+        }
+      }
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val v = ctx.freshName("w")
+      val i = ctx.freshName("i")
+      val ext = ctx.freshName("ext")
+      val ok = ctx.freshName("ok")
+      s"""
+         |if ($c.length < ${wordOff + 32}) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $ext = $c[$wordOff] & 0xff;
+         |  boolean $ok = $ext == 0 || $ext == 0xff;
+         |  for (int $i = 1; $ok && $i < 24; $i++) {
+         |    if (($c[$wordOff + $i] & 0xff) != $ext) $ok = false;
+         |  }
+         |  if (!$ok || ((($c[${wordOff + 24}] & 0x80) == 0x80) != ($ext == 0xff))) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    long $v = 0L;
+         |    for (int $i = 0; $i < 8; $i++) {
+         |      $v = ($v << 8) | ($c[${wordOff + 24} + $i] & 0xffL);
+         |    }
+         |    ${ev.value} = $v;
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Offset-following tuple decode geometry shared by the three tuple-field
+  * expressions: a struct with any dynamic member is ABI-passed as an
+  * OFFSET in its head word (relative to the args start, byte 4); its
+  * static fields are consecutive 32-byte words at that tail. Emits Java
+  * that resolves `base = 4 + offset` with the same oversized-offset guard
+  * as [[AbiArrayLen]] (wrap-safe), then runs `body(base)`. */
+private[functions] trait AbiTupleGeometry { self: UnaryExpression =>
+  def headIdx: Int
+  def fieldIdx: Int
+
+  protected final def headOff: Int = 4 + headIdx * 32 + 24
+  // absolute position of the field word, given the decoded tuple offset
+  protected final def fieldAt(off: Long): Long = 4L + off + fieldIdx * 32L
+
+  protected final def tupleFieldOff(b: Array[Byte]): Long = {
+    if (b.length < headOff + 8) return -1L
+    var off = 0L
+    var i = 0
+    while (i < 8) { off = (off << 8) | (b(headOff + i) & 0xffL); i += 1 }
+    if (off < 0 || off > b.length) return -1L
+    val f = fieldAt(off)
+    if (b.length < f + 32) -1L else f
+  }
+}
+
+/** Low-8-bytes uint decode of a dynamic-tuple FIELD (offset-following) —
+  * the Balancer SwapRequest shape (balancer_v2.rs swapRequest.amount). */
+case class AbiTupleWord(child: Expression, headIdx: Int, fieldIdx: Int)
+    extends UnaryExpression with AbiTupleGeometry {
+  require(headIdx >= 0 && fieldIdx >= 0, "indices must be non-negative")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "abi_tuple_word"
+  // SQL-surface type contract (see AbiWord)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BINARY input, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    val f = tupleFieldOff(b)
+    if (f < 0) null
+    else {
+      var v = 0L
+      var i = 0
+      while (i < 8) { v = (v << 8) | (b(f.toInt + 24 + i) & 0xffL); i += 1 }
+      v
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val off = ctx.freshName("off")
+      val f = ctx.freshName("f")
+      val v = ctx.freshName("w")
+      val i = ctx.freshName("i")
+      s"""
+         |long $f = -1L;
+         |if ($c.length >= ${headOff + 8}) {
+         |  long $off = 0L;
+         |  for (int $i = 0; $i < 8; $i++) {
+         |    $off = ($off << 8) | ($c[$headOff + $i] & 0xffL);
+         |  }
+         |  if ($off >= 0 && $off <= $c.length
+         |      && $c.length >= ${4L + fieldIdx * 32L}L + $off + 32L) {
+         |    $f = ${4L + fieldIdx * 32L}L + $off;
+         |  }
+         |}
+         |if ($f < 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $v = 0L;
+         |  for (int $i = 0; $i < 8; $i++) {
+         |    $v = ($v << 8) | ($c[(int) $f + 24 + $i] & 0xffL);
+         |  }
+         |  ${ev.value} = $v;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** ABI `address` FIELD of an offset-passed tuple: trailing 20 bytes,
+  * 12-zero-byte pad validated (swapRequest.tokenIn/tokenOut/from/to). */
+case class AbiTupleAddress(child: Expression, headIdx: Int, fieldIdx: Int)
+    extends UnaryExpression with AbiTupleGeometry {
+  require(headIdx >= 0 && fieldIdx >= 0, "indices must be non-negative")
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "abi_tuple_address"
+  // SQL-surface type contract (see AbiWord)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BINARY input, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    val f = tupleFieldOff(b)
+    if (f < 0) null
+    else {
+      var zero = true
+      var i = 0
+      while (i < 12) { if (b(f.toInt + i) != 0) zero = false; i += 1 }
+      if (!zero) null
+      else {
+        val out = new Array[Byte](40)
+        i = 0
+        while (i < 20) {
+          val v = b(f.toInt + 12 + i) & 0xff
+          out(2 * i) = Character.forDigit(v >>> 4, 16).toByte
+          out(2 * i + 1) = Character.forDigit(v & 0xf, 16).toByte
+          i += 1
+        }
+        UTF8String.fromBytes(out)
+      }
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val off = ctx.freshName("off")
+      val f = ctx.freshName("f")
+      val zero = ctx.freshName("zero")
+      val out = ctx.freshName("hex")
+      val v = ctx.freshName("v")
+      val i = ctx.freshName("i")
+      s"""
+         |long $f = -1L;
+         |if ($c.length >= ${headOff + 8}) {
+         |  long $off = 0L;
+         |  for (int $i = 0; $i < 8; $i++) {
+         |    $off = ($off << 8) | ($c[$headOff + $i] & 0xffL);
+         |  }
+         |  if ($off >= 0 && $off <= $c.length
+         |      && $c.length >= ${4L + fieldIdx * 32L}L + $off + 32L) {
+         |    $f = ${4L + fieldIdx * 32L}L + $off;
+         |  }
+         |}
+         |if ($f < 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  boolean $zero = true;
+         |  for (int $i = 0; $i < 12; $i++) {
+         |    if ($c[(int) $f + $i] != 0) $zero = false;
+         |  }
+         |  if (!$zero) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    byte[] $out = new byte[40];
+         |    for (int $i = 0; $i < 20; $i++) {
+         |      int $v = $c[(int) $f + 12 + $i] & 0xff;
+         |      $out[2 * $i] = (byte) java.lang.Character.forDigit($v >>> 4, 16);
+         |      $out[2 * $i + 1] = (byte) java.lang.Character.forDigit($v & 0xf, 16);
+         |    }
+         |    ${ev.value} = UTF8String.fromBytes($out);
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Balancer `bytes32 poolId` decode through one tuple indirection: the
+  * LEADING 20 bytes of the field word as 40-char hex — "the first portion
+  * of which is the pool's contract address" (balancer_v2.rs
+  * pool_id_to_address :219-226). The trailing 12 bytes (specialization +
+  * nonce) are free; no pad validation, unlike the address decodes. */
+case class AbiTupleB32Prefix(child: Expression, headIdx: Int, fieldIdx: Int)
+    extends UnaryExpression with AbiTupleGeometry {
+  require(headIdx >= 0 && fieldIdx >= 0, "indices must be non-negative")
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "abi_pool_id_address"
+  // SQL-surface type contract (see AbiWord)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BINARY input, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    val f = tupleFieldOff(b)
+    if (f < 0) null
+    else {
+      val out = new Array[Byte](40)
+      var i = 0
+      while (i < 20) {
+        val v = b(f.toInt + i) & 0xff
+        out(2 * i) = Character.forDigit(v >>> 4, 16).toByte
+        out(2 * i + 1) = Character.forDigit(v & 0xf, 16).toByte
+        i += 1
+      }
+      UTF8String.fromBytes(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val off = ctx.freshName("off")
+      val f = ctx.freshName("f")
+      val out = ctx.freshName("hex")
+      val v = ctx.freshName("v")
+      val i = ctx.freshName("i")
+      s"""
+         |long $f = -1L;
+         |if ($c.length >= ${headOff + 8}) {
+         |  long $off = 0L;
+         |  for (int $i = 0; $i < 8; $i++) {
+         |    $off = ($off << 8) | ($c[$headOff + $i] & 0xffL);
+         |  }
+         |  if ($off >= 0 && $off <= $c.length
+         |      && $c.length >= ${4L + fieldIdx * 32L}L + $off + 32L) {
+         |    $f = ${4L + fieldIdx * 32L}L + $off;
+         |  }
+         |}
+         |if ($f < 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  byte[] $out = new byte[40];
+         |  for (int $i = 0; $i < 20; $i++) {
+         |    int $v = $c[(int) $f + $i] & 0xff;
+         |    $out[2 * $i] = (byte) java.lang.Character.forDigit($v >>> 4, 16);
+         |    $out[2 * $i + 1] = (byte) java.lang.Character.forDigit($v & 0xf, 16);
+         |  }
+         |  ${ev.value} = UTF8String.fromBytes($out);
          |}
        """.stripMargin
     })

@@ -1257,4 +1257,157 @@ class GoldenScenarioSpec extends SparkTestBase {
       "the log is the amount source; the calldata echo must be separable")
     assert(r.getAs[String]("caller_pool") == "mp") // pool = info.from_address
   }
+
+  test("real_abi univ3: RETURN deltas are signed and the SIGN resolves direction") {
+    // uniswap_v3.rs:31-46 — amount0 < 0 ⇒ token1 in / token0 out with
+    // in = amount1, out = |amount0|; the other arm is the converse. Both
+    // arms planted; amountSpecified is negative (exact-output) on row B.
+    val rows = Seq(
+      // (a0, a1, spec): pool receives 500 of token0, sends 480 of token1
+      (500L, -480L, 500L),
+      // pool receives 500 of token1, sends 480 of token0; exact-output
+      (-480L, 500L, -480L))
+    val df = rows.toDF("a0_src", "a1_src", "spec_src")
+      .select(col("a0_src"), col("spec_src"),
+        unhex(concat(lit("128acb08"), lit("0" * 32), lit("ab" * 16),
+          lit(w64(1L)),
+          when(col("spec_src") >= 0,
+            lpad(lower(hex(col("spec_src"))), 64, "0"))
+            .otherwise(concat(lit("f" * 48), lower(hex(col("spec_src"))))),
+          lit(w64(0L)))).as("calldata"),
+        unhex(concat(
+          when(col("a0_src") >= 0, lpad(lower(hex(col("a0_src"))), 64, "0"))
+            .otherwise(concat(lit("f" * 48), lower(hex(col("a0_src"))))),
+          when(col("a1_src") >= 0, lpad(lower(hex(col("a1_src"))), 64, "0"))
+            .otherwise(concat(lit("f" * 48), lower(hex(col("a1_src")))))))
+          .as("ret_data"),
+        lit(10L).as("t0_id"), lit(20L).as("t1x"))
+    val out = graft.domain.RealAbiOps.v3SwapDecode(df)
+      .orderBy(col("a0_src").desc).collect()
+    val zfo = out(0) // a0 = +500: token0 in
+    assert(zfo.getAs[Long]("a0") == 500L && zfo.getAs[Long]("a1") == -480L)
+    assert(zfo.getAs[Long]("token_in_id") == 10L &&
+      zfo.getAs[Long]("token_out_id") == 20L)
+    assert(zfo.getAs[Long]("in_raw") == 500L && zfo.getAs[Long]("out_raw") == 480L)
+    assert(zfo.getAs[Long]("spec_dec") == 500L)
+    assert(zfo.getAs[String]("recipient") == "00000000" + "ab" * 16)
+    val ozf = out(1) // a0 = −480: token1 in
+    assert(ozf.getAs[Long]("token_in_id") == 20L &&
+      ozf.getAs[Long]("token_out_id") == 10L)
+    assert(ozf.getAs[Long]("in_raw") == 500L && ozf.getAs[Long]("out_raw") == 480L)
+    assert(ozf.getAs[Long]("spec_dec") == -480L, "exact-output arrives negative")
+  }
+
+  test("real_abi univ3: a >64-bit return delta decodes to NULL, not a truncated value") {
+    // non-uniform sign-extension bytes ⇒ magnitude needs >64 bits ⇒
+    // explicit NULL quarantine (AbiRetIntWord's contract)
+    val big = "00" * 16 + "01" + "00" * 15 // 2^120: word 0 invalid
+    val out = Seq(big + w64(7L)).toDF("h")
+      .select(
+        graft.functions.AbiCalldata.abi_ret_int(unhex(col("h")), 0).as("a0"),
+        graft.functions.AbiCalldata.abi_ret_int(unhex(col("h")), 1).as("a1"))
+      .head()
+    assert(out.isNullAt(0), "2^120 must quarantine, not truncate")
+    assert(out.getAs[Long]("a1") == 7L)
+  }
+
+  test("real_abi balancer: SwapRequest rides ONE offset indirection; pool = poolId[0..20]") {
+    // balancer_v2.rs:20-47 + pool_id_to_address :219-226. Head: offset
+    // 0x60 ‖ balanceIn ‖ balanceOut; tail tuple: kind ‖ tokenIn ‖ tokenOut
+    // ‖ amount ‖ poolId ‖ lastChangeBlock ‖ from ‖ to ‖ userData-offset ‖
+    // empty bytes. The poolId's trailing 12 bytes are junk ON PURPOSE —
+    // only the leading 20 identify the pool.
+    val tokIn = "00000000" + "aa" * 16
+    val tokOut = "00000000" + "bb" * 16
+    val poolAddr = "00000000" + "cd" * 16
+    val eoa = "00000000" + "ee" * 16
+    val good = "aabbccdd" + w64(96L) + w64(1000L) + w64(2000L) +
+      w64(1L) + "0" * 24 + tokIn + "0" * 24 + tokOut + w64(555L) +
+      poolAddr + "deadbeef" * 3 + w64(17L) + "0" * 24 + eoa + "0" * 24 + eoa +
+      w64(288L) + w64(0L)
+    // same layout but the tokenIn word's pad is NONZERO: address decode
+    // must NULL through the indirection, the non-address fields still read
+    val badPad = good.patch(8 + 64 * 4, "01", 2)
+    // buffer truncated BEFORE the tuple tail: every tuple field NULLs
+    val short = good.take(8 + 64 * 3)
+    val out = graft.domain.RealAbiOps.onSwapDecode(
+      Seq(good, badPad, short).toDF("h")
+        .select(unhex(col("h")).as("calldata"),
+          unhex(lit(w64(480L))).as("ret_data")))
+      .collect()
+    val g = out(0)
+    assert(g.getAs[Long]("kind") == 1L)
+    assert(g.getAs[String]("tok_in_dec") == tokIn)
+    assert(g.getAs[String]("tok_out_dec") == tokOut)
+    assert(g.getAs[Long]("amt_dec") == 555L)
+    assert(g.getAs[String]("pool_dec") == poolAddr,
+      "the junk trailing 12 bytes must not affect the pool identity")
+    assert(g.getAs[String]("from_dec") == eoa)
+    assert(g.getAs[Long]("bal_in") == 1000L)
+    assert(g.getAs[Long]("out_dec") == 480L)
+    val b = out(1)
+    assert(b.isNullAt(b.fieldIndex("tok_in_dec")),
+      "nonzero pad must NULL through the tuple indirection")
+    assert(b.getAs[Long]("amt_dec") == 555L)
+    val s = out(2)
+    for (f <- Seq("kind", "tok_in_dec", "amt_dec", "pool_dec"))
+      assert(s.isNullAt(s.fieldIndex(f)), s"$f must NULL on a short buffer")
+    assert(s.getAs[Long]("bal_in") == 1000L, "head words still read")
+  }
+
+  test("real_abi univ2: the ZERO amountIn side resolves direction; a missing log quarantines") {
+    // uniswap_v2.rs:32-65 — amounts ride the Swap EVENT (amount0In ‖
+    // amount1In ‖ amount0Out ‖ amount1Out); amount0In == 0 ⇒ token1 in /
+    // token0 out. An absent log is log_data.swap_field? — classification
+    // fails BEFORE any token fetch (the -1 sentinel group downstream).
+    def cd(a0o: Long, a1o: Long) = "022c0d9f" + w64(a0o) + w64(a1o) +
+      "0" * 24 + "00000000" + "ee" * 16 + w64(128L)
+    val rows = Seq(
+      // token0 in: amount0In = 500, amount1Out = 480
+      (cd(0L, 480L), w64(500L) + w64(0L) + w64(0L) + w64(480L)),
+      // token1 in: amount1In = 500, amount0Out = 480
+      (cd(480L, 0L), w64(0L) + w64(500L) + w64(480L) + w64(0L)),
+      // log missing: every log field NULLs, classification fails
+      (cd(0L, 480L), ""))
+    val out = graft.domain.RealAbiOps.v2SwapDecode(
+      rows.toDF("c", "l").select(unhex(col("c")).as("calldata"),
+        unhex(col("l")).as("log_data"),
+        lit(10L).as("t0_id"), lit(20L).as("t1x")))
+      .collect()
+    val t0in = out(0)
+    assert(t0in.getAs[Boolean]("log_ok"))
+    assert(t0in.getAs[Long]("token_in_id") == 10L &&
+      t0in.getAs[Long]("token_out_id") == 20L)
+    assert(t0in.getAs[Long]("in_raw") == 500L && t0in.getAs[Long]("out_raw") == 480L)
+    assert(t0in.getAs[Long]("cd_a1out") == 480L, "calldata echoes the out side")
+    assert(t0in.getAs[String]("recipient") == "00000000" + "ee" * 16)
+    val t1in = out(1)
+    assert(t1in.getAs[Long]("token_in_id") == 20L &&
+      t1in.getAs[Long]("token_out_id") == 10L)
+    assert(t1in.getAs[Long]("in_raw") == 500L && t1in.getAs[Long]("out_raw") == 480L)
+    val miss = out(2)
+    assert(!miss.getAs[Boolean]("log_ok"))
+    assert(miss.getAs[Long]("token_in_id") == -1L,
+      "a missing Swap log fails classification before any token fetch")
+  }
+
+  test("real_abi aave: liquidationCall decodes five words; the bool gates receiveAToken") {
+    // aave/v3.rs:10-40 — (collateralAsset, debtAsset, user, debtToCover,
+    // receiveAToken); pool/liquidator fill from the FRAME (caller /
+    // msg_sender), not the args, so the decode core only surfaces these.
+    val coll = "00000000" + "11" * 16
+    val debt = "00000000" + "22" * 16
+    val user = "00000000" + "33" * 16
+    def cd(flag: Long) = "00a718a9" + "0" * 24 + coll + "0" * 24 + debt +
+      "0" * 24 + user + w64(900000L) + w64(flag)
+    val out = graft.domain.RealAbiOps.liquidationCallDecode(
+      Seq(cd(1L), cd(0L)).toDF("h").select(unhex(col("h")).as("calldata")))
+      .collect()
+    assert(out(0).getAs[String]("coll_dec") == coll)
+    assert(out(0).getAs[String]("debt_dec") == debt)
+    assert(out(0).getAs[String]("debtor") == user)
+    assert(out(0).getAs[Long]("debt_to_cover") == 900000L)
+    assert(out(0).getAs[Boolean]("receive_atoken"))
+    assert(!out(1).getAs[Boolean]("receive_atoken"))
+  }
 }

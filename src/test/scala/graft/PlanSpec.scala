@@ -114,7 +114,8 @@ class PlanSpec extends SparkTestBase {
     // fact never shuffles into a sort-merge join, and the decode stage sits
     // inside WholeStageCodegen
     for (q <- Seq("c1_curve_indexed", "c1_balancer_poolid", "f5_abi_tuple",
-        "f5_abi_string", "c1_psm_swap", "c1_curve_underlying")) {
+        "f5_abi_string", "c1_psm_swap", "c1_curve_underlying",
+        "c1_univ3_swap", "c1_balancer_onswap", "c1_univ2_swap")) {
       val df = SparkEntry.queries(q)(spark, SfDir)
       df.collect() // finalize the AQE plan so codegen spans are rendered
       val p = df.queryExecution.executedPlan.toString
@@ -225,6 +226,37 @@ class PlanSpec extends SparkTestBase {
       assert("""\*\(\d+\) (Project|Filter) \[?[^\n]*abi_""".r.findFirstIn(p).isDefined,
         s"$name:\n$p")
     }
+  }
+
+  test("tuple/return-data abi expressions are codegen'd, not fallback") {
+    import graft.functions.{AbiRetIntWord, AbiTupleAddress, AbiTupleB32Prefix,
+      AbiTupleWord}
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    val dummy = org.apache.spark.sql.catalyst.expressions.Literal(
+      Array[Byte](1, 2, 3, 4), org.apache.spark.sql.types.BinaryType)
+    assert(!AbiRetIntWord(dummy, 0).isInstanceOf[CodegenFallback])
+    assert(!AbiTupleWord(dummy, 0, 0).isInstanceOf[CodegenFallback])
+    assert(!AbiTupleAddress(dummy, 0, 0).isInstanceOf[CodegenFallback])
+    assert(!AbiTupleB32Prefix(dummy, 0, 0).isInstanceOf[CodegenFallback])
+    // the two new real-layout decode queries keep their projections inside
+    // whole-stage codegen spans
+    for (name <- Seq("c1_univ3_swap", "c1_balancer_onswap")) {
+      val q = SparkEntry.queries(name)(spark, SfDir)
+      q.collect()
+      val p = q.queryExecution.executedPlan.toString
+      assert("""\*\(\d+\) (Project|Filter) \[?[^\n]*abi_""".r.findFirstIn(p).isDefined,
+        s"$name:\n$p")
+    }
+  }
+
+  test("c1_aave_liquidation: the only shuffle join is the per-tx roots equi-join") {
+    // pool/token dims broadcast; the trace-grain roots lookup is a keyed
+    // equi-join (block-local at scale), never a nested-loop join
+    val df = SparkEntry.queries("c1_aave_liquidation")(spark, SfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert("""\*\(\d+\)""".r.findFirstIn(p).isDefined, p)
   }
 
   test("c8/c3 scans prune unused fixture columns at the parquet source") {
