@@ -165,10 +165,14 @@ object BigMacOps extends QueryModule {
     *     (collect_frontrun_data, mod.rs:758-762), and a victim's inferred
     *     pool victimizes on EITHER side's reach (mod.rs:678-684), though
     *     only a front∩back one raises `has_sandwich` (mod.rs:674-684).
-    *     Adaptation (documented): the back side infers per searcher TX,
-    *     where the reference flattens the remaining frontruns + backrun
-    *     into one leg set (collect_backrun_data, mod.rs:784-800) — a
-    *     range-dependent grain that cannot pre-compute per position. */
+    *     FRONT-side inference is per searcher tx (collect_frontrun_data
+    *     maps each tx separately before the union); BACK-side inference
+    *     is range-dependent — the reference FLATTENS the remaining
+    *     frontruns + backrun into one leg multiset per (gap, boundary)
+    *     (collect_backrun_data, mod.rs:784-800) — computed here per
+    *     bounded (g, j) window (`backGen`), so a counterparty split
+    *     across two suffix txs infers and one with a third suffix leg
+    *     does not. */
   private[graft] def bigmacBundlesOf(swTxDf: DataFrame, rootToDf: DataFrame,
       profit: DataFrame, transfersDf: Option[DataFrame] = None): DataFrame = {
     def px(t: Column): Column = tokenPrice(t)
@@ -297,10 +301,10 @@ object BigMacOps extends QueryModule {
         .select((g :+ col("addr")): _*)
     }
 
-    // searcher-side inference per TX (collect_frontrun_data maps each
-    // frontrun tx separately, mod.rs:744-782; per-tx for the BACK side is
-    // the documented adaptation — the reference flattens the remaining
-    // frontruns + backrun into one range-dependent leg set there)
+    // searcher-side inference per TX for the FRONT side only
+    // (collect_frontrun_data maps each frontrun tx separately and unions,
+    // mod.rs:744-782); the BACK side gets the range-dependent FLATTENED
+    // inference below (collect_backrun_data, mod.rs:784-800)
     val sinf = transfersDf.map { tf =>
       inferPools(tf.select(col("block_number"), col("tx_idx"),
           col("token").as("vtok"), col("t_from"), col("t_to")),
@@ -344,14 +348,19 @@ object BigMacOps extends QueryModule {
     val sPoolSwap = pos.join(txpool, Seq("block_number", "tx_idx"))
       .select(segKeys.map(col) ++ Seq(col("pos").as("s_pos"),
         lit("pool").as("fam"), col("pool").as("skey"),
-        lit(null).cast("boolean").as("s_flg")): _*)
+        lit(null).cast("boolean").as("s_flg"),
+        lit(false).as("s_inf")): _*)
+    // per-tx inferred pools are FRONT-side-only entries (s_inf excludes
+    // them from bmin): the reference's back side re-infers over the
+    // flattened [g+1, j+1] leg window instead (backGen below)
     val sPool = sinf match {
       case None => sPoolSwap
       case Some(inf) => sPoolSwap.unionByName(
         notBlacklisted(pos.join(inf, Seq("block_number", "tx_idx")), "addr")
           .select(segKeys.map(col) ++ Seq(col("pos").as("s_pos"),
             lit("pool").as("fam"), col("addr").as("skey"),
-            lit(null).cast("boolean").as("s_flg")): _*))
+            lit(null).cast("boolean").as("s_flg"),
+            lit(true).as("s_inf")): _*))
     }
     val vPool = gapv.join(txpool.withColumnRenamed("tx_idx", "vtx"),
         Seq("block_number", "vtx"))
@@ -381,7 +390,7 @@ object BigMacOps extends QueryModule {
         val sTok = pos.join(sTokE, Seq("block_number", "tx_idx"))
           .select(segKeys.map(col) ++ Seq(col("pos").as("s_pos"),
             lit("tok").as("fam"), tkey(col("tok"), col("addr")).as("skey"),
-            col("flg").as("s_flg")): _*)
+            col("flg").as("s_flg"), lit(false).as("s_inf")): _*)
         // victim probes (check_for_overlap mod.rs:725-740): a leg's
         // (token, to) probe front-matches flag TRUE / back-matches flag
         // FALSE; its (token, from) probe the reverse
@@ -417,7 +426,9 @@ object BigMacOps extends QueryModule {
         max(when(col("s_pos") <= col("g") &&
           (col("fam") === "pool" || col("s_flg") === col("v_to")),
           col("s_pos"))).as("fmax"),
-        min(when(col("s_pos") >= col("g") + 1 &&
+        // per-tx inferred pools (s_inf) are excluded here: the back side's
+        // inferred pools come from the flattened window (backGen)
+        min(when(col("s_pos") >= col("g") + 1 && !col("s_inf") &&
           (col("fam") === "pool" || col("s_flg") === !col("v_to")),
           col("s_pos"))).as("bmin"))
 
@@ -429,10 +440,48 @@ object BigMacOps extends QueryModule {
         explode(sequence(col("i"), col("m"))).as("j")): _*)
       .filter((col("i") - 1) + (col("m") - col("j")) <= ShrinkRounds)
     val rKeys = segKeys ++ Seq("i", "j")
+
+    // back-side FLATTENED pool inference (collect_backrun_data,
+    // mod.rs:784-800): for each candidate (gap g, back boundary j) the
+    // reference pools the LEG MULTISET of positions [g+1, j+1] — the
+    // remaining frontruns plus the (possibly promoted) backrun — and
+    // infers counterparties over that union, so a counterparty split
+    // across two suffix txs IS a pool and one with a third leg elsewhere
+    // in the suffix is NOT. Per-tx inference (sinf) stays front-side-only,
+    // as collect_frontrun_data maps each tx separately. Windows per
+    // segment are bounded by the gap×drop caps (≤ ~55), so the window
+    // join explodes legs by a small constant; everything stays equi-keyed
+    // on the segment.
+    val backGen = transfersDf.map { tf =>
+      val legsPos = pos.join(tf.select(col("block_number"), col("tx_idx"),
+          col("token").as("vtok"), col("t_from"), col("t_to")),
+        Seq("block_number", "tx_idx"))
+      val windows = ranges
+        .select(segKeys.map(col) ++ Seq(col("j"),
+          explode(sequence(col("i"), col("j"))).as("g")): _*)
+        .distinct()
+      val winLegs = windows.join(legsPos, segKeys)
+        .filter(col("pos").between(col("g") + 1, col("j") + 1))
+      notBlacklisted(inferPools(winLegs, segKeys ++ Seq("g", "j")), "addr")
+        .withColumnsRenamed(Map("block_number" -> "bg_block",
+          "ktype" -> "bg_ktype", "k" -> "bg_k", "seg" -> "bg_seg",
+          "g" -> "bg_g", "j" -> "bg_j", "addr" -> "bg_addr"))
+    }
+
     val fOk = col("fmax").isNotNull && col("fmax") >= col("i")
-    val bOk = col("bmin").isNotNull && col("bmin") <= col("j") + 1
-    val gv = ranges.join(reach, segKeys)
+    val bOk = (col("bmin").isNotNull && col("bmin") <= col("j") + 1) ||
+      col("bgen")
+    val gvBase = ranges.join(reach, segKeys)
       .filter(col("g").between(col("i"), col("j")))
+    val gv = backGen.fold(gvBase.withColumn("bgen", lit(false))) { bg =>
+        gvBase.join(bg,
+            col("bg_block") === col("block_number") &&
+              col("bg_ktype") === col("ktype") && col("bg_k") === col("k") &&
+              col("bg_seg") === col("seg") && col("bg_g") === col("g") &&
+              col("bg_j") === col("j") && col("bg_addr") === col("vkey"),
+            "left")
+          .withColumn("bgen", col("bg_addr").isNotNull)
+      }
       .groupBy((rKeys.map(col) ++ Seq(col("g"), col("veoa"))): _*)
       .agg(max(when(when(col("need_both"), fOk && bOk).otherwise(fOk || bOk),
         1).otherwise(0)).as("was"),
@@ -635,11 +684,12 @@ object BigMacOps extends QueryModule {
       HAVING COUNT(*) = 2 AND MIN(vtok) <> MAX(vtok)
          AND MIN(t_to) <> MAX(t_to)),
     bm_sp AS MATERIALIZED (
-      SELECT DISTINCT p.block_number, p.ktype, p.k, p.seg, p.pos, tp.pool
+      SELECT DISTINCT p.block_number, p.ktype, p.k, p.seg, p.pos, tp.pool,
+        false AS inf
       FROM bm_pos p JOIN bm_txpool tp
         ON tp.block_number = p.block_number AND tp.tx_idx = p.tx_idx
       UNION
-      SELECT p.block_number, p.ktype, p.k, p.seg, p.pos, i.addr
+      SELECT p.block_number, p.ktype, p.k, p.seg, p.pos, i.addr, true
       FROM bm_pos p JOIN bm_sinf i
         ON i.block_number = p.block_number AND i.tx_idx = p.tx_idx
       WHERE NOT EXISTS (SELECT 1 FROM bm_black b
@@ -651,7 +701,7 @@ object BigMacOps extends QueryModule {
     bm_fb AS (
       SELECT v.block_number, v.ktype, v.k, v.seg, v.g, v.veoa, v.pool,
         MAX(CASE WHEN s.pos <= v.g THEN s.pos END) AS fmax,
-        MIN(CASE WHEN s.pos >= v.g + 1 THEN s.pos END) AS bmin
+        MIN(CASE WHEN s.pos >= v.g + 1 AND NOT s.inf THEN s.pos END) AS bmin
       FROM bm_vp v LEFT JOIN bm_sp s
         ON ${onSeg("s", "v")} AND s.pool = v.pool
       GROUP BY 1, 2, 3, 4, 5, 6, 7),
@@ -701,37 +751,67 @@ object BigMacOps extends QueryModule {
     bm_fg AS (
       SELECT v.block_number, v.ktype, v.k, v.seg, v.g, v.veoa, v.addr,
         MAX(CASE WHEN s.pos <= v.g THEN s.pos END) AS fmax,
-        MIN(CASE WHEN s.pos >= v.g + 1 THEN s.pos END) AS bmin
+        MIN(CASE WHEN s.pos >= v.g + 1 AND NOT s.inf THEN s.pos END) AS bmin
       FROM bm_vg v LEFT JOIN bm_sp s
         ON ${onSeg("s", "v")} AND s.pool = v.addr
       GROUP BY 1, 2, 3, 4, 5, 6, 7),
     bm_reach AS MATERIALIZED (
       SELECT block_number, ktype, k, seg, g, veoa, fmax, bmin,
-        true AS need_both FROM bm_fb
+        true AS need_both, pool AS vkey FROM bm_fb
       UNION ALL
       SELECT block_number, ktype, k, seg, g, veoa, fmax, bmin,
-        true AS need_both FROM bm_ft
+        true AS need_both, CAST(NULL AS VARCHAR) FROM bm_ft
       UNION ALL
       SELECT block_number, ktype, k, seg, g, veoa, fmax, bmin,
-        false AS need_both FROM bm_fg),
+        false AS need_both, addr FROM bm_fg),
     bm_rng AS MATERIALIZED (
       SELECT s.*, i.i, j.j FROM bm_segs s,
         LATERAL unnest(generate_series(1, s.m)) i(i),
         LATERAL unnest(generate_series(i.i, s.m)) j(j)
       WHERE (i.i - 1) + (s.m - j.j) <= $ShrinkRounds),
+    bm_win AS (
+      SELECT DISTINCT r.block_number, r.ktype, r.k, r.seg, g.g, r.j
+      FROM bm_rng r, LATERAL unnest(generate_series(r.i, r.j)) g(g)),
+    bm_wleg AS (
+      SELECT w.block_number, w.ktype, w.k, w.seg, w.g, w.j,
+        t.vtok, t.t_from, t.t_to
+      FROM bm_win w
+      JOIN bm_pos p ON ${onSeg("p", "w")}
+        AND p.pos BETWEEN w.g + 1 AND w.j + 1
+      JOIN bm_tf t
+        ON t.block_number = p.block_number AND t.tx_idx = p.tx_idx),
+    bm_bgen AS MATERIALIZED (
+      SELECT c.block_number, c.ktype, c.k, c.seg, c.g, c.j, c.addr FROM (
+        SELECT block_number, ktype, k, seg, g, j, addr FROM (
+          SELECT block_number, ktype, k, seg, g, j, t_from AS addr,
+            vtok, t_to
+          FROM bm_wleg
+          UNION ALL
+          SELECT block_number, ktype, k, seg, g, j, t_to, vtok, t_to
+          FROM bm_wleg)
+        GROUP BY 1, 2, 3, 4, 5, 6, 7
+        HAVING COUNT(*) = 2 AND MIN(vtok) <> MAX(vtok)
+           AND MIN(t_to) <> MAX(t_to)) c
+      WHERE NOT EXISTS (SELECT 1 FROM bm_black b
+        WHERE ${onSeg("b", "c")} AND b.addr = c.addr)),
     bm_gv AS (
       SELECT r.block_number, r.ktype, r.k, r.seg, r.i, r.j, f.g, f.veoa,
         MAX(CASE WHEN CASE WHEN f.need_both
                  THEN (f.fmax IS NOT NULL AND f.fmax >= r.i)
-                  AND (f.bmin IS NOT NULL AND f.bmin <= r.j + 1)
+                  AND ((f.bmin IS NOT NULL AND f.bmin <= r.j + 1)
+                       OR bg.addr IS NOT NULL)
                  ELSE (f.fmax IS NOT NULL AND f.fmax >= r.i)
-                   OR (f.bmin IS NOT NULL AND f.bmin <= r.j + 1) END
+                   OR (f.bmin IS NOT NULL AND f.bmin <= r.j + 1)
+                   OR bg.addr IS NOT NULL END
                  THEN 1 ELSE 0 END) AS was,
         MAX(CASE WHEN (f.fmax IS NOT NULL AND f.fmax >= r.i)
-                  AND (f.bmin IS NOT NULL AND f.bmin <= r.j + 1)
+                  AND ((f.bmin IS NOT NULL AND f.bmin <= r.j + 1)
+                       OR bg.addr IS NOT NULL)
                  THEN 1 ELSE 0 END) AS strong
       FROM bm_rng r JOIN bm_reach f
         ON ${onSeg("f", "r")} AND f.g BETWEEN r.i AND r.j
+      LEFT JOIN bm_bgen bg ON ${onSeg("bg", "r")}
+        AND bg.g = f.g AND bg.j = r.j AND bg.addr = f.vkey
       GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
     bm_gok AS (
       SELECT $segK, i, j, g, COUNT(*) AS n_veoas, SUM(was) AS n_was,

@@ -493,6 +493,82 @@ class GoldenScenarioSpec extends SparkTestBase {
     assert(out.head.getAs[Long]("back_idx") == 3L)
   }
 
+  test("big_mac: back-side inference FLATTENS suffix legs — a counterparty split across two txs infers") {
+    // collect_backrun_data (mod.rs:784-800) pools the legs of the
+    // remaining frontruns + backrun into ONE multiset before inferring.
+    // Searcher legs at counterparty C: ONE leg in f2's tx, ONE in bk's —
+    // no single tx has two, so per-tx inference never finds C, but the
+    // flattened [g+1, j+1] window does. Gap 1 holds 5 victim EOAs:
+    // vicA (strong pool reach), 3 dead swaps, and vicG whose generated
+    // pool is C — per-tx C fails (1/5 < 25% → the full range dies, only
+    // the front-dropped child emits); flattened C reaches (2/5 ≥ 25% →
+    // the FULL range verifies, drops_front 0).
+    val df = swTxOf(
+      (1L, 0L, "f1", "atk", "P", 0L, 7L, 8L, 10.0, 9.0),
+      (1L, 1L, "v1", "vicA", "P", 0L, 7L, 8L, 5.0, 4.4),
+      (1L, 2L, "d1", "dA", "Q", 0L, 20L, 21L, 5.0, 4.2),
+      (1L, 3L, "d2", "dB", "Q", 0L, 20L, 21L, 5.0, 4.2),
+      (1L, 4L, "d3", "dC", "Q", 0L, 20L, 21L, 5.0, 4.2),
+      (1L, 6L, "f2", "atk", "P", 0L, 7L, 8L, 11.0, 9.8),
+      (1L, 7L, "v2", "vicB", "P", 0L, 7L, 8L, 5.0, 4.4),
+      (1L, 8L, "bk", "atk", "P", 1L, 8L, 7L, 9.0, 11.0))
+    val tf = tfOf(
+      (1L, 5L, "vicG", 30L, 0L, "CP1"), (1L, 5L, "vicG", 31L, 1L, "CP1"),
+      (1L, 6L, "atk", 40L, 0L, "CP1"), // one C leg in f2's tx
+      (1L, 8L, "atk", 41L, 1L, "CP1")) // one C leg in bk's tx
+    val roots = Seq((1L, 0L, "r_f1"), (1L, 1L, "r_v1"), (1L, 2L, "r_d1"),
+      (1L, 3L, "r_d2"), (1L, 4L, "r_d3"), (1L, 5L, "r_g"), (1L, 6L, "r_f2"),
+      (1L, 7L, "r_v2"), (1L, 8L, "r_bk"))
+      .toDF("block_number", "tx_idx", "root_to")
+    val out = graft.domain.BigMacOps
+      .bigmacBundlesOf(df, roots, noProfit, Some(tf))
+      .filter(col("key_type") === "eoa").collect()
+    assert(out.length == 1, out.mkString("; "))
+    assert(out.head.getAs[Long]("front_idx") == 0L, out.head.toString)
+    assert(out.head.getAs[Long]("back_idx") == 8L)
+    assert(out.head.getAs[Long]("drops_front") == 0L,
+      "per-tx back inference would have dropped f1 (front 6); the " +
+        "flattened window must keep the full range")
+  }
+
+  test("big_mac: a third suffix leg at the counterparty blocks the flattened inference") {
+    // the same shape, but f2's tx carries EXACTLY TWO legs at C and bk a
+    // THIRD: per-tx inference would accept f2's pair and verify the full
+    // range; the reference's flattened [g+1, j+1] multiset counts 3 legs
+    // → C is NOT a back pool there (mod.rs:827-830). The full range dies
+    // and the recursion emits the two shrink children instead — the
+    // back-dropped [1,1] heals because ITS window is f2's tx alone
+    // (exactly 2 legs again), the front-dropped [2,2] passes on vicB.
+    val df = swTxOf(
+      (1L, 0L, "f1", "atk", "P", 0L, 7L, 8L, 10.0, 9.0),
+      (1L, 1L, "v1", "vicA", "P", 0L, 7L, 8L, 5.0, 4.4),
+      (1L, 2L, "d1", "dA", "Q", 0L, 20L, 21L, 5.0, 4.2),
+      (1L, 3L, "d2", "dB", "Q", 0L, 20L, 21L, 5.0, 4.2),
+      (1L, 4L, "d3", "dC", "Q", 0L, 20L, 21L, 5.0, 4.2),
+      (1L, 6L, "f2", "atk", "P", 0L, 7L, 8L, 11.0, 9.8),
+      (1L, 7L, "v2", "vicB", "P", 0L, 7L, 8L, 5.0, 4.4),
+      (1L, 8L, "bk", "atk", "P", 1L, 8L, 7L, 9.0, 11.0))
+    val tf = tfOf(
+      (1L, 5L, "vicG", 30L, 0L, "CP1"), (1L, 5L, "vicG", 31L, 1L, "CP1"),
+      (1L, 6L, "atk", 40L, 0L, "CP1"), (1L, 6L, "atk", 41L, 1L, "CP1"),
+      (1L, 8L, "atk", 42L, 0L, "CP1")) // the pile-up third leg
+    val roots = Seq((1L, 0L, "r_f1"), (1L, 1L, "r_v1"), (1L, 2L, "r_d1"),
+      (1L, 3L, "r_d2"), (1L, 4L, "r_d3"), (1L, 5L, "r_g"), (1L, 6L, "r_f2"),
+      (1L, 7L, "r_v2"), (1L, 8L, "r_bk"))
+      .toDF("block_number", "tx_idx", "root_to")
+    val out = graft.domain.BigMacOps
+      .bigmacBundlesOf(df, roots, noProfit, Some(tf))
+      .filter(col("key_type") === "eoa").collect()
+      .sortBy(_.getAs[Long]("front_idx"))
+    assert(out.length == 2, out.mkString("; "))
+    assert(out(0).getAs[Long]("front_idx") == 0L &&
+      out(0).getAs[Long]("back_idx") == 6L &&
+      out(0).getAs[Long]("drops_back") == 1L, out(0).toString)
+    assert(out(1).getAs[Long]("front_idx") == 6L &&
+      out(1).getAs[Long]("back_idx") == 8L &&
+      out(1).getAs[Long]("drops_front") == 1L, out(1).toString)
+  }
+
   test("big_mac_not: one transfer leg, same tokens, or same direction never infers a pool") {
     val df = swTxOf(
       (1L, 0L, "f1", "atk", "P", 0L, 7L, 8L, 10.0, 9.0),
