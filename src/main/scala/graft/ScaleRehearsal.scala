@@ -331,6 +331,14 @@ object ScaleRehearsal {
     // disk-backed pins for the Big Mac assembly so the probe fits the
     // default 8 GiB stand-in heap (see Sf10Probe scaladoc)
     spark.conf.set("spark.graft.bigmac.diskCheckpoint", "true")
+    // 100× data through 32 reducers concentrates 8× more hash-agg state
+    // per task than any real deployment would see — a 1000-executor
+    // cluster runs thousands of reducers. 256 partitions is the
+    // cluster-model config (and is applied to BOTH scales of each probe
+    // row, so the ratio methodology is unchanged). Added in r12 when the
+    // three-arm reach agg (key space ×3) pushed the 32-partition build
+    // past the 8 GiB stand-in heap.
+    spark.conf.set("spark.sql.shuffle.partitions", "256")
     val names = Sf10Probe.filter(n => only.forall(_.contains(n)))
     def consume(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
