@@ -1,8 +1,9 @@
 package graft.domain
 
 import graft.QueryDef
-import graft.functions.AbiCalldata.{abi_address, abi_int_word, abi_log_word,
-  abi_pool_id_address, abi_ret_int, abi_tuple_address, abi_tuple_word, abi_word}
+import graft.functions.AbiCalldata.{abi_address, abi_int_word,
+  abi_log_address, abi_log_word, abi_pool_id_address, abi_ret_int,
+  abi_tuple_address, abi_tuple_word, abi_word}
 import graft.ops.ExactAgg.{dsum, sqlSum}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
@@ -51,7 +52,7 @@ object RealAbiOps extends graft.QueryModule {
   import ChainFixture._
 
   def defs: Seq[QueryDef] = Seq(c1PsmSwap, c1CurveUnderlying, c1UniV3Swap,
-    c1BalancerOnSwap, c1AaveLiquidation, c1UniV2Swap)
+    c1BalancerOnSwap, c1AaveLiquidation, c1UniV2Swap, c1CompoundLiquidation)
 
   private def withCtes(sql: String) = Some(s"WITH ${ChainFixture.sqlCtes} $sql")
 
@@ -658,6 +659,137 @@ object RealAbiOps extends graft.QueryModule {
       FROM v2k v
       LEFT JOIN tok ti ON ti.token_id = v.tin
       LEFT JOIN tok tt ON tt.token_id = v.tout
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** The liquidateBorrow decode core on any frame with (calldata,
+    * log_data): borrower + cTokenCollateral from the CALLDATA (words 0
+    * and 2, addresses), liquidator / repayAmount / seizeTokens from the
+    * LiquidateBorrow EVENT (words 0, 2, 3 — the log echoes the borrower
+    * in word 1), log-missing carried as `log_ok`
+    * (compound/compound_v2.rs:7-38). */
+  private[graft] def liquidateBorrowDecode(t: org.apache.spark.sql.DataFrame) = t
+    .withColumn("borrower", abi_address(col("calldata"), 0))
+    .withColumn("repay_cd", abi_word(col("calldata"), 1))
+    .withColumn("ctok_coll", abi_address(col("calldata"), 2))
+    .withColumn("liq_log", abi_log_address(col("log_data"), 0))
+    .withColumn("borrower_log", abi_log_address(col("log_data"), 1))
+    .withColumn("repay_amt", abi_log_word(col("log_data"), 2))
+    .withColumn("seize_toks", abi_log_word(col("log_data"), 3))
+    .withColumn("log_ok", col("repay_amt").isNotNull)
+
+  /** C1 (Compound V2 `liquidateBorrow`): the MIXED-source liquidation
+    * shape — every field comes from a different place
+    * (compound/compound_v2.rs:7-38):
+    *   - the DEBT asset is the call's TARGET (`info.target_address` — a
+    *     cToken IS its own market), its token info fetched for the
+    *     target address itself;
+    *   - the LIQUIDATOR is a LOG data word (`logs.liquidator`, decoded by
+    *     the codegen'd [[AbiLogAddress]] — not `msg_sender`, unlike
+    *     Aave);
+    *   - the DEBTOR and the COLLATERAL cToken ride the CALLDATA
+    *     (`call_data.borrower`, `call_data.cTokenCollateral`);
+    *   - BOTH amounts ride the LiquidateBorrow EVENT (`logs.repayAmount`
+    *     scaled by the debt cToken's decimals, `logs.seizeTokens` by the
+    *     collateral cToken's) — `liquidated_collateral` is FILLED here,
+    *     not zeroed for a later stitch as in Aave V3;
+    *   - failure ladder: absent log first (`liquidate_borrow_field?`),
+    *     then debt info, then collateral info — each `?` quarantines the
+    *     whole row.
+    *
+    * Fixture casting: depth-2 liquidation frames play the cToken markets
+    * (disjoint from [[c1AaveLiquidation]]'s depth-1 span roots); the
+    * cToken dimension derives decimals from the pool id; a (q6+p2) % 43
+    * sliver drops the log and a % 41 sliver rotates the collateral onto
+    * unregistered cToken addresses — all three quarantine arms live.
+    *
+    * Scale shape: one pruned trace scan + broadcast cToken dims, decode
+    * codegen'd. */
+  private val c1CompoundLiquidation = QueryDef(
+    "c1_compound_liquidation",
+    (s, dir) => {
+      val cdim = pools(s).select(col("address").as("c_addr"),
+        col("protocol"), (lit(6L) + col("pool_id") % 5).as("c_dec"),
+        col("pool_id"))
+      val t = tracesTable(s, dir)
+        .filter(col("selector") === SelLiquidation &&
+          size(col("trace_address")) === 2)
+        .withColumn("q6l", col("q6").cast("long"))
+        .withColumn("p2l", col("p2").cast("long"))
+        .join(broadcast(cdim), col("to_address") === col("c_addr"))
+        .withColumn("log_missing", (col("q6l") + col("p2l")) % 43 === 0)
+        // collateral cToken: another registered market, except the % 41
+        // sliver which points at an unregistered address (stale registry)
+        .withColumn("coll_src", md5(concat(lit("pool:"),
+          when((col("q6l") + col("p2l")) % 41 === 0,
+            lit(NumPools.toLong) + col("pool_id"))
+            .otherwise((col("pool_id") + 7) % 60))))
+        .withColumn("debtor_src",
+          md5(concat(lit("eoa:"), (col("q6l") + col("p2l")) % 12)))
+        .withColumn("calldata", unhex(concat(col("selector"),
+          lit("0" * 32), col("debtor_src"),
+          word(col("q6l")),
+          lit("0" * 32), col("coll_src"))))
+        .withColumn("log_data",
+          when(col("log_missing"), unhex(lit("")))
+            .otherwise(unhex(concat(
+              lit("0" * 32), col("from_address"), // liquidator
+              lit("0" * 32), col("debtor_src"), // borrower echo
+              word(col("q6l")), word(col("p2l")))))) // repay ‖ seize
+      val dec = liquidateBorrowDecode(t)
+      val coll = pools(s).select(col("address").as("k_addr"),
+        (lit(6L) + col("pool_id") % 5).as("k_dec"))
+      dec
+        .join(broadcast(coll),
+          substring(col("ctok_coll"), 9, 32) === col("k_addr"), "left")
+        .withColumn("ok", col("log_ok") && col("k_dec").isNotNull)
+        .groupBy("protocol")
+        .agg(count(lit(1)).as("n"),
+          sum(when(!col("log_ok"), 1L).otherwise(0L)).as("n_log_missing"),
+          sum(when(col("log_ok") && col("k_dec").isNull, 1L).otherwise(0L))
+            .as("n_unknown_ctoken"),
+          sum(when(col("ok") &&
+            col("liq_log") === concat(lit("0" * 8), col("from_address")) &&
+            col("borrower_log") === col("borrower") &&
+            col("repay_amt") === col("repay_cd"), 1L).otherwise(0L))
+            .as("n_log_consistent"),
+          dsum(when(col("ok"),
+            col("repay_amt").cast("double") / pow10d(col("c_dec")))
+            .otherwise(lit(0.0))).as("sum_covered_debt"),
+          dsum(when(col("ok"),
+            col("seize_toks").cast("double") / pow10d(col("k_dec")))
+            .otherwise(lit(0.0))).as("sum_liquidated_collateral"),
+          countDistinct(when(col("ok"), col("borrower"))).as("n_debtors"))
+        .orderBy("protocol")
+    },
+    withCtes(s""", cl_w AS (
+        SELECT t.direction, CAST(t.q6 AS BIGINT) AS q6l,
+          CAST(t.p2 AS BIGINT) AS p2l, t.q6, t.p2, t.from_address,
+          p.protocol, 6 + p.pool_id % 5 AS c_dec, p.pool_id,
+          (CAST(t.q6 AS BIGINT) + CAST(t.p2 AS BIGINT)) % 43 = 0
+            AS log_missing,
+          (CAST(t.q6 AS BIGINT) + CAST(t.p2 AS BIGINT)) % 41 = 0
+            AS coll_unknown,
+          md5('eoa:' || ((CAST(t.q6 AS BIGINT) + CAST(t.p2 AS BIGINT)) % 12))
+            AS debtor
+        FROM trace t
+        JOIN pool p ON t.to_address = p.address
+        WHERE t.selector = '$SelLiquidation' AND len(t.trace_address) = 2)
+      SELECT w.protocol, COUNT(*) AS n,
+        CAST(SUM(CASE WHEN w.log_missing THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_log_missing,
+        CAST(SUM(CASE WHEN NOT w.log_missing AND w.coll_unknown
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_unknown_ctoken,
+        CAST(SUM(CASE WHEN NOT w.log_missing AND NOT w.coll_unknown
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_log_consistent,
+        ${sqlSum(s"""CASE WHEN NOT w.log_missing AND NOT w.coll_unknown
+          THEN w.q6 / ${sqlPow10.format("w.c_dec")} ELSE 0.0e0 END""")}
+          AS sum_covered_debt,
+        ${sqlSum(s"""CASE WHEN NOT w.log_missing AND NOT w.coll_unknown
+          THEN w.p2 / ${sqlPow10.format("6 + ((w.pool_id + 7) % 60) % 5")}
+          ELSE 0.0e0 END""")} AS sum_liquidated_collateral,
+        CAST(COUNT(DISTINCT CASE WHEN NOT w.log_missing AND NOT w.coll_unknown
+          THEN w.debtor END) AS BIGINT) AS n_debtors
+      FROM cl_w w
       GROUP BY 1 ORDER BY 1"""))
 
   /** C1 (Aave V3 `liquidationCall`): five static words — `(address

@@ -101,6 +101,14 @@ object AbiCalldata {
     * and are NOT validated (any value is legal there). */
   def abi_pool_id_address(c: Column, headIdx: Int, fieldIdx: Int): Column =
     B.column(AbiTupleB32Prefix(B.expression(c), headIdx, fieldIdx))
+
+  /** ABI `address` in bare-word buffer position `i` (event-log `data` /
+    * return data — no selector prefix): trailing 20 bytes, 12-zero-byte
+    * pad validated. The Compound-V2-style source: the LiquidateBorrow
+    * EVENT carries the liquidator as a data word
+    * (classifiers/compound/compound_v2.rs `logs.liquidator`). */
+  def abi_log_address(c: Column, i: Int): Column =
+    B.column(AbiLogAddress(B.expression(c), i))
 }
 
 case class AbiWord(child: Expression, wordIdx: Int) extends UnaryExpression {
@@ -836,6 +844,79 @@ case class AbiTupleB32Prefix(child: Expression, headIdx: Int, fieldIdx: Int)
          |    $out[2 * $i + 1] = (byte) java.lang.Character.forDigit($v & 0xf, 16);
          |  }
          |  ${ev.value} = UTF8String.fromBytes($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Bare-word address decode (log data / return data — no 4-byte selector
+  * offset): trailing 20 bytes of word `wordIdx`, 12-zero-byte pad
+  * validated as in [[AbiAddress]]. Event-log address payloads, e.g.
+  * Compound's LiquidateBorrow liquidator. */
+case class AbiLogAddress(child: Expression, wordIdx: Int) extends UnaryExpression {
+  require(wordIdx >= 0, "wordIdx must be non-negative")
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "abi_log_address"
+  // SQL-surface type contract (see AbiWord)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BINARY input, got ${child.dataType.catalogString}")
+
+  private val wordOff = wordIdx * 32
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    if (b.length < wordOff + 32) null
+    else {
+      var zero = true
+      var i = 0
+      while (i < 12) { if (b(wordOff + i) != 0) zero = false; i += 1 }
+      if (!zero) null
+      else {
+        val out = new Array[Byte](40)
+        i = 0
+        while (i < 20) {
+          val v = b(wordOff + 12 + i) & 0xff
+          out(2 * i) = Character.forDigit(v >>> 4, 16).toByte
+          out(2 * i + 1) = Character.forDigit(v & 0xf, 16).toByte
+          i += 1
+        }
+        UTF8String.fromBytes(out)
+      }
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val zero = ctx.freshName("zero")
+      val out = ctx.freshName("hex")
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
+      s"""
+         |if ($c.length < ${wordOff + 32}) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  boolean $zero = true;
+         |  for (int $i = 0; $i < 12; $i++) {
+         |    if ($c[$wordOff + $i] != 0) $zero = false;
+         |  }
+         |  if (!$zero) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    byte[] $out = new byte[40];
+         |    for (int $i = 0; $i < 20; $i++) {
+         |      int $v = $c[${wordOff + 12} + $i] & 0xff;
+         |      $out[2 * $i] = (byte) java.lang.Character.forDigit($v >>> 4, 16);
+         |      $out[2 * $i + 1] = (byte) java.lang.Character.forDigit($v & 0xf, 16);
+         |    }
+         |    ${ev.value} = UTF8String.fromBytes($out);
+         |  }
          |}
        """.stripMargin
     })

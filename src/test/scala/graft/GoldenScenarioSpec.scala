@@ -1467,6 +1467,42 @@ class GoldenScenarioSpec extends SparkTestBase {
       "a missing Swap log fails classification before any token fetch")
   }
 
+  test("real_abi compound: liquidateBorrow is MIXED-source — liquidator from the LOG, amounts filled") {
+    // compound_v2.rs:7-38 — borrower + cTokenCollateral from calldata,
+    // liquidator/repayAmount/seizeTokens from the LiquidateBorrow event;
+    // liquidated_collateral is FILLED here (no later stitch), and an
+    // absent log quarantines before any token fetch.
+    val borrower = "00000000" + "aa" * 16
+    val ctok = "00000000" + "bb" * 16
+    val liq = "00000000" + "cc" * 16
+    val cd = "f5e3c462" + "0" * 24 + borrower + w64(900L) + "0" * 24 + ctok
+    val logGood = "0" * 24 + liq + "0" * 24 + borrower + w64(900L) + w64(777L)
+    // liquidator word with a NONZERO pad byte: the address decode NULLs
+    val logBadPad = "01" + "0" * 22 + liq + "0" * 24 + borrower +
+      w64(900L) + w64(777L)
+    val out = graft.domain.RealAbiOps.liquidateBorrowDecode(
+      Seq((cd, logGood), (cd, ""), (cd, logBadPad)).toDF("c", "l")
+        .select(unhex(col("c")).as("calldata"), unhex(col("l")).as("log_data")))
+      .collect()
+    val g = out(0)
+    assert(g.getAs[String]("borrower") == borrower)
+    assert(g.getAs[String]("ctok_coll") == ctok)
+    assert(g.getAs[String]("liq_log") == liq, "liquidator rides the LOG")
+    assert(g.getAs[String]("borrower_log") == borrower)
+    assert(g.getAs[Long]("repay_amt") == 900L)
+    assert(g.getAs[Long]("seize_toks") == 777L,
+      "liquidated_collateral fills from seizeTokens — no stitch")
+    assert(g.getAs[Boolean]("log_ok"))
+    val miss = out(1)
+    assert(!miss.getAs[Boolean]("log_ok"),
+      "an absent LiquidateBorrow log quarantines before any token fetch")
+    assert(miss.getAs[String]("borrower") == borrower, "calldata still reads")
+    val bad = out(2)
+    assert(bad.isNullAt(bad.fieldIndex("liq_log")),
+      "nonzero pad on the log address word must NULL, not truncate")
+    assert(bad.getAs[Long]("seize_toks") == 777L)
+  }
+
   test("real_abi aave: liquidationCall decodes five words; the bool gates receiveAToken") {
     // aave/v3.rs:10-40 — (collateralAsset, debtAsset, user, debtToCover,
     // receiveAToken); pool/liquidator fill from the FRAME (caller /

@@ -115,7 +115,8 @@ class PlanSpec extends SparkTestBase {
     // inside WholeStageCodegen
     for (q <- Seq("c1_curve_indexed", "c1_balancer_poolid", "f5_abi_tuple",
         "f5_abi_string", "c1_psm_swap", "c1_curve_underlying",
-        "c1_univ3_swap", "c1_balancer_onswap", "c1_univ2_swap")) {
+        "c1_univ3_swap", "c1_balancer_onswap", "c1_univ2_swap",
+        "c1_compound_liquidation")) {
       val df = SparkEntry.queries(q)(spark, SfDir)
       df.collect() // finalize the AQE plan so codegen spans are rendered
       val p = df.queryExecution.executedPlan.toString
@@ -229,8 +230,8 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("tuple/return-data abi expressions are codegen'd, not fallback") {
-    import graft.functions.{AbiRetIntWord, AbiTupleAddress, AbiTupleB32Prefix,
-      AbiTupleWord}
+    import graft.functions.{AbiLogAddress, AbiRetIntWord, AbiTupleAddress,
+      AbiTupleB32Prefix, AbiTupleWord}
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
     val dummy = org.apache.spark.sql.catalyst.expressions.Literal(
       Array[Byte](1, 2, 3, 4), org.apache.spark.sql.types.BinaryType)
@@ -238,9 +239,11 @@ class PlanSpec extends SparkTestBase {
     assert(!AbiTupleWord(dummy, 0, 0).isInstanceOf[CodegenFallback])
     assert(!AbiTupleAddress(dummy, 0, 0).isInstanceOf[CodegenFallback])
     assert(!AbiTupleB32Prefix(dummy, 0, 0).isInstanceOf[CodegenFallback])
-    // the two new real-layout decode queries keep their projections inside
+    assert(!AbiLogAddress(dummy, 0).isInstanceOf[CodegenFallback])
+    // the new real-layout decode queries keep their projections inside
     // whole-stage codegen spans
-    for (name <- Seq("c1_univ3_swap", "c1_balancer_onswap")) {
+    for (name <- Seq("c1_univ3_swap", "c1_balancer_onswap",
+        "c1_compound_liquidation")) {
       val q = SparkEntry.queries(name)(spark, SfDir)
       q.collect()
       val p = q.queryExecution.executedPlan.toString
