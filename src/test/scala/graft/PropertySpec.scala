@@ -191,4 +191,114 @@ class PropertySpec extends SparkTestBase {
       assert(got == expect, s"seed=$seed")
     }
   }
+
+  // ── ABI decode expressions vs independent BigInteger references ──────────
+  //
+  // The codegen'd byte-walkers (AbiCalldata.scala) are compared against
+  // straightforward BigInteger/slice formulations on RANDOM buffers —
+  // including truncations, corrupt offsets, and invalid pads — the shapes
+  // the planted goldens can't enumerate. The references are deliberately
+  // different formulations (bitLength checks vs byte-pattern scans).
+
+  // signed wrap on purpose: the impl reads the low 8 bytes as the raw
+  // 64-bit pattern (an oversized unsigned offset lands negative and is
+  // rejected by the off < 0 guard in both formulations)
+  private def beLong(b: Array[Byte], from: Int): Long =
+    new java.math.BigInteger(1, b.slice(from, from + 8)).longValue()
+
+  private def refWord(b: Array[Byte], off: Int): Option[Long] =
+    if (off < 0 || b.length < off + 32) None else Some(beLong(b, off + 24))
+
+  private def refInt(b: Array[Byte], off: Int): Option[Long] =
+    if (off < 0 || b.length < off + 32) None
+    else {
+      val bi = new java.math.BigInteger(b.slice(off, off + 32)) // signed BE
+      if (bi.bitLength() <= 63) Some(bi.longValue) else None
+    }
+
+  private def refAddr(b: Array[Byte], off: Int): Option[String] =
+    if (off < 0 || b.length < off + 32) None
+    else if (b.slice(off, off + 12).exists(_ != 0)) None
+    else Some(b.slice(off + 12, off + 32).map("%02x".format(_)).mkString)
+
+  private def refB32Prefix(b: Array[Byte], off: Int): Option[String] =
+    if (off < 0 || b.length < off + 32) None
+    else Some(b.slice(off, off + 20).map("%02x".format(_)).mkString)
+
+  /** Tuple field position via the documented low-8-byte offset read, or
+    * -1 when unresolvable (short head, oversized offset, short tail). */
+  private def refTupleOff(b: Array[Byte], headIdx: Int, fieldIdx: Int): Int = {
+    val headOff = 4 + headIdx * 32 + 24
+    if (b.length < headOff + 8) return -1
+    val off = beLong(b, headOff)
+    if (off < 0 || off > b.length) return -1
+    val f = 4 + off + fieldIdx * 32L
+    if (b.length < f + 32) -1 else f.toInt
+  }
+
+  private val abiBufGen: Gen[Array[Byte]] = for {
+    nWords <- Gen.chooseNum(0, 11)
+    words <- Gen.listOfN(nWords, Gen.oneOf(
+      // random garbage word
+      Gen.listOfN(32, Arbitrary.arbitrary[Byte]).map(_.toArray),
+      // valid address word (12-zero pad)
+      Gen.listOfN(20, Arbitrary.arbitrary[Byte])
+        .map(a => Array.fill[Byte](12)(0) ++ a),
+      // sign-extended small int word (both signs)
+      Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2).map { v =>
+        val ext: Byte = if (v < 0) 0xff.toByte else 0
+        Array.fill[Byte](24)(ext) ++
+          java.nio.ByteBuffer.allocate(8).putLong(v).array()
+      },
+      // plausible tuple/array offset word (32·j, sometimes out of range)
+      Gen.chooseNum(0, 14).map(j => Array.fill[Byte](24)(0) ++
+        java.nio.ByteBuffer.allocate(8).putLong(32L * j).array())
+    ))
+    trunc <- Gen.chooseNum(0, 40)
+  } yield ("ab54a9d8".grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    ++ words.flatten).dropRight(trunc)
+
+  test("abi decode expressions equal BigInteger references on random buffers") {
+    import graft.functions.AbiCalldata._
+    import spark.implicits._
+    val bufs = (1 to 80).map(s => sample(abiBufGen, 7000L + s)).toList
+    val df = bufs.map(Tuple1(_)).toDF("b")
+    val cols = (0 to 2).flatMap { i =>
+      Seq(abi_word(col("b"), i).as(s"w$i"),
+        abi_int_word(col("b"), i).as(s"i$i"),
+        abi_address(col("b"), i).as(s"a$i"),
+        abi_ret_int(col("b"), i).as(s"r$i"),
+        abi_log_word(col("b"), i).as(s"l$i"),
+        abi_log_address(col("b"), i).as(s"la$i"),
+        abi_tuple_word(col("b"), 0, i).as(s"t$i"),
+        abi_tuple_address(col("b"), 0, i).as(s"ta$i"),
+        abi_pool_id_address(col("b"), 0, i).as(s"tp$i"))
+    }
+    val out = df.select(col("b") +: cols: _*).collect()
+    for (r <- out) {
+      val b = r.getAs[Array[Byte]]("b")
+      def gl(n: String): Option[Long] =
+        if (r.isNullAt(r.fieldIndex(n))) None else Some(r.getAs[Long](n))
+      def gs(n: String): Option[String] =
+        Option(r.getAs[String](n))
+      for (i <- 0 to 2) {
+        val cd = 4 + i * 32 // calldata word offset
+        val bare = i * 32 // log/return word offset
+        assert(gl(s"w$i") == refWord(b, cd), s"abi_word $i len=${b.length}")
+        assert(gl(s"i$i") == refInt(b, cd), s"abi_int_word $i len=${b.length}")
+        assert(gs(s"a$i") == refAddr(b, cd), s"abi_address $i len=${b.length}")
+        assert(gl(s"r$i") == refInt(b, bare), s"abi_ret_int $i len=${b.length}")
+        assert(gl(s"l$i") == refWord(b, bare), s"abi_log_word $i len=${b.length}")
+        assert(gs(s"la$i") == refAddr(b, bare),
+          s"abi_log_address $i len=${b.length}")
+        val f = refTupleOff(b, 0, i)
+        assert(gl(s"t$i") == (if (f < 0) None else refWord(b, f)),
+          s"abi_tuple_word $i len=${b.length}")
+        assert(gs(s"ta$i") == (if (f < 0) None else refAddr(b, f)),
+          s"abi_tuple_address $i len=${b.length}")
+        assert(gs(s"tp$i") == (if (f < 0) None else refB32Prefix(b, f)),
+          s"abi_pool_id_address $i len=${b.length}")
+      }
+    }
+  }
 }
