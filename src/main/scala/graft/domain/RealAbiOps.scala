@@ -663,10 +663,12 @@ object RealAbiOps extends graft.QueryModule {
 
   /** The liquidateBorrow decode core on any frame with (calldata,
     * log_data): borrower + cTokenCollateral from the CALLDATA (words 0
-    * and 2, addresses), liquidator / repayAmount / seizeTokens from the
-    * LiquidateBorrow EVENT (words 0, 2, 3 — the log echoes the borrower
-    * in word 1), log-missing carried as `log_ok`
-    * (compound/compound_v2.rs:7-38). */
+    * and 2, addresses); the LiquidateBorrow EVENT carries FIVE data
+    * words `(liquidator, borrower, repayAmount, cTokenCollateral,
+    * seizeTokens)` (classifier-abis/CompoundV2CToken.json) — liquidator
+    * word 0, borrower echo word 1, repayAmount word 2, the collateral
+    * cToken ADDRESS word 3, seizeTokens word 4. Log-missing carried as
+    * `log_ok` (compound/compound_v2.rs:7-38). */
   private[graft] def liquidateBorrowDecode(t: org.apache.spark.sql.DataFrame) = t
     .withColumn("borrower", abi_address(col("calldata"), 0))
     .withColumn("repay_cd", abi_word(col("calldata"), 1))
@@ -674,7 +676,8 @@ object RealAbiOps extends graft.QueryModule {
     .withColumn("liq_log", abi_log_address(col("log_data"), 0))
     .withColumn("borrower_log", abi_log_address(col("log_data"), 1))
     .withColumn("repay_amt", abi_log_word(col("log_data"), 2))
-    .withColumn("seize_toks", abi_log_word(col("log_data"), 3))
+    .withColumn("ctok_coll_log", abi_log_address(col("log_data"), 3))
+    .withColumn("seize_toks", abi_log_word(col("log_data"), 4))
     .withColumn("log_ok", col("repay_amt").isNotNull)
 
   /** C1 (Compound V2 `liquidateBorrow`): the MIXED-source liquidation
@@ -734,7 +737,9 @@ object RealAbiOps extends graft.QueryModule {
             .otherwise(unhex(concat(
               lit("0" * 32), col("from_address"), // liquidator
               lit("0" * 32), col("debtor_src"), // borrower echo
-              word(col("q6l")), word(col("p2l")))))) // repay ‖ seize
+              word(col("q6l")), // repayAmount
+              lit("0" * 32), col("coll_src"), // cTokenCollateral echo
+              word(col("p2l")))))) // seizeTokens
       val dec = liquidateBorrowDecode(t)
       val coll = pools(s).select(col("address").as("k_addr"),
         (lit(6L) + col("pool_id") % 5).as("k_dec"))
@@ -750,6 +755,7 @@ object RealAbiOps extends graft.QueryModule {
           sum(when(col("ok") &&
             col("liq_log") === concat(lit("0" * 8), col("from_address")) &&
             col("borrower_log") === col("borrower") &&
+            col("ctok_coll_log") === col("ctok_coll") &&
             col("repay_amt") === col("repay_cd"), 1L).otherwise(0L))
             .as("n_log_consistent"),
           dsum(when(col("ok"),

@@ -1476,10 +1476,14 @@ class GoldenScenarioSpec extends SparkTestBase {
     val ctok = "00000000" + "bb" * 16
     val liq = "00000000" + "cc" * 16
     val cd = "f5e3c462" + "0" * 24 + borrower + w64(900L) + "0" * 24 + ctok
-    val logGood = "0" * 24 + liq + "0" * 24 + borrower + w64(900L) + w64(777L)
+    // event data per classifier-abis/CompoundV2CToken.json: liquidator ‖
+    // borrower ‖ repayAmount ‖ cTokenCollateral ‖ seizeTokens (5 words —
+    // seizeTokens is word 4, NOT 3)
+    val logGood = "0" * 24 + liq + "0" * 24 + borrower + w64(900L) +
+      "0" * 24 + ctok + w64(777L)
     // liquidator word with a NONZERO pad byte: the address decode NULLs
     val logBadPad = "01" + "0" * 22 + liq + "0" * 24 + borrower +
-      w64(900L) + w64(777L)
+      w64(900L) + "0" * 24 + ctok + w64(777L)
     val out = graft.domain.RealAbiOps.liquidateBorrowDecode(
       Seq((cd, logGood), (cd, ""), (cd, logBadPad)).toDF("c", "l")
         .select(unhex(col("c")).as("calldata"), unhex(col("l")).as("log_data")))
@@ -1490,8 +1494,10 @@ class GoldenScenarioSpec extends SparkTestBase {
     assert(g.getAs[String]("liq_log") == liq, "liquidator rides the LOG")
     assert(g.getAs[String]("borrower_log") == borrower)
     assert(g.getAs[Long]("repay_amt") == 900L)
+    assert(g.getAs[String]("ctok_coll_log") == ctok,
+      "log word 3 is the collateral cToken ADDRESS echoing the calldata")
     assert(g.getAs[Long]("seize_toks") == 777L,
-      "liquidated_collateral fills from seizeTokens — no stitch")
+      "liquidated_collateral fills from seizeTokens (log word 4) — no stitch")
     assert(g.getAs[Boolean]("log_ok"))
     val miss = out(1)
     assert(!miss.getAs[Boolean]("log_ok"),
