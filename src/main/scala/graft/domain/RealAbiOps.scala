@@ -52,7 +52,8 @@ object RealAbiOps extends graft.QueryModule {
   import ChainFixture._
 
   def defs: Seq[QueryDef] = Seq(c1PsmSwap, c1CurveUnderlying, c1UniV3Swap,
-    c1BalancerOnSwap, c1AaveLiquidation, c1UniV2Swap, c1CompoundLiquidation)
+    c1BalancerOnSwap, c1AaveLiquidation, c1UniV2Swap, c1CompoundLiquidation,
+    c1UniV3Mint, c1UniV3BurnCollect, q5JitReal)
 
   private def withCtes(sql: String) = Some(s"WITH ${ChainFixture.sqlCtes} $sql")
 
@@ -894,4 +895,436 @@ object RealAbiOps extends graft.QueryModule {
       JOIN tok td ON td.token_id = p.t0_id
       WHERE t.selector = '$SelLiquidation' AND len(t.trace_address) = 1
       GROUP BY 1 ORDER BY 1"""))
+
+  // ── Uniswap V3 position lifecycle: mint / burn / collect ──────────────────
+
+  /** The V3 `mint` decode core on any frame with (calldata, ret_data):
+    * `mint(address recipient, int24 tickLower, int24 tickUpper, uint128
+    * amount, bytes data)` — recipient from the ADDRESS word 0, BOTH ticks
+    * as SIGNED int24s (sign-extended to the full word, so the in-range
+    * lower tick of a full-range position is NEGATIVE), liquidity from
+    * word 3, and the amounts from the RETURN pair `(uint256 amount0,
+    * uint256 amount1)` — the reference reads `return_data.amount0/amount1`
+    * and `call_data.recipient`, ignoring the logs arm entirely
+    * (classifiers/uniswap/uniswap_v3.rs:61-95, `_logs`). */
+  private[graft] def v3MintDecode(t: org.apache.spark.sql.DataFrame) = t
+    .withColumn("recipient", abi_address(col("calldata"), 0))
+    .withColumn("tick_lower", abi_int_word(col("calldata"), 1))
+    .withColumn("tick_upper", abi_int_word(col("calldata"), 2))
+    .withColumn("liq_amount", abi_word(col("calldata"), 3))
+    .withColumn("data_off", abi_word(col("calldata"), 4))
+    .withColumn("a0_ret", abi_ret_int(col("ret_data"), 0))
+    .withColumn("a1_ret", abi_ret_int(col("ret_data"), 1))
+
+  /** The V3 `burn` decode core: `burn(int24 tickLower, int24 tickUpper,
+    * uint128 amount)` → `(uint256 amount0, uint256 amount1)` — the ticks
+    * lead the calldata (no recipient: the reference fills BOTH recipient
+    * and from with `info.from_address`), amounts from the return pair
+    * (uniswap_v3.rs:96-126). */
+  private[graft] def v3BurnDecode(t: org.apache.spark.sql.DataFrame) = t
+    .withColumn("tick_lower", abi_int_word(col("calldata"), 0))
+    .withColumn("tick_upper", abi_int_word(col("calldata"), 1))
+    .withColumn("liq_amount", abi_word(col("calldata"), 2))
+    .withColumn("a0_ret", abi_ret_int(col("ret_data"), 0))
+    .withColumn("a1_ret", abi_ret_int(col("ret_data"), 1))
+
+  /** The V3 `collect` decode core: `collect(address recipient, int24
+    * tickLower, int24 tickUpper, uint128 amount0Requested, uint128
+    * amount1Requested)` → `(uint128 amount0, uint128 amount1)` — five
+    * static calldata words, amounts again from the RETURN pair
+    * (uniswap_v3.rs:127-161 `return_data.amount0/amount1`,
+    * `call_data.recipient`). */
+  private[graft] def v3CollectDecode(t: org.apache.spark.sql.DataFrame) = t
+    .withColumn("recipient", abi_address(col("calldata"), 0))
+    .withColumn("tick_lower", abi_int_word(col("calldata"), 1))
+    .withColumn("tick_upper", abi_int_word(col("calldata"), 2))
+    .withColumn("a0_req", abi_word(col("calldata"), 3))
+    .withColumn("a1_req", abi_word(col("calldata"), 4))
+    .withColumn("a0_ret", abi_ret_int(col("ret_data"), 0))
+    .withColumn("a1_ret", abi_ret_int(col("ret_data"), 1))
+
+  /** Shared tick-range derivation for the V3 position fixtures: a
+    * spacing-10 range centered anywhere in [-8870, 8870] with half-width
+    * 10..500, so tickLower goes genuinely NEGATIVE on about half the rows
+    * (exercising the signed int24 calldata decode on both arms) and
+    * tickLower < tickUpper always holds. */
+  private def tickCols(t: org.apache.spark.sql.DataFrame) = t
+    .withColumn("t_center", col("p2l") % 1775 - 887)
+    .withColumn("t_half", col("q6l") % 50 + 1)
+    .withColumn("tick_lo_src", (col("t_center") - col("t_half")) * 10)
+    .withColumn("tick_hi_src", (col("t_center") + col("t_half")) * 10)
+  private val tickLoSql =
+    "((p2l % 1775) - 887 - (q6l % 50 + 1)) * 10"
+
+  /** The three V3 position-call packings (selector ‖ words), shared by the
+    * c1 entries and the [[q5JitReal]] feed. */
+  private def mintCalldata(t: org.apache.spark.sql.DataFrame) = t
+    .withColumn("calldata", unhex(concat(col("selector"),
+      lit("0" * 32), col("from_address"), // recipient address word
+      sword(col("tick_lo_src")), sword(col("tick_hi_src")),
+      word(col("q6l")), // uint128 liquidity
+      word(lit(160L)), word(lit(0L))))) // bytes data: offset ‖ len 0
+  private def burnCalldata(t: org.apache.spark.sql.DataFrame) = t
+    .withColumn("calldata", unhex(concat(col("selector"),
+      sword(col("tick_lo_src")), sword(col("tick_hi_src")),
+      word(col("q6l")))))
+  private def collectCalldata(t: org.apache.spark.sql.DataFrame) = t
+    .withColumn("calldata", unhex(concat(col("selector"),
+      lit("0" * 32), col("from_address"),
+      sword(col("tick_lo_src")), sword(col("tick_hi_src")),
+      word(col("q6l")), word(col("p2l")))))
+
+  /** C1 (Uniswap V3 `mint`): the position-OPEN layout. Calldata is
+    * `(recipient, int24 tickLower, int24 tickUpper, uint128 amount, bytes
+    * data)` — the dynamic `data` member rides a tail offset (head word 4 =
+    * 160) — but the AMOUNTS the reference trusts are the RETURN pair
+    * (uniswap_v3.rs:61-95): `token: vec![t0, t1], amount: vec![am0, am1]`,
+    * each scaled by its token's OWN decimals, and a missing token info
+    * fails the whole classification (`try_fetch_token_info(...)?`).
+    * These NormalizedMint frames are exactly what the JIT inspector
+    * brackets (jit_liquidity.rs:186-196) — [[q5JitReal]] consumes this
+    * same decode.
+    *
+    * Fixture casting: SelMint frames on uniswap_v3-protocol pools; ticks
+    * from [[tickCols]] (signed, ordered); the (q6+p2) % 41 sliver rotates
+    * token1 onto the unregistered ids (C9 quarantine).
+    *
+    * Scale shape: one pruned trace scan + broadcast dims, decode
+    * codegen'd. */
+  private val c1UniV3Mint = QueryDef(
+    "c1_univ3_mint",
+    (s, dir) => {
+      val up = pools(s).filter(col("protocol") === "uniswap_v3")
+        .select(col("address").as("p_addr"), col("t0_id"), col("t1_id"))
+      val t = mintCalldata(tickCols(tracesTable(s, dir)
+        .filter(col("selector") === SelMint)
+        .withColumn("q6l", col("q6").cast("long"))
+        .withColumn("p2l", col("p2").cast("long"))
+        .join(broadcast(up), col("to_address") === col("p_addr"))
+        .withColumn("t1x",
+          when((col("q6l") + col("p2l")) % 41 === 0,
+            lit(NumTokens.toLong) + col("p2l") % 2).otherwise(col("t1_id")))))
+        .withColumn("ret_data",
+          unhex(concat(word(col("q6l")), word(col("p2l")))))
+      val dec = v3MintDecode(t)
+      val t0d = tokens(s).select(col("token_id").as("d0_id"),
+        col("decimals").as("dec0"))
+      val t1d = tokens(s).select(col("token_id").as("d1_id"),
+        col("decimals").as("dec1"))
+      dec
+        .join(broadcast(t0d), col("t0_id") === col("d0_id"), "left")
+        .join(broadcast(t1d), col("t1x") === col("d1_id"), "left")
+        .withColumn("ok", col("dec0").isNotNull && col("dec1").isNotNull)
+        .groupBy(col("t0_id").as("token0_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("recipient") ===
+            concat(lit("0" * 8), col("from_address")), 1L).otherwise(0L))
+            .as("n_recipient_ok"),
+          sum(when(col("tick_lower") < col("tick_upper") &&
+            col("liq_amount") === col("q6l") &&
+            col("data_off") === 160L, 1L).otherwise(0L)).as("n_shape_ok"),
+          sum(when(col("tick_lower") < 0, 1L).otherwise(0L)).as("n_neg_lower"),
+          dsum(when(col("ok"),
+            col("a0_ret").cast("double") / pow10d(col("dec0")))
+            .otherwise(lit(0.0))).as("sum_amount0"),
+          dsum(when(col("ok"),
+            col("a1_ret").cast("double") / pow10d(col("dec1")))
+            .otherwise(lit(0.0))).as("sum_amount1"),
+          sum(when(!col("ok"), 1L).otherwise(0L)).as("n_quarantined"))
+        .orderBy("token0_id")
+    },
+    withCtes(s""", m3 AS (
+        SELECT CAST(t.q6 AS BIGINT) AS q6l, CAST(t.p2 AS BIGINT) AS p2l,
+          t.q6, t.p2, p.t0_id,
+          CASE WHEN (CAST(t.q6 AS BIGINT) + CAST(t.p2 AS BIGINT)) % 41 = 0
+            THEN $NumTokens + CAST(t.p2 AS BIGINT) % 2 ELSE p.t1_id END AS t1x
+        FROM trace t
+        JOIN pool p ON t.to_address = p.address AND p.protocol = 'uniswap_v3'
+        WHERE t.selector = '$SelMint')
+      SELECT m.t0_id AS token0_id, COUNT(*) AS n,
+        COUNT(*) AS n_recipient_ok,
+        COUNT(*) AS n_shape_ok,
+        CAST(SUM(CASE WHEN $tickLoSql < 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_neg_lower,
+        ${sqlSum(s"""CASE WHEN d0.token_id IS NOT NULL AND d1.token_id IS NOT NULL
+          THEN m.q6 / ${sqlPow10.format("d0.decimals")} ELSE 0.0e0 END""")}
+          AS sum_amount0,
+        ${sqlSum(s"""CASE WHEN d0.token_id IS NOT NULL AND d1.token_id IS NOT NULL
+          THEN m.p2 / ${sqlPow10.format("d1.decimals")} ELSE 0.0e0 END""")}
+          AS sum_amount1,
+        CAST(SUM(CASE WHEN d0.token_id IS NULL OR d1.token_id IS NULL
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined
+      FROM m3 m
+      LEFT JOIN tok d0 ON d0.token_id = m.t0_id
+      LEFT JOIN tok d1 ON d1.token_id = m.t1x
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** C1 (Uniswap V3 `burn` + `collect`): the position-CLOSE layouts,
+    * decoded arm-wise. `burn(int24, int24, uint128)` has NO recipient (the
+    * reference fills it with `info.from_address`, uniswap_v3.rs:96-126);
+    * `collect(address recipient, int24, int24, uint128 amount0Requested,
+    * uint128 amount1Requested)` carries one (uniswap_v3.rs:127-161). Both
+    * take their amounts from the RETURN pair. The reference's JIT
+    * back-side PREFERS collects over burns when both exist
+    * (jit_liquidity.rs:322-340 `backrun_burns: Some(collect)... .unwrap_or
+    * (burns)`) — [[q5JitReal]] applies exactly that precedence over these
+    * two decodes.
+    *
+    * Fixture casting: SelBurn frames on uniswap_v3 pools; depth-2 frames
+    * (the nested child calls) play the `collect`s — the reference sees
+    * collect as the position manager's inner call next to burn — the rest
+    * are `burn`s. Same tick derivation and C9 rotation as
+    * [[c1UniV3Mint]]. */
+  private val c1UniV3BurnCollect = QueryDef(
+    "c1_univ3_burn_collect",
+    (s, dir) => {
+      val up = pools(s).filter(col("protocol") === "uniswap_v3")
+        .select(col("address").as("p_addr"), col("t0_id"), col("t1_id"))
+      val base = tickCols(tracesTable(s, dir)
+        .filter(col("selector") === SelBurn)
+        .withColumn("q6l", col("q6").cast("long"))
+        .withColumn("p2l", col("p2").cast("long"))
+        .join(broadcast(up), col("to_address") === col("p_addr"))
+        .withColumn("t1x",
+          when((col("q6l") + col("p2l")) % 41 === 0,
+            lit(NumTokens.toLong) + col("p2l") % 2).otherwise(col("t1_id"))))
+        .withColumn("is_collect", size(col("trace_address")) === 2)
+        .withColumn("ret_data",
+          unhex(concat(word(col("q6l")), word(col("p2l")))))
+      val burns = v3BurnDecode(burnCalldata(base.filter(!col("is_collect"))))
+        .withColumn("action", lit("burn"))
+        .withColumn("recipient", concat(lit("0" * 8), col("from_address")))
+        .withColumn("req_ok", lit(true)) // burn has no requested amounts
+      val colls = v3CollectDecode(collectCalldata(base.filter(col("is_collect"))))
+        .withColumn("action", lit("collect"))
+        .withColumn("req_ok",
+          col("a0_ret") === col("a0_req") && col("a1_ret") === col("a1_req"))
+      val shape = Seq("action", "block_number", "from_address", "t0_id",
+        "t1x", "q6l", "p2l", "tick_lower", "tick_upper", "recipient",
+        "req_ok", "a0_ret", "a1_ret")
+      val all = burns.select(shape.map(col): _*)
+        .unionByName(colls.select(shape.map(col): _*))
+      val t0d = tokens(s).select(col("token_id").as("d0_id"),
+        col("decimals").as("dec0"))
+      val t1d = tokens(s).select(col("token_id").as("d1_id"),
+        col("decimals").as("dec1"))
+      all
+        .join(broadcast(t0d), col("t0_id") === col("d0_id"), "left")
+        .join(broadcast(t1d), col("t1x") === col("d1_id"), "left")
+        .withColumn("ok", col("dec0").isNotNull && col("dec1").isNotNull)
+        .groupBy("action")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("recipient") ===
+            concat(lit("0" * 8), col("from_address")), 1L).otherwise(0L))
+            .as("n_recipient_ok"),
+          sum(when(col("tick_lower") < col("tick_upper") && col("req_ok"),
+            1L).otherwise(0L)).as("n_shape_ok"),
+          sum(when(col("tick_lower") < 0, 1L).otherwise(0L)).as("n_neg_lower"),
+          dsum(when(col("ok"),
+            col("a0_ret").cast("double") / pow10d(col("dec0")))
+            .otherwise(lit(0.0))).as("sum_amount0"),
+          dsum(when(col("ok"),
+            col("a1_ret").cast("double") / pow10d(col("dec1")))
+            .otherwise(lit(0.0))).as("sum_amount1"),
+          sum(when(!col("ok"), 1L).otherwise(0L)).as("n_quarantined"))
+        .orderBy("action")
+    },
+    withCtes(s""", bc3 AS (
+        SELECT CAST(t.q6 AS BIGINT) AS q6l, CAST(t.p2 AS BIGINT) AS p2l,
+          t.q6, t.p2, p.t0_id,
+          CASE WHEN (CAST(t.q6 AS BIGINT) + CAST(t.p2 AS BIGINT)) % 41 = 0
+            THEN $NumTokens + CAST(t.p2 AS BIGINT) % 2 ELSE p.t1_id END AS t1x,
+          CASE WHEN len(t.trace_address) = 2 THEN 'collect' ELSE 'burn' END
+            AS action
+        FROM trace t
+        JOIN pool p ON t.to_address = p.address AND p.protocol = 'uniswap_v3'
+        WHERE t.selector = '$SelBurn')
+      SELECT b.action, COUNT(*) AS n,
+        COUNT(*) AS n_recipient_ok,
+        COUNT(*) AS n_shape_ok,
+        CAST(SUM(CASE WHEN $tickLoSql < 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_neg_lower,
+        ${sqlSum(s"""CASE WHEN d0.token_id IS NOT NULL AND d1.token_id IS NOT NULL
+          THEN b.q6 / ${sqlPow10.format("d0.decimals")} ELSE 0.0e0 END""")}
+          AS sum_amount0,
+        ${sqlSum(s"""CASE WHEN d0.token_id IS NOT NULL AND d1.token_id IS NOT NULL
+          THEN b.p2 / ${sqlPow10.format("d1.decimals")} ELSE 0.0e0 END""")}
+          AS sum_amount1,
+        CAST(SUM(CASE WHEN d0.token_id IS NULL OR d1.token_id IS NULL
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined
+      FROM bc3 b
+      LEFT JOIN tok d0 ON d0.token_id = b.t0_id
+      LEFT JOIN tok d1 ON d1.token_id = b.t1x
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** The reference's back-side precedence over classified burn/collect
+    * rows (`is_collect`-tagged, per (block_number, from_address, pool)):
+    * when the group has ANY collect, the collects ARE the back side and
+    * the burns are discarded; otherwise the burns stand —
+    * `backrun_burns: Some(collect).filter(|f| !f.is_empty()).map(...)
+    * .unwrap_or(burns)` (jit_liquidity.rs:322-340). */
+  private[graft] def collectPrecedence(backs: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val wGrp = Window.partitionBy("block_number", "from_address", "pool")
+    backs
+      .withColumn("n_coll",
+        sum(when(col("is_collect"), 1).otherwise(0)).over(wGrp))
+      .filter(col("is_collect") || col("n_coll") === 0)
+      .drop("n_coll")
+  }
+
+  /** Q5 on REAL BYTES: the JIT bracket fed by the [[v3MintDecode]] /
+    * [[v3BurnDecode]] / [[v3CollectDecode]] layouts instead of the
+    * synthetic actions table — the decode → NormalizedMint/Burn/Collect →
+    * inspector chain the reference runs (uniswap_v3.rs:61-161 feeding
+    * jit_liquidity.rs:186-196). Two reference semantics ride on top of
+    * the shared [[InspectorOps.jitBracketsOf]] core:
+    *
+    *   - classification failure IS row disappearance: a frame whose
+    *     token info is missing (`try_fetch_token_info(...)?`) never
+    *     becomes an action, so it can neither open nor close a bracket
+    *     (INNER token joins before bracketing);
+    *   - the back side PREFERS collects: when a (block, eoa, pool) group
+    *     has any classified collect, the burn-leg amounts come from the
+    *     collects and the burns are discarded — `backrun_burns:
+    *     Some(collect).filter(|f| !f.is_empty()).map(...).unwrap_or
+    *     (burns)` (jit_liquidity.rs:322-340). `n_collect_backed` counts
+    *     brackets that took the collect arm.
+    *
+    * Fixture casting: EVERY registered pool plays a V3 pool here (the
+    * bracket needs mint+burn+victim coincidence on one (block, eoa,
+    * pool) — the v3-protocol quarter of the pool space alone leaves no
+    * victims in range at small SF), mirroring q5_jit's all-protocol
+    * mint/burn feed; the DECODE layouts are strictly uniswap_v3.rs.
+    *
+    * Scale shape: the frame scans prune on selector + pool broadcast
+    * join; the precedence window and bracket joins key on (block, eoa,
+    * pool) — block-grained keys, so a hot searcher EOA spreads across
+    * blocks (the q1_bigmac skew argument applies unchanged). */
+  private val q5JitReal = QueryDef(
+    "q5_jit_real",
+    (s, dir) => {
+      val up = pools(s)
+        .select(col("address").as("p_addr"), col("t0_id"), col("t1_id"))
+      val t0d = tokens(s).select(col("token_id").as("d0_id"),
+        col("decimals").as("dec0"))
+      val t1d = tokens(s).select(col("token_id").as("d1_id"),
+        col("decimals").as("dec1"))
+      def v3Frames(sel: String) = tickCols(tracesTable(s, dir)
+        .filter(col("selector") === sel)
+        .withColumn("q6l", col("q6").cast("long"))
+        .withColumn("p2l", col("p2").cast("long"))
+        .join(broadcast(up), col("to_address") === col("p_addr"))
+        .withColumn("t1x",
+          when((col("q6l") + col("p2l")) % 41 === 0,
+            lit(NumTokens.toLong) + col("p2l") % 2).otherwise(col("t1_id"))))
+        .withColumn("ret_data",
+          unhex(concat(word(col("q6l")), word(col("p2l")))))
+      // try_fetch_token_info? — INNER joins: a failed classification is
+      // a frame that never becomes an action
+      def classify(dec: org.apache.spark.sql.DataFrame) = dec
+        .join(broadcast(t0d), col("t0_id") === col("d0_id"))
+        .join(broadcast(t1d), col("t1x") === col("d1_id"))
+        .withColumn("amount_in",
+          col("a0_ret").cast("double") / pow10d(col("dec0")))
+        .withColumn("amount_out",
+          col("a1_ret").cast("double") / pow10d(col("dec1")))
+        .withColumn("token_in_id", col("t0_id"))
+        .withColumn("token_out_id", col("t1x"))
+        .withColumn("pool", col("to_address"))
+      val actShape = Seq("block_number", "from_address", "pool", "tx_idx",
+        "trace_idx", "action_type", "token_in_id", "token_out_id",
+        "amount_in", "amount_out")
+      val mints = classify(v3MintDecode(mintCalldata(v3Frames(SelMint))))
+        .withColumn("action_type", lit("mint"))
+        .select(actShape.map(col): _*)
+      val backBase = v3Frames(SelBurn)
+        .withColumn("is_collect", size(col("trace_address")) === 2)
+      val backDec = v3BurnDecode(burnCalldata(backBase.filter(!col("is_collect"))))
+        .unionByName(
+          v3CollectDecode(collectCalldata(backBase.filter(col("is_collect")))),
+          allowMissingColumns = true)
+      // collect precedence AFTER classification: only classified collects
+      // can displace the burns (jit_liquidity.rs:322-340)
+      val backs = collectPrecedence(classify(backDec))
+        .withColumn("action_type", lit("burn"))
+      val collFlag = backs
+        .groupBy(col("block_number"), col("from_address").as("eoa"), col("pool"))
+        .agg((max(when(col("is_collect"), 1).otherwise(0)) === 1)
+          .as("coll_backed"))
+      val mb = mints.unionByName(backs.select(actShape.map(col): _*))
+      InspectorOps.jitBracketsOf(mb, InspectorOps.swTxOf(s, dir))
+        .join(collFlag, Seq("block_number", "eoa", "pool"))
+        .groupBy("block_number")
+        .agg(count(lit(1)).as("n_jit"),
+          sum(col("n_victims")).as("n_victims"),
+          sum(when(col("coll_backed"), 1L).otherwise(0L))
+            .as("n_collect_backed"),
+          dsum(col("fee_usd")).as("sum_fee_usd"))
+        .orderBy("block_number")
+    },
+    Some(s"""WITH ${Accounting.sqlDomainCtes}, ${InspectorOps.swTxCteShared},
+      v3p AS (SELECT address, t0_id, t1_id FROM pool),
+      jrm AS (
+        SELECT t.block_number, t.from_address AS eoa, t.to_address AS pool,
+          t.tx_idx, t.trace_idx, p.t0_id AS tk0,
+          CASE WHEN (CAST(t.q6 AS BIGINT) + CAST(t.p2 AS BIGINT)) % 41 = 0
+            THEN $NumTokens + CAST(t.p2 AS BIGINT) % 2 ELSE p.t1_id END AS t1x,
+          t.q6, t.p2
+        FROM trace t JOIN v3p p ON t.to_address = p.address
+        WHERE t.selector = '$SelMint'),
+      jrm_ok AS (
+        SELECT m.*, m.q6 / ${sqlPow10.format("d0.decimals")} AS a0,
+          m.p2 / ${sqlPow10.format("d1.decimals")} AS a1
+        FROM jrm m JOIN tok d0 ON d0.token_id = m.tk0
+        JOIN tok d1 ON d1.token_id = m.t1x),
+      jrb AS (
+        SELECT t.block_number, t.from_address AS eoa, t.to_address AS pool,
+          t.tx_idx, t.trace_idx, p.t0_id AS tk0,
+          CASE WHEN (CAST(t.q6 AS BIGINT) + CAST(t.p2 AS BIGINT)) % 41 = 0
+            THEN $NumTokens + CAST(t.p2 AS BIGINT) % 2 ELSE p.t1_id END AS t1x,
+          t.q6, t.p2, len(t.trace_address) = 2 AS is_coll
+        FROM trace t JOIN v3p p ON t.to_address = p.address
+        WHERE t.selector = '$SelBurn'),
+      jrb_ok AS (
+        SELECT b.*, b.q6 / ${sqlPow10.format("d0.decimals")} AS a0,
+          b.p2 / ${sqlPow10.format("d1.decimals")} AS a1
+        FROM jrb b JOIN tok d0 ON d0.token_id = b.tk0
+        JOIN tok d1 ON d1.token_id = b.t1x),
+      jrb_p AS (
+        SELECT *, SUM(CASE WHEN is_coll THEN 1 ELSE 0 END)
+          OVER (PARTITION BY block_number, eoa, pool) AS n_coll
+        FROM jrb_ok),
+      jrb_f AS (SELECT * FROM jrb_p WHERE is_coll OR n_coll = 0),
+      jrms AS (
+        SELECT block_number, eoa, pool, MIN(tx_idx) AS mint_idx,
+          ARG_MIN(tk0, trace_idx) AS mint_t0,
+          ARG_MIN(t1x, trace_idx) AS mint_t1,
+          ${sqlSum("a0")} AS mint_in, ${sqlSum("a1")} AS mint_out
+        FROM jrm_ok GROUP BY 1, 2, 3),
+      jrbs AS (
+        SELECT block_number, eoa, pool, MAX(tx_idx) AS burn_idx,
+          ${sqlSum("a0")} AS burn_in, ${sqlSum("a1")} AS burn_out,
+          MAX(CASE WHEN is_coll THEN 1 ELSE 0 END) AS coll_backed
+        FROM jrb_f GROUP BY 1, 2, 3),
+      jrj AS (
+        SELECT m.*, b.burn_idx, b.burn_in, b.burn_out, b.coll_backed
+        FROM jrms m JOIN jrbs b USING (block_number, eoa, pool)
+        WHERE m.mint_idx < b.burn_idx),
+      jrv AS (
+        SELECT j.block_number, j.eoa, j.pool, j.mint_idx, j.burn_idx,
+          j.mint_t0, j.mint_t1, j.mint_in, j.mint_out, j.burn_in,
+          j.burn_out, j.coll_backed, COUNT(*) AS n_victims
+        FROM jrj j JOIN sw_tx v
+          ON v.block_number = j.block_number AND v.pool = j.pool
+         AND v.tx_idx > j.mint_idx AND v.tx_idx < j.burn_idx
+         AND v.eoa <> j.eoa
+        GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
+      SELECT block_number, COUNT(*) AS n_jit,
+        CAST(SUM(n_victims) AS BIGINT) AS n_victims,
+        CAST(SUM(coll_backed) AS BIGINT) AS n_collect_backed,
+        ${sqlSum(s"""(burn_in - mint_in) * ${tokenPriceSql("mint_t0")}
+          + (burn_out - mint_out) * ${tokenPriceSql("mint_t1")}""")}
+          AS sum_fee_usd
+      FROM jrv GROUP BY 1 ORDER BY 1"""))
 }

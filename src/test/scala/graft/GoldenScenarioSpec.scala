@@ -1467,6 +1467,82 @@ class GoldenScenarioSpec extends SparkTestBase {
       "a missing Swap log fails classification before any token fetch")
   }
 
+  private def sw64(v: Long): String =
+    if (v >= 0) w64(v) else "f" * 48 + f"$v%016x"
+
+  test("real_abi univ3 mint: signed int24 ticks + return-pair amounts + bytes-data tail") {
+    // uniswap_v3.rs:61-95 — mint(recipient, int24 tickLower, int24
+    // tickUpper, uint128 amount, bytes data) with amounts from the
+    // RETURN pair; a full-range-ish position has a NEGATIVE lower tick
+    // (sign-extended across the word).
+    val rcpt = "00000000" + "aa" * 16
+    val cd = "3c8a7d8d" + "0" * 24 + rcpt + sw64(-1200L) + sw64(600L) +
+      w64(5000L) + w64(160L) + w64(0L)
+    val ret = w64(111L) + w64(222L)
+    val retShort = w64(111L) // truncated return: amount1 must NULL
+    val out = graft.domain.RealAbiOps.v3MintDecode(
+      Seq((cd, ret), (cd, retShort)).toDF("c", "r")
+        .select(unhex(col("c")).as("calldata"), unhex(col("r")).as("ret_data")))
+      .collect()
+    val g = out(0)
+    assert(g.getAs[String]("recipient") == rcpt)
+    assert(g.getAs[Long]("tick_lower") == -1200L,
+      "negative int24 must sign-extend through the full word")
+    assert(g.getAs[Long]("tick_upper") == 600L)
+    assert(g.getAs[Long]("liq_amount") == 5000L)
+    assert(g.getAs[Long]("data_off") == 160L,
+      "the bytes data member rides a 5-head-word tail offset")
+    assert(g.getAs[Long]("a0_ret") == 111L && g.getAs[Long]("a1_ret") == 222L,
+      "amounts come from the RETURN pair, not calldata")
+    val s = out(1)
+    assert(s.getAs[Long]("a0_ret") == 111L)
+    assert(s.isNullAt(s.fieldIndex("a1_ret")), "short return NULLs amount1")
+  }
+
+  test("real_abi univ3 burn/collect: burn has NO recipient arg; collect echoes requested amounts") {
+    // uniswap_v3.rs:96-126 (burn) / :127-161 (collect)
+    val burnCd = "89afcb44" + sw64(-60L) + sw64(60L) + w64(777L)
+    val ret = w64(10L) + w64(20L)
+    val b = graft.domain.RealAbiOps.v3BurnDecode(
+      Seq((burnCd, ret)).toDF("c", "r")
+        .select(unhex(col("c")).as("calldata"), unhex(col("r")).as("ret_data")))
+      .collect()(0)
+    assert(b.getAs[Long]("tick_lower") == -60L && b.getAs[Long]("tick_upper") == 60L,
+      "burn calldata LEADS with the ticks — no recipient word")
+    assert(b.getAs[Long]("liq_amount") == 777L)
+    assert(b.getAs[Long]("a0_ret") == 10L && b.getAs[Long]("a1_ret") == 20L)
+    val rcpt = "00000000" + "bb" * 16
+    val collCd = "4f1eb3d8" + "0" * 24 + rcpt + sw64(-60L) + sw64(60L) +
+      w64(10L) + w64(20L)
+    val c = graft.domain.RealAbiOps.v3CollectDecode(
+      Seq((collCd, ret)).toDF("c", "r")
+        .select(unhex(col("c")).as("calldata"), unhex(col("r")).as("ret_data")))
+      .collect()(0)
+    assert(c.getAs[String]("recipient") == rcpt)
+    assert(c.getAs[Long]("a0_req") == 10L && c.getAs[Long]("a1_req") == 20L)
+    assert(c.getAs[Long]("a0_ret") == c.getAs[Long]("a0_req") &&
+      c.getAs[Long]("a1_ret") == c.getAs[Long]("a1_req"),
+      "fixture collects return exactly the requested amounts")
+  }
+
+  test("real_abi univ3 jit: classified collects DISPLACE burns on the back side; burns stand alone") {
+    // jit_liquidity.rs:322-340 — backrun_burns: Some(collect)
+    //   .filter(|f| !f.is_empty()).map(...).unwrap_or(burns)
+    val rows = Seq(
+      // group A: two burns + one collect → only the collect survives
+      (1L, "e1", "pA", false, "burn1"),
+      (1L, "e1", "pA", false, "burn2"),
+      (1L, "e1", "pA", true, "coll1"),
+      // group B: burns only → both stand
+      (1L, "e1", "pB", false, "burn3"),
+      (1L, "e1", "pB", false, "burn4"))
+      .toDF("block_number", "from_address", "pool", "is_collect", "tag")
+    val kept = graft.domain.RealAbiOps.collectPrecedence(rows)
+      .select("tag").collect().map(_.getString(0)).sorted
+    assert(kept.toSeq == Seq("burn3", "burn4", "coll1"),
+      "collects displace burns per (block, eoa, pool); burn-only groups keep burns")
+  }
+
   test("real_abi compound: liquidateBorrow is MIXED-source — liquidator from the LOG, amounts filled") {
     // compound_v2.rs:7-38 — borrower + cTokenCollateral from calldata,
     // liquidator/repayAmount/seizeTokens from the LiquidateBorrow event;

@@ -70,6 +70,7 @@ class PlanSpec extends SparkTestBase {
 
   test("JIT and composer candidate joins are never nested-loop") {
     assert(!plan("q5_jit").contains("BroadcastNestedLoopJoin"))
+    assert(!plan("q5_jit_real").contains("BroadcastNestedLoopJoin"))
     assert(!plan("j10_composer_dedup").contains("BroadcastNestedLoopJoin"))
     assert(!plan("j10_bundle_dedup").contains("BroadcastNestedLoopJoin"))
     assert(!plan("j4_staged_vwam").contains("BroadcastNestedLoopJoin"))
@@ -116,7 +117,8 @@ class PlanSpec extends SparkTestBase {
     for (q <- Seq("c1_curve_indexed", "c1_balancer_poolid", "f5_abi_tuple",
         "f5_abi_string", "c1_psm_swap", "c1_curve_underlying",
         "c1_univ3_swap", "c1_balancer_onswap", "c1_univ2_swap",
-        "c1_compound_liquidation")) {
+        "c1_compound_liquidation", "c1_univ3_mint",
+        "c1_univ3_burn_collect")) {
       val df = SparkEntry.queries(q)(spark, SfDir)
       df.collect() // finalize the AQE plan so codegen spans are rendered
       val p = df.queryExecution.executedPlan.toString
