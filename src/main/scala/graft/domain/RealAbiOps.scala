@@ -53,7 +53,7 @@ object RealAbiOps extends graft.QueryModule {
 
   def defs: Seq[QueryDef] = Seq(c1PsmSwap, c1CurveUnderlying, c1UniV3Swap,
     c1BalancerOnSwap, c1AaveLiquidation, c1UniV2Swap, c1CompoundLiquidation,
-    c1UniV3Mint, c1UniV3BurnCollect, q5JitReal)
+    c1UniV3Mint, c1UniV3BurnCollect, q5JitReal, c3CurveFactory)
 
   private def withCtes(sql: String) = Some(s"WITH ${ChainFixture.sqlCtes} $sql")
 
@@ -1156,6 +1156,194 @@ object RealAbiOps extends graft.QueryModule {
       LEFT JOIN tok d0 ON d0.token_id = b.t0_id
       LEFT JOIN tok d1 ON d1.token_id = b.t1x
       GROUP BY 1 ORDER BY 1"""))
+
+  /** C3 (Curve factory discovery): the real deploy layouts of
+    * `classifiers/curve/discovery.rs:10-64` and their VARIABLE-length
+    * token vectors into the registry. Two arms:
+    *
+    *   - `deploy_plain_pool(string _name, string _symbol, address[4]
+    *     _coins, uint256 _A, uint256 _fee)`
+    *     (classifier-abis/CurveMetapoolFactoryV2.json): the two strings
+    *     are DYNAMIC members (head words 0/1 are tail offsets — the
+    *     [[graft.functions.AbiArrayLen]] walk reads each length through
+    *     its offset), `_coins` is a FIXED address[4] inlined at head
+    *     words 2-5 whose unused slots are ZERO — the reference derives
+    *     the variable-length token vector by FILTERING the zero
+    *     addresses (`parse_plain_pool`: `tokens.into_iter().filter(|t|
+    *     t != &Address::ZERO)`), so a 2-coin deployment yields a
+    *     2-vector from a 4-slot array;
+    *
+    *   - `deploy_metapool(address _base_pool, string _name, string
+    *     _symbol, address _coin, uint256 _A, uint256 _fee)`: the token
+    *     vector is NOT in the calldata at all — `parse_meta_pool` calls
+    *     `query_base_pool(base_pool)` (an on-chain `coins(i)` loop — a
+    *     REGISTRY lookup, modeled as the broadcast pool-dimension join)
+    *     and APPENDS the calldata's `_coin`, so the vector length is the
+    *     base pool's coin count + 1.
+    *
+    * Both arms land one NormalizedNewPool row per deployment whose token
+    * vector length VARIES (plain 2-4, metapool 3-5) — `n_vector_lens`
+    * pins three distinct lengths per arm, and `sum_token_ids` resolves
+    * every decoded address through the token registry (discovery does
+    * NOT fetch token info, so ids 40/41 resolve here — no quarantine,
+    * unlike the C1 family).
+    *
+    * Scale shape: the deployment scan is dimension-sized; all joins
+    * broadcast; the string/address decodes are offset-followed byte
+    * reads inside codegen. */
+  private val c3CurveFactory = QueryDef(
+    "c3_curve_factory",
+    (s, dir) => {
+      import graft.functions.AbiCalldata.{abi_array_len, abi_selector}
+      val tokReg = s.range(TokRefSpace).select(
+        md5(concat(lit("tok:"), col("id"))).as("r_addr"),
+        col("id").as("r_id"))
+      val nameStr = concat(lit("crv-"), col("pool_id").cast("string"))
+      val symStr = concat(lit("c"), col("pool_id").cast("string"))
+      def coinId(k: Int): Column = k match {
+        case 0 => col("t0_id")
+        case 1 => col("t1_id")
+        case 2 => (col("t0_id") + 7) % TokRefSpace
+        case _ => (col("t0_id") + 13) % TokRefSpace
+      }
+      def coinWord(k: Int) =
+        when(col("n_src") > k,
+          concat(lit("0" * 32), md5(concat(lit("tok:"), coinId(k)))))
+          .otherwise(lit("0" * 64))
+      def strTail(c: Column) =
+        concat(word(length(c).cast("long")), rpad(lower(hex(c)), 64, "0"))
+      def strDec(offCol: String, lenCol: String) = expr(
+        s"CAST(substring(calldata, CAST($offCol + 37 AS INT), CAST($lenCol AS INT)) AS STRING)")
+      val aCol = col("pool_id") * 100 + 1
+      val feeCol = col("pool_id") % 100
+
+      // plain arm: head = nameOff ‖ symOff ‖ coins[4] ‖ A ‖ fee (8 words),
+      // tail = len‖content per string
+      val plain = pools(s).filter(col("pool_id") % 2 === 0)
+        .withColumn("n_src", lit(2L) + col("pool_id") % 3)
+        .withColumn("fsel", substring(md5(lit("fac:curve_plain")), 1, 8))
+        .withColumn("calldata", unhex(concat(col("fsel"),
+          word(lit(256L)), word(lit(320L)),
+          coinWord(0), coinWord(1), coinWord(2), coinWord(3),
+          word(aCol), word(feeCol),
+          strTail(nameStr), strTail(symStr))))
+      val pdec = plain
+        .withColumn("sel_ok", abi_selector(col("calldata")) === col("fsel"))
+        .withColumn("name_off", abi_word(col("calldata"), 0))
+        .withColumn("name_len", abi_array_len(col("calldata"), 0))
+        .withColumn("sym_off", abi_word(col("calldata"), 1))
+        .withColumn("sym_len", abi_array_len(col("calldata"), 1))
+        .withColumn("dec_name", strDec("name_off", "name_len"))
+        .withColumn("dec_sym", strDec("sym_off", "sym_len"))
+        .withColumn("coin_arr", array(
+          abi_address(col("calldata"), 2), abi_address(col("calldata"), 3),
+          abi_address(col("calldata"), 4), abi_address(col("calldata"), 5)))
+        .withColumn("amp", abi_word(col("calldata"), 6))
+        .withColumn("fee", abi_word(col("calldata"), 7))
+      // the zero-address filter IS the variable length (parse_plain_pool)
+      val pTok = pdec
+        .select(col("pool_id"), explode(col("coin_arr")).as("addr"))
+        .filter(col("addr") =!= lit("0" * 40))
+        .join(broadcast(tokReg),
+          substring(col("addr"), 9, 32) === col("r_addr"), "left")
+        .groupBy("pool_id")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("r_id")).as("sum_ids"),
+          (count(col("r_id")) === count(lit(1))).as("resolved"))
+      val pRec = pdec.join(pTok, "pool_id")
+        .select(lit("plain_pool").as("kind"),
+          (col("dec_name") === nameStr &&
+            col("name_len") === length(nameStr)).as("name_ok"),
+          (col("dec_sym") === symStr &&
+            col("sym_len") === length(symStr)).as("sym_ok"),
+          (col("sel_ok") && col("amp") === aCol && col("fee") === feeCol)
+            .as("shape_ok"),
+          col("resolved"), col("n_tokens"), col("sum_ids"))
+
+      // metapool arm: head = basePool ‖ nameOff ‖ symOff ‖ coin ‖ A ‖ fee
+      // (6 words); tokens = query_base_pool(base) ++ [_coin]
+      val meta = pools(s).filter(col("pool_id") % 2 === 1)
+        .withColumn("fsel", substring(md5(lit("fac:curve_meta")), 1, 8))
+        .withColumn("calldata", unhex(concat(col("fsel"),
+          lit("0" * 32),
+          md5(concat(lit("pool:"), (col("pool_id") + 1) % NumPools)),
+          word(lit(192L)), word(lit(256L)),
+          lit("0" * 32), md5(concat(lit("tok:"), col("t1_id"))),
+          word(aCol), word(feeCol),
+          strTail(nameStr), strTail(symStr))))
+      val mdec = meta
+        .withColumn("sel_ok", abi_selector(col("calldata")) === col("fsel"))
+        .withColumn("base_addr", abi_address(col("calldata"), 0))
+        .withColumn("name_off", abi_word(col("calldata"), 1))
+        .withColumn("name_len", abi_array_len(col("calldata"), 1))
+        .withColumn("sym_off", abi_word(col("calldata"), 2))
+        .withColumn("sym_len", abi_array_len(col("calldata"), 2))
+        .withColumn("dec_name", strDec("name_off", "name_len"))
+        .withColumn("dec_sym", strDec("sym_off", "sym_len"))
+        .withColumn("meta_coin", abi_address(col("calldata"), 3))
+        .withColumn("amp", abi_word(col("calldata"), 4))
+        .withColumn("fee", abi_word(col("calldata"), 5))
+      val baseDim = pools(s).select(col("address").as("b_addr"),
+        col("pool_id").as("b_id"), col("t0_id").as("b_t0"),
+        col("t1_id").as("b_t1"))
+      val mRec = mdec
+        .join(broadcast(baseDim),
+          substring(col("base_addr"), 9, 32) === col("b_addr"), "left")
+        .join(broadcast(tokReg),
+          substring(col("meta_coin"), 9, 32) === col("r_addr"), "left")
+        .withColumn("n_base", lit(2L) + col("b_id") % 3)
+        .withColumn("base_sum", col("b_t0") + col("b_t1") +
+          when(col("n_base") >= 3, (col("b_t0") + 7) % TokRefSpace)
+            .otherwise(0L) +
+          when(col("n_base") >= 4, (col("b_t0") + 13) % TokRefSpace)
+            .otherwise(0L))
+        .select(lit("metapool").as("kind"),
+          (col("dec_name") === nameStr &&
+            col("name_len") === length(nameStr)).as("name_ok"),
+          (col("dec_sym") === symStr &&
+            col("sym_len") === length(symStr)).as("sym_ok"),
+          (col("sel_ok") && col("amp") === aCol && col("fee") === feeCol)
+            .as("shape_ok"),
+          (col("b_id").isNotNull && col("r_id").isNotNull).as("resolved"),
+          (col("n_base") + 1).as("n_tokens"),
+          (col("base_sum") + col("r_id")).as("sum_ids"))
+
+      pRec.unionByName(mRec)
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("name_ok"), 1L).otherwise(0L)).as("n_name_ok"),
+          sum(when(col("sym_ok"), 1L).otherwise(0L)).as("n_sym_ok"),
+          sum(when(col("shape_ok"), 1L).otherwise(0L)).as("n_shape_ok"),
+          sum(when(col("resolved"), 1L).otherwise(0L)).as("n_resolved"),
+          countDistinct(col("n_tokens")).as("n_vector_lens"),
+          sum(col("n_tokens")).as("sum_n_tokens"),
+          sum(col("sum_ids")).as("sum_token_ids"))
+        .orderBy("kind")
+    },
+    withCtes(s""", cf_p AS (
+        SELECT 'plain_pool' AS kind, 2 + pool_id % 3 AS n_tokens,
+          t0_id + t1_id
+            + CASE WHEN 2 + pool_id % 3 >= 3
+                THEN (t0_id + 7) % $TokRefSpace ELSE 0 END
+            + CASE WHEN 2 + pool_id % 3 >= 4
+                THEN (t0_id + 13) % $TokRefSpace ELSE 0 END AS sum_ids
+        FROM pool WHERE pool_id % 2 = 0),
+      cf_m AS (
+        SELECT 'metapool' AS kind, 2 + b.pool_id % 3 + 1 AS n_tokens,
+          b.t0_id + b.t1_id
+            + CASE WHEN 2 + b.pool_id % 3 >= 3
+                THEN (b.t0_id + 7) % $TokRefSpace ELSE 0 END
+            + CASE WHEN 2 + b.pool_id % 3 >= 4
+                THEN (b.t0_id + 13) % $TokRefSpace ELSE 0 END
+            + p.t1_id AS sum_ids
+        FROM pool p JOIN pool b ON b.pool_id = (p.pool_id + 1) % $NumPools
+        WHERE p.pool_id % 2 = 1),
+      cf_all AS (SELECT * FROM cf_p UNION ALL SELECT * FROM cf_m)
+      SELECT kind, COUNT(*) AS n, COUNT(*) AS n_name_ok, COUNT(*) AS n_sym_ok,
+        COUNT(*) AS n_shape_ok, COUNT(*) AS n_resolved,
+        CAST(COUNT(DISTINCT n_tokens) AS BIGINT) AS n_vector_lens,
+        CAST(SUM(n_tokens) AS BIGINT) AS sum_n_tokens,
+        CAST(SUM(sum_ids) AS BIGINT) AS sum_token_ids
+      FROM cf_all GROUP BY 1 ORDER BY 1"""))
 
   /** The reference's back-side precedence over classified burn/collect
     * rows (`is_collect`-tagged, per (block_number, from_address, pool)):

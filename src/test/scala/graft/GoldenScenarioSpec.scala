@@ -1543,6 +1543,49 @@ class GoldenScenarioSpec extends SparkTestBase {
       "collects displace burns per (block, eoa, pool); burn-only groups keep burns")
   }
 
+  test("real_abi curve discovery: plain-pool zero slots filter out; strings walk head offsets") {
+    // curve/discovery.rs parse_plain_pool — deploy_plain_pool(string,
+    // string, address[4], uint256, uint256): _coins is a FIXED 4-slot
+    // array whose unused slots are ZERO; the token vector is the
+    // zero-filtered slots. The two strings are dynamic members: head
+    // words 0/1 hold tail offsets, each tail is len ‖ padded content.
+    import graft.functions.AbiCalldata.{abi_address, abi_array_len, abi_word}
+    val c0 = "00000000" + "aa" * 16
+    val c1 = "00000000" + "bb" * 16
+    val name = "crv-42" // 6 bytes
+    val sym = "c42" // 3 bytes
+    def strTail(s: String) =
+      w64(s.length.toLong) + s.map(c => f"${c.toInt}%02x").mkString.padTo(64, '0')
+    val cd = "ab12cd34" + w64(256L) + w64(320L) +
+      "00" * 12 + c0 + "00" * 12 + c1 + "0" * 64 + "0" * 64 + // 2 live + 2 zero
+      w64(99L) + w64(4L) + strTail(name) + strTail(sym)
+    val out = Seq(cd).toDF("h").select(unhex(col("h")).as("calldata"))
+      .select(
+        abi_array_len(col("calldata"), 0).as("name_len"),
+        abi_array_len(col("calldata"), 1).as("sym_len"),
+        abi_word(col("calldata"), 0).as("name_off"),
+        expr("CAST(substring(calldata, CAST(4 + 256 + 32 + 1 AS INT), 6) AS STRING)").as("dec_name"),
+        abi_address(col("calldata"), 2).as("a0"),
+        abi_address(col("calldata"), 3).as("a1"),
+        abi_address(col("calldata"), 4).as("a2"),
+        abi_address(col("calldata"), 5).as("a3"),
+        abi_word(col("calldata"), 6).as("amp"))
+      .collect()(0)
+    assert(out.getAs[Long]("name_off") == 256L)
+    assert(out.getAs[Long]("name_len") == 6L,
+      "abi_array_len walks the string head offset to the tail length word")
+    assert(out.getAs[Long]("sym_len") == 3L)
+    assert(out.getAs[String]("dec_name") == name)
+    assert(out.getAs[String]("a0") == c0 && out.getAs[String]("a1") == c1)
+    assert(out.getAs[String]("a2") == "0" * 40 && out.getAs[String]("a3") == "0" * 40,
+      "unused fixed-array slots decode as the ZERO address (then filter out)")
+    assert(Seq(out.getAs[String]("a0"), out.getAs[String]("a1"),
+      out.getAs[String]("a2"), out.getAs[String]("a3"))
+      .count(_ != "0" * 40) == 2,
+      "the zero filter yields the 2-token vector from the 4-slot array")
+    assert(out.getAs[Long]("amp") == 99L)
+  }
+
   test("real_abi compound: liquidateBorrow is MIXED-source — liquidator from the LOG, amounts filled") {
     // compound_v2.rs:7-38 — borrower + cTokenCollateral from calldata,
     // liquidator/repayAmount/seizeTokens from the LiquidateBorrow event;

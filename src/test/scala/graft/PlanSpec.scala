@@ -118,7 +118,7 @@ class PlanSpec extends SparkTestBase {
         "f5_abi_string", "c1_psm_swap", "c1_curve_underlying",
         "c1_univ3_swap", "c1_balancer_onswap", "c1_univ2_swap",
         "c1_compound_liquidation", "c1_univ3_mint",
-        "c1_univ3_burn_collect")) {
+        "c1_univ3_burn_collect", "c3_curve_factory")) {
       val df = SparkEntry.queries(q)(spark, SfDir)
       df.collect() // finalize the AQE plan so codegen spans are rendered
       val p = df.queryExecution.executedPlan.toString
