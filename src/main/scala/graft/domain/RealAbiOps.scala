@@ -1,9 +1,10 @@
 package graft.domain
 
 import graft.QueryDef
-import graft.functions.AbiCalldata.{abi_address, abi_int_word,
-  abi_log_address, abi_log_word, abi_pool_id_address, abi_ret_int,
-  abi_tuple_address, abi_tuple_word, abi_word}
+import graft.functions.AbiCalldata.{abi_address, abi_array_address,
+  abi_array_elem, abi_array_len, abi_int_word, abi_log_address,
+  abi_log_word, abi_pool_id_address, abi_ret_int, abi_tuple_address,
+  abi_tuple_word, abi_word}
 import graft.ops.ExactAgg.{dsum, sqlSum}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
@@ -53,7 +54,8 @@ object RealAbiOps extends graft.QueryModule {
 
   def defs: Seq[QueryDef] = Seq(c1PsmSwap, c1CurveUnderlying, c1UniV3Swap,
     c1BalancerOnSwap, c1AaveLiquidation, c1UniV2Swap, c1CompoundLiquidation,
-    c1UniV3Mint, c1UniV3BurnCollect, q5JitReal, c3CurveFactory)
+    c1UniV3Mint, c1UniV3BurnCollect, q5JitReal, c3CurveFactory,
+    c1AaveFlashloan, c5FlashloanReal)
 
   private def withCtes(sql: String) = Some(s"WITH ${ChainFixture.sqlCtes} $sql")
 
@@ -1344,6 +1346,223 @@ object RealAbiOps extends graft.QueryModule {
         CAST(SUM(n_tokens) AS BIGINT) AS sum_n_tokens,
         CAST(SUM(sum_ids) AS BIGINT) AS sum_token_ids
       FROM cf_all GROUP BY 1 ORDER BY 1"""))
+
+  // ── Aave V2 flashLoan: parallel dynamic arrays + repayment matching ──────
+
+  /** The flashLoan decode core on any frame with `calldata`:
+    * `flashLoan(address receiverAddress, address[] assets, uint256[]
+    * amounts, uint256[] modes, address onBehalfOf, bytes params, uint16
+    * referralCode)` (classifier-abis/AaveV2Pool.json) — head words 1/2/3
+    * are tail OFFSETS to three PARALLEL dynamic arrays; the element
+    * decoders follow each offset, bound every read by the DECODED length,
+    * and the address elements validate the 12-zero-byte pad
+    * ([[graft.functions.AbiArrayAddress]]). Up to three elements decoded
+    * statically (the fixture's width; a wider frame would NULL past
+    * elem2 by the length bound, never misread). */
+  private[graft] def flashLoanDecode(t: org.apache.spark.sql.DataFrame) = t
+    .withColumn("receiver", abi_address(col("calldata"), 0))
+    .withColumn("n_assets", abi_array_len(col("calldata"), 1))
+    .withColumn("n_amounts", abi_array_len(col("calldata"), 2))
+    .withColumn("n_modes", abi_array_len(col("calldata"), 3))
+    .withColumn("asset0", abi_array_address(col("calldata"), 1, 0))
+    .withColumn("asset1", abi_array_address(col("calldata"), 1, 1))
+    .withColumn("asset2", abi_array_address(col("calldata"), 1, 2))
+    .withColumn("amt0", abi_array_elem(col("calldata"), 2, 0))
+    .withColumn("amt1", abi_array_elem(col("calldata"), 2, 1))
+    .withColumn("amt2", abi_array_elem(col("calldata"), 2, 2))
+    .withColumn("mode0", abi_array_elem(col("calldata"), 3, 0))
+    .withColumn("mode1", abi_array_elem(col("calldata"), 3, 1))
+    .withColumn("mode2", abi_array_elem(col("calldata"), 3, 2))
+    .withColumn("on_behalf", abi_address(col("calldata"), 4))
+    .withColumn("n_params", abi_array_len(col("calldata"), 5))
+    .withColumn("ref_code", abi_word(col("calldata"), 6))
+
+  /** Shared flashLoan fixture packing + pair explode. Frames:
+    * SelCurveSwap traces play `flashLoan` calls on the Aave pool (the
+    * trace target). n = 1..3 assets; asset ids rotate over the FULL
+    * 42-id space so the unregistered ids 40/41 hit the reference's
+    * PER-PAIR quarantine — `filter_map(|(asset, amount)|
+    * try_fetch_token_info(*asset).ok()?  ...)` DROPS THE PAIR, not the
+    * classification (aave/v2.rs:50-57) — the opposite arm of the C1
+    * whole-row `?` ladder. */
+  private def flashLoanPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val t = tracesTable(s, dir)
+      .filter(col("selector") === SelCurveSwap)
+      .withColumn("q6l", col("q6").cast("long"))
+      .withColumn("p2l", col("p2").cast("long"))
+      .withColumn("n_src", lit(1L) + (col("q6l") + col("p2l")) % 3)
+    def aid(k: Int) = (col("tok_id") + 11 * k) % TokRefSpace
+    def assetWord(k: Int) = when(col("n_src") > k,
+      concat(lit("0" * 32), md5(concat(lit("tok:"), aid(k))))).otherwise(lit(""))
+    def amtWord(k: Int) = when(col("n_src") > k,
+      word(col("q6l") + 1000000L * k)).otherwise(lit(""))
+    def modeWord(k: Int) = when(col("n_src") > k,
+      word((col("p2l") + k) % 3)).otherwise(lit(""))
+    val packed = t.withColumn("calldata", unhex(concat(col("selector"),
+      lit("0" * 32), col("from_address"), // receiverAddress
+      word(lit(224L)), // assets offset (7 head words)
+      word(lit(256L) + col("n_src") * 32), // amounts offset
+      word(lit(288L) + col("n_src") * 64), // modes offset
+      lit("0" * 32), col("from_address"), // onBehalfOf
+      word(lit(320L) + col("n_src") * 96), // params offset
+      word(col("p2l") % 65536), // uint16 referralCode
+      word(col("n_src")), assetWord(0), assetWord(1), assetWord(2),
+      word(col("n_src")), amtWord(0), amtWord(1), amtWord(2),
+      word(col("n_src")), modeWord(0), modeWord(1), modeWord(2),
+      word(lit(0L))))) // bytes params: len 0
+    val dec = flashLoanDecode(packed)
+      .withColumn("frame_ok",
+        col("receiver") === concat(lit("0" * 8), col("from_address")) &&
+        col("on_behalf") === col("receiver") &&
+        col("n_assets") === col("n_src") &&
+        col("n_amounts") === col("n_src") &&
+        col("n_modes") === col("n_src") &&
+        col("n_params") === 0 && col("ref_code") === col("p2l") % 65536)
+    // pair explode: element decoders NULL past the decoded length, so
+    // the length bound (not n_src) drives which pairs exist
+    dec.select(col("tx_hash"), col("trace_idx").as("fl_idx"),
+      col("n_assets"), col("frame_ok"),
+      explode(array(
+        struct(col("asset0").as("asset"), col("amt0").as("amt"),
+          col("mode0").as("mode")),
+        struct(col("asset1").as("asset"), col("amt1").as("amt"),
+          col("mode1").as("mode")),
+        struct(col("asset2").as("asset"), col("amt2").as("amt"),
+          col("mode2").as("mode")))).as("pair"))
+      .filter(col("pair.asset").isNotNull)
+      .select(col("tx_hash"), col("fl_idx"), col("n_assets"), col("frame_ok"),
+        col("pair.asset").as("asset"), col("pair.amt").as("amt"),
+        col("pair.mode").as("mode"))
+  }
+  /** Oracle-side pair CTE shared by the two flashLoan queries. */
+  private val flPairsCtes = s"""fl13 AS (
+        SELECT t.tx_hash, t.trace_idx AS fl_idx, CAST(t.q6 AS BIGINT) AS q6l,
+          CAST(t.p2 AS BIGINT) AS p2l, t.tok_id,
+          1 + (CAST(t.q6 AS BIGINT) + CAST(t.p2 AS BIGINT)) % 3 AS n_assets
+        FROM trace t WHERE t.selector = '$SelCurveSwap'),
+      flp13 AS (
+        SELECT f.*, k.k, (f.tok_id + 11 * k.k) % $TokRefSpace AS aid,
+          f.q6l + 1000000 * k.k AS amt, (f.p2l + k.k) % 3 AS mode
+        FROM fl13 f JOIN (SELECT UNNEST([0, 1, 2]) AS k) k
+          ON k.k < f.n_assets)"""
+
+  /** C1 (Aave V2 `flashLoan`): THREE parallel dynamic arrays decoded
+    * through head offsets 1/2/3 with the new
+    * [[graft.functions.AbiArrayAddress]] element decoder, plus the two
+    * frame addresses, the empty `bytes params`, and the uint16
+    * referralCode word. The distinctive reference semantics is the
+    * PER-PAIR quarantine: `assets.iter().zip(amounts).filter_map(...
+    * .ok()?)` silently drops a (asset, amount) pair whose token info is
+    * missing and KEEPS the rest of the loan (aave/v2.rs:50-57) —
+    * `n_dropped_pairs` counts those, and the frame itself never fails.
+    * `aave_mode = (modes, onBehalfOf)` rides along (`sum_modes`).
+    *
+    * Scale shape: one pruned trace scan, pairs explode ×≤3, one
+    * broadcast token join; all decode codegen'd. */
+  private val c1AaveFlashloan = QueryDef(
+    "c1_aave_flashloan",
+    (s, dir) => {
+      val tk = tokens(s).select(col("token_id").as("tk_id"),
+        col("decimals").as("tk_dec"))
+      flashLoanPairs(s, dir)
+        .join(broadcast(tk),
+          substring(col("asset"), 9, 32) === md5(concat(lit("tok:"), col("tk_id"))), "left")
+        .groupBy("n_assets")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("frame_ok"), 1L).otherwise(0L)).as("n_frame_ok"),
+          sum(when(col("tk_dec").isNotNull, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("tk_dec").isNull, 1L).otherwise(0L))
+            .as("n_dropped_pairs"),
+          dsum(when(col("tk_dec").isNotNull,
+            col("amt").cast("double") / pow10d(col("tk_dec")))
+            .otherwise(lit(0.0))).as("sum_scaled_amounts"),
+          sum(when(col("tk_dec").isNotNull, col("mode")).otherwise(0L))
+            .as("sum_modes"))
+        .orderBy("n_assets")
+    },
+    withCtes(s""", $flPairsCtes
+      SELECT p.n_assets, COUNT(*) AS n_pairs, COUNT(*) AS n_frame_ok,
+        CAST(COUNT(tk.token_id) AS BIGINT) AS n_kept,
+        CAST(SUM(CASE WHEN tk.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dropped_pairs,
+        ${sqlSum(s"""CASE WHEN tk.token_id IS NOT NULL
+          THEN p.amt / ${sqlPow10.format("tk.decimals")} ELSE 0.0e0 END""")}
+          AS sum_scaled_amounts,
+        CAST(SUM(CASE WHEN tk.token_id IS NOT NULL THEN p.mode ELSE 0 END)
+          AS BIGINT) AS sum_modes
+      FROM flp13 p LEFT JOIN tok tk ON tk.token_id = p.aid
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** C5 (flash-loan repayment matching on REAL frames): the multi-frame
+    * pass over [[c1AaveFlashloan]]'s decoded loans — a child TRANSFER is
+    * a REPAYMENT iff its sender is the receiver contract, its token sits
+    * in the loan's (POST-quarantine) asset vector, and its amount COVERS
+    * that asset's borrowed amount (`t.amount >= this.amounts[i]`,
+    * multi_frame_classification/flash_loan/balancer.rs:37-47); an
+    * under-covering match stays a child action. Fixture casting: the
+    * tx's SelTransfer frames AFTER the loan frame play the child
+    * transfers (same-tx ⇒ same EOA ⇒ the `t.from == receiver_contract`
+    * gate holds structurally; `n_from_ok` pins it).
+    *
+    * Scale shape: pairs × transfers is a (tx_hash, token) equi-join —
+    * tx-local at any scale — then two grouped rollups. */
+  private val c5FlashloanReal = QueryDef(
+    "c5_flashloan_real",
+    (s, dir) => {
+      val tk = tokens(s).select(col("token_id").as("tk_id"),
+        col("decimals").as("tk_dec"))
+      val loans = flashLoanPairs(s, dir)
+        .join(broadcast(tk),
+          substring(col("asset"), 9, 32) === md5(concat(lit("tok:"), col("tk_id"))))
+        .withColumn("bucket", col("tk_id") % 5)
+      val tr = tracesTable(s, dir).filter(col("selector") === SelTransfer)
+        .select(col("tx_hash").as("t_tx"), col("trace_idx").as("t_idx"),
+          col("to_address").as("t_tok"), col("q6").cast("long").as("t_amt"),
+          col("from_address").as("t_from"))
+      val perPair = loans
+        .join(tr, col("t_tx") === col("tx_hash") &&
+          col("t_tok") === substring(col("asset"), 9, 32) &&
+          col("t_idx") > col("fl_idx"), "left")
+        .groupBy("tx_hash", "fl_idx", "asset", "amt", "bucket")
+        .agg(count(col("t_idx")).as("n_matched"),
+          sum(when(col("t_amt") >= col("amt"), 1L).otherwise(0L))
+            .as("n_covered"),
+          dsum(when(col("t_amt") >= col("amt"),
+            (col("t_amt") - col("amt")).cast("double") / 1000000.0)
+            .otherwise(lit(0.0))).as("excess"))
+      perPair.groupBy("bucket")
+        .agg(count(lit(1)).as("n_loan_pairs"),
+          sum(when(col("n_covered") > 0, 1L).otherwise(0L))
+            .as("n_repaid_pairs"),
+          sum(col("n_covered")).as("n_repayments"),
+          sum(col("n_matched")).as("n_matched_transfers"),
+          dsum(col("excess")).as("sum_excess"))
+        .orderBy("bucket")
+    },
+    withCtes(s""", $flPairsCtes,
+      fltr AS (
+        SELECT tx_hash AS t_tx, trace_idx AS t_idx, to_address AS t_tok,
+          CAST(q6 AS BIGINT) AS t_amt
+        FROM trace WHERE selector = '$SelTransfer'),
+      flpp AS (
+        SELECT p.tx_hash, p.fl_idx, p.aid, p.amt, p.aid % 5 AS bucket,
+          COUNT(t.t_idx) AS n_matched,
+          CAST(SUM(CASE WHEN t.t_amt >= p.amt THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_covered,
+          ${sqlSum("""CASE WHEN t.t_amt >= p.amt
+            THEN (t.t_amt - p.amt) / 1000000.0e0 ELSE 0.0e0 END""")} AS excess
+        FROM flp13 p
+        JOIN tok tk ON tk.token_id = p.aid
+        LEFT JOIN fltr t ON t.t_tx = p.tx_hash
+          AND t.t_tok = md5('tok:' || p.aid) AND t.t_idx > p.fl_idx
+        GROUP BY 1, 2, 3, 4, 5)
+      SELECT bucket, COUNT(*) AS n_loan_pairs,
+        CAST(SUM(CASE WHEN n_covered > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_repaid_pairs,
+        CAST(SUM(n_covered) AS BIGINT) AS n_repayments,
+        CAST(SUM(n_matched) AS BIGINT) AS n_matched_transfers,
+        ${sqlSum("excess")} AS sum_excess
+      FROM flpp GROUP BY 1 ORDER BY 1"""))
 
   /** The reference's back-side precedence over classified burn/collect
     * rows (`is_collect`-tagged, per (block_number, from_address, pool)):

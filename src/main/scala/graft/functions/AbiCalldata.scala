@@ -109,6 +109,16 @@ object AbiCalldata {
     * (classifiers/compound/compound_v2.rs `logs.liquidator`). */
   def abi_log_address(c: Column, i: Int): Column =
     B.column(AbiLogAddress(B.expression(c), i))
+
+  /** ABI `address` ELEMENT of the dynamic `address[]` whose offset
+    * pointer sits in head word `headIdx`: [[abi_array_elem]]'s
+    * offset-and-length walk with [[abi_address]]'s 12-zero-byte pad
+    * validation and 40-char hex output; NULL beyond the decoded length.
+    * The Aave-V2-flashLoan-style source: `flashLoan(address
+    * receiverAddress, address[] assets, uint256[] amounts, ...)`
+    * (classifiers/aave/v2.rs `call_data.assets`). */
+  def abi_array_address(c: Column, headIdx: Int, elemIdx: Int): Column =
+    B.column(AbiArrayAddress(B.expression(c), headIdx, elemIdx))
 }
 
 case class AbiWord(child: Expression, wordIdx: Int) extends UnaryExpression {
@@ -448,6 +458,118 @@ case class AbiArrayElem(child: Expression, headIdx: Int, elemIdx: Int)
          |        $v = ($v << 8) | ($c[(int) $elemOff + $i] & 0xffL);
          |      }
          |      ${ev.value} = $v;
+         |    }
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Dynamic-array ADDRESS element via offset-following: the same
+  * head-offset/length walk as [[AbiArrayElem]], but the element decodes
+  * under [[AbiAddress]]'s contract — trailing 20 bytes as lowercase hex,
+  * leading 12 bytes validated zero (nonzero pad → NULL, not a truncated
+  * address); NULL when `elemIdx >= length` or the buffer is short. The
+  * `address[] assets` arm of Aave V2 flashLoan (classifiers/aave/v2.rs). */
+case class AbiArrayAddress(child: Expression, headIdx: Int, elemIdx: Int)
+    extends UnaryExpression {
+  require(headIdx >= 0 && elemIdx >= 0, "indices must be non-negative")
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "abi_array_address"
+  // SQL-surface type contract: a wrong-typed argument fails at
+  // ANALYSIS time instead of as a codegen/eval ClassCastException
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BINARY input, got ${child.dataType.catalogString}")
+
+  private val headOff = 4 + headIdx * 32 + 24
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    if (b.length < headOff + 8) return null
+    var off = 0L
+    var i = 0
+    while (i < 8) { off = (off << 8) | (b(headOff + i) & 0xffL); i += 1 }
+    // same oversized-offset rejection as AbiArrayLen/AbiArrayElem
+    if (off < 0 || off > b.length) return null
+    val lenOff = 4 + off + 24
+    if (b.length < lenOff + 8) return null
+    var n = 0L
+    i = 0
+    while (i < 8) { n = (n << 8) | (b(lenOff.toInt + i) & 0xffL); i += 1 }
+    // element WORD starts right after the length word: lenOff ends the
+    // length's low-8 tail, so word(j) begins at lenOff + 8 + 32j
+    val wordOff = lenOff + 8 + elemIdx * 32L
+    if (elemIdx >= n || b.length < wordOff + 32) return null
+    val w = wordOff.toInt
+    var zero = true
+    i = 0
+    while (i < 12) { if (b(w + i) != 0) zero = false; i += 1 }
+    if (!zero) return null
+    val out = new Array[Byte](40)
+    i = 0
+    while (i < 20) {
+      val v = b(w + 12 + i) & 0xff
+      out(2 * i) = Character.forDigit(v >>> 4, 16).toByte
+      out(2 * i + 1) = Character.forDigit(v & 0xf, 16).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val off = ctx.freshName("off")
+      val lenOff = ctx.freshName("lenOff")
+      val wordOff = ctx.freshName("wordOff")
+      val n = ctx.freshName("n")
+      val w = ctx.freshName("w")
+      val zero = ctx.freshName("zero")
+      val out = ctx.freshName("hex")
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
+      s"""
+         |if ($c.length < ${headOff + 8}) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $off = 0L;
+         |  for (int $i = 0; $i < 8; $i++) {
+         |    $off = ($off << 8) | ($c[$headOff + $i] & 0xffL);
+         |  }
+         |  long $lenOff = 4L + $off + 24L;
+         |  if ($off < 0 || $off > $c.length || $c.length < $lenOff + 8) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    long $n = 0L;
+         |    for (int $i = 0; $i < 8; $i++) {
+         |      $n = ($n << 8) | ($c[(int) $lenOff + $i] & 0xffL);
+         |    }
+         |    long $wordOff = $lenOff + 8L + ${elemIdx}L * 32L;
+         |    if (${elemIdx}L >= $n || $c.length < $wordOff + 32) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      int $w = (int) $wordOff;
+         |      boolean $zero = true;
+         |      for (int $i = 0; $i < 12; $i++) {
+         |        if ($c[$w + $i] != 0) $zero = false;
+         |      }
+         |      if (!$zero) {
+         |        ${ev.isNull} = true;
+         |      } else {
+         |        byte[] $out = new byte[40];
+         |        for (int $i = 0; $i < 20; $i++) {
+         |          int $v = $c[$w + 12 + $i] & 0xff;
+         |          $out[2 * $i] = (byte) java.lang.Character.forDigit($v >>> 4, 16);
+         |          $out[2 * $i + 1] = (byte) java.lang.Character.forDigit($v & 0xf, 16);
+         |        }
+         |        ${ev.value} = UTF8String.fromBytes($out);
+         |      }
          |    }
          |  }
          |}

@@ -1586,6 +1586,48 @@ class GoldenScenarioSpec extends SparkTestBase {
     assert(out.getAs[Long]("amp") == 99L)
   }
 
+  test("real_abi aave v2 flashLoan: three parallel dynamic arrays; elements bound by DECODED length") {
+    // aave/v2.rs:41-80 — flashLoan(receiver, address[] assets, uint256[]
+    // amounts, uint256[] modes, onBehalfOf, bytes params, uint16
+    // referralCode): head words 1/2/3 are offsets to parallel tails.
+    val rcpt = "00000000" + "aa" * 16
+    val a0 = "00000000" + "bb" * 16
+    val a1 = "00000000" + "cc" * 16
+    val cd = "ab99cd11" +
+      "0" * 24 + rcpt + // receiver
+      w64(224L) + w64(320L) + w64(416L) + // assets/amounts/modes offsets
+      "0" * 24 + rcpt + // onBehalfOf
+      w64(512L) + w64(77L) + // params offset, referralCode
+      w64(2L) + "0" * 24 + a0 + "0" * 24 + a1 + // assets[2]
+      w64(2L) + w64(1000L) + w64(2000L) + // amounts[2]
+      w64(2L) + w64(0L) + w64(1L) + // modes[2]
+      w64(0L) // params: len 0
+    // corrupt variant: asset[1]'s pad byte nonzero → that ELEMENT nulls
+    val bad = cd.substring(0, 8 + 64 * 9) + "01" + "0" * 22 + a1 +
+      cd.substring(8 + 64 * 10)
+    val out = graft.domain.RealAbiOps.flashLoanDecode(
+      Seq(cd, bad).toDF("h").select(unhex(col("h")).as("calldata")))
+      .collect()
+    val g = out(0)
+    assert(g.getAs[String]("receiver") == rcpt)
+    assert(g.getAs[Long]("n_assets") == 2L && g.getAs[Long]("n_amounts") == 2L &&
+      g.getAs[Long]("n_modes") == 2L)
+    assert(g.getAs[String]("asset0") == a0 && g.getAs[String]("asset1") == a1)
+    assert(g.isNullAt(g.fieldIndex("asset2")),
+      "element reads are bound by the DECODED length, not a fixed width")
+    assert(g.getAs[Long]("amt0") == 1000L && g.getAs[Long]("amt1") == 2000L)
+    assert(g.isNullAt(g.fieldIndex("amt2")))
+    assert(g.getAs[Long]("mode0") == 0L && g.getAs[Long]("mode1") == 1L)
+    assert(g.getAs[String]("on_behalf") == rcpt)
+    assert(g.getAs[Long]("n_params") == 0L, "empty bytes params decodes len 0")
+    assert(g.getAs[Long]("ref_code") == 77L)
+    val b = out(1)
+    assert(b.getAs[String]("asset0") == a0)
+    assert(b.isNullAt(b.fieldIndex("asset1")),
+      "nonzero pad on an array address element NULLs that element only")
+    assert(b.getAs[Long]("amt1") == 2000L, "sibling arrays are unaffected")
+  }
+
   test("real_abi compound: liquidateBorrow is MIXED-source — liquidator from the LOG, amounts filled") {
     // compound_v2.rs:7-38 — borrower + cTokenCollateral from calldata,
     // liquidator/repayAmount/seizeTokens from the LiquidateBorrow event;

@@ -71,6 +71,8 @@ class PlanSpec extends SparkTestBase {
   test("JIT and composer candidate joins are never nested-loop") {
     assert(!plan("q5_jit").contains("BroadcastNestedLoopJoin"))
     assert(!plan("q5_jit_real").contains("BroadcastNestedLoopJoin"))
+    // loans × child transfers is a (tx, token) equi-join, never nested-loop
+    assert(!plan("c5_flashloan_real").contains("BroadcastNestedLoopJoin"))
     assert(!plan("j10_composer_dedup").contains("BroadcastNestedLoopJoin"))
     assert(!plan("j10_bundle_dedup").contains("BroadcastNestedLoopJoin"))
     assert(!plan("j4_staged_vwam").contains("BroadcastNestedLoopJoin"))
@@ -118,7 +120,7 @@ class PlanSpec extends SparkTestBase {
         "f5_abi_string", "c1_psm_swap", "c1_curve_underlying",
         "c1_univ3_swap", "c1_balancer_onswap", "c1_univ2_swap",
         "c1_compound_liquidation", "c1_univ3_mint",
-        "c1_univ3_burn_collect", "c3_curve_factory")) {
+        "c1_univ3_burn_collect", "c3_curve_factory", "c1_aave_flashloan")) {
       val df = SparkEntry.queries(q)(spark, SfDir)
       df.collect() // finalize the AQE plan so codegen spans are rendered
       val p = df.queryExecution.executedPlan.toString
@@ -176,6 +178,8 @@ class PlanSpec extends SparkTestBase {
     assert(!AbiLogWord(dummy, 0).isInstanceOf[CodegenFallback])
     assert(!AbiArrayLen(dummy, 0).isInstanceOf[CodegenFallback])
     assert(!AbiArrayElem(dummy, 0, 0).isInstanceOf[CodegenFallback])
+    assert(!graft.functions.AbiArrayAddress(dummy, 0, 0)
+      .isInstanceOf[CodegenFallback])
     assert(!graft.functions.AbiAddress(dummy, 0).isInstanceOf[CodegenFallback])
     // eval parity over all four layouts, including the signed negative
     // word and the offset-followed tail: id>=1 so -id is genuinely negative
