@@ -55,7 +55,7 @@ object RealAbiOps extends graft.QueryModule {
   def defs: Seq[QueryDef] = Seq(c1PsmSwap, c1CurveUnderlying, c1UniV3Swap,
     c1BalancerOnSwap, c1AaveLiquidation, c1UniV2Swap, c1CompoundLiquidation,
     c1UniV3Mint, c1UniV3BurnCollect, q5JitReal, c3CurveFactory,
-    c1AaveFlashloan, c5FlashloanReal)
+    c1AaveFlashloan, c5FlashloanReal, c5SettleReal)
 
   private def withCtes(sql: String) = Some(s"WITH ${ChainFixture.sqlCtes} $sql")
 
@@ -1563,6 +1563,187 @@ object RealAbiOps extends graft.QueryModule {
         CAST(SUM(n_matched) AS BIGINT) AS n_matched_transfers,
         ${sqlSum("excess")} AS sum_excess
       FROM flpp GROUP BY 1 ORDER BY 1"""))
+
+  // ── Cowswap GPv2 settle: Trade-log batch decode ───────────────────────────
+
+  /** The Trade EVENT decode core on any frame with (topic1, log_data):
+    * `Trade(address indexed owner, address sellToken, address buyToken,
+    * uint256 sellAmount, uint256 buyAmount, uint256 feeAmount, bytes
+    * orderUid)` (classifier-abis/cowswap/GPv2Settlement.json) — the OWNER
+    * rides the indexed TOPIC (not the data section), the two tokens and
+    * three amounts are data words 0-4, and the orderUid is a dynamic
+    * bytes member (data word 5 is its offset; a real GPv2 orderUid is
+    * exactly 56 bytes: digest ‖ owner ‖ validTo). The offset/length/
+    * content walk reads through the DECODED offset. */
+  private[graft] def tradeLogDecode(t: org.apache.spark.sql.DataFrame) = t
+    .withColumn("owner_dec", abi_log_address(col("topic1"), 0))
+    .withColumn("sell_tok", abi_log_address(col("log_data"), 0))
+    .withColumn("buy_tok", abi_log_address(col("log_data"), 1))
+    .withColumn("sell_amt", abi_log_word(col("log_data"), 2))
+    .withColumn("buy_amt", abi_log_word(col("log_data"), 3))
+    .withColumn("fee_amt", abi_log_word(col("log_data"), 4))
+    .withColumn("uid_off", abi_log_word(col("log_data"), 5))
+    .withColumn("uid_len",
+      conv(hex(expr("substring(log_data, CAST(uid_off + 25 AS INT), 8)")),
+        16, 10).cast("long"))
+    .withColumn("uid_hex", lower(hex(expr(
+      "substring(log_data, CAST(uid_off + 33 AS INT), CAST(uid_len AS INT))"))))
+
+  /** C5 (Cowswap `settle` on REAL bytes): the batch classifier reads the
+    * user orders from the TRADE EVENT LOGS, not the settle calldata —
+    * `[..Trade*]` collects every Trade in the subtree and `_call_data:
+    * settleCall` is deliberately unused (classifiers/cowswap/mod.rs:
+    * 66-90). Three reference semantics ride the decode:
+    *
+    *   - `log_data.trade_field?`: a settlement with NO Trade logs fails
+    *     classification (the n_trades = 0 sliver);
+    *   - the per-trade token fetches COLLECT into one Result and
+    *     `user_swaps?` fails the WHOLE batch on any missing token
+    *     (`n_failed_token`) — all-or-nothing, the opposite arm of
+    *     [[c1AaveFlashloan]]'s per-pair drop;
+    *   - each swap's from AND recipient are the trade's OWNER, decoded
+    *     from the indexed topic (`create_normalized_swap`: `from:
+    *     trade.owner, recipient: trade.owner`); the solver is the frame's
+    *     msg_sender and the settlement contract the target.
+    *
+    * Fixture casting: SelV2Swap frames on curve-protocol pools (the
+    * registry mismatch leaves them unclassified — exactly the frames the
+    * batch pass owns); (q6+p2) % 4 Trade logs each, orderUids 56 bytes.
+    *
+    * Scale shape: one pruned trace scan, trades explode ×≤3, broadcast
+    * token joins, one per-frame rollup — tx-local keys throughout. */
+  private val c5SettleReal = QueryDef(
+    "c5_settle_real",
+    (s, dir) => {
+      val cp = pools(s).filter(col("protocol") === "curve")
+        .select(col("address").as("p_addr"))
+      val base = tracesTable(s, dir)
+        .filter(col("selector") === SelV2Swap)
+        .join(broadcast(cp), col("to_address") === col("p_addr"))
+        .withColumn("q6l", col("q6").cast("long"))
+        .withColumn("p2l", col("p2").cast("long"))
+        .withColumn("n_trades", (col("q6l") + col("p2l")) % 4)
+      def sid(k: Int) = (col("tok_id") + 5 * k) % TokRefSpace
+      def bid(k: Int) = (col("tok_id") + 5 * k + 1) % TokRefSpace
+      def uidSrc(k: Int) = substring(concat(
+        md5(concat(lit(s"uid:$k:a:"), col("tx_hash"))),
+        md5(concat(lit(s"uid:$k:b:"), col("tx_hash"))),
+        md5(concat(lit(s"uid:$k:c:"), col("tx_hash"))),
+        md5(concat(lit(s"uid:$k:d:"), col("tx_hash")))), 1, 112)
+      def topicK(k: Int) = when(col("n_trades") > k, unhex(concat(
+        lit("0" * 32), md5(concat(lit("eoa:"), (col("p2l") + k) % 12)))))
+      def dataK(k: Int) = when(col("n_trades") > k, unhex(concat(
+        lit("0" * 32), md5(concat(lit("tok:"), sid(k))),
+        lit("0" * 32), md5(concat(lit("tok:"), bid(k))),
+        word(col("q6l") + 1000L * k), word(col("p2l") + 1000L * k),
+        word((col("q6l") + k) % 1000),
+        word(lit(192L)), word(lit(56L)), rpad(uidSrc(k), 128, "0"))))
+      val frames = base.select(col("tx_hash"), col("trace_idx"),
+        col("n_trades"), col("q6l"), col("p2l"), col("tok_id"),
+        explode(array((0 to 2).map(k =>
+          struct(lit(k).as("k"), topicK(k).as("topic1"),
+            dataK(k).as("log_data"), uidSrc(k).as("uid_src"))): _*))
+          .as("t"))
+        .select(col("tx_hash"), col("trace_idx"), col("n_trades"),
+          col("q6l"), col("p2l"), col("tok_id"), col("t.k").as("k"),
+          col("t.topic1").as("topic1"), col("t.log_data").as("log_data"),
+          col("t.uid_src").as("uid_src"))
+        .filter(col("log_data").isNotNull)
+      val sd = tokens(s).select(md5(concat(lit("tok:"), col("token_id")))
+        .as("s_addr"), col("decimals").as("s_dec"))
+      val bd = tokens(s).select(md5(concat(lit("tok:"), col("token_id")))
+        .as("b_addr"), col("decimals").as("b_dec"))
+      val dec = tradeLogDecode(frames)
+        .join(broadcast(sd), substring(col("sell_tok"), 9, 32) === col("s_addr"), "left")
+        .join(broadcast(bd), substring(col("buy_tok"), 9, 32) === col("b_addr"), "left")
+        .withColumn("owner_exp", concat(lit("0" * 8),
+          md5(concat(lit("eoa:"), (col("p2l") + col("k")) % 12))))
+      val perFrame = dec.groupBy("tx_hash", "trace_idx", "n_trades")
+        .agg(count(lit(1)).as("n_dec"),
+          sum(when(col("s_dec").isNull || col("b_dec").isNull, 1L)
+            .otherwise(0L)).as("n_missing"),
+          sum(when(col("owner_dec") === col("owner_exp"), 1L).otherwise(0L))
+            .as("n_owner_ok"),
+          sum(when(col("uid_len") === 56 && col("uid_hex") === col("uid_src"),
+            1L).otherwise(0L)).as("n_uid_ok"),
+          dsum(when(col("s_dec").isNotNull && col("b_dec").isNotNull,
+            col("sell_amt").cast("double") / pow10d(col("s_dec")))
+            .otherwise(lit(0.0))).as("f_sell"),
+          dsum(when(col("s_dec").isNotNull && col("b_dec").isNotNull,
+            col("buy_amt").cast("double") / pow10d(col("b_dec")))
+            .otherwise(lit(0.0))).as("f_buy"))
+      base.select(col("tx_hash"), col("trace_idx"), col("n_trades"))
+        .join(perFrame, Seq("tx_hash", "trace_idx", "n_trades"), "left")
+        .withColumn("status",
+          when(col("n_trades") === 0, "no_trades") // trade_field? fails
+            .when(col("n_missing") > 0, "failed_token") // user_swaps? fails
+            .otherwise("ok"))
+        .groupBy("n_trades")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("status") === "failed_token", 1L).otherwise(0L))
+            .as("n_failed_token"),
+          sum(when(col("status") === "ok", 1L).otherwise(0L)).as("n_ok"),
+          sum(when(col("status") === "ok", col("n_dec")).otherwise(0L))
+            .as("n_user_swaps"),
+          sum(coalesce(col("n_owner_ok"), lit(0L))).as("n_owner_ok"),
+          sum(coalesce(col("n_uid_ok"), lit(0L))).as("n_uid_ok"),
+          dsum(when(col("status") === "ok", col("f_sell"))
+            .otherwise(lit(0.0))).as("sum_sell"),
+          dsum(when(col("status") === "ok", col("f_buy"))
+            .otherwise(lit(0.0))).as("sum_buy"))
+        .orderBy("n_trades")
+    },
+    withCtes(s""", st13 AS (
+        SELECT t.tx_hash, t.trace_idx, CAST(t.q6 AS BIGINT) AS q6l,
+          CAST(t.p2 AS BIGINT) AS p2l, t.tok_id,
+          (CAST(t.q6 AS BIGINT) + CAST(t.p2 AS BIGINT)) % 4 AS n_trades
+        FROM trace t
+        JOIN pool p ON t.to_address = p.address AND p.protocol = 'curve'
+        WHERE t.selector = '$SelV2Swap'),
+      sttr AS (
+        SELECT f.tx_hash, f.trace_idx, f.n_trades,
+          (f.tok_id + 5 * k.k) % $TokRefSpace AS s_id,
+          (f.tok_id + 5 * k.k + 1) % $TokRefSpace AS b_id,
+          f.q6l + 1000 * k.k AS sell_amt, f.p2l + 1000 * k.k AS buy_amt
+        FROM st13 f JOIN (SELECT UNNEST([0, 1, 2]) AS k) k
+          ON k.k < f.n_trades),
+      stfr AS (
+        SELECT t.tx_hash, t.trace_idx, t.n_trades, COUNT(*) AS n_dec,
+          CAST(SUM(CASE WHEN st.token_id IS NULL OR bt.token_id IS NULL
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+          COUNT(*) AS n_owner_ok, COUNT(*) AS n_uid_ok,
+          ${sqlSum(s"""CASE WHEN st.token_id IS NOT NULL AND bt.token_id IS NOT NULL
+            THEN t.sell_amt / ${sqlPow10.format("st.decimals")}
+            ELSE 0.0e0 END""")} AS f_sell,
+          ${sqlSum(s"""CASE WHEN st.token_id IS NOT NULL AND bt.token_id IS NOT NULL
+            THEN t.buy_amt / ${sqlPow10.format("bt.decimals")}
+            ELSE 0.0e0 END""")} AS f_buy
+        FROM sttr t
+        LEFT JOIN tok st ON st.token_id = t.s_id
+        LEFT JOIN tok bt ON bt.token_id = t.b_id
+        GROUP BY 1, 2, 3),
+      stst AS (
+        SELECT f.n_trades,
+          CASE WHEN f.n_trades = 0 THEN 'no_trades'
+               WHEN r.n_missing > 0 THEN 'failed_token'
+               ELSE 'ok' END AS status,
+          r.n_dec, r.n_owner_ok, r.n_uid_ok, r.f_sell, r.f_buy
+        FROM st13 f LEFT JOIN stfr r
+          ON r.tx_hash = f.tx_hash AND r.trace_idx = f.trace_idx)
+      SELECT n_trades, COUNT(*) AS n_frames,
+        CAST(SUM(CASE WHEN status = 'failed_token' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_failed_token,
+        CAST(SUM(CASE WHEN status = 'ok' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_ok,
+        CAST(SUM(CASE WHEN status = 'ok' THEN n_dec ELSE 0 END) AS BIGINT)
+          AS n_user_swaps,
+        CAST(SUM(COALESCE(n_owner_ok, 0)) AS BIGINT) AS n_owner_ok,
+        CAST(SUM(COALESCE(n_uid_ok, 0)) AS BIGINT) AS n_uid_ok,
+        ${sqlSum("CASE WHEN status = 'ok' THEN f_sell ELSE 0.0e0 END")}
+          AS sum_sell,
+        ${sqlSum("CASE WHEN status = 'ok' THEN f_buy ELSE 0.0e0 END")}
+          AS sum_buy
+      FROM stst GROUP BY 1 ORDER BY 1"""))
 
   /** The reference's back-side precedence over classified burn/collect
     * rows (`is_collect`-tagged, per (block_number, from_address, pool)):

@@ -1628,6 +1628,35 @@ class GoldenScenarioSpec extends SparkTestBase {
     assert(b.getAs[Long]("amt1") == 2000L, "sibling arrays are unaffected")
   }
 
+  test("real_abi cowswap: Trade-log owner rides the TOPIC; orderUid walks its data offset") {
+    // cowswap/mod.rs:66-90 + GPv2Settlement.json — Trade(address indexed
+    // owner, sellToken, buyToken, sellAmount, buyAmount, feeAmount, bytes
+    // orderUid): the owner is NOT in the data section, and a real
+    // orderUid is exactly 56 bytes.
+    val owner = "00000000" + "aa" * 16
+    val sellT = "00000000" + "bb" * 16
+    val buyT = "00000000" + "cc" * 16
+    val uid = "de" * 56 // 56-byte orderUid
+    val topic = "0" * 24 + owner
+    val data = "0" * 24 + sellT + "0" * 24 + buyT +
+      w64(5000L) + w64(4900L) + w64(13L) +
+      w64(192L) + w64(56L) + uid.padTo(128, '0')
+    val out = graft.domain.RealAbiOps.tradeLogDecode(
+      Seq((topic, data)).toDF("t", "d")
+        .select(unhex(col("t")).as("topic1"), unhex(col("d")).as("log_data")))
+      .collect()(0)
+    assert(out.getAs[String]("owner_dec") == owner,
+      "the order owner decodes from the indexed TOPIC, not the data words")
+    assert(out.getAs[String]("sell_tok") == sellT &&
+      out.getAs[String]("buy_tok") == buyT)
+    assert(out.getAs[Long]("sell_amt") == 5000L &&
+      out.getAs[Long]("buy_amt") == 4900L && out.getAs[Long]("fee_amt") == 13L)
+    assert(out.getAs[Long]("uid_off") == 192L)
+    assert(out.getAs[Long]("uid_len") == 56L,
+      "a GPv2 orderUid is exactly 56 bytes: digest ‖ owner ‖ validTo")
+    assert(out.getAs[String]("uid_hex") == uid)
+  }
+
   test("real_abi compound: liquidateBorrow is MIXED-source — liquidator from the LOG, amounts filled") {
     // compound_v2.rs:7-38 — borrower + cTokenCollateral from calldata,
     // liquidator/repayAmount/seizeTokens from the LiquidateBorrow event;

@@ -73,6 +73,8 @@ class PlanSpec extends SparkTestBase {
     assert(!plan("q5_jit_real").contains("BroadcastNestedLoopJoin"))
     // loans × child transfers is a (tx, token) equi-join, never nested-loop
     assert(!plan("c5_flashloan_real").contains("BroadcastNestedLoopJoin"))
+    // settle frames × per-frame trade rollup joins on (tx, trace_idx)
+    assert(!plan("c5_settle_real").contains("BroadcastNestedLoopJoin"))
     assert(!plan("j10_composer_dedup").contains("BroadcastNestedLoopJoin"))
     assert(!plan("j10_bundle_dedup").contains("BroadcastNestedLoopJoin"))
     assert(!plan("j4_staged_vwam").contains("BroadcastNestedLoopJoin"))
