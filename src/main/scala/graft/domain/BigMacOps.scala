@@ -415,22 +415,31 @@ object BigMacOps extends QueryModule {
     }
     // the direction-flag conditions live in the aggregate (the same
     // (token, cp) pair may match front through one probe side and back
-    // through the other — the pair, not the probe, is the matched unit)
-    val reach = vAll.distinct().join(onChainFam(sAll.distinct()),
+    // through the other — the pair, not the probe, is the matched unit).
+    // The searcher side is PRE-AGGREGATED to one position ARRAY per
+    // (chain, fam, key, s_flg, s_inf) class before the victim join — at
+    // most ~5 class rows per key instead of one row per position, so the
+    // join's fan-out drops by the position multiplicity while fmax/bmin
+    // (order statistics over the array, g-bounded per victim row) lose
+    // nothing.
+    val sAgg = sAll.distinct()
+      .groupBy((segKeys.map(col) ++ Seq(col("fam"), col("skey"),
+        col("s_flg"), col("s_inf"))): _*)
+      .agg(collect_list(col("s_pos")).as("s_poss"))
+    val reach = vAll.distinct().join(onChainFam(sAgg),
         col("s_block") === col("block_number") && col("s_ktype") === col("ktype") &&
           col("s_k") === col("k") && col("s_seg") === col("seg") &&
           col("fam") === col("s_fam") && col("s_skey") === col("vkey"), "left")
       .groupBy((segKeys.map(col) ++ Seq(col("g"), col("veoa"), col("fam"),
         col("vkey"), col("need_both"))): _*)
       .agg(
-        max(when(col("s_pos") <= col("g") &&
-          (col("fam") === "pool" || col("s_flg") === col("v_to")),
-          col("s_pos"))).as("fmax"),
+        max(when(col("fam") === "pool" || col("s_flg") === col("v_to"),
+          array_max(filter(col("s_poss"), _ <= col("g"))))).as("fmax"),
         // per-tx inferred pools (s_inf) are excluded here: the back side's
         // inferred pools come from the flattened window (backGen)
-        min(when(col("s_pos") >= col("g") + 1 && !col("s_inf") &&
+        min(when(!col("s_inf") &&
           (col("fam") === "pool" || col("s_flg") === !col("v_to")),
-          col("s_pos"))).as("bmin"))
+          array_min(filter(col("s_poss"), _ >= col("g") + 1)))).as("bmin"))
 
     // all ranges within the 6-drop reachability envelope, verified per gap
     val ranges = segs
