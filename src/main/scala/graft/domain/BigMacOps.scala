@@ -114,7 +114,8 @@ object BigMacOps extends QueryModule {
     * that reason). */
   private def pin(df: DataFrame): DataFrame = {
     val s = df.sparkSession
-    if (s.conf.get("spark.graft.bigmac.diskCheckpoint", "false") == "true") {
+    val t0 = System.nanoTime()
+    val out = if (s.conf.get("spark.graft.bigmac.diskCheckpoint", "false") == "true") {
       if (s.sparkContext.getCheckpointDir.isEmpty) {
         val d = java.nio.file.Files.createTempDirectory("graft_ckpt")
         d.toFile.deleteOnExit()
@@ -122,6 +123,9 @@ object BigMacOps extends QueryModule {
       }
       df.checkpoint()
     } else df.localCheckpoint()
+    if (s.conf.get("spark.graft.bigmac.timing", "false") == "true")
+      System.err.println(f"[bigmac pin] ${(System.nanoTime() - t0) / 1e9}%.2f s  cols=${df.columns.take(6).mkString(",")}")
+    out
   }
 
   /** Root `to` contract per tx (trace_idx = 1 is the root frame). */
@@ -872,7 +876,11 @@ object BigMacOps extends QueryModule {
     "q1_bigmac",
     (s, dir) => {
       val hdr = Accounting.bundleHeaders(s, dir).select("tx_hash", "profit_usd")
-      val roots = rootTo(s, dir)
+      // roots feeds tf + txu + gapt; tf feeds gapt + sinf + backGen — pin
+      // both so the grouped/windowed full-actions scans behind them run
+      // once, not once per consumer (the same plan-truncation rationale as
+      // txu/links/pos inside the assembly)
+      val roots = pin(rootTo(s, dir))
       // leg endpoints (NormalizedTransfer {from, to}): the counterparty is
       // the nearest PRECEDING non-transfer frame's contract in trace order
       // (the frame that issued the transfer — a pool calling
@@ -881,7 +889,7 @@ object BigMacOps extends QueryModule {
       val wCp = Window.partitionBy("block_number", "tx_idx")
         .orderBy("trace_idx")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tf = actionsTable(s, dir)
+      val tf = pin(actionsTable(s, dir)
         .withColumn("cp0", last(when(col("action_type").isNull ||
           col("action_type") =!= "transfer", col("to_address")),
           ignoreNulls = true).over(wCp))
@@ -893,7 +901,7 @@ object BigMacOps extends QueryModule {
           when(col("direction") === 0, col("from_address"))
             .otherwise(col("cp")).as("t_from"),
           when(col("direction") === 0, col("cp"))
-            .otherwise(col("from_address")).as("t_to"))
+            .otherwise(col("from_address")).as("t_to")))
       bigmacBundlesOf(InspectorOps.swTxOf(s, dir), roots, hdr, Some(tf))
         .orderBy("block_number", "front_idx", "back_idx", "n_frontruns",
           "chain_sig")
