@@ -323,8 +323,12 @@ case class AbiArrayLen(child: Expression, headIdx: Int) extends UnaryExpression 
     val b = input.asInstanceOf[Array[Byte]]
     if (b.length < headOff + 8) null
     else {
-      var off = 0L
+      // an ABI offset's upper 24 bytes are ALWAYS zero — nonzero high
+      // bytes are corruption, not an offset with small low bytes
       var i = 0
+      while (i < 24) { if (b(headOff - 24 + i) != 0) return null; i += 1 }
+      var off = 0L
+      i = 0
       while (i < 8) { off = (off << 8) | (b(headOff + i) & 0xffL); i += 1 }
       // reject oversized offsets BEFORE the arithmetic: a crafted head word
       // near 2^63 would wrap `4 + off + 24` negative and dodge the length
@@ -347,16 +351,21 @@ case class AbiArrayLen(child: Expression, headIdx: Int) extends UnaryExpression 
       val lenOff = ctx.freshName("lenOff")
       val v = ctx.freshName("w")
       val i = ctx.freshName("i")
+      val pz = ctx.freshName("pz")
       s"""
          |if ($c.length < ${headOff + 8}) {
          |  ${ev.isNull} = true;
          |} else {
+         |  boolean $pz = true;
+         |  for (int $i = 0; $i < 24; $i++) {
+         |    if ($c[${headOff - 24} + $i] != 0) $pz = false;
+         |  }
          |  long $off = 0L;
          |  for (int $i = 0; $i < 8; $i++) {
          |    $off = ($off << 8) | ($c[$headOff + $i] & 0xffL);
          |  }
          |  long $lenOff = 4L + $off + 24L;
-         |  if ($off < 0 || $off > $c.length || $c.length < $lenOff + 8) {
+         |  if (!$pz || $off < 0 || $off > $c.length || $c.length < $lenOff + 8) {
          |    ${ev.isNull} = true;
          |  } else {
          |    long $v = 0L;
@@ -398,8 +407,11 @@ case class AbiArrayElem(child: Expression, headIdx: Int, elemIdx: Int)
     val b = input.asInstanceOf[Array[Byte]]
     if (b.length < headOff + 8) null
     else {
-      var off = 0L
+      // upper-24-zero offset pad, as in AbiArrayLen
       var i = 0
+      while (i < 24) { if (b(headOff - 24 + i) != 0) return null; i += 1 }
+      var off = 0L
+      i = 0
       while (i < 8) { off = (off << 8) | (b(headOff + i) & 0xffL); i += 1 }
       // same oversized-offset rejection as AbiArrayLen: guard before the
       // lenOff/elemOff arithmetic can wrap
@@ -433,16 +445,21 @@ case class AbiArrayElem(child: Expression, headIdx: Int, elemIdx: Int)
       val n = ctx.freshName("n")
       val v = ctx.freshName("w")
       val i = ctx.freshName("i")
+      val pz = ctx.freshName("pz")
       s"""
          |if ($c.length < ${headOff + 8}) {
          |  ${ev.isNull} = true;
          |} else {
+         |  boolean $pz = true;
+         |  for (int $i = 0; $i < 24; $i++) {
+         |    if ($c[${headOff - 24} + $i] != 0) $pz = false;
+         |  }
          |  long $off = 0L;
          |  for (int $i = 0; $i < 8; $i++) {
          |    $off = ($off << 8) | ($c[$headOff + $i] & 0xffL);
          |  }
          |  long $lenOff = 4L + $off + 24L;
-         |  if ($off < 0 || $off > $c.length || $c.length < $lenOff + 8) {
+         |  if (!$pz || $off < 0 || $off > $c.length || $c.length < $lenOff + 8) {
          |    ${ev.isNull} = true;
          |  } else {
          |    long $n = 0L;
@@ -493,8 +510,11 @@ case class AbiArrayAddress(child: Expression, headIdx: Int, elemIdx: Int)
   override def nullSafeEval(input: Any): Any = {
     val b = input.asInstanceOf[Array[Byte]]
     if (b.length < headOff + 8) return null
-    var off = 0L
+    // upper-24-zero offset pad, as in AbiArrayLen
     var i = 0
+    while (i < 24) { if (b(headOff - 24 + i) != 0) return null; i += 1 }
+    var off = 0L
+    i = 0
     while (i < 8) { off = (off << 8) | (b(headOff + i) & 0xffL); i += 1 }
     // same oversized-offset rejection as AbiArrayLen/AbiArrayElem
     if (off < 0 || off > b.length) return null
@@ -534,16 +554,21 @@ case class AbiArrayAddress(child: Expression, headIdx: Int, elemIdx: Int)
       val out = ctx.freshName("hex")
       val i = ctx.freshName("i")
       val v = ctx.freshName("v")
+      val pz = ctx.freshName("pz")
       s"""
          |if ($c.length < ${headOff + 8}) {
          |  ${ev.isNull} = true;
          |} else {
+         |  boolean $pz = true;
+         |  for (int $i = 0; $i < 24; $i++) {
+         |    if ($c[${headOff - 24} + $i] != 0) $pz = false;
+         |  }
          |  long $off = 0L;
          |  for (int $i = 0; $i < 8; $i++) {
          |    $off = ($off << 8) | ($c[$headOff + $i] & 0xffL);
          |  }
          |  long $lenOff = 4L + $off + 24L;
-         |  if ($off < 0 || $off > $c.length || $c.length < $lenOff + 8) {
+         |  if (!$pz || $off < 0 || $off > $c.length || $c.length < $lenOff + 8) {
          |    ${ev.isNull} = true;
          |  } else {
          |    long $n = 0L;
@@ -748,8 +773,14 @@ private[functions] trait AbiTupleGeometry { self: UnaryExpression =>
 
   protected final def tupleFieldOff(b: Array[Byte]): Long = {
     if (b.length < headOff + 8) return -1L
-    var off = 0L
+    // an ABI offset word is a uint256 that must fit the buffer, so its
+    // upper 24 bytes are ALWAYS zero — a nonzero high byte is corruption,
+    // not a huge offset that happens to have small low bytes (mirrors
+    // AbiArrayLen's convention)
     var i = 0
+    while (i < 24) { if (b(headOff - 24 + i) != 0) return -1L; i += 1 }
+    var off = 0L
+    i = 0
     while (i < 8) { off = (off << 8) | (b(headOff + i) & 0xffL); i += 1 }
     if (off < 0 || off > b.length) return -1L
     val f = fieldAt(off)
@@ -790,14 +821,19 @@ case class AbiTupleWord(child: Expression, headIdx: Int, fieldIdx: Int)
       val f = ctx.freshName("f")
       val v = ctx.freshName("w")
       val i = ctx.freshName("i")
+      val pz = ctx.freshName("pz")
       s"""
          |long $f = -1L;
          |if ($c.length >= ${headOff + 8}) {
+         |  boolean $pz = true;
+         |  for (int $i = 0; $i < 24; $i++) {
+         |    if ($c[${headOff - 24} + $i] != 0) $pz = false;
+         |  }
          |  long $off = 0L;
          |  for (int $i = 0; $i < 8; $i++) {
          |    $off = ($off << 8) | ($c[$headOff + $i] & 0xffL);
          |  }
-         |  if ($off >= 0 && $off <= $c.length
+         |  if ($pz && $off >= 0 && $off <= $c.length
          |      && $c.length >= ${4L + fieldIdx * 32L}L + $off + 32L) {
          |    $f = ${4L + fieldIdx * 32L}L + $off;
          |  }
@@ -864,14 +900,19 @@ case class AbiTupleAddress(child: Expression, headIdx: Int, fieldIdx: Int)
       val out = ctx.freshName("hex")
       val v = ctx.freshName("v")
       val i = ctx.freshName("i")
+      val pz = ctx.freshName("pz")
       s"""
          |long $f = -1L;
          |if ($c.length >= ${headOff + 8}) {
+         |  boolean $pz = true;
+         |  for (int $i = 0; $i < 24; $i++) {
+         |    if ($c[${headOff - 24} + $i] != 0) $pz = false;
+         |  }
          |  long $off = 0L;
          |  for (int $i = 0; $i < 8; $i++) {
          |    $off = ($off << 8) | ($c[$headOff + $i] & 0xffL);
          |  }
-         |  if ($off >= 0 && $off <= $c.length
+         |  if ($pz && $off >= 0 && $off <= $c.length
          |      && $c.length >= ${4L + fieldIdx * 32L}L + $off + 32L) {
          |    $f = ${4L + fieldIdx * 32L}L + $off;
          |  }
@@ -944,14 +985,19 @@ case class AbiTupleB32Prefix(child: Expression, headIdx: Int, fieldIdx: Int)
       val out = ctx.freshName("hex")
       val v = ctx.freshName("v")
       val i = ctx.freshName("i")
+      val pz = ctx.freshName("pz")
       s"""
          |long $f = -1L;
          |if ($c.length >= ${headOff + 8}) {
+         |  boolean $pz = true;
+         |  for (int $i = 0; $i < 24; $i++) {
+         |    if ($c[${headOff - 24} + $i] != 0) $pz = false;
+         |  }
          |  long $off = 0L;
          |  for (int $i = 0; $i < 8; $i++) {
          |    $off = ($off << 8) | ($c[$headOff + $i] & 0xffL);
          |  }
-         |  if ($off >= 0 && $off <= $c.length
+         |  if ($pz && $off >= 0 && $off <= $c.length
          |      && $c.length >= ${4L + fieldIdx * 32L}L + $off + 32L) {
          |    $f = ${4L + fieldIdx * 32L}L + $off;
          |  }

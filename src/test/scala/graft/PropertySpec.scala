@@ -226,15 +226,75 @@ class PropertySpec extends SparkTestBase {
     else Some(b.slice(off, off + 20).map("%02x".format(_)).mkString)
 
   /** Tuple field position via the documented low-8-byte offset read, or
-    * -1 when unresolvable (short head, oversized offset, short tail). */
+    * -1 when unresolvable (short head, corrupt high bytes, oversized
+    * offset, short tail). Formulated via BigInteger bitLength — a
+    * DIFFERENT check than the impl's byte scan — so a pad-validation bug
+    * can't hide in a shared formulation. */
   private def refTupleOff(b: Array[Byte], headIdx: Int, fieldIdx: Int): Int = {
     val headOff = 4 + headIdx * 32 + 24
     if (b.length < headOff + 8) return -1
+    // an ABI offset word is zero in its upper 24 bytes
+    if (new java.math.BigInteger(1, b.slice(headOff - 24, headOff + 8))
+        .bitLength() > 64) return -1
     val off = beLong(b, headOff)
     if (off < 0 || off > b.length) return -1
     val f = 4 + off + fieldIdx * 32L
     if (b.length < f + 32) -1 else f.toInt
   }
+
+  /** Dynamic-array geometry: Some((lenPos, len)) when the head offset at
+    * `headIdx` resolves to a readable length word; same pad/bounds rules
+    * as [[refTupleOff]]. */
+  private def refArrayGeom(b: Array[Byte], headIdx: Int): Option[(Long, Long)] = {
+    val headOff = 4 + headIdx * 32 + 24
+    if (b.length < headOff + 8) return None
+    if (new java.math.BigInteger(1, b.slice(headOff - 24, headOff + 8))
+        .bitLength() > 64) return None
+    val off = beLong(b, headOff)
+    if (off < 0 || off > b.length) return None
+    val lenOff = 4 + off + 24
+    if (b.length < lenOff + 8) None else Some((lenOff, beLong(b, lenOff.toInt)))
+  }
+
+  private def refArrayLen(b: Array[Byte], headIdx: Int): Option[Long] =
+    refArrayGeom(b, headIdx).map(_._2)
+
+  private def refArrayElem(b: Array[Byte], headIdx: Int, k: Int): Option[Long] =
+    refArrayGeom(b, headIdx).flatMap { case (lenOff, n) =>
+      val elemOff = lenOff + 32 + 32L * k // low-8 tail of element word k
+      if (k >= n || b.length < elemOff + 8) None
+      else Some(beLong(b, elemOff.toInt))
+    }
+
+  private def refArrayAddr(b: Array[Byte], headIdx: Int, k: Int): Option[String] =
+    refArrayGeom(b, headIdx).flatMap { case (lenOff, n) =>
+      val wordOff = lenOff + 8 + 32L * k // element word k starts after len
+      if (k >= n || b.length < wordOff + 32) None
+      else refAddr(b, wordOff.toInt)
+    }
+
+  /** The query-form dynamic-STRING walk (f5_abi_string / c3_curve_factory
+    * shape): head word at `headIdx` → tail length → content slice, with
+    * SQL substring's clamping on a short tail. Defined only where the
+    * walk RESOLVES (full length word, sane length) — the queries apply it
+    * exclusively to buffers they packed themselves, so hostile lengths
+    * (which would trip the ANSI INT cast) are out of contract; the fuzz
+    * filters to resolvable buffers and checks value equality there. */
+  private def refStrWalk(b: Array[Byte], headIdx: Int): Option[(Long, String)] =
+    refWord(b, 4 + headIdx * 32).flatMap { off =>
+      val lenPos = 4 + off + 24
+      if (off < 0 || lenPos < 0 || b.length < lenPos + 8) None
+      else {
+        val len = beLong(b, lenPos.toInt)
+        if (len < 0 || len > 1000) None
+        else {
+          val from = (4 + off + 32).toInt
+          val content = b.slice(from, math.min(b.length.toLong,
+            from + len).toInt)
+          Some((len, content.map("%02x".format(_)).mkString))
+        }
+      }
+    }
 
   private val abiBufGen: Gen[Array[Byte]] = for {
     nWords <- Gen.chooseNum(0, 11)
@@ -252,7 +312,19 @@ class PropertySpec extends SparkTestBase {
       },
       // plausible tuple/array offset word (32·j, sometimes out of range)
       Gen.chooseNum(0, 14).map(j => Array.fill[Byte](24)(0) ++
-        java.nio.ByteBuffer.allocate(8).putLong(32L * j).array())
+        java.nio.ByteBuffer.allocate(8).putLong(32L * j).array()),
+      // CORRUPT offset word: nonzero high byte, small low 8 — must be
+      // rejected by the upper-24-zero pad check, never resolved
+      Gen.chooseNum(0, 14).map { j =>
+        val w = Array.fill[Byte](24)(0) ++
+          java.nio.ByteBuffer.allocate(8).putLong(32L * j).array()
+        w((j * 7) % 24) = 1 // deterministic corrupt high byte
+        w
+      },
+      // small plain word (acts as an array LENGTH when an offset lands on
+      // it, keeping element reads in range)
+      Gen.chooseNum(0L, 6L).map(n => Array.fill[Byte](24)(0) ++
+        java.nio.ByteBuffer.allocate(8).putLong(n).array())
     ))
     trunc <- Gen.chooseNum(0, 40)
   } yield ("ab54a9d8".grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
@@ -299,6 +371,56 @@ class PropertySpec extends SparkTestBase {
         assert(gs(s"tp$i") == (if (f < 0) None else refB32Prefix(b, f)),
           s"abi_pool_id_address $i len=${b.length}")
       }
+    }
+  }
+
+  test("dynamic-shape decoders equal BigInteger references on random buffers") {
+    // the offset-FOLLOWING decoders — array length/element/address and
+    // the query-form dynamic-string walk — on the same hostile buffer
+    // population: truncations, corrupt head offsets (nonzero high bytes),
+    // out-of-range offsets, lengths past the buffer
+    import graft.functions.AbiCalldata._
+    import spark.implicits._
+    val bufs = (1 to 80).map(s => sample(abiBufGen, 9000L + s)).toList
+    val df = bufs.map(Tuple1(_)).toDF("b")
+    val cols = (0 to 1).flatMap { h =>
+      abi_array_len(col("b"), h).as(s"n$h") +:
+        (0 to 2).flatMap(k => Seq(
+          abi_array_elem(col("b"), h, k).as(s"e${h}_$k"),
+          abi_array_address(col("b"), h, k).as(s"ea${h}_$k")))
+    }
+    val out = df.select(col("b") +: cols: _*).collect()
+    for (r <- out) {
+      val b = r.getAs[Array[Byte]]("b")
+      def gl(n: String): Option[Long] =
+        if (r.isNullAt(r.fieldIndex(n))) None else Some(r.getAs[Long](n))
+      def gs(n: String): Option[String] = Option(r.getAs[String](n))
+      for (h <- 0 to 1) {
+        assert(gl(s"n$h") == refArrayLen(b, h),
+          s"abi_array_len h=$h len=${b.length}")
+        for (k <- 0 to 2) {
+          assert(gl(s"e${h}_$k") == refArrayElem(b, h, k),
+            s"abi_array_elem h=$h k=$k len=${b.length}")
+          assert(gs(s"ea${h}_$k") == refArrayAddr(b, h, k),
+            s"abi_array_address h=$h k=$k len=${b.length}")
+        }
+      }
+    }
+    // string walk: only buffers where the walk RESOLVES are in contract
+    // (the queries pack these buffers themselves); value equality there
+    val resolvable = bufs.map(b => (b, refStrWalk(b, 0)))
+      .collect { case (b, Some(exp)) => (b, exp) }
+    assert(resolvable.nonEmpty, "generator must produce resolvable walks")
+    val sdf = resolvable.map(p => Tuple1(p._1)).toDF("b")
+      .withColumn("off", abi_word(col("b"), 0))
+      .withColumn("len", expr(
+        "CAST(conv(hex(substring(b, CAST(off + 29 AS INT), 8)), 16, 10) AS BIGINT)"))
+      .withColumn("content", lower(hex(expr(
+        "substring(b, CAST(off + 37 AS INT), CAST(len AS INT))"))))
+      .select("len", "content").collect()
+    for (((_, (expLen, expHex)), row) <- resolvable.zip(sdf)) {
+      assert(row.getLong(0) == expLen, s"string len $expLen")
+      assert(row.getString(1) == expHex, s"string content")
     }
   }
 }
