@@ -136,8 +136,11 @@ object ScaleRehearsal {
     if (mode == "run" || mode == "both") run(spark, only)
     if (mode == "sf10gen" || mode == "sf10") gen(spark, 100, Sf10Dir)
     if (mode == "sf10run" || mode == "sf10") runSf10(spark, only)
-    if (mode == "skew") { runSkew(spark); runSkewDomain(spark) }
-    if (mode == "skewdom") runSkewDomain(spark)
+    if (mode == "skew") {
+      runSkew(spark); runSkewDomain(spark); runSkewDomainJit(spark)
+    }
+    if (mode == "skewdom") { runSkewDomain(spark); runSkewDomainJit(spark) }
+    if (mode == "skewjit") runSkewDomainJit(spark)
     spark.stop()
   }
 
@@ -325,27 +328,78 @@ object ScaleRehearsal {
     println(f"""{"metric":"skew_domain","query":"q1_bigmac","hot_frac":${5.0 / 16}%.4f,"blocks":$nBlocks,"uniform_s":$ua%.3f,"hot_s":$ha%.3f,"ratio":${ha / ua}%.2f,"uniform_bundles":$un,"hot_bundles":$hn}""")
   }
 
+  /** Second domain-key skew probe (VERDICT r12 stretch #8) — the OTHER
+    * key family: q5_jit's bracket keying (block, eoa|contract, POOL). One
+    * POOL address carries EVERY mint/burn/victim row globally (hot arm)
+    * vs a control whose pool is per-block unique, with IDENTICAL
+    * per-block structure (one mint→burn bracket, 14 victim swaps). Every
+    * join/group in [[graft.domain.InspectorOps.jitBracketsOf]] keys on
+    * (block_number, eoa, pool) — block-grained — so the globally hot pool
+    * spreads across blocks; ratio ≈ 1 is the measured claim. Bundle
+    * counts must match across arms (cross-checked in the output line). */
+  def runSkewDomainJit(spark: SparkSession): Unit = {
+    val nBlocks = 60000L
+    def arm(hotGlobal: Boolean): (DataFrame, DataFrame) = {
+      val u = spark.range(nBlocks * 16)
+        .select(expr("id div 16").as("block_number"),
+          (col("id") % 16).as("tx_idx"))
+        .withColumn("pool", if (hotGlobal) lit("HOTPOOL")
+          else concat(lit("p"), col("block_number").cast("string")))
+        .withColumn("is_jit", col("tx_idx") === 0 || col("tx_idx") === 15)
+        .withColumn("eoa", when(col("is_jit"),
+            concat(lit("j"), col("block_number").cast("string")))
+          .otherwise(concat(lit("v"), col("block_number").cast("string"),
+            lit("_"), col("tx_idx").cast("string"))))
+      val mb = u.filter(col("is_jit"))
+        .select(col("block_number"), col("eoa").as("from_address"),
+          col("pool"), col("tx_idx"), col("tx_idx").as("trace_idx"),
+          when(col("tx_idx") === 0, "mint").otherwise("burn")
+            .as("action_type"),
+          lit(7L).as("token_in_id"), lit(8L).as("token_out_id"),
+          lit(10.0).as("amount_in"), lit(9.0).as("amount_out"))
+      val v = u.filter(!col("is_jit"))
+        .select(col("block_number"), col("tx_idx"), col("eoa"), col("pool"))
+      (mb, v)
+    }
+    def pass(hot: Boolean): (Double, Long) = {
+      val (mb, v) = arm(hot)
+      spark.sharedState.cacheManager.clearCache()
+      val t0 = System.nanoTime()
+      val n = graft.domain.InspectorOps.jitBracketsOf(mb, v).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    pass(hot = false) // warm: JVM + codegen
+    val (ua, un) = pass(hot = false)
+    val (ha, hn) = pass(hot = true)
+    println(f"[skewjit] uniform $ua%.2fs ($un brackets)  hot-pool $ha%.2fs ($hn brackets)  ratio ${ha / ua}%.2f")
+    println(f"""{"metric":"skew_domain","query":"q5_jit","hot_key":"pool","hot_frac":1.0,"blocks":$nBlocks,"uniform_s":$ua%.3f,"hot_s":$ha%.3f,"ratio":${ha / ua}%.2f,"uniform_bundles":$un,"hot_bundles":$hn}""")
+  }
+
   /** The 100× probe: one warm + one timed pass per query at sf10 against
     * a fresh timed sf0.1 baseline (same JVM, cache cleared between). */
   def runSf10(spark: SparkSession, only: Option[Set[String]]): Unit = {
     // disk-backed pins for the Big Mac assembly so the probe fits the
     // default 8 GiB stand-in heap (see Sf10Probe scaladoc)
     spark.conf.set("spark.graft.bigmac.diskCheckpoint", "true")
-    // 100× data through 32 reducers concentrates 8× more hash-agg state
-    // per task than any real deployment would see — a 1000-executor
-    // cluster runs thousands of reducers. 256 partitions is the
-    // cluster-model config (and is applied to BOTH scales of each probe
-    // row, so the ratio methodology is unchanged). Added in r12 when the
-    // three-arm reach agg (key space ×3) pushed the 32-partition build
-    // past the 8 GiB stand-in heap.
-    spark.conf.set("spark.sql.shuffle.partitions", "256")
+    val basePartitions = spark.conf.get("spark.sql.shuffle.partitions")
     val names = Sf10Probe.filter(n => only.forall(_.contains(n)))
     def consume(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
     def time(name: String, dir: String): Double = {
+      // 100× data through 32 reducers concentrates 8× more hash-agg state
+      // per task than any real deployment would see — a 1000-executor
+      // cluster runs thousands of reducers. 256 partitions is the
+      // cluster-model config for the ONE row that needs it (q1_bigmac's
+      // three-arm reach agg pushed the 32-partition build past the 8 GiB
+      // stand-in heap in r12); it applies to BOTH scales of that row so
+      // its ratio methodology is unchanged, and is SCOPED to that row so
+      // every other row's absolute timing stays comparable across rounds.
+      spark.conf.set("spark.sql.shuffle.partitions",
+        if (name == "q1_bigmac") "256" else basePartitions)
       spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
-      consume(SparkEntry.queries(name)(spark, dir))
+      try consume(SparkEntry.queries(name)(spark, dir))
+      finally spark.conf.set("spark.sql.shuffle.partitions", basePartitions)
       (System.nanoTime() - t0) / 1e9
     }
     names.foreach { n =>

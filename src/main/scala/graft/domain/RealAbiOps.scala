@@ -327,6 +327,14 @@ object RealAbiOps extends graft.QueryModule {
           when((col("q6l") + col("p2l")) % 41 === 0,
             lit(NumTokens.toLong) + col("p2l") % 2).otherwise(col("t1_id")))
         .withColumn("zero_for_one", col("direction") === 0)
+        // PARITY CONTRACT: the sign-resolved direction (a0 < 0 ⇒ token1
+        // in) agrees with the oracle's direction-column resolution ONLY
+        // because q6/p2 are strictly positive (TPC-H l_quantity ≥ 1,
+        // l_extendedprice > 0) — a zero amount would make the two
+        // resolutions disagree and out_raw negative. Fail LOUDLY if a
+        // future fixture/scale breaks that invariant.
+        .filter(assert_true(col("q6l") > 0 && col("p2l") > 0,
+          lit("c1_univ3_swap fixture invariant: q6 > 0 AND p2 > 0")).isNull)
         // pool-view deltas: input side positive, trader-bound side negative
         .withColumn("a0_src",
           when(col("zero_for_one"), col("q6l")).otherwise(-col("p2l")))
@@ -577,6 +585,12 @@ object RealAbiOps extends graft.QueryModule {
           when((col("q6l") + col("p2l")) % 41 === 0,
             lit(NumTokens.toLong) + col("p2l") % 2).otherwise(col("t1_id")))
         .withColumn("log_missing", (col("q6l") + col("p2l")) % 37 === 0)
+        // PARITY CONTRACT (same as c1_univ3_swap): the zero-side direction
+        // resolution (amount0In == 0 ⇒ token1 in) agrees with the oracle's
+        // direction column only while q6/p2 are strictly positive — a zero
+        // q6 would make BOTH in-sides zero and the resolutions diverge.
+        .filter(assert_true(col("q6l") > 0 && col("p2l") > 0,
+          lit("c1_univ2_swap fixture invariant: q6 > 0 AND p2 > 0")).isNull)
         .withColumn("a0in_src",
           when(col("direction") === 0, col("q6l")).otherwise(lit(0L)))
         .withColumn("a1in_src",
