@@ -59,12 +59,12 @@ object RealAbiOps extends graft.QueryModule {
 
   private def withCtes(sql: String) = Some(s"WITH ${ChainFixture.sqlCtes} $sql")
 
-  private def word(c: Column) = lpad(lower(hex(c)), 64, "0")
+  private[domain] def word(c: Column) = lpad(lower(hex(c)), 64, "0")
 
   /** SIGNED int256 word: non-negative values zero-pad; negative values
     * sign-extend with 0xff (hex of a negative BIGINT is already the
     * 16-char two's complement of its low 8 bytes). */
-  private def sword(c: Column) =
+  private[domain] def sword(c: Column) =
     when(c >= 0, word(c)).otherwise(concat(lit("f" * 48), lower(hex(c))))
 
   /** Exact 10^dec as DOUBLE: every power of ten through 10^22 is exactly
@@ -75,9 +75,9 @@ object RealAbiOps extends graft.QueryModule {
     * decimal-string parse of the same values. */
   private val pow10Lits: Column =
     array((0 to 22).map(d => lit(BigDecimal(10).pow(d).toDouble)): _*)
-  private def pow10d(dec: Column) = element_at(pow10Lits, dec.cast("int") + 1)
+  private[domain] def pow10d(dec: Column) = element_at(pow10Lits, dec.cast("int") + 1)
 
-  private val sqlPow10 = "CAST('1' || REPEAT('0', %s) AS DOUBLE)"
+  private[domain] val sqlPow10 = "CAST('1' || REPEAT('0', %s) AS DOUBLE)"
 
   /** The PSM decode core on any frame with (calldata, log_data, is_buy):
     * usr from the address word, gemAmt from calldata word1, fee (bps, DAI

@@ -1718,4 +1718,70 @@ class GoldenScenarioSpec extends SparkTestBase {
     assert(out(0).getAs[Boolean]("receive_atoken"))
     assert(!out(1).getAs[Boolean]("receive_atoken"))
   }
+
+  test("real_abi curve base: add_liquidity arrays are INLINE; the event tail is invariant ‖ supply") {
+    // base3.rs add_liquidity — AddLiquidity data = token_amounts[3] ‖
+    // fees[3] ‖ invariant ‖ token_supply (8 words for a 3-pool); the
+    // calldata's fixed array is inline (words 0-2), min_mint at word 3.
+    // Amounts must come from the LOG — the calldata echo here DISAGREES
+    // on coin 1 and the decode must surface the log's value.
+    val provider = "00000000" + "ab" * 16
+    val cd = "6a627842" + w64(100L) + w64(999L) + w64(300L) + w64(42L)
+    val log = w64(100L) + w64(200L) + w64(300L) + // token_amounts
+      w64(1L) + w64(2L) + w64(3L) + // fees
+      w64(7777L) + w64(8888L) // invariant ‖ token_supply
+    val topic = "0" * 24 + provider.drop(8) + "0" * 8
+    // provider topic: 12 zero bytes ‖ 20 address bytes
+    val topicOk = "0" * 24 + provider
+    val r = graft.domain.RealAbiExtOps.curveAddLiquidityDecode(
+      Seq((cd, log, topicOk)).toDF("c", "l", "t")
+        .select(unhex(col("c")).as("calldata"), unhex(col("l")).as("log_data"),
+          unhex(col("t")).as("topic1")), 3).head()
+    assert(r.getAs[String]("provider") == provider)
+    assert(r.getAs[Long]("amt_dec_0") == 100L &&
+      r.getAs[Long]("amt_dec_1") == 200L && r.getAs[Long]("amt_dec_2") == 300L,
+      "amounts ride the LOG's token_amounts array")
+    assert(r.getAs[Long]("cd_amt_1") == 999L &&
+      r.getAs[Long]("cd_amt_1") != r.getAs[Long]("amt_dec_1"),
+      "the calldata echo is separable — the reference trusts the log")
+    assert(r.getAs[Long]("fee_dec_0") == 1L && r.getAs[Long]("fee_dec_2") == 3L,
+      "fees are the SECOND inline array (words n..2n-1)")
+    assert(r.getAs[Long]("inv_dec") == 7777L, "invariant at word 2n")
+    assert(r.getAs[Long]("supply_dec") == 8888L, "token_supply at word 2n+1")
+    assert(r.getAs[Long]("min_mint_dec") == 42L)
+    assert(topic != topicOk) // the misaligned form above is not a valid topic
+  }
+
+  test("real_abi curve base: remove_liquidity has NO invariant word; one_coin resolves the SIGNED index") {
+    // base3.rs remove_liquidity — RemoveLiquidity data = token_amounts[2]
+    // ‖ fees[2] ‖ token_supply for a 2-pool: the supply sits at word 2n
+    // (= 4), one word EARLIER than the mint layout. A decoder assuming
+    // the mint offset would read past the buffer and NULL.
+    val log2 = w64(10L) + w64(20L) + w64(1L) + w64(2L) + w64(5555L)
+    val cd2 = "89afcb44" + w64(77L) + w64(5L) + w64(10L)
+    val topicOk = "0" * 24 + "00000000" + "cd" * 16
+    val rA = graft.domain.RealAbiExtOps.curveRemoveLiquidityDecode(
+      Seq((cd2, log2, topicOk)).toDF("c", "l", "t")
+        .select(unhex(col("c")).as("calldata"), unhex(col("l")).as("log_data"),
+          unhex(col("t")).as("topic1")), 2).head()
+    assert(rA.getAs[Long]("amt_dec_0") == 10L && rA.getAs[Long]("amt_dec_1") == 20L)
+    assert(rA.getAs[Long]("supply_dec") == 5555L,
+      "token_supply at word 2n — the burn event has no invariant")
+    assert(rA.getAs[Long]("cd_lp_dec") == 77L, "calldata leads with the LP amount")
+    assert(rA.getAs[Long]("cd_min_0") == 5L && rA.getAs[Long]("cd_min_1") == 10L)
+    // one_coin: int128 i is a SIGNED word (abi_int_word); the log's
+    // token_amount (word 0) is the amount the reference scales
+    // (base3.rs:86-130), coin_amount rides word 1
+    val cdOne = "89afcb44" + w64(900L) + w64(2L) + w64(880L)
+    val logOne = w64(900L) + w64(870L)
+    val rB = graft.domain.RealAbiExtOps.curveOneCoinDecode(
+      Seq((cdOne, logOne, topicOk)).toDF("c", "l", "t")
+        .select(unhex(col("c")).as("calldata"), unhex(col("l")).as("log_data"),
+          unhex(col("t")).as("topic1"))).head()
+    assert(rB.getAs[Long]("i_dec") == 2L, "the burned coin is the CALLDATA's i")
+    assert(rB.getAs[Long]("tok_amt_dec") == 900L,
+      "the reference scales log.token_amount, not coin_amount")
+    assert(rB.getAs[Long]("coin_amt_dec") == 870L)
+    assert(rB.getAs[Long]("cd_lp_dec") == 900L && rB.getAs[Long]("cd_min_dec") == 880L)
+  }
 }
