@@ -2,9 +2,11 @@ package graft.domain
 
 import graft.QueryDef
 import graft.functions.AbiCalldata.{abi_address, abi_array_address,
-  abi_array_elem, abi_array_len, abi_int_word, abi_log_address,
-  abi_log_word, abi_pool_id_address, abi_ret_int, abi_tuple_address,
-  abi_tuple_word, abi_word}
+  abi_array_elem, abi_array_len, abi_b32_prefix, abi_int_word,
+  abi_log_address, abi_log_array_address, abi_log_array_elem,
+  abi_log_array_int, abi_log_array_len, abi_log_b32_prefix, abi_log_word,
+  abi_pool_id_address, abi_ret_int, abi_tuple_address, abi_tuple_word,
+  abi_word}
 import graft.ops.ExactAgg.{dsum, sqlSum}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
@@ -55,7 +57,8 @@ object RealAbiOps extends graft.QueryModule {
   def defs: Seq[QueryDef] = Seq(c1PsmSwap, c1CurveUnderlying, c1UniV3Swap,
     c1BalancerOnSwap, c1AaveLiquidation, c1UniV2Swap, c1CompoundLiquidation,
     c1UniV3Mint, c1UniV3BurnCollect, q5JitReal, c3CurveFactory,
-    c1AaveFlashloan, c5FlashloanReal, c5SettleReal)
+    c1AaveFlashloan, c5FlashloanReal, c5SettleReal, c1BalancerJoinExit,
+    c1BalancerRegister)
 
   private def withCtes(sql: String) = Some(s"WITH ${ChainFixture.sqlCtes} $sql")
 
@@ -1929,4 +1932,266 @@ object RealAbiOps extends graft.QueryModule {
           + (burn_out - mint_out) * ${tokenPriceSql("mint_t1")}""")}
           AS sum_fee_usd
       FROM jrv GROUP BY 1 ORDER BY 1"""))
+
+  // ── Balancer V2 joinPool/exitPool + registerTokens: LOG-side arrays ──────
+
+  /** The joinPool/exitPool + PoolBalanceChanged decode core on any frame
+    * with (calldata, log_data): the POOL is the leading 20 bytes of the
+    * STATIC `bytes32 poolId` calldata slot (balancer_v2.rs
+    * `pool_id_to_address(call_data.poolId)` :219-226 — no tuple
+    * indirection, unlike onSwap's SwapRequest), sender/recipient are
+    * calldata words 1/2, and the token/amount vectors ride the
+    * PoolBalanceChanged EVENT's data section as THREE parallel dynamic
+    * arrays at base-0 offsets — `address[] tokens`, SIGNED `int256[]
+    * deltas`, `uint256[] protocolFeeAmounts`
+    * (classifier-abis/balancer/BalancerV2Vault.json; balancer_v2.rs
+    * `logs.tokens` / `logs.deltas[i]`). The delta elements decode under
+    * the sign-extension contract ([[graft.functions.AbiArrayIntElem]]) —
+    * join deltas are positive, exit deltas negative, and the classifier
+    * takes `.abs()` AFTER the zero skip (:85-96). */
+  private[graft] def poolChangeDecode(t: org.apache.spark.sql.DataFrame) = t
+    .withColumn("pool_dec", abi_b32_prefix(col("calldata"), 0))
+    .withColumn("sender_dec", abi_address(col("calldata"), 1))
+    .withColumn("recip_dec", abi_address(col("calldata"), 2))
+    .withColumn("n_tok", abi_log_array_len(col("log_data"), 0))
+    .withColumn("n_del", abi_log_array_len(col("log_data"), 1))
+    .withColumn("n_fee", abi_log_array_len(col("log_data"), 2))
+    .withColumn("tok0", abi_log_array_address(col("log_data"), 0, 0))
+    .withColumn("tok1", abi_log_array_address(col("log_data"), 0, 1))
+    .withColumn("tok2", abi_log_array_address(col("log_data"), 0, 2))
+    .withColumn("del0", abi_log_array_int(col("log_data"), 1, 0))
+    .withColumn("del1", abi_log_array_int(col("log_data"), 1, 1))
+    .withColumn("del2", abi_log_array_int(col("log_data"), 1, 2))
+    .withColumn("fee0", abi_log_array_elem(col("log_data"), 2, 0))
+    .withColumn("fee1", abi_log_array_elem(col("log_data"), 2, 1))
+    .withColumn("fee2", abi_log_array_elem(col("log_data"), 2, 2))
+
+  /** C1 (Balancer V2 `joinPool`/`exitPool` → Mint/Burn): the amounts ride
+    * the PoolBalanceChanged LOG, not the request tuple — the calldata's
+    * JoinPoolRequest is deliberately undecoded, as in the reference
+    * (balancer_v2.rs:137-180 uses only poolId/sender/recipient from the
+    * args). Three reference semantics ride the log decode:
+    *
+    *   - ZERO deltas are SKIPPED before any token fetch
+    *     (`if logs.deltas[i].is_zero() { continue }` :86-88) — a zero
+    *     delta on a MISSING token does NOT quarantine (`n_zero_skipped`);
+    *   - `try_fetch_token_info(token_address)?` inside the loop fails the
+    *     WHOLE classification on the first missing nonzero-delta token
+    *     (:90) — all-or-nothing like [[c5SettleReal]], the opposite arm
+    *     of [[c1AaveFlashloan]]'s per-pair drop (`n_quarantined`);
+    *   - the amount is `deltas[i].abs()` scaled by the token's decimals
+    *     (:91) — the SIGN survives the decode (`n_sign_ok` pins join ⇒
+    *     positive, exit ⇒ negative on every nonzero pair).
+    *
+    * Scale shape: one pruned trace scan, pairs explode ×≤3, one broadcast
+    * token join, one tx-local window for the frame gate, one rollup —
+    * all decode codegen'd. */
+  private val c1BalancerJoinExit = QueryDef(
+    "c1_balancer_join_exit",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = tracesTable(s, dir)
+        .filter(col("selector") === SelMint || col("selector") === SelBurn)
+        .withColumn("kind",
+          when(col("selector") === SelMint, "mint").otherwise("burn"))
+        .withColumn("q6l", col("q6").cast("long"))
+        .withColumn("p2l", col("p2").cast("long"))
+        .withColumn("n_src", lit(1L) + (col("q6l") + col("p2l")) % 3)
+        .withColumn("zero1",
+          col("n_src") >= 2 && col("p2l") % 3 === 0)
+      def tid(k: Int) = (col("tok_id") + 7 * k) % TokRefSpace
+      def magK(k: Int) =
+        if (k == 1) when(col("zero1"), lit(0L))
+          .otherwise(col("q6l") + 1000000L * k)
+        else col("q6l") + 1000000L * k
+      def deltaK(k: Int) =
+        when(col("kind") === "mint", magK(k)).otherwise(-magK(k))
+      def tokWord(k: Int) = when(col("n_src") > k,
+        concat(lit("0" * 32), md5(concat(lit("tok:"), tid(k))))).otherwise(lit(""))
+      def delWord(k: Int) =
+        when(col("n_src") > k, sword(deltaK(k))).otherwise(lit(""))
+      def feeWord(k: Int) = when(col("n_src") > k,
+        word(col("p2l") % 1000 + 7 * k)).otherwise(lit(""))
+      val packed = t
+        .withColumn("calldata", unhex(concat(col("selector"),
+          // bytes32 poolId: 20-byte pool address (= the frame's pool
+          // target, to_address) ‖ 12-byte spec+nonce junk
+          lit("0" * 8), col("to_address"),
+          substring(md5(concat(lit("nonce:"), col("tx_hash"))), 1, 24),
+          lit("0" * 32), col("from_address"), // sender
+          lit("0" * 32), col("from_address"), // recipient
+          word(lit(128L)), // request tuple offset (4 head words)
+          word(lit(1L))))) // request tail (classifier never reads it)
+        .withColumn("log_data", unhex(concat(
+          word(lit(96L)), // tokens[] offset (3 head words)
+          word(lit(128L) + col("n_src") * 32), // deltas[] offset
+          word(lit(160L) + col("n_src") * 64), // protocolFeeAmounts[] offset
+          word(col("n_src")), tokWord(0), tokWord(1), tokWord(2),
+          word(col("n_src")), delWord(0), delWord(1), delWord(2),
+          word(col("n_src")), feeWord(0), feeWord(1), feeWord(2))))
+      val dec = poolChangeDecode(packed)
+        .withColumn("frame_ok",
+          col("pool_dec") === concat(lit("0" * 8), col("to_address")) &&
+          col("sender_dec") === concat(lit("0" * 8), col("from_address")) &&
+          col("recip_dec") === col("sender_dec") &&
+          col("n_tok") === col("n_src") &&
+          col("n_del") === col("n_src") && col("n_fee") === col("n_src"))
+      val pairs = dec.select(col("tx_hash"), col("trace_idx"), col("kind"),
+        col("n_src").as("n_tokens"), col("frame_ok"),
+        explode(array((0 to 2).map(k => struct(lit(k).as("k"),
+          col(s"tok$k").as("tok"), col(s"del$k").as("del"),
+          col(s"fee$k").as("fee"))): _*)).as("p"))
+        .select(col("tx_hash"), col("trace_idx"), col("kind"),
+          col("n_tokens"), col("frame_ok"), col("p.k").as("k"),
+          col("p.tok").as("tok"), col("p.del").as("del"),
+          col("p.fee").as("fee"))
+        .filter(col("tok").isNotNull)
+      val tk = tokens(s).select(
+        md5(concat(lit("tok:"), col("token_id"))).as("tk_addr"),
+        col("decimals").as("tk_dec"))
+      val wFrame = Window.partitionBy("tx_hash", "trace_idx")
+      pairs
+        .join(broadcast(tk), substring(col("tok"), 9, 32) === col("tk_addr"),
+          "left")
+        // try_fetch_token_info(...)? — ONE missing nonzero-delta token
+        // fails the whole frame (balancer_v2.rs:90)
+        .withColumn("frame_missing", max(
+          when(col("del") =!= 0 && col("tk_dec").isNull, 1).otherwise(0))
+          .over(wFrame))
+        .groupBy("kind", "n_tokens")
+        .agg(
+          sum(when(col("k") === 0, 1L).otherwise(0L)).as("n_frames"),
+          sum(when(col("k") === 0 && col("frame_ok"), 1L).otherwise(0L))
+            .as("n_frame_ok"),
+          sum(when(col("del") === 0, 1L).otherwise(0L)).as("n_zero_skipped"),
+          sum(when(col("k") === 0 && col("frame_missing") === 1, 1L)
+            .otherwise(0L)).as("n_quarantined"),
+          sum(when(col("del") =!= 0 &&
+            ((col("kind") === "mint" && col("del") > 0) ||
+             (col("kind") === "burn" && col("del") < 0)), 1L).otherwise(0L))
+            .as("n_sign_ok"),
+          dsum(when(col("frame_missing") === 0 && col("del") =!= 0 &&
+            col("tk_dec").isNotNull,
+            abs(col("del")).cast("double") / pow10d(col("tk_dec")))
+            .otherwise(lit(0.0))).as("sum_scaled"),
+          sum(col("fee")).as("sum_fees"))
+        .orderBy("kind", "n_tokens")
+    },
+    withCtes(s""", bj13 AS (
+        SELECT t.tx_hash, t.trace_idx,
+          CASE WHEN t.selector = '$SelMint' THEN 'mint' ELSE 'burn' END
+            AS kind,
+          CAST(t.q6 AS BIGINT) AS q6l, CAST(t.p2 AS BIGINT) AS p2l,
+          t.tok_id,
+          1 + (CAST(t.q6 AS BIGINT) + CAST(t.p2 AS BIGINT)) % 3 AS n_tokens
+        FROM trace t WHERE t.selector IN ('$SelMint', '$SelBurn')),
+      bjp13 AS (
+        SELECT f.*, k.k, (f.tok_id + 7 * k.k) % $TokRefSpace AS tid,
+          CASE WHEN f.n_tokens >= 2 AND f.p2l % 3 = 0 AND k.k = 1 THEN 0
+            ELSE f.q6l + 1000000 * k.k END AS mag,
+          f.p2l % 1000 + 7 * k.k AS fee
+        FROM bj13 f JOIN (SELECT UNNEST([0, 1, 2]) AS k) k
+          ON k.k < f.n_tokens),
+      bjw13 AS (
+        SELECT p.*, tk.decimals AS dec,
+          MAX(CASE WHEN p.mag <> 0 AND tk.token_id IS NULL THEN 1 ELSE 0 END)
+            OVER (PARTITION BY p.tx_hash, p.trace_idx) AS frame_missing
+        FROM bjp13 p LEFT JOIN tok tk ON tk.token_id = p.tid)
+      SELECT kind, n_tokens,
+        CAST(SUM(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_frames,
+        CAST(SUM(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_frame_ok,
+        CAST(SUM(CASE WHEN mag = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_zero_skipped,
+        CAST(SUM(CASE WHEN k = 0 AND frame_missing = 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_quarantined,
+        CAST(SUM(CASE WHEN mag <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_sign_ok,
+        ${sqlSum(s"""CASE WHEN frame_missing = 0 AND mag <> 0
+            AND dec IS NOT NULL
+          THEN mag / ${sqlPow10.format("dec")} ELSE 0.0e0 END""")}
+          AS sum_scaled,
+        CAST(SUM(fee) AS BIGINT) AS sum_fees
+      FROM bjw13 GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** C1 (Balancer V2 `registerTokens` → PoolConfigUpdate): the pool rides
+    * the TokensRegistered event's INDEXED `bytes32 poolId` TOPIC (decoded
+    * with the base-0 [[graft.functions.AbiB32Prefix]] — first 20 bytes,
+    * balancer_v2.rs:203-216 `pool_id_to_address(logs.poolId)`), and the
+    * data section is TWO parallel dynamic address arrays — `address[]
+    * tokens` and `address[] assetManagers`. Distinctively, the tokens
+    * pass through RAW (`tokens: logs.tokens` — no token-info fetch, so
+    * there is NO quarantine arm here; an unregistered token id still
+    * updates the config). `n_parallel_ok` pins the two decoded lengths
+    * agreeing; `n_mgr_ok` the manager echo.
+    *
+    * Scale shape: one pruned trace scan, no joins at all — the decode is
+    * row-local and the single rollup groups on a 3-value key. */
+  private val c1BalancerRegister = QueryDef(
+    "c1_balancer_register",
+    (s, dir) => {
+      val t = tracesTable(s, dir)
+        .filter(col("selector") === SelLiquidation)
+        .withColumn("q6l", col("q6").cast("long"))
+        .withColumn("p2l", col("p2").cast("long"))
+        .withColumn("n_src", lit(1L) + (col("q6l") + col("p2l")) % 3)
+      def tid(k: Int) = (col("tok_id") + 7 * k) % TokRefSpace
+      def tokWord(k: Int) = when(col("n_src") > k,
+        concat(lit("0" * 32), md5(concat(lit("tok:"), tid(k))))).otherwise(lit(""))
+      def mgrWord(k: Int) = when(col("n_src") > k,
+        concat(lit("0" * 32), md5(concat(lit("mgr:"), (col("p2l") + k) % 12))))
+        .otherwise(lit(""))
+      val packed = t
+        .withColumn("topic1", unhex(concat(
+          lit("0" * 8), col("to_address"),
+          substring(md5(concat(lit("nonce:"), col("tx_hash"))), 1, 24))))
+        .withColumn("log_data", unhex(concat(
+          word(lit(64L)), // tokens[] offset (2 head words)
+          word(lit(96L) + col("n_src") * 32), // assetManagers[] offset
+          word(col("n_src")), tokWord(0), tokWord(1), tokWord(2),
+          word(col("n_src")), mgrWord(0), mgrWord(1), mgrWord(2))))
+      val dec = packed
+        .withColumn("pool_dec", abi_log_b32_prefix(col("topic1"), 0))
+        .withColumn("n_tok", abi_log_array_len(col("log_data"), 0))
+        .withColumn("n_mgr", abi_log_array_len(col("log_data"), 1))
+      val pairs = dec.select(col("n_src").as("n_tokens"),
+        col("pool_dec"), col("to_address"), col("p2l"),
+        col("n_tok"), col("n_mgr"),
+        explode(array((0 to 2).map(k => struct(lit(k).as("k"),
+          abi_log_array_address(col("log_data"), 0, k).as("tok"),
+          abi_log_array_address(col("log_data"), 1, k).as("mgr"))): _*))
+          .as("p"))
+        .select(col("n_tokens"), col("pool_dec"), col("to_address"),
+          col("p2l"), col("n_tok"), col("n_mgr"), col("p.k").as("k"),
+          col("p.tok").as("tok"), col("p.mgr").as("mgr"))
+        .filter(col("tok").isNotNull)
+      pairs.groupBy("n_tokens")
+        .agg(
+          sum(when(col("k") === 0, 1L).otherwise(0L)).as("n_frames"),
+          sum(when(col("k") === 0 &&
+            col("pool_dec") === concat(lit("0" * 8), col("to_address")), 1L)
+            .otherwise(0L)).as("n_pool_ok"),
+          sum(when(col("k") === 0 && col("n_tok") === col("n_mgr"), 1L)
+            .otherwise(0L)).as("n_parallel_ok"),
+          count(lit(1)).as("n_tok_dec"),
+          sum(when(col("mgr") === concat(lit("0" * 8),
+            md5(concat(lit("mgr:"), (col("p2l") + col("k")) % 12))), 1L)
+            .otherwise(0L)).as("n_mgr_ok"))
+        .orderBy("n_tokens")
+    },
+    withCtes(s""", br13 AS (
+        SELECT t.tx_hash, t.trace_idx,
+          CAST(t.q6 AS BIGINT) AS q6l, CAST(t.p2 AS BIGINT) AS p2l,
+          1 + (CAST(t.q6 AS BIGINT) + CAST(t.p2 AS BIGINT)) % 3 AS n_tokens
+        FROM trace t WHERE t.selector = '$SelLiquidation'),
+      brp13 AS (
+        SELECT f.*, k.k FROM br13 f
+        JOIN (SELECT UNNEST([0, 1, 2]) AS k) k ON k.k < f.n_tokens)
+      SELECT n_tokens,
+        CAST(SUM(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_frames,
+        CAST(SUM(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pool_ok,
+        CAST(SUM(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_parallel_ok,
+        CAST(COUNT(*) AS BIGINT) AS n_tok_dec,
+        CAST(COUNT(*) AS BIGINT) AS n_mgr_ok
+      FROM brp13 GROUP BY 1 ORDER BY 1"""))
 }

@@ -119,6 +119,50 @@ object AbiCalldata {
     * (classifiers/aave/v2.rs `call_data.assets`). */
   def abi_array_address(c: Column, headIdx: Int, elemIdx: Int): Column =
     B.column(AbiArrayAddress(B.expression(c), headIdx, elemIdx))
+
+  /** [[abi_array_len]] over a BARE-word buffer (event-log `data` — no
+    * 4-byte selector, and ABI offsets are relative to the data start).
+    * The Balancer-V2-style source: `PoolBalanceChanged(..., address[]
+    * tokens, int256[] deltas, ...)` rides the LOG, not the calldata
+    * (classifiers/balancer/balancer_v2.rs `logs.tokens`). */
+  def abi_log_array_len(c: Column, headIdx: Int): Column =
+    B.column(AbiArrayLen(B.expression(c), headIdx, base = 0))
+
+  /** [[abi_array_elem]] over a bare-word (log/return) buffer. */
+  def abi_log_array_elem(c: Column, headIdx: Int, elemIdx: Int): Column =
+    B.column(AbiArrayElem(B.expression(c), headIdx, elemIdx, base = 0))
+
+  /** [[abi_array_address]] over a bare-word (log/return) buffer. */
+  def abi_log_array_address(c: Column, headIdx: Int, elemIdx: Int): Column =
+    B.column(AbiArrayAddress(B.expression(c), headIdx, elemIdx, base = 0))
+
+  /** SIGNED int256 ELEMENT of the dynamic array whose offset pointer sits
+    * in head word `headIdx`: [[abi_array_elem]]'s offset-and-length walk
+    * with [[abi_ret_int]]'s sign-extension contract on the element word
+    * (upper 24 bytes uniform 0x00/0xff agreeing with the low word's sign
+    * bit; out-of-i64-range → NULL). The `int256[] deltas` arm of Balancer
+    * V2 `PoolBalanceChanged` (classifiers/balancer/balancer_v2.rs
+    * `logs.deltas[i]` — negative on exit, positive on join). */
+  def abi_array_int(c: Column, headIdx: Int, elemIdx: Int): Column =
+    B.column(AbiArrayIntElem(B.expression(c), headIdx, elemIdx))
+
+  /** [[abi_array_int]] over a bare-word (log/return) buffer. */
+  def abi_log_array_int(c: Column, headIdx: Int, elemIdx: Int): Column =
+    B.column(AbiArrayIntElem(B.expression(c), headIdx, elemIdx, base = 0))
+
+  /** LEADING 20 bytes of the STATIC word at position `wordIdx` as 40-char
+    * hex — the `bytes32 poolId` shape in a fixed calldata slot (Balancer
+    * V2 `joinPool(bytes32 poolId, ...)`, balancer_v2.rs
+    * `pool_id_to_address(call_data.poolId)` :219-226). Unlike
+    * [[abi_pool_id_address]] there is NO tuple indirection; the trailing
+    * 12 bytes (specialization + nonce) are free, so no pad validation. */
+  def abi_b32_prefix(c: Column, wordIdx: Int): Column =
+    B.column(AbiB32Prefix(B.expression(c), wordIdx))
+
+  /** [[abi_b32_prefix]] over a bare-word buffer (an indexed `bytes32`
+    * TOPIC, e.g. TokensRegistered's poolId topic1). */
+  def abi_log_b32_prefix(c: Column, wordIdx: Int): Column =
+    B.column(AbiB32Prefix(B.expression(c), wordIdx, base = 0))
 }
 
 case class AbiWord(child: Expression, wordIdx: Int) extends UnaryExpression {
@@ -302,12 +346,15 @@ case class AbiLogWord(child: Expression, wordIdx: Int) extends UnaryExpression {
   * byte offset (from the args start, i.e. after the selector) of the tail;
   * the tail's first word is the element count. NULL when the calldata is
   * too short at either hop. */
-case class AbiArrayLen(child: Expression, headIdx: Int) extends UnaryExpression {
+case class AbiArrayLen(child: Expression, headIdx: Int, base: Int = 4)
+    extends UnaryExpression {
   require(headIdx >= 0, "headIdx must be non-negative")
+  require(base == 4 || base == 0, "base is 4 (calldata) or 0 (log/return)")
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
-  override def prettyName: String = "abi_array_len"
+  override def prettyName: String =
+    if (base == 0) "abi_log_array_len" else "abi_array_len"
   // SQL-surface type contract: a wrong-typed argument fails at
   // ANALYSIS time instead of as a codegen/eval ClassCastException
   // (AbstractDataType/ExpectsInputTypes are private[sql], so the public
@@ -317,7 +364,7 @@ case class AbiArrayLen(child: Expression, headIdx: Int) extends UnaryExpression 
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires BINARY input, got ${child.dataType.catalogString}")
 
-  private val headOff = 4 + headIdx * 32 + 24
+  private val headOff = base + headIdx * 32 + 24
 
   override def nullSafeEval(input: Any): Any = {
     val b = input.asInstanceOf[Array[Byte]]
@@ -331,10 +378,10 @@ case class AbiArrayLen(child: Expression, headIdx: Int) extends UnaryExpression 
       i = 0
       while (i < 8) { off = (off << 8) | (b(headOff + i) & 0xffL); i += 1 }
       // reject oversized offsets BEFORE the arithmetic: a crafted head word
-      // near 2^63 would wrap `4 + off + 24` negative and dodge the length
+      // near 2^63 would wrap `base + off + 24` negative and dodge the length
       // check, turning corrupt bytes into an AIOOBE instead of NULL
       if (off < 0 || off > b.length) return null
-      val lenOff = 4 + off + 24
+      val lenOff = base + off + 24
       if (b.length < lenOff + 8) null
       else {
         var v = 0L
@@ -364,7 +411,7 @@ case class AbiArrayLen(child: Expression, headIdx: Int) extends UnaryExpression 
          |  for (int $i = 0; $i < 8; $i++) {
          |    $off = ($off << 8) | ($c[$headOff + $i] & 0xffL);
          |  }
-         |  long $lenOff = 4L + $off + 24L;
+         |  long $lenOff = ${base}L + $off + 24L;
          |  if (!$pz || $off < 0 || $off > $c.length || $c.length < $lenOff + 8) {
          |    ${ev.isNull} = true;
          |  } else {
@@ -385,13 +432,15 @@ case class AbiArrayLen(child: Expression, headIdx: Int) extends UnaryExpression 
 /** Dynamic-array ELEMENT via offset-following: element `elemIdx`'s low 8
   * bytes as BIGINT; NULL when `elemIdx >= length` (decoded, not assumed)
   * or the buffer is short. */
-case class AbiArrayElem(child: Expression, headIdx: Int, elemIdx: Int)
-    extends UnaryExpression {
+case class AbiArrayElem(child: Expression, headIdx: Int, elemIdx: Int,
+    base: Int = 4) extends UnaryExpression {
   require(headIdx >= 0 && elemIdx >= 0, "indices must be non-negative")
+  require(base == 4 || base == 0, "base is 4 (calldata) or 0 (log/return)")
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
-  override def prettyName: String = "abi_array_elem"
+  override def prettyName: String =
+    if (base == 0) "abi_log_array_elem" else "abi_array_elem"
   // SQL-surface type contract: a wrong-typed argument fails at
   // ANALYSIS time instead of as a codegen/eval ClassCastException
   // (AbstractDataType/ExpectsInputTypes are private[sql], so the public
@@ -401,7 +450,7 @@ case class AbiArrayElem(child: Expression, headIdx: Int, elemIdx: Int)
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires BINARY input, got ${child.dataType.catalogString}")
 
-  private val headOff = 4 + headIdx * 32 + 24
+  private val headOff = base + headIdx * 32 + 24
 
   override def nullSafeEval(input: Any): Any = {
     val b = input.asInstanceOf[Array[Byte]]
@@ -416,7 +465,7 @@ case class AbiArrayElem(child: Expression, headIdx: Int, elemIdx: Int)
       // same oversized-offset rejection as AbiArrayLen: guard before the
       // lenOff/elemOff arithmetic can wrap
       if (off < 0 || off > b.length) return null
-      val lenOff = 4 + off + 24
+      val lenOff = base + off + 24
       if (b.length < lenOff + 8) null
       else {
         var n = 0L
@@ -458,7 +507,7 @@ case class AbiArrayElem(child: Expression, headIdx: Int, elemIdx: Int)
          |  for (int $i = 0; $i < 8; $i++) {
          |    $off = ($off << 8) | ($c[$headOff + $i] & 0xffL);
          |  }
-         |  long $lenOff = 4L + $off + 24L;
+         |  long $lenOff = ${base}L + $off + 24L;
          |  if (!$pz || $off < 0 || $off > $c.length || $c.length < $lenOff + 8) {
          |    ${ev.isNull} = true;
          |  } else {
@@ -491,13 +540,15 @@ case class AbiArrayElem(child: Expression, headIdx: Int, elemIdx: Int)
   * leading 12 bytes validated zero (nonzero pad → NULL, not a truncated
   * address); NULL when `elemIdx >= length` or the buffer is short. The
   * `address[] assets` arm of Aave V2 flashLoan (classifiers/aave/v2.rs). */
-case class AbiArrayAddress(child: Expression, headIdx: Int, elemIdx: Int)
-    extends UnaryExpression {
+case class AbiArrayAddress(child: Expression, headIdx: Int, elemIdx: Int,
+    base: Int = 4) extends UnaryExpression {
   require(headIdx >= 0 && elemIdx >= 0, "indices must be non-negative")
+  require(base == 4 || base == 0, "base is 4 (calldata) or 0 (log/return)")
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
-  override def prettyName: String = "abi_array_address"
+  override def prettyName: String =
+    if (base == 0) "abi_log_array_address" else "abi_array_address"
   // SQL-surface type contract: a wrong-typed argument fails at
   // ANALYSIS time instead of as a codegen/eval ClassCastException
   override def checkInputDataTypes(): TypeCheckResult =
@@ -505,7 +556,7 @@ case class AbiArrayAddress(child: Expression, headIdx: Int, elemIdx: Int)
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires BINARY input, got ${child.dataType.catalogString}")
 
-  private val headOff = 4 + headIdx * 32 + 24
+  private val headOff = base + headIdx * 32 + 24
 
   override def nullSafeEval(input: Any): Any = {
     val b = input.asInstanceOf[Array[Byte]]
@@ -518,7 +569,7 @@ case class AbiArrayAddress(child: Expression, headIdx: Int, elemIdx: Int)
     while (i < 8) { off = (off << 8) | (b(headOff + i) & 0xffL); i += 1 }
     // same oversized-offset rejection as AbiArrayLen/AbiArrayElem
     if (off < 0 || off > b.length) return null
-    val lenOff = 4 + off + 24
+    val lenOff = base + off + 24
     if (b.length < lenOff + 8) return null
     var n = 0L
     i = 0
@@ -567,7 +618,7 @@ case class AbiArrayAddress(child: Expression, headIdx: Int, elemIdx: Int)
          |  for (int $i = 0; $i < 8; $i++) {
          |    $off = ($off << 8) | ($c[$headOff + $i] & 0xffL);
          |  }
-         |  long $lenOff = 4L + $off + 24L;
+         |  long $lenOff = ${base}L + $off + 24L;
          |  if (!$pz || $off < 0 || $off > $c.length || $c.length < $lenOff + 8) {
          |    ${ev.isNull} = true;
          |  } else {
@@ -597,6 +648,192 @@ case class AbiArrayAddress(child: Expression, headIdx: Int, elemIdx: Int)
          |      }
          |    }
          |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** SIGNED int256 ELEMENT via offset-following: the same
+  * head-offset/length walk as [[AbiArrayElem]], but the element decodes
+  * under [[AbiRetIntWord]]'s sign contract — upper 24 bytes uniform
+  * 0x00/0xff, agreeing with the low word's sign bit (a proper two's
+  * complement sign extension); anything else → NULL, never a silently
+  * wrapped magnitude. The `int256[] deltas` member of Balancer V2's
+  * PoolBalanceChanged event (balancer_v2.rs `logs.deltas[i]` — the
+  * classifier takes `.abs()` after a zero skip; the SIGN must survive
+  * the decode for that arm to exist). */
+case class AbiArrayIntElem(child: Expression, headIdx: Int, elemIdx: Int,
+    base: Int = 4) extends UnaryExpression {
+  require(headIdx >= 0 && elemIdx >= 0, "indices must be non-negative")
+  require(base == 4 || base == 0, "base is 4 (calldata) or 0 (log/return)")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String =
+    if (base == 0) "abi_log_array_int" else "abi_array_int"
+  // SQL-surface type contract (see AbiWord)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BINARY input, got ${child.dataType.catalogString}")
+
+  private val headOff = base + headIdx * 32 + 24
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    if (b.length < headOff + 8) return null
+    // upper-24-zero offset pad, as in AbiArrayLen
+    var i = 0
+    while (i < 24) { if (b(headOff - 24 + i) != 0) return null; i += 1 }
+    var off = 0L
+    i = 0
+    while (i < 8) { off = (off << 8) | (b(headOff + i) & 0xffL); i += 1 }
+    // same oversized-offset rejection as AbiArrayLen: guard before the
+    // lenOff/elemOff arithmetic can wrap
+    if (off < 0 || off > b.length) return null
+    val lenOff = base + off + 24
+    if (b.length < lenOff + 8) return null
+    var n = 0L
+    i = 0
+    while (i < 8) { n = (n << 8) | (b(lenOff.toInt + i) & 0xffL); i += 1 }
+    // element WORD starts 8 bytes after the length tail: lenOff + 8 + 32j
+    val wordOff = lenOff + 8 + elemIdx * 32L
+    if (elemIdx >= n || b.length < wordOff + 32) return null
+    val w = wordOff.toInt
+    val ext = b(w) & 0xff
+    if (ext != 0 && ext != 0xff) return null
+    var ok = true
+    i = 1
+    while (i < 24) { if ((b(w + i) & 0xff) != ext) ok = false; i += 1 }
+    if (!ok || ((b(w + 24) & 0x80) == 0x80) != (ext == 0xff)) null
+    else {
+      var v = 0L
+      i = 0
+      while (i < 8) { v = (v << 8) | (b(w + 24 + i) & 0xffL); i += 1 }
+      v
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val off = ctx.freshName("off")
+      val lenOff = ctx.freshName("lenOff")
+      val wOff = ctx.freshName("wOff")
+      val n = ctx.freshName("n")
+      val v = ctx.freshName("w")
+      val i = ctx.freshName("i")
+      val pz = ctx.freshName("pz")
+      val ext = ctx.freshName("ext")
+      val ok = ctx.freshName("ok")
+      s"""
+         |if ($c.length < ${headOff + 8}) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  boolean $pz = true;
+         |  for (int $i = 0; $i < 24; $i++) {
+         |    if ($c[${headOff - 24} + $i] != 0) $pz = false;
+         |  }
+         |  long $off = 0L;
+         |  for (int $i = 0; $i < 8; $i++) {
+         |    $off = ($off << 8) | ($c[$headOff + $i] & 0xffL);
+         |  }
+         |  long $lenOff = ${base}L + $off + 24L;
+         |  if (!$pz || $off < 0 || $off > $c.length || $c.length < $lenOff + 8) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    long $n = 0L;
+         |    for (int $i = 0; $i < 8; $i++) {
+         |      $n = ($n << 8) | ($c[(int) $lenOff + $i] & 0xffL);
+         |    }
+         |    long $wOff = $lenOff + 8L + ${elemIdx}L * 32L;
+         |    if (${elemIdx}L >= $n || $c.length < $wOff + 32) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      int $ext = $c[(int) $wOff] & 0xff;
+         |      boolean $ok = $ext == 0 || $ext == 0xff;
+         |      for (int $i = 1; $ok && $i < 24; $i++) {
+         |        if (($c[(int) $wOff + $i] & 0xff) != $ext) $ok = false;
+         |      }
+         |      if (!$ok ||
+         |          ((($c[(int) $wOff + 24] & 0x80) == 0x80) != ($ext == 0xff))) {
+         |        ${ev.isNull} = true;
+         |      } else {
+         |        long $v = 0L;
+         |        for (int $i = 0; $i < 8; $i++) {
+         |          $v = ($v << 8) | ($c[(int) $wOff + 24 + $i] & 0xffL);
+         |        }
+         |        ${ev.value} = $v;
+         |      }
+         |    }
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** LEADING 20 bytes of a STATIC 32-byte word as 40-char hex — the
+  * `bytes32 poolId` shape in a FIXED slot (no tuple indirection, cf.
+  * [[AbiTupleB32Prefix]]): "the first portion of which is the pool's
+  * contract address" (balancer_v2.rs pool_id_to_address :219-226).
+  * `base = 4` reads calldata slot `wordIdx` after the selector; `base =
+  * 0` reads a bare-word buffer — return data, or an indexed bytes32
+  * TOPIC (TokensRegistered's poolId). The trailing 12 bytes
+  * (specialization + nonce) are free; no pad validation. */
+case class AbiB32Prefix(child: Expression, wordIdx: Int, base: Int = 4)
+    extends UnaryExpression {
+  require(wordIdx >= 0, "wordIdx must be non-negative")
+  require(base == 4 || base == 0, "base is 4 (calldata) or 0 (log/return)")
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String =
+    if (base == 0) "abi_log_b32_prefix" else "abi_b32_prefix"
+  // SQL-surface type contract (see AbiWord)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BINARY input, got ${child.dataType.catalogString}")
+
+  private val wordOff = base + wordIdx * 32
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    if (b.length < wordOff + 32) null
+    else {
+      val out = new Array[Byte](40)
+      var i = 0
+      while (i < 20) {
+        val v = b(wordOff + i) & 0xff
+        out(2 * i) = Character.forDigit(v >>> 4, 16).toByte
+        out(2 * i + 1) = Character.forDigit(v & 0xf, 16).toByte
+        i += 1
+      }
+      UTF8String.fromBytes(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("out")
+      val v = ctx.freshName("v")
+      val i = ctx.freshName("i")
+      s"""
+         |if ($c.length < ${wordOff + 32}) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  byte[] $out = new byte[40];
+         |  for (int $i = 0; $i < 20; $i++) {
+         |    int $v = $c[$wordOff + $i] & 0xff;
+         |    $out[2 * $i] = (byte) java.lang.Character.forDigit($v >>> 4, 16);
+         |    $out[2 * $i + 1] = (byte) java.lang.Character.forDigit($v & 0xf, 16);
+         |  }
+         |  ${ev.value} = UTF8String.fromBytes($out);
          |}
        """.stripMargin
     })

@@ -1543,6 +1543,71 @@ class GoldenScenarioSpec extends SparkTestBase {
       "collects displace burns per (block, eoa, pool); burn-only groups keep burns")
   }
 
+  test("real_abi balancer join/exit: deltas are SIGNED, zeros skip, pool = STATIC poolId[0..20]") {
+    // balancer_v2.rs:78-180 — joinPool/exitPool take only poolId/sender/
+    // recipient from the calldata; tokens and amounts ride the
+    // PoolBalanceChanged EVENT's three base-0 dynamic arrays, deltas are
+    // int256 (negative on exit), zero deltas skip BEFORE the token fetch.
+    // Values from the reference's own txs: test_balancer_v2_join_pool
+    // (ffed34d6…) and test_balancer_v2_exit_pool (ad13973e…).
+    val pool = "848a5564158d84b8a8fb68ab5d004fae11619a54"
+    val weeth = "cd5fe23c85820f7b72d0926fc9b05b43e359b7ee"
+    val ezeth = "bf5495efe5db9ce00f80364c8b423567e58d2110"
+    val rsweth = "fae103dc9cf190ed75350761e95403b7b8afa6c0"
+    val joinFrom = "750c31d2290c456fcca1c659b6add80e7a88f881"
+    val exitFrom = "f4283d13ba1e17b33bb3310c3149136a2ef79ef7"
+    // poolId = pool address ‖ 12 junk bytes (specialization + nonce —
+    // NOT validated, only the leading 20 identify the pool)
+    def cd(sel: String, sender: String) = sel + pool + "deadbeef" * 3 +
+      "0" * 24 + sender + "0" * 24 + sender + w64(128L) + w64(1L)
+    def sw64(v: Long) = if (v >= 0) w64(v) else "f" * 48 + f"$v%016x"
+    def logData(toks: Seq[String], dels: Seq[Long], fees: Seq[Long]) = {
+      val n = toks.size
+      w64(96L) + w64(128L + 32 * n) + w64(160L + 64 * n) +
+        w64(n.toLong) + toks.map("0" * 24 + _).mkString +
+        w64(n.toLong) + dels.map(sw64).mkString +
+        w64(n.toLong) + fees.map(w64).mkString
+    }
+    // join: TWO tokens in the log, ONE nonzero delta → Mint keeps weETH only
+    val join = (cd("b95cac28", joinFrom),
+      logData(Seq(weeth, ezeth), Seq(1935117712922949743L, 0L), Seq(0L, 0L)))
+    // exit: three NEGATIVE deltas → Burn with the abs amounts
+    val exit = (cd("8bdb3913", exitFrom),
+      logData(Seq(ezeth, weeth, rsweth),
+        Seq(-471937215318872937L, -757823171697267931L, -699970729674926490L),
+        Seq(1L, 2L, 3L)))
+    // corrupt: the delta element's high bytes are NOT a sign extension
+    // (0x01 ‖ zeros ‖ value) — must NULL, never a wrapped magnitude.
+    // n=1 geometry: deltas tail at byte 160, element word at 192.
+    val corrupt = (cd("b95cac28", joinFrom),
+      logData(Seq(weeth), Seq(5L), Seq(0L)).patch(192 * 2, "01", 2))
+    val out = graft.domain.RealAbiOps.poolChangeDecode(
+      Seq(join, exit, corrupt).toDF("c", "l")
+        .select(unhex(col("c")).as("calldata"), unhex(col("l")).as("log_data")))
+      .collect()
+    val j = out(0)
+    assert(j.getAs[String]("pool_dec") == pool,
+      "the junk trailing 12 bytes must not affect the pool identity")
+    assert(j.getAs[String]("sender_dec") == joinFrom &&
+      j.getAs[String]("recip_dec") == joinFrom)
+    assert(j.getAs[Long]("n_tok") == 2L && j.getAs[Long]("n_del") == 2L)
+    assert(j.getAs[String]("tok0") == weeth && j.getAs[String]("tok1") == ezeth)
+    assert(j.getAs[Long]("del0") == 1935117712922949743L)
+    assert(j.getAs[Long]("del1") == 0L, "the zero delta decodes AS zero (the skip arm)")
+    assert(j.isNullAt(j.fieldIndex("tok2")), "past the decoded length")
+    val e = out(1)
+    assert(e.getAs[String]("sender_dec") == exitFrom)
+    assert(e.getAs[Long]("n_tok") == 3L)
+    assert(e.getAs[Long]("del0") == -471937215318872937L &&
+      e.getAs[Long]("del1") == -757823171697267931L &&
+      e.getAs[Long]("del2") == -699970729674926490L,
+      "exit deltas decode NEGATIVE — abs() happens downstream, as in the reference")
+    val c = out(2)
+    assert(c.isNullAt(c.fieldIndex("del0")),
+      "a corrupt sign extension must NULL, not decode a wrapped magnitude")
+    assert(c.getAs[String]("tok0") == weeth, "the token array still reads")
+  }
+
   test("real_abi curve discovery: plain-pool zero slots filter out; strings walk head offsets") {
     // curve/discovery.rs parse_plain_pool — deploy_plain_pool(string,
     // string, address[4], uint256, uint256): _coins is a FIXED 4-slot

@@ -238,8 +238,8 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("tuple/return-data abi expressions are codegen'd, not fallback") {
-    import graft.functions.{AbiLogAddress, AbiRetIntWord, AbiTupleAddress,
-      AbiTupleB32Prefix, AbiTupleWord}
+    import graft.functions.{AbiArrayIntElem, AbiB32Prefix, AbiLogAddress,
+      AbiRetIntWord, AbiTupleAddress, AbiTupleB32Prefix, AbiTupleWord}
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
     val dummy = org.apache.spark.sql.catalyst.expressions.Literal(
       Array[Byte](1, 2, 3, 4), org.apache.spark.sql.types.BinaryType)
@@ -248,10 +248,14 @@ class PlanSpec extends SparkTestBase {
     assert(!AbiTupleAddress(dummy, 0, 0).isInstanceOf[CodegenFallback])
     assert(!AbiTupleB32Prefix(dummy, 0, 0).isInstanceOf[CodegenFallback])
     assert(!AbiLogAddress(dummy, 0).isInstanceOf[CodegenFallback])
+    assert(!AbiArrayIntElem(dummy, 0, 0).isInstanceOf[CodegenFallback])
+    assert(!AbiArrayIntElem(dummy, 0, 0, 0).isInstanceOf[CodegenFallback])
+    assert(!AbiB32Prefix(dummy, 0).isInstanceOf[CodegenFallback])
+    assert(!AbiB32Prefix(dummy, 0, 0).isInstanceOf[CodegenFallback])
     // the new real-layout decode queries keep their projections inside
     // whole-stage codegen spans
     for (name <- Seq("c1_univ3_swap", "c1_balancer_onswap",
-        "c1_compound_liquidation")) {
+        "c1_compound_liquidation", "c1_balancer_join_exit")) {
       val q = SparkEntry.queries(name)(spark, SfDir)
       q.collect()
       val p = q.queryExecution.executedPlan.toString

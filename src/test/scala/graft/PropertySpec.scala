@@ -245,32 +245,48 @@ class PropertySpec extends SparkTestBase {
   /** Dynamic-array geometry: Some((lenPos, len)) when the head offset at
     * `headIdx` resolves to a readable length word; same pad/bounds rules
     * as [[refTupleOff]]. */
-  private def refArrayGeom(b: Array[Byte], headIdx: Int): Option[(Long, Long)] = {
-    val headOff = 4 + headIdx * 32 + 24
+  private def refArrayGeom(b: Array[Byte], headIdx: Int,
+      base: Int = 4): Option[(Long, Long)] = {
+    val headOff = base + headIdx * 32 + 24
     if (b.length < headOff + 8) return None
     if (new java.math.BigInteger(1, b.slice(headOff - 24, headOff + 8))
         .bitLength() > 64) return None
     val off = beLong(b, headOff)
     if (off < 0 || off > b.length) return None
-    val lenOff = 4 + off + 24
+    val lenOff = base + off + 24
     if (b.length < lenOff + 8) None else Some((lenOff, beLong(b, lenOff.toInt)))
   }
 
-  private def refArrayLen(b: Array[Byte], headIdx: Int): Option[Long] =
-    refArrayGeom(b, headIdx).map(_._2)
+  private def refArrayLen(b: Array[Byte], headIdx: Int,
+      base: Int = 4): Option[Long] =
+    refArrayGeom(b, headIdx, base).map(_._2)
 
-  private def refArrayElem(b: Array[Byte], headIdx: Int, k: Int): Option[Long] =
-    refArrayGeom(b, headIdx).flatMap { case (lenOff, n) =>
+  private def refArrayElem(b: Array[Byte], headIdx: Int, k: Int,
+      base: Int = 4): Option[Long] =
+    refArrayGeom(b, headIdx, base).flatMap { case (lenOff, n) =>
       val elemOff = lenOff + 32 + 32L * k // low-8 tail of element word k
       if (k >= n || b.length < elemOff + 8) None
       else Some(beLong(b, elemOff.toInt))
     }
 
-  private def refArrayAddr(b: Array[Byte], headIdx: Int, k: Int): Option[String] =
-    refArrayGeom(b, headIdx).flatMap { case (lenOff, n) =>
+  private def refArrayAddr(b: Array[Byte], headIdx: Int, k: Int,
+      base: Int = 4): Option[String] =
+    refArrayGeom(b, headIdx, base).flatMap { case (lenOff, n) =>
       val wordOff = lenOff + 8 + 32L * k // element word k starts after len
       if (k >= n || b.length < wordOff + 32) None
       else refAddr(b, wordOff.toInt)
+    }
+
+  /** SIGNED element: same walk, element word under [[refInt]]'s
+    * whole-word BigInteger formulation (fits-in-63-bits ⟺ a proper
+    * two's-complement sign extension) — a DIFFERENT check than the
+    * impl's uniform-byte scan. */
+  private def refArrayInt(b: Array[Byte], headIdx: Int, k: Int,
+      base: Int = 4): Option[Long] =
+    refArrayGeom(b, headIdx, base).flatMap { case (lenOff, n) =>
+      val wordOff = lenOff + 8 + 32L * k
+      if (k >= n || b.length < wordOff + 32) None
+      else refInt(b, wordOff.toInt)
     }
 
   /** The query-form dynamic-STRING walk (f5_abi_string / c3_curve_factory
@@ -384,11 +400,17 @@ class PropertySpec extends SparkTestBase {
     val bufs = (1 to 80).map(s => sample(abiBufGen, 9000L + s)).toList
     val df = bufs.map(Tuple1(_)).toDF("b")
     val cols = (0 to 1).flatMap { h =>
-      abi_array_len(col("b"), h).as(s"n$h") +:
+      Seq(abi_array_len(col("b"), h).as(s"n$h"),
+        abi_log_array_len(col("b"), h).as(s"ln$h")) ++
         (0 to 2).flatMap(k => Seq(
           abi_array_elem(col("b"), h, k).as(s"e${h}_$k"),
-          abi_array_address(col("b"), h, k).as(s"ea${h}_$k")))
-    }
+          abi_array_address(col("b"), h, k).as(s"ea${h}_$k"),
+          abi_array_int(col("b"), h, k).as(s"ei${h}_$k"),
+          abi_log_array_elem(col("b"), h, k).as(s"le${h}_$k"),
+          abi_log_array_address(col("b"), h, k).as(s"lea${h}_$k"),
+          abi_log_array_int(col("b"), h, k).as(s"lei${h}_$k")))
+    } ++ Seq(abi_b32_prefix(col("b"), 0).as("bp0"),
+      abi_log_b32_prefix(col("b"), 0).as("lbp0"))
     val out = df.select(col("b") +: cols: _*).collect()
     for (r <- out) {
       val b = r.getAs[Array[Byte]]("b")
@@ -398,13 +420,27 @@ class PropertySpec extends SparkTestBase {
       for (h <- 0 to 1) {
         assert(gl(s"n$h") == refArrayLen(b, h),
           s"abi_array_len h=$h len=${b.length}")
+        assert(gl(s"ln$h") == refArrayLen(b, h, 0),
+          s"abi_log_array_len h=$h len=${b.length}")
         for (k <- 0 to 2) {
           assert(gl(s"e${h}_$k") == refArrayElem(b, h, k),
             s"abi_array_elem h=$h k=$k len=${b.length}")
           assert(gs(s"ea${h}_$k") == refArrayAddr(b, h, k),
             s"abi_array_address h=$h k=$k len=${b.length}")
+          assert(gl(s"ei${h}_$k") == refArrayInt(b, h, k),
+            s"abi_array_int h=$h k=$k len=${b.length}")
+          assert(gl(s"le${h}_$k") == refArrayElem(b, h, k, 0),
+            s"abi_log_array_elem h=$h k=$k len=${b.length}")
+          assert(gs(s"lea${h}_$k") == refArrayAddr(b, h, k, 0),
+            s"abi_log_array_address h=$h k=$k len=${b.length}")
+          assert(gl(s"lei${h}_$k") == refArrayInt(b, h, k, 0),
+            s"abi_log_array_int h=$h k=$k len=${b.length}")
         }
       }
+      assert(gs("bp0") == (if (b.length < 36) None
+        else refB32Prefix(b, 4)), s"abi_b32_prefix len=${b.length}")
+      assert(gs("lbp0") == (if (b.length < 32) None
+        else refB32Prefix(b, 0)), s"abi_log_b32_prefix len=${b.length}")
     }
     // string walk: only buffers where the walk RESOLVES are in contract
     // (the queries pack these buffers themselves); value equality there
