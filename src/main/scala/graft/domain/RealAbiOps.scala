@@ -58,7 +58,7 @@ object RealAbiOps extends graft.QueryModule {
     c1BalancerOnSwap, c1AaveLiquidation, c1UniV2Swap, c1CompoundLiquidation,
     c1UniV3Mint, c1UniV3BurnCollect, q5JitReal, c3CurveFactory,
     c1AaveFlashloan, c5FlashloanReal, c5SettleReal, c1BalancerJoinExit,
-    c1BalancerRegister)
+    c1BalancerRegister, c1BalancerFlashloan)
 
   private def withCtes(sql: String) = Some(s"WITH ${ChainFixture.sqlCtes} $sql")
 
@@ -1932,6 +1932,125 @@ object RealAbiOps extends graft.QueryModule {
           + (burn_out - mint_out) * ${tokenPriceSql("mint_t1")}""")}
           AS sum_fee_usd
       FROM jrv GROUP BY 1 ORDER BY 1"""))
+
+  // ── Balancer V2 flashLoan: the ALL-OR-NOTHING parallel-array loan ─────────
+
+  /** The Balancer V2 flashLoan decode core on any frame with `calldata`:
+    * `flashLoan(address recipient, address[] tokens, uint256[] amounts,
+    * bytes userData)` (classifier-abis/balancer/BalancerV2Vault.json) —
+    * head words 1/2/3 are tail offsets to the two PARALLEL arrays and
+    * the userData bytes. Same element decoders as [[flashLoanDecode]];
+    * the SEMANTIC difference is downstream (the token-fetch gate). */
+  private[graft] def balancerFlashDecode(t: org.apache.spark.sql.DataFrame) = t
+    .withColumn("receiver", abi_address(col("calldata"), 0))
+    .withColumn("n_tokens_dec", abi_array_len(col("calldata"), 1))
+    .withColumn("n_amounts", abi_array_len(col("calldata"), 2))
+    .withColumn("tok0", abi_array_address(col("calldata"), 1, 0))
+    .withColumn("tok1", abi_array_address(col("calldata"), 1, 1))
+    .withColumn("tok2", abi_array_address(col("calldata"), 1, 2))
+    .withColumn("amt0", abi_array_elem(col("calldata"), 2, 0))
+    .withColumn("amt1", abi_array_elem(col("calldata"), 2, 1))
+    .withColumn("amt2", abi_array_elem(col("calldata"), 2, 2))
+    .withColumn("n_userdata", abi_array_len(col("calldata"), 3))
+
+  /** C1 (Balancer V2 `flashLoan`): the same parallel `tokens[]`/
+    * `amounts[]` calldata shape as [[c1AaveFlashloan]], but the OPPOSITE
+    * failure arm — the reference zips the pairs into ONE
+    * `collect::<Result<Vec<_>, _>>()?` (balancer_v2.rs:106-116), so a
+    * SINGLE missing token fails the WHOLE loan classification, where
+    * Aave's `filter_map(... .ok()?)` drops just the pair (aave/v2.rs:
+    * 50-57). `n_failed_frames` vs Aave's `n_dropped_pairs` pins the
+    * contrast; the pool is the call TARGET (`pool: info.target_address`)
+    * and the receiver contract the decoded recipient word.
+    *
+    * Scale shape: one pruned trace scan, pairs explode ×≤3, one
+    * broadcast token join, one tx-local window, one rollup. */
+  private val c1BalancerFlashloan = QueryDef(
+    "c1_balancer_flashloan",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = tracesTable(s, dir)
+        .filter(col("selector") === SelV3Swap)
+        .withColumn("q6l", col("q6").cast("long"))
+        .withColumn("p2l", col("p2").cast("long"))
+        .withColumn("n_src", lit(1L) + (col("q6l") + col("p2l")) % 3)
+      def tid(k: Int) = (col("tok_id") + 13 * k) % TokRefSpace
+      def tokWord(k: Int) = when(col("n_src") > k,
+        concat(lit("0" * 32), md5(concat(lit("tok:"), tid(k))))).otherwise(lit(""))
+      def amtWord(k: Int) = when(col("n_src") > k,
+        word(col("q6l") + 500000L * k)).otherwise(lit(""))
+      val packed = t.withColumn("calldata", unhex(concat(col("selector"),
+        lit("0" * 32), col("from_address"), // recipient (IFlashLoanRecipient)
+        word(lit(128L)), // tokens offset (4 head words)
+        word(lit(160L) + col("n_src") * 32), // amounts offset
+        word(lit(192L) + col("n_src") * 64), // userData offset
+        word(col("n_src")), tokWord(0), tokWord(1), tokWord(2),
+        word(col("n_src")), amtWord(0), amtWord(1), amtWord(2),
+        word(lit(0L))))) // bytes userData: len 0
+      val dec = balancerFlashDecode(packed)
+        .withColumn("frame_ok",
+          col("receiver") === concat(lit("0" * 8), col("from_address")) &&
+          col("n_tokens_dec") === col("n_src") &&
+          col("n_amounts") === col("n_src") && col("n_userdata") === 0)
+      val pairs = dec.select(col("tx_hash"), col("trace_idx"),
+        col("n_src").as("n_assets"), col("frame_ok"),
+        explode(array((0 to 2).map(k => struct(lit(k).as("k"),
+          col(s"tok$k").as("asset"), col(s"amt$k").as("amt"))): _*)).as("p"))
+        .select(col("tx_hash"), col("trace_idx"), col("n_assets"),
+          col("frame_ok"), col("p.k").as("k"), col("p.asset").as("asset"),
+          col("p.amt").as("amt"))
+        .filter(col("asset").isNotNull)
+      val tk = tokens(s).select(
+        md5(concat(lit("tok:"), col("token_id"))).as("tk_addr"),
+        col("decimals").as("tk_dec"))
+      val wFrame = Window.partitionBy("tx_hash", "trace_idx")
+      pairs
+        .join(broadcast(tk), substring(col("asset"), 9, 32) === col("tk_addr"),
+          "left")
+        // collect::<Result<...>>()? — ONE missing token fails the WHOLE
+        // loan (balancer_v2.rs:106-116), the anti-Aave arm
+        .withColumn("frame_missing",
+          max(when(col("tk_dec").isNull, 1).otherwise(0)).over(wFrame))
+        .groupBy("n_assets")
+        .agg(
+          sum(when(col("k") === 0, 1L).otherwise(0L)).as("n_frames"),
+          sum(when(col("k") === 0 && col("frame_ok"), 1L).otherwise(0L))
+            .as("n_frame_ok"),
+          sum(when(col("k") === 0 && col("frame_missing") === 1, 1L)
+            .otherwise(0L)).as("n_failed_frames"),
+          sum(when(col("frame_missing") === 0, 1L).otherwise(0L))
+            .as("n_pairs_kept"),
+          dsum(when(col("frame_missing") === 0,
+            col("amt").cast("double") / pow10d(col("tk_dec")))
+            .otherwise(lit(0.0))).as("sum_scaled_amounts"))
+        .orderBy("n_assets")
+    },
+    withCtes(s""", bf13 AS (
+        SELECT t.tx_hash, t.trace_idx, CAST(t.q6 AS BIGINT) AS q6l,
+          CAST(t.p2 AS BIGINT) AS p2l, t.tok_id,
+          1 + (CAST(t.q6 AS BIGINT) + CAST(t.p2 AS BIGINT)) % 3 AS n_assets
+        FROM trace t WHERE t.selector = '$SelV3Swap'),
+      bfp13 AS (
+        SELECT f.*, k.k, (f.tok_id + 13 * k.k) % $TokRefSpace AS tid,
+          f.q6l + 500000 * k.k AS amt
+        FROM bf13 f JOIN (SELECT UNNEST([0, 1, 2]) AS k) k
+          ON k.k < f.n_assets),
+      bfw13 AS (
+        SELECT p.*, tk.decimals AS dec,
+          MAX(CASE WHEN tk.token_id IS NULL THEN 1 ELSE 0 END)
+            OVER (PARTITION BY p.tx_hash, p.trace_idx) AS frame_missing
+        FROM bfp13 p LEFT JOIN tok tk ON tk.token_id = p.tid)
+      SELECT n_assets,
+        CAST(SUM(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_frames,
+        CAST(SUM(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_frame_ok,
+        CAST(SUM(CASE WHEN k = 0 AND frame_missing = 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_failed_frames,
+        CAST(SUM(CASE WHEN frame_missing = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_pairs_kept,
+        ${sqlSum(s"""CASE WHEN frame_missing = 0
+          THEN amt / ${sqlPow10.format("dec")} ELSE 0.0e0 END""")}
+          AS sum_scaled_amounts
+      FROM bfw13 GROUP BY 1 ORDER BY 1"""))
 
   // ── Balancer V2 joinPool/exitPool + registerTokens: LOG-side arrays ──────
 

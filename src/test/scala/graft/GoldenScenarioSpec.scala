@@ -1608,6 +1608,40 @@ class GoldenScenarioSpec extends SparkTestBase {
     assert(c.getAs[String]("tok0") == weeth, "the token array still reads")
   }
 
+  test("real_abi balancer flashLoan: ONE missing token fails the WHOLE loan (anti-Aave arm)") {
+    // balancer_v2.rs:99-134 — flashLoan(recipient, tokens[], amounts[],
+    // userData); the pairs zip into one collect::<Result<_,_>>()? so the
+    // loan is all-or-nothing, unlike Aave V2's per-pair filter_map.
+    // Values from the reference's test_balancer_v2_flash_loan
+    // (0feed8bd…): one WETH asset, amount 653220647374307183.
+    val recip = "97c1a26482099363cb055f0f3ca1d6057fe55447"
+    val weth = "c02aaa39b223fe8d0a0e5c4f27ead9083c756cc2"
+    def cd(nToks: Int, toks: Seq[String], amts: Seq[Long]) =
+      "5c38449e" + "0" * 24 + recip +
+        w64(128L) + w64(160L + 32 * nToks) + w64(192L + 64 * nToks) +
+        w64(nToks.toLong) + toks.map("0" * 24 + _).mkString +
+        w64(nToks.toLong) + amts.map(w64).mkString + w64(0L)
+    val good = cd(1, Seq(weth), Seq(653220647374307183L))
+    // truncated before the amounts tail: lens/tokens read, amounts NULL
+    val short = good.take(8 + 64 * 6)
+    val out = graft.domain.RealAbiOps.balancerFlashDecode(
+      Seq(good, short).toDF("h")
+        .select(unhex(col("h")).as("calldata")))
+      .collect()
+    val g = out(0)
+    assert(g.getAs[String]("receiver") == recip)
+    assert(g.getAs[Long]("n_tokens_dec") == 1L &&
+      g.getAs[Long]("n_amounts") == 1L)
+    assert(g.getAs[String]("tok0") == weth)
+    assert(g.getAs[Long]("amt0") == 653220647374307183L)
+    assert(g.getAs[Long]("n_userdata") == 0L)
+    assert(g.isNullAt(g.fieldIndex("tok1")), "past the decoded length")
+    val s = out(1)
+    assert(s.getAs[Long]("n_tokens_dec") == 1L, "tokens length still reads")
+    assert(s.isNullAt(s.fieldIndex("amt0")),
+      "amounts past the truncation must NULL, never misread")
+  }
+
   test("real_abi curve discovery: plain-pool zero slots filter out; strings walk head offsets") {
     // curve/discovery.rs parse_plain_pool — deploy_plain_pool(string,
     // string, address[4], uint256, uint256): _coins is a FIXED 4-slot
