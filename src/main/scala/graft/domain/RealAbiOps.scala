@@ -58,7 +58,7 @@ object RealAbiOps extends graft.QueryModule {
     c1BalancerOnSwap, c1AaveLiquidation, c1UniV2Swap, c1CompoundLiquidation,
     c1UniV3Mint, c1UniV3BurnCollect, q5JitReal, c3CurveFactory,
     c1AaveFlashloan, c5FlashloanReal, c5SettleReal, c1BalancerJoinExit,
-    c1BalancerRegister, c1BalancerFlashloan)
+    c1BalancerRegister, c1BalancerFlashloan, c1OneinchRouter)
 
   private def withCtes(sql: String) = Some(s"WITH ${ChainFixture.sqlCtes} $sql")
 
@@ -1932,6 +1932,138 @@ object RealAbiOps extends graft.QueryModule {
           + (burn_out - mint_out) * ${tokenPriceSql("mint_t1")}""")}
           AS sum_fee_usd
       FROM jrv GROUP BY 1 ORDER BY 1"""))
+
+  // ── 1inch AggregationRouterV5: four method layouts, one dispatch ──────────
+
+  /** C1 (1inch V5 router → Aggregator): FOUR real method layouts behind
+    * one selector dispatch, the aggregator family's real input shape
+    * (oneinch/one_inch_aggregation_router_v5.rs; NormalizedAggregator
+    * carries only from/to/recipient — no token fetch, so no quarantine
+    * arm exists in this family):
+    *
+    *   - `swap(executor, desc, permit, data)` (:5-26): `desc` is a
+    *     STATIC SwapDescription tuple (7 word fields, none dynamic), so
+    *     it is INLINED in the head — dstReceiver is plain word 4, the
+    *     opposite encoding of Balancer's offset-passed SwapRequest;
+    *   - `fillOrderTo(order_, sig, interaction, ...)` (:28-49): the
+    *     order tuple HAS a dynamic member (`bytes interactions`), so it
+    *     IS offset-passed — recipient = order_.receiver rides tuple
+    *     field 4 through the head-offset walk;
+    *   - `unoswapTo(recipient, srcToken, amount, minReturn, pools[])`
+    *     (:93-115): recipient is word 0, and the route is a dynamic
+    *     uint256[] pool-id array;
+    *   - `clipperSwapTo(...)` (:70-91): nine flat static words.
+    *
+    * The same physical byte layouts hold on-chain; the dispatch mirrors
+    * the router's selector table. Scale shape: one pruned trace scan,
+    * zero joins, all four decodes in one codegen'd projection, one
+    * 4-group rollup. */
+  /** The per-method router decode on any frame with (calldata, arm): the
+    * selector table's field positions — swap's desc is INLINE (recipient
+    * = word 4), fillOrderTo's order is OFFSET-passed (receiver = tuple
+    * field 4), unoswapTo/clipperSwapTo are flat words. */
+  private[graft] def oneinchRouterDecode(t: org.apache.spark.sql.DataFrame) = t
+    .withColumn("recip_dec",
+      when(col("arm") === 0, abi_address(col("calldata"), 4))
+        .when(col("arm") === 1, abi_tuple_address(col("calldata"), 0, 4))
+        .when(col("arm") === 2, abi_address(col("calldata"), 0))
+        .otherwise(abi_address(col("calldata"), 1)))
+    .withColumn("src_dec",
+      when(col("arm") === 0, abi_address(col("calldata"), 1))
+        .when(col("arm") === 1, abi_tuple_address(col("calldata"), 0, 1))
+        .when(col("arm") === 2, abi_address(col("calldata"), 1))
+        .otherwise(abi_address(col("calldata"), 2)))
+    .withColumn("amt_dec",
+      when(col("arm") === 0, abi_word(col("calldata"), 5))
+        .when(col("arm") === 1, abi_tuple_word(col("calldata"), 0, 6))
+        .when(col("arm") === 2, abi_word(col("calldata"), 2))
+        .otherwise(abi_word(col("calldata"), 4)))
+
+  private val c1OneinchRouter = QueryDef(
+    "c1_oneinch_router",
+    (s, dir) => {
+      val t = tracesTable(s, dir)
+        .filter(col("selector") === SelCurveSwap)
+        .withColumn("q6l", col("q6").cast("long"))
+        .withColumn("p2l", col("p2").cast("long"))
+        .withColumn("arm", (col("q6l") + col("p2l")) % 4)
+        .withColumn("half", expr("q6l div 2"))
+        .withColumn("n_pools", lit(1L) + col("p2l") % 2)
+      val eoaW = concat(lit("0" * 32), col("from_address"))
+      val tokW = concat(lit("0" * 32),
+        md5(concat(lit("tok:"), col("tok_id"))))
+      val tok2W = concat(lit("0" * 32),
+        md5(concat(lit("tok:"), (col("tok_id") + 1) % TokRefSpace)))
+      val packed = t.withColumn("calldata", unhex(
+        when(col("arm") === 0, concat(lit("12aa3caf"), // swap
+          eoaW, // executor
+          tokW, tok2W, eoaW, eoaW, // desc inline: src,dst,srcRecv,dstRecv
+          word(col("q6l")), word(col("half")), word(col("p2l") % 1000),
+          word(lit(320L)), word(lit(352L)), // permit/data offsets
+          word(lit(0L)), word(lit(0L)))) // two empty bytes tails
+        .when(col("arm") === 1, concat(lit("e5d7bde6"), // fillOrderTo
+          word(lit(224L)), // order_ tuple offset (7 head words)
+          word(lit(576L)), word(lit(608L)), // signature/interaction offs
+          word(col("q6l")), word(col("half")), word(lit(0L)),
+          eoaW, // target
+          // order_ tail: salt ‖ makerAsset ‖ takerAsset ‖ maker ‖
+          // receiver ‖ allowedSender ‖ making ‖ taking ‖ offsets ‖
+          // interactions-offset (tuple-relative) ‖ interactions len 0
+          word(col("p2l")), tokW, tok2W, eoaW, eoaW, word(lit(0L)),
+          word(col("q6l")), word(col("half")), word(lit(0L)),
+          word(lit(320L)), word(lit(0L)),
+          word(lit(0L)), word(lit(0L)))) // signature/interaction: len 0
+        .when(col("arm") === 2, concat(lit("f78dc253"), // unoswapTo
+          eoaW, tokW, word(col("q6l")), word(col("half")),
+          word(lit(160L)), // pools offset (5 head words)
+          word(col("n_pools")),
+          word(col("q6l")),
+          when(col("n_pools") > 1, word(col("q6l") + 1)).otherwise(lit(""))))
+        .otherwise(concat(lit("093d4fa5"), // clipperSwapTo
+          concat(lit("0" * 32), col("to_address")), // clipperExchange
+          eoaW, tokW, tok2W,
+          word(col("q6l")), word(col("half")), word(col("p2l")),
+          word(lit(1L)), word(lit(2L)))))) // r ‖ vs
+        .withColumn("method",
+          when(col("arm") === 0, "swap")
+            .when(col("arm") === 1, "fill_order")
+            .when(col("arm") === 2, "unoswap").otherwise("clipper"))
+      val dec = oneinchRouterDecode(packed)
+        .withColumn("shape_ok",
+          when(col("arm") === 0,
+            abi_word(col("calldata"), 7) === col("p2l") % 1000 &&
+              abi_array_len(col("calldata"), 8) === 0)
+          .when(col("arm") === 1,
+            abi_address(col("calldata"), 6) ===
+              concat(lit("0" * 8), col("from_address")) &&
+              abi_tuple_word(col("calldata"), 0, 7) === col("half"))
+          .when(col("arm") === 2,
+            abi_array_len(col("calldata"), 4) === col("n_pools") &&
+              abi_array_elem(col("calldata"), 4, 0) === col("q6l"))
+          .otherwise(abi_word(col("calldata"), 6) === col("p2l")))
+      dec.groupBy("method")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("recip_dec") ===
+            concat(lit("0" * 8), col("from_address")), 1L).otherwise(0L))
+            .as("n_recip_ok"),
+          sum(when(col("src_dec") === concat(lit("0" * 8),
+            md5(concat(lit("tok:"), col("tok_id")))), 1L).otherwise(0L))
+            .as("n_src_ok"),
+          sum(when(col("shape_ok"), 1L).otherwise(0L)).as("n_shape_ok"),
+          sum(col("amt_dec")).as("sum_amt"))
+        .orderBy("method")
+    },
+    withCtes(s"""
+      SELECT CASE (CAST(q6 AS BIGINT) + CAST(p2 AS BIGINT)) % 4
+          WHEN 0 THEN 'swap' WHEN 1 THEN 'fill_order'
+          WHEN 2 THEN 'unoswap' ELSE 'clipper' END AS method,
+        CAST(COUNT(*) AS BIGINT) AS n_frames,
+        CAST(COUNT(*) AS BIGINT) AS n_recip_ok,
+        CAST(COUNT(*) AS BIGINT) AS n_src_ok,
+        CAST(COUNT(*) AS BIGINT) AS n_shape_ok,
+        CAST(SUM(CAST(q6 AS BIGINT)) AS BIGINT) AS sum_amt
+      FROM trace WHERE selector = '$SelCurveSwap'
+      GROUP BY 1 ORDER BY 1"""))
 
   // ── Balancer V2 flashLoan: the ALL-OR-NOTHING parallel-array loan ─────────
 

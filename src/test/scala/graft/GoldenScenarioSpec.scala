@@ -1608,6 +1608,51 @@ class GoldenScenarioSpec extends SparkTestBase {
     assert(c.getAs[String]("tok0") == weeth, "the token array still reads")
   }
 
+  test("real_abi 1inch: swap's desc tuple is INLINE; fillOrderTo's order is OFFSET-passed") {
+    // one_inch_aggregation_router_v5.rs:5-49 — SwapDescription has no
+    // dynamic member so ABI inlines it (dstReceiver = plain word 4);
+    // the limit order HAS `bytes interactions` so it rides an offset
+    // (receiver = tuple field 4). Addresses from the reference's fusion
+    // test tx 83860dfe… (recipient d10F1769…).
+    val recip = "d10f17699137dd6215c01f539726227fc042c9b2"
+    val src = "a0b86991c6218b36c1d19d4a2e9eb0ce3606eb48" // USDC
+    val dst = "dac17f958d2ee523a2206206994597c13d831ec7" // USDT
+    val exec = "235d3afac42f5e5ff346cb6c19af13194988551f"
+    def a(x: String) = "0" * 24 + x
+    val swapCd = "12aa3caf" + a(exec) +
+      a(src) + a(dst) + a(exec) + a(recip) + // desc INLINE
+      w64(269875186L) + w64(100L) + w64(4L) +
+      w64(320L) + w64(352L) + w64(0L) + w64(0L)
+    val fillCd = "e5d7bde6" + w64(224L) + w64(576L) + w64(608L) +
+      w64(269875186L) + w64(100L) + w64(0L) + a(exec) +
+      // order_ tail: salt ‖ makerAsset ‖ takerAsset ‖ maker ‖ receiver ‖
+      // allowedSender ‖ making ‖ taking ‖ offsets ‖ interactions-off ‖ len
+      w64(7L) + a(src) + a(dst) + a(exec) + a(recip) + w64(0L) +
+      w64(269875186L) + w64(100L) + w64(0L) + w64(320L) + w64(0L) +
+      w64(0L) + w64(0L)
+    // corrupt: the order_ head offset's HIGH bytes nonzero — the tuple
+    // walk must NULL, not resolve a wrong base
+    val corrupt = fillCd.patch(8, "01", 2)
+    val out = graft.domain.RealAbiOps.oneinchRouterDecode(
+      Seq((swapCd, 0L), (fillCd, 1L), (corrupt, 1L)).toDF("h", "arm")
+        .select(unhex(col("h")).as("calldata"), col("arm")))
+      .collect()
+    val sw = out(0)
+    assert(sw.getAs[String]("recip_dec") == recip,
+      "dstReceiver must read from INLINE word 4 - no indirection")
+    assert(sw.getAs[String]("src_dec") == src)
+    assert(sw.getAs[Long]("amt_dec") == 269875186L)
+    val fo = out(1)
+    assert(fo.getAs[String]("recip_dec") == recip,
+      "order_.receiver must resolve THROUGH the head offset")
+    assert(fo.getAs[String]("src_dec") == src)
+    assert(fo.getAs[Long]("amt_dec") == 269875186L)
+    val c = out(2)
+    assert(c.isNullAt(c.fieldIndex("recip_dec")) &&
+      c.isNullAt(c.fieldIndex("amt_dec")),
+      "a corrupt tuple offset must NULL every tuple field")
+  }
+
   test("real_abi balancer flashLoan: ONE missing token fails the WHOLE loan (anti-Aave arm)") {
     // balancer_v2.rs:99-134 — flashLoan(recipient, tokens[], amounts[],
     // userData); the pairs zip into one collect::<Result<_,_>>()? so the
