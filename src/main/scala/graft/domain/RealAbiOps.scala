@@ -58,7 +58,8 @@ object RealAbiOps extends graft.QueryModule {
     c1BalancerOnSwap, c1AaveLiquidation, c1UniV2Swap, c1CompoundLiquidation,
     c1UniV3Mint, c1UniV3BurnCollect, q5JitReal, c3CurveFactory,
     c1AaveFlashloan, c5FlashloanReal, c5SettleReal, c1BalancerJoinExit,
-    c1BalancerRegister, c1BalancerFlashloan, c1OneinchRouter)
+    c1BalancerRegister, c1BalancerFlashloan, c1OneinchRouter,
+    c1UniV2MintBurn)
 
   private def withCtes(sql: String) = Some(s"WITH ${ChainFixture.sqlCtes} $sql")
 
@@ -1932,6 +1933,127 @@ object RealAbiOps extends graft.QueryModule {
           + (burn_out - mint_out) * ${tokenPriceSql("mint_t1")}""")}
           AS sum_fee_usd
       FROM jrv GROUP BY 1 ORDER BY 1"""))
+
+  // ── Uniswap V2 mint/burn: registry-SORTED pair + strict failure ladder ────
+
+  /** C1 (Uniswap V2 `mint`/`burn` → Mint/Burn): the thinnest real layout
+    * — `mint(address to)` / `burn(address to)` carry ONE calldata word;
+    * both amounts ride the Mint/Burn EVENT's two data words
+    * (uniswap_v2.rs:68-134). Three reference semantics:
+    *
+    *   - `log_data.mint_field?` / `burn_field?` fails FIRST — an absent
+    *     event quarantines before any registry or token fetch
+    *     (`n_no_log`, and those frames never count as token-missing);
+    *   - the pair comes from `get_protocol_details_sorted(target)` — the
+    *     registry pair CANONICALLY ORDERED BY ADDRESS, not by the pool's
+    *     storage order (`n_sorted_swapped` counts pairs the sort
+    *     actually reorders; amount0 scales by the sorted-FIRST token's
+    *     decimals);
+    *   - both token fetches are `?` — either missing quarantines the
+    *     whole frame (`n_quarantined`), the all-or-nothing arm.
+    *
+    * Scale shape: one pruned trace scan, one broadcast pool join, two
+    * broadcast token joins, one rollup — no fact shuffle before the
+    * 6-group agg. */
+  private val c1UniV2MintBurn = QueryDef(
+    "c1_univ2_mint_burn",
+    (s, dir) => {
+      val t = tracesTable(s, dir)
+        .filter(col("selector") === SelMint || col("selector") === SelBurn)
+        .withColumn("kind",
+          when(col("selector") === SelMint, "mint").otherwise("burn"))
+        .withColumn("q6l", col("q6").cast("long"))
+        .withColumn("p2l", col("p2").cast("long"))
+        .withColumn("has_log", col("p2l") % 7 =!= 0)
+      val packed = t
+        .withColumn("calldata", unhex(concat(col("selector"),
+          lit("0" * 32), col("from_address")))) // to
+        .withColumn("log_data",
+          when(col("has_log"),
+            unhex(concat(word(col("q6l")), word(col("p2l")))))
+            .otherwise(unhex(lit(""))))
+        .withColumn("recip_dec", abi_address(col("calldata"), 0))
+        .withColumn("am0_dec", abi_log_word(col("log_data"), 0))
+        .withColumn("am1_dec", abi_log_word(col("log_data"), 1))
+      val po = pools(s).select(col("address").as("p_addr"),
+        col("t0_id").as("p_t0"), col("t1_id").as("p_t1"))
+      val tkA = tokens(s).select(col("token_id").as("a_id"),
+        col("decimals").as("a_dec"))
+      val tkB = tokens(s).select(col("token_id").as("b_id"),
+        col("decimals").as("b_dec"))
+      packed
+        .join(broadcast(po), col("to_address") === col("p_addr"))
+        // get_protocol_details_sorted: canonical ADDRESS order, which is
+        // NOT the fixture's id order (md5 strings don't sort like ids)
+        .withColumn("t0a", md5(concat(lit("tok:"), col("p_t0"))))
+        .withColumn("t1a", md5(concat(lit("tok:"), col("p_t1"))))
+        .withColumn("swapped", col("t0a") > col("t1a"))
+        .withColumn("s0_id",
+          when(col("swapped"), col("p_t1")).otherwise(col("p_t0")))
+        .withColumn("s1_id",
+          when(col("swapped"), col("p_t0")).otherwise(col("p_t1")))
+        .join(broadcast(tkA), col("s0_id") === col("a_id"), "left")
+        .join(broadcast(tkB), col("s1_id") === col("b_id"), "left")
+        .withColumn("status",
+          when(col("am0_dec").isNull, "no_log") // mint_field? fails FIRST
+            .when(col("a_dec").isNull || col("b_dec").isNull, "quarantined")
+            .otherwise("ok"))
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("status") === "no_log", 1L).otherwise(0L))
+            .as("n_no_log"),
+          sum(when(col("status") === "quarantined", 1L).otherwise(0L))
+            .as("n_quarantined"),
+          sum(when(col("status") === "ok", 1L).otherwise(0L)).as("n_ok"),
+          sum(when(col("recip_dec") ===
+            concat(lit("0" * 8), col("from_address")), 1L).otherwise(0L))
+            .as("n_recip_ok"),
+          sum(when(col("status") =!= "no_log" && col("swapped"), 1L)
+            .otherwise(0L)).as("n_sorted_swapped"),
+          dsum(when(col("status") === "ok",
+            col("am0_dec").cast("double") / pow10d(col("a_dec")))
+            .otherwise(lit(0.0))).as("sum_am0_scaled"),
+          dsum(when(col("status") === "ok",
+            col("am1_dec").cast("double") / pow10d(col("b_dec")))
+            .otherwise(lit(0.0))).as("sum_am1_scaled"))
+        .orderBy("kind")
+    },
+    withCtes(s""", u2mb AS (
+        SELECT CASE WHEN t.selector = '$SelMint' THEN 'mint' ELSE 'burn' END
+            AS kind,
+          CAST(t.q6 AS BIGINT) AS q6l, CAST(t.p2 AS BIGINT) AS p2l,
+          CAST(t.p2 AS BIGINT) % 7 <> 0 AS has_log,
+          CASE WHEN md5('tok:' || p.t0_id) > md5('tok:' || p.t1_id)
+            THEN p.t1_id ELSE p.t0_id END AS s0_id,
+          CASE WHEN md5('tok:' || p.t0_id) > md5('tok:' || p.t1_id)
+            THEN p.t0_id ELSE p.t1_id END AS s1_id,
+          md5('tok:' || p.t0_id) > md5('tok:' || p.t1_id) AS swapped
+        FROM trace t JOIN pool p ON p.address = t.to_address
+        WHERE t.selector IN ('$SelMint', '$SelBurn')),
+      u2st AS (
+        SELECT u.*, a.decimals AS a_dec, b.decimals AS b_dec,
+          CASE WHEN NOT u.has_log THEN 'no_log'
+            WHEN a.decimals IS NULL OR b.decimals IS NULL THEN 'quarantined'
+            ELSE 'ok' END AS status
+        FROM u2mb u LEFT JOIN tok a ON a.token_id = u.s0_id
+          LEFT JOIN tok b ON b.token_id = u.s1_id)
+      SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_frames,
+        CAST(SUM(CASE WHEN status = 'no_log' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_no_log,
+        CAST(SUM(CASE WHEN status = 'quarantined' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_quarantined,
+        CAST(SUM(CASE WHEN status = 'ok' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_ok,
+        CAST(COUNT(*) AS BIGINT) AS n_recip_ok,
+        CAST(SUM(CASE WHEN status <> 'no_log' AND swapped THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_sorted_swapped,
+        ${sqlSum(s"""CASE WHEN status = 'ok'
+          THEN q6l / ${sqlPow10.format("a_dec")} ELSE 0.0e0 END""")}
+          AS sum_am0_scaled,
+        ${sqlSum(s"""CASE WHEN status = 'ok'
+          THEN p2l / ${sqlPow10.format("b_dec")} ELSE 0.0e0 END""")}
+          AS sum_am1_scaled
+      FROM u2st GROUP BY 1 ORDER BY 1"""))
 
   // ── 1inch AggregationRouterV5: four method layouts, one dispatch ──────────
 
