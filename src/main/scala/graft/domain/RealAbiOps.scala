@@ -59,7 +59,7 @@ object RealAbiOps extends graft.QueryModule {
     c1UniV3Mint, c1UniV3BurnCollect, q5JitReal, c3CurveFactory,
     c1AaveFlashloan, c5FlashloanReal, c5SettleReal, c1BalancerJoinExit,
     c1BalancerRegister, c1BalancerFlashloan, c1OneinchRouter,
-    c1UniV2MintBurn)
+    c1UniV2MintBurn, c1ZeroxOtc)
 
   private def withCtes(sql: String) = Some(s"WITH ${ChainFixture.sqlCtes} $sql")
 
@@ -1933,6 +1933,157 @@ object RealAbiOps extends graft.QueryModule {
           + (burn_out - mint_out) * ${tokenPriceSql("mint_t1")}""")}
           AS sum_fee_usd
       FROM jrv GROUP BY 1 ORDER BY 1"""))
+
+  // ── ZeroX fillOtcOrder: log-only swap + DELEGATED-log collection ──────────
+
+  /** The OtcOrderFilled decode core on any frame with `log_data`:
+    * `OtcOrderFilled(bytes32 orderHash, address maker, address taker,
+    * address makerToken, address takerToken, uint128
+    * makerTokenFilledAmount, uint128 takerTokenFilledAmount)` — NOTHING
+    * indexed, all seven fields ride the data section
+    * (classifier-abis/zero-x/ZeroXOtcOrdersFeature.json). */
+  private[graft] def otcFilledDecode(t: org.apache.spark.sql.DataFrame) = t
+    .withColumn("maker_dec", abi_log_address(col("log_data"), 1))
+    .withColumn("taker_dec", abi_log_address(col("log_data"), 2))
+    .withColumn("maker_tok", abi_log_address(col("log_data"), 3))
+    .withColumn("taker_tok", abi_log_address(col("log_data"), 4))
+    .withColumn("maker_fill", abi_log_word(col("log_data"), 5))
+    .withColumn("taker_fill", abi_log_word(col("log_data"), 6))
+
+  /** C1 (ZeroX `fillOtcOrder` → Swap): the swap decodes ENTIRELY from
+    * the OtcOrderFilled EVENT — `from = recipient = logs.taker`, amounts
+    * and both tokens are log words, the calldata contributes nothing
+    * (zerox/mod.rs:126-157). The distinctive tree arm is
+    * `include_delegated_logs: true`: the event is emitted by the
+    * DELEGATECALLED OtcOrders feature contract, so the classifier
+    * collects logs from the frame AND its delegatecall children, taking
+    * the first match — modeled here as a two-candidate (self, child)
+    * equi-join over the trace tree with self-precedence, `log_src`
+    * splitting the rollup into self/child/none. A frame with no event in
+    * either slot fails (`otc_order_filled_field?` → the none row); a
+    * missing takerToken/makerToken quarantines (two `?` fetches).
+    *
+    * Scale shape: the candidate explode is ×2 and the log join is
+    * (tx_hash, trace_idx) equi-keyed — tx-local at any scale; token
+    * joins broadcast; one rollup. */
+  private val c1ZeroxOtc = QueryDef(
+    "c1_zerox_otc",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tr = tracesTable(s, dir)
+        .withColumn("q6l", col("q6").cast("long"))
+        .withColumn("p2l", col("p2").cast("long"))
+      val roots = tr
+        .filter(col("trace_idx") % 5 === 0 && col("selector") === SelV2Swap)
+        .select(col("tx_hash"), col("trace_idx").as("f_idx"),
+          col("from_address").as("f_from"))
+      // log-bearing rows: a root emits the event itself when its own
+      // p2 is even; a depth-1 child (the delegated feature contract)
+      // emits it when its own p2 is odd (q6 is quantity-derived and
+      // always even in this fixture - parity must come from p2)
+      val logs = tr
+        .filter((col("trace_idx") % 5 === 0 && col("p2l") % 2 === 0) ||
+          (col("trace_idx") % 5 === 1 && col("p2l") % 2 === 1))
+        .withColumn("log_data", unhex(concat(
+          md5(concat(lit("oh:"), col("tx_hash"), col("trace_idx"))),
+          md5(concat(lit("oh2:"), col("tx_hash"), col("trace_idx"))),
+          lit("0" * 32), md5(concat(lit("mkr:"), col("p2l") % 9)),
+          lit("0" * 32), col("from_address"), // taker
+          lit("0" * 32),
+          md5(concat(lit("tok:"), (col("tok_id") + 1) % TokRefSpace)),
+          lit("0" * 32), md5(concat(lit("tok:"), col("tok_id"))),
+          word(col("q6l")), word(col("p2l") + 1))))
+        .select(col("tx_hash").as("l_tx"), col("trace_idx").as("l_idx"),
+          col("log_data"), col("tok_id").as("l_tok"))
+      val cand = roots.select(col("tx_hash"), col("f_idx"), col("f_from"),
+        explode(array(col("f_idx"), col("f_idx") + 1)).as("cand_idx"))
+      val wFirst = Window.partitionBy("tx_hash", "f_idx").orderBy("l_idx")
+      val firstLog = cand
+        .join(logs, col("l_tx") === col("tx_hash") &&
+          col("l_idx") === col("cand_idx"))
+        .withColumn("rn", row_number().over(wFirst)) // self precedes child
+        .filter(col("rn") === 1)
+        .select(col("tx_hash"), col("f_idx"), col("l_idx"),
+          col("log_data"), col("l_tok"))
+      val tkIn = tokens(s).select(col("token_id").as("in_id"),
+        col("decimals").as("in_dec"))
+      val tkOut = tokens(s).select(col("token_id").as("out_id"),
+        col("decimals").as("out_dec"))
+      otcFilledDecode(
+        roots.join(firstLog, Seq("tx_hash", "f_idx"), "left"))
+        .withColumn("log_src",
+          when(col("l_idx").isNull, "none")
+            .when(col("l_idx") === col("f_idx"), "self").otherwise("child"))
+        .join(broadcast(tkIn),
+          substring(col("taker_tok"), 9, 32) ===
+            md5(concat(lit("tok:"), col("in_id"))), "left")
+        .join(broadcast(tkOut),
+          substring(col("maker_tok"), 9, 32) ===
+            md5(concat(lit("tok:"), col("out_id"))), "left")
+        .withColumn("status",
+          when(col("log_src") === "none", "no_log")
+            .when(col("in_dec").isNull || col("out_dec").isNull,
+              "quarantined")
+            .otherwise("ok"))
+        .groupBy("log_src")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("status") === "quarantined", 1L).otherwise(0L))
+            .as("n_quarantined"),
+          sum(when(col("status") === "ok", 1L).otherwise(0L)).as("n_ok"),
+          sum(when(col("taker_dec") ===
+            concat(lit("0" * 8), col("f_from")), 1L).otherwise(0L))
+            .as("n_taker_ok"),
+          dsum(when(col("status") === "ok",
+            col("taker_fill").cast("double") / pow10d(col("in_dec")))
+            .otherwise(lit(0.0))).as("sum_in_scaled"),
+          dsum(when(col("status") === "ok",
+            col("maker_fill").cast("double") / pow10d(col("out_dec")))
+            .otherwise(lit(0.0))).as("sum_out_scaled"))
+        .orderBy("log_src")
+    },
+    withCtes(s""", zxr AS (
+        SELECT tx_hash, trace_idx AS f_idx
+        FROM trace
+        WHERE trace_idx % 5 = 0 AND selector = '$SelV2Swap'),
+      zxl AS (
+        SELECT tx_hash AS l_tx, trace_idx AS l_idx, tok_id AS l_tok,
+          CAST(q6 AS BIGINT) AS l_q6, CAST(p2 AS BIGINT) AS l_p2
+        FROM trace
+        WHERE (trace_idx % 5 = 0 AND CAST(p2 AS BIGINT) % 2 = 0)
+           OR (trace_idx % 5 = 1 AND CAST(p2 AS BIGINT) % 2 = 1)),
+      zxm AS (
+        SELECT r.tx_hash, r.f_idx, l.l_idx, l.l_tok, l.l_q6, l.l_p2,
+          ROW_NUMBER() OVER (PARTITION BY r.tx_hash, r.f_idx
+            ORDER BY l.l_idx) AS rn
+        FROM zxr r JOIN zxl l ON l.l_tx = r.tx_hash
+          AND (l.l_idx = r.f_idx OR l.l_idx = r.f_idx + 1)),
+      zxf AS (
+        SELECT r.tx_hash, r.f_idx, m.l_idx, m.l_tok, m.l_q6, m.l_p2,
+          CASE WHEN m.l_idx IS NULL THEN 'none'
+            WHEN m.l_idx = r.f_idx THEN 'self' ELSE 'child' END AS log_src,
+          i.decimals AS in_dec, o.decimals AS out_dec
+        FROM zxr r LEFT JOIN (SELECT * FROM zxm WHERE rn = 1) m
+          ON m.tx_hash = r.tx_hash AND m.f_idx = r.f_idx
+        LEFT JOIN tok i ON i.token_id = m.l_tok
+        LEFT JOIN tok o ON o.token_id = (m.l_tok + 1) % $TokRefSpace)
+      SELECT log_src, CAST(COUNT(*) AS BIGINT) AS n_frames,
+        CAST(SUM(CASE WHEN log_src <> 'none'
+          AND (in_dec IS NULL OR out_dec IS NULL) THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_quarantined,
+        CAST(SUM(CASE WHEN log_src <> 'none'
+          AND in_dec IS NOT NULL AND out_dec IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_ok,
+        CAST(SUM(CASE WHEN log_src <> 'none' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_taker_ok,
+        ${sqlSum(s"""CASE WHEN log_src <> 'none' AND in_dec IS NOT NULL
+            AND out_dec IS NOT NULL
+          THEN (l_p2 + 1) / ${sqlPow10.format("in_dec")} ELSE 0.0e0 END""")}
+          AS sum_in_scaled,
+        ${sqlSum(s"""CASE WHEN log_src <> 'none' AND in_dec IS NOT NULL
+            AND out_dec IS NOT NULL
+          THEN l_q6 / ${sqlPow10.format("out_dec")} ELSE 0.0e0 END""")}
+          AS sum_out_scaled
+      FROM zxf GROUP BY 1 ORDER BY 1"""))
 
   // ── Uniswap V2 mint/burn: registry-SORTED pair + strict failure ladder ────
 
