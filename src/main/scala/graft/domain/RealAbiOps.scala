@@ -59,7 +59,7 @@ object RealAbiOps extends graft.QueryModule {
     c1UniV3Mint, c1UniV3BurnCollect, q5JitReal, c3CurveFactory,
     c1AaveFlashloan, c5FlashloanReal, c5SettleReal, c1BalancerJoinExit,
     c1BalancerRegister, c1BalancerFlashloan, c1OneinchRouter,
-    c1UniV2MintBurn, c1ZeroxOtc)
+    c1UniV2MintBurn, c1ZeroxOtc, c1DssFlash, c1DodoShares)
 
   private def withCtes(sql: String) = Some(s"WITH ${ChainFixture.sqlCtes} $sql")
 
@@ -1933,6 +1933,215 @@ object RealAbiOps extends graft.QueryModule {
           + (burn_out - mint_out) * ${tokenPriceSql("mint_t1")}""")}
           AS sum_fee_usd
       FROM jrv GROUP BY 1 ORDER BY 1"""))
+
+  // ── MakerDssFlash: the ERC-3156 single-asset mixed-source loan ────────────
+
+  /** C1 (MakerDssFlash `flashLoan` → FlashLoan): the ERC-3156 shape —
+    * `flashLoan(receiver, token, amount, data)` — where the classified
+    * fields come from THREE sources (maker/dss_flash.rs:6-39): token and
+    * amount from CALLDATA words 1/2, the receiver contract from the
+    * FlashLoan event's INDEXED topic (`logs.receiver` — topic1, not a
+    * data word), and the fee from log data word 2. `flash_loan_field?`
+    * fails FIRST on an absent event; the single `try_fetch_token_info?`
+    * quarantines after it. `n_echo_ok` pins the calldata↔log token and
+    * amount echoes plus the topic↔calldata receiver agreement.
+    *
+    * Scale shape: one pruned trace scan, one broadcast token join, one
+    * rollup. */
+  private val c1DssFlash = QueryDef(
+    "c1_dss_flash",
+    (s, dir) => {
+      val t = tracesTable(s, dir)
+        .filter(col("selector") === SelLiquidation)
+        .withColumn("q6l", col("q6").cast("long"))
+        .withColumn("p2l", col("p2").cast("long"))
+        .withColumn("has_log", col("p2l") % 7 =!= 0)
+        .withColumn("bucket", col("tok_id") % 5)
+      val tokA = md5(concat(lit("tok:"), col("tok_id")))
+      val packed = t
+        .withColumn("calldata", unhex(concat(col("selector"),
+          lit("0" * 32), col("from_address"), // receiver
+          lit("0" * 32), tokA, // token
+          word(col("q6l")), // amount
+          word(lit(128L)), word(lit(0L))))) // bytes data: len 0
+        .withColumn("topic1",
+          when(col("has_log"),
+            unhex(concat(lit("0" * 32), col("from_address")))))
+        .withColumn("log_data",
+          when(col("has_log"), unhex(concat(
+            lit("0" * 32), tokA, word(col("q6l")),
+            word(col("p2l") % 500)))))
+      val dec = packed
+        .withColumn("recv_cd", abi_address(col("calldata"), 0))
+        .withColumn("tok_cd", abi_address(col("calldata"), 1))
+        .withColumn("amt_cd", abi_word(col("calldata"), 2))
+        .withColumn("recv_topic", abi_log_address(col("topic1"), 0))
+        .withColumn("tok_log", abi_log_address(col("log_data"), 0))
+        .withColumn("amt_log", abi_log_word(col("log_data"), 1))
+        .withColumn("fee_log", abi_log_word(col("log_data"), 2))
+      val tk = tokens(s).select(col("token_id").as("tk_id"),
+        col("decimals").as("tk_dec"))
+      dec
+        .join(broadcast(tk),
+          substring(col("tok_cd"), 9, 32) ===
+            md5(concat(lit("tok:"), col("tk_id"))), "left")
+        .withColumn("status",
+          when(col("amt_log").isNull, "no_log") // flash_loan_field? first
+            .when(col("tk_dec").isNull, "quarantined")
+            .otherwise("ok"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("status") === "no_log", 1L).otherwise(0L))
+            .as("n_no_log"),
+          sum(when(col("status") === "quarantined", 1L).otherwise(0L))
+            .as("n_quarantined"),
+          sum(when(col("status") === "ok", 1L).otherwise(0L)).as("n_ok"),
+          sum(when(col("status") === "ok" &&
+            col("tok_log") === col("tok_cd") &&
+            col("amt_log") === col("amt_cd") &&
+            col("recv_topic") === col("recv_cd"), 1L).otherwise(0L))
+            .as("n_echo_ok"),
+          dsum(when(col("status") === "ok",
+            col("amt_cd").cast("double") / pow10d(col("tk_dec")))
+            .otherwise(lit(0.0))).as("sum_amount_scaled"),
+          dsum(when(col("status") === "ok",
+            col("fee_log").cast("double") / pow10d(col("tk_dec")))
+            .otherwise(lit(0.0))).as("sum_fee_scaled"))
+        .orderBy("bucket")
+    },
+    withCtes(s""", df13 AS (
+        SELECT t.tok_id % 5 AS bucket, t.tok_id,
+          CAST(t.q6 AS BIGINT) AS q6l, CAST(t.p2 AS BIGINT) AS p2l,
+          CAST(t.p2 AS BIGINT) % 7 <> 0 AS has_log, tk.decimals AS dec
+        FROM trace t LEFT JOIN tok tk ON tk.token_id = t.tok_id
+        WHERE t.selector = '$SelLiquidation')
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_frames,
+        CAST(SUM(CASE WHEN NOT has_log THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_no_log,
+        CAST(SUM(CASE WHEN has_log AND dec IS NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_quarantined,
+        CAST(SUM(CASE WHEN has_log AND dec IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_ok,
+        CAST(SUM(CASE WHEN has_log AND dec IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_echo_ok,
+        ${sqlSum(s"""CASE WHEN has_log AND dec IS NOT NULL
+          THEN q6l / ${sqlPow10.format("dec")} ELSE 0.0e0 END""")}
+          AS sum_amount_scaled,
+        ${sqlSum(s"""CASE WHEN has_log AND dec IS NOT NULL
+          THEN (p2l % 500) / ${sqlPow10.format("dec")} ELSE 0.0e0 END""")}
+          AS sum_fee_scaled
+      FROM df13 GROUP BY 1 ORDER BY 1"""))
+
+  // ── Dodo buyShares: return-data Mint with LAZY per-side fetch ─────────────
+
+  /** C1 (Dodo DSP `buyShares` → Mint): the amounts ride the RETURN data
+    * — `buyShares(address to)` returns `(shares, baseInput, quoteInput)`
+    * (dodo/dodo_v2.rs:109-156) — and the token fetches are LAZY: each
+    * side fetches its token ONLY when its input is nonzero (`if
+    * return_data.baseInput > U256::ZERO { try_fetch(...)? ... }`), so a
+    * MISSING token on a ZERO side does not quarantine — a finer ladder
+    * than Balancer's loop-wide `?`. The pair is registry-sorted
+    * ([[c1UniV2MintBurn]]'s `get_protocol_details_sorted` again).
+    *
+    * Scale shape: one pruned trace scan, one broadcast pool join, two
+    * broadcast token joins, one rollup. */
+  private val c1DodoShares = QueryDef(
+    "c1_dodo_shares",
+    (s, dir) => {
+      val t = tracesTable(s, dir)
+        .filter(col("selector") === SelMint)
+        .withColumn("q6l", col("q6").cast("long"))
+        .withColumn("p2l", col("p2").cast("long"))
+        .withColumn("base_in",
+          when(col("p2l") % 3 === 0, lit(0L)).otherwise(col("q6l")))
+        .withColumn("quote_in",
+          when(col("p2l") % 5 === 0, lit(0L)).otherwise(col("q6l") + 7))
+      val packed = t
+        .withColumn("calldata", unhex(concat(col("selector"),
+          lit("0" * 32), col("from_address")))) // to
+        .withColumn("ret_data", unhex(concat(word(col("p2l")), // shares
+          word(col("base_in")), word(col("quote_in")))))
+        .withColumn("to_dec", abi_address(col("calldata"), 0))
+        .withColumn("shares_dec", abi_ret_int(col("ret_data"), 0))
+        .withColumn("base_dec", abi_ret_int(col("ret_data"), 1))
+        .withColumn("quote_dec", abi_ret_int(col("ret_data"), 2))
+      val po = pools(s).select(col("address").as("p_addr"),
+        col("t0_id").as("p_t0"), col("t1_id").as("p_t1"))
+      val tkA = tokens(s).select(col("token_id").as("a_id"),
+        col("decimals").as("a_dec"))
+      val tkB = tokens(s).select(col("token_id").as("b_id"),
+        col("decimals").as("b_dec"))
+      packed
+        .join(broadcast(po), col("to_address") === col("p_addr"))
+        .withColumn("swapped", md5(concat(lit("tok:"), col("p_t0"))) >
+          md5(concat(lit("tok:"), col("p_t1"))))
+        .withColumn("s0_id",
+          when(col("swapped"), col("p_t1")).otherwise(col("p_t0")))
+        .withColumn("s1_id",
+          when(col("swapped"), col("p_t0")).otherwise(col("p_t1")))
+        .join(broadcast(tkA), col("s0_id") === col("a_id"), "left")
+        .join(broadcast(tkB), col("s1_id") === col("b_id"), "left")
+        .withColumn("sides",
+          when(col("base_dec") > 0 && col("quote_dec") > 0, "both")
+            .when(col("base_dec") > 0, "base")
+            .when(col("quote_dec") > 0, "quote").otherwise("none"))
+        // LAZY fetch: a missing token only quarantines when ITS side is
+        // live (dodo_v2.rs:124-138)
+        .withColumn("quarantined",
+          (col("base_dec") > 0 && col("a_dec").isNull) ||
+            (col("quote_dec") > 0 && col("b_dec").isNull))
+        .groupBy("sides")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("quarantined"), 1L).otherwise(0L))
+            .as("n_quarantined"),
+          sum(when(!col("quarantined") &&
+            col("to_dec") === concat(lit("0" * 8), col("from_address")),
+            1L).otherwise(0L)).as("n_ok"),
+          sum(when(!col("quarantined"), col("shares_dec")).otherwise(0L))
+            .as("sum_shares"),
+          dsum(when(!col("quarantined") && col("base_dec") > 0,
+            col("base_dec").cast("double") / pow10d(col("a_dec")))
+            .otherwise(lit(0.0))).as("sum_base_scaled"),
+          dsum(when(!col("quarantined") && col("quote_dec") > 0,
+            col("quote_dec").cast("double") / pow10d(col("b_dec")))
+            .otherwise(lit(0.0))).as("sum_quote_scaled"))
+        .orderBy("sides")
+    },
+    withCtes(s""", ds13 AS (
+        SELECT CAST(t.q6 AS BIGINT) AS q6l, CAST(t.p2 AS BIGINT) AS p2l,
+          CASE WHEN CAST(t.p2 AS BIGINT) % 3 = 0 THEN 0
+            ELSE CAST(t.q6 AS BIGINT) END AS base_in,
+          CASE WHEN CAST(t.p2 AS BIGINT) % 5 = 0 THEN 0
+            ELSE CAST(t.q6 AS BIGINT) + 7 END AS quote_in,
+          CASE WHEN md5('tok:' || p.t0_id) > md5('tok:' || p.t1_id)
+            THEN p.t1_id ELSE p.t0_id END AS s0_id,
+          CASE WHEN md5('tok:' || p.t0_id) > md5('tok:' || p.t1_id)
+            THEN p.t0_id ELSE p.t1_id END AS s1_id
+        FROM trace t JOIN pool p ON p.address = t.to_address
+        WHERE t.selector = '$SelMint'),
+      ds2 AS (
+        SELECT d.*, a.decimals AS a_dec, b.decimals AS b_dec,
+          CASE WHEN d.base_in > 0 AND d.quote_in > 0 THEN 'both'
+            WHEN d.base_in > 0 THEN 'base'
+            WHEN d.quote_in > 0 THEN 'quote' ELSE 'none' END AS sides,
+          (d.base_in > 0 AND a.decimals IS NULL)
+            OR (d.quote_in > 0 AND b.decimals IS NULL) AS quarantined
+        FROM ds13 d LEFT JOIN tok a ON a.token_id = d.s0_id
+          LEFT JOIN tok b ON b.token_id = d.s1_id)
+      SELECT sides, CAST(COUNT(*) AS BIGINT) AS n_frames,
+        CAST(SUM(CASE WHEN quarantined THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_quarantined,
+        CAST(SUM(CASE WHEN NOT quarantined THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_ok,
+        CAST(SUM(CASE WHEN NOT quarantined THEN p2l ELSE 0 END) AS BIGINT)
+          AS sum_shares,
+        ${sqlSum(s"""CASE WHEN NOT quarantined AND base_in > 0
+          THEN base_in / ${sqlPow10.format("a_dec")} ELSE 0.0e0 END""")}
+          AS sum_base_scaled,
+        ${sqlSum(s"""CASE WHEN NOT quarantined AND quote_in > 0
+          THEN quote_in / ${sqlPow10.format("b_dec")} ELSE 0.0e0 END""")}
+          AS sum_quote_scaled
+      FROM ds2 GROUP BY 1 ORDER BY 1"""))
 
   // ── ZeroX fillOtcOrder: log-only swap + DELEGATED-log collection ──────────
 
