@@ -59,7 +59,8 @@ object RealAbiOps extends graft.QueryModule {
     c1UniV3Mint, c1UniV3BurnCollect, q5JitReal, c3CurveFactory,
     c1AaveFlashloan, c5FlashloanReal, c5SettleReal, c1BalancerJoinExit,
     c1BalancerRegister, c1BalancerFlashloan, c1OneinchRouter,
-    c1UniV2MintBurn, c1ZeroxOtc, c1DssFlash, c1DodoShares)
+    c1UniV2MintBurn, c1ZeroxOtc, c1DssFlash, c1DodoShares,
+    c3DiscoveryBreadth)
 
   private def withCtes(sql: String) = Some(s"WITH ${ChainFixture.sqlCtes} $sql")
 
@@ -1211,6 +1212,120 @@ object RealAbiOps extends graft.QueryModule {
     * Scale shape: the deployment scan is dimension-sized; all joins
     * broadcast; the string/address decodes are offset-followed byte
     * reads inside codegen. */
+  /** C3 (discovery breadth — four more real `discovery_impl!` layouts):
+    *
+    *   - Uniswap V3 `createPool(tokenA, tokenB, fee)`
+    *     (uniswap/discovery.rs:25-44): the pair is CANONICALLY SWAPPED
+    *     when `tokenA > tokenB` (address order — `n_swapped` counts
+    *     reorders), the fee tier is calldata word 2, and the POOL is the
+    *     deployment result (modeled as the create frame's RETURN word);
+    *   - Dodo DVM/DSP/DPP factories (dodo/discovery.rs:5-61): all three
+    *     NewPool layouts ride their factory EVENT — four unindexed data
+    *     words `(baseToken, quoteToken, creator, pool)`, identical
+    *     positions across the three events.
+    *
+    * The distinctive discovery_impl semantic is the FACTORY-ADDRESS
+    * GATE: `discovery_impl!` binds each decoder to ONE factory address
+    * (discovery.rs's `0x5C69bE…`/`0x1F9843…` literals), so a frame with
+    * the same selector on any other target NEVER classifies —
+    * `n_gated_out` counts those, and they contribute no pool.
+    *
+    * Scale shape: one pruned trace scan, zero joins, one 4-group
+    * rollup; all decode codegen'd. */
+  private val c3DiscoveryBreadth = QueryDef(
+    "c3_discovery_breadth",
+    (s, dir) => {
+      val t = tracesTable(s, dir)
+        .filter(col("selector") === SelBurn)
+        .withColumn("q6l", col("q6").cast("long"))
+        .withColumn("p2l", col("p2").cast("long"))
+        .withColumn("arm", (col("q6l") + col("p2l")) % 4)
+        .withColumn("is_factory", col("p2l") % 4 =!= 0)
+        .withColumn("protocol",
+          when(col("arm") === 0, "uniswap_v3")
+            .when(col("arm") === 1, "dodo_dvm")
+            .when(col("arm") === 2, "dodo_dsp").otherwise("dodo_dpp"))
+      val tokA = md5(concat(lit("tok:"), col("tok_id")))
+      val tokB = md5(concat(lit("tok:"), (col("tok_id") + 9) % TokRefSpace))
+      val dep = md5(concat(lit("dep:"), col("tx_hash"), col("trace_idx")))
+      val feeTier = element_at(
+        array(lit(500L), lit(3000L), lit(10000L)),
+        (col("p2l") % 3 + 1).cast("int"))
+      val packed = t
+        .withColumn("calldata",
+          when(col("arm") === 0, unhex(concat(col("selector"),
+            lit("0" * 32), tokA, lit("0" * 32), tokB, word(feeTier)))))
+        .withColumn("ret_data",
+          when(col("arm") === 0, unhex(concat(lit("0" * 32), dep))))
+        .withColumn("log_data",
+          when(col("arm") =!= 0, unhex(concat(
+            lit("0" * 32), tokA, lit("0" * 32), tokB,
+            lit("0" * 32), col("from_address"), lit("0" * 32), dep))))
+      val dec = packed
+        .withColumn("ta",
+          when(col("arm") === 0, abi_address(col("calldata"), 0))
+            .otherwise(abi_log_address(col("log_data"), 0)))
+        .withColumn("tb",
+          when(col("arm") === 0, abi_address(col("calldata"), 1))
+            .otherwise(abi_log_address(col("log_data"), 1)))
+        .withColumn("fee_dec",
+          when(col("arm") === 0, abi_word(col("calldata"), 2)))
+        .withColumn("pool_dec",
+          when(col("arm") === 0, abi_log_address(col("ret_data"), 0))
+            .otherwise(abi_log_address(col("log_data"), 3)))
+        .withColumn("creator_dec",
+          when(col("arm") =!= 0, abi_log_address(col("log_data"), 2)))
+        // createPair/createPool canonical order: swap when tokenA > tokenB
+        // (uniswap/discovery.rs:11-14, :30-34); dodo keeps (base, quote)
+        .withColumn("swapped", col("arm") === 0 && col("ta") > col("tb"))
+        .withColumn("t0_dec",
+          when(col("swapped"), col("tb")).otherwise(col("ta")))
+        .withColumn("t1_dec",
+          when(col("swapped"), col("ta")).otherwise(col("tb")))
+      dec.groupBy("protocol")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(!col("is_factory"), 1L).otherwise(0L)).as("n_gated_out"),
+          sum(when(col("is_factory"), 1L).otherwise(0L)).as("n_pools"),
+          sum(when(col("is_factory") && col("swapped"), 1L).otherwise(0L))
+            .as("n_swapped"),
+          sum(when(col("is_factory") && col("arm") === 0, col("fee_dec"))
+            .otherwise(0L)).as("sum_fee"),
+          sum(when(col("is_factory") && col("t0_dec").isNotNull &&
+            col("t1_dec").isNotNull && col("pool_dec").isNotNull &&
+            (col("arm") === 0 ||
+              col("creator_dec") === concat(lit("0" * 8),
+                col("from_address"))), 1L).otherwise(0L)).as("n_pair_ok"))
+        .orderBy("protocol")
+    },
+    withCtes(s""", db13 AS (
+        SELECT (CAST(q6 AS BIGINT) + CAST(p2 AS BIGINT)) % 4 AS arm,
+          CAST(p2 AS BIGINT) % 4 <> 0 AS is_factory,
+          CAST(p2 AS BIGINT) AS p2l, tok_id
+        FROM trace WHERE selector = '$SelBurn'),
+      db2 AS (
+        SELECT CASE arm WHEN 0 THEN 'uniswap_v3' WHEN 1 THEN 'dodo_dvm'
+            WHEN 2 THEN 'dodo_dsp' ELSE 'dodo_dpp' END AS protocol,
+          is_factory,
+          arm = 0 AND '00000000' || md5('tok:' || tok_id) >
+            '00000000' || md5('tok:' || (tok_id + 9) % $TokRefSpace)
+            AS swapped,
+          CASE WHEN arm = 0
+            THEN list_value(500, 3000, 10000)[CAST(p2l % 3 + 1 AS INT)]
+            ELSE 0 END AS fee
+        FROM db13)
+      SELECT protocol, CAST(COUNT(*) AS BIGINT) AS n_frames,
+        CAST(SUM(CASE WHEN NOT is_factory THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_gated_out,
+        CAST(SUM(CASE WHEN is_factory THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_pools,
+        CAST(SUM(CASE WHEN is_factory AND swapped THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_swapped,
+        CAST(SUM(CASE WHEN is_factory THEN fee ELSE 0 END) AS BIGINT)
+          AS sum_fee,
+        CAST(SUM(CASE WHEN is_factory THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_pair_ok
+      FROM db2 GROUP BY 1 ORDER BY 1"""))
+
   private val c3CurveFactory = QueryDef(
     "c3_curve_factory",
     (s, dir) => {
