@@ -60,7 +60,7 @@ object RealAbiOps extends graft.QueryModule {
     c1AaveFlashloan, c5FlashloanReal, c5SettleReal, c1BalancerJoinExit,
     c1BalancerRegister, c1BalancerFlashloan, c1OneinchRouter,
     c1UniV2MintBurn, c1ZeroxOtc, c1DssFlash, c1DodoShares,
-    c3DiscoveryBreadth)
+    c3DiscoveryBreadth, c5OneinchCollapse)
 
   private def withCtes(sql: String) = Some(s"WITH ${ChainFixture.sqlCtes} $sql")
 
@@ -2576,9 +2576,10 @@ object RealAbiOps extends graft.QueryModule {
         .when(col("arm") === 2, abi_word(col("calldata"), 2))
         .otherwise(abi_word(col("calldata"), 4)))
 
-  private val c1OneinchRouter = QueryDef(
-    "c1_oneinch_router",
-    (s, dir) => {
+  /** Shared 1inch fixture: packs one of the four V5 method calldatas on
+    * every SelCurveSwap trace (arm = (q6+p2) % 4). */
+  private def oneinchFrames(s: org.apache.spark.sql.SparkSession,
+      dir: String) = {
       val t = tracesTable(s, dir)
         .filter(col("selector") === SelCurveSwap)
         .withColumn("q6l", col("q6").cast("long"))
@@ -2591,7 +2592,7 @@ object RealAbiOps extends graft.QueryModule {
         md5(concat(lit("tok:"), col("tok_id"))))
       val tok2W = concat(lit("0" * 32),
         md5(concat(lit("tok:"), (col("tok_id") + 1) % TokRefSpace)))
-      val packed = t.withColumn("calldata", unhex(
+      t.withColumn("calldata", unhex(
         when(col("arm") === 0, concat(lit("12aa3caf"), // swap
           eoaW, // executor
           tokW, tok2W, eoaW, eoaW, // desc inline: src,dst,srcRecv,dstRecv
@@ -2625,6 +2626,88 @@ object RealAbiOps extends graft.QueryModule {
           when(col("arm") === 0, "swap")
             .when(col("arm") === 1, "fill_order")
             .when(col("arm") === 2, "unoswap").otherwise("clipper"))
+  }
+
+  /** C5 (aggregator collapse on REAL router bytes): the tree pass that
+    * absorbs a 1inch frame's subtree into its NormalizedAggregator
+    * (`child_actions`, one_inch.rs collapse; route = first-in/last-out
+    * legs as in [[graft.queries.MiscOps]]'s synthetic c5_aggregator) —
+    * here KEYED BY THE DECODE: the aggregator frames are the
+    * [[oneinchFrames]] roots and the recipient each route is checked
+    * against comes from the REAL calldata ([[oneinchRouterDecode]], all
+    * four method arms), not a fixture column. Subtree membership uses
+    * the trace tree's group geometry (root `idx%5==0` owns `idx..idx+4`,
+    * ChainFixture trace_address construction); legs are the child
+    * SelTransfer frames in trace order. Frames with NO child legs still
+    * classify (`child_actions: vec![]` — the reference fills them during
+    * tree building), split out as `n_childless`.
+    *
+    * Scale shape: roots and legs join (tx_hash, grp)-equi-keyed —
+    * tx-local; one rollup by method. */
+  private val c5OneinchCollapse = QueryDef(
+    "c5_oneinch_collapse",
+    (s, dir) => {
+      val roots = oneinchRouterDecode(
+        oneinchFrames(s, dir).filter(col("trace_idx") % 5 === 0))
+        .withColumn("grp", expr("trace_idx div 5"))
+        .select(col("tx_hash"), col("grp"), col("method"),
+          col("recip_dec"), col("from_address"))
+      val legs = tracesTable(s, dir)
+        .filter(col("selector") === SelTransfer && col("trace_idx") % 5 =!= 0)
+        .withColumn("grp", expr("trace_idx div 5"))
+        .withColumn("q6l", col("q6").cast("long"))
+        .groupBy(col("tx_hash").as("l_tx"), col("grp").as("l_grp"))
+        .agg(count(lit(1)).as("n_absorbed"),
+          min_by(col("q6l"), col("trace_idx")).as("route_in"),
+          max_by(col("q6l"), col("trace_idx")).as("route_out"))
+      roots
+        .join(legs, col("l_tx") === col("tx_hash") &&
+          col("l_grp") === col("grp"), "left")
+        .groupBy("method")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("n_absorbed").isNull, 1L).otherwise(0L))
+            .as("n_childless"),
+          sum(when(col("recip_dec") ===
+            concat(lit("0" * 8), col("from_address")), 1L).otherwise(0L))
+            .as("n_recip_ok"),
+          sum(coalesce(col("n_absorbed"), lit(0L))).as("n_pruned_children"),
+          dsum(coalesce(col("route_in"), lit(0L)).cast("double") / 1000000.0)
+            .as("sum_route_in"),
+          dsum(coalesce(col("route_out"), lit(0L)).cast("double") / 1000000.0)
+            .as("sum_route_out"))
+        .orderBy("method")
+    },
+    withCtes(s""", oir AS (
+        SELECT tx_hash, trace_idx // 5 AS grp,
+          CASE (CAST(q6 AS BIGINT) + CAST(p2 AS BIGINT)) % 4
+            WHEN 0 THEN 'swap' WHEN 1 THEN 'fill_order'
+            WHEN 2 THEN 'unoswap' ELSE 'clipper' END AS method
+        FROM trace
+        WHERE selector = '$SelCurveSwap' AND trace_idx % 5 = 0),
+      oil AS (
+        SELECT tx_hash AS l_tx, trace_idx // 5 AS l_grp,
+          COUNT(*) AS n_absorbed,
+          ARG_MIN(CAST(q6 AS BIGINT), trace_idx) AS route_in,
+          ARG_MAX(CAST(q6 AS BIGINT), trace_idx) AS route_out
+        FROM trace
+        WHERE selector = '$SelTransfer' AND trace_idx % 5 <> 0
+        GROUP BY 1, 2)
+      SELECT method, CAST(COUNT(*) AS BIGINT) AS n_frames,
+        CAST(SUM(CASE WHEN l.n_absorbed IS NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_childless,
+        CAST(COUNT(*) AS BIGINT) AS n_recip_ok,
+        CAST(SUM(COALESCE(l.n_absorbed, 0)) AS BIGINT) AS n_pruned_children,
+        ${sqlSum("COALESCE(l.route_in, 0) / 1000000.0e0")} AS sum_route_in,
+        ${sqlSum("COALESCE(l.route_out, 0) / 1000000.0e0")}
+          AS sum_route_out
+      FROM oir r LEFT JOIN oil l
+        ON l.l_tx = r.tx_hash AND l.l_grp = r.grp
+      GROUP BY 1 ORDER BY 1"""))
+
+  private val c1OneinchRouter = QueryDef(
+    "c1_oneinch_router",
+    (s, dir) => {
+      val packed = oneinchFrames(s, dir)
       val dec = oneinchRouterDecode(packed)
         .withColumn("shape_ok",
           when(col("arm") === 0,
