@@ -1928,4 +1928,49 @@ class GoldenScenarioSpec extends SparkTestBase {
     assert(rB.getAs[Long]("coin_amt_dec") == 870L)
     assert(rB.getAs[Long]("cd_lp_dec") == 900L && rB.getAs[Long]("cd_min_dec") == 880L)
   }
+
+  test("real_abi clipper: every field rides the Swapped event — assets and recipient from TOPICS") {
+    // clipper_exchange.rs:8-160 — five selectors, one decode body that
+    // reads nothing from calldata: inAsset/outAsset/recipient are
+    // INDEXED params (topic words 0-2), amounts are data words 0/1.
+    // Values from the reference's
+    // test_clipper_exchange_transmit_and_sell_token_for_eth
+    // (tx 3d9186d1…): USDC → WETH, recipient aeaC71B0…,
+    // amounts 1213920000 / 360342259234585088.
+    val usdc = "a0b86991c6218b36c1d19d4a2e9eb0ce3606eb48"
+    val weth = "c02aaa39b223fe8d0a0e5c4f27ead9083c756cc2"
+    val recip = "aeac71b09aeaedc6a52cee06373a648cad620c20"
+    def a(x: String) = "0" * 24 + x
+    val topics = a(usdc) + a(weth) + a(recip)
+    val data = w64(1213920000L) + w64(360342259234585088L) +
+      w64(96L) + w64(0L)
+    // corrupt arm 1: a topic word with a NONZERO address pad — the
+    // indexed param is not an address, must NULL, not truncate
+    val badPad = ("11" + "0" * 22 + usdc) + a(weth) + a(recip)
+    // corrupt arm 2: topics truncated after two words — recipient NULL,
+    // assets still read
+    val short = a(usdc) + a(weth)
+    val out = graft.domain.RealAbiSwapOps.clipperDecode(
+      Seq((topics, data), (badPad, data), (short, data)).toDF("t", "d")
+        .select(unhex(col("t")).as("log_topics"), unhex(col("d")).as("log_data")))
+      .collect()
+    val g = out(0)
+    assert(g.getAs[String]("in_asset") == usdc &&
+      g.getAs[String]("out_asset") == weth,
+      "the asset identities decode from topic words 0/1")
+    assert(g.getAs[String]("recip_dec") == recip,
+      "recipient = logs.recipient — the topic, NOT msg_sender")
+    assert(g.getAs[Long]("amt_in") == 1213920000L &&
+      g.getAs[Long]("amt_out") == 360342259234585088L)
+    assert(g.getAs[Long]("aux_off") == 96L,
+      "auxiliaryData's head offset sits after the three static data words")
+    val b = out(1)
+    assert(b.isNullAt(b.fieldIndex("in_asset")),
+      "a nonzero 12-byte pad means the topic is not an address — NULL")
+    assert(b.getAs[String]("out_asset") == weth, "the other topics still read")
+    val s2 = out(2)
+    assert(s2.isNullAt(s2.fieldIndex("recip_dec")),
+      "a 2-topic log cannot yield a recipient — NULL, never a misread")
+    assert(s2.getAs[String]("in_asset") == usdc)
+  }
 }
