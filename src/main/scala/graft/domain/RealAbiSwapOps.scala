@@ -1,7 +1,8 @@
 package graft.domain
 
 import graft.QueryDef
-import graft.functions.AbiCalldata.{abi_log_address, abi_log_word}
+import graft.functions.AbiCalldata.{abi_address, abi_log_address, abi_log_word,
+  abi_ret_int, abi_word}
 import graft.ops.ExactAgg.{dsum, sqlSum}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -40,7 +41,8 @@ object RealAbiSwapOps extends graft.QueryModule {
   import ChainFixture._
   import RealAbiOps.{pow10d, sqlPow10, word}
 
-  def defs: Seq[QueryDef] = Seq(c1ClipperSwap)
+  def defs: Seq[QueryDef] = Seq(c1ClipperSwap, c1BalancerV1Swap,
+    c3BalancerV1Bind)
 
   private def withCtes(sql: String) = Some(s"WITH ${ChainFixture.sqlCtes} $sql")
 
@@ -168,4 +170,202 @@ object RealAbiSwapOps extends graft.QueryModule {
           THEN p2l / ${sqlPow10.format("out_dec")} ELSE 0.0e0 END""")}
           AS sum_out_scaled
       FROM cls GROUP BY 1 ORDER BY 1"""))
+
+  /** The Balancer V1 swap decode core on any frame with (calldata,
+    * ret_data, arm): the MIRROR PAIR — both selectors share one 5-word
+    * calldata geometry (tokenIn ‖ bound-in ‖ tokenOut ‖ bound-out ‖
+    * maxPrice), but the EXECUTED amount of the unbound side arrives in
+    * RETURN word 0. exactIn (arm 0): amount_in = calldata word 1,
+    * amount_out = return word 0 (balancer_v1.rs:20-24); exactOut
+    * (arm 1): amount_in = return word 0, amount_out = calldata word 3
+    * (:50-56). cd_bound echoes the OTHER side's calldata word so the
+    * flip itself is observable. */
+  private[graft] def balV1SwapDecode(t: DataFrame): DataFrame = t
+    .withColumn("in_asset", abi_address(col("calldata"), 0))
+    .withColumn("out_asset", abi_address(col("calldata"), 2))
+    .withColumn("amt_in",
+      when(col("arm") === 0, abi_word(col("calldata"), 1))
+        .otherwise(abi_ret_int(col("ret_data"), 0)))
+    .withColumn("amt_out",
+      when(col("arm") === 0, abi_ret_int(col("ret_data"), 0))
+        .otherwise(abi_word(col("calldata"), 3)))
+    .withColumn("cd_bound",
+      when(col("arm") === 0, abi_word(col("calldata"), 3))
+        .otherwise(abi_word(col("calldata"), 1)))
+    .withColumn("spot_after", abi_ret_int(col("ret_data"), 1))
+
+  /** C1 (Balancer V1 `swapExactAmountIn`/`swapExactAmountOut` → Swap):
+    * the calldata↔return MIRROR pair (balancer_v1.rs:9-71). Reference
+    * semantics pinned:
+    *   - the two selectors share one calldata geometry; which side's
+    *     EXECUTED amount rides the RETURN flips with the selector — the
+    *     only ported family where the same word slot changes meaning
+    *     (bound limit vs executed amount) across two methods;
+    *   - the return decode (`return_data:` arm of action_impl!) fails
+    *     BEFORE the closure — an absent return buffer quarantines the
+    *     frame before any token fetch (n_no_ret);
+    *   - `try_fetch_token_info(tokenIn/tokenOut)?` — either missing
+    *     quarantines (n_quarantined);
+    *   - `recipient = info.msg_sender`, `pool = info.target_address` —
+    *     no log is consulted at all (the [Swap] event passes unused).
+    *
+    * Fixture: SelCurveSwap frames; arm = p2 % 2; p2 % 9 == 0 models the
+    * absent-return arm; the out-asset steps +5 through the token ref
+    * space so both fetch arms cross the missing ids. Scale shape: one
+    * pruned trace scan, two broadcast token joins, one 2-group rollup. */
+  private val c1BalancerV1Swap = QueryDef(
+    "c1_balv1_swap",
+    (s, dir) => {
+      val t = tracesTable(s, dir)
+        .filter(col("selector") === SelCurveSwap)
+        .withColumn("q6l", col("q6").cast("long"))
+        .withColumn("p2l", col("p2").cast("long"))
+        .withColumn("arm", (col("p2l") % 2).cast("int")) // q6 is always
+        // even in this fixture (quantity-derived) - parity comes from p2
+        .withColumn("method",
+          when(col("arm") === 0, "exact_in").otherwise("exact_out"))
+        .withColumn("has_ret", col("p2l") % 9 =!= 0)
+        .withColumn("out_tid", (col("tok_id") + 5) % TokRefSpace)
+      val packed = t
+        .withColumn("calldata", unhex(concat(col("selector"),
+          lit("0" * 32), md5(concat(lit("tok:"), col("tok_id"))),
+          when(col("arm") === 0, word(col("q6l")))
+            .otherwise(word(col("q6l") * 2)), // maxAmountIn bound
+          lit("0" * 32), md5(concat(lit("tok:"), col("out_tid"))),
+          when(col("arm") === 0, expr("lpad(lower(hex(q6l div 2)), 64, '0')"))
+            .otherwise(word(col("p2l"))), // minAmountOut bound / exact out
+          word(col("p2l") + 3)))) // maxPrice
+        .withColumn("ret_data", when(col("has_ret"), unhex(concat(
+            when(col("arm") === 0, word(col("p2l"))).otherwise(word(col("q6l"))),
+            word(col("p2l") + 7)))) // spotPriceAfter
+          .otherwise(unhex(lit(""))))
+      val tkIn = tokens(s).select(col("address").as("in_a"),
+        col("decimals").as("in_dec"))
+      val tkOut = tokens(s).select(col("address").as("out_a"),
+        col("decimals").as("out_dec"))
+      balV1SwapDecode(packed)
+        .join(broadcast(tkIn),
+          col("in_asset") === concat(lit("0" * 8), col("in_a")), "left")
+        .join(broadcast(tkOut),
+          col("out_asset") === concat(lit("0" * 8), col("out_a")), "left")
+        .withColumn("status",
+          when(col("spot_after").isNull, "no_ret") // return decode FIRST
+            .when(col("in_dec").isNull || col("out_dec").isNull,
+              "quarantined")
+            .otherwise("ok"))
+        .groupBy("method")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("status") === "no_ret", 1L).otherwise(0L))
+            .as("n_no_ret"),
+          sum(when(col("status") === "quarantined", 1L).otherwise(0L))
+            .as("n_quarantined"),
+          sum(when(col("status") === "ok", 1L).otherwise(0L)).as("n_ok"),
+          // the bound (limit) word reads from the OPPOSITE slot per arm
+          sum(when((col("arm") === 0 &&
+              col("cd_bound") === expr("q6l div 2")) ||
+            (col("arm") === 1 && col("cd_bound") === col("q6l") * 2), 1L)
+            .otherwise(0L)).as("n_bound_ok"),
+          dsum(when(col("status") === "ok",
+            col("amt_in").cast("double") / pow10d(col("in_dec")))
+            .otherwise(lit(0.0))).as("sum_in_scaled"),
+          dsum(when(col("status") === "ok",
+            col("amt_out").cast("double") / pow10d(col("out_dec")))
+            .otherwise(lit(0.0))).as("sum_out_scaled"))
+        .orderBy("method")
+    },
+    withCtes(s""", bv1 AS (
+        SELECT CAST(t.q6 AS BIGINT) AS q6l, CAST(t.p2 AS BIGINT) AS p2l,
+          CAST(t.p2 AS BIGINT) % 2 AS arm,
+          CAST(t.p2 AS BIGINT) % 9 <> 0 AS has_ret,
+          t.tok_id AS in_tid, (t.tok_id + 5) % $TokRefSpace AS out_tid
+        FROM trace t WHERE t.selector = '$SelCurveSwap'),
+      bv1s AS (
+        SELECT f.*,
+          CASE WHEN arm = 0 THEN 'exact_in' ELSE 'exact_out' END AS method,
+          i.decimals AS in_dec, o.decimals AS out_dec,
+          CASE WHEN NOT f.has_ret THEN 'no_ret'
+            WHEN i.decimals IS NULL OR o.decimals IS NULL THEN 'quarantined'
+            ELSE 'ok' END AS status
+        FROM bv1 f LEFT JOIN tok i ON i.token_id = f.in_tid
+          LEFT JOIN tok o ON o.token_id = f.out_tid)
+      SELECT method, CAST(COUNT(*) AS BIGINT) AS n_frames,
+        CAST(SUM(CASE WHEN status = 'no_ret' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_no_ret,
+        CAST(SUM(CASE WHEN status = 'quarantined' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_quarantined,
+        CAST(SUM(CASE WHEN status = 'ok' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_ok,
+        CAST(COUNT(*) AS BIGINT) AS n_bound_ok,
+        ${sqlSum(s"""CASE WHEN status = 'ok'
+          THEN q6l / ${sqlPow10.format("in_dec")} ELSE 0.0e0 END""")}
+          AS sum_in_scaled,
+        ${sqlSum(s"""CASE WHEN status = 'ok'
+          THEN p2l / ${sqlPow10.format("out_dec")} ELSE 0.0e0 END""")}
+          AS sum_out_scaled
+      FROM bv1s GROUP BY 1 ORDER BY 1"""))
+
+  /** C3 (Balancer V1 `bind(token, balance, denorm)` → NewPool): the
+    * ACCRETIVE discovery shape (balancer_v1.rs:73-97) — no factory
+    * event: each bind call on a pool re-reads the pool's CURRENT
+    * registry tokens (`get_protocol_details(...).get_tokens()`) and
+    * emits a NewPool with the bound token APPENDED. Since each
+    * emission upserts the registry, the k-th bind on a pool (in block /
+    * tx / trace order) emits 2 + k tokens on the fixture's 2-token base
+    * pairs — the token vector GROWS across binds, unlike every
+    * factory-style discovery port where the deployment carries the
+    * whole set at once. The push is unconditional (no dedup, no token
+    * fetch — no quarantine arm exists in this classifier).
+    *
+    * Scale shape: one pruned trace scan, one broadcast pool join, one
+    * window rank keyed (pool_id) — dimension-cardinality partitions,
+    * block-spread within each — then a per-pool rollup (60 rows). */
+  private val c3BalancerV1Bind = QueryDef(
+    "c3_balv1_bind",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = tracesTable(s, dir)
+        .filter(col("selector") === SelMint)
+        .withColumn("q6l", col("q6").cast("long"))
+        .withColumn("p2l", col("p2").cast("long"))
+        .withColumn("bind_tid", (col("tok_id") + 11) % TokRefSpace)
+      val packed = t
+        .withColumn("calldata", unhex(concat(col("selector"),
+          lit("0" * 32), md5(concat(lit("tok:"), col("bind_tid"))),
+          word(col("q6l")), word(col("p2l") % 50 + 1))))
+        .withColumn("tok_dec", abi_address(col("calldata"), 0))
+        .withColumn("bal_dec", abi_word(col("calldata"), 1))
+        .withColumn("denorm_dec", abi_word(col("calldata"), 2))
+      val po = pools(s).select(col("address").as("p_addr"),
+        col("pool_id").as("pid"))
+      val w = Window.partitionBy("pid")
+        .orderBy("block_number", "tx_idx", "trace_idx")
+      packed
+        .join(broadcast(po), col("to_address") === col("p_addr"))
+        .withColumn("k", row_number().over(w).cast("long"))
+        .withColumn("n_tokens_emit", lit(2L) + col("k"))
+        .groupBy("pid")
+        .agg(count(lit(1)).as("n_binds"),
+          max(col("n_tokens_emit")).as("final_n_tokens"),
+          sum(col("n_tokens_emit")).as("sum_emitted_sizes"),
+          sum(when(col("tok_dec") === concat(lit("0" * 8),
+            md5(concat(lit("tok:"), col("bind_tid")))), 1L).otherwise(0L))
+            .as("n_tok_ok"),
+          sum(col("bal_dec")).as("sum_balance"),
+          sum(col("denorm_dec")).as("sum_denorm"))
+        .orderBy("pid")
+    },
+    withCtes(s""", bnd AS (
+        SELECT p.pool_id AS pid, CAST(t.q6 AS BIGINT) AS q6l,
+          CAST(t.p2 AS BIGINT) AS p2l,
+          CAST(ROW_NUMBER() OVER (PARTITION BY p.pool_id
+            ORDER BY t.block_number, t.tx_idx, t.trace_idx) AS BIGINT) AS k
+        FROM trace t JOIN pool p ON p.address = t.to_address
+        WHERE t.selector = '$SelMint')
+      SELECT pid, CAST(COUNT(*) AS BIGINT) AS n_binds,
+        CAST(MAX(2 + k) AS BIGINT) AS final_n_tokens,
+        CAST(SUM(2 + k) AS BIGINT) AS sum_emitted_sizes,
+        CAST(COUNT(*) AS BIGINT) AS n_tok_ok,
+        CAST(SUM(q6l) AS BIGINT) AS sum_balance,
+        CAST(SUM(p2l % 50 + 1) AS BIGINT) AS sum_denorm
+      FROM bnd GROUP BY 1 ORDER BY 1"""))
 }

@@ -1973,4 +1973,55 @@ class GoldenScenarioSpec extends SparkTestBase {
       "a 2-topic log cannot yield a recipient — NULL, never a misread")
     assert(s2.getAs[String]("in_asset") == usdc)
   }
+
+  test("real_abi balancer v1: the mirror pair flips which side's amount rides the RETURN") {
+    // balancer_v1.rs:9-71 — swapExactAmountIn and swapExactAmountOut
+    // share ONE 5-word calldata geometry (tokenIn ‖ w1 ‖ tokenOut ‖
+    // w3 ‖ maxPrice); the selector decides whether w1 is the EXECUTED
+    // amount_in (exactIn) or only the maxAmountIn bound (exactOut,
+    // where the executed amount_in arrives in RETURN word 0). Values
+    // from the reference's test_balancer_v1_swap (tx c832c2dc…):
+    // USDC → FRONT, 72712976 in, 229136254468181839981 out.
+    val usdc = "a0b86991c6218b36c1d19d4a2e9eb0ce3606eb48"
+    val front = "f8c3527cc04340b208c854e985240c02f7b7793f"
+    def a(x: String) = "0" * 24 + x
+    // amount_out exceeds int64 — the w64 golden uses the low-8-byte
+    // contract the decoders implement, so plant a 64-bit-safe echo of
+    // the real value's low bits alongside the real amount_in
+    val outLo = 229136254468181839L
+    val cdIn = "8201aa3f" + a(usdc) + w64(72712976L) + a(front) +
+      w64(outLo / 2) + w64(999L) // minAmountOut bound ‖ maxPrice
+    val retIn = w64(outLo) + w64(1234L)
+    val cdOut = "7c5e9ea4" + a(usdc) + w64(72712976L * 2) + a(front) +
+      w64(outLo) + w64(999L) // exact tokenAmountOut ‖ maxPrice
+    val retOut = w64(72712976L) + w64(1234L)
+    val out = graft.domain.RealAbiSwapOps.balV1SwapDecode(
+      Seq((cdIn, retIn, 0), (cdOut, retOut, 1), (cdIn, "", 0))
+        .toDF("c", "r", "arm")
+        .select(unhex(col("c")).as("calldata"), unhex(col("r")).as("ret_data"),
+          col("arm")))
+      .collect()
+    val i = out(0)
+    assert(i.getAs[String]("in_asset") == usdc &&
+      i.getAs[String]("out_asset") == front)
+    assert(i.getAs[Long]("amt_in") == 72712976L,
+      "exactIn: the executed amount_in IS calldata word 1")
+    assert(i.getAs[Long]("amt_out") == outLo,
+      "exactIn: amount_out arrives in RETURN word 0")
+    assert(i.getAs[Long]("cd_bound") == outLo / 2,
+      "exactIn: word 3 is only the minAmountOut bound")
+    val o = out(1)
+    assert(o.getAs[Long]("amt_in") == 72712976L,
+      "exactOut: amount_in arrives in RETURN word 0")
+    assert(o.getAs[Long]("amt_out") == outLo,
+      "exactOut: the executed amount_out IS calldata word 3")
+    assert(o.getAs[Long]("cd_bound") == 72712976L * 2,
+      "exactOut: word 1 is only the maxAmountIn bound")
+    val n = out(2)
+    assert(n.isNullAt(n.fieldIndex("amt_out")) &&
+      n.isNullAt(n.fieldIndex("spot_after")),
+      "an absent return buffer fails the return-decoded side, never misreads")
+    assert(n.getAs[Long]("amt_in") == 72712976L,
+      "the calldata side still decodes — the ladder can distinguish no_ret")
+  }
 }
