@@ -1,8 +1,8 @@
 package graft.domain
 
 import graft.QueryDef
-import graft.functions.AbiCalldata.{abi_address, abi_log_address, abi_log_word,
-  abi_ret_int, abi_word}
+import graft.functions.AbiCalldata.{abi_address, abi_log_address,
+  abi_log_b32_prefix, abi_log_word, abi_ret_int, abi_word}
 import graft.ops.ExactAgg.{dsum, sqlSum}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -42,7 +42,7 @@ object RealAbiSwapOps extends graft.QueryModule {
   import RealAbiOps.{pow10d, sqlPow10, word}
 
   def defs: Seq[QueryDef] = Seq(c1ClipperSwap, c1BalancerV1Swap,
-    c3BalancerV1Bind)
+    c3BalancerV1Bind, c5UniswapXBatch)
 
   private def withCtes(sql: String) = Some(s"WITH ${ChainFixture.sqlCtes} $sql")
 
@@ -368,4 +368,125 @@ object RealAbiSwapOps extends graft.QueryModule {
         CAST(SUM(q6l) AS BIGINT) AS sum_balance,
         CAST(SUM(p2l % 50 + 1) AS BIGINT) AS sum_denorm
       FROM bnd GROUP BY 1 ORDER BY 1"""))
+
+  /** The UniswapX per-fill decode on exploded (fill_topics, fill_data)
+    * rows: orderHash / filler / swapper are the Fill event's three
+    * INDEXED params (topic words 0-2,
+    * classifier-abis/UniswapXExclusiveDutchOrderReactor.json), the
+    * nonce its single data word. */
+  private[graft] def unixFillDecode(t: DataFrame): DataFrame = t
+    .withColumn("ohash_dec", abi_log_b32_prefix(col("fill_topics"), 0))
+    .withColumn("filler_dec", abi_log_address(col("fill_topics"), 1))
+    .withColumn("swapper_dec", abi_log_address(col("fill_topics"), 2))
+    .withColumn("nonce_dec", abi_log_word(col("fill_data"), 0))
+
+  /** C5 (UniswapX `execute`/`executeBatch`/`executeWithCallback`/
+    * `executeBatchWithCallback` → Batch): the LOG-MULTIPLICITY batch
+    * (uniswap_x.rs:13-131). Reference semantics pinned:
+    *   - `[..Fill*]` collects EVERY Fill event under the frame; the
+    *     `fill_field?` on an EMPTY collection fails the classification
+    *     (n_no_fill) — multiplicity-with-?, the shape no single-log
+    *     port exercises;
+    *   - `solver = fill_logs[0].filler` — the solver identity is the
+    *     FIRST fill's filler in log order (n_solver_first_ok);
+    *   - one user swap PER fill: `Fill::into_swap` sets from =
+    *     recipient = the fill's swapper topic and pool = the
+    *     settlement contract, but token_in/token_out/amounts are
+    *     DEFAULT-EMPTY — "we don't yet have the full trade
+    *     information" (:135-151), so every emitted leg is a
+    *     placeholder (n_default_legs == n_fills) completed downstream;
+    *   - four selectors share the one body — single-vs-batch is only
+    *     how many fills the frame carries.
+    *
+    * Fixture: SelBurn frames; n_fills = 1 + (q6+p2) % 3 (0 on the
+    * p2 % 8 == 0 no-fill arm); fill k's topics are (orderHash(tx,k),
+    * filler(p2), swapper(p2+k)). Scale shape: one pruned trace scan,
+    * one bounded explode (≤3), one 4-group rollup — no joins at all
+    * (the reference body never touches the DB). */
+  private val c5UniswapXBatch = QueryDef(
+    "c5_unix_batch",
+    (s, dir) => {
+      val t = tracesTable(s, dir)
+        .filter(col("selector") === SelBurn)
+        .withColumn("q6l", col("q6").cast("long"))
+        .withColumn("p2l", col("p2").cast("long"))
+        .withColumn("arm", ((col("q6l") + col("p2l")) % 4).cast("int"))
+        .withColumn("method", element_at(array(
+          lit("execute"), lit("execute_batch"),
+          lit("execute_batch_with_callback"), lit("execute_with_callback")),
+          col("arm") + 1))
+        .withColumn("n_fills",
+          when(col("p2l") % 8 === 0, 0L)
+            .otherwise(lit(1L) + (col("q6l") + col("p2l")) % 3))
+      def fillAt(k: Int) = struct(
+        lit(k).as("k"),
+        when(col("n_fills") > k, unhex(concat(
+          md5(concat(lit("oh:"), col("tx_hash"), lit(s":$k"))),
+          md5(concat(lit("oh2:"), col("tx_hash"), lit(s":$k"))),
+          lit("0" * 32), md5(concat(lit("filler:"), col("p2l") % 7)),
+          lit("0" * 32),
+          md5(concat(lit("eoa:"), (col("p2l") + k) % NumEoas)))))
+          .otherwise(unhex(lit(""))).as("fill_topics"),
+        when(col("n_fills") > k, unhex(word(col("q6l") + k)))
+          .otherwise(unhex(lit(""))).as("fill_data"))
+      val legs = t
+        .select(col("method"), col("tx_hash"), col("to_address"),
+          col("q6l"), col("p2l"), col("n_fills"),
+          explode(array(fillAt(0), fillAt(1), fillAt(2))).as("f"))
+        .select(col("method"), col("tx_hash"), col("to_address"),
+          col("q6l"), col("p2l"), col("n_fills"),
+          col("f.k").as("k"), col("f.fill_topics").as("fill_topics"),
+          col("f.fill_data").as("fill_data"))
+      unixFillDecode(legs)
+        .withColumn("is_fill", col("k") < col("n_fills"))
+        .groupBy("method")
+        .agg(
+          sum(when(col("k") === 0, 1L).otherwise(0L)).as("n_frames"),
+          sum(when(col("k") === 0 && col("n_fills") === 0L, 1L)
+            .otherwise(0L)).as("n_no_fill"),
+          sum(when(col("is_fill"), 1L).otherwise(0L)).as("n_fills_total"),
+          // solver = fill_logs[0].filler — checked on the FIRST fill
+          sum(when(col("k") === 0 && col("is_fill") &&
+            col("filler_dec") === concat(lit("0" * 8),
+              md5(concat(lit("filler:"), col("p2l") % 7))), 1L)
+            .otherwise(0L)).as("n_solver_first_ok"),
+          sum(when(col("is_fill") &&
+            col("swapper_dec") === concat(lit("0" * 8),
+              md5(concat(lit("eoa:"), (col("p2l") + col("k")) % NumEoas))),
+            1L).otherwise(0L)).as("n_swapper_ok"),
+          // into_swap leaves token/amount DEFAULT-empty on every leg
+          sum(when(col("is_fill"), 1L).otherwise(0L)).as("n_default_legs"),
+          sum(when(col("is_fill"), col("nonce_dec")).otherwise(0L))
+            .as("sum_nonce"))
+        .orderBy("method")
+    },
+    withCtes(s""", uxf AS (
+        SELECT t.tx_hash, CAST(t.q6 AS BIGINT) AS q6l,
+          CAST(t.p2 AS BIGINT) AS p2l,
+          ['execute', 'execute_batch', 'execute_batch_with_callback',
+           'execute_with_callback']
+            [(CAST(t.q6 AS BIGINT) + CAST(t.p2 AS BIGINT)) % 4 + 1]
+            AS method,
+          CASE WHEN CAST(t.p2 AS BIGINT) % 8 = 0 THEN 0
+            ELSE 1 + (CAST(t.q6 AS BIGINT) + CAST(t.p2 AS BIGINT)) % 3 END
+            AS n_fills
+        FROM trace t WHERE t.selector = '$SelBurn'),
+      uxl AS (
+        SELECT f.*, k.k FROM uxf f
+        JOIN (SELECT UNNEST([0, 1, 2]) AS k) k ON k.k < 3)
+      SELECT method,
+        CAST(SUM(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_frames,
+        CAST(SUM(CASE WHEN k = 0 AND n_fills = 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_no_fill,
+        CAST(SUM(CASE WHEN k < n_fills THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_fills_total,
+        CAST(SUM(CASE WHEN k = 0 AND n_fills > 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_solver_first_ok,
+        CAST(SUM(CASE WHEN k < n_fills THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_swapper_ok,
+        CAST(SUM(CASE WHEN k < n_fills THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_default_legs,
+        CAST(SUM(CASE WHEN k < n_fills THEN q6l + k ELSE 0 END) AS BIGINT)
+          AS sum_nonce
+      FROM uxl GROUP BY 1 ORDER BY 1"""))
 }

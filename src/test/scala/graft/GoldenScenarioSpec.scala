@@ -2024,4 +2024,42 @@ class GoldenScenarioSpec extends SparkTestBase {
     assert(n.getAs[Long]("amt_in") == 72712976L,
       "the calldata side still decodes — the ladder can distinguish no_ret")
   }
+
+  test("real_abi uniswapx: fills decode from topics; the first fill names the solver") {
+    // uniswap_x.rs:13-131 — [..Fill*] collects every Fill event; the
+    // Fill's orderHash/filler/swapper are all INDEXED (topic words
+    // 0-2), only the nonce rides data. solver = fill_logs[0].filler —
+    // order matters. Filler from the reference's
+    // test_batch_classifier_with_call_back_eth (tx 3d8fbccb…):
+    // 919f9173E2Dc833Ec708812B4f1CB11B1a17eFDe.
+    val filler = "919f9173e2dc833ec708812b4f1cb11b1a17efde"
+    val swapA = "aeac71b09aeaedc6a52cee06373a648cad620c20"
+    val swapB = "0eae044f00b0af300500f090ea00027097d03000"
+    def a(x: String) = "0" * 24 + x
+    val ohash = "ab" * 32
+    val fillA = (ohash + a(filler) + a(swapA), w64(7L))
+    val fillB = (ohash + a(filler) + a(swapB), w64(9L))
+    // truncated topics: only orderHash + filler — swapper must NULL
+    val fillShort = (ohash + a(filler), w64(1L))
+    val out = graft.domain.RealAbiSwapOps.unixFillDecode(
+      Seq(fillA, fillB, fillShort).toDF("t", "d")
+        .select(unhex(col("t")).as("fill_topics"),
+          unhex(col("d")).as("fill_data")))
+      .collect()
+    val fa = out(0)
+    assert(fa.getAs[String]("ohash_dec") == "ab" * 20,
+      "the orderHash topic reads as a b32 (leading-20 identity)")
+    assert(fa.getAs[String]("filler_dec") == filler,
+      "solver = the fill's filler topic")
+    assert(fa.getAs[String]("swapper_dec") == swapA &&
+      fa.getAs[Long]("nonce_dec") == 7L)
+    val fb = out(1)
+    assert(fb.getAs[String]("filler_dec") == filler &&
+      fb.getAs[String]("swapper_dec") == swapB,
+      "each fill emits its own placeholder user swap keyed by its swapper")
+    val fs = out(2)
+    assert(fs.isNullAt(fs.fieldIndex("swapper_dec")),
+      "a 2-topic Fill cannot yield a swapper — NULL, never a misread")
+    assert(fs.getAs[String]("filler_dec") == filler)
+  }
 }
