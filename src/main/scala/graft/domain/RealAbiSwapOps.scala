@@ -42,7 +42,7 @@ object RealAbiSwapOps extends graft.QueryModule {
   import RealAbiOps.{pow10d, sqlPow10, word}
 
   def defs: Seq[QueryDef] = Seq(c1ClipperSwap, c1BalancerV1Swap,
-    c3BalancerV1Bind, c5UniswapXBatch)
+    c3BalancerV1Bind, c5UniswapXBatch, c2RealFanout)
 
   private def withCtes(sql: String) = Some(s"WITH ${ChainFixture.sqlCtes} $sql")
 
@@ -489,4 +489,139 @@ object RealAbiSwapOps extends graft.QueryModule {
         CAST(SUM(CASE WHEN k < n_fills THEN q6l + k ELSE 0 END) AS BIGINT)
           AS sum_nonce
       FROM uxl GROUP BY 1 ORDER BY 1"""))
+
+  /** C2 (PancakeSwap V2/V3 + SushiSwap V2/V3 → the re-instantiation
+    * surface): the reference's four pancake/sushi classifier files are
+    * BYTE-IDENTICAL re-instantiations of the Uniswap bodies under
+    * different Protocol tags — `pancakeswap_v3.rs:9-50` is
+    * `uniswap_v3.rs:10-60` with `Protocol::PancakeSwapV3`, and likewise
+    * for `pancakeswap_v2.rs` / `sushiswap_v2.rs` / `sushiswap_v3.rs`
+    * (18 action_impl! sites, zero new decode logic). The Spark analog
+    * is structural: the (protocol, selector) dispatch registry routes
+    * all six tags into the SAME two codegen'd decode bodies — this
+    * query drives REAL bytes through [[RealAbiOps.v2SwapDecode]] and
+    * [[RealAbiOps.v3SwapDecode]] (the very helpers the uniswap queries
+    * use) under all six tags and proves per-tag semantics are identical
+    * to the uniswap rows: the decoder column is a GROUP KEY, so a tag
+    * accidentally forking decode behavior would split its group.
+    *
+    * Scale shape: one pruned trace scan, one broadcast pool join, two
+    * codegen'd decode projections unioned, broadcast token joins, one
+    * 6-group rollup. The union is two passes over disjoint slices of
+    * one scan — no fact shuffle before the agg. */
+  private val c2RealFanout = QueryDef(
+    "c2_real_fanout",
+    (s, dir) => {
+      val po = pools(s).select(col("address").as("p_addr"),
+        col("pool_id").as("pid"), col("t0_id"), col("t1_id"))
+      val base = tracesTable(s, dir)
+        .filter(col("selector") === SelV2Swap)
+        .withColumn("q6l", col("q6").cast("long"))
+        .withColumn("p2l", col("p2").cast("long"))
+        .join(broadcast(po), col("to_address") === col("p_addr"))
+        // same parity contract as c1_univ2_swap/c1_univ3_swap: the
+        // zero-side / sign-side direction resolutions need q6,p2 > 0
+        .filter(assert_true(col("q6l") > 0 && col("p2l") > 0,
+          lit("c2_real_fanout fixture invariant: q6 > 0 AND p2 > 0")).isNull)
+        .withColumn("family", (col("p2l") % 2).cast("int"))
+        .withColumn("tag_idx", (col("pid") % 3 + 1).cast("int"))
+        .withColumn("protocol", when(col("family") === 0,
+            element_at(array(lit("uniswap_v2"), lit("sushiswap_v2"),
+              lit("pancakeswap_v2")), col("tag_idx")))
+          .otherwise(element_at(array(lit("uniswap_v3"), lit("sushiswap_v3"),
+            lit("pancakeswap_v3")), col("tag_idx"))))
+        .withColumn("t1x", col("t1_id"))
+      val v2f = base.filter(col("family") === 0)
+        .withColumn("a0in_src",
+          when(col("direction") === 0, col("q6l")).otherwise(lit(0L)))
+        .withColumn("a1in_src",
+          when(col("direction") === 0, lit(0L)).otherwise(col("q6l")))
+        .withColumn("a0out_src",
+          when(col("direction") === 0, lit(0L)).otherwise(col("p2l")))
+        .withColumn("a1out_src",
+          when(col("direction") === 0, col("p2l")).otherwise(lit(0L)))
+        .withColumn("calldata", unhex(concat(col("selector"),
+          word(col("a0out_src")), word(col("a1out_src")),
+          lit("0" * 32), col("from_address"), word(lit(128L)))))
+        .withColumn("log_data", unhex(concat(word(col("a0in_src")),
+          word(col("a1in_src")), word(col("a0out_src")),
+          word(col("a1out_src")))))
+      val v2d = RealAbiOps.v2SwapDecode(v2f)
+        .select(col("protocol"), lit("v2_swap").as("decoder"),
+          col("token_in_id"), col("token_out_id"),
+          col("in_raw"), col("out_raw"), col("direction"))
+      val v3f = base.filter(col("family") === 1)
+        .withColumn("zero_for_one", col("direction") === 0)
+        .withColumn("a0_src",
+          when(col("zero_for_one"), col("q6l")).otherwise(-col("p2l")))
+        .withColumn("a1_src",
+          when(col("zero_for_one"), -col("p2l")).otherwise(col("q6l")))
+        .withColumn("spec_src",
+          when((col("q6l") + col("p2l")) % 2 === 0, col("q6l"))
+            .otherwise(-col("p2l")))
+        .withColumn("calldata", unhex(concat(col("selector"),
+          lit("0" * 32), col("from_address"),
+          word(when(col("zero_for_one"), 1L).otherwise(0L)),
+          RealAbiOps.sword(col("spec_src")),
+          word(col("p2l") % 1000000))))
+        .withColumn("ret_data", unhex(concat(
+          RealAbiOps.sword(col("a0_src")), RealAbiOps.sword(col("a1_src")))))
+      val v3d = RealAbiOps.v3SwapDecode(v3f)
+        .select(col("protocol"), lit("v3_swap").as("decoder"),
+          col("token_in_id"), col("token_out_id"),
+          col("in_raw"), col("out_raw"), col("direction"))
+      val ti = tokens(s).select(col("token_id").as("ti_id"),
+        col("decimals").as("dec_in"))
+      val to = tokens(s).select(col("token_id").as("to_id"),
+        col("decimals").as("dec_out"))
+      v2d.unionByName(v3d)
+        .join(broadcast(ti), col("token_in_id") === col("ti_id"), "left")
+        .join(broadcast(to), col("token_out_id") === col("to_id"), "left")
+        .withColumn("ok", col("dec_in").isNotNull && col("dec_out").isNotNull)
+        .groupBy("protocol", "decoder")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(!col("ok"), 1L).otherwise(0L)).as("n_quarantined"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+          sum(when(col("direction") === 1, 1L).otherwise(0L)).as("n_alt_dir"),
+          dsum(when(col("ok"),
+            col("in_raw").cast("double") / pow10d(col("dec_in")))
+            .otherwise(lit(0.0))).as("sum_in_scaled"),
+          dsum(when(col("ok"),
+            col("out_raw").cast("double") / pow10d(col("dec_out")))
+            .otherwise(lit(0.0))).as("sum_out_scaled"))
+        .orderBy("protocol")
+    },
+    withCtes(s""", fan AS (
+        SELECT t.direction, CAST(t.q6 AS BIGINT) AS q6l,
+          CAST(t.p2 AS BIGINT) AS p2l, t.q6, t.p2,
+          p.pool_id AS pid, p.t0_id, p.t1_id,
+          CAST(t.p2 AS BIGINT) % 2 AS family
+        FROM trace t JOIN pool p ON t.to_address = p.address
+        WHERE t.selector = '$SelV2Swap'),
+      fanp AS (
+        SELECT f.*,
+          CASE WHEN family = 0
+            THEN ['uniswap_v2', 'sushiswap_v2', 'pancakeswap_v2'][pid % 3 + 1]
+            ELSE ['uniswap_v3', 'sushiswap_v3', 'pancakeswap_v3'][pid % 3 + 1]
+            END AS protocol,
+          CASE WHEN family = 0 THEN 'v2_swap' ELSE 'v3_swap' END AS decoder,
+          CASE WHEN direction = 0 THEN t0_id ELSE t1_id END AS tin,
+          CASE WHEN direction = 0 THEN t1_id ELSE t0_id END AS tout
+        FROM fan f)
+      SELECT protocol, decoder, CAST(COUNT(*) AS BIGINT) AS n_frames,
+        CAST(SUM(CASE WHEN i.token_id IS NULL OR o.token_id IS NULL
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+        CAST(SUM(CASE WHEN i.token_id IS NOT NULL AND o.token_id IS NOT NULL
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+        CAST(SUM(CASE WHEN direction = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_alt_dir,
+        ${sqlSum(s"""CASE WHEN i.token_id IS NOT NULL AND o.token_id IS NOT NULL
+          THEN q6 / ${sqlPow10.format("i.decimals")} ELSE 0.0e0 END""")}
+          AS sum_in_scaled,
+        ${sqlSum(s"""CASE WHEN i.token_id IS NOT NULL AND o.token_id IS NOT NULL
+          THEN p2 / ${sqlPow10.format("o.decimals")} ELSE 0.0e0 END""")}
+          AS sum_out_scaled
+      FROM fanp LEFT JOIN tok i ON i.token_id = tin
+        LEFT JOIN tok o ON o.token_id = tout
+      GROUP BY 1, 2 ORDER BY 1"""))
 }
