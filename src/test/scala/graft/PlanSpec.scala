@@ -122,7 +122,9 @@ class PlanSpec extends SparkTestBase {
         "f5_abi_string", "c1_psm_swap", "c1_curve_underlying",
         "c1_univ3_swap", "c1_balancer_onswap", "c1_univ2_swap",
         "c1_compound_liquidation", "c1_univ3_mint",
-        "c1_univ3_burn_collect", "c3_curve_factory", "c1_aave_flashloan")) {
+        "c1_univ3_burn_collect", "c3_curve_factory", "c1_aave_flashloan",
+        "c1_clipper_swap", "c1_balv1_swap", "c3_balv1_bind",
+        "c5_unix_batch", "c2_real_fanout")) {
       val df = SparkEntry.queries(q)(spark, SfDir)
       df.collect() // finalize the AQE plan so codegen spans are rendered
       val p = df.queryExecution.executedPlan.toString
