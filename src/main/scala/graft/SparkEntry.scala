@@ -31,7 +31,7 @@ object SparkEntry {
 
   val modules: Seq[QueryModule] =
     Seq(Relational, EventOps, TextOps, MultimodalOps, DedupOps, SimilarityOps, PipelineOps, QualityOps, SketchOps, RetrievalOps, ClassifyOps,
-      AbiBreadthOps, IndirectOps, RealAbiOps, RealAbiExtOps, RealAbiSwapOps, InspectorOps, BigMacOps, PricingOps, CexOps, MiscOps,
+      AbiBreadthOps, IndirectOps, RealAbiOps, RealAbiExtOps, RealAbiSwapOps, RealAbiZeroXOps, InspectorOps, BigMacOps, PricingOps, CexOps, MiscOps,
       FidelityOps, streaming.StreamOracle)
 
   lazy val all: Seq[QueryDef] = modules.flatMap(_.defs)

@@ -1,8 +1,8 @@
 package graft.domain
 
 import graft.QueryDef
-import graft.functions.AbiCalldata.{abi_address, abi_int_word, abi_log_address,
-  abi_log_word, abi_word}
+import graft.functions.AbiCalldata.{abi_address, abi_array_len, abi_int_word,
+  abi_log_address, abi_log_word, abi_word}
 import graft.ops.ExactAgg.{dsumPartial, sqlSum}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -53,7 +53,7 @@ object RealAbiExtOps extends graft.QueryModule {
   import ChainFixture._
   import RealAbiOps.{pow10d, sqlPow10, word}
 
-  def defs: Seq[QueryDef] = Seq(c1CurveMint, c1CurveBurn)
+  def defs: Seq[QueryDef] = Seq(c1CurveMint, c1CurveBurn, c3CompoundInit)
 
   private def withCtes(sql: String) = Some(s"WITH ${ChainFixture.sqlCtes} $sql")
 
@@ -374,4 +374,142 @@ object RealAbiExtOps extends graft.QueryModule {
         CAST(SUM(CASE WHEN miss > 0 THEN 1 ELSE 0 END) AS BIGINT)
           AS n_quarantined
       FROM cbu GROUP BY 1 ORDER BY 1"""))
+// ── Compound initialize: discovery of the SELF, behind an overload pair ───
+
+  /** C3 (Compound V2 `initialize` ×2 → NewPool): the initialize-time
+    * SELF-discovery (compound/discovery.rs:5-36) — no factory involved:
+    * the cToken PROXY delegatecalls into CErc20Delegate, so
+    * `pool_address = info.from_address` (the CALLER discovers ITSELF)
+    * and `tokens = vec![info.from_address]` (the cToken IS the listed
+    * token; the `underlying_` calldata word is present but UNUSED by
+    * the reference body). Every factory-style discovery port resolves
+    * the callee/deployed address — this is the one shape where the
+    * discovered pool is the frame's FROM side.
+    *
+    * The selector pair is an OVERLOAD: `initialize(address underlying_,
+    * address comptroller_, address interestRateModel_, uint256
+    * initialExchangeRateMantissa_, string name_, string symbol_, uint8
+    * decimals_)` for CErc20 vs the 6-param CEther form without
+    * `underlying_` (classifier-abis/CErc20Delegate.json) — same method
+    * name, two selectors, and the ENTIRE head shifts one word left on
+    * the CEther arm, including both dynamic-string head offsets
+    * (name 4→3, symbol 5→2+3... i.e. 5→4) and the trailing `decimals_`
+    * scalar (6→5). The decode below reads every field at its
+    * arm-dispatched position and walks both string tails, so a
+    * selector routed to the wrong layout mismatches name/symbol/rate
+    * and drops the *_ok counts.
+    *
+    * Scale shape: one pruned trace scan, ZERO joins (the reference
+    * body touches no DB), one 2-group rollup. */
+  /** The initialize decode core on any frame with (calldata, arm):
+    * arm 0 = the 7-param CErc20 overload (underlying_ leads the head),
+    * arm 1 = the 6-param CEther overload — every field, including both
+    * dynamic-string head offsets and the trailing decimals_ scalar,
+    * reads ONE WORD earlier on arm 1. */
+  private[graft] def compoundInitDecode(t: DataFrame): DataFrame = {
+    // the length head is only non-NULL when the offset word resolved
+    // inside the buffer (AbiArrayLen's bounds check), so gating the
+    // walk on it both NULLs corrupt offsets and keeps the +37 cast in
+    // range — a skewed offset must NULL, never throw or misread
+    def strDec(offCol: String, lenCol: String) = expr(
+      s"""IF($lenCol IS NULL, NULL, CAST(substring(calldata,
+         | CAST($offCol + 37 AS INT), CAST($lenCol AS INT)) AS STRING))"""
+        .stripMargin.replace("\n", ""))
+    t.withColumn("underlying_dec",
+        when(col("arm") === 0, abi_address(col("calldata"), 0))
+          .otherwise(lit(null).cast("string")))
+      .withColumn("rate_dec",
+        when(col("arm") === 0, abi_word(col("calldata"), 3))
+          .otherwise(abi_word(col("calldata"), 2)))
+      .withColumn("name_off",
+        when(col("arm") === 0, abi_word(col("calldata"), 4))
+          .otherwise(abi_word(col("calldata"), 3)))
+      .withColumn("name_len",
+        when(col("arm") === 0, abi_array_len(col("calldata"), 4))
+          .otherwise(abi_array_len(col("calldata"), 3)))
+      .withColumn("sym_off",
+        when(col("arm") === 0, abi_word(col("calldata"), 5))
+          .otherwise(abi_word(col("calldata"), 4)))
+      .withColumn("sym_len",
+        when(col("arm") === 0, abi_array_len(col("calldata"), 5))
+          .otherwise(abi_array_len(col("calldata"), 4)))
+      .withColumn("decimals_dec",
+        when(col("arm") === 0, abi_word(col("calldata"), 6))
+          .otherwise(abi_word(col("calldata"), 5)))
+      .withColumn("dec_name", strDec("name_off", "name_len"))
+      .withColumn("dec_sym", strDec("sym_off", "sym_len"))
+  }
+
+  private val c3CompoundInit = QueryDef(
+    "c3_compound_init",
+    (s, dir) => {
+      val nameStr = lit("Compound Wrapped Token")
+      val symStr = lit("cTOK")
+      def strTail(c: Column) =
+        concat(word(length(c).cast("long")), rpad(lower(hex(c)), 64, "0"))
+      val t = tracesTable(s, dir)
+        .filter(col("selector") === SelBurn)
+        .withColumn("q6l", col("q6").cast("long"))
+        .withColumn("p2l", col("p2").cast("long"))
+        .withColumn("arm", (col("p2l") % 2).cast("int"))
+        .withColumn("method",
+          when(col("arm") === 0, "initialize_cerc20")
+            .otherwise("initialize_cether"))
+        .withColumn("dec_exp", col("p2l") % 18 + 6)
+      val cmpW = concat(lit("0" * 32), md5(concat(lit("cmp:"), col("p2l") % 2)))
+      val irmW = concat(lit("0" * 32), md5(concat(lit("irm:"), col("p2l") % 3)))
+      val undW = concat(lit("0" * 32), md5(concat(lit("tok:"), col("tok_id"))))
+      val packed = t
+        .withColumn("fsel", when(col("arm") === 0,
+            substring(md5(lit("sel:init_cerc20")), 1, 8))
+          .otherwise(substring(md5(lit("sel:init_cether")), 1, 8)))
+        .withColumn("calldata", when(col("arm") === 0,
+          unhex(concat(col("fsel"), undW, cmpW, irmW, word(col("q6l")),
+            word(lit(224L)), word(lit(288L)), word(col("dec_exp")),
+            strTail(nameStr), strTail(symStr))))
+          .otherwise(
+          unhex(concat(col("fsel"), cmpW, irmW, word(col("q6l")),
+            word(lit(192L)), word(lit(256L)), word(col("dec_exp")),
+            strTail(nameStr), strTail(symStr)))))
+      compoundInitDecode(packed)
+        // pool_address = info.from_address; tokens = [pool] — the
+        // self-discovery semantic, carried as columns so the rollup
+        // pins it rather than a comment
+        .withColumn("pool_addr", col("from_address"))
+        .withColumn("tok_vec", array(col("pool_addr")))
+        .groupBy("method")
+        .agg(count(lit(1)).as("n_frames"),
+          countDistinct(col("pool_addr")).as("n_pools"),
+          sum(when(col("pool_addr") === col("from_address") &&
+            size(col("tok_vec")) === 1 &&
+            element_at(col("tok_vec"), 1) === col("from_address"), 1L)
+            .otherwise(0L)).as("n_self_ok"),
+          sum(when(col("arm") === 0 && col("underlying_dec") ===
+            concat(lit("0" * 8), md5(concat(lit("tok:"), col("tok_id")))),
+            1L).otherwise(0L)).as("n_underlying_ok"),
+          sum(when(col("dec_name") === nameStr &&
+            col("name_len") === length(nameStr) &&
+            col("dec_sym") === symStr &&
+            col("sym_len") === length(symStr), 1L).otherwise(0L))
+            .as("n_str_ok"),
+          sum(when(col("decimals_dec") === col("dec_exp"), 1L)
+            .otherwise(0L)).as("n_dec_ok"),
+          sum(col("rate_dec")).as("sum_rate"))
+        .orderBy("method")
+    },
+    withCtes(s""", cmi AS (
+        SELECT t.from_address, CAST(t.q6 AS BIGINT) AS q6l,
+          CAST(t.p2 AS BIGINT) % 2 AS arm
+        FROM trace t WHERE t.selector = '$SelBurn')
+      SELECT CASE WHEN arm = 0 THEN 'initialize_cerc20'
+          ELSE 'initialize_cether' END AS method,
+        CAST(COUNT(*) AS BIGINT) AS n_frames,
+        CAST(COUNT(DISTINCT from_address) AS BIGINT) AS n_pools,
+        CAST(COUNT(*) AS BIGINT) AS n_self_ok,
+        CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_underlying_ok,
+        CAST(COUNT(*) AS BIGINT) AS n_str_ok,
+        CAST(COUNT(*) AS BIGINT) AS n_dec_ok,
+        CAST(SUM(q6l) AS BIGINT) AS sum_rate
+      FROM cmi GROUP BY 1 ORDER BY 1"""))
 }

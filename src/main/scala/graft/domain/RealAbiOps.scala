@@ -1348,7 +1348,13 @@ object RealAbiOps extends graft.QueryModule {
       def strTail(c: Column) =
         concat(word(length(c).cast("long")), rpad(lower(hex(c)), 64, "0"))
       def strDec(offCol: String, lenCol: String) = expr(
-        s"CAST(substring(calldata, CAST($offCol + 37 AS INT), CAST($lenCol AS INT)) AS STRING)")
+        // gate on the length head (NULL when the offset word failed
+        // AbiArrayLen's bounds check) so a corrupt offset NULLs instead
+        // of overflowing the +37 cast — same contract as
+        // RealAbiExtOps.compoundInitDecode
+        s"""IF($lenCol IS NULL, NULL, CAST(substring(calldata,
+           | CAST($offCol + 37 AS INT), CAST($lenCol AS INT)) AS STRING))"""
+          .stripMargin.replace("\n", ""))
       val aCol = col("pool_id") * 100 + 1
       val feeCol = col("pool_id") % 100
 

@@ -2062,4 +2062,165 @@ class GoldenScenarioSpec extends SparkTestBase {
       "a 2-topic Fill cannot yield a swapper — NULL, never a misread")
     assert(fs.getAs[String]("filler_dec") == filler)
   }
+  test("real_abi zerox orders: the SAME body reads event-keyed word positions") {
+    // zerox/mod.rs:471-596 — LimitOrderFilled inserts feeRecipient at
+    // data word 3 and shifts every later field one word right of
+    // RfqOrderFilled (ZeroXInterface.json); orderHash/maker/taker
+    // (words 0-2) are the shared prefix. Plant ONE logical fill (USDC
+    // taker side, WETH maker side, 1213920000 in / 360342259234585088
+    // out) in BOTH geometries and assert the dispatched decode reads
+    // identical values from different word slots.
+    val usdc = "a0b86991c6218b36c1d19d4a2e9eb0ce3606eb48"
+    val weth = "c02aaa39b223fe8d0a0e5c4f27ead9083c756cc2"
+    val taker = "aeac71b09aeaedc6a52cee06373a648cad620c20"
+    val feeR = "00000000000000000000000000000000000000ff"
+    def a(x: String) = "0" * 24 + x
+    val oh = "ab" * 32
+    val pool = "cd" * 32
+    val limit = oh + a("11" * 20) + a(taker) + a(feeR) + a(weth) +
+      a(usdc) + w64(1213920000L) + w64(360342259234585088L) +
+      w64(55L) + w64(777L) + pool
+    val rfq = oh + a("11" * 20) + a(taker) + a(weth) + a(usdc) +
+      w64(1213920000L) + w64(360342259234585088L) + pool
+    // corrupt arm 1: the LIMIT buffer fed through the RFQ positions —
+    // the shared prefix still reads, but "makerToken" lands on the
+    // feeRecipient word: a silent one-word skew the dispatch exists to
+    // prevent, made visible
+    // corrupt arm 2: an rfq buffer truncated before its pool word
+    val shortRfq = oh + a("11" * 20) + a(taker) + a(weth) + a(usdc) +
+      w64(1L) + w64(2L)
+    val out = graft.domain.RealAbiZeroXOps.zeroxOrderDecode(
+      Seq((limit, true), (rfq, false), (limit, false), (shortRfq, false))
+        .toDF("d", "l")
+        .select(unhex(col("d")).as("log_data"), col("l").as("is_limit")))
+      .collect()
+    val lm = out(0)
+    assert(lm.getAs[String]("taker_dec") == taker &&
+      lm.getAs[String]("maker_tok") == weth &&
+      lm.getAs[String]("taker_tok") == usdc,
+      "limit: makerToken/takerToken read words 4/5")
+    assert(lm.getAs[Long]("taker_fill") == 1213920000L &&
+      lm.getAs[Long]("maker_fill") == 360342259234585088L)
+    assert(lm.getAs[Long]("proto_fee") == 777L,
+      "protocolFeePaid is word 9 of the limit event")
+    assert(lm.getAs[String]("pool_dec") == "cd" * 20)
+    val rf = out(1)
+    assert(rf.getAs[String]("taker_dec") == taker,
+      "word 2 is the shared prefix slot both events agree on")
+    assert(rf.getAs[String]("maker_tok") == weth &&
+      rf.getAs[String]("taker_tok") == usdc,
+      "rfq: the SAME tokens decode from words 3/4")
+    assert(rf.getAs[Long]("taker_fill") == 1213920000L &&
+      rf.getAs[Long]("maker_fill") == 360342259234585088L,
+      "rfq: the SAME amounts decode from words 5/6")
+    assert(rf.isNullAt(rf.fieldIndex("proto_fee")),
+      "rfq has no protocolFeePaid — the arm yields NULL, not a misread")
+    assert(rf.getAs[String]("pool_dec") == "cd" * 20)
+    val skew = out(2)
+    assert(skew.getAs[String]("taker_dec") == taker)
+    assert(skew.getAs[String]("maker_tok") == feeR,
+      "a limit buffer read at rfq positions lands makerToken on the " +
+        "feeRecipient word — the exact skew the event dispatch prevents")
+    val sr = out(3)
+    assert(sr.isNullAt(sr.fieldIndex("pool_dec")),
+      "a 7-word rfq buffer has no pool word — NULL")
+    assert(sr.getAs[Long]("taker_fill") == 1L)
+  }
+
+  test("real_abi zerox fan-out: four recipient sources behind one dispatch") {
+    // zerox/mod.rs:11-123,338-466 + one_inch_fusion.rs:6-22 — the
+    // recipient rides msg_sender (no decode), a calldata head word
+    // PAST the bytes-offset word (96 = 3 head words for
+    // sellEthForToken, 128 = 4 for the token sells), or the
+    // LiquidityProviderSwap log's words 4/5. The bytes param
+    // contributes ONLY its offset word to the head — static reads
+    // stay static.
+    val recip = "aeac71b09aeaedc6a52cee06373a648cad620c20"
+    val prov = "655edce464cc797526600a462a8154650eee4b77"
+    val usdc = "a0b86991c6218b36c1d19d4a2e9eb0ce3606eb48"
+    def a(x: String) = "0" * 24 + x
+    val path = w64(32L) + "ee" * 32
+    val cd9 = "3598d8ab" + w64(96L) + w64(5000L) + a(recip) + path
+    val cd10 = "803ba26d" + w64(128L) + w64(7777L) + w64(5000L) +
+      a(recip) + path
+    val lp = a(usdc) + a(usdc) + w64(1L) + w64(2L) + a(prov) + a(recip)
+    // corrupt arm: a recipient word with a NONZERO pad must NULL
+    val cdBad = "3598d8ab" + w64(96L) + w64(5000L) +
+      ("11" + "0" * 22 + recip) + path
+    val out = graft.domain.RealAbiZeroXOps.zeroxFanoutDecode(
+      Seq((cd9, "", 9), (cd10, "", 10), ("", lp, 12), (cdBad, "", 9))
+        .toDF("c", "d", "mi")
+        .select(unhex(col("c")).as("calldata"),
+          unhex(col("d")).as("log_data"), col("mi").as("m")))
+      .collect()
+    val r9 = out(0)
+    assert(r9.getAs[Long]("off_dec") == 96L,
+      "sellEthForToken: 3 head words, tail at byte 96")
+    assert(r9.getAs[String]("recip_cd") == recip,
+      "recipient reads head word 2, past the offset word")
+    val r10 = out(1)
+    assert(r10.getAs[Long]("off_dec") == 128L,
+      "sellTokenForEth: 4 head words, tail at byte 128")
+    assert(r10.getAs[String]("recip_cd") == recip,
+      "recipient reads head word 3 when sellAmount is present")
+    val r12 = out(2)
+    assert(r12.getAs[String]("from_lp") == prov,
+      "sellToLiquidityProvider: from = logs.provider, NOT the caller")
+    assert(r12.getAs[String]("recip_lp") == recip,
+      "recipient = logs.recipient, data word 5")
+    val rb = out(3)
+    assert(rb.isNullAt(rb.fieldIndex("recip_cd")),
+      "a nonzero 12-byte pad is not an address — NULL, never truncate")
+    assert(rb.getAs[Long]("off_dec") == 96L)
+  }
+test("real_abi compound init: the overload pair shifts the whole head one word") {
+    // compound/discovery.rs:5-36 — initialize(address underlying_, ...)
+    // for CErc20 vs the 6-param CEther overload; pool_address =
+    // info.from_address (the delegatecalling cToken discovers ITSELF).
+    // Both string head offsets and the trailing decimals_ word read one
+    // word earlier on the CEther arm. cDAI values from the reference's
+    // test_compound_v2_discovery (tx 090ce7d3…: pool 5d3a536e…).
+    val dai = "6b175474e89094c44da98b954eedeac495271d0f"
+    val cmp = "3d9819210a31b4961b30ef54be2aed79b9c9cd3b"
+    val irm = "000000000000000000000000000000000000abcd"
+    def a(x: String) = "0" * 24 + x
+    val name = "Compound Dai"
+    val sym = "cDAI"
+    def strTail(s: String) = w64(s.length.toLong) +
+      s.getBytes("UTF-8").map("%02x".format(_)).mkString.padTo(64, '0')
+    val cdErc = "1a31d465" + a(dai) + a(cmp) + a(irm) +
+      w64(20000000000000000L) + w64(224L) + w64(288L) + w64(8L) +
+      strTail(name) + strTail(sym)
+    val cdEth = "99d8c1b4" + a(cmp) + a(irm) +
+      w64(20000000000000000L) + w64(192L) + w64(256L) + w64(8L) +
+      strTail(name) + strTail(sym)
+    // skew arm: the CErc20 buffer read at CEther positions — "name_off"
+    // lands on the exchange-rate word, far past the buffer, so the
+    // string walk must NULL rather than misread
+    val out = graft.domain.RealAbiExtOps.compoundInitDecode(
+      Seq((cdErc, 0), (cdEth, 1), (cdErc, 1)).toDF("c", "arm")
+        .select(unhex(col("c")).as("calldata"), col("arm")))
+      .collect()
+    val e = out(0)
+    assert(e.getAs[String]("underlying_dec") == dai,
+      "CErc20: underlying_ leads the head")
+    assert(e.getAs[Long]("rate_dec") == 20000000000000000L &&
+      e.getAs[Long]("decimals_dec") == 8L)
+    assert(e.getAs[String]("dec_name") == name &&
+      e.getAs[String]("dec_sym") == sym,
+      "both dynamic strings walk from head words 4/5")
+    val h = out(1)
+    assert(h.isNullAt(h.fieldIndex("underlying_dec")),
+      "CEther has no underlying_ — NULL by arm, not a misread of word 0")
+    assert(h.getAs[Long]("rate_dec") == 20000000000000000L &&
+      h.getAs[Long]("decimals_dec") == 8L,
+      "every scalar reads one word earlier on the 6-param overload")
+    assert(h.getAs[String]("dec_name") == name &&
+      h.getAs[String]("dec_sym") == sym,
+      "the string offsets shift with the head (words 3/4)")
+    val k = out(2)
+    assert(k.isNullAt(k.fieldIndex("name_len")),
+      "a CErc20 buffer at CEther positions points the name walk at the " +
+        "exchange-rate word — out of bounds, NULL, never a garbled string")
+  }
 }
