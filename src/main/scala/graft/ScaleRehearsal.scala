@@ -106,7 +106,12 @@ object ScaleRehearsal {
     // round 12: the per-pool streaming folds — file-drop-driven since
     // r11 (StreamOracle.driveFold), so the probe measures the OPERATOR's
     // keyed state at 100×, not a driver-collected harness
-    "r5_stream_fold", "r5_tick_fold")
+    "r5_stream_fold", "r5_tick_fold",
+    // round 13: the ZeroX batch-fill — the round's one new surface with
+    // a shuffle (the any-fill-missing window over (tx_hash, trace_idx));
+    // tx-local keying, so the 100× claim is the same bounded-state
+    // argument as the fold rows — measured here instead of argued
+    "c5_zerox_batchfill")
   val Sf10Dir = "/tmp/graft_sf10"
 
   /** Skew probe: the user-partitioned event analytics (funnel, cohorts,
