@@ -30,8 +30,8 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   val modules: Seq[QueryModule] =
-    Seq(Relational, EventOps, TextOps, MultimodalOps, DedupOps, SimilarityOps, PipelineOps, QualityOps, SketchOps, RetrievalOps, ClassifyOps,
-      AbiBreadthOps, IndirectOps, RealAbiOps, RealAbiExtOps, RealAbiSwapOps, RealAbiZeroXOps, InspectorOps, BigMacOps, PricingOps, CexOps, MiscOps,
+    Seq(Relational, EventOps, TextOps, MultimodalOps, DedupOps, SimilarityOps, PipelineOps, QualityOps, SketchOps, RetrievalOps, CorpusOps, ClassifyOps,
+      AbiBreadthOps, IndirectOps, RealAbiOps, RealAbiExtOps, RealAbiSwapOps, RealAbiZeroXOps, CensusOps, InspectorOps, BigMacOps, PricingOps, CexOps, MiscOps,
       FidelityOps, streaming.StreamOracle)
 
   lazy val all: Seq[QueryDef] = modules.flatMap(_.defs)

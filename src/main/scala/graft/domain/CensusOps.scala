@@ -1,0 +1,649 @@
+package graft.domain
+
+import graft.QueryDef
+import graft.functions.AbiCalldata.{abi_address, abi_array_len, abi_int_word,
+  abi_log_address, abi_log_word, abi_word}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The `action_impl!` / `discovery_impl!` CENSUS — the tag
+  * re-instantiation surface. After the r12/r13 real-layout ports, every
+  * structurally distinct decode shape among the reference's classifier
+  * sites has a real-byte port; what remains are sites whose bodies are
+  * byte-identical re-instantiations of a ported body under another
+  * Protocol tag, selector overload, or pool width (e.g. the six curve
+  * `exchange_{0,1}` impl arms, `classifiers/curve/swaps/{v1_meta,
+  * v2_meta,v2_plain}.rs`, all reading the same `(int128 i, int128 j,
+  * uint256 dx, uint256 min_dy)` words; or `IMinimalSwapInfoPool::
+  * onSwap_1`, whose closure is character-identical to the ported
+  * `onSwap_0`'s, balancer_v2.rs:20-77).
+  *
+  * These two queries drive REAL bytes through the SAME decode bodies
+  * the ported queries use, under every remaining tag, with the tag AND
+  * the body name as GROUP KEYS — the c2_real_fanout discipline: a tag
+  * accidentally forking decode behavior would split its group and
+  * hash-mismatch. With them, all 143 `action_impl!` and 13
+  * `discovery_impl!` sites of the reference route through a live,
+  * oracle-checked decode path.
+  *
+  * Scale shape (both queries): one pruned trace scan per family slice,
+  * zero or broadcast-only joins, one small-group rollup — no fact
+  * shuffle before the agg; every decode is a codegen'd expression.
+  */
+object CensusOps extends graft.QueryModule {
+
+  import ChainFixture._
+  import RealAbiOps.{sword, word}
+
+  def defs: Seq[QueryDef] = Seq(c2CensusCurve, c2CensusMisc)
+
+  private def withCtes(sql: String) = Some(s"WITH ${ChainFixture.sqlCtes} $sql")
+
+  private def pad(c: Column): Column = concat(lit("0" * 8), c)
+  private def addrW(c: Column): Column = concat(lit("0" * 32), c)
+
+  /** Uniform census frame: every family reduces to this grain before
+    * the shared rollup. */
+  private def rollup(frames: Seq[DataFrame]): DataFrame =
+    frames.reduce(_ unionByName _)
+      .groupBy("family", "tag", "body")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+        sum(col("a")).as("sum_a"),
+        sum(col("b")).as("sum_b"))
+      .orderBy("family", "tag")
+
+  private val RollupSql =
+    """SELECT family, tag, body, CAST(COUNT(*) AS BIGINT) AS n_frames,
+      |  CAST(COUNT(*) AS BIGINT) AS n_ok,
+      |  CAST(SUM(a) AS BIGINT) AS sum_a, CAST(SUM(b) AS BIGINT) AS sum_b
+      |""".stripMargin
+
+  // ── Curve: the width/tag re-instantiation surface (37 sites) ─────────────
+
+  private[domain] val ExchangeTags = Seq(
+    "base2:exchange", "base3:exchange", "base4:exchange",
+    "v1_meta:exchange_0", "v1_meta:exchange_1",
+    "v2_meta:exchange_0", "v2_meta:exchange_1",
+    "v2_plain:exchange_0", "v2_plain:exchange_1")
+  private[domain] val AddTags = Seq(
+    "v1_meta:add_liquidity_0", "v1_meta:add_liquidity_1",
+    "v2_meta:add_liquidity_0", "v2_meta:add_liquidity_1",
+    "v2_plain:add_liquidity_0", "v2_plain:add_liquidity_1")
+  private[domain] val RemoveTags = Seq(
+    "v1_meta:remove_liquidity_0", "v1_meta:remove_liquidity_1",
+    "v2_meta:remove_liquidity_0", "v2_meta:remove_liquidity_1",
+    "v2_plain:remove_liquidity_0", "v2_plain:remove_liquidity_1")
+  private[domain] val OneCoinTags = Seq(
+    "v1_meta:one_coin_0", "v1_meta:one_coin_1",
+    "v2_meta:one_coin_0", "v2_meta:one_coin_1",
+    "v2_plain:one_coin_0", "v2_plain:one_coin_1", "base2_lido:one_coin")
+  private[domain] val ImbalanceTags = Seq(
+    "base2:imbalance", "base3:imbalance", "base4:imbalance",
+    "v1_meta:imbalance_0", "v1_meta:imbalance_1",
+    "v2_meta:imbalance_0", "v2_meta:imbalance_1",
+    "v2_plain:imbalance_0", "v2_plain:imbalance_1")
+
+  private def tagCol(tags: Seq[String], idx: Column) =
+    element_at(array(tags.map(lit): _*), (idx + 1).cast("int"))
+
+  /** C2 (curve census, 37 sites → 5 shared bodies): the curve swap/
+    * mint/burn re-instantiations. Reference semantics pinned per family:
+    *   - `exchange` (9 sites): one `(int128 i, int128 j, uint256 dx,
+    *     uint256 min_dy)` calldata geometry across base2/3/4 and all
+    *     six metapool/plain impl arms — the signed coin-index reads of
+    *     the ported c1_curve_indexed body;
+    *   - `add_liquidity` (6 impl arms): the inline fixed-array layout
+    *     of the ported base-pool mint ([[RealAbiExtOps
+    *     .curveAddLiquidityDecode]] verbatim, width 2 — the width
+    *     dispatch itself is proven by c1_curve_mint's three arms);
+    *   - `remove_liquidity` (6): the ported burn body — `n_ok` pins
+    *     the MISSING-invariant event tail (token_supply at word 2n);
+    *   - `remove_liquidity_one_coin` (7, incl. the base2_lido
+    *     re-instantiation): the ported signed-index body;
+    *   - `remove_liquidity_imbalance` (9): NOT a new geometry — the
+    *     RemoveLiquidityImbalance event is word-identical to
+    *     AddLiquidity (amounts[N] ‖ fees[N] ‖ invariant ‖ supply,
+    *     classifier-abis/CurveV2PlainImpl.json) and the calldata
+    *     ([amounts[N], max_burn_amount]) matches the mint's
+    *     ([amounts[N], min_mint_amount]) positions, so the census
+    *     drives it through the ADD body — with `pool =
+    *     info.from_address` (the impl is DELEGATECALLED by the pool,
+    *     burns/v2_plain.rs:91-128, the compound-init self-keying).
+    */
+  private val c2CensusCurve = QueryDef(
+    "c2_census_curve",
+    (s, dir) => {
+      def base(sel: String) = tracesTable(s, dir)
+        .filter(col("selector") === sel)
+        .withColumn("q6l", col("q6").cast("long"))
+        .withColumn("p2l", col("p2").cast("long"))
+        .withColumn("topic1", unhex(addrW(col("from_address"))))
+
+      // exchange: 9 tags over one 4-word geometry
+      val ex = {
+        val t = base(SelCurveSwap)
+          .withColumn("i_src", (col("p2l") % 2).cast("long"))
+          .withColumn("j_src", lit(1L) - col("p2l") % 2)
+          .withColumn("calldata", unhex(concat(col("selector"),
+            sword(col("i_src")), sword(col("j_src")),
+            word(col("q6l")), word(col("p2l")))))
+          .withColumn("i_dec", abi_int_word(col("calldata"), 0))
+          .withColumn("j_dec", abi_int_word(col("calldata"), 1))
+          .withColumn("dx_dec", abi_word(col("calldata"), 2))
+          .withColumn("mindy_dec", abi_word(col("calldata"), 3))
+        t.select(lit("curve_swaps").as("family"),
+          tagCol(ExchangeTags, (col("q6l") + col("p2l")) % 9).as("tag"),
+          lit("exchange_words").as("body"),
+          (col("i_dec") === col("i_src") && col("j_dec") === col("j_src") &&
+            col("dx_dec") === col("q6l") && col("mindy_dec") === col("p2l"))
+            .as("ok"),
+          col("dx_dec").as("a"), col("mindy_dec").as("b"))
+      }
+
+      def addGeom(t: DataFrame) = t
+        .withColumn("calldata", unhex(concat(col("selector"),
+          word(col("q6l")), word(col("q6l") + 1000000L), word(col("p2l")))))
+        .withColumn("log_data", unhex(concat(
+          word(col("q6l")), word(col("q6l") + 1000000L),
+          word(col("p2l") % 1000), word((col("p2l") + 1) % 1000),
+          word(col("q6l") * 2 + col("p2l")), word(col("q6l") + col("p2l")))))
+      def addOk = col("provider") === pad(col("from_address")) &&
+        col("cd_amt_0") === col("amt_dec_0") &&
+        col("cd_amt_1") === col("amt_dec_1") &&
+        col("min_mint_dec") === col("p2l")
+
+      // add_liquidity: 6 impl arms through the ported mint body
+      val ad = {
+        val d = RealAbiExtOps.curveAddLiquidityDecode(addGeom(base(SelMint)), 2)
+        d.select(lit("curve_mints").as("family"),
+          tagCol(AddTags, (col("q6l") + col("p2l")) % 6).as("tag"),
+          lit("add_liquidity").as("body"), addOk.as("ok"),
+          (col("amt_dec_0") + col("amt_dec_1")).as("a"), col("inv_dec").as("b"))
+      }
+
+      // remove_liquidity: 6 arms; supply at word 2n pins the no-invariant tail
+      val rm = {
+        val t = base(SelBurn).filter(col("p2l") % 3 === 0)
+          .withColumn("calldata", unhex(concat(col("selector"),
+            word(col("p2l")), word(expr("q6l div 2")), word(expr("q6l div 3")))))
+          .withColumn("log_data", unhex(concat(
+            word(col("q6l")), word(col("q6l") + 5),
+            word(col("p2l") % 1000), word((col("p2l") + 1) % 1000),
+            word(col("q6l") + col("p2l")))))
+        val d = RealAbiExtOps.curveRemoveLiquidityDecode(t, 2)
+        d.select(lit("curve_burns").as("family"),
+          tagCol(RemoveTags, (col("q6l") + col("p2l")) % 6).as("tag"),
+          lit("remove_liquidity").as("body"),
+          (col("provider") === pad(col("from_address")) &&
+            col("cd_lp_dec") === col("p2l") &&
+            col("supply_dec") === col("q6l") + col("p2l")).as("ok"),
+          (col("amt_dec_0") + col("amt_dec_1")).as("a"),
+          col("supply_dec").as("b"))
+      }
+
+      // one_coin: 7 arms incl. base2_lido, the signed-index body
+      val oc = {
+        val t = base(SelBurn).filter(col("p2l") % 3 === 1)
+          .withColumn("i_src", (expr("p2l div 3") % 2).cast("long"))
+          .withColumn("calldata", unhex(concat(col("selector"),
+            word(col("p2l")), sword(col("i_src")), word(expr("q6l div 2")))))
+          .withColumn("log_data", unhex(concat(
+            word(col("q6l")), word(col("q6l") - expr("q6l div 100")))))
+        val d = RealAbiExtOps.curveOneCoinDecode(t)
+        d.select(lit("curve_burns").as("family"),
+          tagCol(OneCoinTags, (col("q6l") + col("p2l")) % 7).as("tag"),
+          lit("one_coin").as("body"),
+          (col("provider") === pad(col("from_address")) &&
+            col("i_dec") === col("i_src") &&
+            col("cd_lp_dec") === col("p2l")).as("ok"),
+          col("tok_amt_dec").as("a"), col("coin_amt_dec").as("b"))
+      }
+
+      // imbalance: 9 arms through the ADD body (event geometry identity),
+      // pool = the DELEGATECALLING from side
+      val im = {
+        val d = RealAbiExtOps.curveAddLiquidityDecode(
+          addGeom(base(SelBurn).filter(col("p2l") % 3 === 2)), 2)
+          .withColumn("pool_addr", col("from_address"))
+        d.select(lit("curve_burns").as("family"),
+          tagCol(ImbalanceTags, (col("q6l") + col("p2l")) % 9).as("tag"),
+          lit("add_liquidity").as("body"),
+          (addOk && col("pool_addr") === col("from_address")).as("ok"),
+          (col("amt_dec_0") + col("amt_dec_1")).as("a"), col("inv_dec").as("b"))
+      }
+
+      rollup(Seq(ex, ad, rm, oc, im))
+    },
+    withCtes(s""", cse AS (
+        SELECT 'curve_swaps' AS family,
+          ${sqlTagList(ExchangeTags)}[(CAST(q6 AS BIGINT) + CAST(p2 AS BIGINT)) % 9 + 1] AS tag,
+          'exchange_words' AS body,
+          CAST(q6 AS BIGINT) AS a, CAST(p2 AS BIGINT) AS b
+        FROM trace WHERE selector = '$SelCurveSwap'),
+      csa AS (
+        SELECT 'curve_mints' AS family,
+          ${sqlTagList(AddTags)}[(CAST(q6 AS BIGINT) + CAST(p2 AS BIGINT)) % 6 + 1] AS tag,
+          'add_liquidity' AS body,
+          CAST(q6 AS BIGINT) * 2 + 1000000 AS a,
+          CAST(q6 AS BIGINT) * 2 + CAST(p2 AS BIGINT) AS b
+        FROM trace WHERE selector = '$SelMint'),
+      csr AS (
+        SELECT 'curve_burns' AS family,
+          ${sqlTagList(RemoveTags)}[(CAST(q6 AS BIGINT) + CAST(p2 AS BIGINT)) % 6 + 1] AS tag,
+          'remove_liquidity' AS body,
+          CAST(q6 AS BIGINT) * 2 + 5 AS a,
+          CAST(q6 AS BIGINT) + CAST(p2 AS BIGINT) AS b
+        FROM trace WHERE selector = '$SelBurn' AND CAST(p2 AS BIGINT) % 3 = 0),
+      cso AS (
+        SELECT 'curve_burns' AS family,
+          ${sqlTagList(OneCoinTags)}[(CAST(q6 AS BIGINT) + CAST(p2 AS BIGINT)) % 7 + 1] AS tag,
+          'one_coin' AS body,
+          CAST(q6 AS BIGINT) AS a,
+          CAST(q6 AS BIGINT) - CAST(q6 AS BIGINT) // 100 AS b
+        FROM trace WHERE selector = '$SelBurn' AND CAST(p2 AS BIGINT) % 3 = 1),
+      csi AS (
+        SELECT 'curve_burns' AS family,
+          ${sqlTagList(ImbalanceTags)}[(CAST(q6 AS BIGINT) + CAST(p2 AS BIGINT)) % 9 + 1] AS tag,
+          'add_liquidity' AS body,
+          CAST(q6 AS BIGINT) * 2 + 1000000 AS a,
+          CAST(q6 AS BIGINT) * 2 + CAST(p2 AS BIGINT) AS b
+        FROM trace WHERE selector = '$SelBurn' AND CAST(p2 AS BIGINT) % 3 = 2),
+      csu AS (SELECT * FROM cse UNION ALL SELECT * FROM csa
+        UNION ALL SELECT * FROM csr UNION ALL SELECT * FROM cso
+        UNION ALL SELECT * FROM csi)
+      $RollupSql FROM csu GROUP BY 1, 2, 3 ORDER BY 1, 2"""))
+
+  private def sqlTagList(tags: Seq[String]): String =
+    tags.map(t => s"'$t'").mkString("[", ", ", "]")
+
+  // ── Misc: discovery tags, aave, dodo, balancer, cowswap (19 sites) ───────
+
+  private val c2CensusMisc = miscDef()
+
+  private def miscDef(): QueryDef = QueryDef(
+    "c2_census_misc",
+    (s, dir) => miscSpark(s, dir),
+    withCtes(miscSql))
+
+  /** C2 (misc census, 19 sites → 10 shared geometries), one family per
+    * remaining file. Reference semantics pinned per tag:
+    *   - sushi/pancake discovery (4): the uniswap createPair/createPool
+    *     bodies re-instantiated verbatim (sushiswap/discovery.rs,
+    *     pancakeswap/discovery.rs);
+    *   - balancer V1 factories (2): `newBPool`/`newCrp` discover the
+    *     DEPLOYED address with an EMPTY token vector — tokens accrete
+    *     through the ported `bind` (balancer/discovery.rs:7-33,
+    *     c3_balv1_bind);
+    *   - curve factories (3): deploy_pool for cryptoswap (coins[2],
+    *     head 14 words) / tricrypto (coins[3] + weth + impl id, head
+    *     17) / the crvUSD plain layout — the SAME two leading
+    *     dynamic-string walks as the ported deploy_plain_pool, with
+    *     the coin words at per-factory head positions
+    *     (curve/discovery.rs, classifier-abis/Curve*Factory.json);
+    *   - aave (3): V2 liquidationCall ≡ the ported V3 body
+    *     (aave/v2.rs vs v3.rs:10-40); V3 flashLoan ≡ the ported V2
+    *     parallel-array body; flashLoanSimple is the SCALAR arm —
+    *     `assets: vec![asset]` singletons, no arrays at all
+    *     (v3.rs:81-115);
+    *   - dodo (4): sellBase/sellQuote share ONE DODOSwap log body
+    *     (from/recipient = the log's trader/receiver, dodo_v2.rs:9-69);
+    *     sellShares mirrors the ported buyShares with CONDITIONAL
+    *     side pushes (base>0 / quote>0 each fetch lazily, :149-188);
+    *     flashLoan takes amounts from the DODOFlashLoan log and the
+    *     asset identities from the REGISTRY pair (:71-108);
+    *   - balancer V2 (2): onSwap_0 — the GENERAL-pool overload whose
+    *     closure is character-identical to the ported onSwap_1 body
+    *     (balancer_v2.rs:20-77); its head differs (balances ARRAY +
+    *     two indices vs two scalars), pinned by `n_balances` and by
+    *     `bal_in` decoding the array's OFFSET word; registerPool — a
+    *     NewPool from the PoolRegistered log's address topic with
+    *     tokens = [] (:181-196);
+    *   - cowswap swap (1): the single-order settle — ONE Trade log
+    *     through the ported tradeLogDecode, solver = msg_sender
+    *     (cowswap/mod.rs:42-64). */
+  private def miscSpark(s: SparkSession, dir: String): DataFrame = {
+    val t0 = tracesTable(s, dir)
+      .filter(col("selector") === SelV2Swap)
+      .withColumn("q6l", col("q6").cast("long"))
+      .withColumn("p2l", col("p2").cast("long"))
+      .withColumn("fam", ((col("q6l") + col("p2l")) % 8).cast("int"))
+      .withColumn("sub", (expr("p2l div 8")).cast("long"))
+    val nameStr = lit("Curve Pool Census")
+    val symStr = lit("crvCNS")
+    def strTail(c: Column) =
+      concat(word(length(c).cast("long")), rpad(lower(hex(c)), 64, "0"))
+    val tokA = md5(concat(lit("tok:"), col("tok_id")))
+    val tokB = md5(concat(lit("tok:"), (col("tok_id") + 1) % TokRefSpace))
+
+    // f0: sushi/pancake createPair (2 words)
+    val f0 = {
+      val t = t0.filter(col("fam") === 0)
+        .withColumn("calldata",
+          unhex(concat(col("selector"), addrW(tokA), addrW(tokB))))
+        .withColumn("a_dec", abi_address(col("calldata"), 0))
+        .withColumn("b_dec", abi_address(col("calldata"), 1))
+      t.select(lit("discovery_v2").as("family"),
+        when(col("sub") % 2 === 0, "sushiswap:create_pair")
+          .otherwise("pancakeswap:create_pair").as("tag"),
+        lit("create_pair").as("body"),
+        (col("a_dec") === pad(tokA) && col("b_dec") === pad(tokB)).as("ok"),
+        col("q6l").as("a"), lit(0L).as("b"))
+    }
+    // f1: balancer V1 factories — no decode, deployed address + empty tokens
+    val f1 = t0.filter(col("fam") === 1)
+      .select(lit("discovery_bal1").as("family"),
+        when(col("sub") % 2 === 0, "balancer_v1:new_b_pool")
+          .otherwise("balancer_v1:new_crp").as("tag"),
+        lit("deployed_address").as("body"),
+        col("to_address").isNotNull.as("ok"),
+        col("q6l").as("a"), lit(0L).as("b"))
+    // f2: sushi/pancake createPool (tokenA, tokenB, fee)
+    val f2 = {
+      val t = t0.filter(col("fam") === 2)
+        .withColumn("calldata", unhex(concat(col("selector"),
+          addrW(tokA), addrW(tokB), word(col("p2l") % 10000))))
+        .withColumn("a_dec", abi_address(col("calldata"), 0))
+        .withColumn("b_dec", abi_address(col("calldata"), 1))
+        .withColumn("fee_dec", abi_word(col("calldata"), 2))
+      t.select(lit("discovery_v3").as("family"),
+        when(col("sub") % 2 === 0, "sushiswap:create_pool")
+          .otherwise("pancakeswap:create_pool").as("tag"),
+        lit("create_pool").as("body"),
+        (col("a_dec") === pad(tokA) && col("b_dec") === pad(tokB) &&
+          col("fee_dec") === col("p2l") % 10000).as("ok"),
+        col("fee_dec").as("a"), lit(0L).as("b"))
+    }
+    // f3: the three remaining curve factories — per-tag head geometry,
+    // shared leading string walks (words 0/1 in all three)
+    val f3 = {
+      val t = t0.filter(col("fam") === 3)
+        .withColumn("v", (col("sub") % 3).cast("int"))
+      def scal(k: Int) = word(col("p2l") + k)
+      val cdCrypto = concat(col("selector"), word(lit(448L)), word(lit(512L)),
+        addrW(tokA), addrW(tokB), word(col("q6l")), word(col("p2l")),
+        scal(1), scal(2), scal(3), scal(4), scal(5), scal(6), scal(7), scal(8),
+        strTail(nameStr), strTail(symStr))
+      // head 17: nameOff symOff coins[3] weth implId A gamma + 6 params
+      // + initial_prices[2] inline -> string tails at 544/608
+      val cdTri = concat(col("selector"), word(lit(544L)), word(lit(608L)),
+        addrW(tokA), addrW(tokB), addrW(md5(lit("coin3"))),
+        addrW(md5(lit("weth"))), word(col("p2l") % 9), word(col("q6l")),
+        word(col("p2l")), scal(1), scal(2), scal(3), scal(4), scal(5), scal(6),
+        scal(7), scal(8), strTail(nameStr), strTail(symStr))
+      val cdUsd = concat(col("selector"), word(lit(256L)), word(lit(320L)),
+        addrW(tokA), addrW(tokB), lit("0" * 64), lit("0" * 64),
+        word(col("q6l")), word(col("p2l")),
+        strTail(nameStr), strTail(symStr))
+      val packed = t.withColumn("calldata", unhex(
+          when(col("v") === 0, cdCrypto).when(col("v") === 1, cdTri)
+            .otherwise(cdUsd)))
+        .withColumn("name_len", abi_array_len(col("calldata"), 0))
+        .withColumn("name_off", abi_word(col("calldata"), 0))
+        .withColumn("dec_name", expr(
+          """IF(name_len IS NULL, NULL, CAST(substring(calldata,
+            | CAST(name_off + 37 AS INT), CAST(name_len AS INT)) AS STRING))"""
+            .stripMargin.replace("\n", "")))
+        .withColumn("coin0", abi_address(col("calldata"), 2))
+        .withColumn("a_dec",
+          when(col("v") === 0, abi_word(col("calldata"), 4))
+            .when(col("v") === 1, abi_word(col("calldata"), 7))
+            .otherwise(abi_word(col("calldata"), 6)))
+      packed.select(lit("discovery_curve").as("family"),
+        element_at(array(lit("curve_cryptoswap:deploy_pool"),
+          lit("curve_tricrypto:deploy_pool"),
+          lit("curve_crvusd:deploy_plain_pool")), col("v") + 1).as("tag"),
+        lit("plain_pool_strings").as("body"),
+        (col("dec_name") === nameStr && col("name_len") === length(nameStr) &&
+          col("coin0") === pad(tokA) && col("a_dec") === col("q6l")).as("ok"),
+        col("a_dec").as("a"), lit(0L).as("b"))
+    }
+    // f4: aave — V2 liquidation tag-dup, V3 flashLoan array + SCALAR arm
+    val f4 = {
+      val t = t0.filter(col("fam") === 4)
+        .withColumn("v", (col("sub") % 3).cast("int"))
+      val liq = {
+        val d = RealAbiOps.liquidationCallDecode(t.filter(col("v") === 0)
+          .withColumn("calldata", unhex(concat(col("selector"),
+            addrW(tokA), addrW(tokB), addrW(col("from_address")),
+            word(col("q6l")), word(col("p2l") % 2)))))
+        d.select(lit("aave").as("family"),
+          lit("aave_v2:liquidation_call").as("tag"),
+          lit("liquidation_call").as("body"),
+          (col("coll_dec") === pad(tokA) && col("debt_dec") === pad(tokB) &&
+            col("debt_to_cover") === col("q6l")).as("ok"),
+          col("debt_to_cover").as("a"), lit(0L).as("b"))
+      }
+      val arr = {
+        val d = RealAbiOps.flashLoanDecode(t.filter(col("v") === 1)
+          .withColumn("calldata", unhex(concat(col("selector"),
+            addrW(md5(lit("rcv"))), word(lit(224L)), word(lit(320L)),
+            word(lit(416L)), addrW(col("from_address")), word(lit(512L)),
+            word(col("p2l") % 7),
+            word(lit(2L)), addrW(tokA), addrW(tokB),
+            word(lit(2L)), word(col("q6l")), word(col("q6l") + 1),
+            word(lit(2L)), word(lit(0L)), word(lit(1L)),
+            word(lit(0L))))))
+        d.select(lit("aave").as("family"),
+          lit("aave_v3:flash_loan").as("tag"),
+          lit("flash_loan_arrays").as("body"),
+          (col("n_assets") === 2L && col("n_amounts") === 2L &&
+            col("n_modes") === 2L && col("asset0") === pad(tokA)).as("ok"),
+          (col("amt0") + col("amt1")).as("a"), col("n_assets").as("b"))
+      }
+      val simple = {
+        val d = t.filter(col("v") === 2)
+          .withColumn("calldata", unhex(concat(col("selector"),
+            addrW(md5(lit("rcv"))), addrW(tokA), word(col("q6l")),
+            word(lit(160L)), word(col("p2l") % 7), word(lit(0L)))))
+          .withColumn("asset_dec", abi_address(col("calldata"), 1))
+          .withColumn("amt_dec", abi_word(col("calldata"), 2))
+        // assets/amounts are SINGLETON vectors - no array walk exists
+        d.select(lit("aave").as("family"),
+          lit("aave_v3:flash_loan_simple").as("tag"),
+          lit("flash_loan_scalar").as("body"),
+          (col("asset_dec") === pad(tokA) && col("amt_dec") === col("q6l"))
+            .as("ok"),
+          col("amt_dec").as("a"), lit(1L).as("b"))
+      }
+      liq.unionByName(arr).unionByName(simple)
+    }
+    // f5: dodo — DODOSwap log pair, conditional-sides sellShares, flash log
+    val f5 = {
+      val t = t0.filter(col("fam") === 5)
+        .withColumn("v", (col("sub") % 4).cast("int"))
+      val swp = {
+        val d = t.filter(col("v") <= 1)
+          .withColumn("log_data", unhex(concat(
+            addrW(tokA), addrW(tokB), word(col("q6l")), word(col("p2l")),
+            addrW(col("from_address")), addrW(md5(lit("rcp"))))))
+          .withColumn("from_tok", abi_log_address(col("log_data"), 0))
+          .withColumn("from_amt", abi_log_word(col("log_data"), 2))
+          .withColumn("to_amt", abi_log_word(col("log_data"), 3))
+          .withColumn("trader_dec", abi_log_address(col("log_data"), 4))
+          .withColumn("recip_dec", abi_log_address(col("log_data"), 5))
+        d.select(lit("dodo").as("family"),
+          when(col("v") === 0, "dodo:sell_base").otherwise("dodo:sell_quote")
+            .as("tag"),
+          lit("dodo_swap_log").as("body"),
+          (col("from_tok") === pad(tokA) &&
+            col("trader_dec") === pad(col("from_address")) &&
+            col("recip_dec") === pad(md5(lit("rcp")))).as("ok"),
+          col("from_amt").as("a"), col("to_amt").as("b"))
+      }
+      val shares = {
+        val d = t.filter(col("v") === 2)
+          .withColumn("calldata", unhex(concat(col("selector"),
+            word(col("p2l")), addrW(md5(lit("rcp"))),
+            word(expr("q6l div 2")), word(lit(0L)), word(lit(192L)),
+            word(col("q6l") + col("p2l")), word(lit(0L)))))
+          .withColumn("ret_data", unhex(concat(word(col("q6l")),
+            when(col("p2l") % 3 === 0, word(lit(0L)))
+              .otherwise(word(col("p2l"))))))
+          .withColumn("to_dec", abi_address(col("calldata"), 1))
+          .withColumn("base_dec", abi_log_word(col("ret_data"), 0))
+          .withColumn("quote_dec", abi_log_word(col("ret_data"), 1))
+          .withColumn("n_sides",
+            when(col("base_dec") > 0, 1L).otherwise(0L) +
+              when(col("quote_dec") > 0, 1L).otherwise(0L))
+        d.select(lit("dodo").as("family"), lit("dodo:sell_shares").as("tag"),
+          lit("shares_conditional").as("body"),
+          (col("to_dec") === pad(md5(lit("rcp"))) && col("n_sides") >= 1)
+            .as("ok"),
+          (col("base_dec") + col("quote_dec")).as("a"), col("n_sides").as("b"))
+      }
+      val flash = {
+        val d = t.filter(col("v") === 3)
+          .withColumn("log_data", unhex(concat(
+            addrW(col("from_address")), addrW(md5(lit("asset_to"))),
+            word(col("q6l")), word(col("p2l")))))
+          .withColumn("borrower_dec", abi_log_address(col("log_data"), 0))
+          .withColumn("base_dec", abi_log_word(col("log_data"), 2))
+          .withColumn("quote_dec", abi_log_word(col("log_data"), 3))
+        d.select(lit("dodo").as("family"), lit("dodo:flash_loan").as("tag"),
+          lit("dodo_flash_log").as("body"),
+          (col("borrower_dec") === pad(col("from_address"))).as("ok"),
+          col("base_dec").as("a"), col("quote_dec").as("b"))
+      }
+      swp.unionByName(shares).unionByName(flash)
+    }
+    // f6: balancer V2 — the onSwap_0 GENERAL overload + registerPool
+    val f6 = {
+      val t = t0.filter(col("fam") === 6)
+        .withColumn("v", (col("sub") % 2).cast("int"))
+      val onswap = {
+        // head: [tupleOff=128, balancesOff=416, indexIn=0, indexOut=1];
+        // SwapRequest tail (9 words, userData offset-only); balances tail
+        val d = RealAbiOps.onSwapDecode(t.filter(col("v") === 0)
+          .withColumn("calldata", unhex(concat(col("selector"),
+            word(lit(128L)), word(lit(416L)), word(lit(0L)), word(lit(1L)),
+            word(col("p2l") % 3), addrW(tokA), addrW(tokB), word(col("q6l")),
+            md5(concat(lit("pl:"), col("tx_hash"))),
+            md5(concat(lit("pl2:"), col("tx_hash"))),
+            word(col("block_number")), addrW(col("from_address")),
+            addrW(md5(lit("rcp"))), word(lit(288L)),
+            word(lit(2L)), word(col("q6l")), word(col("p2l")))))
+          .withColumn("ret_data", unhex(word(col("p2l"))))
+          .withColumn("n_balances", abi_array_len(col("calldata"), 1)))
+        d.select(lit("balancer_v2").as("family"),
+          lit("balancer_v2:on_swap_0").as("tag"),
+          lit("on_swap_tuple").as("body"),
+          (col("tok_in_dec") === pad(tokA) && col("amt_dec") === col("q6l") &&
+            col("from_dec") === pad(col("from_address")) &&
+            col("n_balances") === 2L &&
+            // the one head difference from the ported overload: word 1
+            // is the balances array's OFFSET, not a scalar balance
+            col("bal_in") === 416L).as("ok"),
+          col("amt_dec").as("a"), col("out_dec").as("b"))
+      }
+      val reg = {
+        val d = t.filter(col("v") === 1)
+          .withColumn("log_topics", unhex(concat(
+            md5(concat(lit("pid:"), col("tx_hash"))),
+            md5(concat(lit("pid2:"), col("tx_hash"))),
+            addrW(md5(concat(lit("pool:"), col("p2l") % NumPools))))))
+          .withColumn("log_data", unhex(word(col("p2l") % 3)))
+          .withColumn("pool_dec", abi_log_address(col("log_topics"), 1))
+          .withColumn("spec_dec", abi_log_word(col("log_data"), 0))
+        d.select(lit("balancer_v2").as("family"),
+          lit("balancer_v2:register_pool").as("tag"),
+          lit("pool_registered_log").as("body"),
+          (col("pool_dec") ===
+            pad(md5(concat(lit("pool:"), col("p2l") % NumPools)))).as("ok"),
+          col("spec_dec").as("a"), lit(0L).as("b"))
+      }
+      onswap.unionByName(reg)
+    }
+    // f7: cowswap swap — ONE Trade log through the ported settle body
+    val f7 = {
+      val uid = concat(md5(concat(lit("uid:"), col("tx_hash"))),
+        md5(concat(lit("uid2:"), col("tx_hash"))),
+        md5(concat(lit("uid3:"), col("tx_hash"))), lit("0" * 16))
+      val d = RealAbiOps.tradeLogDecode(t0.filter(col("fam") === 7)
+        .withColumn("topic1", unhex(addrW(col("from_address"))))
+        .withColumn("log_data", unhex(concat(
+          addrW(tokA), addrW(tokB), word(col("q6l")), word(col("p2l")),
+          word(col("p2l") % 1000), word(lit(192L)),
+          word(lit(56L)), uid))))
+      d.select(lit("cowswap").as("family"), lit("cowswap:swap").as("tag"),
+        lit("trade_log").as("body"),
+        (col("owner_dec") === pad(col("from_address")) &&
+          col("sell_tok") === pad(tokA) && col("uid_len") === 56L).as("ok"),
+        col("sell_amt").as("a"), col("buy_amt").as("b"))
+    }
+    rollup(Seq(f0, f1, f2, f3, f4, f5, f6, f7))
+  }
+
+  private def miscSql: String = s""", msb AS (
+      SELECT CAST(q6 AS BIGINT) AS q6l, CAST(p2 AS BIGINT) AS p2l,
+        (CAST(q6 AS BIGINT) + CAST(p2 AS BIGINT)) % 8 AS fam,
+        CAST(p2 AS BIGINT) // 8 AS sub
+      FROM trace WHERE selector = '$SelV2Swap'),
+    msr AS (
+      SELECT CASE fam
+          WHEN 0 THEN 'discovery_v2' WHEN 1 THEN 'discovery_bal1'
+          WHEN 2 THEN 'discovery_v3' WHEN 3 THEN 'discovery_curve'
+          WHEN 4 THEN 'aave' WHEN 5 THEN 'dodo'
+          WHEN 6 THEN 'balancer_v2' ELSE 'cowswap' END AS family,
+        CASE
+          WHEN fam = 0 AND sub % 2 = 0 THEN 'sushiswap:create_pair'
+          WHEN fam = 0 THEN 'pancakeswap:create_pair'
+          WHEN fam = 1 AND sub % 2 = 0 THEN 'balancer_v1:new_b_pool'
+          WHEN fam = 1 THEN 'balancer_v1:new_crp'
+          WHEN fam = 2 AND sub % 2 = 0 THEN 'sushiswap:create_pool'
+          WHEN fam = 2 THEN 'pancakeswap:create_pool'
+          WHEN fam = 3 AND sub % 3 = 0 THEN 'curve_cryptoswap:deploy_pool'
+          WHEN fam = 3 AND sub % 3 = 1 THEN 'curve_tricrypto:deploy_pool'
+          WHEN fam = 3 THEN 'curve_crvusd:deploy_plain_pool'
+          WHEN fam = 4 AND sub % 3 = 0 THEN 'aave_v2:liquidation_call'
+          WHEN fam = 4 AND sub % 3 = 1 THEN 'aave_v3:flash_loan'
+          WHEN fam = 4 THEN 'aave_v3:flash_loan_simple'
+          WHEN fam = 5 AND sub % 4 = 0 THEN 'dodo:sell_base'
+          WHEN fam = 5 AND sub % 4 = 1 THEN 'dodo:sell_quote'
+          WHEN fam = 5 AND sub % 4 = 2 THEN 'dodo:sell_shares'
+          WHEN fam = 5 THEN 'dodo:flash_loan'
+          WHEN fam = 6 AND sub % 2 = 0 THEN 'balancer_v2:on_swap_0'
+          WHEN fam = 6 THEN 'balancer_v2:register_pool'
+          ELSE 'cowswap:swap' END AS tag,
+        CASE
+          WHEN fam = 0 THEN 'create_pair'
+          WHEN fam = 1 THEN 'deployed_address'
+          WHEN fam = 2 THEN 'create_pool'
+          WHEN fam = 3 THEN 'plain_pool_strings'
+          WHEN fam = 4 AND sub % 3 = 0 THEN 'liquidation_call'
+          WHEN fam = 4 AND sub % 3 = 1 THEN 'flash_loan_arrays'
+          WHEN fam = 4 THEN 'flash_loan_scalar'
+          WHEN fam = 5 AND sub % 4 <= 1 THEN 'dodo_swap_log'
+          WHEN fam = 5 AND sub % 4 = 2 THEN 'shares_conditional'
+          WHEN fam = 5 THEN 'dodo_flash_log'
+          WHEN fam = 6 AND sub % 2 = 0 THEN 'on_swap_tuple'
+          WHEN fam = 6 THEN 'pool_registered_log'
+          ELSE 'trade_log' END AS body,
+        CASE
+          WHEN fam = 0 THEN q6l
+          WHEN fam = 1 THEN q6l
+          WHEN fam = 2 THEN p2l % 10000
+          WHEN fam = 3 THEN q6l
+          WHEN fam = 4 AND sub % 3 = 0 THEN q6l
+          WHEN fam = 4 AND sub % 3 = 1 THEN q6l * 2 + 1
+          WHEN fam = 4 THEN q6l
+          WHEN fam = 5 AND sub % 4 <= 1 THEN q6l
+          WHEN fam = 5 AND sub % 4 = 2 THEN
+            q6l + CASE WHEN p2l % 3 = 0 THEN 0 ELSE p2l END
+          WHEN fam = 5 THEN q6l
+          WHEN fam = 6 AND sub % 2 = 0 THEN q6l
+          WHEN fam = 6 THEN p2l % 3
+          ELSE q6l END AS a,
+        CASE
+          WHEN fam = 4 AND sub % 3 = 1 THEN 2
+          WHEN fam = 4 AND sub % 3 = 2 THEN 1
+          WHEN fam = 5 AND sub % 4 <= 1 THEN p2l
+          WHEN fam = 5 AND sub % 4 = 2 THEN
+            1 + CASE WHEN p2l % 3 = 0 THEN 0 ELSE 1 END
+          WHEN fam = 5 AND sub % 4 = 3 THEN p2l
+          WHEN fam = 6 AND sub % 2 = 0 THEN p2l
+          WHEN fam = 7 THEN p2l
+          ELSE 0 END AS b
+      FROM msb)
+    $RollupSql FROM msr GROUP BY 1, 2, 3 ORDER BY 1, 2"""
+}

@@ -1,0 +1,229 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-maintenance operators a production training-data pipeline runs
+  * continuously, beyond the one-shot dedup/quality battery:
+  *
+  *   - INCREMENTAL dedup (`d13`): dedup a NEW batch against a persisted
+  *     corpus index without recomputing the corpus — at 100 TB nobody
+  *     re-LSHes the whole corpus per ingest; the index side is a stored
+  *     band table and the join output is new-batch-sized;
+  *   - URL canonicalization dedup (`d14`): crawl corpora carry the same
+  *     page under case-varied hosts, tracking parameters, fragments,
+  *     and trailing-slash variants — canonicalize-then-group is the
+  *     standard first dedup pass (cheaper than any content hash);
+  *   - per-domain caps (`t_domain_cap`): diversity control — no single
+  *     registered domain may contribute more than K documents, the
+  *     Gopher/C4-style crawl-balance rule, with the kept set chosen by
+  *     deterministic hash rank so reruns are reproducible.
+  */
+object CorpusOps extends graft.QueryModule {
+
+  def defs: Seq[QueryDef] =
+    Seq(d13IncrementalDedup, d14UrlDedup, tDomainCap)
+
+  /** D13 (incremental MinHash dedup): the corpus index is the band table
+    * of the EXISTING docs (doc_id % 3 != 0 plays the persisted side);
+    * the new batch (doc_id % 3 == 0) joins its bands against the index
+    * AND against its own earlier docs. A new doc is `dup_vs_index` if it
+    * shares any band with an indexed doc, else `dup_within` if it shares
+    * one with an EARLIER new doc (the deterministic one-pass batch
+    * policy: earlier-id wins, matching the d9 survivor convention),
+    * else it survives and its bands would be appended to the index.
+    *
+    * Scale shape: the shingle→minhash lineage runs ONCE over the new
+    * batch; the index side is a stored table at scale (modeled by the
+    * split here). Both joins are band-hash equi-joins whose output is
+    * bounded by the new batch's candidate fan-out — the corpus is never
+    * self-joined. */
+  private val d13IncrementalDedup = QueryDef(
+    "d13_incremental_dedup",
+    (s, dir) => {
+      import DedupOps.{bandHashes, minhashSig, shinglesOf}
+      val docs = Tables.documents(s, dir)
+      val bands = bandHashes(minhashSig(shinglesOf(docs))).persist()
+      val newB = bands.filter(col("doc_id") % 3 === 0)
+      val oldB = bands.filter(col("doc_id") % 3 =!= 0)
+        .select(col("band").as("band_o"), col("bh").as("bh_o"))
+      val idxDup = newB
+        .join(oldB, col("band") === col("band_o") && col("bh") === col("bh_o"))
+        .select(col("doc_id")).distinct()
+        .withColumn("idx_dup", lit(true))
+      val earlier = bands.filter(col("doc_id") % 3 === 0)
+        .select(col("band").as("band_e"), col("bh").as("bh_e"),
+          col("doc_id").as("doc_e"))
+      val priorDup = newB
+        .join(earlier, col("band") === col("band_e") &&
+          col("bh") === col("bh_e") && col("doc_e") < col("doc_id"))
+        .select(col("doc_id")).distinct()
+        .withColumn("prior_dup", lit(true))
+      docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("source"))
+        .join(idxDup, Seq("doc_id"), "left")
+        .join(priorDup, Seq("doc_id"), "left")
+        .withColumn("status",
+          when(col("idx_dup"), "dup_vs_index")
+            .when(col("prior_dup"), "dup_within_batch")
+            .otherwise("survivor"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_new"),
+          sum(when(col("status") === "dup_vs_index", 1L).otherwise(0L))
+            .as("n_dup_vs_index"),
+          sum(when(col("status") === "dup_within_batch", 1L).otherwise(0L))
+            .as("n_dup_within"),
+          sum(when(col("status") === "survivor", 1L).otherwise(0L))
+            .as("n_survivors"),
+          sum(when(col("status") === "survivor", col("doc_id"))
+            .otherwise(0L)).as("survivor_id_sum"))
+        .orderBy("source")
+    },
+    Some(s"""WITH ${DedupOps.shinglesCte}, ${DedupOps.sigCte},
+      ${DedupOps.bandsCte},
+      idx AS (
+        SELECT DISTINCT a.doc_id FROM bands a JOIN bands o
+          ON a.band = o.band AND a.bh = o.bh
+        WHERE a.doc_id % 3 = 0 AND o.doc_id % 3 <> 0),
+      prior AS (
+        SELECT DISTINCT a.doc_id FROM bands a JOIN bands e
+          ON a.band = e.band AND a.bh = e.bh AND e.doc_id < a.doc_id
+        WHERE a.doc_id % 3 = 0 AND e.doc_id % 3 = 0),
+      nd AS (
+        SELECT d.doc_id, d.source,
+          CASE WHEN i.doc_id IS NOT NULL THEN 'dup_vs_index'
+            WHEN p.doc_id IS NOT NULL THEN 'dup_within_batch'
+            ELSE 'survivor' END AS status
+        FROM documents d
+        LEFT JOIN idx i ON i.doc_id = d.doc_id
+        LEFT JOIN prior p ON p.doc_id = d.doc_id
+        WHERE d.doc_id % 3 = 0)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_new,
+        CAST(SUM(CASE WHEN status = 'dup_vs_index' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_dup_vs_index,
+        CAST(SUM(CASE WHEN status = 'dup_within_batch' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_dup_within,
+        CAST(SUM(CASE WHEN status = 'survivor' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_survivors,
+        CAST(SUM(CASE WHEN status = 'survivor' THEN doc_id ELSE 0 END)
+          AS BIGINT) AS survivor_id_sum
+      FROM nd GROUP BY 1 ORDER BY 1"""))
+
+  /** D14 (URL canonicalization dedup): deterministic synthetic URLs per
+    * doc carry every variance class the canonicalizer must fold — a
+    * CASE-varied scheme/host, a `www.` prefix, a trailing-slash variant
+    * (doc_id % 3), tracking parameters (`utm_source`, `ref`), an
+    * OPTIONAL content-bearing `id` parameter (kept, doc_id % 2), and a
+    * fragment (doc_id % 5). Canonical form: lowercase, fragment and
+    * query stripped, `www.` dropped, trailing slash trimmed, the `id`
+    * parameter re-appended in canonical position. Docs sharing
+    * (source, doc_id % 500) collide exactly when their kept-id presence
+    * matches — the oracle recomputes the same fold.
+    *
+    * Scale shape: row-local string work + one hash groupBy per source —
+    * the cheapest dedup pass a crawl corpus gets, run before any
+    * content hashing. */
+  private val d14UrlDedup = QueryDef(
+    "d14_url_dedup",
+    (s, dir) => {
+      val raw = concat(lit("HTTPS://WwW."), col("source"),
+        lit(".Example.COM/a/"), col("doc_id") % 500,
+        when(col("doc_id") % 3 === 0, "/").otherwise(""),
+        lit("?utm_source=feed&ref="), col("lang"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("&id="), col("doc_id") % 500)).otherwise(""),
+        when(col("doc_id") % 5 === 0, "#frag").otherwise(""))
+      val docs = Tables.documents(s, dir).withColumn("raw_url", raw)
+        .withColumn("base", lower(
+          element_at(split(element_at(split(col("raw_url"), "#"), 1), "\\?"), 1)))
+        .withColumn("base2",
+          regexp_replace(regexp_replace(col("base"), "://www\\.", "://"),
+            "/$", ""))
+        .withColumn("kept_id",
+          regexp_extract(col("raw_url"), "[?&]id=([0-9]+)", 1))
+        .withColumn("canon", concat(col("base2"),
+          when(col("kept_id") =!= "", concat(lit("?id="), col("kept_id")))
+            .otherwise("")))
+      docs.groupBy("source", "canon")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum(col("c")).as("n_docs"),
+          count(lit(1)).as("n_canonical"),
+          sum(col("c") - 1).as("n_dup_docs"),
+          max(col("c")).as("max_collision"),
+          min(col("canon")).as("first_canon"))
+        .orderBy("source")
+    },
+    Some("""WITH u AS (
+        SELECT source,
+          'HTTPS://WwW.' || source || '.Example.COM/a/' || (doc_id % 500)
+            || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+            || '?utm_source=feed&ref=' || lang
+            || CASE WHEN doc_id % 2 = 0 THEN '&id=' || (doc_id % 500)
+                 ELSE '' END
+            || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS raw_url
+        FROM documents),
+      c AS (
+        SELECT source,
+          regexp_replace(regexp_replace(
+            lower(string_split(string_split(raw_url, '#')[1], '?')[1]),
+            '://www\.', '://'), '/$', '')
+          || CASE WHEN regexp_extract(raw_url, '[?&]id=([0-9]+)', 1) <> ''
+               THEN '?id=' || regexp_extract(raw_url, '[?&]id=([0-9]+)', 1)
+               ELSE '' END AS canon
+        FROM u),
+      g AS (SELECT source, canon, COUNT(*) AS c FROM c GROUP BY 1, 2)
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+        CAST(COUNT(*) AS BIGINT) AS n_canonical,
+        CAST(SUM(c - 1) AS BIGINT) AS n_dup_docs,
+        CAST(MAX(c) AS BIGINT) AS max_collision,
+        MIN(canon) AS first_canon
+      FROM g GROUP BY 1 ORDER BY 1"""))
+
+  /** T (per-domain caps): no registered domain contributes more than
+    * K = 10 docs. The kept set is the first 10 by md5 rank (salted,
+    * doc_id tiebreak — a total order, so both engines pick the same
+    * docs); `kept_id_sum` checksums the SELECTION, not just the counts.
+    *
+    * Scale shape: one window partitioned by domain (high-cardinality —
+    * domains at web scale are tens of millions, so per-partition state
+    * is tiny) + one per-source rollup. */
+  private val tDomainCap = QueryDef(
+    "t_domain_cap",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+        .withColumn("domain",
+          concat(col("source"), lit("."), col("doc_id") % 37, lit(".com")))
+      val w = Window.partitionBy("domain")
+        .orderBy(md5(concat(lit("rk:"), col("doc_id"))), col("doc_id"))
+      docs.withColumn("rk", row_number().over(w))
+        .withColumn("kept", col("rk") <= 10)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("domain")).as("n_domains"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(col("kept"), col("doc_id")).otherwise(0L))
+            .as("kept_id_sum"))
+        .orderBy("source")
+    },
+    Some("""WITH d AS (
+        SELECT source, doc_id,
+          source || '.' || (doc_id % 37) || '.com' AS domain
+        FROM documents),
+      r AS (
+        SELECT source, doc_id, domain,
+          ROW_NUMBER() OVER (PARTITION BY domain
+            ORDER BY md5('rk:' || doc_id), doc_id) AS rk
+        FROM d)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(COUNT(DISTINCT domain) AS BIGINT) AS n_domains,
+        CAST(SUM(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(SUM(CASE WHEN rk > 10 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dropped,
+        CAST(SUM(CASE WHEN rk <= 10 THEN doc_id ELSE 0 END) AS BIGINT)
+          AS kept_id_sum
+      FROM r GROUP BY 1 ORDER BY 1"""))
+}

@@ -2223,4 +2223,42 @@ test("real_abi compound init: the overload pair shifts the whole head one word")
       "a CErc20 buffer at CEther positions points the name walk at the " +
         "exchange-rate word — out of bounds, NULL, never a garbled string")
   }
+test("census: the onSwap overload pair differs ONLY in its head tail") {
+    // balancer_v2.rs:20-77 - the onSwap_0 (IGeneralPool) and onSwap_1
+    // (IMinimalSwapInfoPool) closures are character-identical; the
+    // overload changes the selector and the words AFTER the SwapRequest
+    // offset: a balances ARRAY + two indices (general) vs two scalar
+    // balances (minimal). Pack the SAME SwapRequest under the general
+    // head and assert the tuple fields decode identically while word 1
+    // reads the balances array's OFFSET, not a balance.
+    val usdc = "a0b86991c6218b36c1d19d4a2e9eb0ce3606eb48"
+    val weth = "c02aaa39b223fe8d0a0e5c4f27ead9083c756cc2"
+    val from = "aeac71b09aeaedc6a52cee06373a648cad620c20"
+    def a(x: String) = "0" * 24 + x
+    val poolId = "cd" * 32
+    val tuple = w64(1L) + a(usdc) + a(weth) + w64(72712976L) + poolId +
+      w64(17L) + a(from) + a(from) + w64(288L)
+    val general = "01ec954a" + w64(128L) + w64(416L) + w64(0L) + w64(1L) +
+      tuple + w64(2L) + w64(1000L) + w64(2000L)
+    val minimal = "9d2c110c" + w64(96L) + w64(1000L) + w64(2000L) + tuple
+    val out = graft.domain.RealAbiOps.onSwapDecode(
+      Seq((general, "00"), (minimal, "00")).toDF("c", "r")
+        .select(unhex(col("c")).as("calldata"), unhex(col("r")).as("ret_data")))
+      .collect()
+    val g = out(0)
+    assert(g.getAs[String]("tok_in_dec") == usdc &&
+      g.getAs[String]("tok_out_dec") == weth &&
+      g.getAs[Long]("amt_dec") == 72712976L,
+      "the SwapRequest tuple decodes identically under the general head")
+    assert(g.getAs[String]("pool_dec") == "cd" * 20)
+    assert(g.getAs[Long]("bal_in") == 416L,
+      "general overload: word 1 is the balances array OFFSET - the one " +
+        "head difference the shared closure never reads")
+    val m = out(1)
+    assert(m.getAs[String]("tok_in_dec") == usdc &&
+      m.getAs[Long]("amt_dec") == 72712976L,
+      "minimal overload: same tuple fields through its 3-word head")
+    assert(m.getAs[Long]("bal_in") == 1000L,
+      "minimal overload: word 1 IS a scalar balance")
+  }
 }

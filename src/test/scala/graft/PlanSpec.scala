@@ -125,7 +125,8 @@ class PlanSpec extends SparkTestBase {
         "c1_univ3_burn_collect", "c3_curve_factory", "c1_aave_flashloan",
         "c1_clipper_swap", "c1_balv1_swap", "c3_balv1_bind",
         "c5_unix_batch", "c2_real_fanout", "c1_zerox_orders",
-        "c2_zerox_fanout", "c5_zerox_batchfill", "c3_compound_init")) {
+        "c2_zerox_fanout", "c5_zerox_batchfill", "c3_compound_init",
+        "c2_census_curve", "c2_census_misc")) {
       val df = SparkEntry.queries(q)(spark, SfDir)
       df.collect() // finalize the AQE plan so codegen spans are rendered
       val p = df.queryExecution.executedPlan.toString
