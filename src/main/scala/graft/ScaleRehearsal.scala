@@ -111,7 +111,12 @@ object ScaleRehearsal {
     // a shuffle (the any-fill-missing window over (tx_hash, trace_idx));
     // tx-local keying, so the 100× claim is the same bounded-state
     // argument as the fold rows — measured here instead of argued
-    "c5_zerox_batchfill")
+    "c5_zerox_batchfill",
+    // round 13: incremental dedup — THE continuous-ingest pattern; at
+    // 100× both the modeled index side and the new batch scale together,
+    // the worst case for the band join (a real deployment's index join
+    // is new-batch-bounded)
+    "d13_incremental_dedup")
   val Sf10Dir = "/tmp/graft_sf10"
 
   /** Skew probe: the user-partitioned event analytics (funnel, cohorts,

@@ -114,11 +114,16 @@ object CensusOps extends graft.QueryModule {
   private val c2CensusCurve = QueryDef(
     "c2_census_curve",
     (s, dir) => {
-      def base(sel: String) = tracesTable(s, dir)
+      def slice(sel: String) = tracesTable(s, dir)
         .filter(col("selector") === sel)
         .withColumn("q6l", col("q6").cast("long"))
         .withColumn("p2l", col("p2").cast("long"))
         .withColumn("topic1", unhex(addrW(col("from_address"))))
+      // the burn slice feeds THREE families (remove/one_coin/imbalance)
+      // - persist it so the scan runs once, not per family
+      val burnBase = slice(SelBurn).persist()
+      def base(sel: String) =
+        if (sel == SelBurn) burnBase else slice(sel)
 
       // exchange: 9 tags over one 4-word geometry
       val ex = {
@@ -303,12 +308,14 @@ object CensusOps extends graft.QueryModule {
     *     through the ported tradeLogDecode, solver = msg_sender
     *     (cowswap/mod.rs:42-64). */
   private def miscSpark(s: SparkSession, dir: String): DataFrame = {
+    // one slice feeds all EIGHT families - persist so the scan runs once
     val t0 = tracesTable(s, dir)
       .filter(col("selector") === SelV2Swap)
       .withColumn("q6l", col("q6").cast("long"))
       .withColumn("p2l", col("p2").cast("long"))
       .withColumn("fam", ((col("q6l") + col("p2l")) % 8).cast("int"))
       .withColumn("sub", (expr("p2l div 8")).cast("long"))
+      .persist()
     val nameStr = lit("Curve Pool Census")
     val symStr = lit("crvCNS")
     def strTail(c: Column) =

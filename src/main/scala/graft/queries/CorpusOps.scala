@@ -124,6 +124,21 @@ object CorpusOps extends graft.QueryModule {
     * Scale shape: row-local string work + one hash groupBy per source —
     * the cheapest dedup pass a crawl corpus gets, run before any
     * content hashing. */
+  /** The canonical fold on a raw URL column: lowercase the
+    * scheme+host+path, strip the fragment and the query (tracking
+    * params die with it), drop the `www.` host prefix, trim one
+    * trailing slash, then re-append the content-bearing `id` parameter
+    * in canonical position if the raw query carried one. */
+  private[graft] def canonicalUrl(raw: Column): Column = {
+    val base = lower(element_at(split(element_at(split(raw, "#"), 1),
+      "\\?"), 1))
+    val stripped = regexp_replace(
+      regexp_replace(base, "://www\\.", "://"), "/$", "")
+    val keptId = regexp_extract(raw, "[?&]id=([0-9]+)", 1)
+    concat(stripped,
+      when(keptId =!= "", concat(lit("?id="), keptId)).otherwise(""))
+  }
+
   private val d14UrlDedup = QueryDef(
     "d14_url_dedup",
     (s, dir) => {
@@ -135,16 +150,7 @@ object CorpusOps extends graft.QueryModule {
           concat(lit("&id="), col("doc_id") % 500)).otherwise(""),
         when(col("doc_id") % 5 === 0, "#frag").otherwise(""))
       val docs = Tables.documents(s, dir).withColumn("raw_url", raw)
-        .withColumn("base", lower(
-          element_at(split(element_at(split(col("raw_url"), "#"), 1), "\\?"), 1)))
-        .withColumn("base2",
-          regexp_replace(regexp_replace(col("base"), "://www\\.", "://"),
-            "/$", ""))
-        .withColumn("kept_id",
-          regexp_extract(col("raw_url"), "[?&]id=([0-9]+)", 1))
-        .withColumn("canon", concat(col("base2"),
-          when(col("kept_id") =!= "", concat(lit("?id="), col("kept_id")))
-            .otherwise("")))
+        .withColumn("canon", canonicalUrl(col("raw_url")))
       docs.groupBy("source", "canon")
         .agg(count(lit(1)).as("c"))
         .groupBy("source")

@@ -69,4 +69,28 @@ class PipelineSpec extends SparkTestBase {
       assert(r.getAs[Long]("n_shared") >= 2)
     }
   }
+test("d14 url canonicalization folds every variance class and keeps id") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cases = Seq(
+      // case fold + www strip + tracking strip + fragment strip + id kept
+      ("HTTPS://WwW.News.Example.COM/a/7?utm_source=feed&ref=en&id=7#frag",
+        "https://news.example.com/a/7?id=7"),
+      // trailing slash folds into the no-slash variant
+      ("https://news.example.com/a/7/?utm_source=feed&id=7",
+        "https://news.example.com/a/7?id=7"),
+      // no id param -> no query at all survives
+      ("http://www.Site.org/Path/X?utm_campaign=z&ref=feed",
+        "http://site.org/path/x"),
+      // id anywhere in the query is found by the [?&] anchor
+      ("http://site.org/p?id=42&utm_source=a", "http://site.org/p?id=42"),
+      // www only strips as a HOST prefix, not mid-path
+      ("http://host.com/www.keep/", "http://host.com/www.keep"))
+    val out = cases.toDF("raw", "expected")
+      .withColumn("canon", graft.queries.CorpusOps.canonicalUrl(col("raw")))
+      .collect()
+    for (r <- out)
+      assert(r.getAs[String]("canon") == r.getAs[String]("expected"),
+        s"${r.getAs[String]("raw")} -> ${r.getAs[String]("canon")}")
+  }
 }
