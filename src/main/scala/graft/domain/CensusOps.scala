@@ -388,8 +388,10 @@ object CensusOps extends graft.QueryModule {
         .withColumn("name_len", abi_array_len(col("calldata"), 0))
         .withColumn("name_off", abi_word(col("calldata"), 0))
         .withColumn("dec_name", expr(
-          """IF(name_len IS NULL, NULL, CAST(substring(calldata,
-            | CAST(name_off + 37 AS INT), CAST(name_len AS INT)) AS STRING))"""
+          """IF(name_len IS NULL OR name_len < 0
+            | OR name_len > octet_length(calldata), NULL,
+            | CAST(substring(calldata, CAST(name_off + 37 AS INT),
+            | CAST(name_len AS INT)) AS STRING))"""
             .stripMargin.replace("\n", "")))
         .withColumn("coin0", abi_address(col("calldata"), 2))
         .withColumn("a_dec",

@@ -202,11 +202,18 @@ object IndirectOps extends graft.QueryModule {
           rpad(lower(hex(col("s_str"))), 64, "0"))))
       t.withColumn("id", abi_word(col("calldata"), 0))
         .withColumn("off", abi_word(col("calldata"), 1))
-        .withColumn("len",
-          conv(hex(expr("substring(calldata, CAST(off + 29 AS INT), 8)")), 16, 10)
-            .cast("long"))
-        .withColumn("dstr",
-          expr("CAST(substring(calldata, CAST(off + 37 AS INT), CAST(len AS INT)) AS STRING)"))
+        // bounds-gated walk: corrupt offset/length words NULL instead of
+        // raising through the ANSI INT cast (same contract as AbiArrayLen)
+        .withColumn("len", expr(
+          """IF(off IS NULL OR off < 0
+            | OR off > octet_length(calldata) - 36, NULL,
+            | CAST(conv(hex(substring(calldata, CAST(off + 29 AS INT), 8)),
+            | 16, 10) AS BIGINT))""".stripMargin.replace("\n", "")))
+        .withColumn("dstr", expr(
+          """IF(len IS NULL OR len < 0
+            | OR len > octet_length(calldata) - 36 - off, NULL,
+            | CAST(substring(calldata, CAST(off + 37 AS INT),
+            | CAST(len AS INT)) AS STRING))""".stripMargin.replace("\n", "")))
         .groupBy(col("len"))
         .agg(count(lit(1)).as("n"),
           sum(col("id")).as("sum_id"),
@@ -252,8 +259,14 @@ object IndirectOps extends graft.QueryModule {
       // decode: the offset is READ from head word 0 and every struct word
       // position derives from it — pos(m) = off + 61 + 32m (1-based, after
       // the 4-byte selector and the len word)
+      // the off gate NULLs a corrupt head word instead of letting the
+      // ANSI INT cast throw; the dn slice already drops the rows, but the
+      // struct array is built BEFORE the slice evaluates
       def fieldExpr(m: Int) =
-        s"CAST(conv(hex(substring(calldata, CAST(off + 61 + ${32 * m} AS INT), 8)), 16, 10) AS BIGINT)"
+        s"""IF(off IS NULL OR off < 0 OR off > octet_length(calldata),
+           | NULL, CAST(conv(hex(substring(calldata,
+           | CAST(off + 61 + ${32 * m} AS INT), 8)), 16, 10) AS BIGINT))"""
+          .stripMargin.replaceAll("\n", "")
       def structK(k: Int) = expr(
         s"named_struct('coin', ${fieldExpr(3 * k)}, 'amt', ${fieldExpr(3 * k + 1)}, 'out', ${fieldExpr(3 * k + 2)})")
       val dec = packed

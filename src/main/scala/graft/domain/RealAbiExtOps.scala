@@ -412,7 +412,8 @@ object RealAbiExtOps extends graft.QueryModule {
     // walk on it both NULLs corrupt offsets and keeps the +37 cast in
     // range — a skewed offset must NULL, never throw or misread
     def strDec(offCol: String, lenCol: String) = expr(
-      s"""IF($lenCol IS NULL, NULL, CAST(substring(calldata,
+      s"""IF($lenCol IS NULL OR $lenCol < 0
+         | OR $lenCol > octet_length(calldata), NULL, CAST(substring(calldata,
          | CAST($offCol + 37 AS INT), CAST($lenCol AS INT)) AS STRING))"""
         .stripMargin.replace("\n", ""))
     t.withColumn("underlying_dec",

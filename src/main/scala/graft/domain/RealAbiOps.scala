@@ -1352,7 +1352,8 @@ object RealAbiOps extends graft.QueryModule {
         // AbiArrayLen's bounds check) so a corrupt offset NULLs instead
         // of overflowing the +37 cast — same contract as
         // RealAbiExtOps.compoundInitDecode
-        s"""IF($lenCol IS NULL, NULL, CAST(substring(calldata,
+        s"""IF($lenCol IS NULL OR $lenCol < 0
+           | OR $lenCol > octet_length(calldata), NULL, CAST(substring(calldata,
            | CAST($offCol + 37 AS INT), CAST($lenCol AS INT)) AS STRING))"""
           .stripMargin.replace("\n", ""))
       val aCol = col("pool_id") * 100 + 1
@@ -1722,11 +1723,19 @@ object RealAbiOps extends graft.QueryModule {
     .withColumn("buy_amt", abi_log_word(col("log_data"), 3))
     .withColumn("fee_amt", abi_log_word(col("log_data"), 4))
     .withColumn("uid_off", abi_log_word(col("log_data"), 5))
-    .withColumn("uid_len",
-      conv(hex(expr("substring(log_data, CAST(uid_off + 25 AS INT), 8)")),
-        16, 10).cast("long"))
-    .withColumn("uid_hex", lower(hex(expr(
-      "substring(log_data, CAST(uid_off + 33 AS INT), CAST(uid_len AS INT))"))))
+    // a corrupt offset or length word must NULL the walk, never throw
+    // (ANSI CAST(huge AS INT) raises) - gate each cast on buffer bounds,
+    // the same contract as AbiArrayLen and the strDec string walks
+    .withColumn("uid_len", expr(
+      """IF(uid_off IS NULL OR uid_off < 0
+        | OR uid_off > octet_length(log_data) - 32, NULL,
+        | CAST(conv(hex(substring(log_data, CAST(uid_off + 25 AS INT), 8)),
+        | 16, 10) AS BIGINT))""".stripMargin.replace("\n", "")))
+    .withColumn("uid_hex", expr(
+      """IF(uid_len IS NULL OR uid_len < 0
+        | OR uid_len > octet_length(log_data) - 32 - uid_off,
+        | NULL, lower(hex(substring(log_data, CAST(uid_off + 33 AS INT),
+        | CAST(uid_len AS INT)))))""".stripMargin.replace("\n", "")))
 
   /** C5 (Cowswap `settle` on REAL bytes): the batch classifier reads the
     * user orders from the TRADE EVENT LOGS, not the settle calldata —

@@ -459,4 +459,42 @@ class PropertySpec extends SparkTestBase {
       assert(row.getString(1) == expHex, s"string content")
     }
   }
+test("expr-based walks are TOTAL: corrupt offset/length words NULL, never throw") {
+    // the decode cores whose dynamic walks run through expr() string
+    // arithmetic (not a Catalyst expression with its own bounds checks)
+    // must NULL on corrupt head words - under ANSI mode an unguarded
+    // CAST(huge AS INT) raises instead. Feed each walk a battery of
+    // hostile offset/length words: huge positive, sign-bit-set
+    // (negative as a long), just-past-the-buffer, and a valid offset
+    // with a hostile LENGTH word.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def w(v: Long): String = f"$v%064x"
+    val hostile = Seq(
+      java.lang.Long.MAX_VALUE - 7, -1L, 1L << 62, 4096L, 641L)
+    // tradeLogDecode: uid_off is log word 5; plant five normal words
+    // then each hostile offset, and one valid offset with hostile length
+    val head5 = (0 until 5).map(i => w(i + 1)).mkString
+    val tradeBufs =
+      hostile.map(h => head5 + w(h)) :+
+        (head5 + w(192L) + hostile.map(w).head) // valid off, hostile len
+    val t1 = tradeBufs.toDF("d")
+      .select(unhex(lit("ab" * 32)).as("topic1"), unhex(col("d")).as("log_data"))
+    val r1 = graft.domain.RealAbiOps.tradeLogDecode(t1)
+      .select("uid_len", "uid_hex").collect()
+    assert(r1.length == tradeBufs.length)
+    assert(r1.forall(_.isNullAt(1)), "every hostile uid walk must NULL")
+    // compoundInitDecode: valid string offsets but a hostile LENGTH word
+    // planted where the tail's length belongs (arm 0: name tail at 224)
+    val erc = "1a31d465" + w(1L) + w(2L) + w(3L) + w(4L) +
+      w(224L) + w(288L) + w(8L) + w(java.lang.Long.MAX_VALUE - 63) +
+      ("00" * 32) + w(4L) + ("61" * 4 + "00" * 28)
+    val r2 = graft.domain.RealAbiExtOps.compoundInitDecode(
+      Seq((erc, 0)).toDF("c", "arm")
+        .select(unhex(col("c")).as("calldata"), col("arm")))
+      .select("dec_name", "dec_sym").collect()
+    assert(r2.head.isNullAt(0), "a hostile name length must NULL the walk")
+    assert(r2.head.getAs[String]("dec_sym") == "aaaa",
+      "the sibling walk with a sane length still reads")
+  }
 }
