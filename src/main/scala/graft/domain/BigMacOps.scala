@@ -481,30 +481,68 @@ object BigMacOps extends QueryModule {
           "g" -> "bg_g", "j" -> "bg_j", "addr" -> "bg_addr"))
     }
 
-    val fOk = col("fmax").isNotNull && col("fmax") >= col("i")
-    val bOk = (col("bmin").isNotNull && col("bmin") <= col("j") + 1) ||
-      col("bgen")
-    val gvBase = ranges.join(reach, segKeys)
-      .filter(col("g").between(col("i"), col("j")))
-    val gv = backGen.fold(gvBase.withColumn("bgen", lit(false))) { bg =>
-        gvBase.join(bg,
-            col("bg_block") === col("block_number") &&
-              col("bg_ktype") === col("ktype") && col("bg_k") === col("k") &&
-              col("bg_seg") === col("seg") && col("bg_g") === col("g") &&
-              col("bg_j") === col("j") && col("bg_addr") === col("vkey"),
-            "left")
-          .withColumn("bgen", col("bg_addr").isNotNull)
-      }
-      .groupBy((rKeys.map(col) ++ Seq(col("g"), col("veoa"))): _*)
-      .agg(max(when(when(col("need_both"), fOk && bOk).otherwise(fOk || bOk),
-        1).otherwise(0)).as("was"),
-        // has_sandwich (mod.rs:644-697): a BOTH-sided overlap — the pool
-        // or token arm matched front AND back, or (need_both=false rows)
-        // a generated pool in the front∩back searcher pool intersection
-        max(when(fOk && bOk, 1).otherwise(0)).as("strong"))
-    val gok = gv.groupBy((rKeys.map(col) :+ col("g")): _*)
-      .agg(count(lit(1)).as("n_veoas"), sum(col("was")).as("n_was"),
-        max(col("strong")).as("has_sw"))
+    // ── per-gap VECTORIZED range verification ─────────────────────────────
+    // The naive shape materializes ranges ⋈ reach (every candidate (i, j)
+    // × every reach row with g ∈ [i, j] — a ≤28× row fan-out, the
+    // query's dominant shuffle). The conditions are threshold tests
+    // (fOk ⇔ i ≤ fmax; bOk ⇔ bmin ≤ j+1 or j ∈ the gap's back-generated
+    // set), so the fan-out carries no information the per-gap entry set
+    // doesn't: roll reach up to ONE row per (gap, veoa) with its entry
+    // array, nest to one row per gap, and evaluate every containing
+    // range inside a single higher-order expression — the same
+    // collapse-the-loop-into-an-array-expression move as the shrink
+    // recursion below. Semantics are row-for-row those of the old join:
+    //   was(veoa)   = ∃ entry: need_both ? fOk ∧ bOk : fOk ∨ bOk
+    //   has_sw      = ∃ (veoa, entry): fOk ∧ bOk   (mod.rs:644-697)
+    //   n_veoas     = victims with any reach row at g (range-independent)
+    // and a range appears for a gap iff that gap has reach rows — the
+    // inner join's presence semantics, which the shrink relies on.
+    val bgenSets = backGen.map { bg =>
+      bg.groupBy(col("bg_block"), col("bg_ktype"), col("bg_k"),
+          col("bg_seg"), col("bg_g"), col("bg_addr"))
+        .agg(collect_set(col("bg_j").cast("long")).as("bjs"))
+    }
+    val reachB = bgenSets.fold(
+        reach.withColumn("bjs", lit(null).cast("array<bigint>"))) { bs =>
+      reach.join(bs,
+          col("bg_block") === col("block_number") &&
+            col("bg_ktype") === col("ktype") && col("bg_k") === col("k") &&
+            col("bg_seg") === col("seg") && col("bg_g") === col("g") &&
+            col("bg_addr") === col("vkey"), "left")
+        .drop("bg_block", "bg_ktype", "bg_k", "bg_seg", "bg_g", "bg_addr")
+    }
+    val perVeoa = reachB
+      .groupBy((segKeys.map(col) ++ Seq(col("g"), col("veoa"))): _*)
+      .agg(collect_list(struct(col("need_both"),
+        col("fmax").cast("long").as("fmax"),
+        col("bmin").cast("long").as("bmin"), col("bjs"))).as("es"))
+    val perGap = perVeoa
+      .groupBy((segKeys.map(col) :+ col("g")): _*)
+      .agg(collect_list(col("es")).as("ves"))
+      .join(segs.select((segKeys.map(col) :+ col("m")): _*), segKeys)
+    val fokSql = "(e.fmax IS NOT NULL AND e.fmax >= i)"
+    val bokSql = """((e.bmin IS NOT NULL AND e.bmin <= j + 1) OR
+      | (e.bjs IS NOT NULL AND array_contains(e.bjs, j)))"""
+      .stripMargin.replace("\n", "")
+    val verdictArr = s"""
+      flatten(transform(sequence(CAST(1 AS BIGINT), CAST(g AS BIGINT)),
+        i -> transform(
+          filter(sequence(CAST(g AS BIGINT), CAST(m AS BIGINT)),
+            j -> (i - 1) + (CAST(m AS BIGINT) - j) <= $ShrinkRounds),
+          j -> named_struct(
+            'i', i, 'j', j,
+            'nv', CAST(size(ves) AS BIGINT),
+            'nw', CAST(size(filter(ves, v -> exists(v, e ->
+              IF(e.need_both, $fokSql AND $bokSql,
+                $fokSql OR $bokSql)))) AS BIGINT),
+            'st', IF(exists(ves, v -> exists(v, e ->
+              $fokSql AND $bokSql)), 1, 0)))))"""
+      .replace("\n", " ")
+    val gok = perGap
+      .select(segKeys.map(col) :+ explode(expr(verdictArr)).as("r"): _*)
+      .select(segKeys.map(col) ++ Seq(col("r.i").as("i"),
+        col("r.j").as("j"), col("r.nv").as("n_veoas"),
+        col("r.nw").as("n_was"), col("r.st").as("has_sw")): _*)
     // per-gap verdict (verify_sandwich_victims tail, mod.rs:692-697):
     // victim_pct >= 0.25 AND has_sandwich — a strong victim implies a
     // victimized one, so has_sw subsumes the old n_was >= 1 floor
