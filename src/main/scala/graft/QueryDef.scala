@@ -18,3 +18,19 @@ final case class QueryDef(
 trait QueryModule {
   def defs: Seq[QueryDef]
 }
+
+object QueryDef {
+  /** Persist `base` for the duration of building a SMALL rollup over it,
+    * eagerly materialize the rollup (localCheckpoint), then release the
+    * base's cached blocks deterministically. This is the persist-lifecycle
+    * contract for builders whose cached input feeds several branches: the
+    * scan runs once, the returned frame reads the (tiny) checkpointed
+    * result, and nothing waits on the ContextCleaner. The result must be
+    * dimension-sized (a grouped rollup, never a fact table) — its blocks
+    * are the only thing left resident. */
+  def withPersisted(base: DataFrame)(build: DataFrame => DataFrame): DataFrame = {
+    val cached = base.persist()
+    try build(cached).localCheckpoint(eager = true)
+    finally { cached.unpersist(blocking = false); () }
+  }
+}

@@ -524,11 +524,18 @@ object BigMacOps extends QueryModule {
     val bokSql = """((e.bmin IS NOT NULL AND e.bmin <= j + 1) OR
       | (e.bjs IS NOT NULL AND array_contains(e.bjs, j)))"""
       .stripMargin.replace("\n", "")
+    // j enumeration: greatest() keeps the sequence ascending and the
+    // j <= m lambda guard drops the bogus j = g row it introduces, so a
+    // gap that ever carried g > m yields zero verdict rows HERE rather
+    // than leaning on the downstream inner join with `ranges` to drop
+    // descending-sequence output
     val verdictArr = s"""
       flatten(transform(sequence(CAST(1 AS BIGINT), CAST(g AS BIGINT)),
         i -> transform(
-          filter(sequence(CAST(g AS BIGINT), CAST(m AS BIGINT)),
-            j -> (i - 1) + (CAST(m AS BIGINT) - j) <= $ShrinkRounds),
+          filter(sequence(CAST(g AS BIGINT),
+              greatest(CAST(g AS BIGINT), CAST(m AS BIGINT))),
+            j -> j <= CAST(m AS BIGINT)
+              AND (i - 1) + (CAST(m AS BIGINT) - j) <= $ShrinkRounds),
           j -> named_struct(
             'i', i, 'j', j,
             'nv', CAST(size(ves) AS BIGINT),

@@ -120,8 +120,9 @@ object CensusOps extends graft.QueryModule {
         .withColumn("p2l", col("p2").cast("long"))
         .withColumn("topic1", unhex(addrW(col("from_address"))))
       // the burn slice feeds THREE families (remove/one_coin/imbalance)
-      // - persist it so the scan runs once, not per family
-      val burnBase = slice(SelBurn).persist()
+      // - persist it so the scan runs once, not per family; withPersisted
+      // checkpoints the (tiny) rollup and releases the slice's blocks
+      graft.QueryDef.withPersisted(slice(SelBurn)) { burnBase =>
       def base(sel: String) =
         if (sel == SelBurn) burnBase else slice(sel)
 
@@ -219,6 +220,7 @@ object CensusOps extends graft.QueryModule {
       }
 
       rollup(Seq(ex, ad, rm, oc, im))
+      }
     },
     withCtes(s""", cse AS (
         SELECT 'curve_swaps' AS family,
@@ -308,14 +310,14 @@ object CensusOps extends graft.QueryModule {
     *     through the ported tradeLogDecode, solver = msg_sender
     *     (cowswap/mod.rs:42-64). */
   private def miscSpark(s: SparkSession, dir: String): DataFrame = {
-    // one slice feeds all EIGHT families - persist so the scan runs once
-    val t0 = tracesTable(s, dir)
+    // one slice feeds all EIGHT families - persist so the scan runs once;
+    // withPersisted checkpoints the rollup and releases the slice's blocks
+    graft.QueryDef.withPersisted(tracesTable(s, dir)
       .filter(col("selector") === SelV2Swap)
       .withColumn("q6l", col("q6").cast("long"))
       .withColumn("p2l", col("p2").cast("long"))
       .withColumn("fam", ((col("q6l") + col("p2l")) % 8).cast("int"))
-      .withColumn("sub", (expr("p2l div 8")).cast("long"))
-      .persist()
+      .withColumn("sub", (expr("p2l div 8")).cast("long"))) { t0 =>
     val nameStr = lit("Curve Pool Census")
     val symStr = lit("crvCNS")
     def strTail(c: Column) =
@@ -581,6 +583,7 @@ object CensusOps extends graft.QueryModule {
         col("sell_amt").as("a"), col("buy_amt").as("b"))
     }
     rollup(Seq(f0, f1, f2, f3, f4, f5, f6, f7))
+    }
   }
 
   private def miscSql: String = s""", msb AS (

@@ -203,12 +203,14 @@ object IndirectOps extends graft.QueryModule {
       t.withColumn("id", abi_word(col("calldata"), 0))
         .withColumn("off", abi_word(col("calldata"), 1))
         // bounds-gated walk: corrupt offset/length words NULL instead of
-        // raising through the ANSI INT cast (same contract as AbiArrayLen)
+        // raising through the ANSI INT cast (same contract as AbiArrayLen);
+        // try_cast because conv is unsigned - a sign-bit length word
+        // (>= 2^63) overflows a plain BIGINT cast past the offset gate
         .withColumn("len", expr(
           """IF(off IS NULL OR off < 0
             | OR off > octet_length(calldata) - 36, NULL,
-            | CAST(conv(hex(substring(calldata, CAST(off + 29 AS INT), 8)),
-            | 16, 10) AS BIGINT))""".stripMargin.replace("\n", "")))
+            | try_cast(conv(hex(substring(calldata, CAST(off + 29 AS INT),
+            | 8)), 16, 10) AS BIGINT))""".stripMargin.replace("\n", "")))
         .withColumn("dstr", expr(
           """IF(len IS NULL OR len < 0
             | OR len > octet_length(calldata) - 36 - off, NULL,
@@ -262,9 +264,11 @@ object IndirectOps extends graft.QueryModule {
       // the off gate NULLs a corrupt head word instead of letting the
       // ANSI INT cast throw; the dn slice already drops the rows, but the
       // struct array is built BEFORE the slice evaluates
+      // try_cast: conv is unsigned, so a sign-bit field word (>= 2^63)
+      // would overflow a plain BIGINT cast even with the offset in bounds
       def fieldExpr(m: Int) =
         s"""IF(off IS NULL OR off < 0 OR off > octet_length(calldata),
-           | NULL, CAST(conv(hex(substring(calldata,
+           | NULL, try_cast(conv(hex(substring(calldata,
            | CAST(off + 61 + ${32 * m} AS INT), 8)), 16, 10) AS BIGINT))"""
           .stripMargin.replaceAll("\n", "")
       def structK(k: Int) = expr(

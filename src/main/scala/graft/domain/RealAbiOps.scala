@@ -1725,12 +1725,15 @@ object RealAbiOps extends graft.QueryModule {
     .withColumn("uid_off", abi_log_word(col("log_data"), 5))
     // a corrupt offset or length word must NULL the walk, never throw
     // (ANSI CAST(huge AS INT) raises) - gate each cast on buffer bounds,
-    // the same contract as AbiArrayLen and the strDec string walks
+    // the same contract as AbiArrayLen and the strDec string walks; the
+    // length itself needs try_cast: conv yields an UNSIGNED decimal, so a
+    // sign-bit length word (>= 2^63, e.g. 0xFF*8) overflows a plain BIGINT
+    // cast even when the offset gate passes
     .withColumn("uid_len", expr(
       """IF(uid_off IS NULL OR uid_off < 0
         | OR uid_off > octet_length(log_data) - 32, NULL,
-        | CAST(conv(hex(substring(log_data, CAST(uid_off + 25 AS INT), 8)),
-        | 16, 10) AS BIGINT))""".stripMargin.replace("\n", "")))
+        | try_cast(conv(hex(substring(log_data, CAST(uid_off + 25 AS INT),
+        | 8)), 16, 10) AS BIGINT))""".stripMargin.replace("\n", "")))
     .withColumn("uid_hex", expr(
       """IF(uid_len IS NULL OR uid_len < 0
         | OR uid_len > octet_length(log_data) - 32 - uid_off,

@@ -44,7 +44,11 @@ object CorpusOps extends graft.QueryModule {
     (s, dir) => {
       import DedupOps.{bandHashes, minhashSig, shinglesOf}
       val docs = Tables.documents(s, dir)
-      val bands = bandHashes(minhashSig(shinglesOf(docs))).persist()
+      // the band table feeds three branches (index join, within-batch
+      // join, and the new-batch filter); withPersisted checkpoints the
+      // per-source rollup and releases the band blocks deterministically
+      graft.QueryDef.withPersisted(
+        bandHashes(minhashSig(shinglesOf(docs)))) { bands =>
       val newB = bands.filter(col("doc_id") % 3 === 0)
       val oldB = bands.filter(col("doc_id") % 3 =!= 0)
         .select(col("band").as("band_o"), col("bh").as("bh_o"))
@@ -79,6 +83,7 @@ object CorpusOps extends graft.QueryModule {
           sum(when(col("status") === "survivor", col("doc_id"))
             .otherwise(0L)).as("survivor_id_sum"))
         .orderBy("source")
+      }
     },
     Some(s"""WITH ${DedupOps.shinglesCte}, ${DedupOps.sigCte},
       ${DedupOps.bandsCte},

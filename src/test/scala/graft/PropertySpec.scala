@@ -476,8 +476,12 @@ test("expr-based walks are TOTAL: corrupt offset/length words NULL, never throw"
     // then each hostile offset, and one valid offset with hostile length
     val head5 = (0 until 5).map(i => w(i + 1)).mkString
     val tradeBufs =
-      hostile.map(h => head5 + w(h)) :+
-        (head5 + w(192L) + hostile.map(w).head) // valid off, hostile len
+      hostile.map(h => head5 + w(h)) ++ Seq(
+        head5 + w(192L) + hostile.map(w).head, // valid off, hostile len
+        // valid off, 0xFF*8 length: conv() is UNSIGNED, so this word
+        // (2^64-1 >= 2^63) overflows a plain BIGINT cast - the sign-bit
+        // case a 0x7FF..F8 hostile length never exercises
+        head5 + w(192L) + w(-1L))
     val t1 = tradeBufs.toDF("d")
       .select(unhex(lit("ab" * 32)).as("topic1"), unhex(col("d")).as("log_data"))
     val r1 = graft.domain.RealAbiOps.tradeLogDecode(t1)
