@@ -32,7 +32,7 @@ object SparkEntry {
   val modules: Seq[QueryModule] =
     Seq(Relational, EventOps, TextOps, MultimodalOps, DedupOps, SimilarityOps, PipelineOps, QualityOps, SketchOps, RetrievalOps, CorpusOps, ClassifyOps,
       AbiBreadthOps, IndirectOps, RealAbiOps, RealAbiExtOps, RealAbiSwapOps, RealAbiZeroXOps, CensusOps, InspectorOps, BigMacOps, PricingOps, CexOps, MiscOps,
-      FidelityOps, streaming.StreamOracle)
+      FidelityOps, streaming.StreamOracle, streaming.TipInspect)
 
   lazy val all: Seq[QueryDef] = modules.flatMap(_.defs)
 

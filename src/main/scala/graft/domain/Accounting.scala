@@ -94,15 +94,21 @@ object Accounting {
   }
 
   /** F7: per-tx gas cost in USD (gas_used × effective price, ETH → USD). */
-  def txGas(s: SparkSession, dir: String): DataFrame = {
-    val t = tracesTable(s, dir)
-    val b = blocks(s, dir).select(col("block_number").as("b_block"), col("base_fee"))
-    t.join(broadcast(b), t("block_number") === col("b_block"))
+  def txGas(s: SparkSession, dir: String): DataFrame =
+    txGasOf(tracesTable(s, dir))
+
+  /** [[txGas]] parameterized over any traces-shaped frame (tip mode's
+    * per-micro-batch gas math). The base fee is the deterministic per-block
+    * function of block_number the [[ChainFixture.blocks]] dimension carries
+    * — computed inline, so the slice needs no dimension join. Every term is
+    * integer-valued, so the sum is exact and order-independent. */
+  def txGasOf(tracesDf: DataFrame): DataFrame =
+    tracesDf
+      .withColumn("base_fee", lit(100L) + col("block_number") % 50)
       .groupBy("block_number", "tx_hash", "from_address")
       .agg((sum(col("gas_used") * (col("priority_fee") + col("base_fee"))) / 1e9 * EthUsd)
         .as("gas_usd"))
       .withColumnRenamed("from_address", "eoa")
-  }
 
   /** A2: per-tx USD revenue = Σ delta × token price. */
   def txRevenue(s: SparkSession, actionsDf: DataFrame): DataFrame =
@@ -115,13 +121,19 @@ object Accounting {
     * attaches to its detections. Materialized like the reference's stored
     * bundle tables: ~9 queries read it. */
   def bundleHeaders(s: SparkSession, dir: String): DataFrame =
-    ChainFixture.materialize(s, s"headers_${ChainFixture.dirKey(dir)}", {
-      val a = actionsTable(s, dir)
-      txGas(s, dir)
-        .join(txRevenue(s, a), Seq("tx_hash"), "left")
-        .withColumn("revenue_usd", coalesce(col("revenue_usd"), lit(0.0)))
-        .withColumn("profit_usd", col("revenue_usd") - col("gas_usd"))
-    })
+    ChainFixture.materialize(s, s"headers_${ChainFixture.dirKey(dir)}",
+      headersOf(s, tracesTable(s, dir), actionsTable(s, dir)))
+
+  /** [[bundleHeaders]] parameterized over traces/actions slices — the
+    * per-micro-batch header build tip mode runs. Header rows are per-tx
+    * rollups, so a slice's headers are bit-identical to the batch table's
+    * rows for those txs. */
+  def headersOf(s: SparkSession, tracesDf: DataFrame,
+      actionsDf: DataFrame): DataFrame =
+    txGasOf(tracesDf)
+      .join(txRevenue(s, actionsDf), Seq("tx_hash"), "left")
+      .withColumn("revenue_usd", coalesce(col("revenue_usd"), lit(0.0)))
+      .withColumn("profit_usd", col("revenue_usd") - col("gas_usd"))
 
   // ── Oracle-side CTEs (appended after ChainFixture.sqlCtes) ────────────────
 

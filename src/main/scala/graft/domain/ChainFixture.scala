@@ -178,11 +178,17 @@ object ChainFixture {
     * path the reference's alloy `sol!` decoders take, inside whole-stage
     * codegen. Values round-trip exactly (integers in the word tail), so
     * the oracle can still derive ground truth from the source columns. */
-  def actions(s: SparkSession, dir: String): DataFrame = {
+  def actions(s: SparkSession, dir: String): DataFrame =
+    actionsOf(s, traces(s, dir))
+
+  /** The classify transform parameterized over any traces-shaped frame —
+    * what tip mode runs per micro-batch (the streamed classify stage IS
+    * the batch classify on a different source). */
+  def actionsOf(s: SparkSession, tracesDf: DataFrame): DataFrame = {
     import graft.functions.AbiCalldata.abi_word
     def word(c: org.apache.spark.sql.Column) =
       lpad(lower(hex(c.cast("long"))), 64, "0")
-    val t = traces(s, dir)
+    val t = tracesDf
       .withColumn("calldata",
         unhex(concat(col("selector"), word(col("q6")), word(col("p2")))))
       .withColumn("q6", abi_word(col("calldata"), 0).cast("double"))

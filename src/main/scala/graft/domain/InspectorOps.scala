@@ -66,22 +66,31 @@ object InspectorOps extends QueryModule {
   // ── shared Spark fragments ────────────────────────────────────────────────
 
   private def swaps(s: SparkSession, dir: String): DataFrame =
-    actionsTable(s, dir).filter(col("action_type") === "swap" &&
+    swapsOf(actionsTable(s, dir))
+
+  /** The swap slice of any actions-shaped frame (tip mode classifies a
+    * micro-batch and feeds this same filter). */
+  private[graft] def swapsOf(actionsDf: DataFrame): DataFrame =
+    actionsDf.filter(col("action_type") === "swap" &&
       col("amount_in").isNotNull && col("amount_out").isNotNull)
 
-  /** Per-(tx, pool) swap rollup — the sandwich candidate unit. Six queries
-    * (q1/q5/j7/j10/j11/w3) read it → materialized like the other pipeline
-    * intermediates. */
+  /** Per-(tx, pool) swap rollup — the sandwich candidate unit,
+    * parameterized over any swaps-shaped frame. */
+  private[graft] def swTxFromSwaps(swapsDf: DataFrame): DataFrame =
+    swapsDf.filter(col("pool").isNotNull)
+      .groupBy("block_number", "tx_idx", "tx_hash", "from_address", "pool")
+      .agg(min_by(col("direction"), col("trace_idx")).as("dir"),
+        min_by(col("token_in_id"), col("trace_idx")).as("tok_in"),
+        min_by(col("token_out_id"), col("trace_idx")).as("tok_out"),
+        dsum(col("amount_in")).as("sum_in"),
+        dsum(col("amount_out")).as("sum_out"))
+      .withColumnRenamed("from_address", "eoa")
+
+  /** Materialized [[swTxFromSwaps]] — six queries (q1/q5/j7/j10/j11/w3)
+    * read it, like the other pipeline intermediates. */
   private def swTx(s: SparkSession, dir: String): DataFrame =
     ChainFixture.materialize(s, s"swtx_${ChainFixture.dirKey(dir)}",
-      swaps(s, dir).filter(col("pool").isNotNull)
-        .groupBy("block_number", "tx_idx", "tx_hash", "from_address", "pool")
-        .agg(min_by(col("direction"), col("trace_idx")).as("dir"),
-          min_by(col("token_in_id"), col("trace_idx")).as("tok_in"),
-          min_by(col("token_out_id"), col("trace_idx")).as("tok_out"),
-          dsum(col("amount_in")).as("sum_in"),
-          dsum(col("amount_out")).as("sum_out"))
-        .withColumnRenamed("from_address", "eoa"))
+      swTxFromSwaps(swaps(s, dir)))
 
   /** Expand a (block_number, tx_idx)-keyed frame into `w`-block sliding
     * windows: each row lands in window keys {block .. block+w-1}, so
@@ -727,6 +736,11 @@ object InspectorOps extends QueryModule {
   }
 
   private[domain] val sandwichCtes = s"$swTxCte, $swWCte, $brktCte, $sandCtes"
+
+  /** Oracle CTE bundles for the tip-mode end-to-end entry (streaming
+    * package): the SAME batch formulations q1/q2 hash-check against. */
+  private[graft] def sandwichOracleCtes: String = sandwichCtes
+  private[graft] def arbOracleCtes: String = s"$arbCte, $trigCtes"
 
   private[domain] val arbCte =
     """arb AS (

@@ -47,7 +47,7 @@ object StreamOracle extends QueryModule {
       }
       exitDirs.forEach(d => rm(new java.io.File(d)))
     }))
-  private def deleteOnExit(dir: String): Unit = { exitHook; exitDirs.add(dir): Unit }
+  private[streaming] def deleteOnExit(dir: String): Unit = { exitHook; exitDirs.add(dir): Unit }
 
   private def withCtes(sql: String) = Some(s"WITH ${ChainFixture.sqlCtes} $sql")
   /** Like [[withCtes]] but RECURSIVE — for oracles splicing in the

@@ -288,4 +288,20 @@ class StreamingSpec extends SparkTestBase {
     assert(pairs == Seq((1L, 10.0), (4L, 40.0)),
       s"expected exactly the in-window cross-batch and same-batch pairs: $pairs")
   }
+
+  test("R2 tip-mode inspection equals the batch composer on the same blocks") {
+    // the end-to-end equivalence claim, asserted Spark-vs-Spark: the
+    // streamed three-drop classify→price→inspect run (checkpointed file
+    // stream, tail-carried 2-block windows) emits EXACTLY the bundle rows
+    // the batch pipeline computes over all blocks at once. The DuckDB
+    // oracle checks the same equality engine-vs-engine in CORRECTNESS.
+    val streamed = SparkEntry.queries("r2_tip_inspect")(spark, SfDir)
+    val batch = graft.streaming.TipInspect
+      .inspectBundles(spark, graft.domain.ChainFixture.tracesTable(spark, SfDir), 0L)
+      .orderBy("btype", "block_number", "tx1", "tx2", "pool")
+    val (sRows, bRows) = (streamed.collect().toSeq, batch.collect().toSeq)
+    assert(sRows.nonEmpty, "streamed tip inspection must emit bundles")
+    assert(sRows == bRows,
+      s"streamed vs batch bundle mismatch: ${sRows.size} vs ${bRows.size} rows")
+  }
 }
