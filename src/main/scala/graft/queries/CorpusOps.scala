@@ -23,7 +23,138 @@ import org.apache.spark.sql.functions._
 object CorpusOps extends graft.QueryModule {
 
   def defs: Seq[QueryDef] =
-    Seq(d13IncrementalDedup, d14UrlDedup, tDomainCap)
+    Seq(d13IncrementalDedup, d14UrlDedup, tDomainCap, d15LineDedup,
+      tDecontaminateIncr)
+
+  /** D15 (line-level dedup): the CCNet/RefinedWeb cross-document pass —
+    * a LINE occurring in more than one document is boilerplate (headers,
+    * navigation, license blurbs) and is removed from every document that
+    * carries it, leaving the surviving text byte-exact. Distinct from
+    * d10's span detection: d10 finds copied SPANS between document pairs;
+    * this pass removes individual repeated lines corpus-wide. Fixture
+    * docs carry no newlines, so the line unit is the deterministic
+    * 8-word segmentation of the word stream (the oracle mirrors it).
+    *
+    * Scale shape: one groupBy on the 16-byte line hash computes the
+    * document frequency (the only corpus-wide state — content-addressed
+    * and mergeable); the duplicate set (df > 1) is a small fraction of
+    * lines and joins back broadcast, exactly the d10 document-frequency
+    * cap discipline — the corpus is never self-joined and the rebuild is
+    * one per-doc rollup. */
+  private val d15LineDedup = QueryDef(
+    "d15_line_dedup",
+    (s, dir) => {
+      val lines = Tables.documents(s, dir)
+        .withColumn("ws", split(col("text"), " "))
+        .select(col("doc_id"), col("source"),
+          posexplode(expr(
+            "transform(sequence(1, (size(ws) + 7) div 8), " +
+              "i -> array_join(slice(ws, (i - 1) * 8 + 1, 8), ' '))"))
+            .as(Seq("ln", "line")))
+        .withColumn("lh", md5(col("line")))
+      val dup = lines.groupBy("lh")
+        .agg(countDistinct(col("doc_id")).as("dfc"))
+        .filter(col("dfc") > 1)
+        .select(col("lh"), lit(1).as("is_dup"))
+      lines.join(broadcast(dup), Seq("lh"), "left")
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(coalesce(col("is_dup"), lit(0)).cast("long")).as("n_dropped"),
+          array_join(expr(
+            "transform(array_sort(collect_list(IF(is_dup IS NULL, " +
+              "struct(ln, line), NULL))), x -> x.line)"), " ")
+            .as("clean_text"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH ${PipelineOps.wCte},
+      l AS (
+        SELECT doc_id, source, i.i AS ln,
+          array_to_string(ws[(i.i - 1) * 8 + 1:i.i * 8], ' ') AS line
+        FROM w, LATERAL unnest(generate_series(1, (len(ws) + 7) // 8)) AS i(i)),
+      dup AS (
+        SELECT line FROM (
+          SELECT line, COUNT(DISTINCT doc_id) AS dfc FROM l GROUP BY 1)
+        WHERE dfc > 1)
+      SELECT l.doc_id, l.source, COUNT(*) AS n_lines,
+        CAST(SUM(CASE WHEN d.line IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+          AS n_dropped,
+        COALESCE(string_agg(CASE WHEN d.line IS NULL THEN l.line END, ' '
+          ORDER BY l.ln), '') AS clean_text
+      FROM l LEFT JOIN dup d ON l.line = d.line
+      GROUP BY 1, 2 ORDER BY 1"""))
+
+  /** T (incremental decontamination): the two-snapshot variant of
+    * `t_decontaminate` — the corpus was already screened against the OLD
+    * eval snapshot (doc_id % 41 = 0); a NEW eval release lands (doc_id
+    * % 43 = 0 among the rest) and only its DELTA grams (new-minus-old)
+    * are joined against the training grams, the d13 new-batch-bounded
+    * pattern applied to the eval-gram index. Attribution is per side:
+    * `flagged_by_old` rides the stored prior screen (recomputed here from
+    * the split, as d13 models its index side), `flagged_by_new` is the
+    * incremental join's output, `clean` survives both.
+    *
+    * Scale shape: the incremental work is train-grams ⨯ DELTA grams only
+    * — the old eval index is a stored broadcast dimension, never re-joined
+    * at corpus scale; a re-screen of the whole corpus happens exactly
+    * once per eval snapshot, not per ingest. */
+  private val tDecontaminateIncr = QueryDef(
+    "t_decontaminate_incr",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("grams", array_distinct(expr(PipelineOps.gramsExpr(4))))
+      val oldEv = docs.filter(pmod(col("doc_id"), lit(41)) === 0)
+        .select(explode(col("grams")).as("gram")).distinct()
+      val newEv = docs.filter(pmod(col("doc_id"), lit(41)) =!= 0 &&
+          pmod(col("doc_id"), lit(43)) === 0)
+        .select(explode(col("grams")).as("gram")).distinct()
+      val delta = newEv.join(oldEv, Seq("gram"), "left_anti")
+      val train = docs.filter(pmod(col("doc_id"), lit(41)) =!= 0 &&
+        pmod(col("doc_id"), lit(43)) =!= 0)
+      val tg = train.select(col("doc_id"), explode(col("grams")).as("gram"))
+      val hitsOld = tg.join(broadcast(oldEv), "gram")
+        .groupBy("doc_id").agg(count(lit(1)).as("ho"))
+      val hitsNew = tg.join(broadcast(delta), "gram")
+        .groupBy("doc_id").agg(count(lit(1)).as("hn"))
+      train.select(col("doc_id"), col("source"),
+          size(col("grams")).cast("long").as("n_grams"))
+        .join(hitsOld, Seq("doc_id"), "left")
+        .join(hitsNew, Seq("doc_id"), "left")
+        .withColumn("n_hit_old", coalesce(col("ho"), lit(0L)))
+        .withColumn("n_hit_new", coalesce(col("hn"), lit(0L)))
+        .withColumn("status",
+          when(col("n_hit_old") > 0, "flagged_by_old")
+            .when(col("n_hit_new") > 0, "flagged_by_new")
+            .otherwise("clean"))
+        .select("doc_id", "source", "n_grams", "n_hit_old", "n_hit_new",
+          "status")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH ${PipelineOps.wCte},
+      g AS (SELECT DISTINCT doc_id, source, gram
+            FROM (${PipelineOps.gramsSql(4)})),
+      oldev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 41 = 0),
+      delta AS (
+        SELECT DISTINCT gram FROM g
+        WHERE doc_id % 41 <> 0 AND doc_id % 43 = 0
+        EXCEPT SELECT gram FROM oldev),
+      tr AS (SELECT doc_id, source, gram FROM g
+             WHERE doc_id % 41 <> 0 AND doc_id % 43 <> 0),
+      sz AS (SELECT doc_id, source, COUNT(*) AS n_grams FROM tr GROUP BY 1, 2),
+      ho AS (SELECT doc_id, COUNT(*) AS n_hit_old FROM tr
+             JOIN oldev USING (gram) GROUP BY 1),
+      hn AS (SELECT doc_id, COUNT(*) AS n_hit_new FROM tr
+             JOIN delta USING (gram) GROUP BY 1)
+      SELECT s.doc_id, s.source, CAST(s.n_grams AS BIGINT) AS n_grams,
+        CAST(COALESCE(ho.n_hit_old, 0) AS BIGINT) AS n_hit_old,
+        CAST(COALESCE(hn.n_hit_new, 0) AS BIGINT) AS n_hit_new,
+        CASE WHEN COALESCE(ho.n_hit_old, 0) > 0 THEN 'flagged_by_old'
+             WHEN COALESCE(hn.n_hit_new, 0) > 0 THEN 'flagged_by_new'
+             ELSE 'clean' END AS status
+      FROM sz s
+      LEFT JOIN ho ON s.doc_id = ho.doc_id
+      LEFT JOIN hn ON s.doc_id = hn.doc_id
+      ORDER BY 1"""))
 
   /** D13 (incremental MinHash dedup): the corpus index is the band table
     * of the EXISTING docs (doc_id % 3 != 0 plays the persisted side);

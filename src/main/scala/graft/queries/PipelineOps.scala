@@ -34,15 +34,15 @@ object PipelineOps extends QueryModule {
   /** Word n-grams of length `n` as a portable column over `ws` (split
     * text). Fixture docs have ≥10 words, so `size(ws)-n+1 ≥ 1` always and
     * the descending-`sequence` foot-gun cannot trigger. */
-  private def gramsExpr(n: Int): String =
+  private[queries] def gramsExpr(n: Int): String =
     s"transform(sequence(1, size(ws) - ${n - 1}), i -> array_join(slice(ws, i, $n), ' '))"
 
   /** DuckDB equivalent of [[gramsExpr]] as a LATERAL-unnest CTE body. */
-  private def gramsSql(n: Int): String =
+  private[queries] def gramsSql(n: Int): String =
     s"""SELECT doc_id, source, array_to_string(ws[i.i:i.i + ${n - 1}], ' ') AS gram
         FROM w, LATERAL unnest(generate_series(1, len(ws) - ${n - 1})) AS i(i)"""
 
-  private val wCte =
+  private[queries] val wCte =
     "w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents)"
 
   /** T: benchmark decontamination — flag every training document sharing a
