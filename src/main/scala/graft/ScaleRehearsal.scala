@@ -83,7 +83,10 @@ object ScaleRehearsal {
     "p18_revert_subtree", "j11_composed",
     // round 11: the C5 liquidation stitch, the per-block collateral
     // valuation it feeds, and the registry-gated streaming discovery fold
-    "c5_liquidation", "q7_liquidations", "c3_stream_discovery")
+    "c5_liquidation", "q7_liquidations", "c3_stream_discovery",
+    // round 14: the streamed end-to-end tip inspection and the two new
+    // continuous-corpus passes
+    "r2_tip_inspect", "d15_line_dedup", "t_decontaminate_incr")
 
   /** sf10 probe (VERDICT r9 #8): the heaviest surfaces at 100× sf0.1 —
     * the 100×-claims check a 10× rehearsal can't make. The probe runs
@@ -116,7 +119,11 @@ object ScaleRehearsal {
     // 100× both the modeled index side and the new batch scale together,
     // the worst case for the band join (a real deployment's index join
     // is new-batch-bounded)
-    "d13_incremental_dedup")
+    "d13_incremental_dedup",
+    // round 14: line-level dedup — the byte-exact surviving-text rebuild
+    // rides one line-hash groupBy + a broadcast dup join; the 100× row
+    // checks the rebuild rollup stays linear
+    "d15_line_dedup")
   val Sf10Dir = "/tmp/graft_sf10"
 
   /** Skew probe: the user-partitioned event analytics (funnel, cohorts,
@@ -151,7 +158,44 @@ object ScaleRehearsal {
     }
     if (mode == "skewdom") { runSkewDomain(spark); runSkewDomainJit(spark) }
     if (mode == "skewjit") runSkewDomainJit(spark)
+    if (mode == "cluster") runClusterBranch(spark)
     spark.stop()
+  }
+
+  /** Distributed-clustering branch probe (VERDICT r13 #5): d5/d7 route
+    * through driver union-find at every tested scale (the edge gate), so
+    * the >1M-edge `distributedClusters` branch — the 100-TB path — was
+    * unit-parity-tested but never driven on a real corpus. This forces it:
+    * the SAME sf1 LSH edge frame is clustered through BOTH branches
+    * (`spark.graft.dedup.edgeGate` 0 vs default), outputs are asserted
+    * row-identical (cluster outputs are dimension-sized), and both
+    * wall-clocks are reported. */
+  def runClusterBranch(spark: SparkSession): Unit = {
+    import graft.queries.DedupOps
+    // checkpoint the edge frame so both branches time CLUSTERING, not a
+    // recompute of the shared shingle/LSH lineage
+    val edges = DedupOps.d5EdgeFrame(spark, OutDir).localCheckpoint(true)
+    val nEdges = edges.count()
+    def pass(gate: String): (Double, Seq[(Long, Long)]) = {
+      spark.conf.set("spark.graft.dedup.edgeGate", gate)
+      try {
+        val t0 = System.nanoTime()
+        val rows = DedupOps.clusterEdgesProbe(spark, edges).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+        ((System.nanoTime() - t0) / 1e9, rows)
+      } finally spark.conf.unset("spark.graft.dedup.edgeGate")
+    }
+    pass("0"); pass((Long.MaxValue / 2).toString) // warm both branches
+    val (tDist, distRows) = pass("0")
+    val (tDriver, driverRows) = pass((Long.MaxValue / 2).toString)
+    val parity = distRows == driverRows
+    assert(parity, s"cluster branch parity FAILED: " +
+      s"${distRows.size} distributed vs ${driverRows.size} driver rows")
+    println(f"[cluster] edges $nEdges  driver $tDriver%.2fs  " +
+      f"distributed $tDist%.2fs  clusters ${driverRows.size}  parity $parity")
+    println(s"""{"metric":"cluster_branch","edges":$nEdges,""" +
+      f""""driver_s":$tDriver%.3f,"distributed_s":$tDist%.3f,""" +
+      s""""clusters":${driverRows.size},"parity":$parity}""")
   }
 
   private def keySpan(s: SparkSession): Long = {

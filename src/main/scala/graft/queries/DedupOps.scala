@@ -232,10 +232,27 @@ object DedupOps extends QueryModule {
     * driver-side, deterministic min-label), [[distributedClusters]]
     * min-label propagation past 1M edges. Shared by d5 (raw LSH
     * candidates) and d7 (Jaccard-verified edges). */
+  /** Driver-union-find cutover: edge sets at or below this size collect to
+    * the driver (dimension-sized iterative work, the G2 pattern); larger
+    * sets run the distributed min-label propagation. Configurable so the
+    * scale rehearsal can force the distributed branch on a real corpus
+    * (`runClusterBranch`) — production would tune it to driver memory. */
+  private[graft] def edgeGate(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.dedup.edgeGate").map(_.toLong)
+      .getOrElse(1000000L)
+
+  /** [[clusterEdges]] exposed for the scale-rehearsal branch-parity probe. */
+  private[graft] def clusterEdgesProbe(s: SparkSession, edgeDf: DataFrame): DataFrame =
+    clusterEdges(s, edgeDf)
+
+  /** d5's LSH-candidate edge frame, exposed for the same probe. */
+  private[graft] def d5EdgeFrame(s: SparkSession, dir: String): DataFrame =
+    lshCandidates(shingles(s, dir))
+
   private[queries] def clusterEdges(s: SparkSession, edgeDf: DataFrame): DataFrame = {
     val cand = edgeDf.persist()
     val nEdges = cand.count()
-    if (nEdges <= 1000000) {
+    if (nEdges <= edgeGate(s)) {
       import s.implicits._
       val edges = cand.collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map[Long, Long]()
@@ -261,7 +278,7 @@ object DedupOps extends QueryModule {
   private[graft] def clusterLabels(s: SparkSession, edgeDf: DataFrame): DataFrame = {
     val cand = edgeDf.persist()
     val nEdges = cand.count()
-    if (nEdges <= 1000000) {
+    if (nEdges <= edgeGate(s)) {
       import s.implicits._
       val edges = cand.collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map[Long, Long]()
