@@ -266,6 +266,97 @@ object CensusOps extends graft.QueryModule {
 
   // ── Misc: discovery tags, aave, dodo, balancer, cowswap (19 sites) ───────
 
+  /** ONE site = one reference classifier site driven by the misc census:
+    * its slice selector (`fam`, `sub % mod == res`), its naming triple,
+    * and the PLANTED-value predictions for the rollup's a/b columns as
+    * engine-portable SQL over (q6l, p2l) — the same string is evaluated
+    * by Spark (`miscExpected`, cross-asserted against the real decode
+    * walks in DomainSpec) and spliced into the DuckDB oracle
+    * ([[miscSql]] is GENERATED from this table). A layout fix that moves
+    * a word on one side only now fails either the generated oracle or
+    * the spec-parity test — it cannot land silently (VERDICT r13 #6). */
+  private final case class MiscSite(fam: Int, mod: Int, res: Int,
+      family: String, tag: String, body: String, aSql: String, bSql: String)
+
+  private val MiscSites: Seq[MiscSite] = Seq(
+    MiscSite(0, 2, 0, "discovery_v2", "sushiswap:create_pair",
+      "create_pair", "q6l", "0"),
+    MiscSite(0, 2, 1, "discovery_v2", "pancakeswap:create_pair",
+      "create_pair", "q6l", "0"),
+    MiscSite(1, 2, 0, "discovery_bal1", "balancer_v1:new_b_pool",
+      "deployed_address", "q6l", "0"),
+    MiscSite(1, 2, 1, "discovery_bal1", "balancer_v1:new_crp",
+      "deployed_address", "q6l", "0"),
+    MiscSite(2, 2, 0, "discovery_v3", "sushiswap:create_pool",
+      "create_pool", "p2l % 10000", "0"),
+    MiscSite(2, 2, 1, "discovery_v3", "pancakeswap:create_pool",
+      "create_pool", "p2l % 10000", "0"),
+    MiscSite(3, 3, 0, "discovery_curve", "curve_cryptoswap:deploy_pool",
+      "plain_pool_strings", "q6l", "0"),
+    MiscSite(3, 3, 1, "discovery_curve", "curve_tricrypto:deploy_pool",
+      "plain_pool_strings", "q6l", "0"),
+    MiscSite(3, 3, 2, "discovery_curve", "curve_crvusd:deploy_plain_pool",
+      "plain_pool_strings", "q6l", "0"),
+    MiscSite(4, 3, 0, "aave", "aave_v2:liquidation_call",
+      "liquidation_call", "q6l", "0"),
+    MiscSite(4, 3, 1, "aave", "aave_v3:flash_loan",
+      "flash_loan_arrays", "q6l * 2 + 1", "2"),
+    MiscSite(4, 3, 2, "aave", "aave_v3:flash_loan_simple",
+      "flash_loan_scalar", "q6l", "1"),
+    MiscSite(5, 4, 0, "dodo", "dodo:sell_base", "dodo_swap_log",
+      "q6l", "p2l"),
+    MiscSite(5, 4, 1, "dodo", "dodo:sell_quote", "dodo_swap_log",
+      "q6l", "p2l"),
+    MiscSite(5, 4, 2, "dodo", "dodo:sell_shares", "shares_conditional",
+      "q6l + CASE WHEN p2l % 3 = 0 THEN 0 ELSE p2l END",
+      "1 + CASE WHEN p2l % 3 = 0 THEN 0 ELSE 1 END"),
+    MiscSite(5, 4, 3, "dodo", "dodo:flash_loan", "dodo_flash_log",
+      "q6l", "p2l"),
+    MiscSite(6, 2, 0, "balancer_v2", "balancer_v2:on_swap_0",
+      "on_swap_tuple", "q6l", "p2l"),
+    MiscSite(6, 2, 1, "balancer_v2", "balancer_v2:register_pool",
+      "pool_registered_log", "p2l % 3", "0"),
+    MiscSite(7, 1, 0, "cowswap", "cowswap:swap", "trade_log",
+      "q6l", "p2l"))
+
+  private def sitesOf(fam: Int): Seq[MiscSite] =
+    MiscSites.filter(_.fam == fam).sortBy(_.res)
+  private def site(fam: Int, res: Int): MiscSite =
+    MiscSites.find(s => s.fam == fam && s.res == res).get
+  /** (family, tag, body) columns for a whole-fam frame whose tag varies
+    * by sub-residue. */
+  private def tagOf(fam: Int): Column = {
+    val ss = sitesOf(fam)
+    if (ss.size == 1) lit(ss.head.tag)
+    else element_at(array(ss.map(s => lit(s.tag)): _*),
+      (pmod(col("sub"), lit(ss.head.mod)) + 1).cast("int"))
+  }
+
+  /** The shared-spec PREDICTION of the misc rollup: every site all-ok
+    * with a/b from the planted formulas — what the decode walks must
+    * reproduce byte-for-byte (DomainSpec asserts equality with
+    * [[miscSpark]]'s real decode output). */
+  private[graft] def miscExpected(s: SparkSession, dir: String): DataFrame = {
+    val base = tracesTable(s, dir)
+      .filter(col("selector") === SelV2Swap)
+      .withColumn("q6l", col("q6").cast("long"))
+      .withColumn("p2l", col("p2").cast("long"))
+      .withColumn("fam", ((col("q6l") + col("p2l")) % 8).cast("int"))
+      .withColumn("sub", (expr("p2l div 8")).cast("long"))
+    rollup(MiscSites.map { st =>
+      base.filter(col("fam") === st.fam &&
+          pmod(col("sub"), lit(st.mod)) === st.res)
+        .select(lit(st.family).as("family"), lit(st.tag).as("tag"),
+          lit(st.body).as("body"), lit(true).as("ok"),
+          expr(st.aSql).cast("long").as("a"),
+          expr(st.bSql).cast("long").as("b"))
+    })
+  }
+
+  /** [[miscSpark]] exposed for the DomainSpec spec-parity assert. */
+  private[graft] def miscDecoded(s: SparkSession, dir: String): DataFrame =
+    miscSpark(s, dir)
+
   private val c2CensusMisc = miscDef()
 
   private def miscDef(): QueryDef = QueryDef(
@@ -332,19 +423,15 @@ object CensusOps extends graft.QueryModule {
           unhex(concat(col("selector"), addrW(tokA), addrW(tokB))))
         .withColumn("a_dec", abi_address(col("calldata"), 0))
         .withColumn("b_dec", abi_address(col("calldata"), 1))
-      t.select(lit("discovery_v2").as("family"),
-        when(col("sub") % 2 === 0, "sushiswap:create_pair")
-          .otherwise("pancakeswap:create_pair").as("tag"),
-        lit("create_pair").as("body"),
+      t.select(lit(site(0, 0).family).as("family"), tagOf(0).as("tag"),
+        lit(site(0, 0).body).as("body"),
         (col("a_dec") === pad(tokA) && col("b_dec") === pad(tokB)).as("ok"),
         col("q6l").as("a"), lit(0L).as("b"))
     }
     // f1: balancer V1 factories — no decode, deployed address + empty tokens
     val f1 = t0.filter(col("fam") === 1)
-      .select(lit("discovery_bal1").as("family"),
-        when(col("sub") % 2 === 0, "balancer_v1:new_b_pool")
-          .otherwise("balancer_v1:new_crp").as("tag"),
-        lit("deployed_address").as("body"),
+      .select(lit(site(1, 0).family).as("family"), tagOf(1).as("tag"),
+        lit(site(1, 0).body).as("body"),
         col("to_address").isNotNull.as("ok"),
         col("q6l").as("a"), lit(0L).as("b"))
     // f2: sushi/pancake createPool (tokenA, tokenB, fee)
@@ -355,10 +442,8 @@ object CensusOps extends graft.QueryModule {
         .withColumn("a_dec", abi_address(col("calldata"), 0))
         .withColumn("b_dec", abi_address(col("calldata"), 1))
         .withColumn("fee_dec", abi_word(col("calldata"), 2))
-      t.select(lit("discovery_v3").as("family"),
-        when(col("sub") % 2 === 0, "sushiswap:create_pool")
-          .otherwise("pancakeswap:create_pool").as("tag"),
-        lit("create_pool").as("body"),
+      t.select(lit(site(2, 0).family).as("family"), tagOf(2).as("tag"),
+        lit(site(2, 0).body).as("body"),
         (col("a_dec") === pad(tokA) && col("b_dec") === pad(tokB) &&
           col("fee_dec") === col("p2l") % 10000).as("ok"),
         col("fee_dec").as("a"), lit(0L).as("b"))
@@ -400,11 +485,8 @@ object CensusOps extends graft.QueryModule {
           when(col("v") === 0, abi_word(col("calldata"), 4))
             .when(col("v") === 1, abi_word(col("calldata"), 7))
             .otherwise(abi_word(col("calldata"), 6)))
-      packed.select(lit("discovery_curve").as("family"),
-        element_at(array(lit("curve_cryptoswap:deploy_pool"),
-          lit("curve_tricrypto:deploy_pool"),
-          lit("curve_crvusd:deploy_plain_pool")), col("v") + 1).as("tag"),
-        lit("plain_pool_strings").as("body"),
+      packed.select(lit(site(3, 0).family).as("family"), tagOf(3).as("tag"),
+        lit(site(3, 0).body).as("body"),
         (col("dec_name") === nameStr && col("name_len") === length(nameStr) &&
           col("coin0") === pad(tokA) && col("a_dec") === col("q6l")).as("ok"),
         col("a_dec").as("a"), lit(0L).as("b"))
@@ -418,9 +500,9 @@ object CensusOps extends graft.QueryModule {
           .withColumn("calldata", unhex(concat(col("selector"),
             addrW(tokA), addrW(tokB), addrW(col("from_address")),
             word(col("q6l")), word(col("p2l") % 2)))))
-        d.select(lit("aave").as("family"),
-          lit("aave_v2:liquidation_call").as("tag"),
-          lit("liquidation_call").as("body"),
+        d.select(lit(site(4, 0).family).as("family"),
+          lit(site(4, 0).tag).as("tag"),
+          lit(site(4, 0).body).as("body"),
           (col("coll_dec") === pad(tokA) && col("debt_dec") === pad(tokB) &&
             col("debt_to_cover") === col("q6l")).as("ok"),
           col("debt_to_cover").as("a"), lit(0L).as("b"))
@@ -435,9 +517,9 @@ object CensusOps extends graft.QueryModule {
             word(lit(2L)), word(col("q6l")), word(col("q6l") + 1),
             word(lit(2L)), word(lit(0L)), word(lit(1L)),
             word(lit(0L))))))
-        d.select(lit("aave").as("family"),
-          lit("aave_v3:flash_loan").as("tag"),
-          lit("flash_loan_arrays").as("body"),
+        d.select(lit(site(4, 1).family).as("family"),
+          lit(site(4, 1).tag).as("tag"),
+          lit(site(4, 1).body).as("body"),
           (col("n_assets") === 2L && col("n_amounts") === 2L &&
             col("n_modes") === 2L && col("asset0") === pad(tokA)).as("ok"),
           (col("amt0") + col("amt1")).as("a"), col("n_assets").as("b"))
@@ -450,9 +532,9 @@ object CensusOps extends graft.QueryModule {
           .withColumn("asset_dec", abi_address(col("calldata"), 1))
           .withColumn("amt_dec", abi_word(col("calldata"), 2))
         // assets/amounts are SINGLETON vectors - no array walk exists
-        d.select(lit("aave").as("family"),
-          lit("aave_v3:flash_loan_simple").as("tag"),
-          lit("flash_loan_scalar").as("body"),
+        d.select(lit(site(4, 2).family).as("family"),
+          lit(site(4, 2).tag).as("tag"),
+          lit(site(4, 2).body).as("body"),
           (col("asset_dec") === pad(tokA) && col("amt_dec") === col("q6l"))
             .as("ok"),
           col("amt_dec").as("a"), lit(1L).as("b"))
@@ -473,10 +555,10 @@ object CensusOps extends graft.QueryModule {
           .withColumn("to_amt", abi_log_word(col("log_data"), 3))
           .withColumn("trader_dec", abi_log_address(col("log_data"), 4))
           .withColumn("recip_dec", abi_log_address(col("log_data"), 5))
-        d.select(lit("dodo").as("family"),
-          when(col("v") === 0, "dodo:sell_base").otherwise("dodo:sell_quote")
+        d.select(lit(site(5, 0).family).as("family"),
+          when(col("v") === 0, site(5, 0).tag).otherwise(site(5, 1).tag)
             .as("tag"),
-          lit("dodo_swap_log").as("body"),
+          lit(site(5, 0).body).as("body"),
           (col("from_tok") === pad(tokA) &&
             col("trader_dec") === pad(col("from_address")) &&
             col("recip_dec") === pad(md5(lit("rcp")))).as("ok"),
@@ -497,8 +579,8 @@ object CensusOps extends graft.QueryModule {
           .withColumn("n_sides",
             when(col("base_dec") > 0, 1L).otherwise(0L) +
               when(col("quote_dec") > 0, 1L).otherwise(0L))
-        d.select(lit("dodo").as("family"), lit("dodo:sell_shares").as("tag"),
-          lit("shares_conditional").as("body"),
+        d.select(lit(site(5, 2).family).as("family"),
+          lit(site(5, 2).tag).as("tag"), lit(site(5, 2).body).as("body"),
           (col("to_dec") === pad(md5(lit("rcp"))) && col("n_sides") >= 1)
             .as("ok"),
           (col("base_dec") + col("quote_dec")).as("a"), col("n_sides").as("b"))
@@ -511,8 +593,8 @@ object CensusOps extends graft.QueryModule {
           .withColumn("borrower_dec", abi_log_address(col("log_data"), 0))
           .withColumn("base_dec", abi_log_word(col("log_data"), 2))
           .withColumn("quote_dec", abi_log_word(col("log_data"), 3))
-        d.select(lit("dodo").as("family"), lit("dodo:flash_loan").as("tag"),
-          lit("dodo_flash_log").as("body"),
+        d.select(lit(site(5, 3).family).as("family"),
+          lit(site(5, 3).tag).as("tag"), lit(site(5, 3).body).as("body"),
           (col("borrower_dec") === pad(col("from_address"))).as("ok"),
           col("base_dec").as("a"), col("quote_dec").as("b"))
       }
@@ -536,9 +618,8 @@ object CensusOps extends graft.QueryModule {
             word(lit(2L)), word(col("q6l")), word(col("p2l")))))
           .withColumn("ret_data", unhex(word(col("p2l"))))
           .withColumn("n_balances", abi_array_len(col("calldata"), 1)))
-        d.select(lit("balancer_v2").as("family"),
-          lit("balancer_v2:on_swap_0").as("tag"),
-          lit("on_swap_tuple").as("body"),
+        d.select(lit(site(6, 0).family).as("family"),
+          lit(site(6, 0).tag).as("tag"), lit(site(6, 0).body).as("body"),
           (col("tok_in_dec") === pad(tokA) && col("amt_dec") === col("q6l") &&
             col("from_dec") === pad(col("from_address")) &&
             col("n_balances") === 2L &&
@@ -556,9 +637,8 @@ object CensusOps extends graft.QueryModule {
           .withColumn("log_data", unhex(word(col("p2l") % 3)))
           .withColumn("pool_dec", abi_log_address(col("log_topics"), 1))
           .withColumn("spec_dec", abi_log_word(col("log_data"), 0))
-        d.select(lit("balancer_v2").as("family"),
-          lit("balancer_v2:register_pool").as("tag"),
-          lit("pool_registered_log").as("body"),
+        d.select(lit(site(6, 1).family).as("family"),
+          lit(site(6, 1).tag).as("tag"), lit(site(6, 1).body).as("body"),
           (col("pool_dec") ===
             pad(md5(concat(lit("pool:"), col("p2l") % NumPools)))).as("ok"),
           col("spec_dec").as("a"), lit(0L).as("b"))
@@ -576,8 +656,8 @@ object CensusOps extends graft.QueryModule {
           addrW(tokA), addrW(tokB), word(col("q6l")), word(col("p2l")),
           word(col("p2l") % 1000), word(lit(192L)),
           word(lit(56L)), uid))))
-      d.select(lit("cowswap").as("family"), lit("cowswap:swap").as("tag"),
-        lit("trade_log").as("body"),
+      d.select(lit(site(7, 0).family).as("family"),
+        lit(site(7, 0).tag).as("tag"), lit(site(7, 0).body).as("body"),
         (col("owner_dec") === pad(col("from_address")) &&
           col("sell_tok") === pad(tokA) && col("uid_len") === 56L).as("ok"),
         col("sell_amt").as("a"), col("buy_amt").as("b"))
@@ -586,76 +666,29 @@ object CensusOps extends graft.QueryModule {
     }
   }
 
-  private def miscSql: String = s""", msb AS (
+  /** The misc oracle, GENERATED from [[MiscSites]] — the SQL mirror and
+    * the Spark naming share one table; only the decode walks themselves
+    * live Spark-side (and those are cross-asserted against the same
+    * table's predictions in DomainSpec). */
+  private def miscSql: String = {
+    def caseOf(f: MiscSite => String, quoted: Boolean): String = {
+      def v(st: MiscSite) = if (quoted) s"'${f(st)}'" else f(st)
+      val arms = MiscSites.init.map(st =>
+        s"WHEN fam = ${st.fam} AND sub % ${st.mod} = ${st.res} THEN ${v(st)}")
+      s"CASE ${arms.mkString("\n          ")}\n          ELSE ${v(MiscSites.last)} END"
+    }
+    s""", msb AS (
       SELECT CAST(q6 AS BIGINT) AS q6l, CAST(p2 AS BIGINT) AS p2l,
         (CAST(q6 AS BIGINT) + CAST(p2 AS BIGINT)) % 8 AS fam,
         CAST(p2 AS BIGINT) // 8 AS sub
       FROM trace WHERE selector = '$SelV2Swap'),
     msr AS (
-      SELECT CASE fam
-          WHEN 0 THEN 'discovery_v2' WHEN 1 THEN 'discovery_bal1'
-          WHEN 2 THEN 'discovery_v3' WHEN 3 THEN 'discovery_curve'
-          WHEN 4 THEN 'aave' WHEN 5 THEN 'dodo'
-          WHEN 6 THEN 'balancer_v2' ELSE 'cowswap' END AS family,
-        CASE
-          WHEN fam = 0 AND sub % 2 = 0 THEN 'sushiswap:create_pair'
-          WHEN fam = 0 THEN 'pancakeswap:create_pair'
-          WHEN fam = 1 AND sub % 2 = 0 THEN 'balancer_v1:new_b_pool'
-          WHEN fam = 1 THEN 'balancer_v1:new_crp'
-          WHEN fam = 2 AND sub % 2 = 0 THEN 'sushiswap:create_pool'
-          WHEN fam = 2 THEN 'pancakeswap:create_pool'
-          WHEN fam = 3 AND sub % 3 = 0 THEN 'curve_cryptoswap:deploy_pool'
-          WHEN fam = 3 AND sub % 3 = 1 THEN 'curve_tricrypto:deploy_pool'
-          WHEN fam = 3 THEN 'curve_crvusd:deploy_plain_pool'
-          WHEN fam = 4 AND sub % 3 = 0 THEN 'aave_v2:liquidation_call'
-          WHEN fam = 4 AND sub % 3 = 1 THEN 'aave_v3:flash_loan'
-          WHEN fam = 4 THEN 'aave_v3:flash_loan_simple'
-          WHEN fam = 5 AND sub % 4 = 0 THEN 'dodo:sell_base'
-          WHEN fam = 5 AND sub % 4 = 1 THEN 'dodo:sell_quote'
-          WHEN fam = 5 AND sub % 4 = 2 THEN 'dodo:sell_shares'
-          WHEN fam = 5 THEN 'dodo:flash_loan'
-          WHEN fam = 6 AND sub % 2 = 0 THEN 'balancer_v2:on_swap_0'
-          WHEN fam = 6 THEN 'balancer_v2:register_pool'
-          ELSE 'cowswap:swap' END AS tag,
-        CASE
-          WHEN fam = 0 THEN 'create_pair'
-          WHEN fam = 1 THEN 'deployed_address'
-          WHEN fam = 2 THEN 'create_pool'
-          WHEN fam = 3 THEN 'plain_pool_strings'
-          WHEN fam = 4 AND sub % 3 = 0 THEN 'liquidation_call'
-          WHEN fam = 4 AND sub % 3 = 1 THEN 'flash_loan_arrays'
-          WHEN fam = 4 THEN 'flash_loan_scalar'
-          WHEN fam = 5 AND sub % 4 <= 1 THEN 'dodo_swap_log'
-          WHEN fam = 5 AND sub % 4 = 2 THEN 'shares_conditional'
-          WHEN fam = 5 THEN 'dodo_flash_log'
-          WHEN fam = 6 AND sub % 2 = 0 THEN 'on_swap_tuple'
-          WHEN fam = 6 THEN 'pool_registered_log'
-          ELSE 'trade_log' END AS body,
-        CASE
-          WHEN fam = 0 THEN q6l
-          WHEN fam = 1 THEN q6l
-          WHEN fam = 2 THEN p2l % 10000
-          WHEN fam = 3 THEN q6l
-          WHEN fam = 4 AND sub % 3 = 0 THEN q6l
-          WHEN fam = 4 AND sub % 3 = 1 THEN q6l * 2 + 1
-          WHEN fam = 4 THEN q6l
-          WHEN fam = 5 AND sub % 4 <= 1 THEN q6l
-          WHEN fam = 5 AND sub % 4 = 2 THEN
-            q6l + CASE WHEN p2l % 3 = 0 THEN 0 ELSE p2l END
-          WHEN fam = 5 THEN q6l
-          WHEN fam = 6 AND sub % 2 = 0 THEN q6l
-          WHEN fam = 6 THEN p2l % 3
-          ELSE q6l END AS a,
-        CASE
-          WHEN fam = 4 AND sub % 3 = 1 THEN 2
-          WHEN fam = 4 AND sub % 3 = 2 THEN 1
-          WHEN fam = 5 AND sub % 4 <= 1 THEN p2l
-          WHEN fam = 5 AND sub % 4 = 2 THEN
-            1 + CASE WHEN p2l % 3 = 0 THEN 0 ELSE 1 END
-          WHEN fam = 5 AND sub % 4 = 3 THEN p2l
-          WHEN fam = 6 AND sub % 2 = 0 THEN p2l
-          WHEN fam = 7 THEN p2l
-          ELSE 0 END AS b
+      SELECT ${caseOf(_.family, quoted = true)} AS family,
+        ${caseOf(_.tag, quoted = true)} AS tag,
+        ${caseOf(_.body, quoted = true)} AS body,
+        ${caseOf(_.aSql, quoted = false)} AS a,
+        ${caseOf(_.bSql, quoted = false)} AS b
       FROM msb)
     $RollupSql FROM msr GROUP BY 1, 2, 3 ORDER BY 1, 2"""
+  }
 }

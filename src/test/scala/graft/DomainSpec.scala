@@ -140,4 +140,24 @@ class DomainSpec extends SparkTestBase {
     for (t <- Seq("liquidation", "jit_sandwich") if rows.contains(t))
       assert(rows(t)._1 == rows(t)._2, s"$t lost bundles cross-type: ${rows(t)}")
   }
+
+  test("misc census decode walks equal the shared site-spec predictions") {
+    // the single-source-of-truth pairing: MiscSites generates BOTH the
+    // DuckDB oracle and this prediction frame; the real byte-decode
+    // rollup must reproduce it row-for-row, so a layout fix landing on
+    // one side only fails here (or in the generated oracle) immediately
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("family"), r.getAs[String]("tag"),
+        r.getAs[String]("body"), r.getAs[Long]("n_frames"),
+        r.getAs[Long]("n_ok"), r.getAs[Long]("sum_a"),
+        r.getAs[Long]("sum_b"))).toSeq.sorted
+    val decoded = rows(graft.domain.CensusOps.miscDecoded(spark, SfDir))
+    val predicted = rows(graft.domain.CensusOps.miscExpected(spark, SfDir))
+    assert(decoded.nonEmpty && decoded.size == 19,
+      s"expected all 19 misc sites, got ${decoded.size}")
+    assert(decoded == predicted, {
+      val d = decoded.zip(predicted).filter(p => p._1 != p._2)
+      s"decode/spec divergence at: ${d.take(3).mkString("; ")}"
+    })
+  }
 }
