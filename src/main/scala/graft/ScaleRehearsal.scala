@@ -159,7 +159,36 @@ object ScaleRehearsal {
     if (mode == "skewdom") { runSkewDomain(spark); runSkewDomainJit(spark) }
     if (mode == "skewjit") runSkewDomainJit(spark)
     if (mode == "cluster") runClusterBranch(spark)
+    if (mode == "bigmacprof") runBigmacProfile(spark)
     spark.stop()
+  }
+
+  /** q1_bigmac pin-level profile (VERDICT r13 #2): one plain timed run at
+    * sf0.1, then a run with `spark.graft.bigmac.stageProfile` where each
+    * major intermediate is eagerly checkpointed and logged — naming where
+    * the residual seconds go. The staged total exceeds the plain total
+    * by the extra materializations; per-stage prints are the signal. */
+  def runBigmacProfile(spark: SparkSession): Unit = {
+    def consume(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    def timed(label: String): Double = {
+      spark.sharedState.cacheManager.clearCache()
+      val t0 = System.nanoTime()
+      consume(SparkEntry.queries("q1_bigmac")(spark, SrcDir))
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[bigmacprof] $label%-14s $dt%6.2f s"); dt
+    }
+    timed("warm")
+    val plain = timed("plain")
+    spark.conf.set("spark.graft.bigmac.stageProfile", "true")
+    spark.conf.set("spark.graft.bigmac.timing", "true")
+    val staged =
+      try timed("staged")
+      finally {
+        spark.conf.unset("spark.graft.bigmac.stageProfile")
+        spark.conf.unset("spark.graft.bigmac.timing")
+      }
+    println(f"""{"metric":"bigmac_profile","plain_s":$plain%.2f,"staged_s":$staged%.2f}""")
   }
 
   /** Distributed-clustering branch probe (VERDICT r13 #5): d5/d7 route

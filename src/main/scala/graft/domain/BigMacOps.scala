@@ -128,6 +128,24 @@ object BigMacOps extends QueryModule {
     out
   }
 
+  /** Pin-level stage profiler: identity unless
+    * `spark.graft.bigmac.stageProfile=true`, in which case each wrapped
+    * intermediate is eagerly localCheckpointed and its wall-clock logged —
+    * downstream stages then read materialized inputs, so each print is
+    * that stage's OWN cost. Profiling-only (the flag changes the plan);
+    * driven by `ScaleRehearsal bigmacprof`. */
+  private def stage(name: String)(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    if (s.conf.get("spark.graft.bigmac.stageProfile", "false") != "true") df
+    else {
+      val t0 = System.nanoTime()
+      val out = df.localCheckpoint()
+      System.err.println(
+        f"[bigmac stage] $name%-38s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      out
+    }
+  }
+
   /** Root `to` contract per tx (trace_idx = 1 is the root frame). */
   private[domain] def rootTo(s: SparkSession, dir: String): DataFrame =
     actionsTable(s, dir)
@@ -425,12 +443,21 @@ object BigMacOps extends QueryModule {
     // most ~5 class rows per key instead of one row per position, so the
     // join's fan-out drops by the position multiplicity while fmax/bmin
     // (order statistics over the array, g-bounded per victim row) lose
-    // nothing.
-    val sAgg = sAll.distinct()
+    // nothing. collect_set IS the dedup the old pre-distinct provided —
+    // one map-side-combined shuffle instead of a full-row distinct
+    // shuffle feeding a second one (r14 profile: the two stacks cost
+    // 11.7 s of the ~32 s residual; fmax/bmin are order/dup-insensitive).
+    val sAgg = sAll
       .groupBy((segKeys.map(col) ++ Seq(col("fam"), col("skey"),
         col("s_flg"), col("s_inf"))): _*)
-      .agg(collect_list(col("s_pos")).as("s_poss"))
-    val reach = vAll.distinct().join(onChainFam(sAgg),
+      .agg(collect_set(col("s_pos")).as("s_poss"))
+      .transform(stage("sAgg: sAll stack + entry classes"))
+    // no victim-side distinct either: the grain agg below collapses
+    // duplicate probe rows with idempotent max/min, so the pre-shuffle
+    // bought nothing but a second exchange of the whole probe stack
+    val vDist = vAll
+      .transform(stage("vDist: vAll stack"))
+    val reach = vDist.join(onChainFam(sAgg),
         col("s_block") === col("block_number") && col("s_ktype") === col("ktype") &&
           col("s_k") === col("k") && col("s_seg") === col("seg") &&
           col("fam") === col("s_fam") && col("s_skey") === col("vkey"), "left")
@@ -444,6 +471,7 @@ object BigMacOps extends QueryModule {
         min(when(!col("s_inf") &&
           (col("fam") === "pool" || col("s_flg") === !col("v_to")),
           array_min(filter(col("s_poss"), _ >= col("g") + 1)))).as("bmin"))
+      .transform(stage("reach: key join + grain agg"))
 
     // all ranges within the 6-drop reachability envelope, verified per gap
     val ranges = segs
@@ -476,6 +504,7 @@ object BigMacOps extends QueryModule {
       val winLegs = windows.join(legsPos, segKeys)
         .filter(col("pos").between(col("g") + 1, col("j") + 1))
       notBlacklisted(inferPools(winLegs, segKeys ++ Seq("g", "j")), "addr")
+        .transform(stage("backGen: window-leg inference"))
         .withColumnsRenamed(Map("block_number" -> "bg_block",
           "ktype" -> "bg_ktype", "k" -> "bg_k", "seg" -> "bg_seg",
           "g" -> "bg_g", "j" -> "bg_j", "addr" -> "bg_addr"))
@@ -516,10 +545,12 @@ object BigMacOps extends QueryModule {
       .agg(collect_list(struct(col("need_both"),
         col("fmax").cast("long").as("fmax"),
         col("bmin").cast("long").as("bmin"), col("bjs"))).as("es"))
+      .transform(stage("perVeoa: bgen fold + entry arrays"))
     val perGap = perVeoa
       .groupBy((segKeys.map(col) :+ col("g")): _*)
       .agg(collect_list(col("es")).as("ves"))
       .join(segs.select((segKeys.map(col) :+ col("m")): _*), segKeys)
+      .transform(stage("perGap: gap nesting + segs join"))
     val fokSql = "(e.fmax IS NOT NULL AND e.fmax >= i)"
     val bokSql = """((e.bmin IS NOT NULL AND e.bmin <= j + 1) OR
       | (e.bjs IS NOT NULL AND array_contains(e.bjs, j)))"""
@@ -557,6 +588,7 @@ object BigMacOps extends QueryModule {
       .agg(bool_and(col("has_sw") === 1 &&
         col("n_was") * MinVictimRatioDen >= col("n_veoas")).as("ok"))
       .join(ranges, rKeys)
+      .transform(stage("verdict: vectorized ranges + rollup"))
 
     // 6-level shrink reachability: failing ranges of ≥2 links spawn their
     // front-drop and back-drop children; emit every verified reached range.
