@@ -24,7 +24,108 @@ object CorpusOps extends graft.QueryModule {
 
   def defs: Seq[QueryDef] =
     Seq(d13IncrementalDedup, d14UrlDedup, tDomainCap, d15LineDedup,
-      tDecontaminateIncr)
+      tDecontaminateIncr, d16IncrementalUrl)
+
+  /** D16 (incremental URL dedup): the d13 continuous-ingest pattern
+    * applied to d14's canonicalization — a NEW crawl batch (doc_id % 3 =
+    * 0) dedups against the persisted canonical-URL index of the existing
+    * corpus without recomputing it. The page identity is a syndicated
+    * article id (a 2-hex md5 bucket in the path, so the same page
+    * appears under case/www/utm/fragment/trailing-slash noise across
+    * BOTH snapshots — a consecutive integer path would correlate with
+    * the %-3 split and starve one status class); canonicalization is the
+    * SAME [[canonicalUrl]] both d14 and the oracle run. A new URL is
+    * `dup_vs_index` if its canon exists in the index, else
+    * `dup_within_batch` if an earlier new doc shares it (earlier-id
+    * wins, the d13/d9 survivor convention), else it survives and its
+    * canon would be appended to the index.
+    *
+    * Scale shape: the canon computation is row-local on the NEW batch;
+    * the index is a stored distinct-canon table at scale (modeled by the
+    * split); both probes are canon-keyed equi-joins whose output is
+    * new-batch-bounded — the corpus is never rescanned per ingest. */
+  private val d16IncrementalUrl = QueryDef(
+    "d16_incremental_url",
+    (s, dir) => {
+      val bucket = substring(md5(concat(lit("u:"), col("doc_id"))), 1, 2)
+      val raw = concat(lit("HTTPS://WwW.syndic.Example.COM/a/"), bucket,
+        when(col("doc_id") % 3 === 0, "/").otherwise(""),
+        lit("?utm_source=feed&ref="), col("lang"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("&id="), col("doc_id") % 7)).otherwise(""),
+        when(col("doc_id") % 5 === 0, "#frag").otherwise(""))
+      val docs = Tables.documents(s, dir)
+        .withColumn("canon", canonicalUrl(raw))
+      val newB = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id"), col("source"), col("canon"))
+      val idx = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+        .select(col("canon").as("canon_i")).distinct()
+      val idxDup = newB
+        .join(idx, col("canon") === col("canon_i"), "left_semi")
+        .select(col("doc_id")).withColumn("idx_dup", lit(true))
+      val earlier = newB.select(col("canon").as("canon_e"),
+        col("doc_id").as("doc_e"))
+      val priorDup = newB
+        .join(earlier, col("canon") === col("canon_e") &&
+          col("doc_e") < col("doc_id"))
+        .select(col("doc_id")).distinct()
+        .withColumn("prior_dup", lit(true))
+      newB
+        .join(idxDup, Seq("doc_id"), "left")
+        .join(priorDup, Seq("doc_id"), "left")
+        .withColumn("status",
+          when(col("idx_dup"), "dup_vs_index")
+            .when(col("prior_dup"), "dup_within_batch")
+            .otherwise("survivor"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_new"),
+          sum(when(col("status") === "dup_vs_index", 1L).otherwise(0L))
+            .as("n_dup_vs_index"),
+          sum(when(col("status") === "dup_within_batch", 1L).otherwise(0L))
+            .as("n_dup_within"),
+          sum(when(col("status") === "survivor", 1L).otherwise(0L))
+            .as("n_survivors"),
+          sum(when(col("status") === "survivor", col("doc_id"))
+            .otherwise(0L)).as("survivor_id_sum"))
+        .orderBy("source")
+    },
+    Some("""WITH u AS (
+        SELECT doc_id, source,
+          'HTTPS://WwW.syndic.Example.COM/a/' || substring(md5('u:' || doc_id), 1, 2)
+            || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+            || '?utm_source=feed&ref=' || lang
+            || CASE WHEN doc_id % 2 = 0 THEN '&id=' || (doc_id % 7) ELSE '' END
+            || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS raw_url
+        FROM documents),
+      c AS (
+        SELECT doc_id, source,
+          regexp_replace(regexp_replace(
+            lower(string_split(string_split(raw_url, '#')[1], '?')[1]),
+            '://www\.', '://'), '/$', '')
+          || CASE WHEN regexp_extract(raw_url, '[?&]id=([0-9]+)', 1) <> ''
+               THEN '?id=' || regexp_extract(raw_url, '[?&]id=([0-9]+)', 1)
+               ELSE '' END AS canon
+        FROM u),
+      idx AS (SELECT DISTINCT canon FROM c WHERE doc_id % 3 <> 0),
+      nw AS (SELECT * FROM c WHERE doc_id % 3 = 0),
+      st AS (
+        SELECT nw.doc_id, nw.source,
+          CASE WHEN i.canon IS NOT NULL THEN 'dup_vs_index'
+               WHEN EXISTS (SELECT 1 FROM nw e WHERE e.canon = nw.canon
+                            AND e.doc_id < nw.doc_id)
+                 THEN 'dup_within_batch'
+               ELSE 'survivor' END AS status
+        FROM nw LEFT JOIN idx i ON nw.canon = i.canon)
+      SELECT source, COUNT(*) AS n_new,
+        CAST(SUM(CASE WHEN status = 'dup_vs_index' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dup_vs_index,
+        CAST(SUM(CASE WHEN status = 'dup_within_batch' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dup_within,
+        CAST(SUM(CASE WHEN status = 'survivor' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_survivors,
+        CAST(SUM(CASE WHEN status = 'survivor' THEN doc_id ELSE 0 END) AS BIGINT)
+          AS survivor_id_sum
+      FROM st GROUP BY 1 ORDER BY 1"""))
 
   /** D15 (line-level dedup): the CCNet/RefinedWeb cross-document pass —
     * a LINE occurring in more than one document is boilerplate (headers,
