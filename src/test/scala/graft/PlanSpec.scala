@@ -466,4 +466,40 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("DECIMAL") || p.toLowerCase.contains("decimal"), p)
   }
+
+  test("d15 line dedup: dup set is a broadcast probe, no nested loop") {
+    // the corpus-wide state is the line-hash df table; the surviving-text
+    // rebuild must join the (small) dup set broadcast and never pair
+    // lines against lines
+    val p = plan("d15_line_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("incremental passes (t_decontaminate_incr, d16) stay equi-keyed") {
+    // both snapshots' probes are gram-/canon-keyed equi-joins bounded by
+    // the new batch — a nested loop here would rescan the corpus per row
+    for (n <- Seq("t_decontaminate_incr", "d16_incremental_url")) {
+      val p = plan(n)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$n:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$n:\n$p")
+    }
+  }
+
+  test("r2 tip inspection emits through a checkpointed stream, batch cores intact") {
+    // the composed per-batch body must keep the batch path's shapes: no
+    // nested-loop victim match and no cartesian anywhere in the bundle
+    // union that lands in the sink
+    val out = SparkEntry.queries("r2_tip_inspect")(spark, SfDir)
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the streamed result was written per micro-batch: reading it back
+    // is a plain scan, so the heavy assertion rides the shared core —
+    // inspectBundles IS the foreachBatch body
+    val core = graft.streaming.TipInspect
+      .inspectBundles(spark, graft.domain.ChainFixture.tracesTable(spark, SfDir), 0L)
+      .queryExecution.executedPlan.toString
+    assert(!core.contains("BroadcastNestedLoopJoin"), core)
+    assert(!core.contains("CartesianProduct"), core)
+  }
 }
