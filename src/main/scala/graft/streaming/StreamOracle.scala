@@ -29,7 +29,8 @@ object StreamOracle extends QueryModule {
 
   def defs: Seq[QueryDef] =
     Seq(r5StreamFold, r4StreamWindow, r5TickFold, r4LateData, s5WriteBehind,
-      c3StreamDiscovery, d8StreamDedup, r8StreamJoin, r8OuterJoin)
+      c3StreamDiscovery, d8StreamDedup, r8StreamJoin, r8OuterJoin,
+      d17StreamLineDedup)
 
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -834,5 +835,90 @@ object StreamOracle extends QueryModule {
         CAST(SUM(k.rep) AS BIGINT) AS sum_doc_id,
         CAST(SUM(n.n_batches - 1) AS BIGINT) AS n_dup_batches_dropped
       FROM kept k JOIN nb n ON n.h = k.h
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** D17: STREAMING line-level dedup — the ingest-time twin of
+    * `d15_line_dedup` and the online form of the CCNet pass: as the
+    * corpus streams in, the FIRST occurrence of each 8-word line is kept
+    * and every later re-occurrence (in later micro-batches or later in
+    * the same batch) is dropped by `dropDuplicatesWithinWatermark` keyed
+    * on the 16-byte line hash — bounded state at the watermark horizon,
+    * exactly how a 100 TB/day ingest dedups boilerplate lines without a
+    * corpus-wide join. Differs from d15 semantically as online dedup
+    * must: d15 (batch, offline) removes a duplicated line from EVERY
+    * document; the stream cannot revoke already-emitted output, so the
+    * first carrier keeps its line. Pre-rolled to one unit per
+    * (line-hash, batch) with the min-doc_id representative, so
+    * within-batch survivor choice is deterministic and the entry
+    * verifies the CROSS-BATCH state carry; `sum_chars_kept` checksums
+    * the surviving CONTENT, not just counts. */
+  private val d17StreamLineDedup = QueryDef(
+    "d17_stream_line_dedup",
+    (s, dir) => {
+      val pre = graft.Tables.documents(s, dir)
+        .withColumn("ws", split(col("text"), " "))
+        .select(col("doc_id"), (col("doc_id") % 3).as("b"),
+          posexplode(expr(
+            "transform(sequence(1, (size(ws) + 7) div 8), " +
+              "i -> array_join(slice(ws, (i - 1) * 8 + 1, 8), ' '))"))
+            .as(Seq("ln", "line")))
+        .withColumn("lh", md5(col("line")))
+        .groupBy("lh", "b")
+        .agg(min(col("doc_id")).as("rep"), min(col("line")).as("line"))
+        .withColumn("ts", timestamp_micros(
+          lit(1700000000000000L) + col("b") * 3600L * 1000000L))
+        .persist()
+      try {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_d17").toString
+        deleteOnExit(tmp)
+        val (src, out, ckpt) = (s"$tmp/src", s"$tmp/out", s"$tmp/ckpt")
+        pre.filter(col("b") === 0).coalesce(1).write.parquet(src)
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+        val q = s2.readStream.schema(pre.schema).parquet(src)
+          .withWatermark("ts", "1 day")
+          .dropDuplicatesWithinWatermark("lh")
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append()).start()
+        try {
+          q.processAllAvailable()
+          (1L to 2L).foreach { b =>
+            pre.filter(col("b") === b).coalesce(1)
+              .write.mode("append").parquet(src)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        val nb = pre.groupBy("lh").agg(count(lit(1)).as("n_batches"))
+        s.read.parquet(out)
+          .join(nb, "lh")
+          .groupBy(col("b").as("batch"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("rep")).as("sum_doc_id"),
+            sum(length(col("line")).cast("long")).as("sum_chars_kept"),
+            sum(col("n_batches") - 1).as("n_dup_batches_dropped"))
+          .orderBy("batch")
+      } finally { pre.unpersist(false); () }
+    },
+    Some("""WITH w AS (
+        SELECT doc_id, doc_id % 3 AS b, string_split(text, ' ') AS ws
+        FROM documents),
+      l AS (
+        SELECT doc_id, b, i.i AS ln,
+          array_to_string(ws[(i.i - 1) * 8 + 1:i.i * 8], ' ') AS line
+        FROM w, LATERAL unnest(generate_series(1, (len(ws) + 7) // 8)) AS i(i)),
+      pre AS (
+        SELECT md5(line) AS lh, b, MIN(doc_id) AS rep, MIN(line) AS line
+        FROM l GROUP BY 1, 2),
+      nb AS (SELECT lh, COUNT(*) AS n_batches FROM pre GROUP BY 1),
+      first AS (SELECT lh, MIN(b) AS b FROM pre GROUP BY 1),
+      kept AS (
+        SELECT p.lh, p.b, p.rep, p.line FROM pre p
+        JOIN first f ON f.lh = p.lh AND f.b = p.b)
+      SELECT k.b AS batch, COUNT(*) AS n_kept,
+        CAST(SUM(k.rep) AS BIGINT) AS sum_doc_id,
+        CAST(SUM(len(k.line)) AS BIGINT) AS sum_chars_kept,
+        CAST(SUM(n.n_batches - 1) AS BIGINT) AS n_dup_batches_dropped
+      FROM kept k JOIN nb n ON n.lh = k.lh
       GROUP BY 1 ORDER BY 1"""))
 }
