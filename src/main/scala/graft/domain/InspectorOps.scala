@@ -616,19 +616,26 @@ object InspectorOps extends QueryModule {
     * q9_possible_mev, q9_mev_count, q9_builder_pnl) read the mint→burn
     * pair table, so the window over the actions scan runs once per JVM. */
   private[domain] def jitPairs(s: SparkSession, dir: String): DataFrame =
-    ChainFixture.materialize(s, s"jitp_${ChainFixture.dirKey(dir)}", {
-      val w = Window.partitionBy("block_number", "from_address", "pool")
-        .orderBy("tx_idx", "trace_idx")
-      actionsTable(s, dir)
-        .filter(col("action_type").isin("mint", "burn") && col("pool").isNotNull)
-        .withColumn("nxt", lead(col("action_type"), 1).over(w))
-        .withColumn("nxt_idx", lead(col("tx_idx"), 1).over(w))
-        .withColumn("nxt_tx", lead(col("tx_hash"), 1).over(w))
-        .filter(col("action_type") === "mint" && col("nxt") === "burn")
-        .select(col("block_number"), col("from_address").as("eoa"), col("pool"),
-          col("tx_hash"), col("tx_idx").as("mint_idx"), col("nxt_idx").as("burn_idx"),
-          col("nxt_tx").as("burn_tx"), col("protocol"))
-    })
+    ChainFixture.materialize(s, s"jitp_${ChainFixture.dirKey(dir)}",
+      jitPairsOf(actionsTable(s, dir)))
+
+  /** [[jitPairs]] parameterized over any actions-shaped frame — the tip
+    * composer classifies JIT brackets on a micro-batch slice through the
+    * SAME window (block-local, so a slice's pairs are bit-identical to the
+    * batch table's rows for those blocks). */
+  private[graft] def jitPairsOf(actionsDf: DataFrame): DataFrame = {
+    val w = Window.partitionBy("block_number", "from_address", "pool")
+      .orderBy("tx_idx", "trace_idx")
+    actionsDf
+      .filter(col("action_type").isin("mint", "burn") && col("pool").isNotNull)
+      .withColumn("nxt", lead(col("action_type"), 1).over(w))
+      .withColumn("nxt_idx", lead(col("tx_idx"), 1).over(w))
+      .withColumn("nxt_tx", lead(col("tx_hash"), 1).over(w))
+      .filter(col("action_type") === "mint" && col("nxt") === "burn")
+      .select(col("block_number"), col("from_address").as("eoa"), col("pool"),
+        col("tx_hash"), col("tx_idx").as("mint_idx"), col("nxt_idx").as("burn_idx"),
+        col("nxt_tx").as("burn_tx"), col("protocol"))
+  }
 
   // ── shared oracle fragments ───────────────────────────────────────────────
 
@@ -741,6 +748,12 @@ object InspectorOps extends QueryModule {
     * package): the SAME batch formulations q1/q2 hash-check against. */
   private[graft] def sandwichOracleCtes: String = sandwichCtes
   private[graft] def arbOracleCtes: String = s"$arbCte, $trigCtes"
+
+  /** Oracle CTE bundle for the tip-mode full-composer entry: the sandwich
+    * chain (incl. sw_tx/sw_w/brkt), the arb set, and the JIT pair table —
+    * the candidate surfaces the J10 composer SQL builds on. */
+  private[graft] def composerOracleCtes: String =
+    s"$sandwichCtes, $arbCte, $jitpCte"
 
   private[domain] val arbCte =
     """arb AS (

@@ -157,7 +157,17 @@ object CorpusOps extends graft.QueryModule {
         .agg(countDistinct(col("doc_id")).as("dfc"))
         .filter(col("dfc") > 1)
         .select(col("lh"), lit(1).as("is_dup"))
-      lines.join(broadcast(dup), Seq("lh"), "left")
+      // Unlike d10's df-capped gram set, the dup-line set is UNBOUNDED
+      // (corpus-wide boilerplate grows with the corpus), so the broadcast
+      // hint is gated on a counted size: small sets probe broadcast, a
+      // 100-TB-scale dup table falls back to the hash-keyed shuffle join
+      // instead of failing the driver (ADVICE r14).
+      val dupGate = s.conf.getOption("spark.graft.dedup.lineDupGate")
+        .map(_.trim.toLong).getOrElse(2000000L)
+      val probeN = math.min(dupGate + 1, Int.MaxValue.toLong).toInt
+      val dupSide = if (dup.limit(probeN).count() <= dupGate)
+        broadcast(dup) else dup
+      lines.join(dupSide, Seq("lh"), "left")
         .groupBy("doc_id", "source")
         .agg(count(lit(1)).as("n_lines"),
           sum(coalesce(col("is_dup"), lit(0)).cast("long")).as("n_dropped"),

@@ -238,8 +238,13 @@ object DedupOps extends QueryModule {
     * scale rehearsal can force the distributed branch on a real corpus
     * (`runClusterBranch`) — production would tune it to driver memory. */
   private[graft] def edgeGate(s: SparkSession): Long =
-    s.conf.getOption("spark.graft.dedup.edgeGate").map(_.toLong)
-      .getOrElse(1000000L)
+    s.conf.getOption("spark.graft.dedup.edgeGate").map { v =>
+      try v.trim.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"spark.graft.dedup.edgeGate must be a long, got '$v'")
+      }
+    }.getOrElse(1000000L)
 
   /** [[clusterEdges]] exposed for the scale-rehearsal branch-parity probe. */
   private[graft] def clusterEdgesProbe(s: SparkSession, edgeDf: DataFrame): DataFrame =

@@ -3,6 +3,7 @@ package graft.streaming
 import graft.{QueryDef, QueryModule}
 import graft.domain.{Accounting, ChainFixture, InspectorOps}
 import graft.domain.Accounting.{sqlGateFlag, sqlGateProfit}
+import graft.ops.ExactAgg.{dsum, sqlSum}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
@@ -12,14 +13,21 @@ import org.apache.spark.sql.streaming.OutputMode
   * lifecycle per new block as the chain tip advances
   * (bin/src/executors/tip.rs:23-155, feeding `shared/state_collector.rs:118`
   * and the same inspector set the batch `RangeExecutor` runs). The other
-  * streaming entries verify each STAGE's state carry in isolation; this one
-  * verifies the COMPOSED pipeline: a genuine Structured Streaming query
-  * (parquet-drop file source, checkpointed foreachBatch sink, three
+  * streaming entries verify each STAGE's state carry in isolation; the two
+  * entries here verify the COMPOSED pipeline: a genuine Structured Streaming
+  * query (parquet-drop file source, checkpointed foreachBatch sink, three
   * block-range micro-batches) whose per-batch body is the SAME batch
   * dataflow — [[ChainFixture.actionsOf]] classify, [[Accounting.headersOf]]
-  * pricing/PnL, and the Q1 sandwich / Q2 atomic-arb / Q7 liquidation
-  * inspector cores — and whose unioned bundle emission hash-matches the
-  * batch composer formulation in DuckDB.
+  * pricing/PnL, then
+  *   - `r2_tip_inspect`: the Q1 sandwich / Q2 atomic-arb / Q7 liquidation
+  *     inspector cores, unioned bundle emission;
+  *   - `r2_tip_composer`: the FULL composer path the reference's tip
+  *     executor runs per block (`processors/mev.rs:34-58`) — all seven
+  *     candidate surfaces (sandwich, JIT, liquidation, arb, CEX-DEX,
+  *     JitSandwich, JIT-CEX-DEX), the J12 metadata join (per-batch
+  *     broadcast of the searcher-label and price dimensions), the J10
+  *     two-layer composer dedup, and the A4 MevBlock rollup —
+  * each hash-matching its batch formulation in DuckDB.
   *
   * Cross-block windows at the tip: Q1's bracket and Q2's trigger search
   * read a 2-block window, so a micro-batch alone cannot verify candidates
@@ -28,11 +36,14 @@ import org.apache.spark.sql.streaming.OutputMode
   * multi_block_window.rs); here each foreachBatch invocation persists its
   * LAST block's traces as a tail table keyed by batch id and the next
   * invocation unions its predecessor's tail before inspecting — then emits
-  * only bundles anchored in its OWN blocks (back_block / arb block ≥ the
-  * batch's min block), so every bundle is emitted exactly once and with its
-  * full window visible. Both the tail and the bundle output are batch-id
+  * only rows anchored in its OWN blocks (back_block / arb block ≥ the
+  * batch's min block), so every row is emitted exactly once and with its
+  * full window visible. Both the tail and the output are batch-id
   * OVERWRITES, keeping the at-least-once foreachBatch contract effectively
-  * exactly-once (the [[TipStream]] write-behind discipline).
+  * exactly-once (the [[TipStream]] write-behind discipline). An EMPTY
+  * micro-batch copies its predecessor's tail forward (so a batch-id gap
+  * cannot silently strip the next batch's leading-edge windows), and a
+  * missing predecessor tail fails loudly instead of degrading (ADVICE r14).
   *
   * Scale shape: per micro-batch work is one block's traces at a real tip
   * (a tercile here only because the fixture replays the corpus in three
@@ -44,7 +55,7 @@ object TipInspect extends QueryModule {
 
   import ChainFixture.{tokenPrice, tokenPriceSql}
 
-  def defs: Seq[QueryDef] = Seq(r2TipInspect)
+  def defs: Seq[QueryDef] = Seq(r2TipInspect, r2TipComposer)
 
   private def withCtes(sql: String) =
     Some(s"WITH ${Accounting.sqlDomainCtes}, $sql")
@@ -119,72 +130,265 @@ object TipInspect extends QueryModule {
     sand.unionByName(arb).unionByName(liq)
   }
 
+  /** The reference tip executor's FULL per-block composition
+    * (`processors/mev.rs:34-58` runs `run_block_inspection` over the whole
+    * inspector set, then the composer): all seven J10 candidate surfaces
+    * built from the slice, the J12 metadata join (searcher labels +
+    * per-block builder identity, broadcast per micro-batch — the
+    * `shared/metadata_loader.rs:41-98` analog), the two-layer composer
+    * dedup, and the A4 MevBlock rollup. The dedup scope is PER ANCHOR
+    * BLOCK, exactly the reference's: the tip composer dedups the bundles
+    * of the block being processed against each other (composer/mod.rs:
+    * 190-232 runs inside one `run_block_inspection`), never against a
+    * prior block's already-emitted bundles — which is also what makes a
+    * micro-batch's composition equal the batch formulation restricted to
+    * its own blocks. Spark-side the scope is carried by prefixing every
+    * (bundle, tx) edge key with the bundle's anchor block, so the
+    * tx-equi-keyed [[InspectorOps.matrixCrossKills]] machinery is reused
+    * verbatim.
+    *
+    * Output rows (one frame, three kinds, all anchored at
+    * block ≥ `minOwnBlock`):
+    *   kind='bundle'     — each SURVIVING composed bundle
+    *                       (block, mev_type, bid, profit, n_txs)
+    *   kind='type_count' — per (block, mev_type) raw vs post-dedup counts
+    *   kind='mev_block'  — the A4 rollup: builder, tx count, exact-decimal
+    *                       gas/profit sums (q9_mev_block's header shape)
+    */
+  private[graft] def composedMevOf(s: SparkSession, tracesDf: DataFrame,
+      minOwnBlock: Long): DataFrame = {
+    val nullStr = lit(null).cast("string")
+    val nullD = lit(null).cast("double")
+    val nullL = lit(null).cast("long")
+    val acts = ChainFixture.actionsOf(s, tracesDf)
+    val hdr = Accounting.headersOf(s, tracesDf, acts)
+    val hdrK = hdr.select(col("tx_hash").as("h_tx"),
+      col("profit_usd"), col("eoa").as("h_eoa"),
+      col("block_number").as("h_block"))
+    val sw = InspectorOps.swapsOf(acts)
+    val swTx = InspectorOps.swTxFromSwaps(sw)
+
+    // the seven candidate surfaces — the j10_bundle_dedup formulations,
+    // each keeping its ANCHOR block (`blk`)
+    val sand = InspectorOps.sandwichesOf(swTx).select(
+      col("back_block").as("blk"),
+      concat(col("front_tx"), lit("|"), col("back_tx"), lit("|"), col("pool"))
+        .as("bid"),
+      lit("sandwich").as("mev_type"),
+      (col("back_out") - col("sum_in")).as("profit"),
+      array(col("front_tx"), col("back_tx")).as("txs"),
+      nullStr.as("arb_type"), lit(false).as("labeled")).distinct()
+    val jitp = InspectorOps.jitPairsOf(acts)
+    val jit = jitp.select(
+      col("block_number").as("blk"),
+      concat(col("tx_hash"), lit("|"), col("burn_tx"), lit("|"), col("pool"))
+        .as("bid"),
+      lit("jit").as("mev_type"), lit(0.0).as("profit"),
+      array(col("tx_hash"), col("burn_tx")).as("txs"),
+      nullStr.as("arb_type"), lit(false).as("labeled")).distinct()
+    val liq = acts.filter(col("action_type") === "liquidation")
+      .select("tx_hash").distinct()
+      .join(hdrK, col("tx_hash") === col("h_tx"))
+      .select(col("h_block").as("blk"), col("tx_hash").as("bid"),
+        lit("liquidation").as("mev_type"), lit(0.0).as("profit"),
+        array(col("tx_hash")).as("txs"),
+        nullStr.as("arb_type"), lit(false).as("labeled"))
+    val arb = InspectorOps.arbsOf(sw)
+      .join(hdrK, col("tx_hash") === col("h_tx"))
+      .select(col("h_block").as("blk"), col("tx_hash").as("bid"),
+        lit("arb").as("mev_type"), col("profit_usd").as("profit"),
+        array(col("tx_hash")).as("txs"), col("arb_type"),
+        lit(false).as("labeled"))
+    // CEX-DEX candidates through the J12 metadata join: lone-swap txs
+    // priced by the header, searcher-labeled via the broadcast dimension
+    val cexdexBase = sw.groupBy("tx_hash")
+      .agg(count(lit(1)).as("n_sw")).filter(col("n_sw") === 1)
+      .join(hdrK, col("tx_hash") === col("h_tx"))
+      .join(broadcast(ChainFixture.searchers(s)),
+        col("h_eoa") === col("s_eoa"), "left")
+    val cexdex = cexdexBase.select(col("h_block").as("blk"),
+      col("tx_hash").as("bid"), lit("cexdex").as("mev_type"),
+      col("profit_usd").as("profit"), array(col("tx_hash")).as("txs"),
+      nullStr.as("arb_type"), col("s_eoa").isNotNull.as("labeled"))
+    val jsw = InspectorOps.bracketsOf(swTx)
+      .select(col("back_block"), col("eoa"), col("front_tx"), col("back_tx"),
+        (col("back_out") - col("sum_in")).as("b_profit"))
+      .join(jitp.select(col("block_number").as("j_block"),
+        col("eoa").as("j_eoa"), col("tx_hash").as("mint_tx"), col("burn_tx")),
+        col("back_block") === col("j_block") && col("eoa") === col("j_eoa"))
+      .select(col("back_block").as("blk"),
+        concat(col("front_tx"), lit("|"), col("back_tx"), lit("|"),
+          col("mint_tx"), lit("|"), col("burn_tx")).as("bid"),
+        lit("jit_sandwich").as("mev_type"), col("b_profit").as("profit"),
+        array(col("front_tx"), col("back_tx"), col("mint_tx"), col("burn_tx"))
+          .as("txs"),
+        nullStr.as("arb_type"), lit(false).as("labeled"))
+      .distinct()
+    val jcx = jitp.select(col("block_number").as("x_block"),
+        col("eoa").as("x_eoa"), col("tx_hash").as("mint_tx"), col("burn_tx"))
+      .join(cexdexBase.select(col("tx_hash").as("cx_tx"),
+        col("h_block"), col("h_eoa"), col("profit_usd")),
+        col("x_block") === col("h_block") && col("x_eoa") === col("h_eoa"))
+      .select(col("x_block").as("blk"),
+        concat(col("mint_tx"), lit("|"), col("burn_tx"), lit("|"), col("cx_tx"))
+          .as("bid"),
+        lit("jit_cexdex").as("mev_type"), col("profit_usd").as("profit"),
+        array(col("mint_tx"), col("burn_tx"), col("cx_tx")).as("txs"),
+        nullStr.as("arb_type"), lit(false).as("labeled"))
+      .distinct()
+
+    // eager cuts: the bundle table feeds three output arms and the edge
+    // frame six dedup branches — same discipline as j10's materialized
+    // pipeline intermediates, micro-batch-sized here
+    val bundles = sand.unionByName(jit).unionByName(liq).unionByName(arb)
+      .unionByName(cexdex).unionByName(jsw).unionByName(jcx)
+      .withColumn("bid", concat_ws("|", col("mev_type"), col("bid")))
+      .withColumn("n_txs", size(array_distinct(col("txs"))))
+      .localCheckpoint()
+    // scope every (bundle, tx) edge by the bundle's anchor block — the
+    // per-block composer scope — then reuse the tx-keyed kill machinery
+    val edges = bundles.select(col("bid"), col("mev_type"), col("blk"),
+        col("n_txs"), col("profit"), col("arb_type"), col("labeled"),
+        explode(array_distinct(col("txs"))).as("tx0"))
+      .withColumn("tx", concat_ws("|", col("blk"), col("tx0")))
+      .localCheckpoint()
+    val xrem = InspectorOps.matrixCrossKills(edges)
+    val surv = edges.join(xrem, Seq("bid"), "left_anti")
+    val other = surv.select(col("tx").as("o_tx"), col("mev_type").as("o_type"),
+      col("bid").as("o_bid"), col("n_txs").as("o_n"),
+      col("profit").as("o_profit"))
+    val wrem = surv
+      .join(other, col("tx") === col("o_tx") &&
+        col("mev_type") === col("o_type") && col("bid") =!= col("o_bid") &&
+        (col("o_n") > col("n_txs") ||
+          (col("o_n") === col("n_txs") &&
+            (col("o_profit") < col("profit") ||
+              (col("o_profit") === col("profit") && col("o_bid") < col("bid"))))),
+        "left_semi")
+      .select("bid").distinct()
+    val flagged = bundles
+      .join(xrem.withColumn("xr", lit(1)), Seq("bid"), "left")
+      .join(wrem.withColumn("wr", lit(1)), Seq("bid"), "left")
+      .filter(col("blk") >= minOwnBlock)
+
+    val bundleArm = flagged.filter(col("xr").isNull && col("wr").isNull)
+      .select(lit("bundle").as("kind"), col("blk").as("block_number"),
+        col("mev_type"), col("bid").as("key"),
+        col("profit").cast("double").as("d1"), nullD.as("d2"),
+        col("n_txs").cast("long").as("n1"), nullL.as("n2"))
+    val typeArm = flagged.groupBy(col("blk"), col("mev_type"))
+      .agg(sum(when(col("xr").isNull && col("wr").isNull, 1L).otherwise(0L))
+        .as("n_final"), count(lit(1)).as("n_raw"))
+      .select(lit("type_count").as("kind"), col("blk").as("block_number"),
+        col("mev_type"), nullStr.as("key"), nullD.as("d1"), nullD.as("d2"),
+        col("n_final").as("n1"), col("n_raw").as("n2"))
+    // A4: the MevBlock header row — builder identity is the deterministic
+    // per-block metadata dimension, computed inline like txGasOf's base fee
+    val blockArm = hdr.filter(col("block_number") >= minOwnBlock)
+      .groupBy("block_number")
+      .agg(count(lit(1)).as("n_txs"), dsum(col("gas_usd")).as("sum_gas"),
+        dsum(col("profit_usd")).as("sum_profit"))
+      .select(lit("mev_block").as("kind"), col("block_number"),
+        nullStr.as("mev_type"),
+        md5(concat(lit("builder:"),
+          col("block_number") % ChainFixture.NumBuilders)).as("key"),
+        col("sum_gas").as("d1"), col("sum_profit").as("d2"),
+        col("n_txs").as("n1"), nullL.as("n2"))
+
+    bundleArm.unionByName(typeArm).unionByName(blockArm)
+  }
+
   /** Tercile batch tag by block_number — the three-drop composition the
-    * other streamed entries share, computed from a one-row agg. */
+    * other streamed entries share. Cuts derive from (min, max) so a
+    * fixture whose block numbers don't start near 0 still splits into
+    * three real drops (ADVICE r14). */
   private def withTerciles(in: DataFrame): DataFrame = {
-    val mbRow = in.agg(max(col("block_number"))).head()
-    val mb = if (mbRow.isNullAt(0)) 0L else mbRow.getLong(0)
-    val (cut1, cut2) = (mb / 3, 2 * mb / 3)
+    val mm = in.agg(min(col("block_number")), max(col("block_number"))).head()
+    val (mn, mx) =
+      if (mm.isNullAt(0)) (0L, 0L) else (mm.getLong(0), mm.getLong(1))
+    val (cut1, cut2) = (mn + (mx - mn) / 3, mn + 2 * (mx - mn) / 3)
     in.withColumn("batch",
       when(col("block_number") <= cut1, 0L)
         .when(col("block_number") <= cut2, 1L).otherwise(2L))
   }
 
+  /** The shared three-drop streaming harness: writes tercile 0 as the
+    * initial source, starts a checkpointed file-source stream whose
+    * foreachBatch body (a) fails loudly on a missing predecessor tail,
+    * (b) carries the predecessor tail forward across an empty micro-batch,
+    * (c) unions the tail, runs `body` on the full slice with the batch's
+    * own-block bar, and (d) overwrites output and tail by batch id — then
+    * drops terciles 1 and 2 and returns the unioned output. */
+  private def runTipStream(s: SparkSession, dir: String, tag: String)(
+      body: (SparkSession, DataFrame, Long) => DataFrame): DataFrame = {
+    val batched = withTerciles(ChainFixture.tracesTable(s, dir))
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+    StreamOracle.deleteOnExit(tmp)
+    val (src, out, tail, ckpt) =
+      (s"$tmp/src", s"$tmp/out", s"$tmp/tail", s"$tmp/ckpt")
+    val data = batched.persist()
+    try {
+      val counts = data.groupBy("batch").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      require((0L to 2L).forall(counts.getOrElse(_, 0L) > 0),
+        s"tip stream: tercile drops must all be non-empty, got $counts")
+      data.filter(col("batch") === 0L).drop("batch")
+        .coalesce(1).write.parquet(src)
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", ShufflePartitions)
+      val stream = s2.readStream
+        .schema(data.drop("batch").schema).parquet(src)
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
+          val ss = b.sparkSession
+          val bp = b.persist()
+          try {
+            val prev = new java.io.File(s"$tail/batch=${batchId - 1}")
+            if (batchId > 0 && !prev.exists())
+              sys.error(s"tip stream: predecessor tail missing for batch " +
+                s"$batchId — refusing to inspect with a truncated window")
+            val mm = bp.agg(min(col("block_number")),
+              max(col("block_number"))).head()
+            if (mm.isNullAt(0)) {
+              // empty micro-batch: the window buffer must survive the gap
+              if (batchId > 0)
+                ss.read.parquet(prev.toString)
+                  .write.mode("overwrite").parquet(s"$tail/batch=$batchId")
+            } else {
+              val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+              // union the predecessor's tail so this batch's leading-edge
+              // 2-block windows are complete (multi_block_window buffer)
+              val full =
+                if (batchId > 0)
+                  ss.read.parquet(prev.toString).unionByName(bp)
+                else bp
+              body(ss, full, mn)
+                .write.mode("overwrite").parquet(s"$out/batch=$batchId")
+              // the tail for the NEXT batch: this batch's last block
+              full.filter(col("block_number") === mx)
+                .write.mode("overwrite").parquet(s"$tail/batch=$batchId")
+            }
+          } finally { bp.unpersist(false); () }
+        }
+        .start()
+      try {
+        q.processAllAvailable()
+        (1L to 2L).foreach { i =>
+          data.filter(col("batch") === i).drop("batch")
+            .coalesce(1).write.mode("append").parquet(src)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally { data.unpersist(false); () }
+    s.read.parquet(out).drop("batch")
+  }
+
   private val r2TipInspect = QueryDef(
     "r2_tip_inspect",
-    (s, dir) => {
-      val batched = withTerciles(ChainFixture.tracesTable(s, dir))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_r2tip").toString
-      StreamOracle.deleteOnExit(tmp)
-      val (src, out, tail, ckpt) =
-        (s"$tmp/src", s"$tmp/out", s"$tmp/tail", s"$tmp/ckpt")
-      val data = batched.persist()
-      try {
-        data.filter(col("batch") === 0L).drop("batch")
-          .coalesce(1).write.parquet(src)
-        val s2 = s.newSession()
-        s2.conf.set("spark.sql.shuffle.partitions", ShufflePartitions)
-        val stream = s2.readStream
-          .schema(data.drop("batch").schema).parquet(src)
-        val q = stream.writeStream
-          .outputMode(OutputMode.Append())
-          .option("checkpointLocation", ckpt)
-          .foreachBatch { (b: DataFrame, batchId: Long) =>
-            val ss = b.sparkSession
-            val bp = b.persist()
-            try {
-              val mm = bp.agg(min(col("block_number")),
-                max(col("block_number"))).head()
-              if (!mm.isNullAt(0)) {
-                val (mn, mx) = (mm.getLong(0), mm.getLong(1))
-                // union the predecessor's tail so this batch's leading-edge
-                // 2-block windows are complete (multi_block_window buffer)
-                val prev = new java.io.File(s"$tail/batch=${batchId - 1}")
-                val full =
-                  if (batchId > 0 && prev.exists())
-                    ss.read.parquet(prev.toString).unionByName(bp)
-                  else bp
-                inspectBundles(ss, full, mn)
-                  .write.mode("overwrite").parquet(s"$out/batch=$batchId")
-                // the tail for the NEXT batch: this batch's last block
-                full.filter(col("block_number") === mx)
-                  .write.mode("overwrite").parquet(s"$tail/batch=$batchId")
-              }
-            } finally { bp.unpersist(false); () }
-          }
-          .start()
-        try {
-          q.processAllAvailable()
-          (1L to 2L).foreach { i =>
-            data.filter(col("batch") === i).drop("batch")
-              .coalesce(1).write.mode("append").parquet(src)
-            q.processAllAvailable()
-          }
-        } finally q.stop()
-      } finally { data.unpersist(false); () }
-      s.read.parquet(out).drop("batch")
-        .orderBy("btype", "block_number", "tx1", "tx2", "pool")
-    },
+    (s, dir) => runTipStream(s, dir, "r2tip")(inspectBundles)
+      .orderBy("btype", "block_number", "tx1", "tx2", "pool"),
     withCtes(s"""${InspectorOps.sandwichOracleCtes},
       ${InspectorOps.arbOracleCtes},
       tipsearchers AS ${ChainFixture.searchersCteBody},
@@ -235,4 +439,120 @@ object TipInspect extends QueryModule {
         ${sqlGateFlag("revenue_usd - gas_usd", "priced")}
       FROM tipliq
       ORDER BY 1, 2, 3, 4, 5"""))
+
+  /** The full-composer tip entry: streamed classify → price → ALL seven
+    * candidate surfaces → J10 dedup → A4 rollup, per micro-batch, hash-
+    * matched against the batch composer formulation over all blocks. */
+  private val r2TipComposer = QueryDef(
+    "r2_tip_composer",
+    (s, dir) => runTipStream(s, dir, "r2cmp")(composedMevOf)
+      .orderBy("kind", "block_number", "mev_type", "key"),
+    withCtes(s"""${InspectorOps.composerOracleCtes},
+      tcsrch AS ${ChainFixture.searchersCteBody},
+      tccexd AS (
+        SELECT s.tx_hash, h.profit_usd, h.block_number, h.eoa,
+          (se.s_eoa IS NOT NULL) AS labeled
+        FROM (SELECT tx_hash FROM swaps GROUP BY 1 HAVING COUNT(*) = 1) s
+        JOIN header h ON s.tx_hash = h.tx_hash
+        LEFT JOIN tcsrch se ON h.eoa = se.s_eoa),
+      tcb AS MATERIALIZED (
+        SELECT mev_type || '|' || bid AS bid, mev_type, blk, profit, txs,
+          arb_type, labeled, len(list_distinct(txs)) AS n_txs FROM (
+          SELECT DISTINCT front_tx || '|' || back_tx || '|' || pool AS bid,
+            'sandwich' AS mev_type, back_block AS blk,
+            back_out - sum_in AS profit, [front_tx, back_tx] AS txs,
+            CAST(NULL AS VARCHAR) AS arb_type, FALSE AS labeled FROM sand
+          UNION ALL
+          SELECT DISTINCT tx_hash || '|' || burn_tx || '|' || pool,
+            'jit', block_number, 0.0e0, [tx_hash, burn_tx], NULL, FALSE
+          FROM jitp
+          UNION ALL
+          SELECT l.tx_hash, 'liquidation', h.block_number, 0.0e0,
+            [l.tx_hash], NULL, FALSE
+          FROM (SELECT DISTINCT tx_hash FROM actions
+                WHERE action_type = 'liquidation') l
+          JOIN header h ON l.tx_hash = h.tx_hash
+          UNION ALL
+          SELECT a.tx_hash, 'arb', h.block_number, h.profit_usd,
+            [a.tx_hash], a.arb_type, FALSE
+          FROM arb a JOIN header h ON a.tx_hash = h.tx_hash
+          UNION ALL
+          SELECT tx_hash, 'cexdex', block_number, profit_usd, [tx_hash],
+            NULL, labeled
+          FROM tccexd
+          UNION ALL
+          SELECT DISTINCT b.front_tx || '|' || b.back_tx || '|'
+              || j.tx_hash || '|' || j.burn_tx,
+            'jit_sandwich', b.back_block, b.back_out - b.sum_in,
+            [b.front_tx, b.back_tx, j.tx_hash, j.burn_tx], NULL, FALSE
+          FROM brkt b JOIN jitp j
+            ON b.back_block = j.block_number AND b.eoa = j.eoa
+          UNION ALL
+          SELECT DISTINCT j.tx_hash || '|' || j.burn_tx || '|' || c.tx_hash,
+            'jit_cexdex', j.block_number, c.profit_usd,
+            [j.tx_hash, j.burn_tx, c.tx_hash], NULL, FALSE
+          FROM jitp j JOIN tccexd c
+            ON j.block_number = c.block_number AND j.eoa = c.eoa)),
+      tce AS MATERIALIZED (
+        SELECT bid, mev_type, blk, n_txs, profit, arb_type, labeled,
+          CAST(blk AS VARCHAR) || '|' || utx AS tx
+        FROM (SELECT bid, mev_type, blk, n_txs, profit, arb_type, labeled,
+                UNNEST(list_distinct(txs)) AS utx
+              FROM tcb)),
+      tcmx AS (SELECT * FROM (VALUES ${InspectorOps.ComposerMatrix
+        .filterNot(p => p == ("arb", "cexdex") || p == ("cexdex", "arb"))
+        .map { case (d, x) => s"('$d','$x')" }.mkString(", ")})
+        t(dom_type, sub_type)),
+      tcur AS (
+        SELECT DISTINCT e.bid
+        FROM tce e JOIN tcmx ON e.mev_type = tcmx.sub_type
+        JOIN tce d ON d.tx = e.tx AND d.mev_type = tcmx.dom_type),
+      tce1 AS (
+        SELECT DISTINCT c.bid
+        FROM tce c JOIN tce a
+          ON c.mev_type = 'cexdex' AND a.mev_type = 'arb' AND a.tx = c.tx
+         AND a.arb_type <> 'triangle' AND a.profit > c.profit
+         AND NOT c.labeled),
+      tce2 AS (
+        SELECT DISTINCT a.bid
+        FROM tce a JOIN (
+            SELECT c.* FROM tce c LEFT JOIN tce1 k ON c.bid = k.bid
+            WHERE c.mev_type = 'cexdex' AND k.bid IS NULL) cs
+          ON a.mev_type = 'arb' AND a.tx = cs.tx),
+      tcx AS MATERIALIZED (
+        SELECT bid FROM tcur UNION SELECT bid FROM tce1
+        UNION SELECT bid FROM tce2),
+      tcs AS MATERIALIZED (
+        SELECT e.* FROM tce e LEFT JOIN tcx x ON e.bid = x.bid
+        WHERE x.bid IS NULL),
+      tcw AS (
+        SELECT DISTINCT e.bid FROM tcs e
+        JOIN tcs o ON e.tx = o.tx AND e.mev_type = o.mev_type
+          AND e.bid <> o.bid
+          AND (o.n_txs > e.n_txs OR (o.n_txs = e.n_txs
+            AND (o.profit < e.profit
+              OR (o.profit = e.profit AND o.bid < e.bid))))),
+      tcfin AS MATERIALIZED (
+        SELECT b.*, (x.bid IS NOT NULL) AS xk, (w.bid IS NOT NULL) AS wk
+        FROM tcb b
+        LEFT JOIN tcx x ON b.bid = x.bid
+        LEFT JOIN tcw w ON b.bid = w.bid)
+      SELECT 'bundle' AS kind, blk AS block_number, mev_type, bid AS key,
+        CAST(profit AS DOUBLE) AS d1, CAST(NULL AS DOUBLE) AS d2,
+        CAST(n_txs AS BIGINT) AS n1, CAST(NULL AS BIGINT) AS n2
+      FROM tcfin WHERE NOT xk AND NOT wk
+      UNION ALL
+      SELECT 'type_count', blk, mev_type, CAST(NULL AS VARCHAR),
+        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        CAST(SUM(CASE WHEN NOT xk AND NOT wk THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(COUNT(*) AS BIGINT)
+      FROM tcfin GROUP BY 2, 3
+      UNION ALL
+      SELECT 'mev_block', h.block_number, CAST(NULL AS VARCHAR),
+        b.beneficiary,
+        ${sqlSum("h.gas_usd")}, ${sqlSum("h.profit_usd")},
+        COUNT(*), CAST(NULL AS BIGINT)
+      FROM header h JOIN blocks b ON h.block_number = b.block_number
+      GROUP BY 2, 4
+      ORDER BY 1, 2, 3, 4"""))
 }

@@ -304,4 +304,29 @@ class StreamingSpec extends SparkTestBase {
     assert(sRows == bRows,
       s"streamed vs batch bundle mismatch: ${sRows.size} vs ${bRows.size} rows")
   }
+
+  test("R2 tip-mode FULL composition equals the batch composer on the same blocks") {
+    // the full-composer equivalence: the streamed three-drop run of all
+    // seven candidate surfaces + J10 dedup + A4 rollup emits EXACTLY the
+    // rows the batch formulation computes over all blocks at once (the
+    // per-anchor-block dedup scope is what makes this equality hold — a
+    // micro-batch composes each of its own blocks with the full window
+    // carried by the tail table). DuckDB re-checks this in CORRECTNESS.
+    val streamed = SparkEntry.queries("r2_tip_composer")(spark, SfDir)
+    val batch = graft.streaming.TipInspect
+      .composedMevOf(spark, graft.domain.ChainFixture.tracesTable(spark, SfDir), 0L)
+      .orderBy("kind", "block_number", "mev_type", "key")
+    val (sRows, bRows) = (streamed.collect().toSeq, batch.collect().toSeq)
+    assert(sRows.count(_.getString(0) == "bundle") > 0,
+      "streamed composition must emit surviving bundles")
+    assert(sRows.count(_.getString(0) == "mev_block") > 0,
+      "streamed composition must emit MevBlock rollup rows")
+    // at least one bundle must have been composed away for the dedup
+    // layers to be exercised end-to-end
+    val killed = sRows.filter(_.getString(0) == "type_count")
+      .map(r => r.getLong(7) - r.getLong(6)).sum
+    assert(killed > 0, "composer dedup must remove at least one bundle")
+    assert(sRows == bRows,
+      s"streamed vs batch composition mismatch: ${sRows.size} vs ${bRows.size} rows")
+  }
 }
