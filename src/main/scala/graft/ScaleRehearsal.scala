@@ -160,6 +160,8 @@ object ScaleRehearsal {
     if (mode == "skewdom") { runSkewDomain(spark); runSkewDomainJit(spark) }
     if (mode == "skewjit") runSkewDomainJit(spark)
     if (mode == "cluster") runClusterBranch(spark)
+    if (mode == "clusterxl") runClusterCrossover(spark,
+      args.drop(1).headOption.map(_.toInt).getOrElse(300000))
     if (mode == "bigmacprof") runBigmacProfile(spark)
     spark.stop()
   }
@@ -226,6 +228,57 @@ object ScaleRehearsal {
     println(s"""{"metric":"cluster_branch","edges":$nEdges,""" +
       f""""driver_s":$tDriver%.3f,"distributed_s":$tDist%.3f,""" +
       s""""clusters":${driverRows.size},"parity":$parity}""")
+  }
+
+  /** Past-the-gate crossover probe (VERDICT r14 #3): the sf1 corpus tops
+    * out at ~7.4k LSH edges (the fixture's copy-tagged words keep the
+    * near-dup RATE constant by design, so edges grow linearly with copies
+    * — reaching 1M real edges would need ~1350 copies ≈ 135 GB under
+    * /tmp), so the >1M-edge regime is driven on a SYNTHESIZED edge frame
+    * with realistic component structure instead: `nClusters` components of
+    * 3-15 nodes (two-level trees, diameter ≤ 4 — LSH near-dup groups are
+    * shallow), ~8 edges each ⇒ ≥ 2.4M edges at the default. Both branches
+    * cluster the SAME localCheckpointed frame; outputs asserted
+    * row-identical; wall-clocks reported. This measures the cutover claim
+    * itself: where the driver's collect + single-threaded union-find
+    * stops winning against the per-round join latency that the
+    * distributed min-label propagation amortizes. */
+  def runClusterCrossover(spark: SparkSession, nClusters: Int): Unit = {
+    import graft.queries.DedupOps
+    // component c occupies ids [c*64, c*64+15]: node 0 is the hub, members
+    // 1-3 attach to the hub, members 4+ attach to (k % 3) + 1 — depth 2
+    val edges = spark.range(nClusters.toLong).select(col("id").as("c"))
+      .select(col("c"),
+        explode(sequence(lit(1), (col("c") % 13 + 2).cast("int"))).as("k"))
+      .select(
+        (col("c") * 64 + when(col("k") <= 3, 0)
+          .otherwise(pmod(col("k"), lit(3)) + 1)).as("doc_a"),
+        (col("c") * 64 + col("k")).as("doc_b"))
+      .localCheckpoint(true)
+    val nEdges = edges.count()
+    def pass(gate: String): (Double, Long) = {
+      spark.conf.set("spark.graft.dedup.edgeGate", gate)
+      try {
+        val t0 = System.nanoTime()
+        // the probe consumes the cluster table and keeps only a checksum —
+        // collecting 300k cluster rows per pass would time the collect
+        val chk = DedupOps.clusterEdgesProbe(spark, edges)
+          .agg(sum(col("cluster_rep")), sum(col("n_members")), count(lit(1)))
+          .head()
+        ((System.nanoTime() - t0) / 1e9,
+          chk.getLong(0) * 31 + chk.getLong(1) * 7 + chk.getLong(2))
+      } finally spark.conf.unset("spark.graft.dedup.edgeGate")
+    }
+    pass("0"); pass(Long.MaxValue.toString) // warm both branches
+    val (tDist, distChk) = pass("0")
+    val (tDriver, driverChk) = pass(Long.MaxValue.toString)
+    val parity = distChk == driverChk
+    assert(parity, s"crossover parity FAILED: $distChk vs $driverChk")
+    println(f"[clusterxl] edges $nEdges  driver $tDriver%.2fs  " +
+      f"distributed $tDist%.2fs  parity $parity")
+    println(s"""{"metric":"cluster_crossover","edges":$nEdges,""" +
+      f""""driver_s":$tDriver%.3f,"distributed_s":$tDist%.3f,""" +
+      s""""clusters":$nClusters,"parity":$parity}""")
   }
 
   private def keySpan(s: SparkSession): Long = {

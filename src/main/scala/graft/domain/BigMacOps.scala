@@ -497,10 +497,18 @@ object BigMacOps extends QueryModule {
       val legsPos = pos.join(tf.select(col("block_number"), col("tx_idx"),
           col("token").as("vtok"), col("t_from"), col("t_to")),
         Seq("block_number", "tx_idx"))
-      val windows = ranges
+      // the (g, j) window set generated DIRECTLY from the segment bound:
+      // (g, j) appears for some range (i, j) iff ∃ i ≤ g with
+      // (i−1) + (m−j) ≤ ShrinkRounds, and i = 1 always qualifies, so the
+      // set is exactly {1 ≤ g ≤ j, m − ShrinkRounds ≤ j ≤ m}. Enumerating
+      // it from `segs` (r14 VERDICT's named lever) replaces the previous
+      // shape — re-deriving the (i, j) enumeration, tripling it by g and
+      // DISTINCT-ing the fan-out — with two explodes and no shuffle.
+      val windows = segs
+        .select(segKeys.map(col) :+ explode(sequence(
+          greatest(lit(1), col("m") - ShrinkRounds), col("m"))).as("j"): _*)
         .select(segKeys.map(col) ++ Seq(col("j"),
-          explode(sequence(col("i"), col("j"))).as("g")): _*)
-        .distinct()
+          explode(sequence(lit(1), col("j"))).as("g")): _*)
       val winLegs = windows.join(legsPos, segKeys)
         .filter(col("pos").between(col("g") + 1, col("j") + 1))
       notBlacklisted(inferPools(winLegs, segKeys ++ Seq("g", "j")), "addr")

@@ -87,6 +87,80 @@ object CensusOps extends graft.QueryModule {
   private def tagCol(tags: Seq[String], idx: Column) =
     element_at(array(tags.map(lit): _*), (idx + 1).cast("int"))
 
+  /** ONE curve census family = its naming triple, rotating tag list,
+    * trace-slice predicate (selector + optional burn sub-residue), and
+    * the PLANTED-value predictions for the rollup's a/b columns — the
+    * [[MiscSite]] discipline applied to the curve side (VERDICT r14 #6):
+    * the SAME table generates the Spark naming, the DuckDB oracle arms
+    * ([[curveSql]]) and the DomainSpec prediction frame
+    * ([[curveExpected]]), so a layout fix landing on one side only
+    * cannot pass. `aSql`/`bSql` are engine-portable over (q6l, p2l)
+    * except integer division, spelled `{div}` and rendered per dialect. */
+  private final case class CurveFam(key: String, family: String, body: String,
+      tags: Seq[String], sel: String, burnRes: Option[Int],
+      aSql: String, bSql: String)
+
+  private def renderSql(s: String, duck: Boolean): String =
+    s.replace("{div}", if (duck) "//" else "div")
+
+  private val CurveFams: Seq[CurveFam] = Seq(
+    CurveFam("cse", "curve_swaps", "exchange_words", ExchangeTags,
+      SelCurveSwap, None, "q6l", "p2l"),
+    CurveFam("csa", "curve_mints", "add_liquidity", AddTags,
+      SelMint, None, "q6l * 2 + 1000000", "q6l * 2 + p2l"),
+    CurveFam("csr", "curve_burns", "remove_liquidity", RemoveTags,
+      SelBurn, Some(0), "q6l * 2 + 5", "q6l + p2l"),
+    CurveFam("cso", "curve_burns", "one_coin", OneCoinTags,
+      SelBurn, Some(1), "q6l", "q6l - q6l {div} 100"),
+    CurveFam("csi", "curve_burns", "add_liquidity", ImbalanceTags,
+      SelBurn, Some(2), "q6l * 2 + 1000000", "q6l * 2 + p2l"))
+
+  private def curveFam(key: String): CurveFam =
+    CurveFams.find(_.key == key).get
+  private def curveName(cf: CurveFam): Seq[Column] = Seq(
+    lit(cf.family).as("family"),
+    tagCol(cf.tags, (col("q6l") + col("p2l")) % cf.tags.size).as("tag"),
+    lit(cf.body).as("body"))
+
+  /** The shared-spec PREDICTION of the curve rollup (every site all-ok,
+    * a/b from the planted formulas) — DomainSpec asserts the real decode
+    * walks reproduce it row-for-row. */
+  private[graft] def curveExpected(s: SparkSession, dir: String): DataFrame =
+    rollup(CurveFams.map { cf =>
+      val base = tracesTable(s, dir).filter(col("selector") === cf.sel)
+        .withColumn("q6l", col("q6").cast("long"))
+        .withColumn("p2l", col("p2").cast("long"))
+      cf.burnRes.fold(base)(r => base.filter(pmod(col("p2l"), lit(3)) === r))
+        .select(curveName(cf) ++ Seq(lit(true).as("ok"),
+          expr(renderSql(cf.aSql, duck = false)).cast("long").as("a"),
+          expr(renderSql(cf.bSql, duck = false)).cast("long").as("b")): _*)
+    })
+
+  /** [[curveSpark]] exposed for the DomainSpec spec-parity assert. */
+  private[graft] def curveDecoded(s: SparkSession, dir: String): DataFrame =
+    curveSpark(s, dir)
+
+  /** The curve oracle, GENERATED from [[CurveFams]] — one arm per family,
+    * unioned into the shared rollup. */
+  private def curveSql: String = {
+    val arms = CurveFams.map { cf =>
+      val pred = s"selector = '${cf.sel}'" +
+        cf.burnRes.fold("")(r => s" AND CAST(p2 AS BIGINT) % 3 = $r")
+      s"""${cf.key} AS (
+        SELECT '${cf.family}' AS family,
+          ${sqlTagList(cf.tags)}[(q6l + p2l) % ${cf.tags.size} + 1] AS tag,
+          '${cf.body}' AS body,
+          ${renderSql(cf.aSql, duck = true)} AS a,
+          ${renderSql(cf.bSql, duck = true)} AS b
+        FROM (SELECT CAST(q6 AS BIGINT) AS q6l, CAST(p2 AS BIGINT) AS p2l
+              FROM trace WHERE $pred))"""
+    }
+    s""", ${arms.mkString(",\n      ")},
+      csu AS (${CurveFams.map(cf => s"SELECT * FROM ${cf.key}")
+        .mkString(" UNION ALL ")})
+      $RollupSql FROM csu GROUP BY 1, 2, 3 ORDER BY 1, 2"""
+  }
+
   /** C2 (curve census, 37 sites → 5 shared bodies): the curve swap/
     * mint/burn re-instantiations. Reference semantics pinned per family:
     *   - `exchange` (9 sites): one `(int128 i, int128 j, uint256 dx,
@@ -113,7 +187,10 @@ object CensusOps extends graft.QueryModule {
     */
   private val c2CensusCurve = QueryDef(
     "c2_census_curve",
-    (s, dir) => {
+    (s, dir) => curveSpark(s, dir),
+    withCtes(curveSql))
+
+  private def curveSpark(s: SparkSession, dir: String): DataFrame = {
       def slice(sel: String) = tracesTable(s, dir)
         .filter(col("selector") === sel)
         .withColumn("q6l", col("q6").cast("long"))
@@ -138,13 +215,11 @@ object CensusOps extends graft.QueryModule {
           .withColumn("j_dec", abi_int_word(col("calldata"), 1))
           .withColumn("dx_dec", abi_word(col("calldata"), 2))
           .withColumn("mindy_dec", abi_word(col("calldata"), 3))
-        t.select(lit("curve_swaps").as("family"),
-          tagCol(ExchangeTags, (col("q6l") + col("p2l")) % 9).as("tag"),
-          lit("exchange_words").as("body"),
+        t.select(curveName(curveFam("cse")) ++ Seq(
           (col("i_dec") === col("i_src") && col("j_dec") === col("j_src") &&
             col("dx_dec") === col("q6l") && col("mindy_dec") === col("p2l"))
             .as("ok"),
-          col("dx_dec").as("a"), col("mindy_dec").as("b"))
+          col("dx_dec").as("a"), col("mindy_dec").as("b")): _*)
       }
 
       def addGeom(t: DataFrame) = t
@@ -162,10 +237,9 @@ object CensusOps extends graft.QueryModule {
       // add_liquidity: 6 impl arms through the ported mint body
       val ad = {
         val d = RealAbiExtOps.curveAddLiquidityDecode(addGeom(base(SelMint)), 2)
-        d.select(lit("curve_mints").as("family"),
-          tagCol(AddTags, (col("q6l") + col("p2l")) % 6).as("tag"),
-          lit("add_liquidity").as("body"), addOk.as("ok"),
-          (col("amt_dec_0") + col("amt_dec_1")).as("a"), col("inv_dec").as("b"))
+        d.select(curveName(curveFam("csa")) ++ Seq(addOk.as("ok"),
+          (col("amt_dec_0") + col("amt_dec_1")).as("a"),
+          col("inv_dec").as("b")): _*)
       }
 
       // remove_liquidity: 6 arms; supply at word 2n pins the no-invariant tail
@@ -178,14 +252,12 @@ object CensusOps extends graft.QueryModule {
             word(col("p2l") % 1000), word((col("p2l") + 1) % 1000),
             word(col("q6l") + col("p2l")))))
         val d = RealAbiExtOps.curveRemoveLiquidityDecode(t, 2)
-        d.select(lit("curve_burns").as("family"),
-          tagCol(RemoveTags, (col("q6l") + col("p2l")) % 6).as("tag"),
-          lit("remove_liquidity").as("body"),
+        d.select(curveName(curveFam("csr")) ++ Seq(
           (col("provider") === pad(col("from_address")) &&
             col("cd_lp_dec") === col("p2l") &&
             col("supply_dec") === col("q6l") + col("p2l")).as("ok"),
           (col("amt_dec_0") + col("amt_dec_1")).as("a"),
-          col("supply_dec").as("b"))
+          col("supply_dec").as("b")): _*)
       }
 
       // one_coin: 7 arms incl. base2_lido, the signed-index body
@@ -197,13 +269,11 @@ object CensusOps extends graft.QueryModule {
           .withColumn("log_data", unhex(concat(
             word(col("q6l")), word(col("q6l") - expr("q6l div 100")))))
         val d = RealAbiExtOps.curveOneCoinDecode(t)
-        d.select(lit("curve_burns").as("family"),
-          tagCol(OneCoinTags, (col("q6l") + col("p2l")) % 7).as("tag"),
-          lit("one_coin").as("body"),
+        d.select(curveName(curveFam("cso")) ++ Seq(
           (col("provider") === pad(col("from_address")) &&
             col("i_dec") === col("i_src") &&
             col("cd_lp_dec") === col("p2l")).as("ok"),
-          col("tok_amt_dec").as("a"), col("coin_amt_dec").as("b"))
+          col("tok_amt_dec").as("a"), col("coin_amt_dec").as("b")): _*)
       }
 
       // imbalance: 9 arms through the ADD body (event geometry identity),
@@ -212,54 +282,15 @@ object CensusOps extends graft.QueryModule {
         val d = RealAbiExtOps.curveAddLiquidityDecode(
           addGeom(base(SelBurn).filter(col("p2l") % 3 === 2)), 2)
           .withColumn("pool_addr", col("from_address"))
-        d.select(lit("curve_burns").as("family"),
-          tagCol(ImbalanceTags, (col("q6l") + col("p2l")) % 9).as("tag"),
-          lit("add_liquidity").as("body"),
+        d.select(curveName(curveFam("csi")) ++ Seq(
           (addOk && col("pool_addr") === col("from_address")).as("ok"),
-          (col("amt_dec_0") + col("amt_dec_1")).as("a"), col("inv_dec").as("b"))
+          (col("amt_dec_0") + col("amt_dec_1")).as("a"),
+          col("inv_dec").as("b")): _*)
       }
 
       rollup(Seq(ex, ad, rm, oc, im))
       }
-    },
-    withCtes(s""", cse AS (
-        SELECT 'curve_swaps' AS family,
-          ${sqlTagList(ExchangeTags)}[(CAST(q6 AS BIGINT) + CAST(p2 AS BIGINT)) % 9 + 1] AS tag,
-          'exchange_words' AS body,
-          CAST(q6 AS BIGINT) AS a, CAST(p2 AS BIGINT) AS b
-        FROM trace WHERE selector = '$SelCurveSwap'),
-      csa AS (
-        SELECT 'curve_mints' AS family,
-          ${sqlTagList(AddTags)}[(CAST(q6 AS BIGINT) + CAST(p2 AS BIGINT)) % 6 + 1] AS tag,
-          'add_liquidity' AS body,
-          CAST(q6 AS BIGINT) * 2 + 1000000 AS a,
-          CAST(q6 AS BIGINT) * 2 + CAST(p2 AS BIGINT) AS b
-        FROM trace WHERE selector = '$SelMint'),
-      csr AS (
-        SELECT 'curve_burns' AS family,
-          ${sqlTagList(RemoveTags)}[(CAST(q6 AS BIGINT) + CAST(p2 AS BIGINT)) % 6 + 1] AS tag,
-          'remove_liquidity' AS body,
-          CAST(q6 AS BIGINT) * 2 + 5 AS a,
-          CAST(q6 AS BIGINT) + CAST(p2 AS BIGINT) AS b
-        FROM trace WHERE selector = '$SelBurn' AND CAST(p2 AS BIGINT) % 3 = 0),
-      cso AS (
-        SELECT 'curve_burns' AS family,
-          ${sqlTagList(OneCoinTags)}[(CAST(q6 AS BIGINT) + CAST(p2 AS BIGINT)) % 7 + 1] AS tag,
-          'one_coin' AS body,
-          CAST(q6 AS BIGINT) AS a,
-          CAST(q6 AS BIGINT) - CAST(q6 AS BIGINT) // 100 AS b
-        FROM trace WHERE selector = '$SelBurn' AND CAST(p2 AS BIGINT) % 3 = 1),
-      csi AS (
-        SELECT 'curve_burns' AS family,
-          ${sqlTagList(ImbalanceTags)}[(CAST(q6 AS BIGINT) + CAST(p2 AS BIGINT)) % 9 + 1] AS tag,
-          'add_liquidity' AS body,
-          CAST(q6 AS BIGINT) * 2 + 1000000 AS a,
-          CAST(q6 AS BIGINT) * 2 + CAST(p2 AS BIGINT) AS b
-        FROM trace WHERE selector = '$SelBurn' AND CAST(p2 AS BIGINT) % 3 = 2),
-      csu AS (SELECT * FROM cse UNION ALL SELECT * FROM csa
-        UNION ALL SELECT * FROM csr UNION ALL SELECT * FROM cso
-        UNION ALL SELECT * FROM csi)
-      $RollupSql FROM csu GROUP BY 1, 2, 3 ORDER BY 1, 2"""))
+  }
 
   private def sqlTagList(tags: Seq[String]): String =
     tags.map(t => s"'$t'").mkString("[", ", ", "]")

@@ -27,7 +27,139 @@ import org.apache.spark.sql.functions._
 object MultimodalOps extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(mmResize, mmFrameSample, mmAudioFeatures,
-    mmPixelDedup)
+    mmPixelDedup, mmPhashDedup)
+
+  /** One decoded image's perceptual-hash row. */
+  case class PhashRow(doc_id: Long, phash: String)
+
+  /** MM: NEAR-duplicate image dedup by perceptual hash — the multimodal
+    * twin of `d2_minhash_lsh` where [[mmPixelDedup]] is the twin of d1:
+    * a resized + re-encoded copy of an image has different bytes AND
+    * different decoded pixels, so neither byte- nor raster-hash grouping
+    * can see it; an aHash over a normalized downsample can. Every doc
+    * group of three (doc_id div 3) renders one 8×8 block pattern (bits
+    * md5-derived from the group id) at three container realities:
+    * variant 0 = 32×32 PNG original, variant 1 = the SAME picture
+    * resized to 64×48 and re-encoded as BMP, variant 2 = 48×64 PNG with
+    * a one-block artifact. The pipeline decodes the container bytes
+    * through the real `javax.imageio` codec, downsamples the DECODED
+    * raster by block-center sampling to 8×8, thresholds to a 64-bit
+    * aHash, then finds near-duplicates with the standard Hamming-LSH
+    * discipline: band the 64 bits into 4×16-bit keys, equi-join on
+    * (band, value) — NEVER an all-pairs product — and verify candidates
+    * at exact Hamming distance ≤ 4. The resized BMP copy lands at
+    * distance 0 from its original, the artifact variant at 1; distinct
+    * groups sit at ~32 bits and die in the verify stage (band collisions
+    * DO produce far candidates, so the verify arm is live).
+    *
+    * Scale shape: one row-local codec kernel, one explode(4) band join
+    * (bucket sizes bounded by group size + 16-bit-band collisions), the
+    * verify is per-candidate-pair. The oracle derives hashes from the
+    * generator's closed form (the mm_pixel_dedup discipline), so a
+    * decode/downsample/threshold that loses fidelity mismatches. */
+  private val mmPhashDedup = QueryDef(
+    "mm_phash_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val hashes = Tables.documents(s, dir)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { iter =>
+          javax.imageio.ImageIO.setUseCache(false)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          iter.map { id =>
+            val grp = id / 3
+            val v = (id % 3).toInt
+            // 64 ground-truth block bits, md5-derived per (group, cell);
+            // variant 2 carries a one-block artifact at cell 0
+            val bits = Array.tabulate(64) { idx =>
+              md.reset()
+              val hex = md.digest(s"ph:$grp:$idx".getBytes("UTF-8"))
+              val b = ((hex(0) >> 4) & 0xf) >= 8
+              if (v == 2 && idx == 0) !b else b
+            }
+            val (w, h) = v match {
+              case 0 => (32, 32)
+              case 1 => (64, 48) // resized + BMP re-encode
+              case _ => (48, 64) // resized + artifact
+            }
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val r0 = img.getRaster
+            var x = 0
+            while (x < w) {
+              var y = 0
+              while (y < h) {
+                val bit = bits((y * 8 / h) * 8 + (x * 8 / w))
+                r0.setSample(x, y, 0, if (bit) 220 else 20); y += 1
+              }
+              x += 1
+            }
+            val fmt = if (v == 1) "bmp" else "png"
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, fmt, baos)
+            // ── decode the container bytes, downsample the DECODED raster
+            //    by block-center sampling, threshold → 64-char aHash ──
+            val dec = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(baos.toByteArray))
+            val dr = dec.getRaster
+            val (dw, dh) = (dec.getWidth, dec.getHeight)
+            val sb = new java.lang.StringBuilder(64)
+            var j = 0
+            while (j < 8) {
+              var i = 0
+              while (i < 8) {
+                val sx = (2 * i + 1) * dw / 16
+                val sy = (2 * j + 1) * dh / 16
+                sb.append(if (dr.getSample(sx, sy, 0) > 120) '1' else '0')
+                i += 1
+              }
+              j += 1
+            }
+            PhashRow(id, sb.toString)
+          }
+        }
+      val bands = hashes.select(col("doc_id"), col("phash"),
+          explode(expr("transform(sequence(0, 3), b -> " +
+            "struct(b AS band, substring(phash, b * 16 + 1, 16) AS bval))"))
+            .as("bk"))
+        .select(col("doc_id"), col("phash"),
+          col("bk.band").as("band"), col("bk.bval").as("bval"))
+      val a = bands.select(col("band"), col("bval"),
+        col("doc_id").as("doc_a"), col("phash").as("h_a"))
+      val b = bands.select(col("band").as("band_b"), col("bval").as("bval_b"),
+        col("doc_id").as("doc_b"), col("phash").as("h_b"))
+      a.join(b, col("band") === col("band_b") && col("bval") === col("bval_b") &&
+          col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "h_a", "h_b").distinct()
+        .withColumn("hamming", expr("size(filter(sequence(1, 64), " +
+          "p -> substring(h_a, p, 1) <> substring(h_b, p, 1)))").cast("long"))
+        .filter(col("hamming") <= 4)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""WITH ph AS (
+        SELECT doc_id,
+          string_agg(CASE WHEN (CASE WHEN doc_id % 3 = 2 AND idx = 0
+              THEN NOT bit ELSE bit END) THEN '1' ELSE '0' END, ''
+            ORDER BY idx) AS phash
+        FROM (
+          SELECT d.doc_id, i.i AS idx,
+            substring(md5('ph:' || (d.doc_id // 3) || ':' || i.i), 1, 1) >= '8'
+              AS bit
+          FROM documents d, LATERAL unnest(generate_series(0, 63)) AS i(i))
+        GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, phash, b.b AS band,
+          substring(phash, b.b * 16 + 1, 16) AS bval
+        FROM ph, LATERAL unnest(generate_series(0, 3)) AS b(b)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          a.phash AS h_a, b.phash AS h_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, CAST(hamming(h_a, h_b) AS BIGINT) AS hamming
+      FROM cand WHERE hamming(h_a, h_b) <= 4
+      ORDER BY 1, 2"""))
 
   /** One decoded image's identity row: the md5 of its decoded pixel
     * array plus its container format. */

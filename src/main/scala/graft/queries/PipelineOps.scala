@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
 object PipelineOps extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(decontaminate, substringDedup, repetitionStats,
-    piiScrub, hashSplit, seqPacking, shuffleShard)
+    piiScrub, hashSplit, seqPacking, shuffleShard, decontaminateSpan)
 
   /** Word n-grams of length `n` as a portable column over `ws` (split
     * text). Fixture docs have ≥10 words, so `size(ws)-n+1 ≥ 1` always and
@@ -126,6 +126,126 @@ object PipelineOps extends QueryModule {
         CAST(COUNT(*) AS BIGINT) AS n_shared
       FROM gr a JOIN gr b ON a.gram = b.gram AND a.doc_id < b.doc_id
       GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY 1, 2"""))
+
+  /** T: exact-substring eval decontamination — the GPT-3/Llama-style
+    * policy: a training document is contaminated when it shares a long
+    * VERBATIM SPAN with the eval set (t_decontaminate's 4-gram overlap is
+    * the cheap screen; this is the span-level rule production pipelines
+    * actually remove on). Machinery reuses d10's stride-sampled gram
+    * discipline with the production asymmetry: the EVAL side (doc_id % 7,
+    * tiny, dimension-sized) indexes EVERY 8-gram start; the corpus side
+    * samples every 3rd start — so any shared run of ≥ 10 words contains a
+    * sampled train gram whose exact eval twin is indexed, regardless of
+    * phase. Boilerplate grams are document-frequency-capped (> 16 eval
+    * docs) before the join. Each anchor hit is then VERIFIED and
+    * ATTRIBUTED by extending the 8-gram match word-by-word in both
+    * directions over the two texts (first-mismatch via array_position
+    * over a comparison lambda — portable to DuckDB's list_position) to
+    * the maximal verbatim span; a pair is flagged only when the max span
+    * reaches 30 words (the fixture-scaled analog of GPT-3's 13-token rule
+    * — its 10-99-word docs overlap heavily by construction, and 30 sits
+    * inside the measured span distribution at every sf), so shorter
+    * matches stay clean and BOTH flag arms are live.
+    *
+    * Output grain (doc, eval_doc): anchor count, max span length, the max
+    * span's train-side start (min on ties), flagged. Scale shape: the
+    * eval gram index and eval texts are broadcast dimensions; the corpus
+    * side is one stride-sampled explode + hash join; span extension is
+    * per-candidate row-local lambda work — the corpus is never
+    * self-joined and never re-scanned per eval doc. */
+  private val decontaminateSpan = QueryDef(
+    "t_decontaminate_span",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("ws", split(col("text"), " "))
+      val ev = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id").as("e_doc"), col("ws").as("e_ws"))
+      val evg = ev.select(col("e_doc"),
+          explode(expr("sequence(1, size(e_ws) - 7)")).as("e_pos"),
+          expr("e_ws").as("e_ws"))
+        .withColumn("gram", expr("array_join(slice(e_ws, e_pos, 8), ' ')"))
+        .select("e_doc", "e_pos", "gram")
+      val capped = evg.groupBy("gram")
+        .agg(countDistinct(col("e_doc")).as("dfc"))
+        .filter(col("dfc") <= 16).select("gram")
+      val evg2 = evg.join(capped, "gram")
+      val tr = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .select(col("doc_id"), col("ws"))
+      val trg = tr.select(col("doc_id"), col("ws"),
+          explode(expr("filter(transform(sequence(1, size(ws) - 7), " +
+            "i -> IF((i - 1) % 3 = 0, i, NULL)), x -> x IS NOT NULL)"))
+            .as("pos"))
+        .withColumn("gram", expr("array_join(slice(ws, pos, 8), ' ')"))
+        .select("doc_id", "pos", "gram")
+      val anchors = trg.join(broadcast(evg2), "gram")
+        .select("doc_id", "pos", "e_doc", "e_pos")
+      def firstMismatch(k: String, cmp: String) =
+        s"IF($k < 1, 0, coalesce(nullif(array_position(" +
+          s"transform(sequence(1, $k), d -> $cmp), false), 0) - 1, $k))"
+      val ext = anchors.join(tr, "doc_id").join(broadcast(ev), "e_doc")
+        .withColumn("lm", expr(firstMismatch("least(pos, e_pos) - 1",
+          "element_at(ws, pos - d) = element_at(e_ws, e_pos - d)")))
+        .withColumn("rm", expr(firstMismatch(
+          "least(size(ws) - (pos + 7), size(e_ws) - (e_pos + 7))",
+          "element_at(ws, pos + 7 + d) = element_at(e_ws, e_pos + 7 + d)")))
+        .withColumn("span_len", lit(8) + col("lm") + col("rm"))
+        .withColumn("span_start", col("pos") - col("lm"))
+      val w = Window.partitionBy("doc_id", "e_doc")
+      ext.withColumn("mx", max(col("span_len")).over(w))
+        .withColumn("na", count(lit(1)).over(w))
+        .filter(col("span_len") === col("mx"))
+        .groupBy("doc_id", "e_doc")
+        .agg(first(col("na")).as("n_anchors"),
+          first(col("mx")).cast("long").as("max_span"),
+          min(col("span_start")).cast("long").as("span_start"))
+        .withColumn("flagged", (col("max_span") >= 30).cast("int"))
+        .orderBy("doc_id", "e_doc")
+    },
+    Some(s"""WITH $wCte,
+      sp_ev AS (SELECT doc_id AS e_doc, ws AS e_ws FROM w WHERE doc_id % 7 = 0),
+      sp_evg AS (
+        SELECT e_doc, i.i AS e_pos,
+          array_to_string(e_ws[i.i:i.i + 7], ' ') AS gram
+        FROM sp_ev, LATERAL unnest(generate_series(1, len(e_ws) - 7)) AS i(i)),
+      sp_cap AS (SELECT gram FROM sp_evg GROUP BY gram
+                 HAVING COUNT(DISTINCT e_doc) <= 16),
+      sp_evg2 AS (SELECT g.* FROM sp_evg g JOIN sp_cap USING (gram)),
+      sp_tr AS (SELECT doc_id, ws FROM w WHERE doc_id % 7 <> 0),
+      sp_trg AS (
+        SELECT doc_id, i.i AS pos,
+          array_to_string(ws[i.i:i.i + 7], ' ') AS gram
+        FROM sp_tr, LATERAL unnest(generate_series(1, len(ws) - 7)) AS i(i)
+        WHERE (i.i - 1) % 3 = 0),
+      sp_anchor AS (
+        SELECT t.doc_id, t.pos, e.e_doc, e.e_pos
+        FROM sp_trg t JOIN sp_evg2 e USING (gram)),
+      sp_ext AS (
+        SELECT doc_id, e_doc, pos, e_pos,
+          8 + lm + rm AS span_len, pos - lm AS span_start
+        FROM (
+          SELECT a.doc_id, a.e_doc, a.pos, a.e_pos,
+            COALESCE(NULLIF(list_position(list_transform(
+              generate_series(1, least(a.pos, a.e_pos) - 1),
+              d -> t.ws[a.pos - d] = v.e_ws[a.e_pos - d]), false), 0) - 1,
+              least(a.pos, a.e_pos) - 1) AS lm,
+            COALESCE(NULLIF(list_position(list_transform(
+              generate_series(1, least(len(t.ws) - (a.pos + 7),
+                len(v.e_ws) - (a.e_pos + 7))),
+              d -> t.ws[a.pos + 7 + d] = v.e_ws[a.e_pos + 7 + d]), false), 0) - 1,
+              least(len(t.ws) - (a.pos + 7), len(v.e_ws) - (a.e_pos + 7))) AS rm
+          FROM sp_anchor a
+          JOIN sp_tr t ON a.doc_id = t.doc_id
+          JOIN sp_ev v ON a.e_doc = v.e_doc)),
+      sp_win AS (
+        SELECT *, MAX(span_len) OVER (PARTITION BY doc_id, e_doc) AS mx,
+          COUNT(*) OVER (PARTITION BY doc_id, e_doc) AS na
+        FROM sp_ext)
+      SELECT doc_id, e_doc, CAST(MAX(na) AS BIGINT) AS n_anchors,
+        CAST(MAX(mx) AS BIGINT) AS max_span,
+        CAST(MIN(span_start) AS BIGINT) AS span_start,
+        CAST(CASE WHEN MAX(mx) >= 30 THEN 1 ELSE 0 END AS INTEGER) AS flagged
+      FROM sp_win WHERE span_len = mx
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   /** T: Gopher-style repetition quality — per-document duplicate-word
     * fraction, duplicate-bigram fraction, and top-bigram coverage

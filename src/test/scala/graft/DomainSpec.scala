@@ -160,4 +160,23 @@ class DomainSpec extends SparkTestBase {
       s"decode/spec divergence at: ${d.take(3).mkString("; ")}"
     })
   }
+
+  test("curve census decode walks equal the shared family-spec predictions") {
+    // the same single-source pairing on the curve side (VERDICT r14 #6):
+    // CurveFams generates BOTH the DuckDB oracle arms and this prediction
+    // frame; the real decode rollup must reproduce it row-for-row
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("family"), r.getAs[String]("tag"),
+        r.getAs[String]("body"), r.getAs[Long]("n_frames"),
+        r.getAs[Long]("n_ok"), r.getAs[Long]("sum_a"),
+        r.getAs[Long]("sum_b"))).toSeq.sorted
+    val decoded = rows(graft.domain.CensusOps.curveDecoded(spark, SfDir))
+    val predicted = rows(graft.domain.CensusOps.curveExpected(spark, SfDir))
+    assert(decoded.nonEmpty && decoded.size == 37,
+      s"expected all 37 curve sites, got ${decoded.size}")
+    assert(decoded == predicted, {
+      val d = decoded.zip(predicted).filter(p => p._1 != p._2)
+      s"decode/spec divergence at: ${d.take(3).mkString("; ")}"
+    })
+  }
 }
