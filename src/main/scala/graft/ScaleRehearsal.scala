@@ -87,7 +87,9 @@ object ScaleRehearsal {
     // round 14: the streamed end-to-end tip inspection and the two new
     // continuous-corpus passes
     "r2_tip_inspect", "d15_line_dedup", "t_decontaminate_incr",
-    "d16_incremental_url", "d17_stream_line_dedup")
+    "d16_incremental_url", "d17_stream_line_dedup",
+    // round 15: the full-composer tip stream and the two new corpus passes
+    "r2_tip_composer", "t_decontaminate_span", "mm_phash_dedup")
 
   /** sf10 probe (VERDICT r9 #8): the heaviest surfaces at 100× sf0.1 —
     * the 100×-claims check a 10× rehearsal can't make. The probe runs

@@ -502,4 +502,33 @@ class PlanSpec extends SparkTestBase {
     assert(!core.contains("BroadcastNestedLoopJoin"), core)
     assert(!core.contains("CartesianProduct"), core)
   }
+
+  test("r2 tip composer core: seven candidate surfaces, dedup, no cartesian") {
+    // the full-composer foreachBatch body — same discipline as the
+    // inspect core: every candidate build, both dedup layers, and the
+    // MevBlock rollup stay equi-keyed
+    val core = graft.streaming.TipInspect
+      .composedMevOf(spark, graft.domain.ChainFixture.tracesTable(spark, SfDir), 0L)
+      .queryExecution.executedPlan.toString
+    assert(!core.contains("BroadcastNestedLoopJoin"), core)
+    assert(!core.contains("CartesianProduct"), core)
+  }
+
+  test("mm_phash_dedup pairs via the banded equi-join, never all-pairs") {
+    // the Hamming-LSH discipline: candidates come from a (band, value)
+    // hash join; a nested loop or cartesian would pair every image
+    // against every image
+    val p = plan("mm_phash_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t_decontaminate_span stays gram-keyed with broadcast eval sides") {
+    // the eval gram index and eval texts are dimension-sized broadcasts;
+    // the corpus side joins by gram hash — never a corpus scan per pair
+    val p = plan("t_decontaminate_span")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
 }
