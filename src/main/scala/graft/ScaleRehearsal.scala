@@ -126,7 +126,11 @@ object ScaleRehearsal {
     // round 14: line-level dedup — the byte-exact surviving-text rebuild
     // rides one line-hash groupBy + a broadcast dup join; the 100× row
     // checks the rebuild rollup stays linear
-    "d15_line_dedup")
+    "d15_line_dedup",
+    // round 15: the mergeable quantile sketch (cells stay sketch-sized
+    // while the corpus grows 100×) and the PageRank power iteration
+    // (3 edge⋈rank shuffles over a 100×-node graph)
+    "sk5_quantile_sketch", "g7_pagerank")
   val Sf10Dir = "/tmp/graft_sf10"
 
   /** Skew probe: the user-partitioned event analytics (funnel, cohorts,

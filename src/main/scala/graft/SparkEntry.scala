@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
   *   - [[queries.PipelineOps]]   decontamination/repetition/PII/splits/packing
   *   - [[queries.QualityOps]]    LM perplexity, DSIR, BPE, LR classifier,
   *     mixing, chunking, JSONL, sampling, Zipf, dataset card, DP release
-  *   - [[queries.SketchOps]]     KMV distinct, Bloom membership
+  *   - [[queries.SketchOps]]     KMV/HLL distinct, Bloom, CMS, quantiles
   *   - [[queries.RetrievalOps]]  BM25, hybrid RRF
+  *   - [[queries.GraphRankOps]]  PageRank authority ranking
   *   - domain modules (Classify/Indirect/Inspector/Pricing/Cex/Fidelity/
   *     Accounting over [[domain.ChainFixture]]) — the reference pipeline
   *   - [[streaming.StreamOracle]] / [[streaming.TipStream]] — streamed
@@ -30,7 +31,7 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   val modules: Seq[QueryModule] =
-    Seq(Relational, EventOps, TextOps, MultimodalOps, DedupOps, SimilarityOps, PipelineOps, QualityOps, SketchOps, RetrievalOps, CorpusOps, ClassifyOps,
+    Seq(Relational, EventOps, TextOps, MultimodalOps, DedupOps, SimilarityOps, PipelineOps, QualityOps, SketchOps, RetrievalOps, GraphRankOps, CorpusOps, ClassifyOps,
       AbiBreadthOps, IndirectOps, RealAbiOps, RealAbiExtOps, RealAbiSwapOps, RealAbiZeroXOps, CensusOps, InspectorOps, BigMacOps, PricingOps, CexOps, MiscOps,
       FidelityOps, streaming.StreamOracle, streaming.TipInspect)
 

@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
   */
 object SketchOps extends QueryModule {
 
-  def defs: Seq[QueryDef] = Seq(kmvDistinct, bloomFilter, hllDistinct, cmsHeavyHitters)
+  def defs: Seq[QueryDef] =
+    Seq(kmvDistinct, bloomFilter, hllDistinct, cmsHeavyHitters, quantileSketch)
 
   /** Integer value of md5 hex chars [from, from+n) of column `h` — the
     * engine-portable uniform hash both sketches draw bits from. */
@@ -271,6 +272,100 @@ object SketchOps extends QueryModule {
       JOIN cells cl ON cl.ri = p.ri AND cl.c = p.c
       GROUP BY 1, 2 ORDER BY p.exact_cnt DESC, p.word ASC"""
     })
+
+  // Quantile-sketch geometry: log-linear buckets, 16 linear sub-buckets per
+  // power of two — relative error ≤ 1/16 by construction, like
+  // HdrHistogram / DDSketch but in PURE INTEGER arithmetic (bit length +
+  // shifts + integer division), so bucket indices are bit-identical across
+  // engines where a float-log binning would hinge on libm rounding.
+  private val QSub = 16
+
+  /** SK5: mergeable quantile sketch (the HdrHistogram/DDSketch family —
+    * Dunning & Ertl's motivation, integer-binned like HdrHistogram): per
+    * source, histogram the document length into log-linear buckets
+    * (bucket = (bitlen−1)·16 + 16·(x−2^(bitlen−1))/2^(bitlen−1)), then read
+    * p50/p90/p99 off the cumulative counts. The sketch is a ~200-cell count
+    * table built by ONE map-side-combinable groupBy — partials merge by
+    * cell-wise addition, which is what replaces the full sort a percentile
+    * needs at 100 TB. Quantile ranks use integer ceil ((n·p+99) div 100) —
+    * no float crosses an engine boundary anywhere in the sketch. Reported
+    * against the exact rank-statistic with the relative error; the bucket
+    * lower bound is a one-sided under-estimate (est ≤ exact < est·(1+1/16)),
+    * asserted as a column. */
+  private val quantileSketch = QueryDef(
+    "sk5_quantile_sketch",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .filter(col("n_chars") > 0)
+        .select(col("source"), col("n_chars").cast("long").as("x"))
+      val cells = d
+        .withColumn("bl", length(bin(col("x"))))
+        .withColumn("base", expr("shiftleft(1L, bl - 1)"))
+        .withColumn("idx", (col("bl") - 1).cast("long") * QSub +
+          expr(s"((x - base) * $QSub) DIV base"))
+        .groupBy("source", "idx").agg(count(lit(1)).as("c"))
+      val cum = cells.withColumn("cum",
+        sum(col("c")).over(Window.partitionBy("source").orderBy("idx")))
+      val tgt = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("p", explode(array(lit(50L), lit(90L), lit(99L))))
+        .withColumn("r", expr("(n_docs * p + 99) DIV 100"))
+      // first bucket whose cumulative count reaches the target rank, then
+      // its integer lower bound; the cum table is sketch-sized → broadcast
+      val pick = tgt.join(broadcast(cum), Seq("source"))
+        .filter(col("cum") >= col("r"))
+        .groupBy("source", "p", "n_docs", "r").agg(min(col("idx")).as("idx"))
+        .withColumn("pbase", expr(s"shiftleft(1L, CAST(idx DIV $QSub AS INT))"))
+        .withColumn("est_q",
+          col("pbase") + expr(s"((idx % $QSub) * pbase) DIV $QSub"))
+      val ranked = d.withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("x").asc)))
+      val exact = tgt.join(ranked, Seq("source"))
+        .filter(col("rn") === col("r"))
+        .select(col("source"), col("p"), col("x").as("exact_q"))
+      pick.join(exact, Seq("source", "p"))
+        .select(col("source"), col("p"), col("n_docs"),
+          col("exact_q"), col("est_q"),
+          (col("est_q") <= col("exact_q")).as("one_sided_ok"),
+          ExactAgg.snap((col("exact_q") - col("est_q")).cast("double") /
+            col("exact_q")).as("rel_error"))
+        .orderBy("source", "p")
+    },
+    Some(s"""WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS x
+        FROM documents WHERE n_chars > 0),
+      ix AS (SELECT source,
+          CAST((length(bin(x)) - 1) * $QSub AS BIGINT)
+            + ((x - (CAST(1 AS BIGINT) << CAST(length(bin(x)) - 1 AS INTEGER)))
+               * $QSub)
+              // (CAST(1 AS BIGINT) << CAST(length(bin(x)) - 1 AS INTEGER))
+            AS idx
+        FROM d),
+      cells AS (SELECT source, idx, COUNT(*) AS c FROM ix GROUP BY 1, 2),
+      cum AS (SELECT source, idx,
+          SUM(c) OVER (PARTITION BY source ORDER BY idx) AS cum FROM cells),
+      tgt AS (SELECT source, n_docs, CAST(p AS BIGINT) AS p,
+          (n_docs * p + 99) // 100 AS r
+        FROM (SELECT source, COUNT(*) AS n_docs FROM d GROUP BY 1),
+          LATERAL unnest([50, 90, 99]) AS pp(p)),
+      pick0 AS (SELECT t.source, t.p, t.n_docs, t.r, MIN(c.idx) AS idx
+        FROM tgt t JOIN cum c ON c.source = t.source AND c.cum >= t.r
+        GROUP BY 1, 2, 3, 4),
+      pick AS (SELECT source, p, n_docs, r, idx,
+          (CAST(1 AS BIGINT) << CAST(idx // $QSub AS INTEGER))
+            + ((idx % $QSub)
+               * (CAST(1 AS BIGINT) << CAST(idx // $QSub AS INTEGER)))
+              // $QSub AS est_q
+        FROM pick0),
+      rk AS (SELECT source, x, ROW_NUMBER() OVER (
+          PARTITION BY source ORDER BY x ASC) AS rn FROM d),
+      ex AS (SELECT t.source, t.p, r.x AS exact_q
+        FROM tgt t JOIN rk r ON r.source = t.source AND r.rn = t.r)
+      SELECT p.source, p.p AS p, p.n_docs AS n_docs,
+        e.exact_q AS exact_q, p.est_q AS est_q,
+        p.est_q <= e.exact_q AS one_sided_ok,
+        ${ExactAgg.sqlSnap(
+          "CAST(e.exact_q - p.est_q AS DOUBLE) / e.exact_q")} AS rel_error
+      FROM pick p JOIN ex e ON e.source = p.source AND e.p = p.p
+      ORDER BY 1, 2"""))
 
   // Bloom geometry: m = 3840 bits (64 words x 60 bits — shifts stay below
   // the signed-64 overflow DuckDB rejects), j = 2 hash functions from

@@ -300,20 +300,6 @@ object TipInspect extends QueryModule {
     bundleArm.unionByName(typeArm).unionByName(blockArm)
   }
 
-  /** Tercile batch tag by block_number — the three-drop composition the
-    * other streamed entries share. Cuts derive from (min, max) so a
-    * fixture whose block numbers don't start near 0 still splits into
-    * three real drops (ADVICE r14). */
-  private def withTerciles(in: DataFrame): DataFrame = {
-    val mm = in.agg(min(col("block_number")), max(col("block_number"))).head()
-    val (mn, mx) =
-      if (mm.isNullAt(0)) (0L, 0L) else (mm.getLong(0), mm.getLong(1))
-    val (cut1, cut2) = (mn + (mx - mn) / 3, mn + 2 * (mx - mn) / 3)
-    in.withColumn("batch",
-      when(col("block_number") <= cut1, 0L)
-        .when(col("block_number") <= cut2, 1L).otherwise(2L))
-  }
-
   /** The shared three-drop streaming harness: writes tercile 0 as the
     * initial source, starts a checkpointed file-source stream whose
     * foreachBatch body (a) fails loudly on a missing predecessor tail,
@@ -321,25 +307,39 @@ object TipInspect extends QueryModule {
     * (c) unions the tail and calls `emit` with (session, full slice,
     * own-block bar, batch id) — the emitter owns its batch-id-overwrite
     * writes — and (d) overwrites the tail by batch id, then drops
-    * terciles 1 and 2. */
+    * terciles 1 and 2.
+    *
+    * Tercile cuts derive from (min, max) so a fixture whose block numbers
+    * don't start near 0 still splits into three real drops, and the
+    * non-empty-drops assertion shares ONE per-block rollup pass with the
+    * cut derivation (blocks are dimension-sized) instead of scanning the
+    * persisted source twice. */
   private def runTipStream(s: SparkSession, dir: String, tag: String)(
       emit: (SparkSession, DataFrame, Long, Long) => Unit): Unit = {
-    val batched = withTerciles(ChainFixture.tracesTable(s, dir))
     val tmp = java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
     StreamOracle.deleteOnExit(tmp)
     val (src, tail, ckpt) = (s"$tmp/src", s"$tmp/tail", s"$tmp/ckpt")
-    val data = batched.persist()
+    val data = ChainFixture.tracesTable(s, dir).persist()
     try {
-      val counts = data.groupBy("batch").count().collect()
+      val perBlock = data.groupBy("block_number").count().collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      require(perBlock.nonEmpty, "tip stream: source has no blocks")
+      val (mn0, mx0) = (perBlock.keys.min, perBlock.keys.max)
+      val (cut1, cut2) = (mn0 + (mx0 - mn0) / 3, mn0 + 2 * (mx0 - mn0) / 3)
+      def terOf(b: Long) = if (b <= cut1) 0L else if (b <= cut2) 1L else 2L
+      val counts = perBlock.groupMapReduce { case (b, _) => terOf(b) } {
+        case (_, c) => c }(_ + _)
       require((0L to 2L).forall(counts.getOrElse(_, 0L) > 0),
         s"tip stream: tercile drops must all be non-empty, got $counts")
-      data.filter(col("batch") === 0L).drop("batch")
+      val batched = data.withColumn("batch",
+        when(col("block_number") <= cut1, 0L)
+          .when(col("block_number") <= cut2, 1L).otherwise(2L))
+      batched.filter(col("batch") === 0L).drop("batch")
         .coalesce(1).write.parquet(src)
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", ShufflePartitions)
       val stream = s2.readStream
-        .schema(data.drop("batch").schema).parquet(src)
+        .schema(data.schema).parquet(src)
       val q = stream.writeStream
         .outputMode(OutputMode.Append())
         .option("checkpointLocation", ckpt)
@@ -377,7 +377,7 @@ object TipInspect extends QueryModule {
       try {
         q.processAllAvailable()
         (1L to 2L).foreach { i =>
-          data.filter(col("batch") === i).drop("batch")
+          batched.filter(col("batch") === i).drop("batch")
             .coalesce(1).write.mode("append").parquet(src)
           q.processAllAvailable()
         }

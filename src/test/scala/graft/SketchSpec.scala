@@ -35,4 +35,21 @@ class SketchSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("sk5 quantile estimates are one-sided within the 1/16 bucket width") {
+    val rows = run("sk5_quantile_sketch").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("one_sided_ok"),
+        s"bucket lower bound above the exact quantile: $r")
+      // log-linear geometry: bucket width / lower bound <= 1/16
+      assert(r.getAs[Double]("rel_error") <= 0.0625, s"bucket too wide: $r")
+    }
+  }
+
+  test("sk5 cumulative-count probe broadcasts the sketch, never cross-joins") {
+    val p = run("sk5_quantile_sketch").queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
