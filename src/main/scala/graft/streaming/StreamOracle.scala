@@ -30,7 +30,7 @@ object StreamOracle extends QueryModule {
   def defs: Seq[QueryDef] =
     Seq(r5StreamFold, r4StreamWindow, r5TickFold, r4LateData, s5WriteBehind,
       c3StreamDiscovery, d8StreamDedup, r8StreamJoin, r8OuterJoin,
-      d17StreamLineDedup)
+      d17StreamLineDedup, w9StreamSession)
 
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -920,5 +920,97 @@ object StreamOracle extends QueryModule {
         CAST(SUM(len(k.line)) AS BIGINT) AS sum_chars_kept,
         CAST(SUM(n.n_batches - 1) AS BIGINT) AS n_dup_batches_dropped
       FROM kept k JOIN nb n ON n.lh = k.lh
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** W9: STREAMING session windows — w2's gap sessionization as a stateful
+    * Structured Streaming aggregation via the built-in `session_window`
+    * (gap = 30 min, the w2 constant): events arrive as three time-tercile
+    * file drops, open sessions MERGE in state across micro-batch
+    * boundaries (the part a tumbling window can't express), and Append
+    * mode emits each session exactly once when the watermark passes its
+    * close. A far-future sentinel rides a 4th drop to push the watermark
+    * past every real session (its own session never finalizes, so it
+    * needs no filter — but one is kept for defense). The oracle is the
+    * batch gap-split with `session_window`'s exact boundary rule: a new
+    * session starts at gap >= 30 min (windows are half-open [t, t+gap),
+    * so an exactly-30-min gap separates) — deliberately NOT w2's > rule;
+    * the two entries pin both boundary semantics. Per-user rollup of the
+    * emitted sessions runs batch-side on the read-back. */
+  /** The w9 event slice: (user_id, event_id, epoch-µs). */
+  private[graft] def w9Events(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
+
+  /** The w9 drop boundaries: tercile points nudged FORWARD to the first
+    * in-session adjacent pair (same user, gap < 30 min) at or after each
+    * point, so at least one open session straddles each drop boundary and
+    * the cross-batch session MERGE is actually exercised (a plain tercile
+    * cut can fall in a corpus-wide quiet gap — it did at sf0.001).
+    * Falls back to the plain tercile when no pair lands in the third.
+    * The streamed RESULT is batching-invariant; only the exercised state
+    * path depends on the cuts. Both aggs are dimension-sized. */
+  private[graft] def w9Cuts(ev: DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val mm = ev.agg(min(col("us")), max(col("us"))).head()
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    val (t1, t2) = (mn + (mx - mn) / 3, mn + 2 * (mx - mn) / 3)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us").asc, col("event_id").asc)
+    val pairs = ev.withColumn("nxt", lead(col("us"), 1).over(w))
+      .filter(col("nxt").isNotNull &&
+        col("nxt") - col("us") < 1800000000L && col("nxt") < mx)
+      .select(col("us")).persist()
+    def cutAtOrAfter(t: Long, below: Long): Option[Long] =
+      pairs.filter(col("us") >= t && col("us") < below)
+        .agg(min(col("us"))).head() match {
+          case r if r.isNullAt(0) => None
+          case r => Some(r.getLong(0))
+        }
+    try {
+      val c1 = cutAtOrAfter(t1, t2).getOrElse(t1)
+      val c2 = cutAtOrAfter(math.max(t2, c1 + 1), mx).getOrElse(t2)
+      (c1, math.max(c2, c1 + 1))
+    } finally { pairs.unpersist(false); () }
+  }
+
+  private val w9StreamSession = QueryDef(
+    "w9_stream_session",
+    (s, dir) => {
+      val ev = w9Events(s, dir)
+      val mx = ev.agg(max(col("us"))).head().getLong(0)
+      val (cut1, cut2) = w9Cuts(ev)
+      // time-ordered drops: the watermark only ever advances, so no
+      // event is late — the entry verifies session MERGE across batches,
+      // not late-drop policy (r4_late_data owns that)
+      val batched = ev.withColumn("batch",
+        when(col("us") <= cut1, 0L).when(col("us") <= cut2, 1L).otherwise(2L))
+      val sentinel = s.range(1).select(lit(-1L).as("user_id"),
+        lit(-1L).as("event_id"),
+        lit(mx + 10L * 86400L * 1000000L).as("us"), lit(3L).as("batch"))
+      driveFold(s, batched.unionByName(sentinel), 4, "w9s") { (s2, stream) =>
+        stream
+          .withColumn("tsx", timestamp_micros(col("us")))
+          .withWatermark("tsx", "1 minute")
+          .groupBy(col("user_id"),
+            session_window(col("tsx"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("sn"))
+          .select(col("user_id"), col("sn"))
+      }
+        .filter(col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), max(col("sn")).as("max_session_n"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, COUNT(*) AS n_sessions, MAX(sn) AS max_session_n
+      FROM (SELECT user_id, session_id, COUNT(*) AS sn
+            FROM (SELECT user_id, SUM(is_new) OVER (
+                    PARTITION BY user_id ORDER BY us ASC, event_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                  FROM (SELECT user_id, event_id, epoch_us(ts) AS us,
+                          CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (
+                            PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)
+                            >= 1800000000 THEN 1 ELSE 0 END AS is_new
+                        FROM events))
+            GROUP BY 1, 2)
       GROUP BY 1 ORDER BY 1"""))
 }

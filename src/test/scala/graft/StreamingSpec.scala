@@ -329,4 +329,35 @@ class StreamingSpec extends SparkTestBase {
     assert(sRows == bRows,
       s"streamed vs batch composition mismatch: ${sRows.size} vs ${bRows.size} rows")
   }
+
+  test("W9 streamed session windows equal batch sessionization and merge across drops") {
+    import org.apache.spark.sql.functions._
+    val streamed = SparkEntry.queries("w9_stream_session")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    // batch replica of session_window's >= gap boundary: byGap splits at
+    // gap > g, so g-1 in integer micros is exactly gap >= 30 min
+    val ev = graft.streaming.StreamOracle.w9Events(spark, SfDir)
+    def rollup(keys: Seq[String]) = graft.ops.Sessionize
+      .byGap(ev, keys, "us", "event_id", 1799999999L)
+      .groupBy((keys :+ "session_id").map(col): _*).agg(count(lit(1)).as("sn"))
+    val batch = rollup(Seq("user_id"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), max(col("sn")).as("max_session_n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(streamed.toSeq == batch.toSeq,
+      s"streamed vs batch sessionization mismatch: ${streamed.length} vs ${batch.length}")
+    // the stream must have MERGED sessions across its drops: sessionizing
+    // each drop independently (same cuts as the query) yields strictly
+    // more sessions
+    val cuts = graft.streaming.StreamOracle.w9Cuts(ev)
+    val perDrop = graft.ops.Sessionize
+      .byGap(ev.withColumn("batch",
+        when(col("us") <= cuts._1, 0L).when(col("us") <= cuts._2, 1L)
+          .otherwise(2L)),
+        Seq("user_id", "batch"), "us", "event_id", 1799999999L)
+      .select("user_id", "batch", "session_id").distinct().count()
+    val merged = streamed.map(_._2).sum
+    assert(perDrop > merged,
+      s"no session spans a drop boundary — merge unexercised ($perDrop vs $merged)")
+  }
 }
