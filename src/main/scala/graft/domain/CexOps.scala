@@ -282,34 +282,45 @@ object CexOps extends QueryModule {
           expr(s"ts_us div $P3") - 1, expr(s"ts_us div $P3"), expr(s"ts_us div $P3") + 1)))
         .select(col("t_bucket"), col("pair_a").as("t_a"), col("pair_b").as("t_b"),
           col("ts_us").as("t_ts"), col("px"), col("amt"))
-      def pv(bound: Long) = dsum(when(abs(col("t_ts") - col("ts_us")) <= bound,
-        col("px") * col("amt")))
-      def v(bound: Long) = dsum(when(abs(col("t_ts") - col("ts_us")) <= bound,
-        col("amt")))
+      // BOTH legs aggregate in ONE pass at (swap, x) grain with
+      // leg-conditional sums: the old shape grouped at (swap, x, leg_no)
+      // and then self-joined leg 1 against leg 2 — Catalyst plans that as
+      // TWO full legs×trades joins (no exchange reuse across the branches)
+      // plus a sort-merge self-join. Per-leg sums range over exactly the
+      // same addends (leg_no partitions the joined rows), decimal-exact
+      // reduction is order-free, and a leg with no matched trades yields
+      // NULL sums → NULL vwam → filtered, exactly the rows the old inner
+      // self-join dropped. One join, one agg, zero self-joins.
+      def pvl(leg: Int, bound: Long) = dsum(when(col("leg_no") === leg &&
+        abs(col("t_ts") - col("ts_us")) <= bound, col("px") * col("amt")))
+      def vl(leg: Int, bound: Long) = dsum(when(col("leg_no") === leg &&
+        abs(col("t_ts") - col("ts_us")) <= bound, col("amt")))
       val legAgg = legs
         .withColumn("d_bucket", expr(s"ts_us div $P3"))
         .join(t, col("d_bucket") === col("t_bucket") &&
           col("l_a") === col("t_a") && col("l_b") === col("t_b") &&
           abs(col("t_ts") - col("ts_us")) <= P3)
-        .groupBy("block_number", "tx_hash", "trace_idx", "x", "leg_no")
+        .groupBy("block_number", "tx_hash", "trace_idx", "x")
         .agg(min(col("amount_in")).as("amount_in"),
-          pv(P1).as("pv1"), v(P1).as("v1"), pv(P2).as("pv2"), v(P2).as("v2"),
-          pv(P3).as("pv3"), v(P3).as("v3"))
+          pvl(1, P1).as("pv1"), vl(1, P1).as("v1"),
+          pvl(1, P2).as("pv2"), vl(1, P2).as("v2"),
+          pvl(1, P3).as("pv3"), vl(1, P3).as("v3"),
+          pvl(2, P1).as("pv1_2"), vl(2, P1).as("v1_2"),
+          pvl(2, P2).as("pv2_2"), vl(2, P2).as("v2_2"),
+          pvl(2, P3).as("pv3_2"), vl(2, P3).as("v3_2"))
       // phase pick = narrowest window whose volume covers the requirement
       def pick(req: org.apache.spark.sql.Column) =
         when(col("v1") >= req, col("pv1") / col("v1"))
           .when(col("v2") >= req, col("pv2") / col("v2"))
           .when(col("v3") >= req, col("pv3") / col("v3"))
-      val l1 = legAgg.filter(col("leg_no") === 1)
+      def pick2(req: org.apache.spark.sql.Column) =
+        when(col("v1_2") >= req, col("pv1_2") / col("v1_2"))
+          .when(col("v2_2") >= req, col("pv2_2") / col("v2_2"))
+          .when(col("v3_2") >= req, col("pv3_2") / col("v3_2"))
+      val priced = legAgg
         .withColumn("vwam1", pick(col("amount_in")))
         .filter(col("vwam1").isNotNull)
-        .select(col("block_number"), col("tx_hash"), col("trace_idx"), col("x"),
-          col("amount_in"), col("vwam1"))
-      val l2 = legAgg.filter(col("leg_no") === 2)
-        .select(col("block_number"), col("tx_hash"), col("trace_idx"), col("x"),
-          col("pv1"), col("v1"), col("pv2"), col("v2"), col("pv3"), col("v3"))
-      val priced = l1.join(l2, Seq("block_number", "tx_hash", "trace_idx", "x"))
-        .withColumn("vwam2", pick(col("amount_in") * col("vwam1")))
+        .withColumn("vwam2", pick2(col("amount_in") * col("vwam1")))
         .filter(col("vwam2").isNotNull)
         .withColumn("implied", col("vwam1") * col("vwam2"))
       val w = Window.partitionBy("block_number", "tx_hash", "trace_idx")
@@ -442,46 +453,52 @@ object CexOps extends QueryModule {
           expr(s"ts_us div $P3") - 1, expr(s"ts_us div $P3"), expr(s"ts_us div $P3") + 1)))
         .select(col("t_bucket"), col("pair_a").as("t_a"), col("pair_b").as("t_b"),
           col("ts_us").as("t_ts"), col("px"), col("amt"))
-      def pv(bound: Long) = dsum(when(abs(col("t_ts") - col("ts_us")) <= bound,
-        col("px") * col("amt")))
-      def v(bound: Long) = dsum(when(abs(col("t_ts") - col("ts_us")) <= bound,
-        col("amt")))
+      // ONE leg-conditional aggregation at (swap, x1, x2) grain replaces
+      // the (…, leg_no)-grain agg + two key-equi self-joins: the old plan
+      // recomputed the legs×trades join THREE times (l1/tail(2)/tail(3)
+      // branches share no exchange) and sort-merge-joined the results.
+      // Per-leg sums keep identical addends (leg_no partitions the joined
+      // rows; decimal reduction is order-free); a leg with no matched
+      // trades yields NULL sums → NULL vwam → filtered, matching the rows
+      // the old inner self-joins dropped. Same j4_intermediary fusion,
+      // one more leg.
+      def pvl(leg: Int, bound: Long) = dsum(when(col("leg_no") === leg &&
+        abs(col("t_ts") - col("ts_us")) <= bound, col("px") * col("amt")))
+      def vl(leg: Int, bound: Long) = dsum(when(col("leg_no") === leg &&
+        abs(col("t_ts") - col("ts_us")) <= bound, col("amt")))
+      def legCols(leg: Int): Seq[org.apache.spark.sql.Column] = {
+        val sfx = if (leg == 1) "" else s"_$leg"
+        Seq(pvl(leg, P1).as(s"pv1$sfx"), vl(leg, P1).as(s"v1$sfx"),
+          pvl(leg, P2).as(s"pv2$sfx"), vl(leg, P2).as(s"v2$sfx"),
+          pvl(leg, P3).as(s"pv3$sfx"), vl(leg, P3).as(s"v3$sfx"))
+      }
+      val aggCols = min(col("amount_in")).as("amount_in") +:
+        (1 to 3).flatMap(legCols)
       val legAgg = legs
         .withColumn("d_bucket", expr(s"ts_us div $P3"))
         .join(t, col("d_bucket") === col("t_bucket") &&
           col("l_a") === col("t_a") && col("l_b") === col("t_b") &&
           abs(col("t_ts") - col("ts_us")) <= P3)
-        .groupBy("block_number", "tx_hash", "trace_idx", "x1", "x2", "leg_no")
-        .agg(min(col("amount_in")).as("amount_in"),
-          pv(P1).as("pv1"), v(P1).as("v1"), pv(P2).as("pv2"), v(P2).as("v2"),
-          pv(P3).as("pv3"), v(P3).as("v3"))
+        .groupBy("block_number", "tx_hash", "trace_idx", "x1", "x2")
+        .agg(aggCols.head, aggCols.tail: _*)
       def pick(req: org.apache.spark.sql.Column) =
         when(col("v1") >= req, col("pv1") / col("v1"))
           .when(col("v2") >= req, col("pv2") / col("v2"))
           .when(col("v3") >= req, col("pv3") / col("v3"))
-      val key = Seq("block_number", "tx_hash", "trace_idx", "x1", "x2")
-      val l1 = legAgg.filter(col("leg_no") === 1)
-        .withColumn("vwam1", pick(col("amount_in")))
-        .filter(col("vwam1").isNotNull)
-        .select(key.map(col) ++ Seq(col("amount_in"), col("vwam1"),
-          col("v3").as("liq1")): _*)
-      def tail(n: Int) = legAgg.filter(col("leg_no") === n)
-        .select(key.map(col) ++ Seq(col("pv1").as(s"pv1_$n"), col("v1").as(s"v1_$n"),
-          col("pv2").as(s"pv2_$n"), col("v2").as(s"v2_$n"),
-          col("pv3").as(s"pv3_$n"), col("v3").as(s"v3_$n")): _*)
       def pickN(n: Int, req: org.apache.spark.sql.Column) =
         when(col(s"v1_$n") >= req, col(s"pv1_$n") / col(s"v1_$n"))
           .when(col(s"v2_$n") >= req, col(s"pv2_$n") / col(s"v2_$n"))
           .when(col(s"v3_$n") >= req, col(s"pv3_$n") / col(s"v3_$n"))
-      val priced = l1.join(tail(2), key)
+      val priced = legAgg
+        .withColumn("vwam1", pick(col("amount_in")))
+        .filter(col("vwam1").isNotNull)
         .withColumn("vwam2", pickN(2, col("amount_in") * col("vwam1")))
         .filter(col("vwam2").isNotNull)
-        .join(tail(3), key)
         .withColumn("vwam3",
           pickN(3, col("amount_in") * col("vwam1") * col("vwam2")))
         .filter(col("vwam3").isNotNull)
         .withColumn("implied", col("vwam1") * col("vwam2") * col("vwam3"))
-        .withColumn("liq", least(col("liq1"), col("v3_2"), col("v3_3")))
+        .withColumn("liq", least(col("v3"), col("v3_2"), col("v3_3")))
       val w = Window.partitionBy("block_number", "tx_hash", "trace_idx")
         .orderBy(col("liq").desc, col("implied").desc,
           col("x1").asc, col("x2").asc)

@@ -557,6 +557,16 @@ object ChainFixture {
     materializeWith(s, s"${matRoot(s)}_actions_${dirKey(dir)}") { p =>
       actions(s, dir)
         .withColumn("block_bucket", expr("block_number div 250"))
+        // ONE file per bucket: without the repartition every shuffle task
+        // writes a sliver of every bucket (shuffle.partitions × buckets tiny
+        // files — 608 × 41 KB at sf0.1), and every downstream scan of the
+        // store pays the per-file listing/open/footer cost again. Hash by
+        // the partition key so each bucket lands in exactly one task; sort
+        // within so block_number row-group stats stay tight for range scans.
+        // Scales with data: bucket count grows with block height, one
+        // 250-block bucket per file is the make_filter_key_range layout.
+        .repartition(col("block_bucket"))
+        .sortWithinPartitions("block_number", "tx_idx", "trace_idx")
         .write.mode("overwrite").partitionBy("block_bucket").parquet(p)
     }
 

@@ -269,8 +269,13 @@ object InspectorOps extends QueryModule {
           .otherwise("long_tail"))
   }
 
+  /** Materialized like swTx/sandwiches/jitPairs: NINE consumers (q9 family,
+    * j10/j11, q8, the fidelity candidate union) each re-ran the per-tx
+    * window + aggregate over the swaps fact; the store makes that one pass
+    * per JVM and every consumer a tiny-table read. */
   private[domain] def arbs(s: SparkSession, dir: String): DataFrame =
-    arbsOf(swaps(s, dir))
+    ChainFixture.materialize(s, s"arbs_${ChainFixture.dirKey(dir)}",
+      arbsOf(swaps(s, dir)))
 
   /** The reference's EXACT arb-type decision tree (is_possible_arb
     * atomic_arb.rs:314-339 + identify_arb_sequence :398-422), replacing the

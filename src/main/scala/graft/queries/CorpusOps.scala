@@ -211,24 +211,33 @@ object CorpusOps extends graft.QueryModule {
   private val tDecontaminateIncr = QueryDef(
     "t_decontaminate_incr",
     (s, dir) => {
-      val docs = Tables.documents(s, dir)
+      // ONE gram derivation (split + 4-gram transform + array_distinct —
+      // the dominant cost) shared by all five consumers; the old shape
+      // re-ran it per branch (oldEv, newEv, tg×2, train-size). This is the
+      // oracle's own `g` CTE shape. n_grams = per-doc count of the
+      // distinct-gram rows, identical to size(array_distinct(grams)).
+      // Bare persist keeps the returned plan inspectable for PlanSpec;
+      // the harness clears the cache between queries.
+      val gt = Tables.documents(s, dir)
         .withColumn("ws", split(col("text"), " "))
-        .withColumn("grams", array_distinct(expr(PipelineOps.gramsExpr(4))))
-      val oldEv = docs.filter(pmod(col("doc_id"), lit(41)) === 0)
-        .select(explode(col("grams")).as("gram")).distinct()
-      val newEv = docs.filter(pmod(col("doc_id"), lit(41)) =!= 0 &&
+        .select(col("doc_id"), col("source"),
+          explode(array_distinct(expr(PipelineOps.gramsExpr(4))))
+            .as("gram"))
+        .persist()
+      val oldEv = gt.filter(pmod(col("doc_id"), lit(41)) === 0)
+        .select("gram").distinct()
+      val newEv = gt.filter(pmod(col("doc_id"), lit(41)) =!= 0 &&
           pmod(col("doc_id"), lit(43)) === 0)
-        .select(explode(col("grams")).as("gram")).distinct()
+        .select("gram").distinct()
       val delta = newEv.join(oldEv, Seq("gram"), "left_anti")
-      val train = docs.filter(pmod(col("doc_id"), lit(41)) =!= 0 &&
+      val tg = gt.filter(pmod(col("doc_id"), lit(41)) =!= 0 &&
         pmod(col("doc_id"), lit(43)) =!= 0)
-      val tg = train.select(col("doc_id"), explode(col("grams")).as("gram"))
       val hitsOld = tg.join(broadcast(oldEv), "gram")
         .groupBy("doc_id").agg(count(lit(1)).as("ho"))
       val hitsNew = tg.join(broadcast(delta), "gram")
         .groupBy("doc_id").agg(count(lit(1)).as("hn"))
-      train.select(col("doc_id"), col("source"),
-          size(col("grams")).cast("long").as("n_grams"))
+      tg.groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_grams"))
         .join(hitsOld, Seq("doc_id"), "left")
         .join(hitsNew, Seq("doc_id"), "left")
         .withColumn("n_hit_old", coalesce(col("ho"), lit(0L)))

@@ -53,19 +53,28 @@ object PipelineOps extends QueryModule {
   private val decontaminate = QueryDef(
     "t_decontaminate",
     (s, dir) => {
-      val docs = Tables.documents(s, dir)
+      // ONE gram derivation shared by the eval and train branches: the
+      // split + 4-gram transform + array_distinct is the dominant cost and
+      // the old shape re-ran it per branch (the oracle's own `g` CTE shape).
+      // n_grams = per-doc row count of the distinct-gram table — identical
+      // to size(array_distinct(grams)); cast back to INT to keep the schema.
+      // Bare persist (not withPersisted): the returned plan must stay
+      // inspectable for the PlanSpec broadcast assertion; the harness
+      // clears the cache between queries.
+      val gt = Tables.documents(s, dir)
         .withColumn("ws", split(col("text"), " "))
-        .withColumn("grams", array_distinct(expr(gramsExpr(4))))
-      val ev = docs.filter(pmod(col("doc_id"), lit(41)) === 0)
-        .select(explode(col("grams")).as("gram")).distinct()
-      docs.filter(pmod(col("doc_id"), lit(41)) =!= 0)
-        .select(col("doc_id"), size(col("grams")).as("n_grams"),
-          explode(col("grams")).as("gram"))
-        .join(broadcast(ev), "gram")
+        .select(col("doc_id"),
+          explode(array_distinct(expr(gramsExpr(4)))).as("gram"))
+        .persist()
+      val ev = gt.filter(pmod(col("doc_id"), lit(41)) === 0)
+        .select("gram").distinct()
+      val tr = gt.filter(pmod(col("doc_id"), lit(41)) =!= 0)
+      val sz = tr.groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_grams"))
+      tr.join(broadcast(ev), "gram")
         .groupBy("doc_id")
-        .agg(first(col("n_grams")).as("n_grams"),
-          count(lit(1)).as("n_hit"),
-          max(col("gram")).as("worst_gram"))
+        .agg(count(lit(1)).as("n_hit"), max(col("gram")).as("worst_gram"))
+        .join(sz, "doc_id")
         .withColumn("overlap_frac",
           col("n_hit").cast("double") / col("n_grams"))
         .select("doc_id", "n_grams", "n_hit", "overlap_frac", "worst_gram")
