@@ -153,6 +153,9 @@ object CorpusOps extends graft.QueryModule {
               "i -> array_join(slice(ws, (i - 1) * 8 + 1, 8), ' '))"))
             .as(Seq("ln", "line")))
         .withColumn("lh", md5(col("line")))
+        // three consumers (df rollup, the counted broadcast gate, the
+        // rebuild join) otherwise re-run the split+explode lineage each
+        .persist()
       val dup = lines.groupBy("lh")
         .agg(countDistinct(col("doc_id")).as("dfc"))
         .filter(col("dfc") > 1)

@@ -118,6 +118,12 @@ object MultimodalOps extends QueryModule {
             PhashRow(id, sb.toString)
           }
         }
+        // the banded self-join consumes the hash table on BOTH sides:
+        // without the persist each side re-runs the full encode→decode
+        // codec kernel over every image (the guide-§8 rule — fingerprints
+        // are the cheap proxy, compute them once). 64-char hash per doc →
+        // tiny cache; harness clears it between queries.
+        .persist()
       val bands = hashes.select(col("doc_id"), col("phash"),
           explode(expr("transform(sequence(0, 3), b -> " +
             "struct(b AS band, substring(phash, b * 16 + 1, 16) AS bval))"))

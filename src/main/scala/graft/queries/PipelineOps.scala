@@ -110,6 +110,9 @@ object PipelineOps extends QueryModule {
               "i -> IF((i - 1) % 3 = 0, array_join(slice(ws, i, 10), ' '), NULL)), " +
               "x -> x IS NOT NULL)")).as("gram"))
         .distinct()
+        // three consumers (df rollup + both self-join sides) otherwise
+        // re-run the split+explode+distinct lineage each
+        .persist()
       val rare = grams.groupBy("gram")
         .agg(count(lit(1)).as("df"))
         .filter(col("df") between (2, 16))
@@ -178,8 +181,11 @@ object PipelineOps extends QueryModule {
         .agg(countDistinct(col("e_doc")).as("dfc"))
         .filter(col("dfc") <= 16).select("gram")
       val evg2 = evg.join(capped, "gram")
+      // two consumers (the stride-gram explode and the span-extension
+      // join) otherwise re-split every training text
       val tr = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
         .select(col("doc_id"), col("ws"))
+        .persist()
       val trg = tr.select(col("doc_id"), col("ws"),
           explode(expr("filter(transform(sequence(1, size(ws) - 7), " +
             "i -> IF((i - 1) % 3 = 0, i, NULL)), x -> x IS NOT NULL)"))

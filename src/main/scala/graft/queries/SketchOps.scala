@@ -390,8 +390,13 @@ object SketchOps extends QueryModule {
         .withColumn("h", md5(col("sh")))
         .withColumn("p1", expr(s"${nibbleVal(1, 3)} % $BloomBits"))
         .withColumn("p2", expr(s"${nibbleVal(4, 3)} % $BloomBits"))
+      // ONE shingle explode shared by the filter-build, exact-member, and
+      // probe branches (the old shape re-ran the corpus explode 3×); bare
+      // persist keeps the plan inspectable, harness clears caches between
+      // queries.
       val sh = shingleHashes(s, dir)
         .withColumn("is_eval", pmod(col("doc_id"), lit(41)) === 0)
+        .persist()
       val evalSh = withPos(
         sh.filter(col("is_eval")).select(col("sh")).distinct())
       val filt = evalSh.select(col("p1").as("p"))

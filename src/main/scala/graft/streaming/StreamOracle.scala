@@ -71,10 +71,15 @@ object StreamOracle extends QueryModule {
     * 2·maxBlock/3 — the micro-batch composition every fold entry shares,
     * computed from a one-row agg (no fact-sized driver action). */
   private def withBlockTerciles(in: DataFrame): DataFrame = {
-    val mbRow = in.agg(max(col("block"))).head()
+    // persist across the two consumers (the max-block action here, the
+    // drop writes in driveFold): the update derivation is an actions-store
+    // scan + aggregate that otherwise runs twice; the harness clears the
+    // cache between queries
+    val p = in.persist()
+    val mbRow = p.agg(max(col("block"))).head()
     val mb = if (mbRow.isNullAt(0)) 0L else mbRow.getLong(0)
     val (cut1, cut2) = (mb / 3, 2 * mb / 3)
-    in.withColumn("batch",
+    p.withColumn("batch",
       when(col("block") <= cut1, 0L)
         .when(col("block") <= cut2, 1L).otherwise(2L))
   }
@@ -179,7 +184,7 @@ object StreamOracle extends QueryModule {
   private val c3StreamDiscovery = QueryDef(
     "c3_stream_discovery",
     (s, dir) => {
-      val upd = updates(s, dir)
+      val upd = updates(s, dir).persist() // max-block action + the union feed
       val mbRow = upd.agg(max(col("block"))).head()
       val mb = if (mbRow.isNullAt(0)) 0L else mbRow.getLong(0)
       val dep = ChainFixture.pools(s)
@@ -266,7 +271,13 @@ object StreamOracle extends QueryModule {
       // atomically to the source's listing, so every drop is exactly one
       // whole unit regardless of trigger timing.
       upd.filter(col("block") <= cut1).coalesce(1).write.parquet(src)
-      val q = TipStream.runTipRolled(s, src, out, ckpt)
+      // stream-local shuffle-partition pinning, same as driveFold /
+      // driveTwoSided: this was the ONE streamed entry still running its
+      // stateful fold on the main session's 32 shuffle partitions — 32
+      // state-store commits per micro-batch for state this small
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+      val q = TipStream.runTipRolled(s2, src, out, ckpt)
       try {
         q.processAllAvailable()
         upd.filter(col("block") > cut1 && col("block") <= cut2)
@@ -501,7 +512,7 @@ object StreamOracle extends QueryModule {
   private val r4LateData = QueryDef(
     "r4_late_data",
     (s, dir) => {
-      val upd = updates(s, dir)
+      val upd = updates(s, dir).persist() // max-block action + the unit rollup
       val mbRow = upd.agg(max(col("block"))).head()
       val maxBlock = if (mbRow.isNullAt(0)) 0L else mbRow.getLong(0)
       val cut1 = maxBlock / 3
@@ -649,8 +660,12 @@ object StreamOracle extends QueryModule {
     val tmp = java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
     deleteOnExit(tmp)
     val (srcA, srcB, out, ckpt) = (s"$tmp/a", s"$tmp/b", s"$tmp/out", s"$tmp/ckpt")
-    aDf.filter(col("batch") === 0).drop("batch").coalesce(1).write.parquet(srcA)
-    bDf.filter(col("batch") === 0).drop("batch").coalesce(1).write.parquet(srcB)
+    // persist both sides for the drop-write phase (driveFold already does):
+    // each of the 2×nBatches single-file writes otherwise re-derives its
+    // side from the source scan
+    val (aP, bP) = (aDf.persist(), bDf.persist())
+    aP.filter(col("batch") === 0).drop("batch").coalesce(1).write.parquet(srcA)
+    bP.filter(col("batch") === 0).drop("batch").coalesce(1).write.parquet(srcB)
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
     val a = s2.readStream.schema(aDf.drop("batch").schema).parquet(srcA)
@@ -664,9 +679,9 @@ object StreamOracle extends QueryModule {
     try {
       q.processAllAvailable()
       (1L until nBatches).foreach { i =>
-        aDf.filter(col("batch") === i).drop("batch").coalesce(1)
+        aP.filter(col("batch") === i).drop("batch").coalesce(1)
           .write.mode("append").parquet(srcA)
-        bDf.filter(col("batch") === i).drop("batch").coalesce(1)
+        bP.filter(col("batch") === i).drop("batch").coalesce(1)
           .write.mode("append").parquet(srcB)
         q.processAllAvailable()
       }
@@ -675,7 +690,10 @@ object StreamOracle extends QueryModule {
         sb.coalesce(1).write.mode("append").parquet(srcB)
         q.processAllAvailable()
       }
-    } finally q.stop()
+    } finally {
+      q.stop()
+      aP.unpersist(false); bP.unpersist(false); ()
+    }
     s.read.parquet(out)
   }
 
@@ -976,7 +994,9 @@ object StreamOracle extends QueryModule {
   private val w9StreamSession = QueryDef(
     "w9_stream_session",
     (s, dir) => {
-      val ev = w9Events(s, dir)
+      // four consumers (max agg, the two cut searches, the batched drops)
+      // otherwise re-derive the event slice from the source per pass
+      val ev = w9Events(s, dir).persist()
       val mx = ev.agg(max(col("us"))).head().getLong(0)
       val (cut1, cut2) = w9Cuts(ev)
       // time-ordered drops: the watermark only ever advances, so no
@@ -987,7 +1007,8 @@ object StreamOracle extends QueryModule {
       val sentinel = s.range(1).select(lit(-1L).as("user_id"),
         lit(-1L).as("event_id"),
         lit(mx + 10L * 86400L * 1000000L).as("us"), lit(3L).as("batch"))
-      driveFold(s, batched.unionByName(sentinel), 4, "w9s") { (s2, stream) =>
+      val folded = driveFold(s, batched.unionByName(sentinel), 4, "w9s") {
+        (s2, stream) =>
         stream
           .withColumn("tsx", timestamp_micros(col("us")))
           .withWatermark("tsx", "1 minute")
@@ -996,6 +1017,8 @@ object StreamOracle extends QueryModule {
           .agg(count(lit(1)).as("sn"))
           .select(col("user_id"), col("sn"))
       }
+      ev.unpersist(false)
+      folded
         .filter(col("user_id") >= 0)
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_sessions"), max(col("sn")).as("max_session_n"))
