@@ -351,7 +351,10 @@ object ClassifyOps extends QueryModule {
   private val c5BatchSolver = QueryDef(
     "c5_batch_solver",
     (s, dir) => {
-      val a = acts(s, dir).persist()
+      // no persist: the consumers are pruned scans of the compact
+      // actions store; caching the full-width table costs more than
+      // the re-scans and defeats column pruning (q5_jit A/B: 4.1->2.0s)
+      val a = acts(s, dir)
       val roots = a.filter(size(col("trace_address")) === 1 &&
           col("action_type") === "unclassified" && col("tx_idx") % 2 === 0)
         .select(col("block_number"), col("tx_hash"),
@@ -479,7 +482,10 @@ object ClassifyOps extends QueryModule {
   private val c5Aggregator = QueryDef(
     "c5_aggregator",
     (s, dir) => {
-      val a = acts(s, dir).persist()
+      // no persist: the consumers are pruned scans of the compact
+      // actions store; caching the full-width table costs more than
+      // the re-scans and defeats column pruning (q5_jit A/B: 4.1->2.0s)
+      val a = acts(s, dir)
       val roots = a.filter(size(col("trace_address")) === 1 &&
           col("action_type") === "unclassified" && col("tx_idx") % 2 === 1)
         .select(col("block_number"), col("tx_hash"),
@@ -627,7 +633,10 @@ object ClassifyOps extends QueryModule {
   private val c9MissingToken = QueryDef(
     "c9_missing_token",
     (s, dir) => {
-      val a = acts(s, dir).persist()
+      // no persist: the consumers are pruned scans of the compact
+      // actions store; caching the full-width table costs more than
+      // the re-scans and defeats column pruning (q5_jit A/B: 4.1->2.0s)
+      val a = acts(s, dir)
       val ins = a.filter(col("token_in_id").isNotNull && col("dec_in").isNull)
         .select(col("token_in_id").as("token_id"), col("action_type"))
       val outs = a.filter(col("token_out_id").isNotNull && col("dec_out").isNull)

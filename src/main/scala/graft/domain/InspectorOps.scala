@@ -1154,7 +1154,11 @@ object InspectorOps extends QueryModule {
   private val q5Jit = QueryDef(
     "q5_jit",
     (s, dir) => {
-      val a = actionsTable(s, dir).persist()
+      // no persist: caching the FULL-width actions table defeats column
+      // pruning for its two consumers — each needs a handful of columns,
+      // and two pruned scans of the compact store beat one full-width
+      // cache materialization
+      val a = actionsTable(s, dir)
       // PRIMARY PnL: full delta-accounting over the bundle's mint/burn txs
       // via the A1–A3 header (the searcher address-set's token deltas ×
       // prices − gas, shared_utils.rs:344-460); the fee-delta model stays

@@ -197,7 +197,9 @@ object MiscOps extends QueryModule {
   private val p13FrontendPrunes = QueryDef(
     "p13_frontend_prunes",
     (s, dir) => {
-      val a = ChainFixture.actionsTable(s, dir).persist()
+      // no persist: two pruned scans of the compact store beat one
+      // full-width cache materialization (q5_jit A/B: 4.1->2.0s)
+      val a = ChainFixture.actionsTable(s, dir)
       val legs = a.filter(col("action_type") === "swap" && col("amount_in").isNotNull)
         .select(col("tx_hash").as("s_tx"), col("token_in_id").as("s_tok"),
           col("amount_in").as("s_amt")).distinct()
