@@ -462,6 +462,15 @@ object ChainFixture {
         when(lay === "return_words" || col("selector") === SelBurn,
           unhex(concat(word(lit(1L)), word(col("q6l")), word(col("p2l")))))
           .as("return_data"))
+        // selector-clustered files, same rationale as tracesTable: nearly
+        // every consumer scans with a pushed selector (or layout-family)
+        // equality — range-partitioned + sorted files turn those pushed
+        // filters into whole-file skips via parquet min/max stats
+        // the secondary tx_hash range key keeps HOT selectors spread over
+        // several files (selector-only ranges collapsed a 30%-of-rows
+        // selector into one file = one scan task)
+        .repartitionByRange(col("selector"), col("tx_hash"))
+        .sortWithinPartitions("selector")
     })
 
   // ── materialized intermediates ────────────────────────────────────────────
@@ -545,9 +554,18 @@ object ChainFixture {
   private[graft] def dirKey(dir: String): String =
     dir.replaceAll("[^A-Za-z0-9]", "_")
 
-  /** The traces table, materialized (raw decode input, S1 store analog). */
+  /** The traces table, materialized (raw decode input, S1 store analog).
+    * CLUSTERED BY SELECTOR on write (guide §6: sort/cluster by the
+    * commonly-filtered column so min/max statistics prune): most decode
+    * queries scan this store with a pushed `selector =` filter, and with
+    * range-partitioned + sorted files each such scan skips every file
+    * whose selector range can't match. Partition count follows
+    * spark.sql.shuffle.partitions — scale-adaptive, not a local constant. */
   def tracesTable(s: SparkSession, dir: String): DataFrame =
-    materialize(s, s"traces_${dirKey(dir)}", traces(s, dir))
+    materialize(s, s"traces_${dirKey(dir)}",
+      traces(s, dir)
+        .repartitionByRange(col("selector"), col("tx_hash"))
+        .sortWithinPartitions("selector"))
 
   /** The classified actions table, materialized — what every inspector
     * scans (the reference's stored block trees). Laid out PARTITIONED BY
