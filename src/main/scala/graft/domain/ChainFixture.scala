@@ -420,7 +420,11 @@ object ChainFixture {
     *     log payload word0(q6) ‖ word1(p2) (the `log` arm of action_impl!)
     */
   def calldataTable(s: SparkSession, dir: String): DataFrame =
-    materialize(s, s"calldata_${dirKey(dir)}", {
+    // _v2: the materialize key carries a LAYOUT VERSION so a shared
+    // persistent spark.graft.matRoot written by an older build can never
+    // silently serve a stale clustering (ADVICE r15) — bump it whenever
+    // the on-disk layout of this store changes
+    materialize(s, s"calldata_v2_${dirKey(dir)}", {
       import org.apache.spark.sql.Column
       def word(c: Column) = lpad(lower(hex(c)), 64, "0")
       def negWord(c: Column) = when(c === 0L, lit("0" * 64))
@@ -462,15 +466,17 @@ object ChainFixture {
         when(lay === "return_words" || col("selector") === SelBurn,
           unhex(concat(word(lit(1L)), word(col("q6l")), word(col("p2l")))))
           .as("return_data"))
-        // selector-clustered files, same rationale as tracesTable: nearly
-        // every consumer scans with a pushed selector (or layout-family)
-        // equality — range-partitioned + sorted files turn those pushed
-        // filters into whole-file skips via parquet min/max stats
-        // the secondary tx_hash range key keeps HOT selectors spread over
-        // several files (selector-only ranges collapsed a 30%-of-rows
-        // selector into one file = one scan task)
-        .repartitionByRange(col("selector"), col("tx_hash"))
-        .sortWithinPartitions("selector")
+        // NATURAL layout (r16): the r15 selector-clustered write
+        // (repartitionByRange(selector, tx_hash) + sorted files) was
+        // re-measured on an idle box against the plain layout and LOST on
+        // every probe query — selector-contiguous files concentrate a hot
+        // selector's rows in few single-row-group files, so the
+        // expression-heavy filtered decodes drop to a fraction of the
+        // core-count parallelism, which costs more than the whole-file
+        // stat-skips save (solo pairs in OPTIMIZATION_r16.md; a 4×-wider
+        // range write was also measured and also lost — split packing
+        // re-merges adjacent hot files into one task). The natural scan
+        // partitioning spreads every selector across all files.
     })
 
   // ── materialized intermediates ────────────────────────────────────────────
@@ -555,17 +561,15 @@ object ChainFixture {
     dir.replaceAll("[^A-Za-z0-9]", "_")
 
   /** The traces table, materialized (raw decode input, S1 store analog).
-    * CLUSTERED BY SELECTOR on write (guide §6: sort/cluster by the
-    * commonly-filtered column so min/max statistics prune): most decode
-    * queries scan this store with a pushed `selector =` filter, and with
-    * range-partitioned + sorted files each such scan skips every file
-    * whose selector range can't match. Partition count follows
-    * spark.sql.shuffle.partitions — scale-adaptive, not a local constant. */
+    * NATURAL layout (r16): the r15 selector clustering was re-measured on
+    * an idle box and reverted — see calldataTable for the full rationale
+    * (hot-selector scan parallelism beats whole-file stat-skips at every
+    * width that was tried). The `_v2` key token versions the on-disk
+    * layout so a shared persistent spark.graft.matRoot written by the r15
+    * build can never silently serve the clustered files (ADVICE r15). */
   def tracesTable(s: SparkSession, dir: String): DataFrame =
-    materialize(s, s"traces_${dirKey(dir)}",
-      traces(s, dir)
-        .repartitionByRange(col("selector"), col("tx_hash"))
-        .sortWithinPartitions("selector"))
+    materialize(s, s"traces_v2_${dirKey(dir)}",
+      traces(s, dir))
 
   /** The classified actions table, materialized — what every inspector
     * scans (the reference's stored block trees). Laid out PARTITIONED BY
