@@ -73,7 +73,8 @@ object TipInspect extends QueryModule {
     * on a different source. */
   private[graft] def inspectBundles(s: SparkSession, tracesDf: DataFrame,
       minOwnBlock: Long, preActs: Option[DataFrame] = None,
-      preHdr: Option[DataFrame] = None): DataFrame = {
+      preHdr: Option[DataFrame] = None, preSand: Option[DataFrame] = None,
+      preArbs: Option[DataFrame] = None): DataFrame = {
     val nullStr = lit(null).cast("string")
     val acts = preActs.getOrElse(ChainFixture.actionsOf(s, tracesDf))
     val hdr = preHdr.getOrElse(Accounting.headersOf(s, tracesDf, acts))
@@ -83,7 +84,8 @@ object TipInspect extends QueryModule {
 
     // Q1: verified sandwiches (victim ratio + price sanity + shrink), PnL
     // from the front AND back txs' headers, attributed to the back block
-    val sand = InspectorOps.sandwichesOf(InspectorOps.swTxFromSwaps(sw))
+    val sand = preSand
+      .getOrElse(InspectorOps.sandwichesOf(InspectorOps.swTxFromSwaps(sw)))
       .filter(col("back_block") >= minOwnBlock)
       .join(hdr.select(col("tx_hash").as("front_tx"),
         col("profit_usd").as("front_profit")), "front_tx")
@@ -102,7 +104,7 @@ object TipInspect extends QueryModule {
 
     // Q2: atomic arbs with the validity heuristic and the 2-block trigger
     // search (n2: 0 = no trigger, 1 = same block, 2 = previous block)
-    val a = InspectorOps.arbsOf(sw)
+    val a = preArbs.getOrElse(InspectorOps.arbsOf(sw))
     val arb = a.join(hdr, "tx_hash")
       .join(broadcast(ChainFixture.searchers(s)),
         col("eoa") === col("s_eoa"), "left")
@@ -158,7 +160,9 @@ object TipInspect extends QueryModule {
     */
   private[graft] def composedMevOf(s: SparkSession, tracesDf: DataFrame,
       minOwnBlock: Long, preActs: Option[DataFrame] = None,
-      preHdr: Option[DataFrame] = None): DataFrame = {
+      preHdr: Option[DataFrame] = None, preSwTx: Option[DataFrame] = None,
+      preSand: Option[DataFrame] = None,
+      preArbs: Option[DataFrame] = None): DataFrame = {
     val nullStr = lit(null).cast("string")
     val nullD = lit(null).cast("double")
     val nullL = lit(null).cast("long")
@@ -168,11 +172,11 @@ object TipInspect extends QueryModule {
       col("profit_usd"), col("eoa").as("h_eoa"),
       col("block_number").as("h_block"))
     val sw = InspectorOps.swapsOf(acts)
-    val swTx = InspectorOps.swTxFromSwaps(sw)
+    val swTx = preSwTx.getOrElse(InspectorOps.swTxFromSwaps(sw))
 
     // the seven candidate surfaces — the j10_bundle_dedup formulations,
     // each keeping its ANCHOR block (`blk`)
-    val sand = InspectorOps.sandwichesOf(swTx).select(
+    val sand = preSand.getOrElse(InspectorOps.sandwichesOf(swTx)).select(
       col("back_block").as("blk"),
       concat(col("front_tx"), lit("|"), col("back_tx"), lit("|"), col("pool"))
         .as("bid"),
@@ -180,7 +184,9 @@ object TipInspect extends QueryModule {
       (col("back_out") - col("sum_in")).as("profit"),
       array(col("front_tx"), col("back_tx")).as("txs"),
       nullStr.as("arb_type"), lit(false).as("labeled")).distinct()
-    val jitp = InspectorOps.jitPairsOf(acts)
+    // three consumers (jit, jit_sandwich, jit_cexdex) — eager-cut like the
+    // bundle/edge frames below so the mint↔burn pairing runs once per batch
+    val jitp = InspectorOps.jitPairsOf(acts).localCheckpoint()
     val jit = jitp.select(
       col("block_number").as("blk"),
       concat(col("tx_hash"), lit("|"), col("burn_tx"), lit("|"), col("pool"))
@@ -195,19 +201,21 @@ object TipInspect extends QueryModule {
         lit("liquidation").as("mev_type"), lit(0.0).as("profit"),
         array(col("tx_hash")).as("txs"),
         nullStr.as("arb_type"), lit(false).as("labeled"))
-    val arb = InspectorOps.arbsOf(sw)
+    val arb = preArbs.getOrElse(InspectorOps.arbsOf(sw))
       .join(hdrK, col("tx_hash") === col("h_tx"))
       .select(col("h_block").as("blk"), col("tx_hash").as("bid"),
         lit("arb").as("mev_type"), col("profit_usd").as("profit"),
         array(col("tx_hash")).as("txs"), col("arb_type"),
         lit(false).as("labeled"))
     // CEX-DEX candidates through the J12 metadata join: lone-swap txs
-    // priced by the header, searcher-labeled via the broadcast dimension
+    // priced by the header, searcher-labeled via the broadcast dimension;
+    // eager-cut — two consumers (cexdex, jit_cexdex)
     val cexdexBase = sw.groupBy("tx_hash")
       .agg(count(lit(1)).as("n_sw")).filter(col("n_sw") === 1)
       .join(hdrK, col("tx_hash") === col("h_tx"))
       .join(broadcast(ChainFixture.searchers(s)),
         col("h_eoa") === col("s_eoa"), "left")
+      .localCheckpoint()
     val cexdex = cexdexBase.select(col("h_block").as("blk"),
       col("tx_hash").as("bid"), lit("cexdex").as("mev_type"),
       col("profit_usd").as("profit"), array(col("tx_hash")).as("txs"),
@@ -422,9 +430,22 @@ object TipInspect extends QueryModule {
         val slice = full.localCheckpoint()
         val acts = ChainFixture.actionsOf(ss, slice).localCheckpoint()
         val hdr = Accounting.headersOf(ss, slice, acts).localCheckpoint()
-        inspectBundles(ss, slice, mn, Some(acts), Some(hdr))
+        // the inspector intermediates BOTH output surfaces consume are
+        // computed once per micro-batch, like classify/price above — the
+        // reference runs each inspector once per block and the composer
+        // reads its results (tip.rs:34 `inspectors: &[&dyn Inspector]`);
+        // before this cut the sandwich shrink pipeline (windowed explode +
+        // self-join + victim stats) and the per-tx arb fold each ran TWICE
+        // per batch, once per emitter (r16 A/B in OPTIMIZATION_r16.md)
+        val sw = InspectorOps.swapsOf(acts)
+        val swTx = InspectorOps.swTxFromSwaps(sw).localCheckpoint()
+        val sand = InspectorOps.sandwichesOf(swTx).localCheckpoint()
+        val arbs = InspectorOps.arbsOf(sw).localCheckpoint()
+        inspectBundles(ss, slice, mn, Some(acts), Some(hdr), Some(sand),
+            Some(arbs))
           .write.mode("overwrite").parquet(s"$outI/batch=$batchId")
-        composedMevOf(ss, slice, mn, Some(acts), Some(hdr))
+        composedMevOf(ss, slice, mn, Some(acts), Some(hdr), Some(swTx),
+            Some(sand), Some(arbs))
           .write.mode("overwrite").parquet(s"$outC/batch=$batchId")
       }
       (outI, outC)
